@@ -1,0 +1,170 @@
+"""Model/tokenizer builder for the LLM trainer.
+
+The reference builds HF torch models (AutoModelForCausalLM,
+/root/reference/examples/trainer_llm/builder.py:97-107) and supports a
+user-supplied "custom builder" python file (:66-91).  Here models are native
+ptdeco_tpu CausalLMs; known HF checkpoints are imported by name via
+ptdeco_tpu.models.hf_loader, and the custom-builder hook is preserved.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import logging
+import pathlib
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ptdeco_tpu import models, nn, utils
+
+logger = logging.getLogger(__name__)
+
+_DTYPES = {
+    "float32": jnp.float32,
+    "bfloat16": jnp.bfloat16,
+    "float16": jnp.float16,
+}
+
+_KNOWN_CONFIGS = {
+    "tiny": models.TransformerConfig.tiny,
+    "tinyllama-1.1b": models.TransformerConfig.tinyllama_1_1b,
+    "TinyLlama/TinyLlama-1.1B-Chat-v1.0": models.TransformerConfig.tinyllama_1_1b,
+    "qwen2-1.5b": models.TransformerConfig.qwen2_1_5b,
+    "Qwen/Qwen2-1.5B": models.TransformerConfig.qwen2_1_5b,
+    "llama3-8b": models.TransformerConfig.llama3_8b,
+    "meta-llama/Meta-Llama-3-8B": models.TransformerConfig.llama3_8b,
+}
+
+
+def str_to_dtype(s: str) -> Any:
+    return _DTYPES[s]
+
+
+def log_linear_submodules(m: nn.Module) -> None:
+    """Inventory of decomposeable sites (reference builder.py:14-24)."""
+    res = ["All Linear modules of the model:"]
+    i = 1
+    for name, mod in nn.named_modules(m):
+        if isinstance(mod, nn.Linear):
+            res.append(f"  - {name}  # ({i}) {mod.in_features}->{mod.out_features}")
+            i += 1
+    logger.info("\n".join(res))
+
+
+def _load_custom_builder(
+    path: str, config: Optional[dict[str, Any]]
+) -> tuple[nn.Module, Any]:
+    spec = importlib.util.spec_from_file_location("custom_builder", path)
+    assert spec is not None and spec.loader is not None
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.make_model_and_tokenizer(config or {})
+
+
+def make_model_and_tokenizer(
+    *,
+    model_name: str,
+    model_revision: str = "main",
+    dtype: str = "float32",
+    custom_builder_path: Optional[str] = None,
+    custom_builder_config: Optional[dict[str, Any]] = None,
+    checkpoint_path: Optional[str] = None,
+    seed: int = 0,
+) -> tuple[nn.Module, Any]:
+    """Build (model, tokenizer).
+
+    * custom builder file wins if given (reference :66-91);
+    * a known name builds the native architecture; if ``checkpoint_path`` or
+      a local HF snapshot is available, weights are imported, else random
+      init (zero-egress environments);
+    * tokenizer loads via transformers if available, else a byte-level
+      fallback for offline testing.
+    """
+    if custom_builder_path is not None:
+        logger.info(f"Using custom builder {custom_builder_path}")
+        return _load_custom_builder(custom_builder_path, custom_builder_config)
+
+    jdtype = str_to_dtype(dtype)
+    if model_name not in _KNOWN_CONFIGS:
+        raise ValueError(
+            f"Unknown model {model_name!r}; known: {sorted(_KNOWN_CONFIGS)} "
+            "(or pass decomposed_model_custom_builder_path)"
+        )
+    cfg = _KNOWN_CONFIGS[model_name](dtype=jdtype)
+    model = models.CausalLM.create(jax.random.PRNGKey(seed), cfg)
+
+    if checkpoint_path is not None:
+        from ptdeco_tpu.models import hf_loader
+
+        model = hf_loader.load_into_causal_lm(model, checkpoint_path)
+        logger.info(f"Loaded weights from {checkpoint_path}")
+    else:
+        logger.info("No checkpoint available - randomly initialized weights")
+
+    tokenizer = make_tokenizer(model_name, cfg.vocab_size)
+    log_linear_submodules(model)
+    return model, tokenizer
+
+
+class ByteTokenizer:
+    """Offline fallback tokenizer (byte-level, vocab<=256+specials)."""
+
+    def __init__(self, vocab_size: int) -> None:
+        self.vocab_size = vocab_size
+        self.eos_token = "\x00"
+        self.eos_token_id = 0
+        self.pad_token = "\x00"
+        self.pad_token_id = 0
+
+    def __call__(self, text: str, add_special_tokens: bool = False, **kw: Any):
+        ids = [1 + (b % (self.vocab_size - 1)) for b in text.encode("utf-8")]
+        return {"input_ids": ids}
+
+    def decode(self, ids: list[int]) -> str:
+        return bytes((i - 1) % 256 for i in ids if i > 0).decode(
+            "utf-8", errors="replace"
+        )
+
+
+def make_tokenizer(model_name: str, vocab_size: int) -> Any:
+    try:
+        import transformers
+
+        tok = transformers.AutoTokenizer.from_pretrained(model_name)
+        if tok.pad_token is None:
+            tok.pad_token = tok.eos_token
+        return tok
+    except Exception as e:  # offline / unknown name
+        logger.warning(f"Falling back to ByteTokenizer ({e})")
+        return ByteTokenizer(vocab_size)
+
+
+def apply_decompose_config_and_state_dict(
+    model: nn.Module,
+    decompose_config_path: str,
+    decompose_state_dict_path: str,
+) -> nn.Module:
+    """Rebuild a decomposed checkpoint (reference builder.py:119-145)."""
+    with open(decompose_config_path) as f:
+        decompose_config = json.load(f)
+    model = utils.apply_decompose_config(model, decompose_config)
+    sd_path = pathlib.Path(decompose_state_dict_path)
+    if sd_path.suffix == ".safetensors":
+        sd = utils.load_state_dict_safetensors(str(sd_path))
+    else:
+        sd = utils.load_state_dict_pt(str(sd_path))
+    model = utils.load_state_dict(model, sd, strict=False)
+    return model
+
+
+def validate_module_names(model: nn.Module, names: Optional[list[str]]) -> None:
+    """Fail fast on typo'd blacklist entries (reference builder.py:148-158)."""
+    if names is None:
+        return
+    known = {name for name, _ in nn.named_modules(model)}
+    unknown = [n for n in names if n not in known]
+    if unknown:
+        raise ValueError(f"Unknown module names: {unknown}")

@@ -1,0 +1,131 @@
+"""Pydantic config schemas for the LLM trainer.
+
+Mirrors /root/reference/examples/trainer_llm/configurator.py (extra="forbid",
+Literal task tags, same field names) with torch dtype strings replaced by
+jax ones.
+"""
+
+from typing import Any, Literal, Optional
+
+import pydantic
+from typing_extensions import Annotated
+
+DTYPES_PATTERN = r"^float32$|^bfloat16$|^float16$"
+
+
+class _VersionConfig(pydantic.BaseModel):
+    ptdeco_trainer_llm_version: Optional[str] = None
+    ptdeco_tpu_version: Optional[str] = None
+
+
+class DecomposeDWAINConfig(_VersionConfig):
+    task: Literal["decompose_dwain"]
+
+    # Model specification
+    decomposed_model_name: str
+    decomposed_model_revision: str = "main"
+    decomposed_model_custom_builder_path: Optional[str] = None
+    decomposed_model_custom_builder_config: Optional[dict[str, Any]] = None
+    decomposed_model_dtype: Annotated[
+        str, pydantic.StringConstraints(pattern=DTYPES_PATTERN)
+    ]
+
+    # Tokenizer and data handling params
+    decomposition_data_name: str | list[str]
+    decomposition_data_separator: str
+    decomposition_data_max_length: int
+    decomposition_data_batch_size: int
+
+    perplexity_data_name: str
+    perplexity_data_separator: str
+    perplexity_data_max_length: int
+    perplexity_data_batch_size: int
+
+    # Decomposition params
+    num_data_steps: int
+    num_metric_steps: int
+    trade_off_factor: float
+    reduction_factor: float
+    max_accepted_ppl_diff: float
+    nsr_final_threshold: float
+    min_rank: int
+    decompose_in_float64: bool
+    precomputing_covariance_num_splits: Optional[int] = None
+    blacklisted_modules: list[str]
+
+    # Finetuning params
+    finetuning_run: bool
+    finetuning_use_lora: bool
+    finetuning_lora_min_rank: int = 32
+    finetuning_lr: float = 0.0001
+    finetuning_num_steps: int = 100
+    finetuning_num_last_finetuned_modules: int = 8
+    finetuning_use_rank_pattern: bool = False
+
+    # lm_eval evaluation params
+    lm_eval_initial: bool = False
+    lm_eval_tasks: Optional[list[str]] = None
+
+    # Mesh (TPU-only extension; absent in the reference, SURVEY.md §2.7)
+    mesh_dp: Optional[int] = None
+    mesh_tp: int = 1
+
+    model_config = pydantic.ConfigDict(extra="forbid")
+
+
+class FinetuneConfig(_VersionConfig):
+    task: Literal["finetune"]
+
+    decomposed_model_name: str
+    decomposed_model_revision: str = "main"
+    decomposed_model_custom_builder_path: Optional[str] = None
+    decomposed_model_custom_builder_config: Optional[dict[str, Any]] = None
+    decomposed_model_dtype: Annotated[
+        str, pydantic.StringConstraints(pattern=DTYPES_PATTERN)
+    ]
+    decompose_config: str
+    decompose_state_dict: str
+
+    perplexity_data_name: str
+    perplexity_data_separator: str
+    perplexity_data_max_length: int
+    perplexity_data_batch_size: int
+
+    train_data_name: str
+    train_data_separator: str
+    train_data_max_length: int
+    train_data_batch_size: int
+    train_data_n_samples: int
+
+    test_data_name: str
+    test_data_separator: str
+    test_data_max_length: int
+    test_data_batch_size: int
+    test_data_n_samples: int
+
+    num_train_epochs: int
+    finetune_only_decomposed: bool = True
+    eval_steps: int = 100
+    logging_steps: int = 10
+    early_stopping_patience: int = 3
+    learning_rate: float = 1e-4
+    weight_decay: float = 0.0
+    adam_beta1: float = 0.9
+    adam_beta2: float = 0.999
+    adam_epsilon: float = 1e-8
+    lr_scheduler_type: Literal["linear_with_warmup", "cosine_with_warmup"] = (
+        "linear_with_warmup"
+    )
+    num_warmup_steps: int = 10
+    gradient_accumulation_steps: int = 1
+    lora_r: int = 16
+    lora_alpha: int = 8
+    lora_dropout: float = 0.05
+
+    lm_eval_initial: bool = False
+    lm_eval_tasks: Optional[list[str]] = None
+
+    mesh_dp: Optional[int] = None
+    mesh_tp: int = 1
+
+    model_config = pydantic.ConfigDict(extra="forbid")

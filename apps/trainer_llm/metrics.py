@@ -1,0 +1,87 @@
+"""LLM metrics: masked perplexity, param count, FLOPs.
+
+Reference: /root/reference/examples/trainer_llm/metrics.py — perplexity over
+a dataloader (:38-78), fvcore FLOPs with the MACs x2 correction (:118-141).
+TPU equivalents: one jitted eval step reused across batches; static FLOPs
+from XLA's compiled cost analysis (no fvcore).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Any, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ptdeco_tpu import engine, nn, utils
+
+logger = logging.getLogger(__name__)
+
+
+def _ppl_step_factory(apply_fn=engine.default_apply):
+    @jax.jit
+    def step(model: nn.Module, batch: dict[str, jax.Array]):
+        logits = apply_fn(model, batch, None)
+        labels = batch["input_ids"][:, 1:]
+        mask = batch["attention_mask"][:, 1:].astype(jnp.float32)
+        logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
+        ll = jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+        return -jnp.sum(ll * mask), jnp.sum(mask)
+
+    return step
+
+
+def calc_perplexity(
+    model: nn.Module,
+    dataloader: Iterable[dict[str, Any]],
+    max_batches: Optional[int] = None,
+) -> float:
+    """exp(total masked NLL / total tokens) over the loader."""
+    step = _ppl_step_factory()
+    t0 = time.perf_counter()
+    nll, ntok = 0.0, 0.0
+    for i, batch in enumerate(dataloader):
+        if max_batches is not None and i >= max_batches:
+            break
+        b_nll, b_n = step(model, batch)
+        nll += float(b_nll)
+        ntok += float(b_n)
+    ppl = float(jnp.exp(nll / max(ntok, 1.0)))
+    logger.info(
+        f"Perplexity = {ppl:.4f} over {ntok:.0f} tokens "
+        f"({time.perf_counter() - t0:.1f}s)"
+    )
+    return ppl
+
+
+def get_params_m(model: nn.Module) -> float:
+    return utils.get_num_params(model) / 1.0e6
+
+
+def get_giga_flops(
+    model: nn.Module,
+    batch: dict[str, Any],
+    apply_fn=engine.default_apply,
+) -> float:
+    """Static forward GFLOPs from XLA cost analysis (replaces fvcore MACs x2,
+    reference metrics.py:118-141)."""
+    lowered = jax.jit(lambda m, b: apply_fn(m, b, None)).lower(model, batch)
+    cost = lowered.compile().cost_analysis()
+    if isinstance(cost, list):  # older jax returns [dict]
+        cost = cost[0]
+    flops = float(cost.get("flops", 0.0))
+    return flops / 1.0e9
+
+
+def calc_lm_eval_metrics(model: nn.Module, tokenizer: Any, tasks: list[str]):
+    """lm_eval harness hook — optional dependency, absent in this image."""
+    try:
+        import lm_eval  # noqa: F401
+    except ImportError:
+        logger.warning("lm_eval not installed; skipping harness evaluation")
+        return None
+    raise NotImplementedError(
+        "lm_eval integration requires a JAX LM adapter; planned follow-up"
+    )

@@ -1,0 +1,266 @@
+"""Vision data pipeline (ImageNet-style), NHWC.
+
+TPU-native replacement for the reference's NVIDIA DALI GPU pipelines
+(/root/reference/examples/trainer_vision/datasets_dali.py):
+
+  * train: random-resized-crop + horizontal flip + normalize (DALI fused
+    decode+crop, :226-259);
+  * val: resize shorter side to 256 (not_smaller) + center crop + normalize
+    (:209-223);
+  * one-hot targets (:274-277); dict batches {"inputs", "targets"} with
+    ``__len__`` = batches per epoch (DaliGenericIteratorWrapper, :367-388).
+
+Decode/augment runs on host CPU threads (PIL + numpy) with a prefetch
+queue — on TPU the host feeds the device, there is no DALI-style on-device
+JPEG decode.  The file-list + per-epoch shuffle use the native C++ shuffle.
+A synthetic in-memory pipeline is provided for tests/benches.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures
+import logging
+import pathlib
+import queue
+import threading
+from typing import Any, Iterator, Optional, Sequence
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+# reference datasets_dali.py:66-78
+NORMALIZATIONS: dict[str, tuple[list[float], list[float]]] = {
+    "imagenet": (
+        [0.485 * 255, 0.456 * 255, 0.406 * 255],
+        [0.229 * 255, 0.224 * 255, 0.225 * 255],
+    ),
+    "zero_to_one": ([0.0, 0.0, 0.0], [255.0, 255.0, 255.0]),
+    "negative_one_to_one": ([127.5, 127.5, 127.5], [127.5, 127.5, 127.5]),
+    "identity": ([0.0, 0.0, 0.0], [1.0, 1.0, 1.0]),
+}
+
+
+def read_classes_file(fname: str) -> list[tuple[str, int]]:
+    """'relative/path.jpg label' per line (DALI file-list format)."""
+    out = []
+    for line in pathlib.Path(fname).read_text().splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        path, label = line.rsplit(" ", 1)
+        out.append((path, int(label)))
+    return out
+
+
+def _load_image(path: pathlib.Path) -> np.ndarray:
+    from PIL import Image
+
+    with Image.open(path) as im:
+        return np.asarray(im.convert("RGB"))
+
+
+def _random_resized_crop(
+    img: np.ndarray, rng: np.random.RandomState, out_hw: tuple[int, int]
+) -> np.ndarray:
+    from PIL import Image
+
+    h, w = img.shape[:2]
+    area = h * w
+    for _ in range(10):
+        target_area = area * rng.uniform(0.08, 1.0)
+        ar = np.exp(rng.uniform(np.log(3 / 4), np.log(4 / 3)))
+        cw = int(round(np.sqrt(target_area * ar)))
+        ch = int(round(np.sqrt(target_area / ar)))
+        if cw <= w and ch <= h:
+            x = rng.randint(0, w - cw + 1)
+            y = rng.randint(0, h - ch + 1)
+            crop = img[y : y + ch, x : x + cw]
+            return np.asarray(
+                Image.fromarray(crop).resize(
+                    (out_hw[1], out_hw[0]), Image.BILINEAR
+                )
+            )
+    # fallback: center crop
+    return _center_crop_resize(img, out_hw)
+
+
+def _center_crop_resize(img: np.ndarray, out_hw: tuple[int, int]) -> np.ndarray:
+    from PIL import Image
+
+    h, w = img.shape[:2]
+    scale = 256 / min(h, w)  # resize shorter side to 256 (not_smaller)
+    nh, nw = int(round(h * scale)), int(round(w * scale))
+    img = np.asarray(Image.fromarray(img).resize((nw, nh), Image.BILINEAR))
+    y = (nh - out_hw[0]) // 2
+    x = (nw - out_hw[1]) // 2
+    return img[y : y + out_hw[0], x : x + out_hw[1]]
+
+
+class ImageNetPipeline:
+    """Threaded decode/augment pipeline yielding NHWC float32 batches."""
+
+    def __init__(
+        self,
+        root_dir: str,
+        classes_fname: str,
+        batch_size: int,
+        normalization: str,
+        input_h_w: tuple[int, int],
+        training: bool,
+        num_classes: int = 1000,
+        seed: int = 42,
+        num_workers: int = 4,
+        prefetch: int = 4,
+    ) -> None:
+        self.root = pathlib.Path(root_dir)
+        self.entries = read_classes_file(classes_fname)
+        self.batch_size = batch_size
+        self.mean, self.std = (
+            np.asarray(v, np.float32) for v in NORMALIZATIONS[normalization]
+        )
+        self.input_h_w = tuple(input_h_w)
+        self.training = training
+        self.num_classes = num_classes
+        self.seed = seed
+        self.epoch = 0
+        self.num_workers = num_workers
+        self.prefetch = prefetch
+
+    def __len__(self) -> int:
+        return len(self.entries) // self.batch_size
+
+    def _decode_one(self, entry: tuple[str, int], rng_seed: int) -> np.ndarray:
+        path, _ = entry
+        img = _load_image(self.root / path)
+        rng = np.random.RandomState(rng_seed)
+        if self.training:
+            img = _random_resized_crop(img, rng, self.input_h_w)
+            if rng.rand() < 0.5:
+                img = img[:, ::-1]
+        else:
+            img = _center_crop_resize(img, self.input_h_w)
+        return (img.astype(np.float32) - self.mean) / self.std
+
+    def __iter__(self) -> Iterator[dict[str, np.ndarray]]:
+        # per-epoch shuffle (DALI random_shuffle, reference :202-208)
+        if self.training:
+            try:
+                from ptdeco_tpu.data import native_packer
+
+                order = native_packer.shuffle_indices(
+                    len(self.entries), self.seed + self.epoch
+                )
+            except Exception:
+                order = np.random.RandomState(self.seed + self.epoch).permutation(
+                    len(self.entries)
+                )
+        else:
+            order = np.arange(len(self.entries))
+        self.epoch += 1
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer() -> None:
+            with concurrent.futures.ThreadPoolExecutor(self.num_workers) as ex:
+                for b in range(len(self)):
+                    if stop.is_set():
+                        break
+                    idx = order[b * self.batch_size : (b + 1) * self.batch_size]
+                    entries = [self.entries[int(i)] for i in idx]
+                    seeds = [self.seed * 1_000_003 + int(i) for i in idx]
+                    imgs = list(ex.map(self._decode_one, entries, seeds))
+                    labels = np.asarray([e[1] for e in entries], np.int32)
+                    onehot = np.zeros(
+                        (len(labels), self.num_classes), np.float32
+                    )
+                    onehot[np.arange(len(labels)), labels] = 1.0
+                    q.put(
+                        {
+                            "inputs": np.stack(imgs),
+                            "targets": onehot,
+                        }
+                    )
+            q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                yield item
+        finally:
+            stop.set()
+
+
+class SyntheticImagePipeline:
+    """In-memory random-image pipeline with the same interface (tests)."""
+
+    def __init__(
+        self,
+        batch_size: int,
+        input_h_w: tuple[int, int] = (224, 224),
+        num_classes: int = 1000,
+        n_batches: int = 8,
+        seed: int = 0,
+        rank: Optional[int] = None,
+    ) -> None:
+        self.batch_size = batch_size
+        self.input_h_w = tuple(input_h_w)
+        self.num_classes = num_classes
+        self.n_batches = n_batches
+        self.seed = seed
+        self.rank = rank  # if set, inputs confined to a low-rank channel space
+
+    def __len__(self) -> int:
+        return self.n_batches
+
+    def __iter__(self) -> Iterator[dict[str, np.ndarray]]:
+        rng = np.random.RandomState(self.seed)
+        h, w = self.input_h_w
+        for _ in range(self.n_batches):
+            x = rng.randn(self.batch_size, h, w, 3).astype(np.float32)
+            labels = rng.randint(0, self.num_classes, self.batch_size)
+            onehot = np.zeros((self.batch_size, self.num_classes), np.float32)
+            onehot[np.arange(self.batch_size), labels] = 1.0
+            yield {"inputs": x, "targets": onehot}
+
+
+def infinite(pipeline: Any) -> Iterator[dict[str, np.ndarray]]:
+    while True:
+        yield from pipeline
+
+
+def make_imagenet_pipelines(
+    *,
+    imagenet_root_dir: str,
+    trn_imagenet_classes_fname: str,
+    val_imagenet_classes_fname: str,
+    batch_size: int,
+    normalization: str,
+    input_h_w: tuple[int, int],
+    seed: int = 42,
+) -> tuple[ImageNetPipeline, ImageNetPipeline]:
+    """Train/val pipeline pair (reference make_imagenet_pipelines)."""
+    train = ImageNetPipeline(
+        imagenet_root_dir,
+        trn_imagenet_classes_fname,
+        batch_size,
+        normalization,
+        input_h_w,
+        training=True,
+        seed=seed,
+    )
+    val = ImageNetPipeline(
+        imagenet_root_dir,
+        val_imagenet_classes_fname,
+        batch_size,
+        normalization,
+        input_h_w,
+        training=False,
+        seed=seed,
+    )
+    return train, val

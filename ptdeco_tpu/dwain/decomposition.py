@@ -1,0 +1,390 @@
+"""DWAIN — Decomposing Weights Algorithm, an Iterative techNique (TPU-native).
+
+Functional re-implementation of the reference algorithm
+(/root/reference/src/ptdeco/dwain/decomposition.py:677-800): iterative
+whole-model low-rank decomposition with a geometric rank ladder, guided by
+per-channel NSR and perplexity deltas, with optional interleaved recovery
+fine-tuning and optional precomputation of all covariance eigenbases in
+splits.
+
+Differences by design (see ptdeco_tpu/engine.py for the mechanisms):
+  * the model is a pytree; "surgery" returns new models, nothing mutates;
+  * candidate weights are rank-masked projections so the entire rank ladder
+    reuses one compiled metric program;
+  * calibration batches may arrive sharded over a ``dp`` mesh axis — the
+    Gram einsum reduction makes XLA insert the cross-device psum;
+  * eigh runs in float64 on the host (TPUs have no native f64).
+
+Semantics (acceptance rules, thresholds, bookkeeping, meta fields, and the
+decompose_config format) match the reference exactly.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Any, Callable, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import engine, nn, utils
+
+__all__ = ["decompose", "is_decomposeable_module"]
+
+logger = logging.getLogger(__name__)
+
+is_decomposeable_module = engine.is_decomposeable_module
+
+LossFn = Callable[[Any, jax.Array], jax.Array]
+FinetuneFn = Callable[[nn.Module, list[str]], nn.Module]
+
+
+def _make_metric_step(apply_fn: engine.ApplyFn, loss_fn: LossFn):
+    @jax.jit
+    def step(root_deco: nn.Module, root_orig: nn.Module, batch: Any):
+        y_deco = apply_fn(root_deco, batch, None)
+        y_orig = apply_fn(root_orig, batch, None)
+        loss_deco = loss_fn(batch, y_deco)
+        loss_orig = loss_fn(batch, y_orig)
+        # reference _compute_metrics (dwain:247-278): NSR over dims (0, 1),
+        # "ppl" = exp(loss)
+        nsr = utils.calc_per_channel_noise_to_signal_ratio(
+            x=y_deco, y=y_orig, non_channel_dim=(0, 1)
+        )
+        return nsr, jnp.exp(loss_deco), jnp.exp(loss_orig)
+
+    return step
+
+
+def _process_module(
+    *,
+    root: nn.Module,
+    site: engine.Site,
+    data_iterator: Iterator[Any],
+    metric_iterator: Iterator[Any],
+    metric_step,
+    apply_fn: engine.ApplyFn,
+    nsr_final_threshold: float,
+    num_data_steps: int,
+    num_metric_steps: int,
+    num_params: int,
+    min_rank: int,
+    trade_off_factor: float,
+    reduction_factor: float,
+    max_accepted_ppl_diff: float,
+    decompose_in_float64: bool,
+    u_matrix: Optional[np.ndarray],
+) -> dict[str, Any]:
+    indent = "    "
+    msg_prefix = f"Processing {site.name}:"
+
+    dim_in, dim_out = site.in_features, site.out_features
+    full_rank = site.full_rank
+
+    if full_rank == 1:
+        logger.info(f"{msg_prefix} Module has rank 1, not decomposing")
+        return {
+            "proportion": 1.0,
+            "nsr_final": 0.0,
+            "ppl_final": 0.0,
+            "decomposed_module": None,
+        }
+
+    logger.info(
+        f"{msg_prefix} {site.kind} in={dim_in} out={dim_out} {site.dtype}"
+    )
+    logger.info(
+        f"{msg_prefix} {nsr_final_threshold=:.4f} {max_accepted_ppl_diff=:.4f}"
+    )
+
+    kernel2d = engine.get_site_kernel2d(root, site)
+
+    if u_matrix is None:
+        grams, _ = engine.compute_output_grams(
+            root, [site.name], data_iterator, num_data_steps, apply_fn
+        )
+        u_matrix = engine.eigenvectors_from_gram(
+            grams[site.name], use_damping=True, in_float64=decompose_in_float64
+        )
+        logger.info(f"Computed u_matrix, dtype={u_matrix.dtype}")
+    else:
+        logger.info(f"Using pre-computed u_matrix, dtype={u_matrix.dtype}")
+
+    u_dev = jnp.asarray(u_matrix, jnp.float32)
+
+    rank_best = full_rank
+    rank_new = full_rank
+    nsr_best, ppl_deco_best = 0.0, 0.0
+    drop_in_params = 0
+    any_candidate_tried = False
+    i = 1
+
+    while rank_new > min_rank:
+        rank_new = int(rank_new * reduction_factor)
+
+        previous_params = engine.get_params_for_proportion(1.0, dim_in, dim_out)
+        current_params = engine.get_params_for_proportion(
+            rank_new / full_rank, dim_in, dim_out
+        )
+        drop_in_params = previous_params - current_params
+        fraction_removed = drop_in_params / num_params
+        ppl_diff_threshold = fraction_removed * trade_off_factor
+
+        if drop_in_params == 0:
+            logger.info(
+                f"{indent}{i=} {rank_new=} does not lead to params drop, skipping"
+            )
+            continue
+
+        any_candidate_tried = True
+        deco_kernel = engine.compose_deco_kernel(
+            kernel2d, u_dev, jnp.int32(rank_new)
+        )
+        root_deco = engine.set_site_kernel2d(root, site, deco_kernel)
+
+        nsr_new = 0.0
+        ppl_deco_new = 0.0
+        ppl_diff_new = 0.0
+        ppl_orig_sample = 0.0
+        for _ in range(num_metric_steps):
+            batch = next(metric_iterator)
+            nsr_s, ppl_deco_s, ppl_orig_s = metric_step(root_deco, root, batch)
+            nsr_s = float(nsr_s)
+            ppl_deco_s = float(ppl_deco_s)
+            ppl_orig_sample = float(ppl_orig_s)
+            ppl_diff_new += (ppl_deco_s - ppl_orig_sample) / ppl_orig_sample
+            nsr_new += nsr_s
+            ppl_deco_new += ppl_deco_s
+
+        nsr_new /= num_metric_steps
+        ppl_deco_new /= num_metric_steps
+        ppl_diff_new /= num_metric_steps
+
+        logger.info(
+            f"{indent}{i=} {ppl_deco_new=:.4f} {ppl_diff_new=:.4f} "
+            f"{ppl_diff_threshold=:.4f} {fraction_removed=:.4f} {nsr_new=:.4f}"
+        )
+
+        # acceptance rules — reference dwain:460-470
+        msg1 = f"{indent}{i=} REJECTING rank {rank_new}/{full_rank}"
+        if ppl_diff_new >= ppl_diff_threshold:
+            logger.info(f"{msg1} {ppl_diff_new=:.2f} >= {ppl_diff_threshold=:.2f}")
+        elif ppl_diff_new >= max_accepted_ppl_diff:
+            logger.info(f"{msg1} {ppl_diff_new=:.3f} >= {max_accepted_ppl_diff:.3f}")
+        elif nsr_new >= nsr_final_threshold:
+            logger.info(f"{msg1} {nsr_new=:.4f} >= {nsr_final_threshold=:.4f}")
+        else:
+            rank_best = rank_new
+            nsr_best = nsr_new
+            ppl_deco_best = ppl_deco_new
+            logger.info(f"{indent}{i=} ACCEPTING rank {rank_best}/{full_rank}")
+
+        logger.info(
+            f"{indent}{i=} {rank_new=}/{full_rank} {nsr_new=:.6f} "
+            f"{ppl_diff_new=:.6f} {rank_best=} {nsr_best=:.6f} "
+            f"{ppl_deco_best=:.6f}"
+        )
+        i += 1
+
+    if any_candidate_tried:
+        proportion = rank_best / full_rank
+        logger.info(
+            f"{indent}i=FINAL rank={rank_best}/{full_rank} {proportion=:.4f} "
+            f"nsr={nsr_best:.6f} ppl={ppl_deco_best:.6f}"
+        )
+        decompose_decision = engine.is_num_params_reduced(
+            proportion, dim_in, dim_out
+        )
+        if not decompose_decision:
+            logger.info(
+                f"{indent}{proportion=:.4f} leads to num param increase, "
+                "not decomposing"
+            )
+    else:
+        decompose_decision = False
+
+    if any_candidate_tried and full_rank != rank_best and decompose_decision:
+        k1, k2 = engine.build_factors(kernel2d, u_matrix, rank_best)
+        new_module = engine.build_decomposed_module(root, site, k1, k2)
+        previous_params = engine.get_params_for_proportion(1.0, dim_in, dim_out)
+        current_params = engine.get_params_for_proportion(
+            proportion, dim_in, dim_out
+        )
+        drop_in_params = previous_params - current_params
+    else:
+        proportion = 1.0
+        nsr_best = 0.0
+        ppl_deco_best = 0.0
+        drop_in_params = 0
+        new_module = None
+        logger.info(f"{msg_prefix} Skipping module decomposition")
+
+    return {
+        "proportion": proportion,
+        "nsr_final": nsr_best,
+        "ppl_final": ppl_deco_best,
+        "drop_in_params": drop_in_params,
+        "decomposed_module": new_module,
+    }
+
+
+def _precompute_u_in_splits(
+    *,
+    root: nn.Module,
+    modules_to_decompose: list[str],
+    num_splits: int,
+    num_data_steps: int,
+    data_iterator: Iterator[Any],
+    apply_fn: engine.ApplyFn,
+    decompose_in_float64: bool,
+) -> dict[str, np.ndarray]:
+    """Precompute eigenbases for all sites, in memory-bounded splits
+    (reference dwain:580-674).  One jitted forward per batch accumulates all
+    Grams of a split simultaneously."""
+    u_dict: dict[str, np.ndarray] = {}
+    chunk_size = len(modules_to_decompose) // num_splits
+    if chunk_size == 0:
+        chunk_size = 1
+        num_splits = len(modules_to_decompose)
+    num_partitions = (
+        num_splits
+        if len(modules_to_decompose) % num_splits == 0
+        else num_splits + 1
+    )
+    for partition_index in range(num_partitions):
+        sublist = modules_to_decompose[
+            partition_index * chunk_size : (partition_index + 1) * chunk_size
+        ]
+        if not sublist:
+            continue
+        logger.info(
+            f"Pre-computing covariance matrices for {len(sublist)} modules"
+        )
+        grams, _ = engine.compute_output_grams(
+            root, sublist, data_iterator, num_data_steps, apply_fn
+        )
+        for name in sublist:
+            u_dict[name] = engine.eigenvectors_from_gram(
+                grams[name], use_damping=True, in_float64=decompose_in_float64
+            )
+        del grams
+    assert len(u_dict) == len(modules_to_decompose)
+    return u_dict
+
+
+def decompose(
+    *,
+    module: nn.Module,
+    data_iterator: Iterator[Any],
+    loss_fn: LossFn,
+    num_data_steps: int,
+    metric_iterator: Iterator[Any],
+    num_metric_steps: int,
+    nsr_final_threshold: float,
+    finetune_fn: Optional[FinetuneFn] = None,
+    blacklisted_module_names: Optional[list[str]] = None,
+    min_rank: int = 32,
+    trade_off_factor: float = 0.5,
+    reduction_factor: float = 0.5,
+    max_accepted_ppl_diff: float = 0.1,
+    decompose_in_float64: bool = True,
+    precomputing_covariance_num_splits: Optional[int] = None,
+    apply_fn: engine.ApplyFn = engine.default_apply,
+) -> tuple[nn.Module, dict[str, Any]]:
+    """Whole-model iterative decomposition.
+
+    Functional analogue of ``ptdeco.dwain.decompose_in_place``
+    (/root/reference/src/ptdeco/dwain/decomposition.py:677-800): processes
+    decomposeable sites in *reversed* discovery order, runs the geometric
+    rank ladder per site, replaces accepted sites with factor pairs, calls
+    ``finetune_fn(module, decomposed_names)`` after every accepted layer,
+    and returns ``(new_module, decompose_config)`` where the config has the
+    reference JSON format with ``__meta__`` per layer.
+
+    ``loss_fn(batch, logits) -> scalar`` mirrors the reference's
+    ``loss_fn(input_dict, output)``.
+    """
+    start_time = time.perf_counter()
+    num_params = utils.get_num_params(module)
+    current_params = num_params
+
+    modules_to_decompose = engine.get_decomposeable_submodule_names(
+        module, blacklisted_module_names
+    )
+    n = len(modules_to_decompose)
+    n_decomposed = 0
+
+    msgs = [f"There are {n} linear modules that can be decomposed:"]
+    for i, module_name in enumerate(modules_to_decompose, start=1):
+        msgs.append(f"  {i}. {module_name}")
+    logger.info("\n".join(msgs))
+
+    decompose_config: dict[str, Any] = {}
+    decomposed_submodules: list[str] = []
+
+    if (
+        precomputing_covariance_num_splits is not None
+        and precomputing_covariance_num_splits > 0
+    ):
+        u_dict = _precompute_u_in_splits(
+            root=module,
+            modules_to_decompose=modules_to_decompose,
+            num_splits=precomputing_covariance_num_splits,
+            num_data_steps=num_data_steps,
+            data_iterator=data_iterator,
+            apply_fn=apply_fn,
+            decompose_in_float64=decompose_in_float64,
+        )
+    else:
+        logger.info("Skipping precomputing covariance matrices")
+        u_dict = {}
+
+    metric_step = _make_metric_step(apply_fn, loss_fn)
+
+    for i, submodule_name in enumerate(reversed(modules_to_decompose), start=1):
+        logger.info(f"PROCESSING {submodule_name} MODULE {i} OUT OF {n}")
+        site = engine.get_site(module, submodule_name)
+        result = _process_module(
+            root=module,
+            site=site,
+            data_iterator=data_iterator,
+            metric_iterator=metric_iterator,
+            metric_step=metric_step,
+            apply_fn=apply_fn,
+            nsr_final_threshold=nsr_final_threshold,
+            num_data_steps=num_data_steps,
+            num_metric_steps=num_metric_steps,
+            num_params=num_params,
+            trade_off_factor=trade_off_factor,
+            reduction_factor=reduction_factor,
+            max_accepted_ppl_diff=max_accepted_ppl_diff,
+            min_rank=min_rank,
+            decompose_in_float64=decompose_in_float64,
+            u_matrix=u_dict.pop(submodule_name, None),
+        )
+        current_params -= result["drop_in_params"]
+        logger.info(f"CURRENT PARAMS IN M: {current_params / 1e6}")
+        new_module = result["decomposed_module"]
+        proportion = result["proportion"]
+
+        if new_module is not None:
+            decomposed_submodules.append(submodule_name)
+            module = nn.replace_submodule(module, submodule_name, new_module)
+            if finetune_fn is not None:
+                module = finetune_fn(module, decomposed_submodules)
+            module_config = utils.get_module_config(
+                nn.get_submodule(module, submodule_name)
+            )
+            engine.add_meta_to_module_config(module_config, result)
+            decompose_config[submodule_name] = module_config
+            logger.info(f"{submodule_name} decomposed with {proportion=:.4f}")
+            n_decomposed += 1
+        else:
+            logger.info(f"{submodule_name} not decomposed")
+
+    stop_time = time.perf_counter()
+    logger.info(f"Decomposed {n_decomposed} out of {n} modules")
+    logger.info(f"Decomposition took {stop_time - start_time:.1f} seconds")
+    return module, decompose_config

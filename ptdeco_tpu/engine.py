@@ -1,0 +1,402 @@
+"""Shared decomposition engine used by the dwain and falor policies.
+
+The reference implements the same machinery twice with stateful module
+surgery + forward hooks (dwain/decomposition.py:41-316 duplicated at
+falor/decomposition.py:51-290).  Here it is one pure-functional engine:
+
+  * **Tap capture** — instead of a wrapper module storing ``self.input``
+    (reference dwain:53-55), target sites are wrapped *inside the jit trace*
+    with a ``_Tap`` that records the flattened input into a trace-local dict;
+    the jitted step returns the Gram updates.  No model mutation escapes the
+    trace.
+  * **Gram/covariance accumulation** — ``E[y yᵀ]`` partial sums are a single
+    fused einsum per site per batch (reference dwain:147-152).  Batches may
+    be sharded over a ``dp`` mesh axis; because the einsum contracts the
+    batch dimension, XLA inserts the psum automatically and the accumulator
+    stays replicated — this is the TPU-native replacement for the
+    reference's serial single-GPU loop (dwain:607-611).
+  * **Eigendecomposition** — float64 on host via LAPACK (numpy); TPUs have
+    no native f64 and the matrices are at most (d_out, d_out).  Mirrors the
+    reference's ``decompose_in_float64=True`` default (dwain:155-163) with
+    the same 1% diagonal damping.
+  * **Rank-masked candidate weights** — the low-rank candidate
+    ``W_k = W uk ukᵀ`` is computed as ``K @ ((u * mask(rank)) @ uᵀ)`` where
+    ``rank`` is a *traced* scalar, so trying every rank in the search ladder
+    reuses ONE compiled program (the reference re-materializes U, V per rank,
+    dwain:424-429; a naive port would recompile per rank).
+  * **Metric evaluation** — deco/orig forwards run in one jitted step taking
+    two structurally identical model pytrees, so the entire whole-model rank
+    search compiles exactly once (reference does two eager forwards per
+    batch per candidate, dwain:263-267).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Any, Callable, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import nn
+
+logger = logging.getLogger(__name__)
+
+EIGEN_DAMPEN_FACTOR = 0.01  # reference dwain/decomposition.py:14
+
+ApplyFn = Callable[[nn.Module, Any, Optional[nn.Ctx]], jax.Array]
+
+
+def default_apply(root: nn.Module, batch: Any, ctx: Optional[nn.Ctx] = None):
+    return root(batch, ctx=ctx)
+
+
+# ---------------------------------------------------------------------------
+# Site discovery
+# ---------------------------------------------------------------------------
+
+
+def is_decomposeable_module(module: Any) -> bool:
+    """Linear, or 1x1 Conv2d with groups==1 (reference dwain:540-546)."""
+    if isinstance(module, nn.Linear):
+        return True
+    if isinstance(module, nn.Conv2d):
+        return module.kernel_size == (1, 1) and module.groups == 1
+    return False
+
+
+def get_decomposeable_submodule_names(
+    root: nn.Module, blacklisted_module_names: Optional[list[str]] = None
+) -> list[str]:
+    blacklist = set(blacklisted_module_names or [])
+    res = []
+    for name, mod in nn.named_modules(root):
+        if name and is_decomposeable_module(mod):
+            if name in blacklist:
+                logger.info(f"Skipping blacklisted module {name}")
+            else:
+                res.append(name)
+    return res
+
+
+@dataclasses.dataclass(frozen=True)
+class Site:
+    name: str
+    kind: str  # "linear" | "conv2d1x1"
+    in_features: int
+    out_features: int
+    has_bias: bool
+    dtype: Any
+
+    @property
+    def full_rank(self) -> int:
+        return min(self.in_features, self.out_features)
+
+
+def get_site(root: nn.Module, name: str) -> Site:
+    m = nn.get_submodule(root, name)
+    if isinstance(m, nn.Linear):
+        return Site(
+            name=name,
+            kind="linear",
+            in_features=m.in_features,
+            out_features=m.out_features,
+            has_bias=m.bias is not None,
+            dtype=m.kernel.dtype,
+        )
+    if isinstance(m, nn.Conv2d) and m.kernel_size == (1, 1) and m.groups == 1:
+        return Site(
+            name=name,
+            kind="conv2d1x1",
+            in_features=m.in_channels,
+            out_features=m.out_channels,
+            has_bias=m.bias is not None,
+            dtype=m.kernel.dtype,
+        )
+    raise ValueError(f"Cannot decompose {name}={m!r}")
+
+
+def get_site_kernel2d(root: nn.Module, site: Site) -> jax.Array:
+    """The (in, out) matrix of a site (conv 1x1 kernels are squeezed)."""
+    m = nn.get_submodule(root, site.name)
+    if site.kind == "linear":
+        return m.kernel
+    return m.kernel[0, 0]  # (1,1,in,out) -> (in,out)
+
+
+def set_site_kernel2d(root: nn.Module, site: Site, kernel2d: jax.Array) -> nn.Module:
+    if site.kind == "linear":
+        return nn.replace_submodule(root, f"{site.name}.kernel", kernel2d)
+    return nn.replace_submodule(
+        root, f"{site.name}.kernel", kernel2d[None, None, :, :]
+    )
+
+
+def get_site_bias(root: nn.Module, site: Site) -> Optional[jax.Array]:
+    return nn.get_submodule(root, site.name).bias
+
+
+# ---------------------------------------------------------------------------
+# Tap capture
+# ---------------------------------------------------------------------------
+
+
+class _Tap(nn.Module):
+    """Wraps a site module during a traced forward, recording the flattened
+    input into a trace-local store.  Never crosses a jit boundary."""
+
+    inner: nn.Module
+    site_name: str = nn.static_field(default="")
+    store: Any = nn.static_field(default=None)
+
+    def __call__(self, x: jax.Array, ctx: Optional[nn.Ctx] = None) -> jax.Array:
+        c = x.shape[-1]
+        self.store[self.site_name] = x.reshape(-1, c)
+        return self.inner(x, ctx=ctx)
+
+    def __getattr__(self, name: str):
+        # transparent proxy: siblings may read site attributes (e.g. an
+        # attention module reading q_proj.out_features)
+        return getattr(object.__getattribute__(self, "inner"), name)
+
+
+def _wrap_taps(root: nn.Module, site_names: list[str], store: dict) -> nn.Module:
+    for name in site_names:
+        inner = nn.get_submodule(root, name)
+        root = nn.replace_submodule(
+            root, name, _Tap(inner=inner, site_name=name, store=store)
+        )
+    return root
+
+
+# ---------------------------------------------------------------------------
+# Gram / covariance accumulation
+# ---------------------------------------------------------------------------
+
+
+def make_gram_step(
+    site_names: tuple[str, ...],
+    sites: dict[str, Site],
+    apply_fn: ApplyFn,
+    accumulate_mean: bool = False,
+    donate: bool = True,
+):
+    """Build a jitted step: (root, batch, grams[, means]) -> updated stats.
+
+    For every target site the step computes the pre-bias output
+    ``y = x_flat @ K`` in f32 on the MXU and adds ``yᵀy / N`` to the running
+    Gram (reference _update_Eyyt_in_place, dwain:147-152).  With
+    ``accumulate_mean`` it also tracks ``E[y]`` (falor's use_mean option,
+    falor:156-162,194-199).
+    """
+
+    def _step(root, batch, grams, means):
+        store: dict[str, jax.Array] = {}
+        tapped = _wrap_taps(root, list(site_names), store)
+        _ = apply_fn(tapped, batch, None)
+        new_grams = {}
+        new_means = {}
+        for name in site_names:
+            x = store[name]
+            kernel = get_site_kernel2d(root, sites[name])
+            y = jnp.dot(
+                x,
+                kernel.astype(x.dtype),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            n = y.shape[0]
+            g = jnp.einsum(
+                "bp,bq->pq",
+                y,
+                y,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            ) / n
+            new_grams[name] = grams[name] + g
+            if accumulate_mean:
+                new_means[name] = means[name] + jnp.mean(y, axis=0)
+        return new_grams, new_means
+
+    donate_argnums = (2, 3) if donate else ()
+    return jax.jit(_step, donate_argnums=donate_argnums)
+
+
+def compute_output_grams(
+    root: nn.Module,
+    site_names: list[str],
+    data_iterator: Iterator[Any],
+    num_data_steps: int,
+    apply_fn: ApplyFn = default_apply,
+    accumulate_mean: bool = False,
+) -> tuple[dict[str, jax.Array], dict[str, jax.Array]]:
+    """Run ``num_data_steps`` calibration batches, returning per-site
+    ``E[y yᵀ]`` (and optionally ``E[y]``), already divided by the step count.
+
+    TPU-native replacement for the reference's covariance loops
+    (dwain:211-244 per-site, dwain:580-634 precomputed-in-splits): one jit
+    compilation covers all sites in the list; batches sharded over a ``dp``
+    mesh axis reduce via XLA-inserted psums.
+    """
+    sites = {n: get_site(root, n) for n in site_names}
+    grams = {
+        n: jnp.zeros((s.out_features, s.out_features), jnp.float32)
+        for n, s in sites.items()
+    }
+    means = {n: jnp.zeros((s.out_features,), jnp.float32) for n, s in sites.items()}
+    step = make_gram_step(tuple(site_names), sites, apply_fn, accumulate_mean)
+    for _ in range(num_data_steps):
+        batch = next(data_iterator)
+        grams, means = step(root, batch, grams, means)
+    grams = {n: g / num_data_steps for n, g in grams.items()}
+    means = {n: m / num_data_steps for n, m in means.items()}
+    return grams, means
+
+
+# ---------------------------------------------------------------------------
+# Eigendecomposition (host, float64)
+# ---------------------------------------------------------------------------
+
+
+def eigenvectors_from_gram(
+    gram: jax.Array,
+    *,
+    mean: Optional[jax.Array] = None,
+    use_damping: bool = True,
+    in_float64: bool = True,
+) -> np.ndarray:
+    """Damped eigh of E[y yᵀ] (optionally mean-centred to a covariance).
+
+    Float64 path runs on host CPU via LAPACK — the TPU-honest equivalent of
+    the reference's ``decompose_in_float64`` (dwain:155-163, falor:165-208);
+    the matrices are per-layer (d_out², ≤ ~hidden²) so this is never the
+    bottleneck.  Returns eigenvectors as float64 numpy, ascending eigenvalue
+    order (LAPACK/torch.linalg.eigh convention — the top-k are the LAST k
+    columns, which is what the rank slicing assumes).
+    """
+    g = np.asarray(jax.device_get(gram), np.float64 if in_float64 else np.float32)
+    if mean is not None:
+        m = np.asarray(jax.device_get(mean), g.dtype)
+        g = g - np.outer(m, m)
+    if use_damping:
+        damp = EIGEN_DAMPEN_FACTOR * float(np.mean(np.diag(g)))
+        g = g + damp * np.eye(g.shape[-1], dtype=g.dtype)
+    _, u = np.linalg.eigh(g)
+    return u
+
+
+# ---------------------------------------------------------------------------
+# Rank-masked candidate composition + factor construction
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def compose_deco_kernel(
+    kernel2d: jax.Array, u: jax.Array, rank: jax.Array
+) -> jax.Array:
+    """``K_deco = K @ ((u * mask) @ uᵀ)`` keeping the top-`rank` eigvecs.
+
+    ``rank`` is traced: every candidate in a rank search reuses this one
+    compiled program (cf. reference's per-rank U/V rebuild, dwain:424-429).
+    Zeroing the masked columns gives exactly the projector ``uk ukᵀ``.
+    """
+    n = u.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    mask = (col >= n - rank).astype(u.dtype)
+    proj = jnp.dot(
+        u * mask,
+        u.T,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    deco = jnp.dot(
+        kernel2d.astype(jnp.float32),
+        proj,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return deco.astype(kernel2d.dtype)
+
+
+def build_factors(
+    kernel2d: jax.Array, u: np.ndarray, rank: int
+) -> tuple[jax.Array, jax.Array]:
+    """Final factors at the accepted rank: ``K1 = K uk`` (in, rank) and
+    ``K2 = ukᵀ`` (rank, out) so that ``y = (x @ K1) @ K2 (+ b)``.
+
+    Equivalent to reference U = Wᵀ uk, V = ukᵀ with lin_1.weight = Uᵀ,
+    lin_2.weight = Vᵀ (dwain:69-86,424-429) under our transposed layout.
+    """
+    uk = jnp.asarray(u[:, u.shape[1] - rank :], jnp.float32)
+    k32 = kernel2d.astype(jnp.float32)
+    k1 = jnp.dot(
+        k32,
+        uk,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    k2 = uk.T
+    return k1.astype(kernel2d.dtype), k2.astype(kernel2d.dtype)
+
+
+def build_decomposed_module(
+    root: nn.Module, site: Site, k1: jax.Array, k2: jax.Array
+) -> nn.Module:
+    """Sequential factor pair matching the reference's layout
+    (dwain:69-86 for Linear, dwain:119-144 for 1x1 conv): first factor
+    bias-free, original bias moves to the second factor."""
+    bias = get_site_bias(root, site)
+    m = nn.get_submodule(root, site.name)
+    precision = getattr(m, "precision", None)
+    if site.kind == "linear":
+        return nn.Sequential(
+            layers=(
+                nn.Linear(kernel=k1, bias=None, precision=precision),
+                nn.Linear(kernel=k2, bias=bias, precision=precision),
+            )
+        )
+    else:
+        return nn.Sequential(
+            layers=(
+                nn.conv1x1_from_kernel(k1, None, precision=precision),
+                nn.conv1x1_from_kernel(k2, bias, precision=precision),
+            )
+        )
+
+
+# ---------------------------------------------------------------------------
+# Parameter-count bookkeeping (reference dwain:319-330, :569-577)
+# ---------------------------------------------------------------------------
+
+
+def get_params_for_proportion(
+    proportion: float, in_features: int, out_features: int
+) -> int:
+    baseline = in_features * out_features
+    original_rank = min(in_features, out_features)
+    proposed = (in_features + out_features) * proportion * original_rank
+    if proposed < baseline:
+        return int(proposed)
+    return baseline
+
+
+def is_num_params_reduced(
+    proportion: float, in_features: int, out_features: int
+) -> bool:
+    baseline = in_features * out_features
+    original_rank = min(in_features, out_features)
+    proposed = (in_features + out_features) * proportion * original_rank
+    return proposed < baseline
+
+
+def add_meta_to_module_config(
+    module_config: dict[str, Any], module_deco_results: dict[str, Any]
+) -> None:
+    from .utils import modconfig
+
+    meta = {
+        k: v for k, v in module_deco_results.items() if k != "decomposed_module"
+    }
+    module_config[modconfig.MODCONFIG_META_KEY] = meta

@@ -1,0 +1,270 @@
+"""FALOR — "Features Are LOw-Rank" one-shot decomposition (TPU-native).
+
+Functional re-implementation of
+/root/reference/src/ptdeco/falor/decomposition.py:424-511: one pass per
+layer in forward discovery order, binary rank search under NSR + symmetric
+KL thresholds, then a second phase that swaps in factor pairs for layers
+whose accepted proportion is below ``proportion_threshold`` (so every layer
+is *scored* against the original model).
+
+Shares the engine with dwain (the reference duplicates ~100 lines of wrapper
+code between the two methods, falor:51-153 ≡ dwain:41-144).
+
+Two deliberate fixes over the reference, both documented reference bugs:
+  * damping is applied to the *covariance* actually eigendecomposed; the
+    reference adds it to ``Eyyt`` after ``cov`` was derived, so with
+    ``use_mean=True`` damping silently has no effect (falor:194-205);
+  * the final factors are rebuilt at ``rank_best``; the reference reuses the
+    U/V of the last *tried* candidate, which is one binary-search step below
+    ``rank_best`` whenever that last candidate was rejected (falor:340-391).
+With ``use_mean=False`` and an accepted last candidate both implementations
+agree exactly.
+
+The per-result ``nsr_final``/``kl_final`` still report the *last tried*
+candidate (not the best), matching the reference's observable metadata
+(falor:393-399).
+"""
+
+from __future__ import annotations
+
+import collections
+import logging
+import time
+from typing import Any, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import engine, nn, utils
+
+__all__ = ["decompose", "is_decomposeable_module"]
+
+logger = logging.getLogger(__name__)
+
+is_decomposeable_module = engine.is_decomposeable_module
+
+
+def _make_metric_step(apply_fn: engine.ApplyFn):
+    @jax.jit
+    def step(root_deco: nn.Module, root_orig: nn.Module, x: Any):
+        y_deco = apply_fn(root_deco, x, None)
+        y_orig = apply_fn(root_orig, x, None)
+        # reference falor:211-233: NSR over dim (0,), symmetric KL on logits
+        nsr = utils.calc_per_channel_noise_to_signal_ratio(
+            x=y_deco, y=y_orig, non_channel_dim=(0,)
+        )
+        kl = utils.calc_kl_loss(y_deco, y_orig)
+        return nsr, kl
+
+    return step
+
+
+def _process_module(
+    *,
+    root: nn.Module,
+    site: engine.Site,
+    data_iterator: Iterator[Any],
+    metric_step,
+    apply_fn: engine.ApplyFn,
+    nsr_final_threshold: float,
+    kl_final_threshold: float,
+    num_data_steps: int,
+    num_metric_steps: int,
+    use_float64: bool,
+    use_mean: bool,
+    use_damping: bool,
+) -> dict[str, Any]:
+    msg_prefix = f"Processing {site.name}:"
+    dim_in, dim_out = site.in_features, site.out_features
+    full_rank = site.full_rank
+
+    if full_rank == 1:
+        logger.info(f"{msg_prefix} Module has rank 1, not decomposing")
+        return {
+            "proportion": 1.0,
+            "nsr_final": 0.0,
+            "kl_final": 0.0,
+            "decomposed_module": None,
+        }
+
+    logger.info(f"{msg_prefix} {site.kind} in={dim_in} out={dim_out}")
+    logger.info(
+        f"{msg_prefix} {nsr_final_threshold=:.6f} {kl_final_threshold=:.6f}"
+    )
+
+    kernel2d = engine.get_site_kernel2d(root, site)
+
+    grams, means = engine.compute_output_grams(
+        root,
+        [site.name],
+        data_iterator,
+        num_data_steps,
+        apply_fn,
+        accumulate_mean=use_mean,
+    )
+    u_matrix = engine.eigenvectors_from_gram(
+        grams[site.name],
+        mean=means[site.name] if use_mean else None,
+        use_damping=use_damping,
+        in_float64=use_float64,
+    )
+    u_dev = jnp.asarray(u_matrix, jnp.float32)
+
+    # Binary rank search (reference falor:340-375)
+    rank_best = full_rank
+    rank_width = full_rank // 2
+    nsr_best, kl_best = 0.0, 0.0
+    nsr_new, kl_new = 0.0, 0.0
+    i = 1
+
+    while rank_width > 0:
+        rank_new = rank_best - rank_width
+        deco_kernel = engine.compose_deco_kernel(
+            kernel2d, u_dev, jnp.int32(rank_new)
+        )
+        root_deco = engine.set_site_kernel2d(root, site, deco_kernel)
+
+        nsr_new = 0.0
+        kl_new = 0.0
+        for _ in range(num_metric_steps):
+            x = next(data_iterator)
+            nsr_s, kl_s = metric_step(root_deco, root, x)
+            nsr_new += float(nsr_s)
+            kl_new += float(kl_s)
+        nsr_new /= num_metric_steps
+        kl_new /= num_metric_steps
+
+        if nsr_new < nsr_final_threshold and kl_new < kl_final_threshold:
+            rank_best = rank_new
+            nsr_best = nsr_new
+            kl_best = kl_new
+        logger.info(
+            f"{msg_prefix} {i=} {rank_width=} {rank_new=} {nsr_new=:.6f} "
+            f"{kl_new=:.6f} {rank_best=} {nsr_best=:.6f} {kl_best=:.6f}"
+        )
+        rank_width = rank_width // 2
+        i += 1
+
+    proportion = rank_best / full_rank
+    logger.info(
+        f"{msg_prefix} iter=FINAL rank={rank_best} {proportion=:.4f} "
+        f"nsr={nsr_best:.6f} kl={kl_new:.6f}"
+    )
+
+    if full_rank != rank_best and engine.is_num_params_reduced(
+        proportion, dim_in, dim_out
+    ):
+        k1, k2 = engine.build_factors(kernel2d, u_matrix, rank_best)
+        new_module: Optional[nn.Module] = engine.build_decomposed_module(
+            root, site, k1, k2
+        )
+    else:
+        logger.info(
+            f"{msg_prefix} {proportion=:.4f} leads to num param increase, "
+            "not decomposing"
+        )
+        new_module = None
+
+    return {
+        "proportion": proportion,
+        "nsr_final": nsr_new,
+        "kl_final": kl_new,
+        "decomposed_module": new_module,
+    }
+
+
+def decompose(
+    *,
+    module: nn.Module,
+    data_iterator: Iterator[Any],
+    proportion_threshold: float,
+    nsr_final_threshold: float,
+    kl_final_threshold: float,
+    num_data_steps: int,
+    num_metric_steps: int,
+    use_float64: bool = True,
+    use_mean: bool = False,
+    use_damping: bool = True,
+    blacklisted_module_names: Optional[list[str]] = None,
+    apply_fn: engine.ApplyFn = engine.default_apply,
+) -> tuple[nn.Module, dict[str, Any]]:
+    """Two-phase one-shot decomposition (reference falor:424-511):
+    phase 1 scores every decomposeable site against the original model;
+    phase 2 replaces those with ``proportion < proportion_threshold``.
+    Returns ``(new_module, decompose_config)``."""
+    start_time = time.perf_counter()
+
+    results_all: dict[str, dict[str, Any]] = {}
+    decompose_config: dict[str, Any] = {}
+
+    if blacklisted_module_names is None:
+        blacklisted_module_names = []
+
+    decomposable_submodules = engine.get_decomposeable_submodule_names(module)
+    metric_step = _make_metric_step(apply_fn)
+    n = len(decomposable_submodules)
+
+    for i, submodule_name in enumerate(decomposable_submodules, start=1):
+        msg_prefix = f"Processing {submodule_name}: module {i} of {n}"
+        if submodule_name in blacklisted_module_names:
+            logger.info(f"{msg_prefix}, skipped as blacklisted")
+            continue
+        logger.info(msg_prefix)
+        site = engine.get_site(module, submodule_name)
+        results_all[submodule_name] = _process_module(
+            root=module,
+            site=site,
+            data_iterator=data_iterator,
+            metric_step=metric_step,
+            apply_fn=apply_fn,
+            nsr_final_threshold=nsr_final_threshold,
+            kl_final_threshold=kl_final_threshold,
+            num_data_steps=num_data_steps,
+            num_metric_steps=num_metric_steps,
+            use_float64=use_float64,
+            use_mean=use_mean,
+            use_damping=use_damping,
+        )
+
+    # Phase 2 — replace (reference falor:475-503)
+    decompose_counter: collections.Counter[str] = collections.Counter()
+    for submodule_name in decomposable_submodules:
+        msg_prefix = f"Decomposing {submodule_name}:"
+        if submodule_name in blacklisted_module_names:
+            logger.info(f"{msg_prefix} SKIPPED blacklisted module")
+            continue
+
+        assert submodule_name in results_all
+        result = results_all[submodule_name]
+        new_module = result["decomposed_module"]
+        proportion = result["proportion"]
+
+        if new_module is None:
+            logger.info(
+                f"{msg_prefix} SKIPPED {proportion=:.4f} leads to num param "
+                "increase"
+            )
+            continue
+
+        if proportion < proportion_threshold:
+            old_module = nn.get_submodule(module, submodule_name)
+            old_type = utils.get_type_name(old_module)
+            module = nn.replace_submodule(module, submodule_name, new_module)
+            module_config = utils.get_module_config(new_module)
+            engine.add_meta_to_module_config(module_config, result)
+            decompose_config[submodule_name] = module_config
+            decompose_counter[old_type] += 1
+            logger.info(f"{msg_prefix} finished {proportion=:.3f}")
+        else:
+            logger.info(
+                f"{msg_prefix} SKIPPED, {proportion=:.3f} above "
+                f"{proportion_threshold=:.3f}"
+            )
+
+    for module_type_name, count in decompose_counter.items():
+        logger.info(f"Decomposed {count} instances of {module_type_name}")
+    logger.info(f"Total decomposable modules {len(decomposable_submodules)}")
+    stop_time = time.perf_counter()
+    logger.info(f"Decomposition took {stop_time - start_time:.1f} seconds")
+    return module, decompose_config

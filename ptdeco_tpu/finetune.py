@@ -1,0 +1,306 @@
+"""Recovery fine-tuning: full (selected factor leaves) and LoRA.
+
+TPU-native equivalents of the reference's interleaved recovery fine-tuning
+(/root/reference/examples/trainer_llm/dwain_wrapper_module.py:92-265):
+
+  * ``finetune_full`` — AdamW on the factor pairs of the last N decomposed
+    modules only, linear warmup (10 steps) then linear decay, exactly the
+    reference's optimizer recipe, but as one jitted train step over a
+    (trainable, frozen) partition of the model pytree instead of
+    ``requires_grad`` toggling.
+  * ``finetune_lora`` — LoRA adapters attached to the factor pairs
+    ``{name}.0`` / ``{name}.1`` (r=16, alpha=8, dropout 0.05; optional
+    per-module rank/alpha = rank//16, rank//32 as in the reference's
+    ``use_rank_pattern``), then merged back into the kernels
+    (peft ``merge_and_unload`` semantics).
+
+Both return factory helpers producing a ``finetune_fn(module, names)``
+closure with the signature ``dwain.decompose`` expects.
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+import time
+from typing import Any, Callable, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from . import engine, nn
+
+__all__ = [
+    "LoRALinear",
+    "finetune_full",
+    "finetune_lora",
+    "make_finetune_fn",
+    "merge_lora",
+]
+
+logger = logging.getLogger(__name__)
+
+
+def _linear_warmup_schedule(lr: float, num_steps: int, warmup: int = 10):
+    """transformers.get_linear_schedule_with_warmup semantics."""
+    return optax.join_schedules(
+        [
+            optax.linear_schedule(0.0, lr, warmup),
+            optax.linear_schedule(lr, 0.0, max(num_steps - warmup, 1)),
+        ],
+        [warmup],
+    )
+
+
+def _train_partition(
+    model: nn.Module, trainable_module_names: list[str]
+) -> tuple[nn.Module, nn.Module]:
+    paths = nn.tree_paths_of(model, trainable_module_names)
+
+    def predicate(path, leaf):
+        return jax.tree_util.keystr(path) in paths
+
+    return nn.partition(model, predicate)
+
+
+def _run_training(
+    model: nn.Module,
+    trainable_module_names: list[str],
+    ft_iterator: Iterator[Any],
+    loss_fn: Callable[[Any, jax.Array], jax.Array],
+    apply_fn: engine.ApplyFn,
+    num_steps: int,
+    lr: float,
+    key: Optional[jax.Array],
+) -> nn.Module:
+    trainable, frozen = _train_partition(model, trainable_module_names)
+    tx = optax.adamw(_linear_warmup_schedule(lr, num_steps))
+    # cast optimizer state to f32 master copies implicitly via optax defaults
+    opt_state = tx.init(trainable)
+
+    @jax.jit
+    def step(trainable, opt_state, batch, key):
+        def lf(tr):
+            m = nn.combine(tr, frozen)
+            ctx = nn.Ctx(key=key, train=True) if key is not None else None
+            out = apply_fn(m, batch, ctx)
+            return loss_fn(batch, out)
+
+        loss, grads = jax.value_and_grad(lf)(trainable)
+        updates, opt_state = tx.update(grads, opt_state, trainable)
+        trainable = optax.apply_updates(trainable, updates)
+        return trainable, opt_state, loss
+
+    total_loss = 0.0
+    for i in range(num_steps):
+        batch = next(ft_iterator)
+        subkey = jax.random.fold_in(key, i) if key is not None else None
+        trainable, opt_state, loss = step(trainable, opt_state, batch, subkey)
+        total_loss += float(loss)
+        if i % 10 == 0:
+            logger.info(f"Step: {i}/{num_steps}, loss: {total_loss / (i + 1)}")
+    return nn.combine(trainable, frozen)
+
+
+def finetune_full(
+    *,
+    model: nn.Module,
+    ft_iterator: Iterator[Any],
+    decomposed_modules: list[str],
+    loss_fn: Callable[[Any, jax.Array], jax.Array],
+    apply_fn: engine.ApplyFn = engine.default_apply,
+    num_last_modules_to_finetune: int = 8,
+    num_steps: int = 100,
+    lr: float = 1e-4,
+) -> nn.Module:
+    """Reference finetune_full (dwain_wrapper_module.py:92-147)."""
+    if len(decomposed_modules) == 0:
+        logger.info("Skipping full fine-tuning - empty list of decomposed modules")
+        return model
+    start = time.perf_counter()
+    to_ft = decomposed_modules[-num_last_modules_to_finetune:]
+    for name in to_ft:
+        logger.info(f"full fine-tuning - training {name}")
+    model = _run_training(
+        model, to_ft, ft_iterator, loss_fn, apply_fn, num_steps, lr, key=None
+    )
+    logger.info(f"Full fine-tuning took {time.perf_counter() - start:.2f} seconds")
+    return model
+
+
+# ---------------------------------------------------------------------------
+# LoRA
+# ---------------------------------------------------------------------------
+
+
+class LoRALinear(nn.Module):
+    """Linear with a low-rank residual adapter: y = x@K + scale * (x@A)@B.
+
+    peft-compatible init (A kaiming-uniform, B zeros, scale = alpha/r) and
+    merge semantics (K <- K + scale * A@B, reference merge_and_unload at
+    dwain_wrapper_module.py:261)."""
+
+    base: nn.Linear
+    lora_a: jax.Array  # (in, r)
+    lora_b: jax.Array  # (r, out)
+    scale: float = nn.static_field(default=0.5)
+    dropout: float = nn.static_field(default=0.0)
+    rng_id: int = nn.static_field(default=0)
+
+    def __call__(self, x: jax.Array, ctx: Optional[nn.Ctx] = None) -> jax.Array:
+        y = self.base(x, ctx)
+        xd = x
+        if ctx is not None and ctx.train and self.dropout > 0.0 and ctx.key is not None:
+            keep = 1.0 - self.dropout
+            mask = jax.random.bernoulli(ctx.rng(self.rng_id), keep, x.shape)
+            xd = jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+        delta = jnp.dot(jnp.dot(xd, self.lora_a.astype(x.dtype)), self.lora_b.astype(x.dtype))
+        return y + self.scale * delta
+
+    @staticmethod
+    def attach(
+        key: jax.Array,
+        base: nn.Linear,
+        r: int,
+        alpha: float,
+        dropout: float = 0.05,
+        rng_id: int = 0,
+    ) -> "LoRALinear":
+        bound = 1.0 / math.sqrt(base.in_features)
+        lora_a = jax.random.uniform(
+            key, (base.in_features, r), jnp.float32, -bound, bound
+        )
+        lora_b = jnp.zeros((r, base.out_features), jnp.float32)
+        return LoRALinear(
+            base=base,
+            lora_a=lora_a,
+            lora_b=lora_b,
+            scale=alpha / r,
+            dropout=dropout,
+            rng_id=rng_id,
+        )
+
+    def merge(self) -> nn.Linear:
+        delta = (self.lora_a @ self.lora_b) * self.scale
+        kernel = (
+            self.base.kernel.astype(jnp.float32) + delta
+        ).astype(self.base.kernel.dtype)
+        return self.base.replace(kernel=kernel)
+
+
+def merge_lora(model: nn.Module) -> nn.Module:
+    """Merge and remove every LoRALinear in the tree."""
+    for name, m in list(nn.named_modules(model)):
+        if isinstance(m, LoRALinear):
+            model = nn.replace_submodule(model, name, m.merge())
+    return model
+
+
+def finetune_lora(
+    *,
+    model: nn.Module,
+    ft_iterator: Iterator[Any],
+    decomposed_modules: list[str],
+    loss_fn: Callable[[Any, jax.Array], jax.Array],
+    apply_fn: engine.ApplyFn = engine.default_apply,
+    num_last_modules_to_finetune: int = 8,
+    num_steps: int = 100,
+    lr: float = 1e-4,
+    min_rank_to_finetune: int = 32,
+    use_rank_pattern: bool = False,
+    lora_r: int = 16,
+    lora_alpha: float = 8.0,
+    lora_dropout: float = 0.05,
+    key: Optional[jax.Array] = None,
+) -> nn.Module:
+    """Reference finetune_lora (dwain_wrapper_module.py:150-265): adapters on
+    the factor pairs of the last N decomposed modules whose rank is at least
+    ``min_rank_to_finetune``; merged back after training."""
+    if len(decomposed_modules) == 0:
+        logger.info("Skipping lora fine-tuning - empty list of decomposed modules")
+        return model
+    start = time.perf_counter()
+    key = key if key is not None else jax.random.PRNGKey(0)
+
+    to_ft = decomposed_modules[-num_last_modules_to_finetune:]
+    targets: list[tuple[str, int]] = []  # (factor module name, rank)
+    for module_name in to_ft:
+        first = f"{module_name}.0"
+        second = f"{module_name}.1"
+        rank = nn.get_submodule(model, first).out_features
+        if rank >= min_rank_to_finetune:
+            targets.extend([(first, rank), (second, rank)])
+            logger.info(f"{module_name} fine-tuning - {rank=}")
+        else:
+            logger.info(f"{module_name} skipping - {rank=} {min_rank_to_finetune=}")
+
+    if not targets:
+        logger.info("Skipping lora fine-tuning - no modules of sufficient rank")
+        return model
+
+    lora_names = []
+    for rng_id, (name, rank) in enumerate(targets):
+        base = nn.get_submodule(model, name)
+        r = rank // 16 if use_rank_pattern else lora_r
+        alpha = rank // 32 if use_rank_pattern else lora_alpha
+        subkey = jax.random.fold_in(key, rng_id)
+        model = nn.replace_submodule(
+            model,
+            name,
+            LoRALinear.attach(subkey, base, r, alpha, lora_dropout, rng_id),
+        )
+        lora_names.append(name)
+
+    # train only the adapters
+    lora_leaf_names = [f"{n}.lora_a" for n in lora_names] + [
+        f"{n}.lora_b" for n in lora_names
+    ]
+    model = _run_training(
+        model,
+        lora_leaf_names,
+        ft_iterator,
+        loss_fn,
+        apply_fn,
+        num_steps,
+        lr,
+        key=jax.random.fold_in(key, 999),
+    )
+    model = merge_lora(model)
+    logger.info(f"Lora fine-tuning took {time.perf_counter() - start:.2f} seconds")
+    return model
+
+
+def make_finetune_fn(
+    mode: str,
+    ft_iterator: Iterator[Any],
+    loss_fn: Callable[[Any, jax.Array], jax.Array],
+    **kwargs: Any,
+) -> Callable[[nn.Module, list[str]], nn.Module]:
+    """Factory producing the ``finetune_fn(module, decomposed_names)``
+    closure dwain.decompose expects (reference run_decompose_dwain.py
+    builds the same closures at :101-133)."""
+    if mode == "full":
+        def fn(module: nn.Module, names: list[str]) -> nn.Module:
+            return finetune_full(
+                model=module,
+                ft_iterator=ft_iterator,
+                decomposed_modules=names,
+                loss_fn=loss_fn,
+                **kwargs,
+            )
+    elif mode == "lora":
+        def fn(module: nn.Module, names: list[str]) -> nn.Module:
+            return finetune_lora(
+                model=module,
+                ft_iterator=ft_iterator,
+                decomposed_modules=names,
+                loss_fn=loss_fn,
+                **kwargs,
+            )
+    elif mode == "none":
+        def fn(module: nn.Module, names: list[str]) -> nn.Module:
+            return module
+    else:
+        raise ValueError(f"Unknown finetune mode {mode!r}")
+    return fn

@@ -1,0 +1,303 @@
+"""Decoder-only causal LM (Llama / TinyLlama / Qwen2 family), TPU-native.
+
+The reference consumes HF torch models via ``AutoModelForCausalLM``
+(/root/reference/examples/trainer_llm/builder.py:97-107); we implement the
+architecture natively on the pytree module system so that every projection
+is an ``nn.Linear`` site that dwain can decompose functionally.
+
+Field names mirror HF ("model.layers.N.self_attn.q_proj", ...) so blacklists
+and decompose_config names line up with reference LLM checkpoints, and
+hf_loader.py can import HF safetensors weights by name.
+
+TPU notes: attention runs in bf16 with f32 softmax; all shapes static;
+GQA via head repetition (XLA fuses the broadcast into the matmul); RoPE
+computed on the fly (no persistent cache to shard).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .. import nn
+
+__all__ = ["TransformerConfig", "CausalLM", "Attention", "MLP", "Block"]
+
+
+@dataclasses.dataclass(frozen=True)
+class TransformerConfig:
+    vocab_size: int = 32000
+    dim: int = 2048
+    n_layers: int = 22
+    n_heads: int = 32
+    n_kv_heads: int = 4
+    hidden_dim: int = 5632
+    norm_eps: float = 1e-5
+    rope_theta: float = 10000.0
+    qkv_bias: bool = False  # True for Qwen2
+    tie_embeddings: bool = False
+    dtype: Any = jnp.float32
+
+    @property
+    def head_dim(self) -> int:
+        return self.dim // self.n_heads
+
+    @staticmethod
+    def tiny(vocab_size: int = 256, dtype: Any = jnp.float32) -> "TransformerConfig":
+        return TransformerConfig(
+            vocab_size=vocab_size,
+            dim=64,
+            n_layers=2,
+            n_heads=4,
+            n_kv_heads=2,
+            hidden_dim=128,
+            dtype=dtype,
+        )
+
+    @staticmethod
+    def tinyllama_1_1b(dtype: Any = jnp.bfloat16) -> "TransformerConfig":
+        return TransformerConfig(
+            vocab_size=32000, dim=2048, n_layers=22, n_heads=32, n_kv_heads=4,
+            hidden_dim=5632, dtype=dtype,
+        )
+
+    @staticmethod
+    def qwen2_1_5b(dtype: Any = jnp.bfloat16) -> "TransformerConfig":
+        return TransformerConfig(
+            vocab_size=151936, dim=1536, n_layers=28, n_heads=12, n_kv_heads=2,
+            hidden_dim=8960, qkv_bias=True, tie_embeddings=True,
+            rope_theta=1000000.0, norm_eps=1e-6, dtype=dtype,
+        )
+
+    @staticmethod
+    def llama3_8b(dtype: Any = jnp.bfloat16) -> "TransformerConfig":
+        return TransformerConfig(
+            vocab_size=128256, dim=4096, n_layers=32, n_heads=32, n_kv_heads=8,
+            hidden_dim=14336, rope_theta=500000.0, dtype=dtype,
+        )
+
+
+def _rope(x: jax.Array, positions: jax.Array, theta: float) -> jax.Array:
+    """Rotary embedding, interleaved-half convention (HF llama).
+    x: (B, S, H, hd)."""
+    hd = x.shape[-1]
+    half = hd // 2
+    freqs = 1.0 / (
+        theta ** (jnp.arange(0, half, dtype=jnp.float32) / half)
+    )
+    angles = positions[:, :, None].astype(jnp.float32) * freqs  # (B,S,half)
+    cos = jnp.cos(angles)[:, :, None, :]
+    sin = jnp.sin(angles)[:, :, None, :]
+    x1, x2 = x[..., :half], x[..., half:]
+    xf1, xf2 = x1.astype(jnp.float32), x2.astype(jnp.float32)
+    out = jnp.concatenate(
+        [xf1 * cos - xf2 * sin, xf2 * cos + xf1 * sin], axis=-1
+    )
+    return out.astype(x.dtype)
+
+
+class Attention(nn.Module):
+    q_proj: nn.Linear
+    k_proj: nn.Linear
+    v_proj: nn.Linear
+    o_proj: nn.Linear
+    n_heads: int = nn.static_field(default=8)
+    n_kv_heads: int = nn.static_field(default=8)
+    rope_theta: float = nn.static_field(default=10000.0)
+
+    def __call__(
+        self,
+        x: jax.Array,
+        ctx: Optional[nn.Ctx] = None,
+        *,
+        positions: Optional[jax.Array] = None,
+        attn_mask: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        b, s, d = x.shape
+        q = self.q_proj(x, ctx)
+        hd = q.shape[-1] // self.n_heads  # robust to decomposed projections
+        q = q.reshape(b, s, self.n_heads, hd)
+        k = self.k_proj(x, ctx).reshape(b, s, self.n_kv_heads, hd)
+        v = self.v_proj(x, ctx).reshape(b, s, self.n_kv_heads, hd)
+
+        if positions is None:
+            positions = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s))
+        q = _rope(q, positions, self.rope_theta)
+        k = _rope(k, positions, self.rope_theta)
+
+        rep = self.n_heads // self.n_kv_heads
+        if rep > 1:
+            k = jnp.repeat(k, rep, axis=2)
+            v = jnp.repeat(v, rep, axis=2)
+
+        scale = hd**-0.5
+        logits = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) * scale
+        causal = jnp.tril(jnp.ones((s, s), bool))
+        mask = causal[None, None, :, :]
+        if attn_mask is not None:
+            mask = mask & attn_mask[:, None, None, :].astype(bool)
+        logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
+        probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+        return self.o_proj(out.reshape(b, s, -1), ctx)
+
+    @staticmethod
+    def create(key: jax.Array, cfg: TransformerConfig) -> "Attention":
+        ks = jax.random.split(key, 4)
+        hd = cfg.head_dim
+        return Attention(
+            q_proj=nn.Linear.create(
+                ks[0], cfg.dim, cfg.n_heads * hd, cfg.qkv_bias, cfg.dtype
+            ),
+            k_proj=nn.Linear.create(
+                ks[1], cfg.dim, cfg.n_kv_heads * hd, cfg.qkv_bias, cfg.dtype
+            ),
+            v_proj=nn.Linear.create(
+                ks[2], cfg.dim, cfg.n_kv_heads * hd, cfg.qkv_bias, cfg.dtype
+            ),
+            o_proj=nn.Linear.create(
+                ks[3], cfg.n_heads * hd, cfg.dim, False, cfg.dtype
+            ),
+            n_heads=cfg.n_heads,
+            n_kv_heads=cfg.n_kv_heads,
+            rope_theta=cfg.rope_theta,
+        )
+
+
+class MLP(nn.Module):
+    """SwiGLU MLP (llama/qwen2)."""
+
+    gate_proj: nn.Linear
+    up_proj: nn.Linear
+    down_proj: nn.Linear
+
+    def __call__(self, x: jax.Array, ctx: Optional[nn.Ctx] = None) -> jax.Array:
+        return self.down_proj(
+            jax.nn.silu(self.gate_proj(x, ctx)) * self.up_proj(x, ctx), ctx
+        )
+
+    @staticmethod
+    def create(key: jax.Array, cfg: TransformerConfig) -> "MLP":
+        ks = jax.random.split(key, 3)
+        return MLP(
+            gate_proj=nn.Linear.create(ks[0], cfg.dim, cfg.hidden_dim, False, cfg.dtype),
+            up_proj=nn.Linear.create(ks[1], cfg.dim, cfg.hidden_dim, False, cfg.dtype),
+            down_proj=nn.Linear.create(ks[2], cfg.hidden_dim, cfg.dim, False, cfg.dtype),
+        )
+
+
+class Block(nn.Module):
+    input_layernorm: nn.RMSNorm
+    self_attn: Attention
+    post_attention_layernorm: nn.RMSNorm
+    mlp: MLP
+
+    def __call__(
+        self,
+        x: jax.Array,
+        ctx: Optional[nn.Ctx] = None,
+        *,
+        positions: Optional[jax.Array] = None,
+        attn_mask: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        h = x + self.self_attn(
+            self.input_layernorm(x),
+            ctx,
+            positions=positions,
+            attn_mask=attn_mask,
+        )
+        return h + self.mlp(self.post_attention_layernorm(h), ctx)
+
+    @staticmethod
+    def create(key: jax.Array, cfg: TransformerConfig) -> "Block":
+        k1, k2 = jax.random.split(key)
+        return Block(
+            input_layernorm=nn.RMSNorm.create(cfg.dim, cfg.norm_eps, cfg.dtype),
+            self_attn=Attention.create(k1, cfg),
+            post_attention_layernorm=nn.RMSNorm.create(
+                cfg.dim, cfg.norm_eps, cfg.dtype
+            ),
+            mlp=MLP.create(k2, cfg),
+        )
+
+
+class Decoder(nn.Module):
+    embed_tokens: nn.Embedding
+    layers: tuple
+    norm: nn.RMSNorm
+
+    def __call__(
+        self,
+        input_ids: jax.Array,
+        ctx: Optional[nn.Ctx] = None,
+        *,
+        attn_mask: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        x = self.embed_tokens(input_ids)
+        b, s = input_ids.shape
+        positions = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s))
+        for layer in self.layers:
+            x = layer(x, ctx, positions=positions, attn_mask=attn_mask)
+        return self.norm(x)
+
+
+class CausalLM(nn.Module):
+    """Callable with a batch dict {"input_ids", optional "attention_mask"}
+    returning logits — the dict-in/logits-out convention the reference's
+    WrapperModule adapts HF models to
+    (/root/reference/examples/trainer_llm/dwain_wrapper_module.py:21-30)."""
+
+    model: Decoder
+    lm_head: Optional[nn.Linear]
+    tie_embeddings: bool = nn.static_field(default=False)
+
+    def __call__(self, batch: Any, ctx: Optional[nn.Ctx] = None) -> jax.Array:
+        if isinstance(batch, dict):
+            input_ids = batch["input_ids"]
+            attn_mask = batch.get("attention_mask")
+        else:
+            input_ids, attn_mask = batch, None
+        h = self.model(input_ids, ctx, attn_mask=attn_mask)
+        if self.tie_embeddings:
+            return jnp.dot(h, self.model.embed_tokens.table.T)
+        return self.lm_head(h, ctx)
+
+    @staticmethod
+    def create(key: jax.Array, cfg: TransformerConfig) -> "CausalLM":
+        keys = jax.random.split(key, cfg.n_layers + 2)
+        decoder = Decoder(
+            embed_tokens=nn.Embedding.create(
+                keys[0], cfg.vocab_size, cfg.dim, cfg.dtype
+            ),
+            layers=tuple(
+                Block.create(keys[1 + i], cfg) for i in range(cfg.n_layers)
+            ),
+            norm=nn.RMSNorm.create(cfg.dim, cfg.norm_eps, cfg.dtype),
+        )
+        lm_head = (
+            None
+            if cfg.tie_embeddings
+            else nn.Linear.create(keys[-1], cfg.dim, cfg.vocab_size, False, cfg.dtype)
+        )
+        return CausalLM(
+            model=decoder, lm_head=lm_head, tie_embeddings=cfg.tie_embeddings
+        )
+
+
+def ce_loss(batch: dict[str, jax.Array], logits: jax.Array) -> jax.Array:
+    """Shifted causal cross-entropy with attention-mask zeroing — matches the
+    reference's ce_loss (trainer_llm/dwain_wrapper_module.py:33-46)."""
+    labels = batch["input_ids"][:, 1:]
+    mask = batch.get("attention_mask")
+    logits = logits[:, :-1].astype(jnp.float32)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ll = jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    if mask is not None:
+        m = mask[:, 1:].astype(jnp.float32)
+        return -jnp.sum(ll * m) / jnp.maximum(jnp.sum(m), 1.0)
+    return -jnp.mean(ll)

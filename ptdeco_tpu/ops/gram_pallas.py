@@ -1,0 +1,114 @@
+"""Pallas TPU kernel: symmetric Gram accumulation (SYRK).
+
+``gram = Yᵀ Y`` for Y of shape (N, d) is the hot op of calibration
+(reference accumulates it as a full einsum per batch,
+/root/reference/src/ptdeco/dwain/decomposition.py:147-152).  XLA computes
+the full d×d product; this kernel computes only the lower triangle of tiles
+(SYRK), halving MXU work for large d, with f32 accumulation from bf16/f32
+inputs held in a VMEM scratch across the k-loop.
+
+The (i, j) tile pairs of the lower triangle are streamed in through scalar
+prefetch (PrefetchScalarGridSpec) so the grid is exactly the triangle —
+no wasted launches, no masked writes.
+
+Falls back to plain XLA below the tiling threshold or on non-TPU backends.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["syrk_gram", "gram_xla"]
+
+TILE = 256  # output tile (TILE, TILE); multiple of MXU 128
+KB = 512  # reduction block over N
+
+
+def gram_xla(y: jax.Array) -> jax.Array:
+    """Reference XLA path: full (d, d) f32 Gram."""
+    return jnp.einsum("np,nq->pq", y, y, preferred_element_type=jnp.float32)
+
+
+def _syrk_kernel(i_arr, j_arr, y_i_ref, y_j_ref, out_ref, acc_ref):
+    k = pl.program_id(1)
+    nk = pl.num_programs(1)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jax.lax.dot_general(
+        y_i_ref[:],
+        y_j_ref[:],
+        dimension_numbers=(((0,), (0,)), ((), ())),  # contract N
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(k == nk - 1)
+    def _():
+        out_ref[:] = acc_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _syrk_padded(y: jax.Array, interpret: bool = False) -> jax.Array:
+    """y already padded: N % KB == 0, d % TILE == 0.  Returns full (d, d)."""
+    n, d = y.shape
+    nt = d // TILE
+    nk = n // KB
+    tri = [(i, j) for i in range(nt) for j in range(i + 1)]
+    i_arr = jnp.asarray(np.array([t[0] for t in tri], np.int32))
+    j_arr = jnp.asarray(np.array([t[1] for t in tri], np.int32))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(len(tri), nk),
+        in_specs=[
+            pl.BlockSpec((KB, TILE), lambda t, k, i_arr, j_arr: (k, i_arr[t])),
+            pl.BlockSpec((KB, TILE), lambda t, k, i_arr, j_arr: (k, j_arr[t])),
+        ],
+        out_specs=pl.BlockSpec(
+            (TILE, TILE), lambda t, k, i_arr, j_arr: (i_arr[t], j_arr[t])
+        ),
+        scratch_shapes=[pltpu.VMEM((TILE, TILE), jnp.float32)],
+    )
+
+    lower = pl.pallas_call(
+        _syrk_kernel,
+        out_shape=jax.ShapeDtypeStruct((d, d), jnp.float32),
+        grid_spec=grid_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * d * d // 2,
+            bytes_accessed=y.size * y.dtype.itemsize + d * d * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(i_arr, j_arr, y, y)
+
+    # mirror the strict-lower tile triangle to the upper half.  Tiles above
+    # the diagonal were never written; rebuild from the transpose.
+    row = jax.lax.broadcasted_iota(jnp.int32, (d, d), 0) // TILE
+    col = jax.lax.broadcasted_iota(jnp.int32, (d, d), 1) // TILE
+    keep_lower = row >= col
+    return jnp.where(keep_lower, lower, lower.T)
+
+
+def syrk_gram(y: jax.Array, interpret: bool = False) -> jax.Array:
+    """Symmetric Gram ``Yᵀ Y`` in f32.  Pads N to KB and d to TILE (zero
+    rows/cols are exact no-ops for a Gram matrix)."""
+    n, d = y.shape
+    if d < 2 * TILE:  # no triangle advantage below 2 tiles
+        return gram_xla(y)
+    n_pad = (-n) % KB
+    d_pad = (-d) % TILE
+    if n_pad or d_pad:
+        y = jnp.pad(y, ((0, n_pad), (0, d_pad)))
+    g = _syrk_padded(y, interpret=interpret)
+    if d_pad:
+        g = g[:d, :d]
+    return g

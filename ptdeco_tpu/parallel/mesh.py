@@ -1,0 +1,84 @@
+"""Device-mesh and sharding helpers.
+
+The reference is strictly single-process single-GPU (SURVEY.md §2.7; device
+pick at /root/reference/examples/trainer_llm/run_decompose_dwain.py:144-147).
+This module is the TPU-native layer it lacks: a named mesh over ICI with
+``dp`` (data/batch) and ``tp`` (tensor) axes, and helpers to shard
+calibration batches and model parameters so XLA inserts the collectives.
+
+Key property exploited everywhere: the Gram/covariance accumulators are
+batch-sums, so data-parallel sharding of calibration batches is *exact* —
+the psum that XLA inserts under the contraction reproduces the serial
+accumulation bit-for-bit (up to reduction order).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "replicated_sharding",
+    "shard_batch",
+    "replicate",
+    "local_mesh",
+]
+
+DP_AXIS = "dp"
+TP_AXIS = "tp"
+
+
+def make_mesh(
+    dp: Optional[int] = None,
+    tp: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Create a (dp, tp) mesh.  With dp=None, use all devices / tp."""
+    devices = list(devices if devices is not None else jax.devices())
+    if dp is None:
+        dp = len(devices) // tp
+    assert dp * tp == len(devices), (dp, tp, len(devices))
+    arr = np.asarray(devices).reshape(dp, tp)
+    return Mesh(arr, (DP_AXIS, TP_AXIS))
+
+
+def local_mesh(n: Optional[int] = None) -> Mesh:
+    """Pure-dp mesh over the first n local devices (tests, calibration)."""
+    devices = jax.devices()[: n or len(jax.devices())]
+    return make_mesh(dp=len(devices), tp=1, devices=devices)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(DP_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Any, mesh: Mesh) -> Any:
+    """Shard the leading (batch) axis of every array in a batch over dp."""
+    sharding = batch_sharding(mesh)
+
+    def put(x):
+        if hasattr(x, "shape") and getattr(x, "ndim", 0) >= 1:
+            return jax.device_put(x, sharding)
+        return x
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    sharding = replicated_sharding(mesh)
+
+    def put(x):
+        if hasattr(x, "shape"):
+            return jax.device_put(x, sharding)
+        return x
+
+    return jax.tree_util.tree_map(put, tree)

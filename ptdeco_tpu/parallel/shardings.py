@@ -1,0 +1,90 @@
+"""Pattern-based parameter sharding rules (tensor parallelism).
+
+Megatron-style TP layout for the transformer family: column-parallel
+q/k/v/gate/up (+ lm_head / embedding over vocab), row-parallel o_proj/down,
+norms replicated.  XLA inserts the all-reduces at the row-parallel outputs.
+This is new capability relative to the reference (strictly single-GPU,
+SURVEY.md §2.7) and is what lets Llama-scale calibration forwards fit on a
+v5e-8.
+
+Decomposed factor pairs ``{site}.0 / {site}.1`` inherit their parent's
+layout: for a column-parallel site the *second* factor's out-dim is sharded
+(K1 replicated, K2 column-sharded); for a row-parallel site the first
+factor's in-dim is sharded.  The rank dimension is never sharded (it is
+small by construction).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Optional
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .. import nn
+from .mesh import TP_AXIS
+
+__all__ = ["transformer_tp_rules", "shard_params", "sharding_tree"]
+
+# (regex on dotted param name, PartitionSpec) — first match wins.
+# Kernels are (in, out); embeddings (vocab, dim).
+transformer_tp_rules: list[tuple[str, P]] = [
+    (r".*(q_proj|k_proj|v_proj|gate_proj|up_proj)\.kernel$", P(None, TP_AXIS)),
+    (r".*(q_proj|k_proj|v_proj|gate_proj|up_proj)\.bias$", P(TP_AXIS)),
+    (r".*(o_proj|down_proj)\.kernel$", P(TP_AXIS, None)),
+    (r".*(o_proj|down_proj)\.bias$", P()),
+    # factor pairs of column-parallel sites: K2 column-sharded
+    (r".*(q_proj|k_proj|v_proj|gate_proj|up_proj)\.1\.kernel$", P(None, TP_AXIS)),
+    (r".*(q_proj|k_proj|v_proj|gate_proj|up_proj)\.0\.kernel$", P()),
+    # factor pairs of row-parallel sites: K1 row-sharded
+    (r".*(o_proj|down_proj)\.0\.kernel$", P(TP_AXIS, None)),
+    (r".*(o_proj|down_proj)\.1\.kernel$", P()),
+    (r".*lm_head\.kernel$", P(None, TP_AXIS)),
+    (r".*embed_tokens\.table$", P(TP_AXIS, None)),
+    (r".*", P()),  # default: replicate
+]
+
+
+def _spec_for(name: str, rules: list[tuple[str, P]]) -> P:
+    for pattern, spec in rules:
+        if re.fullmatch(pattern, name):
+            return spec
+    return P()
+
+
+def sharding_tree(
+    model: nn.Module,
+    mesh: Mesh,
+    rules: Optional[list[tuple[str, P]]] = None,
+) -> Any:
+    """A pytree of NamedShardings matching the model, from name-based rules."""
+    rules = rules if rules is not None else transformer_tp_rules
+    specs = {
+        name: _spec_for(name, rules) for name, _ in nn.named_parameters(model)
+    }
+
+    name_iter = iter(nn.named_parameters(model))
+
+    def assign(leaf):
+        name, arr = next(name_iter)
+        spec = specs[name]
+        # drop specs that don't divide the dims evenly -> replicate
+        for dim, axis in enumerate(spec):
+            if axis is None:
+                continue
+            if arr.shape[dim] % mesh.shape[axis] != 0:
+                return NamedSharding(mesh, P())
+        return NamedSharding(mesh, spec)
+
+    return jax.tree_util.tree_map(assign, model)
+
+
+def shard_params(
+    model: nn.Module,
+    mesh: Mesh,
+    rules: Optional[list[tuple[str, P]]] = None,
+) -> nn.Module:
+    """device_put the model with TP shardings."""
+    shardings = sharding_tree(model, mesh, rules)
+    return jax.tree_util.tree_map(jax.device_put, model, shardings)

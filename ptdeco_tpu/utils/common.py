@@ -1,0 +1,93 @@
+"""General helpers (JAX analogues of /root/reference/src/ptdeco/utils/common.py)."""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Optional, TypeVar, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import nn
+
+__all__ = [
+    "to_device",
+    "get_num_params",
+    "get_device_memory_gb",
+    "is_compound_module",
+    "get_type_name",
+    "split_module_parent_child_name",
+    "get_default_dtype",
+]
+
+logger = logging.getLogger(__name__)
+
+T = TypeVar("T")
+
+
+def to_device(
+    o: Union[jax.Array, dict[str, Any]], device: Optional[jax.Device] = None
+) -> Any:
+    """Move an array or a dict of arrays to a device (reference
+    common.py:25-36).  Non-array dict values pass through unchanged."""
+
+    def put(v: Any) -> Any:
+        if isinstance(v, (jax.Array, np.ndarray)):
+            return jax.device_put(v, device)
+        return v
+
+    if isinstance(o, dict):
+        return {k: put(v) for k, v in o.items()}
+    return put(o)
+
+
+def get_num_params(module: nn.Module, only_trainable: bool = False) -> int:
+    """Parameter count deduplicated by array identity (reference
+    common.py:58-63 dedupes by data_ptr; shared/tied arrays count once)."""
+    del only_trainable  # no requires_grad concept; trainability is external
+    leaves = jax.tree_util.tree_leaves(module)
+    unique: dict[int, Any] = {}
+    for leaf in leaves:
+        if hasattr(leaf, "size") and hasattr(leaf, "dtype"):
+            if jnp.issubdtype(leaf.dtype, jnp.floating) or jnp.issubdtype(
+                leaf.dtype, jnp.integer
+            ):
+                unique[id(leaf)] = leaf
+    return int(sum(v.size for v in unique.values()))
+
+
+def get_device_memory_gb(device: Optional[jax.Device] = None) -> float:
+    """Best-effort live device memory (GB); reference common.py:39-43 reports
+    CUDA reserved memory.  On TPU/axon memory_stats may be unavailable."""
+    try:
+        devices = [device] if device is not None else jax.local_devices()
+        total = 0
+        for d in devices:
+            stats = d.memory_stats()
+            if stats:
+                total += stats.get("bytes_in_use", 0)
+        return total / (1024.0**3)
+    except Exception:  # pragma: no cover - backend dependent
+        return 0.0
+
+
+def is_compound_module(m: nn.Module) -> bool:
+    return any(isinstance(c, nn.Module) for _, c in m._name_children())
+
+
+def get_type_name(o: Any) -> str:
+    to = type(o)
+    return to.__module__ + "." + to.__name__
+
+
+def split_module_parent_child_name(target: str) -> tuple[str, str]:
+    *parent, name = target.rsplit(".", 1)
+    return parent[0] if parent else "", name
+
+
+def get_default_dtype(module: nn.Module) -> Any:
+    for leaf in jax.tree_util.tree_leaves(module):
+        if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating):
+            return leaf.dtype
+    return jnp.float32

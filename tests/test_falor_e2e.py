@@ -1,0 +1,109 @@
+"""Whole-model falor decomposition end-to-end (binary rank search, two-phase
+replace, proportion threshold, config round-trip)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ptdeco_tpu import falor, nn, utils
+
+
+class SmallCNN(nn.Module):
+    conv1: nn.Conv2d  # 1x1, decomposeable
+    conv2: nn.Conv2d  # 3x3, NOT decomposeable
+    head: nn.Linear
+
+    def __call__(self, x, ctx=None):
+        x = jax.nn.relu(self.conv1(x, ctx))
+        x = jax.nn.relu(self.conv2(x, ctx))
+        x = jnp.mean(x, axis=(1, 2))
+        return self.head(x, ctx)
+
+
+def make_cnn(key=0):
+    k = jax.random.split(jax.random.PRNGKey(key), 3)
+    return SmallCNN(
+        conv1=nn.Conv2d.create(k[0], 16, 32, kernel_size=1),
+        conv2=nn.Conv2d.create(k[1], 32, 16, kernel_size=3, padding=1),
+        head=nn.Linear.create(k[2], 16, 10),
+    )
+
+
+def lowrank_image_iter(key, bs=8, c=16, hw=6, rank=3):
+    proj = jax.random.normal(jax.random.PRNGKey(7), (rank, c))
+    while True:
+        key, sub = jax.random.split(key)
+        z = jax.random.normal(sub, (bs, hw, hw, rank))
+        yield z @ proj
+
+
+def test_falor_decomposes_and_roundtrips():
+    model = make_cnn()
+    it = lowrank_image_iter(jax.random.PRNGKey(0))
+    new_model, config = falor.decompose(
+        module=model,
+        data_iterator=it,
+        proportion_threshold=0.95,
+        nsr_final_threshold=0.5,
+        kl_final_threshold=10.0,
+        num_data_steps=4,
+        num_metric_steps=2,
+        use_float64=True,
+        use_mean=False,
+        use_damping=True,
+    )
+    # only conv1 (1x1) and head (linear) are candidates; low-rank inputs
+    # should let at least conv1 shrink
+    assert "conv1" in config
+    for name, cfg in config.items():
+        meta = cfg[utils.MODCONFIG_META_KEY]
+        assert set(meta.keys()) == {"proportion", "nsr_final", "kl_final"}
+        assert 0 < meta["proportion"] < 0.95
+
+    # 3x3 conv untouched
+    assert isinstance(nn.get_submodule(new_model, "conv2"), nn.Conv2d)
+
+    sd = utils.state_dict(new_model)
+    model2 = utils.apply_decompose_config(make_cnn(key=5), config)
+    model2 = utils.load_state_dict(model2, sd)
+    x = next(it)
+    np.testing.assert_allclose(
+        np.asarray(new_model(x)), np.asarray(model2(x)), atol=1e-6
+    )
+
+
+def test_falor_blacklist_and_threshold():
+    model = make_cnn()
+    it = lowrank_image_iter(jax.random.PRNGKey(1))
+    _, config = falor.decompose(
+        module=model,
+        data_iterator=it,
+        proportion_threshold=0.95,
+        nsr_final_threshold=0.5,
+        kl_final_threshold=10.0,
+        num_data_steps=2,
+        num_metric_steps=1,
+        use_float64=True,
+        use_mean=False,
+        use_damping=True,
+        blacklisted_module_names=["conv1", "head"],
+    )
+    assert config == {}
+
+
+def test_falor_use_mean_covariance():
+    model = make_cnn()
+    it = lowrank_image_iter(jax.random.PRNGKey(2))
+    _, config = falor.decompose(
+        module=model,
+        data_iterator=it,
+        proportion_threshold=0.95,
+        nsr_final_threshold=0.5,
+        kl_final_threshold=10.0,
+        num_data_steps=2,
+        num_metric_steps=1,
+        use_float64=True,
+        use_mean=True,
+        use_damping=True,
+    )
+    assert "conv1" in config

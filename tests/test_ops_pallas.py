@@ -1,0 +1,35 @@
+"""Pallas kernels, run in interpreter mode on CPU (SURVEY.md §4 strategy);
+the TPU-compiled path is exercised by bench.py on hardware."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ptdeco_tpu import ops
+
+
+def test_syrk_matches_xla_small_fallback():
+    y = jax.random.normal(jax.random.PRNGKey(0), (64, 96))
+    g = ops.syrk_gram(y)
+    np.testing.assert_allclose(
+        np.asarray(g), np.asarray(ops.gram_xla(y)), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_syrk_interpret_matches_xla_padded():
+    # d=512 -> 2x2 tiles of 256: triangle path; N=100 needs padding
+    y = jax.random.normal(jax.random.PRNGKey(1), (100, 512)) * 0.1
+    g = ops.syrk_gram(y, interpret=True)
+    ref = ops.gram_xla(y)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(ref), rtol=1e-4, atol=1e-4)
+    # symmetry exact
+    np.testing.assert_array_equal(np.asarray(g), np.asarray(g).T)
+
+
+def test_syrk_interpret_bf16_input():
+    y = (jax.random.normal(jax.random.PRNGKey(2), (256, 512)) * 0.1).astype(
+        jnp.bfloat16
+    )
+    g = ops.syrk_gram(y, interpret=True)
+    ref = ops.gram_xla(y)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(ref), rtol=2e-2, atol=2e-2)

@@ -1,0 +1,63 @@
+"""Data-parallel calibration on a virtual 8-device mesh: sharded Gram
+accumulation must match the single-device result (the TPU-native feature the
+reference lacks, SURVEY.md §2.7)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ptdeco_tpu import engine, nn, parallel
+
+
+class Net(nn.Module):
+    mod: nn.Linear
+
+    def __call__(self, x, ctx=None):
+        return self.mod(x, ctx)
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_gram_matches_serial():
+    d_in, d_out = 32, 24
+    net = Net(mod=nn.Linear.create(jax.random.PRNGKey(0), d_in, d_out))
+    batches = [
+        jax.random.normal(jax.random.PRNGKey(i), (16, d_in)) for i in range(4)
+    ]
+
+    # serial
+    g_serial, _ = engine.compute_output_grams(
+        net, ["mod"], iter(batches), num_data_steps=4
+    )
+
+    # dp-sharded over the full 8-device mesh
+    mesh = parallel.local_mesh()
+    net_r = parallel.replicate(net, mesh)
+    sharded = [parallel.shard_batch(b, mesh) for b in batches]
+    g_sharded, _ = engine.compute_output_grams(
+        net_r, ["mod"], iter(sharded), num_data_steps=4
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(g_serial["mod"]),
+        np.asarray(g_sharded["mod"]),
+        rtol=1e-5,
+        atol=1e-5,
+    )
+
+
+def test_sharded_batch_layout():
+    mesh = parallel.local_mesh()
+    x = jnp.ones((16, 4))
+    xs = parallel.shard_batch({"inp": x}, mesh)["inp"]
+    assert xs.sharding.spec == jax.sharding.PartitionSpec("dp")
+
+
+def test_mesh_shapes():
+    mesh = parallel.make_mesh(dp=4, tp=2)
+    assert mesh.shape == {"dp": 4, "tp": 2}
+    with pytest.raises(AssertionError):
+        parallel.make_mesh(dp=3, tp=2)
