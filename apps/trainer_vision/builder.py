@@ -15,7 +15,9 @@ import jax
 import jax.numpy as jnp
 
 from ptdeco_tpu import engine, nn, utils
+from ptdeco_tpu.models import convnext as convnext_zoo
 from ptdeco_tpu.models import resnet as resnet_zoo
+from ptdeco_tpu.models import vit as vit_zoo
 
 logger = logging.getLogger(__name__)
 
@@ -24,6 +26,11 @@ _ZOO = {
     "resnet34": resnet_zoo.resnet34,
     "resnet50": resnet_zoo.resnet50,
     "resnet101": resnet_zoo.resnet101,
+    "convnext_tiny": convnext_zoo.convnext_tiny,
+    "convnext_small": convnext_zoo.convnext_small,
+    "vit_tiny_patch16_224": vit_zoo.vit_tiny,
+    "vit_small_patch16_224": vit_zoo.vit_small,
+    "vit_base_patch16_224": vit_zoo.vit_base,
 }
 
 

@@ -1,0 +1,134 @@
+"""Vision dwain adapter: dict->logits wrapper, CE loss, and recovery
+fine-tuning with the loss-reverting safeguard.
+
+Reference: /root/reference/examples/trainer_vision/dwain_wrapper_module.py —
+WrapperModule (:18-24), ce_loss (:27-29), finetune_full with snapshot/revert
+if the final loss regressed more than REVERTING_FACTOR x initial (:94,
+:127-162), and optional BatchNorm-eval freezing (:64-77; our BatchNorm2d
+only updates running stats when ctx.train is set, so "eval mode" is simply
+not passing a train ctx).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Any, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ptdeco_tpu import nn
+
+logger = logging.getLogger(__name__)
+
+REVERTING_FACTOR = 1.2  # reference :94
+
+
+class WrapperModule(nn.Module):
+    """Adapts an image model to the dict-in/logits-out convention."""
+
+    raw_model: nn.Module
+
+    def __call__(self, batch: Any, ctx: Optional[nn.Ctx] = None) -> jax.Array:
+        x = batch["inputs"] if isinstance(batch, dict) else batch
+        return self.raw_model(x, ctx=ctx)
+
+
+def ce_loss(batch: dict[str, jax.Array], output: jax.Array) -> jax.Array:
+    """Cross-entropy against one-hot targets (reference :27-29)."""
+    logp = jax.nn.log_softmax(output.astype(jnp.float32), axis=-1)
+    return -jnp.mean(jnp.sum(batch["targets"] * logp, axis=-1))
+
+
+def add_prefix(module_names: list[str]) -> list[str]:
+    return ["raw_model." + n for n in module_names]
+
+
+def strip_prefix_dict(d: dict[str, Any]) -> dict[str, Any]:
+    prefix = "raw_model."
+    return {
+        (k[len(prefix):] if k.startswith(prefix) else k): v for k, v in d.items()
+    }
+
+
+def finetune_full(
+    *,
+    model: nn.Module,
+    ft_iterator: Iterator[dict[str, Any]],
+    decomposed_modules: list[str],
+    num_last_modules_to_finetune: int = 8,
+    num_steps: int = 100,
+    num_log_steps: int = 10,
+    lr: float = 0.0001,
+    optimizer: str = "AdamW",
+    reverting_checkpoints_dir: Optional[str] = None,
+    use_reverting: bool = True,
+    batch_norms_in_eval: bool = True,
+) -> nn.Module:
+    """Full fine-tuning of the last-N decomposed factor pairs with the
+    reference's revert-on-regression safeguard: keep a snapshot of the
+    trainable leaves; if final-loss > 1.2 x initial-loss, restore it."""
+    if len(decomposed_modules) == 0:
+        logger.info("Skipping full fine-tuning - empty list of decomposed modules")
+        return model
+    start = time.perf_counter()
+    to_ft = decomposed_modules[-num_last_modules_to_finetune:]
+    paths = nn.tree_paths_of(model, to_ft)
+    trainable, frozen = nn.partition(
+        model, lambda p, leaf: jax.tree_util.keystr(p) in paths
+    )
+    snapshot = trainable
+
+    if optimizer == "SGD":
+        tx = optax.sgd(lr)
+    elif optimizer == "Adam":
+        tx = optax.adam(lr)
+    else:
+        tx = optax.adamw(lr)
+    opt_state = tx.init(trainable)
+
+    train_ctx_key = None if batch_norms_in_eval else jax.random.PRNGKey(0)
+
+    @jax.jit
+    def step(trainable, opt_state, batch):
+        def loss_fn(tr):
+            m = nn.combine(tr, frozen)
+            ctx = (
+                nn.Ctx(key=train_ctx_key, train=True)
+                if train_ctx_key is not None
+                else None
+            )
+            return ce_loss(batch, m(batch, ctx=ctx))
+
+        loss, grads = jax.value_and_grad(loss_fn)(trainable)
+        updates, opt_state = tx.update(grads, opt_state, trainable)
+        return optax.apply_updates(trainable, updates), opt_state, loss
+
+    initial_loss = None
+    final_loss = None
+    for i in range(num_steps):
+        batch = next(ft_iterator)
+        trainable, opt_state, loss = step(trainable, opt_state, batch)
+        loss = float(loss)
+        if initial_loss is None:
+            initial_loss = loss
+        final_loss = loss
+        if i % num_log_steps == 0:
+            logger.info(f"Step: {i}/{num_steps}, loss: {loss:.4f}")
+
+    if (
+        use_reverting
+        and initial_loss is not None
+        and final_loss is not None
+        and final_loss > REVERTING_FACTOR * initial_loss
+    ):
+        logger.warning(
+            f"Reverting fine-tuning: final {final_loss:.4f} > "
+            f"{REVERTING_FACTOR} x initial {initial_loss:.4f}"
+        )
+        trainable = snapshot
+
+    logger.info(f"Full fine-tuning took {time.perf_counter() - start:.2f} s")
+    return nn.combine(trainable, frozen)

@@ -1,9 +1,10 @@
-"""CLI entry for the LLM trainer.
+"""CLI entry for the vision trainer.
 
-Usage: python -m apps.trainer_llm.run --config cfg.yaml --output-path out/
+Usage: python -m apps.trainer_vision.run --config cfg.yaml --output-path out/
 
-Mirrors /root/reference/examples/trainer_llm/run.py: logging setup, repro
-capture (version-stamped config copy + pip freeze), task dispatch.
+Mirrors /root/reference/examples/trainer_vision/run.py: repro capture +
+dispatch over 4 tasks (decompose_lockd / decompose_falor / decompose_dwain /
+finetune).
 """
 
 from __future__ import annotations
@@ -19,11 +20,16 @@ import yaml
 
 from ptdeco_tpu import _version
 
-from . import run_decompose_dwain, run_finetune
+from . import (
+    run_decompose_dwain,
+    run_decompose_falor,
+    run_decompose_lockd,
+    run_finetune,
+)
 
 logger = logging.getLogger(__name__)
 
-TRAINER_LLM_VERSION = "0.1.0"
+TRAINER_VISION_VERSION = "0.1.0"
 
 
 def setup_logging() -> None:
@@ -31,28 +37,16 @@ def setup_logging() -> None:
         "%(asctime)s.%(msecs)03d500: %(levelname).1s "
         "%(name)s.py:%(lineno)d] %(message)s"
     )
-    logging.basicConfig(
-        level=logging.INFO, format=fmt, datefmt="%m-%d %H:%M:%S"
-    )
-    for module_name in (
-        __name__,
-        "ptdeco_tpu",
-        "apps.trainer_llm",
-    ):
-        logging.getLogger(module_name).setLevel(logging.INFO)
+    logging.basicConfig(level=logging.INFO, format=fmt, datefmt="%m-%d %H:%M:%S")
 
 
-def copy_config(
-    config_path: pathlib.Path, output_path: pathlib.Path
-) -> None:
-    """Repro bundle: config with version stamps + pip freeze (reference
-    run.py:98-146)."""
+def copy_config(config_path: pathlib.Path, output_path: pathlib.Path) -> None:
     repro = output_path / "repro"
     repro.mkdir(exist_ok=True, parents=True)
     with open(config_path) as f:
         config = yaml.safe_load(f)
     config["ptdeco_tpu_version"] = _version.__version__
-    config["ptdeco_trainer_llm_version"] = TRAINER_LLM_VERSION
+    config["ptdeco_trainer_version"] = TRAINER_VISION_VERSION
     with open(repro / "config.yaml", "w") as f:
         yaml.dump(config, f)
     try:
@@ -63,15 +57,8 @@ def copy_config(
             timeout=120,
         ).stdout
         (repro / "requirements_freeze.txt").write_text(freeze)
-    except Exception as e:  # offline sandboxes may block pip
+    except Exception as e:
         logger.warning(f"pip freeze failed: {e}")
-
-
-def parse_args() -> argparse.Namespace:
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--config", required=True, type=pathlib.Path)
-    parser.add_argument("--output-path", required=True, type=pathlib.Path)
-    return parser.parse_args()
 
 
 def main() -> int:
@@ -79,17 +66,22 @@ def main() -> int:
     from ptdeco_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
-    args = parse_args()
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", required=True, type=pathlib.Path)
+    parser.add_argument("--output-path", required=True, type=pathlib.Path)
+    args = parser.parse_args()
     args.output_path.mkdir(exist_ok=True, parents=True)
     copy_config(args.config, args.output_path)
-    if args.config.parent != args.output_path:
-        shutil.copy(args.config, args.output_path / "config_original.yaml")
 
     with open(args.config) as f:
         config = yaml.safe_load(f)
 
     task = config.get("task")
-    if task == "decompose_dwain":
+    if task == "decompose_lockd":
+        run_decompose_lockd.main(config, args.output_path)
+    elif task == "decompose_falor":
+        run_decompose_falor.main(config, args.output_path)
+    elif task == "decompose_dwain":
         run_decompose_dwain.main(config, args.output_path)
     elif task == "finetune":
         run_finetune.main(config, args.output_path)

@@ -1,0 +1,169 @@
+"""LOCKD driver: train the channel gates with local distillation, then prune.
+
+Reference: /root/reference/examples/trainer_vision/run_decompose_lockd.py —
+composer Trainer over ComposerWrappedModel whose loss is
+``nsr_loss + lambda * proportion_loss`` (:58-64), per-layer tensorboard
+scalars (:84-131), then ``ptdeco.lockd.decompose_in_place`` and artifact
+saving (:231-247).
+
+TPU re-design: one jitted, data-parallel optax train step over the
+(trainable=students+gates, frozen=teacher) partition; per-layer NSR comes
+out of the Ctx sink; metrics stream to metrics.jsonl (tensorboard-free).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import pathlib
+import time
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ptdeco_tpu import lockd, nn, parallel, utils
+
+from . import builder, configurator, datasets_image, metrics
+
+logger = logging.getLogger(__name__)
+
+
+def make_train_step(frozen, tx, lmbda: float, nsr_threshold: float):
+    @jax.jit
+    def step(trainable, opt_state, inputs, key):
+        def loss_fn(tr):
+            m = nn.combine(tr, frozen)
+            # train=False: the reference runs the wrapped model in eval mode
+            # during gate training (run_decompose_lockd.py:53) — BatchNorms
+            # stay on running stats; the Gumbel gates still sample because a
+            # key is present.
+            ctx = nn.Ctx(key=key, train=False)
+            _ = m(inputs, ctx=ctx)
+            nsr_sink = ctx.sink.get("nsr", {})
+            nsr_loss = lockd.get_nsr_loss(nsr_sink, nsr_threshold)
+            proportion_loss = lockd.get_proportion_loss(m)
+            loss = nsr_loss + lmbda * proportion_loss
+            return loss, (nsr_loss, proportion_loss, nsr_sink)
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(trainable)
+        updates, opt_state = tx.update(grads, opt_state, trainable)
+        trainable = optax.apply_updates(trainable, updates)
+        return trainable, opt_state, loss, aux
+
+    return step
+
+
+def main(
+    config_raw: dict[str, Any],
+    output_path: pathlib.Path,
+    train_pipeline=None,
+    val_pipeline=None,
+) -> None:
+    config = configurator.DecomposeLOCKDConfig(**config_raw)
+    output_path.mkdir(exist_ok=True, parents=True)
+
+    if train_pipeline is None or val_pipeline is None:
+        train_pipeline, val_pipeline = datasets_image.make_imagenet_pipelines(
+            imagenet_root_dir=config.imagenet_root_dir,
+            trn_imagenet_classes_fname=config.trn_imagenet_classes_fname,
+            val_imagenet_classes_fname=config.val_imagenet_classes_fname,
+            batch_size=config.batch_size,
+            normalization=config.normalization,
+            input_h_w=config.input_h_w,
+        )
+
+    model = builder.make_model(config.decompose_model_name)
+    builder.validate_module_names(model, config.blacklisted_modules)
+    stats_initial = builder.get_model_stats(
+        model, (1, *config.input_h_w, 3)
+    )
+
+    wrapped = lockd.wrap(
+        model, jax.random.PRNGKey(0), config.blacklisted_modules
+    )
+    trainable, frozen = lockd.trainable_partition(wrapped)
+
+    mesh = None
+    if config.mesh_dp is not None:
+        mesh = parallel.make_mesh(dp=config.mesh_dp, tp=1)
+        trainable = parallel.replicate(trainable, mesh)
+        frozen = parallel.replicate(frozen, mesh)
+
+    steps_per_epoch = max(len(train_pipeline), 1)
+    num_steps = configurator.parse_duration(config.max_duration, steps_per_epoch)
+    schedule = configurator.get_lr_schedule(config, num_steps, steps_per_epoch)
+    tx = configurator.get_optimizer(config, schedule)
+    opt_state = tx.init(trainable)
+    step_fn = make_train_step(frozen, tx, config.lmbda, config.nsr_threshold)
+
+    key = jax.random.PRNGKey(42)
+    metrics_log = open(output_path / "metrics.jsonl", "w")
+    t0 = time.perf_counter()
+    step_idx = 0
+    data_iter = datasets_image.infinite(train_pipeline)
+    while step_idx < num_steps:
+        batch = next(data_iter)
+        inputs = jnp.asarray(batch["inputs"])
+        if mesh is not None:
+            inputs = parallel.shard_batch(inputs, mesh)
+        trainable, opt_state, loss, (nsr_loss, prop_loss, nsr_sink) = step_fn(
+            trainable, opt_state, inputs, jax.random.fold_in(key, step_idx)
+        )
+        if step_idx % 100 == 0:
+            current = nn.combine(trainable, frozen)
+            rec = {
+                "step": step_idx,
+                "loss": float(loss),
+                "loss_nsr": float(nsr_loss),
+                "loss_proportion": float(prop_loss),
+                "loss_entropy": float(lockd.get_entropy_loss(current)),
+                "per_layer_nsr": {k: float(v) for k, v in nsr_sink.items()},
+                "per_layer_p": {
+                    k: float(v)
+                    for k, v in lockd.get_proportion_dict(current).items()
+                },
+            }
+            metrics_log.write(json.dumps(rec) + "\n")
+            metrics_log.flush()
+            logger.info(
+                f"step {step_idx}/{num_steps} loss={rec['loss']:.4f} "
+                f"nsr={rec['loss_nsr']:.4f} p={rec['loss_proportion']:.4f}"
+            )
+        step_idx += 1
+    time_training = time.perf_counter() - t0
+    metrics_log.close()
+
+    wrapped = nn.combine(trainable, frozen)
+    model_deco, decompose_config = lockd.decompose(
+        wrapped,
+        proportion_threshold=config.proportion_threshold,
+        blacklisted_module_names=config.blacklisted_modules,
+    )
+
+    with open(output_path / "decompose_config.json", "w") as f:
+        json.dump(decompose_config, f)
+    sd = utils.state_dict(model_deco)
+    utils.save_state_dict_pt(sd, str(output_path / "decompose_state_dict.pt"))
+
+    stats_final = builder.get_model_stats(model_deco, (1, *config.input_h_w, 3))
+    accuracy = metrics.calc_accuracy(model_deco, val_pipeline)
+
+    device = jax.devices()[0]
+    summary = {
+        "accuracy_final": accuracy,
+        "n_decomposed": len(decompose_config),
+        "mparams_initial": stats_initial["mparams"],
+        "mparams_final": stats_final["mparams"],
+        "gflops_initial": stats_initial["gflops"],
+        "gflops_final": stats_final["gflops"],
+        "kmapps_initial": stats_initial["kmapps"],
+        "kmapps_final": stats_final["kmapps"],
+        "time_training": time_training,
+        "device": f"{device.platform}:{device.device_kind}",
+    }
+    with open(output_path / "summary.json", "w") as f:
+        json.dump(summary, f, indent=2)
+    logger.info(f"Summary: {json.dumps(summary, indent=2)}")

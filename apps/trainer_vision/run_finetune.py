@@ -1,0 +1,174 @@
+"""Global knowledge-distillation fine-tune of a decomposed vision model.
+
+Reference: /root/reference/examples/trainer_vision/run_finetune.py — the
+decomposed student trains against the frozen original teacher with the
+symmetric-KL loss (:32-45), with proportion/blacklist filtering of the
+decompose config at load time and matching state-dict filtering (:136-175),
+composer Trainer replaced by a jitted optax step with periodic eval.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import pathlib
+import time
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ptdeco_tpu import nn, utils
+
+from . import builder, configurator, datasets_image, metrics
+
+logger = logging.getLogger(__name__)
+
+
+def filter_decompose_config(
+    decompose_config: dict[str, Any],
+    proportion_threshold: float,
+    blacklisted_module_names: list[str],
+) -> dict[str, Any]:
+    """Drop entries above the proportion threshold or blacklisted
+    (reference :136-166)."""
+    out = {}
+    for name, cfg in decompose_config.items():
+        meta = cfg.get(utils.MODCONFIG_META_KEY, {})
+        proportion = meta.get("proportion", 0.0)
+        if name in blacklisted_module_names:
+            logger.info(f"Skipping blacklisted {name}")
+            continue
+        if proportion >= proportion_threshold:
+            logger.info(
+                f"Skipping {name}, proportion {proportion:.3f} >= "
+                f"{proportion_threshold:.3f}"
+            )
+            continue
+        out[name] = cfg
+    return out
+
+
+def filter_state_dict(
+    sd: dict[str, np.ndarray], skipped_sites: set[str]
+) -> dict[str, np.ndarray]:
+    """Remove factor-pair keys of skipped sites so the original module's
+    weights (present under the site name) load instead (reference :168-175)."""
+    out = {}
+    for k, v in sd.items():
+        if any(k.startswith(s + ".0.") or k.startswith(s + ".1.") for s in skipped_sites):
+            continue
+        out[k] = v
+    return out
+
+
+def kd_loss(student_logits: jax.Array, teacher_logits: jax.Array) -> jax.Array:
+    return utils.calc_kl_loss(student_logits, teacher_logits)
+
+
+def main(
+    config_raw: dict[str, Any],
+    output_path: pathlib.Path,
+    train_pipeline=None,
+    val_pipeline=None,
+) -> None:
+    config = configurator.FinetuneConfig(**config_raw)
+    output_path.mkdir(exist_ok=True, parents=True)
+
+    if train_pipeline is None or val_pipeline is None:
+        train_pipeline, val_pipeline = datasets_image.make_imagenet_pipelines(
+            imagenet_root_dir=config.imagenet_root_dir,
+            trn_imagenet_classes_fname=config.trn_imagenet_classes_fname,
+            val_imagenet_classes_fname=config.val_imagenet_classes_fname,
+            batch_size=config.batch_size,
+            normalization=config.normalization,
+            input_h_w=config.input_h_w,
+        )
+
+    teacher = builder.make_model(config.decompose_model_name)
+    with open(config.decompose_config) as f:
+        decompose_config = json.load(f)
+    kept = filter_decompose_config(
+        decompose_config, config.proportion_threshold, config.blacklisted_modules
+    )
+    skipped = set(decompose_config.keys()) - set(kept.keys())
+
+    student = builder.make_model(config.decompose_model_name)
+    student = utils.apply_decompose_config(student, kept)
+    if config.decompose_state_dict.endswith(".safetensors"):
+        sd = utils.load_state_dict_safetensors(config.decompose_state_dict)
+    else:
+        sd = utils.load_state_dict_pt(config.decompose_state_dict)
+    sd = filter_state_dict(sd, skipped)
+    student = utils.load_state_dict(student, sd, strict=False)
+
+    # trainable: decomposed factor pairs only (finetune_only_decomposed) or all
+    if config.finetune_only_decomposed:
+        paths = nn.tree_paths_of(student, list(kept.keys()))
+        trainable, frozen = nn.partition(
+            student, lambda p, leaf: jax.tree_util.keystr(p) in paths
+        )
+    else:
+        trainable, frozen = nn.partition(student, lambda p, leaf: True)
+
+    steps_per_epoch = max(len(train_pipeline), 1)
+    num_steps = configurator.parse_duration(config.max_duration, steps_per_epoch)
+    schedule = configurator.get_lr_schedule(config, num_steps, steps_per_epoch)
+    tx = configurator.get_optimizer(config, schedule)
+    opt_state = tx.init(trainable)
+
+    @jax.jit
+    def train_step(trainable, opt_state, inputs):
+        teacher_logits = teacher(inputs)
+
+        def loss_fn(tr):
+            m = nn.combine(tr, frozen)
+            return kd_loss(m(inputs), teacher_logits)
+
+        loss, grads = jax.value_and_grad(loss_fn)(trainable)
+        updates, opt_state = tx.update(grads, opt_state, trainable)
+        return optax.apply_updates(trainable, updates), opt_state, loss
+
+    accuracy_initial = metrics.calc_accuracy(
+        nn.combine(trainable, frozen), val_pipeline
+    )
+
+    t0 = time.perf_counter()
+    data_iter = datasets_image.infinite(train_pipeline)
+    for step_idx in range(num_steps):
+        batch = next(data_iter)
+        trainable, opt_state, loss = train_step(
+            trainable, opt_state, jnp.asarray(batch["inputs"])
+        )
+        if step_idx % 100 == 0:
+            logger.info(
+                f"step {step_idx}/{num_steps} kd_loss={float(loss):.5f}"
+            )
+    time_training = time.perf_counter() - t0
+
+    student = nn.combine(trainable, frozen)
+    accuracy_final = metrics.calc_accuracy(student, val_pipeline)
+    stats = builder.get_model_stats(student, (1, *config.input_h_w, 3))
+
+    sd_out = utils.state_dict(student)
+    utils.save_state_dict_pt(sd_out, str(output_path / "finetuned_state_dict.pt"))
+    with open(output_path / "decompose_config.json", "w") as f:
+        json.dump(kept, f)
+
+    device = jax.devices()[0]
+    summary = {
+        "accuracy_initial": accuracy_initial,
+        "accuracy_final": accuracy_final,
+        "mparams": stats["mparams"],
+        "gflops": stats["gflops"],
+        "kmapps": stats["kmapps"],
+        "n_decomposed": len(kept),
+        "n_skipped": len(skipped),
+        "time_training": time_training,
+        "device": f"{device.platform}:{device.device_kind}",
+    }
+    with open(output_path / "summary.json", "w") as f:
+        json.dump(summary, f, indent=2)
+    logger.info(f"Summary: {json.dumps(summary, indent=2)}")

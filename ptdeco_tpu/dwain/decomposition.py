@@ -21,7 +21,10 @@ decompose_config format) match the reference exactly.
 
 from __future__ import annotations
 
+import json
 import logging
+import os
+import pathlib
 import time
 from typing import Any, Callable, Iterator, Optional
 
@@ -41,21 +44,20 @@ LossFn = Callable[[Any, jax.Array], jax.Array]
 FinetuneFn = Callable[[nn.Module, list[str]], nn.Module]
 
 
-def _make_metric_step(apply_fn: engine.ApplyFn, loss_fn: LossFn):
-    @jax.jit
-    def step(root_deco: nn.Module, root_orig: nn.Module, batch: Any):
-        y_deco = apply_fn(root_deco, batch, None)
-        y_orig = apply_fn(root_orig, batch, None)
+def _make_metric_fn(loss_fn: LossFn):
+    """Per-batch metrics [nsr, exp(loss_deco), exp(loss_orig)] — reference
+    _compute_metrics (dwain:247-278): NSR over dims (0, 1), "ppl" =
+    exp(loss)."""
+
+    def metric_fn(batch: Any, y_deco: jax.Array, y_orig: jax.Array):
         loss_deco = loss_fn(batch, y_deco)
         loss_orig = loss_fn(batch, y_orig)
-        # reference _compute_metrics (dwain:247-278): NSR over dims (0, 1),
-        # "ppl" = exp(loss)
         nsr = utils.calc_per_channel_noise_to_signal_ratio(
             x=y_deco, y=y_orig, non_channel_dim=(0, 1)
         )
-        return nsr, jnp.exp(loss_deco), jnp.exp(loss_orig)
+        return jnp.stack([nsr, jnp.exp(loss_deco), jnp.exp(loss_orig)])
 
-    return step
+    return metric_fn
 
 
 def _process_module(
@@ -64,7 +66,7 @@ def _process_module(
     site: engine.Site,
     data_iterator: Iterator[Any],
     metric_iterator: Iterator[Any],
-    metric_step,
+    metric_fn,
     apply_fn: engine.ApplyFn,
     nsr_final_threshold: float,
     num_data_steps: int,
@@ -114,53 +116,47 @@ def _process_module(
 
     u_dev = jnp.asarray(u_matrix, jnp.float32)
 
-    rank_best = full_rank
+    # Enumerate the geometric ladder first (host arithmetic only, identical
+    # control flow to reference dwain:407-421 incl. the drop==0 skip), then
+    # evaluate ALL candidates' metrics in as few dispatches as possible.
+    ladder: list[tuple[int, int, float]] = []  # (rank, drop, ppl_threshold)
     rank_new = full_rank
-    nsr_best, ppl_deco_best = 0.0, 0.0
-    drop_in_params = 0
-    any_candidate_tried = False
-    i = 1
-
     while rank_new > min_rank:
         rank_new = int(rank_new * reduction_factor)
-
         previous_params = engine.get_params_for_proportion(1.0, dim_in, dim_out)
         current_params = engine.get_params_for_proportion(
             rank_new / full_rank, dim_in, dim_out
         )
-        drop_in_params = previous_params - current_params
-        fraction_removed = drop_in_params / num_params
-        ppl_diff_threshold = fraction_removed * trade_off_factor
-
-        if drop_in_params == 0:
+        drop = previous_params - current_params
+        if drop == 0:
             logger.info(
-                f"{indent}{i=} {rank_new=} does not lead to params drop, skipping"
+                f"{indent}{rank_new=} does not lead to params drop, skipping"
             )
             continue
+        ladder.append((rank_new, drop, drop / num_params * trade_off_factor))
 
-        any_candidate_tried = True
-        deco_kernel = engine.compose_deco_kernel(
-            kernel2d, u_dev, jnp.int32(rank_new)
-        )
-        root_deco = engine.set_site_kernel2d(root, site, deco_kernel)
+    evaluator = engine.CandidateEvaluator(site, apply_fn, metric_fn)
+    raw = evaluator(
+        root,
+        kernel2d,
+        u_dev,
+        [r for r, _, _ in ladder],
+        metric_iterator,
+        num_metric_steps,
+    )  # (C, M, 3): [nsr, ppl_deco, ppl_orig] per batch
 
-        nsr_new = 0.0
-        ppl_deco_new = 0.0
-        ppl_diff_new = 0.0
-        ppl_orig_sample = 0.0
-        for _ in range(num_metric_steps):
-            batch = next(metric_iterator)
-            nsr_s, ppl_deco_s, ppl_orig_s = metric_step(root_deco, root, batch)
-            nsr_s = float(nsr_s)
-            ppl_deco_s = float(ppl_deco_s)
-            ppl_orig_sample = float(ppl_orig_s)
-            ppl_diff_new += (ppl_deco_s - ppl_orig_sample) / ppl_orig_sample
-            nsr_new += nsr_s
-            ppl_deco_new += ppl_deco_s
+    rank_best = full_rank
+    nsr_best, ppl_deco_best = 0.0, 0.0
+    drop_in_params = 0
+    any_candidate_tried = len(ladder) > 0
 
-        nsr_new /= num_metric_steps
-        ppl_deco_new /= num_metric_steps
-        ppl_diff_new /= num_metric_steps
+    for i, ((rank_new, drop, ppl_diff_threshold), row) in enumerate(
+        zip(ladder, raw), start=1
+    ):
+        nsr_new = float(np.mean(row[:, 0]))
+        ppl_deco_new = float(np.mean(row[:, 1]))
+        ppl_diff_new = float(np.mean((row[:, 1] - row[:, 2]) / row[:, 2]))
+        fraction_removed = drop / num_params
 
         logger.info(
             f"{indent}{i=} {ppl_deco_new=:.4f} {ppl_diff_new=:.4f} "
@@ -186,7 +182,6 @@ def _process_module(
             f"{ppl_diff_new=:.6f} {rank_best=} {nsr_best=:.6f} "
             f"{ppl_deco_best=:.6f}"
         )
-        i += 1
 
     if any_candidate_tried:
         proportion = rank_best / full_rank
@@ -274,6 +269,62 @@ def _precompute_u_in_splits(
     return u_dict
 
 
+class _Checkpointer:
+    """Per-layer resume state for a decomposition run.
+
+    The reference's decomposition is not resumable mid-run (SURVEY.md §5 —
+    only the training stages checkpoint via composer/HF Trainer).  Here
+    every processed site is recorded to ``progress.jsonl`` and accepted
+    factor pairs to per-site safetensors; a restarted run with the same
+    ``checkpoint_dir`` replays completed sites instantly and continues."""
+
+    def __init__(self, directory: Optional[str]) -> None:
+        self.dir = pathlib.Path(directory) if directory else None
+        self.processed: dict[str, Optional[dict[str, Any]]] = {}
+        if self.dir is None:
+            return
+        self.dir.mkdir(parents=True, exist_ok=True)
+        progress = self.dir / "progress.jsonl"
+        if progress.exists():
+            for line in progress.read_text().splitlines():
+                rec = json.loads(line)
+                self.processed[rec["site"]] = rec.get("config")
+            logger.info(
+                f"Resuming decomposition: {len(self.processed)} sites already "
+                f"processed in {self.dir}"
+            )
+
+    def restore(self, root: nn.Module, name: str) -> tuple[nn.Module, Any]:
+        """Replay a completed site; returns (new_root, config_entry|None)."""
+        config_entry = self.processed[name]
+        if config_entry is None:
+            return root, None
+        old = nn.get_submodule(root, name)
+        new = utils.build_module_from_config(
+            config_entry, dtype=utils.get_default_dtype(old)
+        )
+        sd = utils.load_state_dict_safetensors(
+            str(self.dir / f"{name}.safetensors")
+        )
+        new = utils.load_state_dict(new, sd)
+        return nn.replace_submodule(root, name, new), config_entry
+
+    def record(
+        self, root: nn.Module, name: str, config_entry: Optional[dict[str, Any]]
+    ) -> None:
+        if self.dir is None:
+            return
+        if config_entry is not None:
+            utils.save_state_dict_safetensors(
+                utils.state_dict(nn.get_submodule(root, name)),
+                str(self.dir / f"{name}.safetensors"),
+            )
+        with open(self.dir / "progress.jsonl", "a") as f:
+            f.write(json.dumps({"site": name, "config": config_entry}) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+
+
 def decompose(
     *,
     module: nn.Module,
@@ -292,6 +343,7 @@ def decompose(
     decompose_in_float64: bool = True,
     precomputing_covariance_num_splits: Optional[int] = None,
     apply_fn: engine.ApplyFn = engine.default_apply,
+    checkpoint_dir: Optional[str] = None,
 ) -> tuple[nn.Module, dict[str, Any]]:
     """Whole-model iterative decomposition.
 
@@ -341,17 +393,28 @@ def decompose(
         logger.info("Skipping precomputing covariance matrices")
         u_dict = {}
 
-    metric_step = _make_metric_step(apply_fn, loss_fn)
+    metric_fn = _make_metric_fn(loss_fn)
+    ckpt = _Checkpointer(checkpoint_dir)
 
     for i, submodule_name in enumerate(reversed(modules_to_decompose), start=1):
         logger.info(f"PROCESSING {submodule_name} MODULE {i} OUT OF {n}")
+        if submodule_name in ckpt.processed:
+            module, config_entry = ckpt.restore(module, submodule_name)
+            if config_entry is not None:
+                decomposed_submodules.append(submodule_name)
+                decompose_config[submodule_name] = config_entry
+                meta = config_entry.get(utils.MODCONFIG_META_KEY, {})
+                current_params -= meta.get("drop_in_params", 0)
+                n_decomposed += 1
+            logger.info(f"{submodule_name} restored from checkpoint")
+            continue
         site = engine.get_site(module, submodule_name)
         result = _process_module(
             root=module,
             site=site,
             data_iterator=data_iterator,
             metric_iterator=metric_iterator,
-            metric_step=metric_step,
+            metric_fn=metric_fn,
             apply_fn=apply_fn,
             nsr_final_threshold=nsr_final_threshold,
             num_data_steps=num_data_steps,
@@ -379,9 +442,11 @@ def decompose(
             )
             engine.add_meta_to_module_config(module_config, result)
             decompose_config[submodule_name] = module_config
+            ckpt.record(module, submodule_name, module_config)
             logger.info(f"{submodule_name} decomposed with {proportion=:.4f}")
             n_decomposed += 1
         else:
+            ckpt.record(module, submodule_name, None)
             logger.info(f"{submodule_name} not decomposed")
 
     stop_time = time.perf_counter()

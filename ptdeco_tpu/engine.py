@@ -33,6 +33,7 @@ falor/decomposition.py:51-290).  Here it is one pure-functional engine:
 from __future__ import annotations
 
 import dataclasses
+import functools
 import logging
 from typing import Any, Callable, Iterator, Optional
 
@@ -224,6 +225,59 @@ def make_gram_step(
     return jax.jit(_step, donate_argnums=donate_argnums)
 
 
+def make_gram_scan_step(
+    site_names: tuple[str, ...],
+    sites: dict[str, Site],
+    apply_fn: ApplyFn,
+    accumulate_mean: bool = False,
+):
+    """Like make_gram_step but consuming a chunk of K stacked batches in ONE
+    dispatch via lax.scan — K fewer host round-trips.  Essential when the
+    device sits behind a high-latency transport (per-call overhead measured
+    at ~100ms over the axon tunnel vs ~1ms of MXU work on small models)."""
+
+    def _step(root, batches, grams, means):
+        def body(carry, batch):
+            grams, means = carry
+            store: dict[str, jax.Array] = {}
+            tapped = _wrap_taps(root, list(site_names), store)
+            _ = apply_fn(tapped, batch, None)
+            for name in site_names:
+                x = store[name]
+                kernel = get_site_kernel2d(root, sites[name])
+                y = jnp.dot(
+                    x,
+                    kernel.astype(x.dtype),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                n = y.shape[0]
+                g = jnp.einsum(
+                    "bp,bq->pq",
+                    y,
+                    y,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                ) / n
+                grams = dict(grams)
+                grams[name] = grams[name] + g
+                if accumulate_mean:
+                    means = dict(means)
+                    means[name] = means[name] + jnp.mean(y, axis=0)
+            return (grams, means), None
+
+        (grams, means), _ = jax.lax.scan(body, (grams, means), batches)
+        return grams, means
+
+    return jax.jit(_step, donate_argnums=(2, 3))
+
+
+def _stack_batches(batch_list: list[Any]) -> Any:
+    return jax.tree_util.tree_map(
+        lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *batch_list
+    )
+
+
 def compute_output_grams(
     root: nn.Module,
     site_names: list[str],
@@ -231,14 +285,16 @@ def compute_output_grams(
     num_data_steps: int,
     apply_fn: ApplyFn = default_apply,
     accumulate_mean: bool = False,
+    scan_chunk: int = 8,
 ) -> tuple[dict[str, jax.Array], dict[str, jax.Array]]:
     """Run ``num_data_steps`` calibration batches, returning per-site
     ``E[y yᵀ]`` (and optionally ``E[y]``), already divided by the step count.
 
     TPU-native replacement for the reference's covariance loops
     (dwain:211-244 per-site, dwain:580-634 precomputed-in-splits): one jit
-    compilation covers all sites in the list; batches sharded over a ``dp``
-    mesh axis reduce via XLA-inserted psums.
+    compilation covers all sites in the list; batches are consumed in
+    ``scan_chunk``-sized stacks so a chunk costs one dispatch; batches
+    sharded over a ``dp`` mesh axis reduce via XLA-inserted psums.
     """
     sites = {n: get_site(root, n) for n in site_names}
     grams = {
@@ -246,18 +302,169 @@ def compute_output_grams(
         for n, s in sites.items()
     }
     means = {n: jnp.zeros((s.out_features,), jnp.float32) for n, s in sites.items()}
-    step = make_gram_step(tuple(site_names), sites, apply_fn, accumulate_mean)
-    for _ in range(num_data_steps):
-        batch = next(data_iterator)
-        grams, means = step(root, batch, grams, means)
+    scan_chunk = max(1, min(scan_chunk, num_data_steps))
+    scan_step = make_gram_scan_step(
+        tuple(site_names), sites, apply_fn, accumulate_mean
+    )
+    remaining = num_data_steps
+    while remaining > 0:
+        k = min(scan_chunk, remaining)
+        chunk = [next(data_iterator) for _ in range(k)]
+        grams, means = scan_step(root, _stack_batches(chunk), grams, means)
+        remaining -= k
     grams = {n: g / num_data_steps for n, g in grams.items()}
     means = {n: m / num_data_steps for n, m in means.items()}
     return grams, means
 
 
 # ---------------------------------------------------------------------------
+# Batched candidate-rank metric evaluation
+# ---------------------------------------------------------------------------
+
+# Stacked metric batches above this budget fall back to per-candidate /
+# chunked dispatches (vision batches are big; LLM token batches are tiny).
+METRIC_STACK_BUDGET_BYTES = 256 * 1024 * 1024
+
+
+def _batch_nbytes(batch: Any) -> int:
+    return sum(
+        x.size * x.dtype.itemsize
+        for x in jax.tree_util.tree_leaves(batch)
+        if hasattr(x, "size")
+    )
+
+
+def make_ladder_metric_step(site: Site, apply_fn: ApplyFn, metric_fn):
+    """One dispatch evaluating the ENTIRE rank ladder: scan over candidates
+    (composing each masked low-rank weight on the fly — never materializing
+    all candidates), inner scan over that candidate's metric batches.
+    Returns raw per-(candidate, batch) metrics (C, M, K); aggregation and
+    accept/reject stay on host with reference-identical semantics.
+
+    The reference pays 2 eager whole-model forwards per batch per candidate
+    with a host sync each (dwain:263-267, :435-448); this is one round-trip
+    per site.
+    """
+
+    def _step(root, kernel2d, u, ranks, batches):
+        def cand(_, inp):
+            rank, cbatches = inp
+            deco = compose_deco_kernel(kernel2d, u, rank)
+            root_deco = set_site_kernel2d(root, site, deco)
+
+            def mstep(_, batch):
+                y_deco = apply_fn(root_deco, batch, None)
+                y_orig = apply_fn(root, batch, None)
+                return None, metric_fn(batch, y_deco, y_orig)
+
+            _, ms = jax.lax.scan(mstep, None, cbatches)
+            return None, ms
+
+        _, out = jax.lax.scan(cand, None, (ranks, batches))
+        return out  # (C, M, K)
+
+    return jax.jit(_step)
+
+
+def make_candidate_metric_step(site: Site, apply_fn: ApplyFn, metric_fn):
+    """Single-candidate variant: (root, kernel2d, u, rank, batches[M]) ->
+    (M, K).  Used when the full (C, M) stack would blow the memory budget
+    and by falor's sequential binary search."""
+
+    def _step(root, kernel2d, u, rank, batches):
+        deco = compose_deco_kernel(kernel2d, u, rank)
+        root_deco = set_site_kernel2d(root, site, deco)
+
+        def mstep(_, batch):
+            y_deco = apply_fn(root_deco, batch, None)
+            y_orig = apply_fn(root, batch, None)
+            return None, metric_fn(batch, y_deco, y_orig)
+
+        _, ms = jax.lax.scan(mstep, None, batches)
+        return ms
+
+    return jax.jit(_step)
+
+
+class CandidateEvaluator:
+    """Per-site evaluator of rank candidates.
+
+    Evaluates candidates over fresh metric batches (drawn candidate-major —
+    the reference's exact iterator consumption order, dwain:435-448) and
+    returns raw per-(candidate, batch) metrics as (C, M, K) numpy.
+
+    Dispatch strategy: ONE fused ladder dispatch when the stacked batches
+    fit METRIC_STACK_BUDGET_BYTES; otherwise per-candidate dispatches with
+    the batch axis chunked under the budget.  The jitted steps are built
+    once per site so repeated calls (falor's binary search) hit the trace
+    cache."""
+
+    def __init__(self, site: Site, apply_fn: ApplyFn, metric_fn) -> None:
+        self.site = site
+        self._ladder = make_ladder_metric_step(site, apply_fn, metric_fn)
+        self._cand = make_candidate_metric_step(site, apply_fn, metric_fn)
+
+    def __call__(
+        self,
+        root: nn.Module,
+        kernel2d: jax.Array,
+        u_dev: jax.Array,
+        ranks: list[int],
+        metric_iterator: Iterator[Any],
+        num_metric_steps: int,
+    ) -> np.ndarray:
+        c, m = len(ranks), num_metric_steps
+        if c == 0 or m == 0:
+            return np.zeros((c, m, 0), np.float32)
+        all_batches = [
+            [next(metric_iterator) for _ in range(m)] for _ in range(c)
+        ]
+        per_batch = _batch_nbytes(all_batches[0][0])
+
+        if c * m * per_batch <= METRIC_STACK_BUDGET_BYTES:
+            stacked = _stack_batches([_stack_batches(cb) for cb in all_batches])
+            out = self._ladder(
+                root, kernel2d, u_dev, jnp.asarray(ranks, jnp.int32), stacked
+            )
+            return np.asarray(jax.device_get(out))
+
+        max_m = max(1, METRIC_STACK_BUDGET_BYTES // max(per_batch, 1))
+        rows = []
+        for rank, cb in zip(ranks, all_batches):
+            outs = [
+                self._cand(
+                    root,
+                    kernel2d,
+                    u_dev,
+                    jnp.int32(rank),
+                    _stack_batches(cb[j : j + max_m]),
+                )
+                for j in range(0, m, max_m)
+            ]
+            rows.append(jnp.concatenate(outs, axis=0))
+        return np.asarray(jax.device_get(jnp.stack(rows)))
+
+
+# ---------------------------------------------------------------------------
 # Eigendecomposition (host, float64)
 # ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("use_damping", "use_mean"))
+def _eigvecs_device(
+    gram: jax.Array,
+    mean: jax.Array,
+    use_damping: bool,
+    use_mean: bool,
+) -> jax.Array:
+    g = gram
+    if use_mean:
+        g = g - jnp.outer(mean, mean)
+    if use_damping:
+        damp = EIGEN_DAMPEN_FACTOR * jnp.mean(jnp.diagonal(g))
+        g = g + damp * jnp.eye(g.shape[-1], dtype=g.dtype)
+    _, u = jnp.linalg.eigh(g)
+    return u
 
 
 def eigenvectors_from_gram(
@@ -266,17 +473,21 @@ def eigenvectors_from_gram(
     mean: Optional[jax.Array] = None,
     use_damping: bool = True,
     in_float64: bool = True,
-) -> np.ndarray:
-    """Damped eigh of E[y yᵀ] (optionally mean-centred to a covariance).
+):
+    """Damped eigh of E[y yᵀ] (optionally mean-centred to a covariance),
+    ascending eigenvalue order (LAPACK/torch convention — the top-k are the
+    LAST k columns, which is what the rank slicing assumes).
 
-    Float64 path runs on host CPU via LAPACK — the TPU-honest equivalent of
-    the reference's ``decompose_in_float64`` (dwain:155-163, falor:165-208);
-    the matrices are per-layer (d_out², ≤ ~hidden²) so this is never the
-    bottleneck.  Returns eigenvectors as float64 numpy, ascending eigenvalue
-    order (LAPACK/torch.linalg.eigh convention — the top-k are the LAST k
-    columns, which is what the rank slicing assumes).
-    """
-    g = np.asarray(jax.device_get(gram), np.float64 if in_float64 else np.float32)
+    Float64 path (the reference's ``decompose_in_float64`` default,
+    dwain:155-163, falor:165-208) runs on host CPU via LAPACK — TPUs have no
+    native f64 and the matrices are per-layer.  With ``in_float64=False``
+    the whole thing stays ON DEVICE as a jitted f32 eigh: no gram transfer,
+    no host LAPACK — the fast path for large models behind a slow
+    host<->device link."""
+    if not in_float64:
+        m = mean if mean is not None else jnp.zeros(gram.shape[-1], gram.dtype)
+        return _eigvecs_device(gram, m, use_damping, mean is not None)
+    g = np.asarray(jax.device_get(gram), np.float64)
     if mean is not None:
         m = np.asarray(jax.device_get(mean), g.dtype)
         g = g - np.outer(m, m)
@@ -346,7 +557,14 @@ def build_decomposed_module(
 ) -> nn.Module:
     """Sequential factor pair matching the reference's layout
     (dwain:69-86 for Linear, dwain:119-144 for 1x1 conv): first factor
-    bias-free, original bias moves to the second factor."""
+    bias-free, original bias moves to the second factor.
+
+    Reference bug fixed here: the reference builds both factor convs with
+    default stride/padding, silently breaking strided 1x1 convs (ResNet
+    downsamples).  We put the original stride/padding/dilation on the FIRST
+    factor — for a 1x1 conv, spatial subsampling commutes with channel
+    mixing, and striding first is also cheaper (the second matmul sees the
+    reduced resolution)."""
     bias = get_site_bias(root, site)
     m = nn.get_submodule(root, site.name)
     precision = getattr(m, "precision", None)
@@ -358,11 +576,18 @@ def build_decomposed_module(
             )
         )
     else:
+        first = nn.Conv2d(
+            kernel=k1[None, None, :, :],
+            bias=None,
+            stride=m.stride,
+            padding=m.padding,
+            dilation=m.dilation,
+            groups=1,
+            padding_mode=m.padding_mode,
+            precision=precision,
+        )
         return nn.Sequential(
-            layers=(
-                nn.conv1x1_from_kernel(k1, None, precision=precision),
-                nn.conv1x1_from_kernel(k2, bias, precision=precision),
-            )
+            layers=(first, nn.conv1x1_from_kernel(k2, bias, precision=precision))
         )
 
 

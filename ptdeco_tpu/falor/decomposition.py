@@ -45,19 +45,13 @@ logger = logging.getLogger(__name__)
 is_decomposeable_module = engine.is_decomposeable_module
 
 
-def _make_metric_step(apply_fn: engine.ApplyFn):
-    @jax.jit
-    def step(root_deco: nn.Module, root_orig: nn.Module, x: Any):
-        y_deco = apply_fn(root_deco, x, None)
-        y_orig = apply_fn(root_orig, x, None)
-        # reference falor:211-233: NSR over dim (0,), symmetric KL on logits
-        nsr = utils.calc_per_channel_noise_to_signal_ratio(
-            x=y_deco, y=y_orig, non_channel_dim=(0,)
-        )
-        kl = utils.calc_kl_loss(y_deco, y_orig)
-        return nsr, kl
-
-    return step
+def _metric_fn(x: Any, y_deco: jax.Array, y_orig: jax.Array) -> jax.Array:
+    # reference falor:211-233: NSR over dim (0,), symmetric KL on logits
+    nsr = utils.calc_per_channel_noise_to_signal_ratio(
+        x=y_deco, y=y_orig, non_channel_dim=(0,)
+    )
+    kl = utils.calc_kl_loss(y_deco, y_orig)
+    return jnp.stack([nsr, kl])
 
 
 def _process_module(
@@ -65,7 +59,6 @@ def _process_module(
     root: nn.Module,
     site: engine.Site,
     data_iterator: Iterator[Any],
-    metric_step,
     apply_fn: engine.ApplyFn,
     nsr_final_threshold: float,
     kl_final_threshold: float,
@@ -111,7 +104,10 @@ def _process_module(
     )
     u_dev = jnp.asarray(u_matrix, jnp.float32)
 
-    # Binary rank search (reference falor:340-375)
+    # Binary rank search (reference falor:340-375).  Each probe evaluates
+    # its num_metric_steps batches in one fused dispatch; the evaluator's
+    # jitted steps are reused across the whole search.
+    evaluator = engine.CandidateEvaluator(site, apply_fn, _metric_fn)
     rank_best = full_rank
     rank_width = full_rank // 2
     nsr_best, kl_best = 0.0, 0.0
@@ -120,20 +116,11 @@ def _process_module(
 
     while rank_width > 0:
         rank_new = rank_best - rank_width
-        deco_kernel = engine.compose_deco_kernel(
-            kernel2d, u_dev, jnp.int32(rank_new)
-        )
-        root_deco = engine.set_site_kernel2d(root, site, deco_kernel)
-
-        nsr_new = 0.0
-        kl_new = 0.0
-        for _ in range(num_metric_steps):
-            x = next(data_iterator)
-            nsr_s, kl_s = metric_step(root_deco, root, x)
-            nsr_new += float(nsr_s)
-            kl_new += float(kl_s)
-        nsr_new /= num_metric_steps
-        kl_new /= num_metric_steps
+        raw = evaluator(
+            root, kernel2d, u_dev, [rank_new], data_iterator, num_metric_steps
+        )  # (1, M, 2): [nsr, kl]
+        nsr_new = float(np.mean(raw[0, :, 0]))
+        kl_new = float(np.mean(raw[0, :, 1]))
 
         if nsr_new < nsr_final_threshold and kl_new < kl_final_threshold:
             rank_best = rank_new
@@ -202,7 +189,6 @@ def decompose(
         blacklisted_module_names = []
 
     decomposable_submodules = engine.get_decomposeable_submodule_names(module)
-    metric_step = _make_metric_step(apply_fn)
     n = len(decomposable_submodules)
 
     for i, submodule_name in enumerate(decomposable_submodules, start=1):
@@ -216,7 +202,6 @@ def decompose(
             root=module,
             site=site,
             data_iterator=data_iterator,
-            metric_step=metric_step,
             apply_fn=apply_fn,
             nsr_final_threshold=nsr_final_threshold,
             kl_final_threshold=kl_final_threshold,

@@ -1,4 +1,7 @@
 from .mlp import MLP, make_mlp
+from .convnext import ConvNeXt, convnext_small, convnext_tiny
+from .resnet import ResNet, resnet18, resnet34, resnet50, resnet101
+from .vit import ViT, vit_base, vit_small, vit_tiny
 from .transformer import (
     Attention,
     Block,
@@ -11,6 +14,18 @@ from .transformer import (
 __all__ = [
     "MLP",
     "make_mlp",
+    "ConvNeXt",
+    "convnext_small",
+    "convnext_tiny",
+    "ResNet",
+    "resnet18",
+    "resnet34",
+    "resnet50",
+    "resnet101",
+    "ViT",
+    "vit_base",
+    "vit_small",
+    "vit_tiny",
     "Attention",
     "Block",
     "CausalLM",

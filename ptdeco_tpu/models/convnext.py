@@ -1,0 +1,124 @@
+"""ConvNeXt family, NHWC TPU-native.
+
+The reference exercises ConvNeXt through timm for lockd (BASELINE.md config
+3).  Topology follows Liu et al. 2022: patchify stem, stages of blocks
+(7x7 depthwise conv -> LayerNorm -> 1x1 expand -> GELU -> 1x1 project,
+layer-scale, residual), LN between downsamples.
+
+The 1x1 convs are implemented as Linears over the channel axis (NHWC makes
+them the same einsum; torch/timm stores them as Linear too), so they are
+dwain/falor/lockd decomposition sites.  Depthwise 7x7 convs are grouped ->
+not decomposeable, matching the reference's behavior on ConvNeXt.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .. import nn
+
+__all__ = ["ConvNeXt", "convnext_tiny", "convnext_small"]
+
+
+class ConvNeXtBlock(nn.Module):
+    dwconv: nn.Conv2d  # 7x7 depthwise
+    norm: nn.LayerNorm
+    pwconv1: nn.Linear  # expand 4x — decomposeable
+    pwconv2: nn.Linear  # project — decomposeable
+    gamma: Optional[jax.Array]  # layer scale
+
+    def __call__(self, x: jax.Array, ctx: Optional[nn.Ctx] = None) -> jax.Array:
+        h = self.dwconv(x, ctx)
+        h = self.norm(h, ctx)
+        h = self.pwconv2(jax.nn.gelu(self.pwconv1(h, ctx)), ctx)
+        if self.gamma is not None:
+            h = h * self.gamma
+        return x + h
+
+    @staticmethod
+    def create(key: jax.Array, dim: int, ls_init: float = 1e-6) -> "ConvNeXtBlock":
+        k1, k2, k3 = jax.random.split(key, 3)
+        return ConvNeXtBlock(
+            dwconv=nn.Conv2d.create(
+                k1, dim, dim, 7, padding=3, groups=dim, use_bias=True
+            ),
+            norm=nn.LayerNorm.create(dim, eps=1e-6),
+            pwconv1=nn.Linear.create(k2, dim, 4 * dim),
+            pwconv2=nn.Linear.create(k3, 4 * dim, dim),
+            gamma=ls_init * jnp.ones((dim,), jnp.float32),
+        )
+
+
+class Downsample(nn.Module):
+    norm: nn.LayerNorm
+    conv: nn.Conv2d
+
+    def __call__(self, x, ctx=None):
+        return self.conv(self.norm(x, ctx), ctx)
+
+
+class ConvNeXt(nn.Module):
+    stem: nn.Conv2d
+    stem_norm: nn.LayerNorm
+    stages: tuple  # tuple[nn.Sequential]
+    downsamples: tuple  # tuple[Downsample]
+    norm: nn.LayerNorm
+    head: nn.Linear
+
+    def __call__(self, x: jax.Array, ctx: Optional[nn.Ctx] = None) -> jax.Array:
+        x = self.stem_norm(self.stem(x, ctx), ctx)
+        for i, stage in enumerate(self.stages):
+            if i > 0:
+                x = self.downsamples[i - 1](x, ctx)
+            x = stage(x, ctx)
+        x = jnp.mean(x, axis=(1, 2))
+        return self.head(self.norm(x, ctx), ctx)
+
+    @staticmethod
+    def create(
+        key: jax.Array,
+        depths: tuple[int, ...] = (3, 3, 9, 3),
+        dims: tuple[int, ...] = (96, 192, 384, 768),
+        num_classes: int = 1000,
+    ) -> "ConvNeXt":
+        n_keys = sum(depths) + len(dims) + 2
+        keys = iter(jax.random.split(key, n_keys))
+        stages = []
+        downsamples = []
+        for i, (depth, dim) in enumerate(zip(depths, dims)):
+            if i > 0:
+                downsamples.append(
+                    Downsample(
+                        norm=nn.LayerNorm.create(dims[i - 1], eps=1e-6),
+                        conv=nn.Conv2d.create(
+                            next(keys), dims[i - 1], dim, 2, stride=2
+                        ),
+                    )
+                )
+            stages.append(
+                nn.Sequential(
+                    layers=tuple(
+                        ConvNeXtBlock.create(next(keys), dim)
+                        for _ in range(depth)
+                    )
+                )
+            )
+        return ConvNeXt(
+            stem=nn.Conv2d.create(next(keys), 3, dims[0], 4, stride=4),
+            stem_norm=nn.LayerNorm.create(dims[0], eps=1e-6),
+            stages=tuple(stages),
+            downsamples=tuple(downsamples),
+            norm=nn.LayerNorm.create(dims[-1], eps=1e-6),
+            head=nn.Linear.create(next(keys), dims[-1], num_classes),
+        )
+
+
+def convnext_tiny(key: jax.Array, num_classes: int = 1000) -> ConvNeXt:
+    return ConvNeXt.create(key, (3, 3, 9, 3), (96, 192, 384, 768), num_classes)
+
+
+def convnext_small(key: jax.Array, num_classes: int = 1000) -> ConvNeXt:
+    return ConvNeXt.create(key, (3, 3, 27, 3), (96, 192, 384, 768), num_classes)

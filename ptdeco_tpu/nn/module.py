@@ -194,8 +194,7 @@ def _resolve(root: Module, name: str) -> list[tuple[Any, str]]:
             child_parts = child_name.split(".")
             n = len(child_parts)
             if parts[i : i + n] == child_parts:
-                # record hops through the field path
-                _record_hops(chain, current, child_parts)
+                _record_hops(chain, current, child)
                 current = child
                 i += n
                 matched = True
@@ -208,28 +207,38 @@ def _resolve(root: Module, name: str) -> list[tuple[Any, str]]:
     return chain
 
 
-def _record_hops(chain: list, module: Module, child_parts: list[str]) -> None:
-    # The child path may be "field", "field.idx", or (for Sequential) "idx".
-    # Reconstruct actual attribute/index hops.
-    first = child_parts[0]
-    if hasattr(module, first) and first in type(module)._dynamic_fields:
-        chain.append((module, first))
-        value = getattr(module, first)
-        for p in child_parts[1:]:
-            chain.append((value, p))
-            value = value[int(p)] if isinstance(value, (list, tuple)) else value[p]
-    else:
-        # elided field (e.g. Sequential.layers): find which field holds it
-        for fname in type(module)._dynamic_fields:
-            value = getattr(module, fname)
-            if isinstance(value, (list, tuple, dict)):
-                chain.append((module, fname))
-                v: Any = value
-                for p in child_parts:
-                    chain.append((v, p))
-                    v = v[int(p)] if isinstance(v, (list, tuple)) else v[p]
-                return
-        raise KeyError(f"Cannot record hops for {child_parts} in {module!r}")
+def _identity_path(value: Any, child: Any) -> Optional[list[tuple[Any, str]]]:
+    """Hops from `value` down to the object `child` (by identity)."""
+    if value is child:
+        return []
+    if isinstance(value, (list, tuple)):
+        for i, v in enumerate(value):
+            p = _identity_path(v, child)
+            if p is not None:
+                return [(value, str(i))] + p
+    elif isinstance(value, dict):
+        for k, v in value.items():
+            p = _identity_path(v, child)
+            if p is not None:
+                return [(value, k)] + p
+    return None
+
+
+def _record_hops(chain: list, module: Module, child: Any) -> None:
+    """Append the (container, key) hops leading from `module` to `child`.
+
+    Works for arbitrary `_name_children` elision (Sequential's "0", or any
+    module renaming its fields for torch-compatible paths) by locating the
+    child by identity under the module's dynamic fields.
+    """
+    for fname in type(module)._dynamic_fields:
+        value = getattr(module, fname)
+        path = _identity_path(value, child)
+        if path is not None:
+            chain.append((module, fname))
+            chain.extend(path)
+            return
+    raise KeyError(f"Cannot record hops to child in {module!r}")
 
 
 def get_submodule(root: Module, name: str) -> Any:

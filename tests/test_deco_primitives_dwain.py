@@ -77,6 +77,42 @@ def test_conv1x1_full_rank_exact():
     assert float(jnp.max(jnp.abs(y0 - y1))) < 1.0e-6
 
 
+def test_strided_conv1x1_full_rank_exact():
+    """Strided 1x1 convs (ResNet downsamples) must keep their stride in the
+    factor pair — the reference silently drops it (dwain:119-144)."""
+
+    class Net(nn.Module):
+        mod: nn.Conv2d
+
+        def __call__(self, x, ctx=None):
+            return self.mod(x, ctx)
+
+    net = Net(
+        mod=nn.Conv2d.create(
+            jax.random.PRNGKey(0), 24, 48, kernel_size=1, stride=2
+        )
+    )
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 16, 16, 24))
+    y0 = net(x)
+    assert y0.shape == (2, 8, 8, 48)
+
+    def it(key):
+        while True:
+            key, sub = jax.random.split(key)
+            yield jax.random.uniform(sub, (2, 16, 16, 24))
+
+    site = engine.get_site(net, "mod")
+    grams, _ = engine.compute_output_grams(net, ["mod"], it(jax.random.PRNGKey(2)), 4)
+    u = engine.eigenvectors_from_gram(grams["mod"])
+    k1, k2 = engine.build_factors(engine.get_site_kernel2d(net, site), u, 24)
+    net2 = nn.replace_submodule(
+        net, "mod", engine.build_decomposed_module(net, site, k1, k2)
+    )
+    y1 = net2(x)
+    assert y1.shape == y0.shape
+    assert float(jnp.max(jnp.abs(y0 - y1))) < 1e-6
+
+
 def test_compose_deco_kernel_full_rank_is_identity():
     key = jax.random.PRNGKey(0)
     k = jax.random.normal(key, (48, 24))
