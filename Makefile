@@ -22,3 +22,31 @@ bench:
 clean:
 	rm -rf build dist *.egg-info
 	find . -name __pycache__ -type d -exec rm -rf {} +
+
+# Self-contained app bundles embedding the library (analogue of the
+# reference trainer Makefiles' zip bundles, trainer_llm/Makefile:44-56).
+.PHONY: bundle-llm bundle-vision vercommit version
+
+bundle-llm:
+	rm -rf build/bundle_llm && mkdir -p build/bundle_llm
+	cp -r ptdeco_tpu apps build/bundle_llm/
+	printf 'from apps.trainer_llm.run import main\nimport sys\nsys.exit(main())\n' \
+		> build/bundle_llm/__main__.py
+	cd build/bundle_llm && zip -qr ../trainer_llm.zip .
+	@echo "run with: python build/trainer_llm.zip --config ... --output-path ..."
+
+bundle-vision:
+	rm -rf build/bundle_vision && mkdir -p build/bundle_vision
+	cp -r ptdeco_tpu apps build/bundle_vision/
+	printf 'from apps.trainer_vision.run import main\nimport sys\nsys.exit(main())\n' \
+		> build/bundle_vision/__main__.py
+	cd build/bundle_vision && zip -qr ../trainer_vision.zip .
+	@echo "run with: python build/trainer_vision.zip --config ... --output-path ..."
+
+version:
+	$(PYTHON) aux/get_version.py
+
+vercommit:
+	bash aux/block_empty_commit.sh
+	$(PYTHON) aux/update_version.py patch
+	git add ptdeco_tpu/_version.py && git commit -m "Bump version to $$($(PYTHON) aux/get_version.py)"

@@ -38,6 +38,12 @@ _KNOWN_CONFIGS = {
     "meta-llama/Meta-Llama-3-8B": models.TransformerConfig.llama3_8b,
 }
 
+_PHI_CONFIGS = {
+    "phi-2": models.PhiConfig.phi2,
+    "microsoft/phi-2": models.PhiConfig.phi2,
+    "phi-tiny": models.PhiConfig.tiny,
+}
+
 
 def str_to_dtype(s: str) -> Any:
     return _DTYPES[s]
@@ -88,13 +94,18 @@ def make_model_and_tokenizer(
         return _load_custom_builder(custom_builder_path, custom_builder_config)
 
     jdtype = str_to_dtype(dtype)
-    if model_name not in _KNOWN_CONFIGS:
+    if model_name in _PHI_CONFIGS:
+        cfg = _PHI_CONFIGS[model_name](dtype=jdtype)
+        model: nn.Module = models.PhiCausalLM.create(jax.random.PRNGKey(seed), cfg)
+    elif model_name in _KNOWN_CONFIGS:
+        cfg = _KNOWN_CONFIGS[model_name](dtype=jdtype)
+        model = models.CausalLM.create(jax.random.PRNGKey(seed), cfg)
+    else:
         raise ValueError(
-            f"Unknown model {model_name!r}; known: {sorted(_KNOWN_CONFIGS)} "
+            f"Unknown model {model_name!r}; known: "
+            f"{sorted(_KNOWN_CONFIGS) + sorted(_PHI_CONFIGS)} "
             "(or pass decomposed_model_custom_builder_path)"
         )
-    cfg = _KNOWN_CONFIGS[model_name](dtype=jdtype)
-    model = models.CausalLM.create(jax.random.PRNGKey(seed), cfg)
 
     if checkpoint_path is not None:
         from ptdeco_tpu.models import hf_loader

@@ -1,6 +1,7 @@
 from .mlp import MLP, make_mlp
 from .convnext import ConvNeXt, convnext_small, convnext_tiny
 from .resnet import ResNet, resnet18, resnet34, resnet50, resnet101
+from .phi import PhiCausalLM, PhiConfig
 from .vit import ViT, vit_base, vit_small, vit_tiny
 from .transformer import (
     Attention,
@@ -22,6 +23,8 @@ __all__ = [
     "resnet34",
     "resnet50",
     "resnet101",
+    "PhiCausalLM",
+    "PhiConfig",
     "ViT",
     "vit_base",
     "vit_small",

@@ -1,3 +1,4 @@
 from .gram_pallas import gram_xla, syrk_gram
+from .lowrank_pallas import lowrank_matmul, lowrank_xla
 
-__all__ = ["gram_xla", "syrk_gram"]
+__all__ = ["gram_xla", "syrk_gram", "lowrank_matmul", "lowrank_xla"]

@@ -2,12 +2,14 @@ from .mesh import (
     DP_AXIS,
     TP_AXIS,
     batch_sharding,
+    initialize_distributed,
     local_mesh,
     make_mesh,
     replicate,
     replicated_sharding,
     shard_batch,
 )
+from . import shardings  # noqa: F401
 
 __all__ = [
     "DP_AXIS",

@@ -27,10 +27,29 @@ __all__ = [
     "shard_batch",
     "replicate",
     "local_mesh",
+    "initialize_distributed",
 ]
 
 DP_AXIS = "dp"
 TP_AXIS = "tp"
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host bring-up: jax.distributed.initialize (auto-detected on
+    TPU pods when args are None).  After this, ``jax.devices()`` spans the
+    pod and the same mesh helpers produce pod-wide meshes — the multi-host
+    layer the reference has no equivalent of (SURVEY.md §2.7)."""
+    import jax.distributed
+
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
 
 
 def make_mesh(
