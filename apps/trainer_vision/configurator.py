@@ -45,6 +45,9 @@ class _TrainConfig(pydantic.BaseModel):
     alg_gradient_clipping_type: Optional[Literal["norm", "value"]] = None
     alg_gradient_clipping_threshold: Optional[float] = None
     mesh_dp: Optional[int] = None
+    # autoresume (composer analogue: autoresume=True + save_folder,
+    # reference run_decompose_lockd.py:215-219); 0 disables
+    save_interval_steps: int = 0
 
 
 class DecomposeLOCKDConfig(_VersionConfig, _DataConfig, _TrainConfig):

@@ -99,10 +99,15 @@ def main(
     opt_state = tx.init(trainable)
     step_fn = make_train_step(frozen, tx, config.lmbda, config.nsr_threshold)
 
+    ckpt = utils.train_ckpt.TrainCheckpointer(
+        str(output_path / "checkpoints"), config.save_interval_steps
+    )
+    trainable, opt_state, start_step = ckpt.restore_or(trainable, opt_state)
+
     key = jax.random.PRNGKey(42)
-    metrics_log = open(output_path / "metrics.jsonl", "w")
+    metrics_log = open(output_path / "metrics.jsonl", "a")
     t0 = time.perf_counter()
-    step_idx = 0
+    step_idx = start_step
     data_iter = datasets_image.infinite(train_pipeline)
     while step_idx < num_steps:
         batch = next(data_iter)
@@ -132,9 +137,11 @@ def main(
                 f"step {step_idx}/{num_steps} loss={rec['loss']:.4f} "
                 f"nsr={rec['loss_nsr']:.4f} p={rec['loss_proportion']:.4f}"
             )
+        ckpt.maybe_save(step_idx, trainable, opt_state)
         step_idx += 1
     time_training = time.perf_counter() - t0
     metrics_log.close()
+    ckpt.close()
 
     wrapped = nn.combine(trainable, frozen)
     model_deco, decompose_config = lockd.decompose(

@@ -135,9 +135,14 @@ def main(
         nn.combine(trainable, frozen), val_pipeline
     )
 
+    ckpt = utils.train_ckpt.TrainCheckpointer(
+        str(output_path / "checkpoints"), config.save_interval_steps
+    )
+    trainable, opt_state, start_step = ckpt.restore_or(trainable, opt_state)
+
     t0 = time.perf_counter()
     data_iter = datasets_image.infinite(train_pipeline)
-    for step_idx in range(num_steps):
+    for step_idx in range(start_step, num_steps):
         batch = next(data_iter)
         trainable, opt_state, loss = train_step(
             trainable, opt_state, jnp.asarray(batch["inputs"])
@@ -146,7 +151,9 @@ def main(
             logger.info(
                 f"step {step_idx}/{num_steps} kd_loss={float(loss):.5f}"
             )
+        ckpt.maybe_save(step_idx, trainable, opt_state)
     time_training = time.perf_counter() - t0
+    ckpt.close()
 
     student = nn.combine(trainable, frozen)
     accuracy_final = metrics.calc_accuracy(student, val_pipeline)

@@ -50,6 +50,78 @@ def set_half_logits(module):
                 logits.copy_(new_logits)
 
 
+def make_dwain_golden() -> None:
+    """Numerical parity fixture for the covariance -> eigh -> truncate ->
+    factor path: run the reference's primitives at a REDUCED rank on fixed
+    numpy data; our implementation must reproduce the truncated model output
+    (the rank-8 projector is unique for generic data, so implementations
+    agree up to float noise)."""
+    sys.path.insert(0, "/root/reference/src")
+    from ptdeco.dwain.decomposition import (  # noqa: E402
+        _compute_covariance_matrix_decomposition,
+        _unwrap_in_place,
+        _wrap_in_place,
+    )
+
+    rng = np.random.RandomState(20260816)
+    d_in, d_out, rank = 64, 32, 8
+    weight = rng.randn(d_out, d_in).astype(np.float32) * 0.1
+    bias = rng.randn(d_out).astype(np.float32) * 0.1
+    batches = rng.randn(8, 16, d_in).astype(np.float32)
+    x0 = rng.randn(16, d_in).astype(np.float32)
+
+    class Net(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.mod = torch.nn.Linear(d_in, d_out)
+
+        def forward(self, d):
+            return self.mod(d["inp"])
+
+    net = Net()
+    with torch.no_grad():
+        net.mod.weight.copy_(torch.from_numpy(weight))
+        net.mod.bias.copy_(torch.from_numpy(bias))
+
+    def data_iter():
+        for b in batches:
+            yield {"inp": torch.from_numpy(b)}
+        while True:  # not reached
+            yield {"inp": torch.from_numpy(batches[-1])}
+
+    _wrap_in_place(net, "mod")
+    orig_weight = net.mod.get_weight_copy()
+    with torch.no_grad():
+        u = _compute_covariance_matrix_decomposition(
+            root_module=net,
+            decomposed_submodule_name="mod",
+            data_iterator=data_iter(),
+            weight=orig_weight,
+            num_data_steps=8,
+            device=torch.device("cpu"),
+            decompose_in_float64=True,
+        )
+        uk = u[:, u.shape[1] - rank :].to(torch.float)
+        U, V = orig_weight.T @ uk, uk.T
+        new_mod = net.mod.get_decomposed_module(u=U.T, v=V.T)
+    _unwrap_in_place(net, "mod")
+    net.mod = new_mod
+    net.eval()
+    with torch.no_grad():
+        y1 = net({"inp": torch.from_numpy(x0)})
+
+    np.savez(
+        GOLDEN / "dwain_linear_rank8.npz",
+        weight=weight,
+        bias=bias,
+        batches=batches,
+        x0=x0,
+        y1=y1.numpy(),
+        rank=np.asarray(rank),
+    )
+    print("wrote dwain golden, y1[0,:4] =", y1.numpy()[0, :4])
+
+
 def main() -> None:
     torch.manual_seed(20260816)
     GOLDEN.mkdir(parents=True, exist_ok=True)
@@ -74,6 +146,7 @@ def main() -> None:
     )
     print("wrote goldens to", GOLDEN)
     print(json.dumps(dc, indent=2)[:500])
+    make_dwain_golden()
 
 
 if __name__ == "__main__":

@@ -27,6 +27,8 @@ from .statedict import (
     state_dict,
 )
 from . import modconfig  # noqa: F401
+from . import profiling  # noqa: F401
+from . import train_ckpt  # noqa: F401
 
 __all__ = [
     "get_default_dtype",
