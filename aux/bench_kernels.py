@@ -15,13 +15,18 @@ import jax.numpy as jnp
 from ptdeco_tpu import ops
 
 
-def timeit(fn, *args, iters=10):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+def timeit(fn, make_args, iters=8):
+    # vary inputs per iteration: the tunnel runtime memoizes identical
+    # (executable, args) executions, which fakes sub-hardware-peak timings
+    arg_sets = [make_args(i) for i in range(iters)]
+    # materialize inputs before timing (they are lazy jax computations)
+    float(sum(jnp.sum(a) for args in arg_sets for a in args))
+    out = fn(*arg_sets[0])
+    float(jnp.sum(out))  # block_until_ready is unreliable over the tunnel:
+    t0 = time.perf_counter()  # force completion by pulling a scalar
+    outs = [fn(*a) for a in arg_sets]
+    acc = float(sum(jnp.sum(o) for o in outs))
+    assert acc == acc
     return (time.perf_counter() - t0) / iters
 
 
@@ -31,9 +36,13 @@ def main() -> None:
 
     for d, n in [(2048, 8192), (4096, 8192)]:
         for dtype in (jnp.bfloat16, jnp.float32):
-            y = (jax.random.normal(key, (n, d)) * 0.1).astype(dtype)
-            t_xla = timeit(jax.jit(ops.gram_xla), y)
-            t_syrk = timeit(jax.jit(ops.syrk_gram), y)
+            ys = None
+
+            def mk(i, n=n, d=d, dtype=dtype):
+                return ((jax.random.normal(jax.random.PRNGKey(i), (n, d)) * 0.1).astype(dtype),)
+
+            t_xla = timeit(jax.jit(ops.gram_xla), mk)
+            t_syrk = timeit(jax.jit(ops.syrk_gram), mk)
             flops = n * d * d  # syrk effective
             print(
                 f"gram d={d} n={n} {dtype.__name__}: xla {t_xla*1e3:.2f}ms "
@@ -47,12 +56,16 @@ def main() -> None:
         (8192, 2048, 128, 2048),
         (1024, 4096, 256, 4096),
     ]:
-        x = (jax.random.normal(key, (n, d_in)) * 0.1).astype(jnp.bfloat16)
         k1 = (jax.random.normal(key, (d_in, r)) * 0.1).astype(jnp.bfloat16)
         k2 = (jax.random.normal(key, (r, d_out)) * 0.1).astype(jnp.bfloat16)
         b = jnp.zeros((d_out,), jnp.bfloat16)
-        t_xla = timeit(jax.jit(ops.lowrank_xla), x, k1, k2, b)
-        t_pl = timeit(jax.jit(ops.lowrank_matmul), x, k1, k2, b)
+
+        def mk(i, n=n, d_in=d_in, k1=k1, k2=k2, b=b):
+            x = (jax.random.normal(jax.random.PRNGKey(i), (n, d_in)) * 0.1).astype(jnp.bfloat16)
+            return (x, k1, k2, b)
+
+        t_xla = timeit(jax.jit(ops.lowrank_xla), mk)
+        t_pl = timeit(jax.jit(ops.lowrank_matmul), mk)
         fl = 2 * n * r * (d_in + d_out)
         print(
             f"lowrank n={n} in={d_in} r={r} out={d_out} bf16: "

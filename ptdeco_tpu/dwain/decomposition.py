@@ -77,6 +77,7 @@ def _process_module(
     reduction_factor: float,
     max_accepted_ppl_diff: float,
     decompose_in_float64: bool,
+    use_pallas_gram: bool,
     u_matrix: Optional[np.ndarray],
 ) -> dict[str, Any]:
     indent = "    "
@@ -105,7 +106,12 @@ def _process_module(
 
     if u_matrix is None:
         grams, _ = engine.compute_output_grams(
-            root, [site.name], data_iterator, num_data_steps, apply_fn
+            root,
+            [site.name],
+            data_iterator,
+            num_data_steps,
+            apply_fn,
+            use_pallas=use_pallas_gram,
         )
         u_matrix = engine.eigenvectors_from_gram(
             grams[site.name], use_damping=True, in_float64=decompose_in_float64
@@ -234,6 +240,7 @@ def _precompute_u_in_splits(
     data_iterator: Iterator[Any],
     apply_fn: engine.ApplyFn,
     decompose_in_float64: bool,
+    use_pallas_gram: bool = False,
 ) -> dict[str, np.ndarray]:
     """Precompute eigenbases for all sites, in memory-bounded splits
     (reference dwain:580-674).  One jitted forward per batch accumulates all
@@ -258,7 +265,12 @@ def _precompute_u_in_splits(
             f"Pre-computing covariance matrices for {len(sublist)} modules"
         )
         grams, _ = engine.compute_output_grams(
-            root, sublist, data_iterator, num_data_steps, apply_fn
+            root,
+            sublist,
+            data_iterator,
+            num_data_steps,
+            apply_fn,
+            use_pallas=use_pallas_gram,
         )
         for name in sublist:
             u_dict[name] = engine.eigenvectors_from_gram(
@@ -344,6 +356,7 @@ def decompose(
     precomputing_covariance_num_splits: Optional[int] = None,
     apply_fn: engine.ApplyFn = engine.default_apply,
     checkpoint_dir: Optional[str] = None,
+    use_pallas_gram: bool = False,
 ) -> tuple[nn.Module, dict[str, Any]]:
     """Whole-model iterative decomposition.
 
@@ -388,6 +401,7 @@ def decompose(
             data_iterator=data_iterator,
             apply_fn=apply_fn,
             decompose_in_float64=decompose_in_float64,
+            use_pallas_gram=use_pallas_gram,
         )
     else:
         logger.info("Skipping precomputing covariance matrices")
@@ -425,6 +439,7 @@ def decompose(
             max_accepted_ppl_diff=max_accepted_ppl_diff,
             min_rank=min_rank,
             decompose_in_float64=decompose_in_float64,
+            use_pallas_gram=use_pallas_gram,
             u_matrix=u_dict.pop(submodule_name, None),
         )
         current_params -= result["drop_in_params"]

@@ -230,6 +230,7 @@ def make_gram_scan_step(
     sites: dict[str, Site],
     apply_fn: ApplyFn,
     accumulate_mean: bool = False,
+    use_pallas: bool = False,
 ):
     """Like make_gram_step but consuming a chunk of K stacked batches in ONE
     dispatch via lax.scan — K fewer host round-trips.  Essential when the
@@ -252,13 +253,18 @@ def make_gram_scan_step(
                     precision=jax.lax.Precision.HIGHEST,
                 )
                 n = y.shape[0]
-                g = jnp.einsum(
-                    "bp,bq->pq",
-                    y,
-                    y,
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                ) / n
+                if use_pallas:
+                    from .ops.gram_pallas import syrk_gram
+
+                    g = syrk_gram(y) / n
+                else:
+                    g = jnp.einsum(
+                        "bp,bq->pq",
+                        y,
+                        y,
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    ) / n
                 grams = dict(grams)
                 grams[name] = grams[name] + g
                 if accumulate_mean:
@@ -286,6 +292,7 @@ def compute_output_grams(
     apply_fn: ApplyFn = default_apply,
     accumulate_mean: bool = False,
     scan_chunk: int = 8,
+    use_pallas: Optional[bool] = None,
 ) -> tuple[dict[str, jax.Array], dict[str, jax.Array]]:
     """Run ``num_data_steps`` calibration batches, returning per-site
     ``E[y yᵀ]`` (and optionally ``E[y]``), already divided by the step count.
@@ -303,8 +310,11 @@ def compute_output_grams(
     }
     means = {n: jnp.zeros((s.out_features,), jnp.float32) for n, s in sites.items()}
     scan_chunk = max(1, min(scan_chunk, num_data_steps))
+    if use_pallas is None:
+        use_pallas = False
+    use_pallas = use_pallas and jax.default_backend() == "tpu"
     scan_step = make_gram_scan_step(
-        tuple(site_names), sites, apply_fn, accumulate_mean
+        tuple(site_names), sites, apply_fn, accumulate_mean, use_pallas
     )
     remaining = num_data_steps
     while remaining > 0:

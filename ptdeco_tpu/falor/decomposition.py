@@ -67,6 +67,7 @@ def _process_module(
     use_float64: bool,
     use_mean: bool,
     use_damping: bool,
+    use_pallas_gram: bool = False,
 ) -> dict[str, Any]:
     msg_prefix = f"Processing {site.name}:"
     dim_in, dim_out = site.in_features, site.out_features
@@ -95,6 +96,7 @@ def _process_module(
         num_data_steps,
         apply_fn,
         accumulate_mean=use_mean,
+        use_pallas=use_pallas_gram,
     )
     u_matrix = engine.eigenvectors_from_gram(
         grams[site.name],
@@ -175,6 +177,7 @@ def decompose(
     use_damping: bool = True,
     blacklisted_module_names: Optional[list[str]] = None,
     apply_fn: engine.ApplyFn = engine.default_apply,
+    use_pallas_gram: bool = False,
 ) -> tuple[nn.Module, dict[str, Any]]:
     """Two-phase one-shot decomposition (reference falor:424-511):
     phase 1 scores every decomposeable site against the original model;
@@ -210,6 +213,7 @@ def decompose(
             use_float64=use_float64,
             use_mean=use_mean,
             use_damping=use_damping,
+            use_pallas_gram=use_pallas_gram,
         )
 
     # Phase 2 — replace (reference falor:475-503)
