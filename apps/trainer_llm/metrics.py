@@ -75,13 +75,34 @@ def get_giga_flops(
     return flops / 1.0e9
 
 
-def calc_lm_eval_metrics(model: nn.Module, tokenizer: Any, tasks: list[str]):
-    """lm_eval harness hook — optional dependency, absent in this image."""
-    try:
-        import lm_eval  # noqa: F401
-    except ImportError:
-        logger.warning("lm_eval not installed; skipping harness evaluation")
-        return None
-    raise NotImplementedError(
-        "lm_eval integration requires a JAX LM adapter; planned follow-up"
-    )
+def calc_lm_eval_metrics(
+    model: nn.Module, tokenizer: Any, tasks: list[str]
+) -> Optional[dict[str, Any]]:
+    """Task-suite evaluation (reference metrics.py:81-107 shells out to
+    EleutherAI's lm_eval).  Local ``.jsonl`` task files run on the built-in
+    offline loglikelihood harness (eval_harness.py); named tasks fall back
+    to lm_eval when installed (not in this image)."""
+    results: dict[str, Any] = {}
+    named = []
+    for task in tasks:
+        if task.endswith(".jsonl"):
+            from . import eval_harness
+
+            rows = eval_harness.load_task(task)
+            results[task] = eval_harness.evaluate_loglikelihood_task(
+                model, tokenizer, rows
+            )
+        else:
+            named.append(task)
+    if named:
+        try:
+            import lm_eval  # noqa: F401
+
+            raise NotImplementedError(
+                "lm_eval named tasks need a JAX LM adapter; use .jsonl tasks"
+            )
+        except ImportError:
+            logger.warning(
+                f"lm_eval not installed; skipping named tasks {named}"
+            )
+    return results or None

@@ -94,6 +94,11 @@ def main(config_raw: dict[str, Any], output_path: pathlib.Path) -> None:
     ppl_initial = metrics.calc_perplexity(model, ppl_loader.one_epoch())
     params_initial = metrics.get_params_m(model)
     gflops_initial = metrics.get_giga_flops(model, sample_batch)
+    lm_eval_initial_results = None
+    if config.lm_eval_initial and config.lm_eval_tasks:
+        lm_eval_initial_results = metrics.calc_lm_eval_metrics(
+            model, tokenizer, config.lm_eval_tasks
+        )
 
     finetune_fn = None
     if config.finetuning_run:
@@ -141,6 +146,11 @@ def main(config_raw: dict[str, Any], output_path: pathlib.Path) -> None:
     ppl_final = metrics.calc_perplexity(model, ppl_loader.one_epoch())
     params_final = metrics.get_params_m(model)
     gflops_final = metrics.get_giga_flops(model, sample_batch)
+    lm_eval_final_results = None
+    if config.lm_eval_tasks:
+        lm_eval_final_results = metrics.calc_lm_eval_metrics(
+            model, tokenizer, config.lm_eval_tasks
+        )
 
     device = jax.devices()[0]
     summary = {
@@ -156,6 +166,8 @@ def main(config_raw: dict[str, Any], output_path: pathlib.Path) -> None:
         "time_total": time.perf_counter() - t_start,
         "device": f"{device.platform}:{device.device_kind}",
         "n_devices": jax.device_count(),
+        "lm_eval_initial": lm_eval_initial_results,
+        "lm_eval_final": lm_eval_final_results,
     }
     with open(output_path / "summary.json", "w") as f:
         json.dump(summary, f, indent=2)
