@@ -50,6 +50,7 @@ class DecomposeDWAINConfig(_VersionConfig):
     nsr_final_threshold: float
     min_rank: int
     decompose_in_float64: bool
+    use_pallas_gram: bool = False
     precomputing_covariance_num_splits: Optional[int] = None
     blacklisted_modules: list[str]
 

@@ -132,6 +132,7 @@ def main(config_raw: dict[str, Any], output_path: pathlib.Path) -> None:
         max_accepted_ppl_diff=config.max_accepted_ppl_diff,
         decompose_in_float64=config.decompose_in_float64,
         precomputing_covariance_num_splits=config.precomputing_covariance_num_splits,
+        use_pallas_gram=config.use_pallas_gram,
     )
     t_deco = time.perf_counter() - t_deco_start
 

@@ -102,6 +102,7 @@ def main(
         precomputing_covariance_num_splits=(
             config.precomputing_covariance_num_splits
         ),
+        use_pallas_gram=config.use_pallas_gram,
     )
     t_deco = time.perf_counter() - t0
 

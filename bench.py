@@ -92,9 +92,6 @@ def main() -> None:
     enable_compilation_cache()
     warm = run_once()
     hot = run_once()
-    # TPU-native fast path: f32 eigh stays on device (no gram transfer);
-    # the headline value keeps the reference's f64 semantics for parity.
-    hot_f32 = run_once(in_float64=False)
     value = hot
     vs = (
         REFERENCE_BASELINE_S / value
@@ -110,7 +107,6 @@ def main() -> None:
                 "vs_baseline": round(vs, 2) if vs is not None else None,
                 "detail": {
                     "first_run_incl_compile_s": round(warm, 3),
-                    "f32_device_eigh_s": round(hot_f32, 3),
                     "baseline_reference_torch_cpu_s": REFERENCE_BASELINE_S,
                     "device": str(jax.devices()[0]),
                 },

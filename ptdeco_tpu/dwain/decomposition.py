@@ -281,6 +281,83 @@ def _precompute_u_in_splits(
     return u_dict
 
 
+def _pair_kernels(pair: nn.Module, site: engine.Site):
+    """(k1, k2, bias) of a factor-pair Sequential, as 2D matrices."""
+    if site.kind == "linear":
+        return pair[0].kernel, pair[1].kernel, pair[1].bias
+    return pair[0].kernel[0, 0], pair[1].kernel[0, 0], pair[1].bias
+
+
+@jax.jit
+def _compose_pair(k1: jax.Array, k2: jax.Array) -> jax.Array:
+    return jnp.dot(
+        k1.astype(jnp.float32),
+        k2.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ).astype(k1.dtype)
+
+
+class _DeferredPairs:
+    """Structure-preserving substitution of accepted factor pairs.
+
+    Replacing a site with its Sequential pair changes the model pytree's
+    STRUCTURE, so every jitted whole-model program (gram, ladder, metric,
+    fine-tune) recompiles after each accepted layer — for a many-site LLM
+    that is hundreds of multi-minute compiles.  Instead the working model
+    keeps its original structure with the site kernel set to the composed
+    full-shape product ``k1 @ k2`` (exactly the weight the rank search
+    evaluated, reference dwain:424-429), and the real pairs are kept aside:
+
+      * ``materialize(root)`` builds the pair-structured model (for the
+        user's finetune_fn and for the final result);
+      * ``absorb(ft_model)`` pulls a finetuned pair-model back: updated
+        factor weights re-compose into the flat kernels, every other
+        parameter is taken verbatim.
+
+    Forward-pass divergence vs the reference (which runs the pair
+    ``(x@k1)@k2`` for subsequent layers) is one rounding of the product —
+    and the composed kernel is exactly what the acceptance metrics measured.
+    """
+
+    def __init__(self, root_template: nn.Module) -> None:
+        self.pairs: dict[str, nn.Module] = {}
+        self.sites: dict[str, engine.Site] = {}
+        self.original_sites: dict[str, nn.Module] = {}
+        self._template = root_template
+
+    def accept(
+        self, root: nn.Module, site: engine.Site, pair: nn.Module
+    ) -> nn.Module:
+        self.pairs[site.name] = pair
+        self.sites[site.name] = site
+        self.original_sites[site.name] = nn.get_submodule(root, site.name)
+        k1, k2, bias = _pair_kernels(pair, site)
+        root = engine.set_site_kernel2d(root, site, _compose_pair(k1, k2))
+        if bias is not None:
+            root = nn.replace_submodule(root, f"{site.name}.bias", bias)
+        return root
+
+    def materialize(self, root: nn.Module) -> nn.Module:
+        for name, pair in self.pairs.items():
+            root = nn.replace_submodule(root, name, pair)
+        return root
+
+    def absorb(self, ft_model: nn.Module) -> nn.Module:
+        """ft_model has pair structure; return the flat-structure root with
+        all of ft_model's parameters."""
+        root = ft_model
+        for name, site in self.sites.items():
+            pair = nn.get_submodule(ft_model, name)
+            self.pairs[name] = pair
+            root = nn.replace_submodule(root, name, self.original_sites[name])
+            k1, k2, bias = _pair_kernels(pair, site)
+            root = engine.set_site_kernel2d(root, site, _compose_pair(k1, k2))
+            if bias is not None:
+                root = nn.replace_submodule(root, f"{name}.bias", bias)
+        return root
+
+
 class _Checkpointer:
     """Per-layer resume state for a decomposition run.
 
@@ -306,11 +383,13 @@ class _Checkpointer:
                 f"processed in {self.dir}"
             )
 
-    def restore(self, root: nn.Module, name: str) -> tuple[nn.Module, Any]:
-        """Replay a completed site; returns (new_root, config_entry|None)."""
+    def load_pair(
+        self, root: nn.Module, name: str
+    ) -> tuple[Optional[nn.Module], Any]:
+        """Replay a completed site; returns (pair_module|None, config|None)."""
         config_entry = self.processed[name]
         if config_entry is None:
-            return root, None
+            return None, None
         old = nn.get_submodule(root, name)
         new = utils.build_module_from_config(
             config_entry, dtype=utils.get_default_dtype(old)
@@ -318,17 +397,19 @@ class _Checkpointer:
         sd = utils.load_state_dict_safetensors(
             str(self.dir / f"{name}.safetensors")
         )
-        new = utils.load_state_dict(new, sd)
-        return nn.replace_submodule(root, name, new), config_entry
+        return utils.load_state_dict(new, sd), config_entry
 
     def record(
-        self, root: nn.Module, name: str, config_entry: Optional[dict[str, Any]]
+        self,
+        pair: Optional[nn.Module],
+        name: str,
+        config_entry: Optional[dict[str, Any]],
     ) -> None:
         if self.dir is None:
             return
-        if config_entry is not None:
+        if config_entry is not None and pair is not None:
             utils.save_state_dict_safetensors(
-                utils.state_dict(nn.get_submodule(root, name)),
+                utils.state_dict(pair),
                 str(self.dir / f"{name}.safetensors"),
             )
         with open(self.dir / "progress.jsonl", "a") as f:
@@ -357,6 +438,7 @@ def decompose(
     apply_fn: engine.ApplyFn = engine.default_apply,
     checkpoint_dir: Optional[str] = None,
     use_pallas_gram: bool = False,
+    defer_substitution: bool = True,
 ) -> tuple[nn.Module, dict[str, Any]]:
     """Whole-model iterative decomposition.
 
@@ -409,12 +491,18 @@ def decompose(
 
     metric_fn = _make_metric_fn(loss_fn)
     ckpt = _Checkpointer(checkpoint_dir)
+    deferred = _DeferredPairs(module) if defer_substitution else None
 
     for i, submodule_name in enumerate(reversed(modules_to_decompose), start=1):
         logger.info(f"PROCESSING {submodule_name} MODULE {i} OUT OF {n}")
         if submodule_name in ckpt.processed:
-            module, config_entry = ckpt.restore(module, submodule_name)
-            if config_entry is not None:
+            pair, config_entry = ckpt.load_pair(module, submodule_name)
+            if config_entry is not None and pair is not None:
+                site = engine.get_site(module, submodule_name)
+                if deferred is not None:
+                    module = deferred.accept(module, site, pair)
+                else:
+                    module = nn.replace_submodule(module, submodule_name, pair)
                 decomposed_submodules.append(submodule_name)
                 decompose_config[submodule_name] = config_entry
                 meta = config_entry.get(utils.MODCONFIG_META_KEY, {})
@@ -449,20 +537,32 @@ def decompose(
 
         if new_module is not None:
             decomposed_submodules.append(submodule_name)
-            module = nn.replace_submodule(module, submodule_name, new_module)
-            if finetune_fn is not None:
-                module = finetune_fn(module, decomposed_submodules)
-            module_config = utils.get_module_config(
-                nn.get_submodule(module, submodule_name)
-            )
+            if deferred is not None:
+                module = deferred.accept(module, site, new_module)
+                if finetune_fn is not None:
+                    ft_model = deferred.materialize(module)
+                    ft_model = finetune_fn(ft_model, decomposed_submodules)
+                    module = deferred.absorb(ft_model)
+                pair = deferred.pairs[submodule_name]
+            else:
+                module = nn.replace_submodule(
+                    module, submodule_name, new_module
+                )
+                if finetune_fn is not None:
+                    module = finetune_fn(module, decomposed_submodules)
+                pair = nn.get_submodule(module, submodule_name)
+            module_config = utils.get_module_config(pair)
             engine.add_meta_to_module_config(module_config, result)
             decompose_config[submodule_name] = module_config
-            ckpt.record(module, submodule_name, module_config)
+            ckpt.record(pair, submodule_name, module_config)
             logger.info(f"{submodule_name} decomposed with {proportion=:.4f}")
             n_decomposed += 1
         else:
-            ckpt.record(module, submodule_name, None)
+            ckpt.record(None, submodule_name, None)
             logger.info(f"{submodule_name} not decomposed")
+
+    if deferred is not None:
+        module = deferred.materialize(module)
 
     stop_time = time.perf_counter()
     logger.info(f"Decomposed {n_decomposed} out of {n} modules")
