@@ -23,6 +23,9 @@ class DecomposeDWAINConfig(_VersionConfig):
 
     # Model specification
     decomposed_model_name: str
+    # local HF snapshot dir (safetensors) to import weights from; None =
+    # random init (this sandbox has no network/caches)
+    decomposed_model_checkpoint_path: Optional[str] = None
     decomposed_model_revision: str = "main"
     decomposed_model_custom_builder_path: Optional[str] = None
     decomposed_model_custom_builder_config: Optional[dict[str, Any]] = None
@@ -78,6 +81,7 @@ class FinetuneConfig(_VersionConfig):
     task: Literal["finetune"]
 
     decomposed_model_name: str
+    decomposed_model_checkpoint_path: Optional[str] = None
     decomposed_model_revision: str = "main"
     decomposed_model_custom_builder_path: Optional[str] = None
     decomposed_model_custom_builder_config: Optional[dict[str, Any]] = None

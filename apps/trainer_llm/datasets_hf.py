@@ -200,6 +200,12 @@ def prepare_dataloader_v2(
         rows = [r for r in rows if len(r) == max_seqlen]
 
     logger.info(f"v2 dataloader - created dataset of size {len(rows)}")
+    if len(rows) == 0:
+        raise ValueError(
+            "v2 packing produced no full-length rows — the dataset is too "
+            "small for max_seqlen (note: like the reference, the last "
+            "document and any final partial chunk are not emitted)"
+        )
     seqs = np.asarray(rows, np.int32)
     masks = np.ones_like(seqs)
     return BatchIterator(seqs, masks, batch_size, seed)

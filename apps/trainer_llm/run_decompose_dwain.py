@@ -74,6 +74,7 @@ def main(config_raw: dict[str, Any], output_path: pathlib.Path) -> None:
         dtype=config.decomposed_model_dtype,
         custom_builder_path=config.decomposed_model_custom_builder_path,
         custom_builder_config=config.decomposed_model_custom_builder_config,
+        checkpoint_path=config.decomposed_model_checkpoint_path,
     )
     builder.validate_module_names(model, config.blacklisted_modules)
 

@@ -52,6 +52,7 @@ def main(config_raw: dict[str, Any], output_path: pathlib.Path) -> None:
         dtype=config.decomposed_model_dtype,
         custom_builder_path=config.decomposed_model_custom_builder_path,
         custom_builder_config=config.decomposed_model_custom_builder_config,
+        checkpoint_path=config.decomposed_model_checkpoint_path,
     )
     with open(config.decompose_config) as f:
         decompose_config = json.load(f)

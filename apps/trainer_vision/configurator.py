@@ -53,6 +53,7 @@ class _TrainConfig(pydantic.BaseModel):
 class DecomposeLOCKDConfig(_VersionConfig, _DataConfig, _TrainConfig):
     task: Literal["decompose_lockd"]
     decompose_model_name: str
+    decompose_model_checkpoint_path: Optional[str] = None
     proportion_threshold: float
     blacklisted_modules: list[str]
     lmbda: float
@@ -64,6 +65,7 @@ class DecomposeLOCKDConfig(_VersionConfig, _DataConfig, _TrainConfig):
 class DecomposeFALORConfig(_VersionConfig, _DataConfig):
     task: Literal["decompose_falor"]
     decompose_model_name: str
+    decompose_model_checkpoint_path: Optional[str] = None
     proportion_threshold: float
     blacklisted_modules: list[str]
     kl_final_threshold: float
@@ -77,6 +79,7 @@ class DecomposeFALORConfig(_VersionConfig, _DataConfig):
 class DecomposeDWAINConfig(_VersionConfig, _DataConfig):
     task: Literal["decompose_dwain"]
     decompose_model_name: str
+    decompose_model_checkpoint_path: Optional[str] = None
 
     num_data_steps: int
     num_metric_steps: int
@@ -105,6 +108,7 @@ class DecomposeDWAINConfig(_VersionConfig, _DataConfig):
 class FinetuneConfig(_VersionConfig, _DataConfig, _TrainConfig):
     task: Literal["finetune"]
     decompose_model_name: str
+    decompose_model_checkpoint_path: Optional[str] = None
     decompose_config: str
     decompose_state_dict: str
     proportion_threshold: float = 1.0

@@ -143,6 +143,7 @@ class ImageNetPipeline:
         return (img.astype(np.float32) - self.mean) / self.std
 
     def __iter__(self) -> Iterator[dict[str, np.ndarray]]:
+        epoch = self.epoch
         # per-epoch shuffle (DALI random_shuffle, reference :202-208)
         if self.training:
             try:
@@ -169,26 +170,43 @@ class ImageNetPipeline:
                         break
                     idx = order[b * self.batch_size : (b + 1) * self.batch_size]
                     entries = [self.entries[int(i)] for i in idx]
-                    seeds = [self.seed * 1_000_003 + int(i) for i in idx]
+                    # fold the epoch in so augmentations differ per epoch
+                    # (RandomState seeds must fit uint32)
+                    seeds = [
+                        ((self.seed + epoch * 7_919) * 1_000_003 + int(i))
+                        % (2**32)
+                        for i in idx
+                    ]
                     imgs = list(ex.map(self._decode_one, entries, seeds))
                     labels = np.asarray([e[1] for e in entries], np.int32)
                     onehot = np.zeros(
                         (len(labels), self.num_classes), np.float32
                     )
                     onehot[np.arange(len(labels)), labels] = 1.0
-                    q.put(
-                        {
-                            "inputs": np.stack(imgs),
-                            "targets": onehot,
-                        }
-                    )
-            q.put(None)
+                    item = {"inputs": np.stack(imgs), "targets": onehot}
+                    while not stop.is_set():
+                        try:
+                            q.put(item, timeout=0.25)
+                            break
+                        except queue.Full:
+                            continue
+            while not stop.is_set():
+                try:
+                    q.put(None, timeout=0.25)
+                    break
+                except queue.Full:
+                    continue
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
         try:
             while True:
-                item = q.get()
+                try:
+                    item = q.get(timeout=1.0)
+                except queue.Empty:
+                    if not t.is_alive():
+                        break  # producer died (e.g. decode error)
+                    continue
                 if item is None:
                     break
                 yield item

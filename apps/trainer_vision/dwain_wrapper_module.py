@@ -89,28 +89,35 @@ def finetune_full(
         tx = optax.adamw(lr)
     opt_state = tx.init(trainable)
 
-    train_ctx_key = None if batch_norms_in_eval else jax.random.PRNGKey(0)
-
+    # With batch_norms_in_eval=False, BatchNorms run on batch statistics and
+    # their sown running-stat updates are applied back to the frozen tree
+    # every step (torch's model.train() in-place updates; reference :64-77) —
+    # frozen is therefore a step ARGUMENT, not a closure constant.
     @jax.jit
-    def step(trainable, opt_state, batch):
+    def step(trainable, frozen, opt_state, batch):
         def loss_fn(tr):
             m = nn.combine(tr, frozen)
-            ctx = (
-                nn.Ctx(key=train_ctx_key, train=True)
-                if train_ctx_key is not None
-                else None
-            )
-            return ce_loss(batch, m(batch, ctx=ctx))
+            if batch_norms_in_eval:
+                return ce_loss(batch, m(batch)), {}
+            ctx = nn.Ctx(key=jax.random.PRNGKey(0), train=True)
+            loss = ce_loss(batch, m(batch, ctx=ctx))
+            return loss, ctx.sink.get("bn", {})
 
-        loss, grads = jax.value_and_grad(loss_fn)(trainable)
+        (loss, bn_sink), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            trainable
+        )
+        if bn_sink:
+            frozen = nn.apply_bn_updates(frozen, bn_sink)
         updates, opt_state = tx.update(grads, opt_state, trainable)
-        return optax.apply_updates(trainable, updates), opt_state, loss
+        return optax.apply_updates(trainable, updates), frozen, opt_state, loss
 
     initial_loss = None
     final_loss = None
     for i in range(num_steps):
         batch = next(ft_iterator)
-        trainable, opt_state, loss = step(trainable, opt_state, batch)
+        trainable, frozen, opt_state, loss = step(
+            trainable, frozen, opt_state, batch
+        )
         loss = float(loss)
         if initial_loss is None:
             initial_loss = loss

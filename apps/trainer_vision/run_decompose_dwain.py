@@ -47,7 +47,10 @@ def main(
             input_h_w=config.input_h_w,
         )
 
-    raw_model = builder.make_model(config.decompose_model_name)
+    raw_model = builder.make_model(
+        config.decompose_model_name,
+        checkpoint_path=config.decompose_model_checkpoint_path,
+    )
     stats_initial = builder.get_model_stats(raw_model, (1, *config.input_h_w, 3))
     model = dwain_wrapper_module.WrapperModule(raw_model=raw_model)
     blacklist = dwain_wrapper_module.add_prefix(config.blacklisted_modules)

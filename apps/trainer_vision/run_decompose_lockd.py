@@ -75,7 +75,10 @@ def main(
             input_h_w=config.input_h_w,
         )
 
-    model = builder.make_model(config.decompose_model_name)
+    model = builder.make_model(
+        config.decompose_model_name,
+        checkpoint_path=config.decompose_model_checkpoint_path,
+    )
     builder.validate_module_names(model, config.blacklisted_modules)
     stats_initial = builder.get_model_stats(
         model, (1, *config.input_h_w, 3)

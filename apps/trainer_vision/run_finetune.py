@@ -87,7 +87,10 @@ def main(
             input_h_w=config.input_h_w,
         )
 
-    teacher = builder.make_model(config.decompose_model_name)
+    teacher = builder.make_model(
+        config.decompose_model_name,
+        checkpoint_path=config.decompose_model_checkpoint_path,
+    )
     with open(config.decompose_config) as f:
         decompose_config = json.load(f)
     kept = filter_decompose_config(
@@ -95,7 +98,10 @@ def main(
     )
     skipped = set(decompose_config.keys()) - set(kept.keys())
 
-    student = builder.make_model(config.decompose_model_name)
+    student = builder.make_model(
+        config.decompose_model_name,
+        checkpoint_path=config.decompose_model_checkpoint_path,
+    )
     student = utils.apply_decompose_config(student, kept)
     if config.decompose_state_dict.endswith(".safetensors"):
         sd = utils.load_state_dict_safetensors(config.decompose_state_dict)

@@ -25,8 +25,10 @@ int64_t pack_greedy(const int32_t* tokens, const int64_t* offsets,
   int64_t idx = 0;
   // Mirrors the reference loop structure: fill the buffer past max_seqlen,
   // emit one truncated chunk, discard the remainder, repeat (datasets_hf.py
-  // :248-259 — the remainder discard is reference behavior, kept for
-  // calibration-distribution parity).
+  // :248-259).  Divergence: the reference also emits a final SHORT chunk
+  // when the data runs out mid-fill; fixed-shape TPU batches cannot hold
+  // ragged rows, so that trailing partial chunk is dropped here (callers
+  // raise if nothing at all was produced).
   while (idx < n_docs - 1 && n_rows < max_rows) {
     while (buffer.size() <= static_cast<size_t>(max_seqlen) &&
            idx < n_docs - 1) {

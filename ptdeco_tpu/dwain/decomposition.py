@@ -92,6 +92,7 @@ def _process_module(
             "proportion": 1.0,
             "nsr_final": 0.0,
             "ppl_final": 0.0,
+            "drop_in_params": 0,
             "decomposed_module": None,
         }
 
@@ -246,15 +247,12 @@ def _precompute_u_in_splits(
     (reference dwain:580-674).  One jitted forward per batch accumulates all
     Grams of a split simultaneously."""
     u_dict: dict[str, np.ndarray] = {}
-    chunk_size = len(modules_to_decompose) // num_splits
-    if chunk_size == 0:
-        chunk_size = 1
-        num_splits = len(modules_to_decompose)
-    num_partitions = (
-        num_splits
-        if len(modules_to_decompose) % num_splits == 0
-        else num_splits + 1
-    )
+    # ceil-divide so every module is covered (the reference's floor-divide
+    # chunking drops trailing modules when len % num_splits > chunk_size and
+    # then dies on its own assert, dwain:589-607)
+    num_splits = max(1, min(num_splits, len(modules_to_decompose)))
+    chunk_size = -(-len(modules_to_decompose) // num_splits)
+    num_partitions = num_splits
     for partition_index in range(num_partitions):
         sublist = modules_to_decompose[
             partition_index * chunk_size : (partition_index + 1) * chunk_size
@@ -539,17 +537,35 @@ def decompose(
             decomposed_submodules.append(submodule_name)
             if deferred is not None:
                 module = deferred.accept(module, site, new_module)
+                pre_ft = dict(deferred.pairs)
                 if finetune_fn is not None:
                     ft_model = deferred.materialize(module)
                     ft_model = finetune_fn(ft_model, decomposed_submodules)
                     module = deferred.absorb(ft_model)
                 pair = deferred.pairs[submodule_name]
+                # interleaved FT also retrains EARLIER pairs (last-N window);
+                # refresh their checkpoints so a resumed run replays the
+                # post-finetune weights, not stale acceptance-time ones
+                for prev_name, prev_pair in deferred.pairs.items():
+                    if prev_name != submodule_name and (
+                        prev_pair is not pre_ft.get(prev_name)
+                    ):
+                        ckpt.record(
+                            prev_pair, prev_name, decompose_config[prev_name]
+                        )
             else:
                 module = nn.replace_submodule(
                     module, submodule_name, new_module
                 )
                 if finetune_fn is not None:
                     module = finetune_fn(module, decomposed_submodules)
+                    if ckpt.dir is not None:
+                        for prev_name in decomposed_submodules[:-1]:
+                            ckpt.record(
+                                nn.get_submodule(module, prev_name),
+                                prev_name,
+                                decompose_config[prev_name],
+                            )
                 pair = nn.get_submodule(module, submodule_name)
             module_config = utils.get_module_config(pair)
             engine.add_meta_to_module_config(module_config, result)

@@ -290,8 +290,15 @@ class CausalLM(nn.Module):
 
 
 def ce_loss(batch: dict[str, jax.Array], logits: jax.Array) -> jax.Array:
-    """Shifted causal cross-entropy with attention-mask zeroing — matches the
-    reference's ce_loss (trainer_llm/dwain_wrapper_module.py:33-46)."""
+    """Shifted causal cross-entropy, mean over NON-PADDING positions.
+
+    Deliberate divergence from the reference's ce_loss
+    (trainer_llm/dwain_wrapper_module.py:33-46), which zeroes the *logits*
+    at padded positions but still averages the cross-entropy over every
+    position (including pads, each contributing log-vocab noise) and shifts
+    the mask off by one.  This masked mean is the standard perplexity
+    definition; with the fully-packed calibration loaders (all-ones masks)
+    the two agree exactly."""
     labels = batch["input_ids"][:, 1:]
     mask = batch.get("attention_mask")
     logits = logits[:, :-1].astype(jnp.float32)

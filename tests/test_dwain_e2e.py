@@ -155,3 +155,49 @@ def test_dwain_precompute_covariance_splits():
         precomputing_covariance_num_splits=2,
     )
     assert "fc1" in config and "fc2" in config
+
+
+def test_dwain_rank1_head_and_uneven_splits():
+    """Regression: a rank-1 site (e.g. a value head) must not crash, and
+    uneven precompute splits must cover every module (reference inherits a
+    floor-division gap that drops trailing modules, dwain:589-607)."""
+
+    class WithValueHead(nn.Module):
+        fc1: nn.Linear
+        fc2: nn.Linear
+        fc3: nn.Linear
+        value: nn.Linear  # out_features=1 -> full_rank == 1
+
+        def __call__(self, batch, ctx=None):
+            x = batch["inp"] if isinstance(batch, dict) else batch
+            x = jax.nn.relu(self.fc1(x, ctx))
+            x = jax.nn.relu(self.fc2(x, ctx))
+            x = jax.nn.relu(self.fc3(x, ctx))
+            return self.value(x, ctx)
+
+    k = jax.random.split(jax.random.PRNGKey(0), 4)
+    model = WithValueHead(
+        fc1=nn.Linear.create(k[0], 32, 32),
+        fc2=nn.Linear.create(k[1], 32, 32),
+        fc3=nn.Linear.create(k[2], 32, 32),
+        value=nn.Linear.create(k[3], 32, 1),
+    )
+    it = lowrank_data_iter(jax.random.PRNGKey(1), 16, 32, rank=3)
+    mit = lowrank_data_iter(jax.random.PRNGKey(2), 16, 32, rank=3)
+    # 4 sites, 3 splits -> chunk floor-division would drop the last module
+    new_model, config = dwain.decompose(
+        module=model,
+        data_iterator=it,
+        loss_fn=loss_fn,
+        num_data_steps=2,
+        metric_iterator=mit,
+        num_metric_steps=1,
+        nsr_final_threshold=0.3,
+        min_rank=2,
+        trade_off_factor=1000.0,
+        max_accepted_ppl_diff=1.0,
+        precomputing_covariance_num_splits=3,
+    )
+    assert "value" not in config  # rank-1 site skipped, no crash
+    batch = next(mit)
+    assert new_model(batch).shape == (16, 1)
