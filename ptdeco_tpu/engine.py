@@ -196,7 +196,9 @@ def make_gram_step(
     def _step(root, batch, grams, means):
         store: dict[str, jax.Array] = {}
         tapped = _wrap_taps(root, list(site_names), store)
-        _ = apply_fn(tapped, batch, None)
+        # an (empty) Ctx disables remat inside models: a tap's captured
+        # value must not escape a jax.checkpoint region
+        _ = apply_fn(tapped, batch, nn.Ctx())
         new_grams = {}
         new_means = {}
         for name in site_names:
@@ -242,7 +244,9 @@ def make_gram_scan_step(
             grams, means = carry
             store: dict[str, jax.Array] = {}
             tapped = _wrap_taps(root, list(site_names), store)
-            _ = apply_fn(tapped, batch, None)
+            # Ctx (not None) disables remat: tap captures must not escape
+            # a jax.checkpoint region
+            _ = apply_fn(tapped, batch, nn.Ctx())
             for name in site_names:
                 x = store[name]
                 kernel = get_site_kernel2d(root, sites[name])

@@ -39,6 +39,11 @@ class TransformerConfig:
     rope_theta: float = 10000.0
     qkv_bias: bool = False  # True for Qwen2
     tie_embeddings: bool = False
+    # rematerialize each block's activations during backward passes
+    # (jax.checkpoint) — the HBM/flops trade for large-model calibration
+    # and fine-tuning (the reference toggles HF gradient checkpointing,
+    # trainer_llm/builder.py:109-110)
+    remat: bool = False
     dtype: Any = jnp.float32
 
     @property
@@ -230,6 +235,7 @@ class Decoder(nn.Module):
     embed_tokens: nn.Embedding
     layers: tuple
     norm: nn.RMSNorm
+    remat: bool = nn.static_field(default=False)
 
     def __call__(
         self,
@@ -242,7 +248,16 @@ class Decoder(nn.Module):
         b, s = input_ids.shape
         positions = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s))
         for layer in self.layers:
-            x = layer(x, ctx, positions=positions, attn_mask=attn_mask)
+            if self.remat and ctx is None:
+                # layer is a pytree: pass it through the checkpoint boundary
+                # so its params are differentiable residuals, not constants
+                x = jax.checkpoint(
+                    lambda lyr, h: lyr(
+                        h, None, positions=positions, attn_mask=attn_mask
+                    )
+                )(layer, x)
+            else:
+                x = layer(x, ctx, positions=positions, attn_mask=attn_mask)
         return self.norm(x)
 
 
@@ -278,6 +293,7 @@ class CausalLM(nn.Module):
                 Block.create(keys[1 + i], cfg) for i in range(cfg.n_layers)
             ),
             norm=nn.RMSNorm.create(cfg.dim, cfg.norm_eps, cfg.dtype),
+            remat=cfg.remat,
         )
         lm_head = (
             None

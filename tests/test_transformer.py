@@ -95,3 +95,37 @@ def test_graft_entry_and_dryrun():
     out = jax.jit(fn)(*args)
     assert out.shape[0] == 2
     ge.dryrun_multichip(8)
+
+
+def test_remat_forward_grad_and_decompose():
+    """remat=True: forward matches non-remat, gradients flow, and the
+    engine's tap capture still works (taps suppress remat via Ctx)."""
+    cfg = models.TransformerConfig.tiny(vocab_size=64)
+    cfg_r = models.TransformerConfig(
+        **{**cfg.__dict__, "remat": True}
+    )
+    model = models.CausalLM.create(jax.random.PRNGKey(0), cfg)
+    model_r = model.replace(model=model.model.replace(remat=True))
+    b = next(batch_iter(jax.random.PRNGKey(1), vocab=64))
+
+    y0 = model(b)
+    y1 = model_r(b)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=1e-5)
+
+    def loss(m):
+        return models.ce_loss(b, m(b))
+
+    g = jax.grad(loss)(model_r)
+    gn = jnp.sqrt(
+        sum(jnp.sum(jnp.square(x)) for x in jax.tree_util.tree_leaves(g))
+    )
+    assert float(gn) > 0
+
+    # tap capture path (gram) under a remat model
+    grams, _ = engine.compute_output_grams(
+        model_r,
+        ["model.layers.0.self_attn.q_proj"],
+        batch_iter(jax.random.PRNGKey(2), vocab=64),
+        num_data_steps=1,
+    )
+    assert np.all(np.isfinite(np.asarray(grams["model.layers.0.self_attn.q_proj"])))
