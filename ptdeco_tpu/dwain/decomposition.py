@@ -40,6 +40,9 @@ logger = logging.getLogger(__name__)
 
 is_decomposeable_module = engine.is_decomposeable_module
 
+# above this many decomposeable sites, use the structure-shared metric step
+SHARED_METRIC_SITE_THRESHOLD = 12
+
 LossFn = Callable[[Any, jax.Array], jax.Array]
 FinetuneFn = Callable[[nn.Module, list[str]], nn.Module]
 
@@ -79,6 +82,7 @@ def _process_module(
     decompose_in_float64: bool,
     use_pallas_gram: bool,
     u_matrix: Optional[np.ndarray],
+    shared_metric_step=None,
 ) -> dict[str, Any]:
     indent = "    "
     msg_prefix = f"Processing {site.name}:"
@@ -142,7 +146,9 @@ def _process_module(
             continue
         ladder.append((rank_new, drop, drop / num_params * trade_off_factor))
 
-    evaluator = engine.CandidateEvaluator(site, apply_fn, metric_fn)
+    evaluator = engine.CandidateEvaluator(
+        site, apply_fn, metric_fn, shared_step=shared_metric_step
+    )
     raw = evaluator(
         root,
         kernel2d,
@@ -437,6 +443,7 @@ def decompose(
     checkpoint_dir: Optional[str] = None,
     use_pallas_gram: bool = False,
     defer_substitution: bool = True,
+    shared_metric_threshold: int = SHARED_METRIC_SITE_THRESHOLD,
 ) -> tuple[nn.Module, dict[str, Any]]:
     """Whole-model iterative decomposition.
 
@@ -488,6 +495,18 @@ def decompose(
         u_dict = {}
 
     metric_fn = _make_metric_fn(loss_fn)
+    # Few sites: fused per-site ladder programs (1 dispatch per site).
+    # Many sites: one structure-shared program for the whole walk
+    # (1 compile total, C dispatches per site) — compile time dominates at
+    # LLM scale.  Deferred substitution keeps the structure constant so the
+    # shared program really is shared.
+    shared_metric_step = None
+    if defer_substitution and n > shared_metric_threshold:
+        shared_metric_step = engine.make_shared_metric_step(apply_fn, metric_fn)
+        logger.info(
+            f"Using structure-shared metric step for {n} sites "
+            f"(> {shared_metric_threshold})"
+        )
     ckpt = _Checkpointer(checkpoint_dir)
     deferred = _DeferredPairs(module) if defer_substitution else None
 
@@ -527,6 +546,7 @@ def decompose(
             decompose_in_float64=decompose_in_float64,
             use_pallas_gram=use_pallas_gram,
             u_matrix=u_dict.pop(submodule_name, None),
+            shared_metric_step=shared_metric_step,
         )
         current_params -= result["drop_in_params"]
         logger.info(f"CURRENT PARAMS IN M: {current_params / 1e6}")

@@ -400,6 +400,27 @@ def make_candidate_metric_step(site: Site, apply_fn: ApplyFn, metric_fn):
     return jax.jit(_step)
 
 
+def make_shared_metric_step(apply_fn: ApplyFn, metric_fn):
+    """Site-INDEPENDENT metric step: (root_deco, root_orig, batches[M]) ->
+    (M, K).  Both roots have identical structure (root_deco is root with one
+    kernel leaf substituted by value outside the jit), so ONE compilation
+    serves every site and every candidate of a whole-model walk — the
+    scaling mode for many-site LLMs, where the fused ladder's per-site
+    compile (the substituted leaf's tree position is baked into its HLO)
+    would dominate wall-clock."""
+
+    def _step(root_deco, root_orig, batches):
+        def mstep(_, batch):
+            y_deco = apply_fn(root_deco, batch, None)
+            y_orig = apply_fn(root_orig, batch, None)
+            return None, metric_fn(batch, y_deco, y_orig)
+
+        _, ms = jax.lax.scan(mstep, None, batches)
+        return ms
+
+    return jax.jit(_step)
+
+
 class CandidateEvaluator:
     """Per-site evaluator of rank candidates.
 
@@ -407,16 +428,25 @@ class CandidateEvaluator:
     the reference's exact iterator consumption order, dwain:435-448) and
     returns raw per-(candidate, batch) metrics as (C, M, K) numpy.
 
-    Dispatch strategy: ONE fused ladder dispatch when the stacked batches
-    fit METRIC_STACK_BUDGET_BYTES; otherwise per-candidate dispatches with
-    the batch axis chunked under the budget.  The jitted steps are built
-    once per site so repeated calls (falor's binary search) hit the trace
-    cache."""
+    Two dispatch strategies:
+      * fused ladder (default for few-site models): one dispatch for the
+        whole (C, M) grid, but its program is site-specific;
+      * ``shared_step`` (pass one from make_shared_metric_step, reused
+        across ALL sites): one dispatch per candidate, one compile total.
+    Either way batches are chunked under METRIC_STACK_BUDGET_BYTES."""
 
-    def __init__(self, site: Site, apply_fn: ApplyFn, metric_fn) -> None:
+    def __init__(
+        self,
+        site: Site,
+        apply_fn: ApplyFn,
+        metric_fn,
+        shared_step=None,
+    ) -> None:
         self.site = site
-        self._ladder = make_ladder_metric_step(site, apply_fn, metric_fn)
-        self._cand = make_candidate_metric_step(site, apply_fn, metric_fn)
+        self._shared = shared_step
+        if shared_step is None:
+            self._ladder = make_ladder_metric_step(site, apply_fn, metric_fn)
+            self._cand = make_candidate_metric_step(site, apply_fn, metric_fn)
 
     def __call__(
         self,
@@ -434,6 +464,21 @@ class CandidateEvaluator:
             [next(metric_iterator) for _ in range(m)] for _ in range(c)
         ]
         per_batch = _batch_nbytes(all_batches[0][0])
+        max_m = max(1, METRIC_STACK_BUDGET_BYTES // max(per_batch, 1))
+
+        if self._shared is not None:
+            rows = []
+            for rank, cb in zip(ranks, all_batches):
+                deco = compose_deco_kernel(kernel2d, u_dev, jnp.int32(rank))
+                root_deco = set_site_kernel2d(root, self.site, deco)
+                outs = [
+                    self._shared(
+                        root_deco, root, _stack_batches(cb[j : j + max_m])
+                    )
+                    for j in range(0, m, max_m)
+                ]
+                rows.append(jnp.concatenate(outs, axis=0))
+            return np.asarray(jax.device_get(jnp.stack(rows)))
 
         if c * m * per_batch <= METRIC_STACK_BUDGET_BYTES:
             stacked = _stack_batches([_stack_batches(cb) for cb in all_batches])
@@ -442,7 +487,6 @@ class CandidateEvaluator:
             )
             return np.asarray(jax.device_get(out))
 
-        max_m = max(1, METRIC_STACK_BUDGET_BYTES // max(per_batch, 1))
         rows = []
         for rank, cb in zip(ranks, all_batches):
             outs = [

@@ -88,3 +88,36 @@ def test_deferred_structure_constant_during_walk():
         engine_mod.compute_output_grams = orig_compute
     assert len(treedefs) >= 2
     assert all(t == treedefs[0] for t in treedefs)
+
+
+def test_shared_metric_step_matches_fused():
+    """The structure-shared metric path (one compile for all sites) must
+    reproduce the fused per-site ladder's decisions exactly."""
+    from tests.test_dwain_e2e import loss_fn as lf, lowrank_data_iter as ldi
+    from tests.test_dwain_e2e import make_mlp as mk
+
+    def run(threshold):
+        return dwain.decompose(
+            module=mk(64),
+            data_iterator=ldi(jax.random.PRNGKey(0), 16, 64),
+            loss_fn=lf,
+            num_data_steps=2,
+            metric_iterator=ldi(jax.random.PRNGKey(1), 16, 64),
+            num_metric_steps=2,
+            nsr_final_threshold=0.2,
+            blacklisted_module_names=["head"],
+            min_rank=2,
+            trade_off_factor=1000.0,
+            max_accepted_ppl_diff=1.0,
+            shared_metric_threshold=threshold,
+        )
+
+    m_fused, cfg_fused = run(threshold=100)  # fused ladder path
+    m_shared, cfg_shared = run(threshold=0)  # shared-step path
+    assert cfg_fused.keys() == cfg_shared.keys()
+    for k in cfg_fused:
+        assert cfg_fused[k]["modules"] == cfg_shared[k]["modules"]
+    b = next(lowrank_data_iter(jax.random.PRNGKey(7), 8, 64))
+    np.testing.assert_allclose(
+        np.asarray(m_fused(b)), np.asarray(m_shared(b)), atol=1e-5
+    )
