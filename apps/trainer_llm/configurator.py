@@ -54,6 +54,10 @@ class DecomposeDWAINConfig(_VersionConfig):
     min_rank: int
     decompose_in_float64: bool
     use_pallas_gram: bool = False
+    # per-layer resume state for the decomposition itself (TPU-new; the
+    # reference's decomposition is not resumable, SURVEY.md §5).  Relative
+    # paths resolve under the run's output directory.
+    decomposition_checkpoint_dir: Optional[str] = "decompose_ckpt"
     precomputing_covariance_num_splits: Optional[int] = None
     blacklisted_modules: list[str]
 

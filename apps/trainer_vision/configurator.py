@@ -90,6 +90,7 @@ class DecomposeDWAINConfig(_VersionConfig, _DataConfig):
     min_rank: int
     decompose_in_float64: bool
     use_pallas_gram: bool = False
+    decomposition_checkpoint_dir: Optional[str] = "decompose_ckpt"
     precomputing_covariance_num_splits: Optional[int] = None
     blacklisted_modules: list[str]
 

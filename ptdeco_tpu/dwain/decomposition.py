@@ -476,13 +476,21 @@ def decompose(
     decompose_config: dict[str, Any] = {}
     decomposed_submodules: list[str] = []
 
+    ckpt = _Checkpointer(checkpoint_dir)
+    # resume: don't redo the (expensive) covariance precompute for sites the
+    # checkpoint will replay anyway
+    pending_sites = [
+        m for m in modules_to_decompose if m not in ckpt.processed
+    ]
+
     if (
         precomputing_covariance_num_splits is not None
         and precomputing_covariance_num_splits > 0
+        and pending_sites
     ):
         u_dict = _precompute_u_in_splits(
             root=module,
-            modules_to_decompose=modules_to_decompose,
+            modules_to_decompose=pending_sites,
             num_splits=precomputing_covariance_num_splits,
             num_data_steps=num_data_steps,
             data_iterator=data_iterator,
@@ -507,7 +515,6 @@ def decompose(
             f"Using structure-shared metric step for {n} sites "
             f"(> {shared_metric_threshold})"
         )
-    ckpt = _Checkpointer(checkpoint_dir)
     deferred = _DeferredPairs(module) if defer_substitution else None
 
     for i, submodule_name in enumerate(reversed(modules_to_decompose), start=1):

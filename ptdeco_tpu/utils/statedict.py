@@ -236,8 +236,16 @@ def _load_module(
 def save_state_dict_pt(sd: dict[str, np.ndarray], path: str) -> None:
     import torch
 
-    torch_sd = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}
-    torch.save(torch_sd, path)
+    torch.set_num_threads(1)  # torch+XLA OMP pools deadlock on small hosts
+
+    def to_torch(v: np.ndarray) -> "torch.Tensor":
+        # copy: jax.device_get returns non-writable views torch warns about
+        v = np.ascontiguousarray(v).copy()
+        if v.dtype == jnp.bfloat16:  # ml_dtypes bf16: torch can't ingest it
+            return torch.from_numpy(v.view(np.uint16)).view(torch.bfloat16)
+        return torch.from_numpy(v)
+
+    torch.save({k: to_torch(v) for k, v in sd.items()}, path)
 
 
 def load_state_dict_pt(path: str) -> dict[str, np.ndarray]:
