@@ -73,6 +73,7 @@ class DecomposeFALORConfig(_VersionConfig, _DataConfig):
     num_data_steps: int
     num_metric_steps: int
     use_float64: bool
+    decomposition_checkpoint_dir: Optional[str] = "decompose_ckpt"
     model_config = pydantic.ConfigDict(extra="forbid")
 
 

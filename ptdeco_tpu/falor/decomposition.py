@@ -28,7 +28,10 @@ candidate (not the best), matching the reference's observable metadata
 from __future__ import annotations
 
 import collections
+import json
 import logging
+import os
+import pathlib
 import time
 from typing import Any, Iterator, Optional
 
@@ -43,6 +46,9 @@ __all__ = ["decompose", "is_decomposeable_module"]
 logger = logging.getLogger(__name__)
 
 is_decomposeable_module = engine.is_decomposeable_module
+
+# above this many sites, share one metric program across all of them
+SHARED_METRIC_SITE_THRESHOLD = 12
 
 
 def _metric_fn(x: Any, y_deco: jax.Array, y_orig: jax.Array) -> jax.Array:
@@ -68,6 +74,7 @@ def _process_module(
     use_mean: bool,
     use_damping: bool,
     use_pallas_gram: bool = False,
+    shared_metric_step=None,
 ) -> dict[str, Any]:
     msg_prefix = f"Processing {site.name}:"
     dim_in, dim_out = site.in_features, site.out_features
@@ -109,7 +116,9 @@ def _process_module(
     # Binary rank search (reference falor:340-375).  Each probe evaluates
     # its num_metric_steps batches in one fused dispatch; the evaluator's
     # jitted steps are reused across the whole search.
-    evaluator = engine.CandidateEvaluator(site, apply_fn, _metric_fn)
+    evaluator = engine.CandidateEvaluator(
+        site, apply_fn, _metric_fn, shared_step=shared_metric_step
+    )
     rank_best = full_rank
     rank_width = full_rank // 2
     nsr_best, kl_best = 0.0, 0.0
@@ -178,6 +187,8 @@ def decompose(
     blacklisted_module_names: Optional[list[str]] = None,
     apply_fn: engine.ApplyFn = engine.default_apply,
     use_pallas_gram: bool = False,
+    checkpoint_dir: Optional[str] = None,
+    shared_metric_threshold: int = SHARED_METRIC_SITE_THRESHOLD,
 ) -> tuple[nn.Module, dict[str, Any]]:
     """Two-phase one-shot decomposition (reference falor:424-511):
     phase 1 scores every decomposeable site against the original model;
@@ -194,14 +205,59 @@ def decompose(
     decomposable_submodules = engine.get_decomposeable_submodule_names(module)
     n = len(decomposable_submodules)
 
+    shared_metric_step = None
+    if n > shared_metric_threshold:
+        shared_metric_step = engine.make_shared_metric_step(apply_fn, _metric_fn)
+        logger.info(
+            f"Using structure-shared metric step for {n} sites "
+            f"(> {shared_metric_threshold})"
+        )
+
+    # per-site resume of phase 1 (the expensive part); falor's phase 1 never
+    # mutates the model, so replay is just reusing the recorded results
+    # (resume is new capability over the reference, SURVEY.md §5)
+    ckpt_path = (
+        pathlib.Path(checkpoint_dir) / "falor_phase1.jsonl"
+        if checkpoint_dir
+        else None
+    )
+    resumed: dict[str, dict[str, Any]] = {}
+    if ckpt_path is not None and ckpt_path.exists():
+        for line in ckpt_path.read_text().splitlines():
+            rec = json.loads(line)
+            resumed[rec["site"]] = rec
+        logger.info(f"Resuming falor: {len(resumed)} sites already scored")
+    if ckpt_path is not None:
+        ckpt_path.parent.mkdir(parents=True, exist_ok=True)
+
     for i, submodule_name in enumerate(decomposable_submodules, start=1):
         msg_prefix = f"Processing {submodule_name}: module {i} of {n}"
         if submodule_name in blacklisted_module_names:
             logger.info(f"{msg_prefix}, skipped as blacklisted")
             continue
+        if submodule_name in resumed:
+            rec = resumed[submodule_name]
+            result: dict[str, Any] = {
+                "proportion": rec["proportion"],
+                "nsr_final": rec["nsr_final"],
+                "kl_final": rec["kl_final"],
+                "decomposed_module": None,
+            }
+            if rec.get("pair_config") is not None:
+                old = nn.get_submodule(module, submodule_name)
+                pair = utils.build_module_from_config(
+                    rec["pair_config"], dtype=utils.get_default_dtype(old)
+                )
+                sd = utils.load_state_dict_safetensors(
+                    str(ckpt_path.parent / f"{submodule_name}.safetensors")
+                )
+                result["decomposed_module"] = utils.load_state_dict(pair, sd)
+            results_all[submodule_name] = result
+            logger.info(f"{msg_prefix}, restored from checkpoint")
+            continue
         logger.info(msg_prefix)
         site = engine.get_site(module, submodule_name)
-        results_all[submodule_name] = _process_module(
+        result = _process_module(
             root=module,
             site=site,
             data_iterator=data_iterator,
@@ -214,7 +270,33 @@ def decompose(
             use_mean=use_mean,
             use_damping=use_damping,
             use_pallas_gram=use_pallas_gram,
+            shared_metric_step=shared_metric_step,
         )
+        results_all[submodule_name] = result
+        if ckpt_path is not None:
+            pair = result["decomposed_module"]
+            pair_config = None
+            if pair is not None:
+                pair_config = utils.get_module_config(pair)
+                utils.save_state_dict_safetensors(
+                    utils.state_dict(pair),
+                    str(ckpt_path.parent / f"{submodule_name}.safetensors"),
+                )
+            with open(ckpt_path, "a") as f:
+                f.write(
+                    json.dumps(
+                        {
+                            "site": submodule_name,
+                            "proportion": result["proportion"],
+                            "nsr_final": result["nsr_final"],
+                            "kl_final": result["kl_final"],
+                            "pair_config": pair_config,
+                        }
+                    )
+                    + "\n"
+                )
+                f.flush()
+                os.fsync(f.fileno())
 
     # Phase 2 — replace (reference falor:475-503)
     decompose_counter: collections.Counter[str] = collections.Counter()

@@ -107,3 +107,38 @@ def test_falor_use_mean_covariance():
         use_damping=True,
     )
     assert "conv1" in config
+
+
+def test_falor_resume_and_shared_step(tmp_path):
+    """falor phase-1 checkpointing: a rerun with the same checkpoint_dir
+    replays scored sites and produces the identical config; the shared
+    metric step path yields the same decisions."""
+
+    def run(ckpt, threshold=100):
+        return falor.decompose(
+            module=make_cnn(),
+            data_iterator=lowrank_image_iter(jax.random.PRNGKey(0)),
+            proportion_threshold=0.95,
+            nsr_final_threshold=0.5,
+            kl_final_threshold=10.0,
+            num_data_steps=2,
+            num_metric_steps=1,
+            use_float64=True,
+            use_mean=False,
+            use_damping=True,
+            checkpoint_dir=ckpt,
+            shared_metric_threshold=threshold,
+        )
+
+    m1, c1 = run(str(tmp_path / "ck"))
+    assert (tmp_path / "ck" / "falor_phase1.jsonl").exists()
+    m2, c2 = run(str(tmp_path / "ck"))
+    assert c2 == c1
+    x = next(lowrank_image_iter(jax.random.PRNGKey(9)))
+    np.testing.assert_allclose(np.asarray(m1(x)), np.asarray(m2(x)), atol=1e-6)
+
+    # shared-step path equivalence (threshold 0 forces it)
+    m3, c3 = run(None, threshold=0)
+    assert c3.keys() == c1.keys()
+    for k in c1:
+        assert c1[k]["modules"] == c3[k]["modules"]
