@@ -134,11 +134,8 @@ def main(config_raw: dict[str, Any], output_path: pathlib.Path) -> None:
         decompose_in_float64=config.decompose_in_float64,
         precomputing_covariance_num_splits=config.precomputing_covariance_num_splits,
         use_pallas_gram=config.use_pallas_gram,
-        checkpoint_dir=(
-            str(output_path / config.decomposition_checkpoint_dir)
-            if config.decomposition_checkpoint_dir
-            and not pathlib.Path(config.decomposition_checkpoint_dir).is_absolute()
-            else config.decomposition_checkpoint_dir
+        checkpoint_dir=utils.resolve_subdir(
+            output_path, config.decomposition_checkpoint_dir
         ),
     )
     t_deco = time.perf_counter() - t_deco_start

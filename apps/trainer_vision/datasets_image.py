@@ -162,8 +162,21 @@ class ImageNetPipeline:
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
+        failure: list[BaseException] = []
 
         def producer() -> None:
+            try:
+                _produce()
+            except BaseException as e:  # surfaced to the consumer
+                failure.append(e)
+            while not stop.is_set():
+                try:
+                    q.put(None, timeout=0.25)
+                    break
+                except queue.Full:
+                    continue
+
+        def _produce() -> None:
             with concurrent.futures.ThreadPoolExecutor(self.num_workers) as ex:
                 for b in range(len(self)):
                     if stop.is_set():
@@ -190,12 +203,6 @@ class ImageNetPipeline:
                             break
                         except queue.Full:
                             continue
-            while not stop.is_set():
-                try:
-                    q.put(None, timeout=0.25)
-                    break
-                except queue.Full:
-                    continue
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -205,11 +212,15 @@ class ImageNetPipeline:
                     item = q.get(timeout=1.0)
                 except queue.Empty:
                     if not t.is_alive():
-                        break  # producer died (e.g. decode error)
+                        break
                     continue
                 if item is None:
                     break
                 yield item
+            if failure:
+                raise RuntimeError(
+                    "image pipeline producer failed"
+                ) from failure[0]
         finally:
             stop.set()
 

@@ -106,11 +106,8 @@ def main(
             config.precomputing_covariance_num_splits
         ),
         use_pallas_gram=config.use_pallas_gram,
-        checkpoint_dir=(
-            str(output_path / config.decomposition_checkpoint_dir)
-            if config.decomposition_checkpoint_dir
-            and not pathlib.Path(config.decomposition_checkpoint_dir).is_absolute()
-            else config.decomposition_checkpoint_dir
+        checkpoint_dir=utils.resolve_subdir(
+            output_path, config.decomposition_checkpoint_dir
         ),
     )
     t_deco = time.perf_counter() - t0

@@ -69,11 +69,8 @@ def main(
         use_mean=False,
         use_damping=True,
         blacklisted_module_names=config.blacklisted_modules,
-        checkpoint_dir=(
-            str(output_path / config.decomposition_checkpoint_dir)
-            if config.decomposition_checkpoint_dir
-            and not pathlib.Path(config.decomposition_checkpoint_dir).is_absolute()
-            else config.decomposition_checkpoint_dir
+        checkpoint_dir=utils.resolve_subdir(
+            output_path, config.decomposition_checkpoint_dir
         ),
     )
     t_deco = time.perf_counter() - t1

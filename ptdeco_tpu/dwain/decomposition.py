@@ -324,11 +324,11 @@ class _DeferredPairs:
     and the composed kernel is exactly what the acceptance metrics measured.
     """
 
-    def __init__(self, root_template: nn.Module) -> None:
+    def __init__(self) -> None:
         self.pairs: dict[str, nn.Module] = {}
         self.sites: dict[str, engine.Site] = {}
         self.original_sites: dict[str, nn.Module] = {}
-        self._template = root_template
+        self.composed: dict[str, jax.Array] = {}
 
     def accept(
         self, root: nn.Module, site: engine.Site, pair: nn.Module
@@ -337,7 +337,8 @@ class _DeferredPairs:
         self.sites[site.name] = site
         self.original_sites[site.name] = nn.get_submodule(root, site.name)
         k1, k2, bias = _pair_kernels(pair, site)
-        root = engine.set_site_kernel2d(root, site, _compose_pair(k1, k2))
+        self.composed[site.name] = _compose_pair(k1, k2)
+        root = engine.set_site_kernel2d(root, site, self.composed[site.name])
         if bias is not None:
             root = nn.replace_submodule(root, f"{site.name}.bias", bias)
         return root
@@ -347,19 +348,36 @@ class _DeferredPairs:
             root = nn.replace_submodule(root, name, pair)
         return root
 
-    def absorb(self, ft_model: nn.Module) -> nn.Module:
-        """ft_model has pair structure; return the flat-structure root with
-        all of ft_model's parameters."""
+    def changed(self, ft_model: nn.Module, name: str) -> bool:
+        """Did fine-tuning touch this pair?  Untrained leaves pass through
+        nn.combine/optax by identity, so object identity is exact."""
+        new = nn.get_submodule(ft_model, name)
+        old = self.pairs[name]
+        nk1, nk2, nb = _pair_kernels(new, self.sites[name])
+        ok1, ok2, ob = _pair_kernels(old, self.sites[name])
+        return nk1 is not ok1 or nk2 is not ok2 or nb is not ob
+
+    def absorb(self, ft_model: nn.Module) -> tuple[nn.Module, list[str]]:
+        """ft_model has pair structure; return (flat-structure root with all
+        of ft_model's parameters, names of pairs fine-tuning changed).
+        Unchanged pairs reuse their cached composed kernel — no recompose."""
         root = ft_model
+        changed_names = []
         for name, site in self.sites.items():
+            was_changed = self.changed(ft_model, name)
             pair = nn.get_submodule(ft_model, name)
             self.pairs[name] = pair
             root = nn.replace_submodule(root, name, self.original_sites[name])
-            k1, k2, bias = _pair_kernels(pair, site)
-            root = engine.set_site_kernel2d(root, site, _compose_pair(k1, k2))
+            if was_changed:
+                k1, k2, bias = _pair_kernels(pair, site)
+                self.composed[name] = _compose_pair(k1, k2)
+                changed_names.append(name)
+            else:
+                bias = _pair_kernels(pair, site)[2]
+            root = engine.set_site_kernel2d(root, site, self.composed[name])
             if bias is not None:
                 root = nn.replace_submodule(root, f"{name}.bias", bias)
-        return root
+        return root, changed_names
 
 
 class _Checkpointer:
@@ -371,12 +389,27 @@ class _Checkpointer:
     factor pairs to per-site safetensors; a restarted run with the same
     ``checkpoint_dir`` replays completed sites instantly and continues."""
 
-    def __init__(self, directory: Optional[str]) -> None:
+    def __init__(
+        self, directory: Optional[str], fingerprint: str = ""
+    ) -> None:
         self.dir = pathlib.Path(directory) if directory else None
         self.processed: dict[str, Optional[dict[str, Any]]] = {}
         if self.dir is None:
             return
         self.dir.mkdir(parents=True, exist_ok=True)
+        fp_file = self.dir / "fingerprint.txt"
+        if fp_file.exists():
+            recorded = fp_file.read_text().strip()
+            if fingerprint and recorded != fingerprint:
+                raise ValueError(
+                    f"Checkpoint dir {self.dir} was written by a run with "
+                    f"different decomposition hyperparameters "
+                    f"(fingerprint {recorded!r} != {fingerprint!r}); replaying "
+                    "it would silently mix configurations — delete the "
+                    "directory or point checkpoint_dir elsewhere"
+                )
+        elif fingerprint:
+            fp_file.write_text(fingerprint)
         progress = self.dir / "progress.jsonl"
         if progress.exists():
             for line in progress.read_text().splitlines():
@@ -476,7 +509,21 @@ def decompose(
     decompose_config: dict[str, Any] = {}
     decomposed_submodules: list[str] = []
 
-    ckpt = _Checkpointer(checkpoint_dir)
+    fingerprint = json.dumps(
+        {
+            "nsr": nsr_final_threshold,
+            "min_rank": min_rank,
+            "trade_off": trade_off_factor,
+            "reduction": reduction_factor,
+            "max_ppl_diff": max_accepted_ppl_diff,
+            "f64": decompose_in_float64,
+            "data_steps": num_data_steps,
+            "metric_steps": num_metric_steps,
+            "sites": modules_to_decompose,
+        },
+        sort_keys=True,
+    )
+    ckpt = _Checkpointer(checkpoint_dir, fingerprint)
     # resume: don't redo the (expensive) covariance precompute for sites the
     # checkpoint will replay anyway
     pending_sites = [
@@ -515,7 +562,7 @@ def decompose(
             f"Using structure-shared metric step for {n} sites "
             f"(> {shared_metric_threshold})"
         )
-    deferred = _DeferredPairs(module) if defer_substitution else None
+    deferred = _DeferredPairs() if defer_substitution else None
 
     for i, submodule_name in enumerate(reversed(modules_to_decompose), start=1):
         logger.info(f"PROCESSING {submodule_name} MODULE {i} OUT OF {n}")
@@ -564,22 +611,21 @@ def decompose(
             decomposed_submodules.append(submodule_name)
             if deferred is not None:
                 module = deferred.accept(module, site, new_module)
-                pre_ft = dict(deferred.pairs)
                 if finetune_fn is not None:
                     ft_model = deferred.materialize(module)
                     ft_model = finetune_fn(ft_model, decomposed_submodules)
-                    module = deferred.absorb(ft_model)
+                    module, ft_changed = deferred.absorb(ft_model)
+                    # interleaved FT also retrains EARLIER pairs (the
+                    # last-N window); refresh exactly those checkpoints so
+                    # a resumed run replays post-finetune weights
+                    for prev_name in ft_changed:
+                        if prev_name != submodule_name:
+                            ckpt.record(
+                                deferred.pairs[prev_name],
+                                prev_name,
+                                decompose_config[prev_name],
+                            )
                 pair = deferred.pairs[submodule_name]
-                # interleaved FT also retrains EARLIER pairs (last-N window);
-                # refresh their checkpoints so a resumed run replays the
-                # post-finetune weights, not stale acceptance-time ones
-                for prev_name, prev_pair in deferred.pairs.items():
-                    if prev_name != submodule_name and (
-                        prev_pair is not pre_ft.get(prev_name)
-                    ):
-                        ckpt.record(
-                            prev_pair, prev_name, decompose_config[prev_name]
-                        )
             else:
                 module = nn.replace_submodule(
                     module, submodule_name, new_module

@@ -177,56 +177,6 @@ def _wrap_taps(root: nn.Module, site_names: list[str], store: dict) -> nn.Module
 # ---------------------------------------------------------------------------
 
 
-def make_gram_step(
-    site_names: tuple[str, ...],
-    sites: dict[str, Site],
-    apply_fn: ApplyFn,
-    accumulate_mean: bool = False,
-    donate: bool = True,
-):
-    """Build a jitted step: (root, batch, grams[, means]) -> updated stats.
-
-    For every target site the step computes the pre-bias output
-    ``y = x_flat @ K`` in f32 on the MXU and adds ``yᵀy / N`` to the running
-    Gram (reference _update_Eyyt_in_place, dwain:147-152).  With
-    ``accumulate_mean`` it also tracks ``E[y]`` (falor's use_mean option,
-    falor:156-162,194-199).
-    """
-
-    def _step(root, batch, grams, means):
-        store: dict[str, jax.Array] = {}
-        tapped = _wrap_taps(root, list(site_names), store)
-        # an (empty) Ctx disables remat inside models: a tap's captured
-        # value must not escape a jax.checkpoint region
-        _ = apply_fn(tapped, batch, nn.Ctx())
-        new_grams = {}
-        new_means = {}
-        for name in site_names:
-            x = store[name]
-            kernel = get_site_kernel2d(root, sites[name])
-            y = jnp.dot(
-                x,
-                kernel.astype(x.dtype),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            n = y.shape[0]
-            g = jnp.einsum(
-                "bp,bq->pq",
-                y,
-                y,
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            ) / n
-            new_grams[name] = grams[name] + g
-            if accumulate_mean:
-                new_means[name] = means[name] + jnp.mean(y, axis=0)
-        return new_grams, new_means
-
-    donate_argnums = (2, 3) if donate else ()
-    return jax.jit(_step, donate_argnums=donate_argnums)
-
-
 def make_gram_scan_step(
     site_names: tuple[str, ...],
     sites: dict[str, Site],
@@ -234,7 +184,7 @@ def make_gram_scan_step(
     accumulate_mean: bool = False,
     use_pallas: bool = False,
 ):
-    """Like make_gram_step but consuming a chunk of K stacked batches in ONE
+    """Jitted step consuming a chunk of K stacked batches in ONE
     dispatch via lax.scan — K fewer host round-trips.  Essential when the
     device sits behind a high-latency transport (per-call overhead measured
     at ~100ms over the axon tunnel vs ~1ms of MXU work on small models)."""
@@ -246,7 +196,7 @@ def make_gram_scan_step(
             tapped = _wrap_taps(root, list(site_names), store)
             # Ctx (not None) disables remat: tap captures must not escape
             # a jax.checkpoint region
-            _ = apply_fn(tapped, batch, nn.Ctx())
+            _ = apply_fn(tapped, batch, nn.Ctx(no_remat=True))
             for name in site_names:
                 x = store[name]
                 kernel = get_site_kernel2d(root, sites[name])

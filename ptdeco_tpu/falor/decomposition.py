@@ -204,12 +204,15 @@ def decompose(
 
     decomposable_submodules = engine.get_decomposeable_submodule_names(module)
     n = len(decomposable_submodules)
+    n_active = len(
+        [m for m in decomposable_submodules if m not in blacklisted_module_names]
+    )
 
     shared_metric_step = None
-    if n > shared_metric_threshold:
+    if n_active > shared_metric_threshold:
         shared_metric_step = engine.make_shared_metric_step(apply_fn, _metric_fn)
         logger.info(
-            f"Using structure-shared metric step for {n} sites "
+            f"Using structure-shared metric step for {n_active} sites "
             f"(> {shared_metric_threshold})"
         )
 
@@ -221,6 +224,29 @@ def decompose(
         if checkpoint_dir
         else None
     )
+    fingerprint = json.dumps(
+        {
+            "nsr": nsr_final_threshold,
+            "kl": kl_final_threshold,
+            "f64": use_float64,
+            "mean": use_mean,
+            "damping": use_damping,
+            "data_steps": num_data_steps,
+            "metric_steps": num_metric_steps,
+        },
+        sort_keys=True,
+    )
+    if ckpt_path is not None:
+        fp_file = ckpt_path.parent / "fingerprint.txt"
+        if fp_file.exists() and fp_file.read_text().strip() != fingerprint:
+            raise ValueError(
+                f"Checkpoint dir {ckpt_path.parent} was written with "
+                "different falor hyperparameters; delete it or use another "
+                "checkpoint_dir"
+            )
+        ckpt_path.parent.mkdir(parents=True, exist_ok=True)
+        if not fp_file.exists():
+            fp_file.write_text(fingerprint)
     resumed: dict[str, dict[str, Any]] = {}
     if ckpt_path is not None and ckpt_path.exists():
         for line in ckpt_path.read_text().splitlines():

@@ -247,13 +247,17 @@ class Decoder(nn.Module):
         x = self.embed_tokens(input_ids)
         b, s = input_ids.shape
         positions = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s))
+        use_remat = self.remat and not (ctx is not None and ctx.no_remat)
         for layer in self.layers:
-            if self.remat and ctx is None:
+            if use_remat:
                 # layer is a pytree: pass it through the checkpoint boundary
-                # so its params are differentiable residuals, not constants
+                # so its params are differentiable residuals, not constants.
+                # ctx (incl. a traced key) is closed over — fine for RNG use;
+                # modules that SOW under remat would leak tracers, which is
+                # why capture paths set ctx.no_remat.
                 x = jax.checkpoint(
                     lambda lyr, h: lyr(
-                        h, None, positions=positions, attn_mask=attn_mask
+                        h, ctx, positions=positions, attn_mask=attn_mask
                     )
                 )(layer, x)
             else:

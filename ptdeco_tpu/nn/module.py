@@ -368,9 +368,14 @@ class Ctx:
         self,
         key: Optional[jax.Array] = None,
         train: bool = False,
+        no_remat: bool = False,
     ) -> None:
         self.key = key
         self.train = train
+        # set by capture paths (engine taps): values recorded during the
+        # trace must not escape a jax.checkpoint region, so remat-capable
+        # models must take their non-checkpointed path
+        self.no_remat = no_remat
         self.sink: dict[str, dict[str, Any]] = {}
 
     def sow(self, name: str, tag: str, value: Any) -> None:

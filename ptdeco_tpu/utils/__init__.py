@@ -1,5 +1,6 @@
 from .common import (
     get_default_dtype,
+    resolve_subdir,
     get_device_memory_gb,
     get_num_params,
     get_type_name,
@@ -32,6 +33,7 @@ from . import train_ckpt  # noqa: F401
 
 __all__ = [
     "get_default_dtype",
+    "resolve_subdir",
     "get_device_memory_gb",
     "get_num_params",
     "get_type_name",

@@ -12,6 +12,7 @@ import numpy as np
 from .. import nn
 
 __all__ = [
+    "resolve_subdir",
     "to_device",
     "get_num_params",
     "get_device_memory_gb",
@@ -24,6 +25,17 @@ __all__ = [
 logger = logging.getLogger(__name__)
 
 T = TypeVar("T")
+
+
+def resolve_subdir(base: Any, maybe_relative: Optional[str]) -> Optional[str]:
+    """Resolve a possibly-relative directory under a base path (used by the
+    trainers for checkpoint dirs; keeps the resolution rule in one place)."""
+    import pathlib
+
+    if not maybe_relative:
+        return maybe_relative
+    p = pathlib.Path(maybe_relative)
+    return str(p) if p.is_absolute() else str(pathlib.Path(base) / p)
 
 
 def to_device(

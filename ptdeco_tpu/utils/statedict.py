@@ -236,8 +236,6 @@ def _load_module(
 def save_state_dict_pt(sd: dict[str, np.ndarray], path: str) -> None:
     import torch
 
-    torch.set_num_threads(1)  # torch+XLA OMP pools deadlock on small hosts
-
     def to_torch(v: np.ndarray) -> "torch.Tensor":
         # copy: jax.device_get returns non-writable views torch warns about
         v = np.ascontiguousarray(v).copy()
@@ -245,7 +243,14 @@ def save_state_dict_pt(sd: dict[str, np.ndarray], path: str) -> None:
             return torch.from_numpy(v.view(np.uint16)).view(torch.bfloat16)
         return torch.from_numpy(v)
 
-    torch.save({k: to_torch(v) for k, v in sd.items()}, path)
+    # torch+XLA OMP pools can deadlock on small hosts; pin threads only for
+    # the duration of the save rather than process-wide
+    prev_threads = torch.get_num_threads()
+    torch.set_num_threads(1)
+    try:
+        torch.save({k: to_torch(v) for k, v in sd.items()}, path)
+    finally:
+        torch.set_num_threads(prev_threads)
 
 
 def load_state_dict_pt(path: str) -> dict[str, np.ndarray]:
