@@ -78,6 +78,7 @@ def make_model_and_tokenizer(
     custom_builder_path: Optional[str] = None,
     custom_builder_config: Optional[dict[str, Any]] = None,
     checkpoint_path: Optional[str] = None,
+    enable_gradient_checkpointing: bool = False,
     seed: int = 0,
 ) -> tuple[nn.Module, Any]:
     """Build (model, tokenizer).
@@ -97,9 +98,14 @@ def make_model_and_tokenizer(
     if model_name in _PHI_CONFIGS:
         cfg = _PHI_CONFIGS[model_name](dtype=jdtype)
         model: nn.Module = models.PhiCausalLM.create(jax.random.PRNGKey(seed), cfg)
+        if enable_gradient_checkpointing:
+            logger.warning("remat not implemented for the phi family yet")
     elif model_name in _KNOWN_CONFIGS:
         cfg = _KNOWN_CONFIGS[model_name](dtype=jdtype)
         model = models.CausalLM.create(jax.random.PRNGKey(seed), cfg)
+        if enable_gradient_checkpointing:
+            model = model.replace(model=model.model.replace(remat=True))
+            logger.info("Per-block gradient checkpointing (remat) enabled")
     else:
         raise ValueError(
             f"Unknown model {model_name!r}; known: "

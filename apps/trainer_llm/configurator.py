@@ -32,6 +32,9 @@ class DecomposeDWAINConfig(_VersionConfig):
     decomposed_model_dtype: Annotated[
         str, pydantic.StringConstraints(pattern=DTYPES_PATTERN)
     ]
+    # per-block jax.checkpoint (HF gradient-checkpointing analogue,
+    # reference trainer_llm/builder.py:109-110)
+    decomposed_model_enable_gradient_checkpointing: bool = False
 
     # Tokenizer and data handling params
     decomposition_data_name: str | list[str]
@@ -92,6 +95,7 @@ class FinetuneConfig(_VersionConfig):
     decomposed_model_dtype: Annotated[
         str, pydantic.StringConstraints(pattern=DTYPES_PATTERN)
     ]
+    decomposed_model_enable_gradient_checkpointing: bool = False
     decompose_config: str
     decompose_state_dict: str
 

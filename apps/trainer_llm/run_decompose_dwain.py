@@ -75,6 +75,9 @@ def main(config_raw: dict[str, Any], output_path: pathlib.Path) -> None:
         custom_builder_path=config.decomposed_model_custom_builder_path,
         custom_builder_config=config.decomposed_model_custom_builder_config,
         checkpoint_path=config.decomposed_model_checkpoint_path,
+        enable_gradient_checkpointing=(
+            config.decomposed_model_enable_gradient_checkpointing
+        ),
     )
     builder.validate_module_names(model, config.blacklisted_modules)
 

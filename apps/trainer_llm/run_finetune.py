@@ -53,6 +53,9 @@ def main(config_raw: dict[str, Any], output_path: pathlib.Path) -> None:
         custom_builder_path=config.decomposed_model_custom_builder_path,
         custom_builder_config=config.decomposed_model_custom_builder_config,
         checkpoint_path=config.decomposed_model_checkpoint_path,
+        enable_gradient_checkpointing=(
+            config.decomposed_model_enable_gradient_checkpointing
+        ),
     )
     with open(config.decompose_config) as f:
         decompose_config = json.load(f)
