@@ -51,6 +51,8 @@ def copy_config(
     repro.mkdir(exist_ok=True, parents=True)
     with open(config_path) as f:
         config = yaml.safe_load(f)
+    if not isinstance(config, dict):
+        raise ValueError(f"Config file is not a YAML mapping: {config_path}")
     config["ptdeco_tpu_version"] = _version.__version__
     config["ptdeco_trainer_llm_version"] = TRAINER_LLM_VERSION
     with open(repro / "config.yaml", "w") as f:

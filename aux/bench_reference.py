@@ -59,7 +59,7 @@ def finetune_fn(module, device, names):
     return module
 
 
-def main() -> None:
+def run(precompute: bool) -> float:
     torch.manual_seed(0)
     model = MLP()
     model.eval()
@@ -82,11 +82,33 @@ def main() -> None:
         max_accepted_ppl_diff=1.0,
         decompose_in_float64=True,
         blacklisted_module_names=["head"],
+        precomputing_covariance_num_splits=1 if precompute else None,
     )
     elapsed = time.perf_counter() - t0
+    assert len(config) == DEPTH
+    for name, entry in config.items():
+        p = entry["__meta__"]["proportion"]
+        assert p == 32 / D, f"{name}: unexpected proportion {p}"
+    mode = "precompute" if precompute else "serial"
     n_params = ptdeco.utils.get_num_params(model)
-    print(f"reference dwain wall-clock: {elapsed:.2f}s")
-    print(f"decomposed {len(config)} sites, final params {n_params/1e6:.3f}M")
+    print(
+        f"reference dwain [{mode}] wall-clock: {elapsed:.2f}s "
+        f"({len(config)} sites decomposed, {n_params/1e6:.3f}M params)"
+    )
+    return elapsed
+
+
+def main() -> None:
+    import json
+
+    serial = run(precompute=False)
+    pre = run(precompute=True)
+    print(
+        json.dumps(
+            {"dwain_mlp_wall_s": round(serial, 2),
+             "dwain_mlp_precompute_wall_s": round(pre, 2)}
+        )
+    )
 
 
 if __name__ == "__main__":

@@ -182,7 +182,8 @@ def save_sd_npz(path, model):
     np.savez(path, **sd)
 
 
-def run_dwain(name, model, calib_x, calib_y, metric_x, metric_y, probe):
+def run_dwain(name, model, calib_x, calib_y, metric_x, metric_y, probe,
+              num_splits=None):
     dc = ptdeco.dwain.decompose_in_place(
         module=model,
         device=torch.device("cpu"),
@@ -190,6 +191,7 @@ def run_dwain(name, model, calib_x, calib_y, metric_x, metric_y, probe):
         loss_fn=ce_loss,
         metric_iterator=cycle_dicts(metric_x, metric_y),
         finetune_fn=identity_finetune,
+        precomputing_covariance_num_splits=num_splits,
         **DWAIN_KW,
     )
     model.eval()
@@ -281,10 +283,16 @@ def main():
         metric_x, metric_y, probe,
     )
     y_falor = run_falor("whole_falor_mlp", copy.deepcopy(mlp_init), calib_x, probe)
+    # precompute mode (splits=2 exercises the chunked single-pass gram path)
+    y_dwain_pre = run_dwain(
+        "whole_dwain_mlp_pre", copy.deepcopy(mlp_init), calib_x, calib_y,
+        metric_x, metric_y, probe, num_splits=2,
+    )
     np.savez(
         GOLDEN / "whole_mlp_data.npz",
         calib_x=calib_x, calib_y=calib_y, metric_x=metric_x,
         metric_y=metric_y, probe=probe, y_dwain=y_dwain, y_falor=y_falor,
+        y_dwain_pre=y_dwain_pre,
         **{f"init__{k}": v for k, v in init_sd.items()},
     )
 

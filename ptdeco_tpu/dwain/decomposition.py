@@ -83,6 +83,8 @@ def _process_module(
     use_pallas_gram: bool,
     u_matrix: Optional[np.ndarray],
     shared_metric_step=None,
+    indexed_step_info: Optional[tuple[Any, int]] = None,
+    eigh_method: str = "exact",
 ) -> dict[str, Any]:
     indent = "    "
     msg_prefix = f"Processing {site.name}:"
@@ -118,9 +120,16 @@ def _process_module(
             apply_fn,
             use_pallas=use_pallas_gram,
         )
-        u_matrix = engine.eigenvectors_from_gram(
-            grams[site.name], use_damping=True, in_float64=decompose_in_float64
-        )
+        if _resolve_eigh_method(site, eigh_method) == "randomized":
+            u_matrix = engine.randomized_topk_eigenvectors(
+                grams[site.name], _site_top_k(site, reduction_factor)
+            )
+        else:
+            u_matrix = engine.eigenvectors_from_gram(
+                grams[site.name],
+                use_damping=True,
+                in_float64=decompose_in_float64,
+            )
         logger.info(f"Computed u_matrix, dtype={u_matrix.dtype}")
     else:
         logger.info(f"Using pre-computed u_matrix, dtype={u_matrix.dtype}")
@@ -147,7 +156,12 @@ def _process_module(
         ladder.append((rank_new, drop, drop / num_params * trade_off_factor))
 
     evaluator = engine.CandidateEvaluator(
-        site, apply_fn, metric_fn, shared_step=shared_metric_step
+        site,
+        apply_fn,
+        metric_fn,
+        shared_step=shared_metric_step,
+        indexed_step=indexed_step_info[0] if indexed_step_info else None,
+        group_index=indexed_step_info[1] if indexed_step_info else 0,
     )
     raw = evaluator(
         root,
@@ -238,6 +252,68 @@ def _process_module(
     }
 
 
+class _AsyncUProvider:
+    """PIPELINED eigendecomposition: the per-site host LAPACK work runs on
+    one worker thread in walk order while the main thread keeps dispatching
+    gram/ladder programs to the device.  Only the MAIN thread ever touches
+    JAX (worker jobs are pure numpy), so no two threads race on the
+    device transport.  The reference computes every eigh serially on the
+    critical path (dwain:618-621); here all but the first overlap with
+    device metric evaluation."""
+
+    def __init__(self) -> None:
+        import concurrent.futures
+
+        self._ex = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+        self._jobs: dict[str, Any] = {}
+        self._finalize: dict[str, Any] = {}
+
+    def submit(self, name: str, host_job, finalize=None) -> None:
+        self._jobs[name] = self._ex.submit(host_job)
+        if finalize is not None:
+            self._finalize[name] = finalize
+
+    def put(self, name: str, value: Any) -> None:
+        """Already-materialized entry (device-side eigh path)."""
+        self._jobs[name] = value
+
+    def pop(self, name: str, default: Any = None) -> Any:
+        job = self._jobs.pop(name, None)
+        if job is None:
+            return default
+        res = job.result() if hasattr(job, "result") else job
+        fin = self._finalize.pop(name, None)
+        return fin(res) if fin is not None else res
+
+    def __len__(self) -> int:
+        return len(self._jobs)
+
+    def shutdown(self) -> None:
+        self._ex.shutdown(wait=False)
+
+
+def _site_top_k(site: engine.Site, reduction_factor: float) -> int:
+    """Largest rank the geometric ladder ever evaluates — the only
+    eigenvectors a dwain walk consumes (reference dwain:407-429)."""
+    return max(1, int(site.full_rank * reduction_factor))
+
+
+# sites at/above this width switch to the randomized EVD under "auto"
+# (host f64 LAPACK on a 8192² gram is ~2 minutes on one core; the
+# randomized path moves the O(d² k) work onto the MXU)
+AUTO_RANDOMIZED_EIGH_MIN_RANK = 4096
+
+
+def _resolve_eigh_method(site: engine.Site, eigh_method: str) -> str:
+    if eigh_method == "auto":
+        return (
+            "randomized"
+            if site.full_rank >= AUTO_RANDOMIZED_EIGH_MIN_RANK
+            else "exact"
+        )
+    return eigh_method
+
+
 def _precompute_u_in_splits(
     *,
     root: nn.Module,
@@ -248,11 +324,15 @@ def _precompute_u_in_splits(
     apply_fn: engine.ApplyFn,
     decompose_in_float64: bool,
     use_pallas_gram: bool = False,
-) -> dict[str, np.ndarray]:
+    eigh_method: str = "exact",
+    reduction_factor: float = 0.5,
+) -> _AsyncUProvider:
     """Precompute eigenbases for all sites, in memory-bounded splits
     (reference dwain:580-674).  One jitted forward per batch accumulates all
-    Grams of a split simultaneously."""
-    u_dict: dict[str, np.ndarray] = {}
+    Grams of a split simultaneously; the host eighs are then PIPELINED in
+    walk order (see _AsyncUProvider) instead of blocking up front."""
+    provider = _AsyncUProvider()
+    host_jobs: dict[str, tuple[Any, Any]] = {}
     # ceil-divide so every module is covered (the reference's floor-divide
     # chunking drops trailing modules when len % num_splits > chunk_size and
     # then dies on its own assert, dwain:589-607)
@@ -277,12 +357,42 @@ def _precompute_u_in_splits(
             use_pallas=use_pallas_gram,
         )
         for name in sublist:
-            u_dict[name] = engine.eigenvectors_from_gram(
-                grams[name], use_damping=True, in_float64=decompose_in_float64
-            )
+            site = engine.get_site(root, name)
+            if _resolve_eigh_method(site, eigh_method) == "randomized":
+                top_k = _site_top_k(site, reduction_factor)
+                q, b_host = engine.sketch_for_randomized_eigh(
+                    grams[name], top_k
+                )
+                host_jobs[name] = (
+                    lambda b=b_host: np.linalg.eigh(b)[1],
+                    lambda v, q=q, k=top_k: engine.finish_randomized_eigh(
+                        q, v, k
+                    ),
+                )
+            elif decompose_in_float64:
+                g_host = np.asarray(jax.device_get(grams[name]), np.float64)
+                host_jobs[name] = (
+                    lambda g=g_host: engine.eigenvectors_from_gram(
+                        g, use_damping=True, in_float64=True
+                    ),
+                    None,
+                )
+            else:
+                provider.put(
+                    name,
+                    engine.eigenvectors_from_gram(
+                        grams[name], use_damping=True, in_float64=False
+                    ),
+                )
         del grams
-    assert len(u_dict) == len(modules_to_decompose)
-    return u_dict
+    # submit host work in WALK order (reversed discovery) so the first
+    # site the walk needs is the first eigh computed
+    for name in reversed(modules_to_decompose):
+        if name in host_jobs:
+            job, finalize = host_jobs[name]
+            provider.submit(name, job, finalize)
+    assert len(provider) == len(modules_to_decompose)
+    return provider
 
 
 def _pair_kernels(pair: nn.Module, site: engine.Site):
@@ -477,6 +587,8 @@ def decompose(
     use_pallas_gram: bool = False,
     defer_substitution: bool = True,
     shared_metric_threshold: int = SHARED_METRIC_SITE_THRESHOLD,
+    use_indexed_ladder: bool = True,
+    eigh_method: str = "exact",
 ) -> tuple[nn.Module, dict[str, Any]]:
     """Whole-model iterative decomposition.
 
@@ -535,7 +647,7 @@ def decompose(
         and precomputing_covariance_num_splits > 0
         and pending_sites
     ):
-        u_dict = _precompute_u_in_splits(
+        u_dict: Any = _precompute_u_in_splits(
             root=module,
             modules_to_decompose=pending_sites,
             num_splits=precomputing_covariance_num_splits,
@@ -544,22 +656,51 @@ def decompose(
             apply_fn=apply_fn,
             decompose_in_float64=decompose_in_float64,
             use_pallas_gram=use_pallas_gram,
+            eigh_method=eigh_method,
+            reduction_factor=reduction_factor,
         )
     else:
         logger.info("Skipping precomputing covariance matrices")
         u_dict = {}
 
     metric_fn = _make_metric_fn(loss_fn)
-    # Few sites: fused per-site ladder programs (1 dispatch per site).
-    # Many sites: one structure-shared program for the whole walk
-    # (1 compile total, C dispatches per site) — compile time dominates at
-    # LLM scale.  Deferred substitution keeps the structure constant so the
-    # shared program really is shared.
+    # Metric-step strategy (all reference-equivalent, engine.py):
+    #   * same-shape groups of >=2 sites -> POSITION-INDEXED ladder: one
+    #     compile per shape group AND one dispatch per site;
+    #   * remaining singletons, few sites -> fused per-site ladder
+    #     (1 dispatch/site, site-specific program);
+    #   * remaining singletons, many sites -> structure-shared program
+    #     (1 compile total, C dispatches per site).
+    # Deferred substitution keeps the pytree structure constant so group /
+    # shared programs stay valid across the whole walk.
     shared_metric_step = None
-    if defer_substitution and n > shared_metric_threshold:
+    indexed_info: dict[str, tuple[Any, int]] = {}
+    if defer_substitution and use_indexed_ladder:
+        sites_all = {m: engine.get_site(module, m) for m in modules_to_decompose}
+        groups: dict[tuple, list[str]] = {}
+        for m in modules_to_decompose:
+            groups.setdefault(
+                engine.site_group_signature(sites_all[m]), []
+            ).append(m)
+        for names in groups.values():
+            if len(names) >= 2:
+                group_sites = tuple(sites_all[m] for m in names)
+                step = engine.make_indexed_ladder_metric_step(
+                    group_sites, apply_fn, metric_fn
+                )
+                for j, m in enumerate(names):
+                    indexed_info[m] = (step, j)
+        if indexed_info:
+            n_groups = sum(1 for g in groups.values() if len(g) >= 2)
+            logger.info(
+                f"Position-indexed ladder: {len(indexed_info)}/{n} sites "
+                f"share {n_groups} compiled program(s)"
+            )
+    if defer_substitution and n - len(indexed_info) > shared_metric_threshold:
         shared_metric_step = engine.make_shared_metric_step(apply_fn, metric_fn)
         logger.info(
-            f"Using structure-shared metric step for {n} sites "
+            f"Using structure-shared metric step for "
+            f"{n - len(indexed_info)} ungrouped sites "
             f"(> {shared_metric_threshold})"
         )
     deferred = _DeferredPairs() if defer_substitution else None
@@ -601,6 +742,8 @@ def decompose(
             use_pallas_gram=use_pallas_gram,
             u_matrix=u_dict.pop(submodule_name, None),
             shared_metric_step=shared_metric_step,
+            indexed_step_info=indexed_info.get(submodule_name),
+            eigh_method=eigh_method,
         )
         current_params -= result["drop_in_params"]
         logger.info(f"CURRENT PARAMS IN M: {current_params / 1e6}")
@@ -650,6 +793,8 @@ def decompose(
             ckpt.record(None, submodule_name, None)
             logger.info(f"{submodule_name} not decomposed")
 
+    if isinstance(u_dict, _AsyncUProvider):
+        u_dict.shutdown()
     if deferred is not None:
         module = deferred.materialize(module)
 

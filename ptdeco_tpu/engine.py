@@ -229,7 +229,7 @@ def make_gram_scan_step(
         (grams, means), _ = jax.lax.scan(body, (grams, means), batches)
         return grams, means
 
-    return jax.jit(_step, donate_argnums=(2, 3))
+    return _counted(jax.jit(_step, donate_argnums=(2, 3)))
 
 
 def _stack_batches(batch_list: list[Any]) -> Any:
@@ -327,7 +327,81 @@ def make_ladder_metric_step(site: Site, apply_fn: ApplyFn, metric_fn):
         _, out = jax.lax.scan(cand, None, (ranks, batches))
         return out  # (C, M, K)
 
-    return jax.jit(_step)
+    return _counted(jax.jit(_step))
+
+
+# ---------------------------------------------------------------------------
+# Dispatch accounting: host->device round-trips are the dominant overhead on
+# high-latency transports (~100ms/dispatch measured over the axon tunnel),
+# so the count is a first-class performance metric (bench.py reports it).
+# ---------------------------------------------------------------------------
+
+_DISPATCH_COUNT = {"n": 0}
+
+
+def reset_dispatch_count() -> None:
+    _DISPATCH_COUNT["n"] = 0
+
+
+def dispatch_count() -> int:
+    return _DISPATCH_COUNT["n"]
+
+
+def _counted(fn):
+    """Wrap a jitted step so each host-side invocation (one device
+    dispatch) is tallied."""
+
+    def wrapper(*args, **kwargs):
+        _DISPATCH_COUNT["n"] += 1
+        return fn(*args, **kwargs)
+
+    return wrapper
+
+
+def site_group_signature(site: Site) -> tuple:
+    """Sites with equal signatures can share one indexed ladder program."""
+    return (site.kind, site.in_features, site.out_features, str(site.dtype))
+
+
+def make_indexed_ladder_metric_step(
+    group: tuple[Site, ...], apply_fn: ApplyFn, metric_fn
+):
+    """POSITION-INDEXED ladder step: ONE compiled program serves EVERY site
+    of a same-shape group — the target site is selected by a *traced*
+    integer index, so neither the substituted leaf's tree position nor the
+    site identity is baked into the HLO.
+
+    For each group member j the program computes
+    ``kernel_j = where(site_idx == j, deco, kernel_j)`` — a cheap select
+    that XLA fuses — so transformer stacks (22 layers x 4 same-shaped
+    projections) compile one program per projection shape instead of one
+    per site.  Collapses the per-site compiles of the fused ladder
+    (make_ladder_metric_step) while keeping its 1-dispatch-per-site cost;
+    the reference eagerly re-runs the model per candidate per batch
+    (dwain:435-448) and has no analogue."""
+
+    def _step(root, site_idx, kernel2d, u, ranks, batches):
+        def cand(_, inp):
+            rank, cbatches = inp
+            deco = compose_deco_kernel(kernel2d, u, rank)
+            root_deco = root
+            for j, site in enumerate(group):
+                orig = get_site_kernel2d(root, site)
+                newk = jnp.where(site_idx == j, deco.astype(orig.dtype), orig)
+                root_deco = set_site_kernel2d(root_deco, site, newk)
+
+            def mstep(_, batch):
+                y_deco = apply_fn(root_deco, batch, None)
+                y_orig = apply_fn(root, batch, None)
+                return None, metric_fn(batch, y_deco, y_orig)
+
+            _, ms = jax.lax.scan(mstep, None, cbatches)
+            return None, ms
+
+        _, out = jax.lax.scan(cand, None, (ranks, batches))
+        return out  # (C, M, K)
+
+    return _counted(jax.jit(_step))
 
 
 def make_candidate_metric_step(site: Site, apply_fn: ApplyFn, metric_fn):
@@ -347,7 +421,7 @@ def make_candidate_metric_step(site: Site, apply_fn: ApplyFn, metric_fn):
         _, ms = jax.lax.scan(mstep, None, batches)
         return ms
 
-    return jax.jit(_step)
+    return _counted(jax.jit(_step))
 
 
 def make_shared_metric_step(apply_fn: ApplyFn, metric_fn):
@@ -368,7 +442,7 @@ def make_shared_metric_step(apply_fn: ApplyFn, metric_fn):
         _, ms = jax.lax.scan(mstep, None, batches)
         return ms
 
-    return jax.jit(_step)
+    return _counted(jax.jit(_step))
 
 
 class CandidateEvaluator:
@@ -378,7 +452,10 @@ class CandidateEvaluator:
     the reference's exact iterator consumption order, dwain:435-448) and
     returns raw per-(candidate, batch) metrics as (C, M, K) numpy.
 
-    Two dispatch strategies:
+    Three dispatch strategies:
+      * ``indexed_step`` (pass one from make_indexed_ladder_metric_step
+        plus this site's index in its shape group): one dispatch for the
+        whole (C, M) grid AND one compile for the whole shape group;
       * fused ladder (default for few-site models): one dispatch for the
         whole (C, M) grid, but its program is site-specific;
       * ``shared_step`` (pass one from make_shared_metric_step, reused
@@ -391,10 +468,14 @@ class CandidateEvaluator:
         apply_fn: ApplyFn,
         metric_fn,
         shared_step=None,
+        indexed_step=None,
+        group_index: int = 0,
     ) -> None:
         self.site = site
         self._shared = shared_step
-        if shared_step is None:
+        self._indexed = indexed_step
+        self._group_index = group_index
+        if shared_step is None and indexed_step is None:
             self._ladder = make_ladder_metric_step(site, apply_fn, metric_fn)
             self._cand = make_candidate_metric_step(site, apply_fn, metric_fn)
 
@@ -416,9 +497,30 @@ class CandidateEvaluator:
         per_batch = _batch_nbytes(all_batches[0][0])
         max_m = max(1, METRIC_STACK_BUDGET_BYTES // max(per_batch, 1))
 
+        if self._indexed is not None:
+            idx = jnp.int32(self._group_index)
+            ranks_arr = jnp.asarray(ranks, jnp.int32)
+            if c * m * per_batch <= METRIC_STACK_BUDGET_BYTES:
+                stacked = _stack_batches(
+                    [_stack_batches(cb) for cb in all_batches]
+                )
+                out = self._indexed(root, idx, kernel2d, u_dev, ranks_arr, stacked)
+                return np.asarray(jax.device_get(out))
+            # over budget: chunk the metric batches, full candidate axis
+            outs = []
+            for j in range(0, m, max_m):
+                stacked = _stack_batches(
+                    [_stack_batches(cb[j : j + max_m]) for cb in all_batches]
+                )
+                outs.append(
+                    self._indexed(root, idx, kernel2d, u_dev, ranks_arr, stacked)
+                )
+            return np.asarray(jax.device_get(jnp.concatenate(outs, axis=1)))
+
         if self._shared is not None:
             rows = []
             for rank, cb in zip(ranks, all_batches):
+                _DISPATCH_COUNT["n"] += 1  # host-side compose dispatch
                 deco = compose_deco_kernel(kernel2d, u_dev, jnp.int32(rank))
                 root_deco = set_site_kernel2d(root, self.site, deco)
                 outs = [
@@ -504,6 +606,95 @@ def eigenvectors_from_gram(
         g = g + damp * np.eye(g.shape[-1], dtype=g.dtype)
     _, u = np.linalg.eigh(g)
     return u
+
+
+@functools.partial(jax.jit, static_argnames=("m", "iters"))
+def _subspace_sketch(
+    g: jax.Array, key: jax.Array, m: int, iters: int
+) -> tuple[jax.Array, jax.Array]:
+    """Randomized subspace iteration on device: orthonormal Q (d, m)
+    approximately spanning the top-m eigenspace of PSD ``g``, plus the
+    Rayleigh-Ritz projection B = Qᵀ G Q (m, m).  All matmuls ride the MXU
+    in f32-highest; QR re-orthonormalizes between power iterations."""
+    hi = jax.lax.Precision.HIGHEST
+    om = jax.random.normal(key, (g.shape[0], m), jnp.float32)
+    y = jnp.dot(g, om, precision=hi)
+    q, _ = jnp.linalg.qr(y)
+    for _ in range(iters):
+        y = jnp.dot(g, q, precision=hi)
+        q, _ = jnp.linalg.qr(y)
+    gq = jnp.dot(g, q, precision=hi)
+    b = jnp.dot(q.T, gq, precision=hi)
+    b = (b + b.T) / 2
+    return q, b
+
+
+@jax.jit
+def _project_back(q: jax.Array, v: jax.Array) -> jax.Array:
+    return jnp.dot(q, v, precision=jax.lax.Precision.HIGHEST)
+
+
+def randomized_topk_eigenvectors(
+    gram: jax.Array,
+    top_k: int,
+    *,
+    oversample: int = 64,
+    power_iters: int = 2,
+    key: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Top-``top_k`` eigenvectors of a PSD Gram via randomized subspace
+    iteration (Halko et al. 2011), returned ASCENDING like eigh so the
+    existing ``u[:, -rank:]`` slicing applies unchanged.
+
+    TPU-first split of the work: the O(d² m) sketch/power matmuls + QR run
+    on device in f32; only the small (m, m) Rayleigh-Ritz matrix is pulled
+    to host for an exact f64 LAPACK eigh.  For d=2048, m≈1088 this is ~6x
+    less host LAPACK work than the full f64 eigh the reference pays
+    (dwain:155-163), and the d×d Gram never crosses the host link.
+
+    Rank search only ever consumes the top int(full_rank*reduction_factor)
+    eigenvectors (the first ladder candidate), so ``top_k = full_rank//2``
+    loses nothing.  Eigenvector accuracy is bounded by the f32 Gram
+    accumulation either way; decision parity vs the exact path is
+    regression-tested (tests/test_randomized_evd.py)."""
+    d = gram.shape[-1]
+    m = min(d, top_k + oversample)
+    if key is None:
+        key = jax.random.PRNGKey(d)
+    _DISPATCH_COUNT["n"] += 2  # sketch + project-back
+    q, b = _subspace_sketch(gram.astype(jnp.float32), key, m, power_iters)
+    b_host = np.asarray(jax.device_get(b), np.float64)
+    _, v = np.linalg.eigh(b_host)  # ascending
+    u = _project_back(q, jnp.asarray(v[:, -top_k:], jnp.float32))
+    return u  # (d, top_k), ascending
+
+
+def sketch_for_randomized_eigh(
+    gram: jax.Array,
+    top_k: int,
+    *,
+    oversample: int = 64,
+    power_iters: int = 2,
+    key: Optional[jax.Array] = None,
+) -> tuple[jax.Array, np.ndarray]:
+    """Device phase of randomized_topk_eigenvectors, split out so a caller
+    can run the host eigh of B on a worker thread (pipelined decomposition)
+    while keeping ALL device interaction on the main thread."""
+    d = gram.shape[-1]
+    m = min(d, top_k + oversample)
+    if key is None:
+        key = jax.random.PRNGKey(d)
+    _DISPATCH_COUNT["n"] += 1
+    q, b = _subspace_sketch(gram.astype(jnp.float32), key, m, power_iters)
+    return q, np.asarray(jax.device_get(b), np.float64)
+
+
+def finish_randomized_eigh(
+    q: jax.Array, v_host: np.ndarray, top_k: int
+) -> jax.Array:
+    """Main-thread device phase completing a worker-thread eigh of B."""
+    _DISPATCH_COUNT["n"] += 1
+    return _project_back(q, jnp.asarray(v_host[:, -top_k:], jnp.float32))
 
 
 # ---------------------------------------------------------------------------

@@ -75,6 +75,7 @@ def _process_module(
     use_damping: bool,
     use_pallas_gram: bool = False,
     shared_metric_step=None,
+    indexed_step_info: Optional[tuple[Any, int]] = None,
 ) -> dict[str, Any]:
     msg_prefix = f"Processing {site.name}:"
     dim_in, dim_out = site.in_features, site.out_features
@@ -117,7 +118,12 @@ def _process_module(
     # its num_metric_steps batches in one fused dispatch; the evaluator's
     # jitted steps are reused across the whole search.
     evaluator = engine.CandidateEvaluator(
-        site, apply_fn, _metric_fn, shared_step=shared_metric_step
+        site,
+        apply_fn,
+        _metric_fn,
+        shared_step=shared_metric_step,
+        indexed_step=indexed_step_info[0] if indexed_step_info else None,
+        group_index=indexed_step_info[1] if indexed_step_info else 0,
     )
     rank_best = full_rank
     rank_width = full_rank // 2
@@ -189,6 +195,7 @@ def decompose(
     use_pallas_gram: bool = False,
     checkpoint_dir: Optional[str] = None,
     shared_metric_threshold: int = SHARED_METRIC_SITE_THRESHOLD,
+    use_indexed_ladder: bool = True,
 ) -> tuple[nn.Module, dict[str, Any]]:
     """Two-phase one-shot decomposition (reference falor:424-511):
     phase 1 scores every decomposeable site against the original model;
@@ -208,11 +215,39 @@ def decompose(
         [m for m in decomposable_submodules if m not in blacklisted_module_names]
     )
 
+    # Metric-step strategy mirrors dwain (engine.py): same-shape groups of
+    # >=2 active sites share ONE position-indexed compiled program (falor's
+    # phase 1 never mutates the model, so group programs are always valid);
+    # singleton shapes use the fused ladder or, above the threshold, the
+    # structure-shared step.
+    active = [
+        m for m in decomposable_submodules if m not in blacklisted_module_names
+    ]
+    indexed_info: dict[str, tuple[Any, int]] = {}
+    sites_all = {m: engine.get_site(module, m) for m in active}
+    groups: dict[tuple, list[str]] = {}
+    for m in active:
+        groups.setdefault(engine.site_group_signature(sites_all[m]), []).append(m)
+    for names in groups.values() if use_indexed_ladder else ():
+        if len(names) >= 2:
+            group_sites = tuple(sites_all[m] for m in names)
+            step = engine.make_indexed_ladder_metric_step(
+                group_sites, apply_fn, _metric_fn
+            )
+            for j, m in enumerate(names):
+                indexed_info[m] = (step, j)
+    if indexed_info:
+        n_groups = sum(1 for g in groups.values() if len(g) >= 2)
+        logger.info(
+            f"Position-indexed ladder: {len(indexed_info)}/{n_active} sites "
+            f"share {n_groups} compiled program(s)"
+        )
     shared_metric_step = None
-    if n_active > shared_metric_threshold:
+    if n_active - len(indexed_info) > shared_metric_threshold:
         shared_metric_step = engine.make_shared_metric_step(apply_fn, _metric_fn)
         logger.info(
-            f"Using structure-shared metric step for {n_active} sites "
+            f"Using structure-shared metric step for "
+            f"{n_active - len(indexed_info)} ungrouped sites "
             f"(> {shared_metric_threshold})"
         )
 
@@ -297,6 +332,7 @@ def decompose(
             use_damping=use_damping,
             use_pallas_gram=use_pallas_gram,
             shared_metric_step=shared_metric_step,
+            indexed_step_info=indexed_info.get(submodule_name),
         )
         results_all[submodule_name] = result
         if ckpt_path is not None:

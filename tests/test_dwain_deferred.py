@@ -96,7 +96,7 @@ def test_shared_metric_step_matches_fused():
     from tests.test_dwain_e2e import loss_fn as lf, lowrank_data_iter as ldi
     from tests.test_dwain_e2e import make_mlp as mk
 
-    def run(threshold):
+    def run(threshold, indexed=False):
         return dwain.decompose(
             module=mk(64),
             data_iterator=ldi(jax.random.PRNGKey(0), 16, 64),
@@ -110,14 +110,51 @@ def test_shared_metric_step_matches_fused():
             trade_off_factor=1000.0,
             max_accepted_ppl_diff=1.0,
             shared_metric_threshold=threshold,
+            use_indexed_ladder=indexed,
         )
 
     m_fused, cfg_fused = run(threshold=100)  # fused ladder path
     m_shared, cfg_shared = run(threshold=0)  # shared-step path
-    assert cfg_fused.keys() == cfg_shared.keys()
+    m_idx, cfg_idx = run(threshold=100, indexed=True)  # position-indexed
+    assert cfg_fused.keys() == cfg_shared.keys() == cfg_idx.keys()
     for k in cfg_fused:
         assert cfg_fused[k]["modules"] == cfg_shared[k]["modules"]
+        assert cfg_fused[k]["modules"] == cfg_idx[k]["modules"]
     b = next(lowrank_data_iter(jax.random.PRNGKey(7), 8, 64))
     np.testing.assert_allclose(
         np.asarray(m_fused(b)), np.asarray(m_shared(b)), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(m_fused(b)), np.asarray(m_idx(b)), atol=1e-5
+    )
+
+
+def test_indexed_ladder_matches_fused_falor():
+    """falor's binary search through the position-indexed program must
+    reproduce the fused per-site path's decisions exactly."""
+    from ptdeco_tpu import falor
+    from tests.test_dwain_e2e import lowrank_data_iter as ldi
+    from tests.test_dwain_e2e import make_mlp as mk
+
+    def run(indexed):
+        return falor.decompose(
+            module=mk(64),
+            data_iterator=(b["inp"] for b in ldi(jax.random.PRNGKey(0), 16, 64)),
+            proportion_threshold=1.1,
+            nsr_final_threshold=0.2,
+            kl_final_threshold=10.0,
+            num_data_steps=2,
+            num_metric_steps=2,
+            blacklisted_module_names=["head"],
+            use_indexed_ladder=indexed,
+        )
+
+    m_fused, cfg_fused = run(False)
+    m_idx, cfg_idx = run(True)
+    assert cfg_fused.keys() == cfg_idx.keys() and len(cfg_fused) >= 1
+    for k in cfg_fused:
+        assert cfg_fused[k]["modules"] == cfg_idx[k]["modules"]
+    b = next(ldi(jax.random.PRNGKey(7), 8, 64))["inp"]
+    np.testing.assert_allclose(
+        np.asarray(m_fused(b)), np.asarray(m_idx(b)), atol=1e-5
     )

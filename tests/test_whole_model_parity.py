@@ -255,6 +255,35 @@ def test_dwain_whole_model_decision_parity(family):
     assert_parity(config, model2, f"whole_dwain_{family}", data, "y_dwain", 5e-4)
 
 
+def test_dwain_precompute_whole_model_decision_parity():
+    """Same parity pin for the PRECOMPUTED covariance mode (reference
+    dwain:580-674; splits=2 exercises the chunked single-pass gram path and
+    our pipelined eigh provider)."""
+    if not (GOLDEN / "whole_dwain_mlp_pre_config.json").exists():
+        pytest.skip("precompute golden not generated")
+    hp = _hparams()["dwain"]
+    data, init_sd = _load_family("whole_mlp")
+    model = make_mlp(init_sd)
+    model2, config = dwain.decompose(
+        module=model,
+        data_iterator=_cycle_dicts(data["calib_x"], data["calib_y"]),
+        loss_fn=ce_loss,
+        metric_iterator=_cycle_dicts(data["metric_x"], data["metric_y"]),
+        num_data_steps=hp["num_data_steps"],
+        num_metric_steps=hp["num_metric_steps"],
+        nsr_final_threshold=hp["nsr_final_threshold"],
+        min_rank=hp["min_rank"],
+        trade_off_factor=hp["trade_off_factor"],
+        reduction_factor=hp["reduction_factor"],
+        max_accepted_ppl_diff=hp["max_accepted_ppl_diff"],
+        decompose_in_float64=hp["decompose_in_float64"],
+        precomputing_covariance_num_splits=2,
+    )
+    assert_parity(
+        config, model2, "whole_dwain_mlp_pre", data, "y_dwain_pre", 5e-4
+    )
+
+
 def test_lockd_whole_walk_numeric_parity():
     """lockd whole walk on BIT-IDENTICAL student factors: import the
     reference's wrapped (pre-decompose) state dict into our wrapped model,
