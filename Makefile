@@ -10,8 +10,18 @@ test:
 test-fast:
 	$(PYTHON) -m pytest tests/ -x -q -m "not slow"
 
+# check = byte-compile + dependency-free lint (always available) + ruff /
+# mypy when installed (this dev image ships neither; CI installs both —
+# reference Makefile:19-44 parity)
 check:
 	$(PYTHON) -m compileall -q ptdeco_tpu tests apps
+	$(PYTHON) aux/lint_basic.py
+	@if $(PYTHON) -c "import ruff" 2>/dev/null || command -v ruff >/dev/null; then \
+		ruff check ptdeco_tpu apps aux tests bench.py __graft_entry__.py; \
+	else echo "ruff not installed; skipped (CI runs it)"; fi
+	@if command -v mypy >/dev/null; then \
+		mypy --ignore-missing-imports ptdeco_tpu; \
+	else echo "mypy not installed; skipped (CI runs it)"; fi
 
 build:
 	$(PYTHON) -m build

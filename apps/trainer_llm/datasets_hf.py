@@ -20,7 +20,7 @@ Batches are dicts of numpy arrays {"input_ids", "attention_mask", "labels"}
 from __future__ import annotations
 
 import logging
-from typing import Any, Iterator, Optional, Sequence
+from typing import Any, Iterator, Sequence
 
 import numpy as np
 

@@ -18,7 +18,7 @@ from __future__ import annotations
 import json
 import logging
 import pathlib
-from typing import Any, Iterable, Sequence
+from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -79,16 +79,31 @@ def calc_lm_eval_metrics(
     model: nn.Module, tokenizer: Any, tasks: list[str]
 ) -> Optional[dict[str, Any]]:
     """Task-suite evaluation (reference metrics.py:81-107 shells out to
-    EleutherAI's lm_eval).  Local ``.jsonl`` task files run on the built-in
-    offline loglikelihood harness (eval_harness.py); named tasks fall back
-    to lm_eval when installed (not in this image)."""
+    EleutherAI's lm_eval).  Resolution order per task:
+
+      1. a literal ``.jsonl`` path -> the built-in offline loglikelihood
+         harness (eval_harness.py);
+      2. a named task with a bundled snapshot
+         (``apps/trainer_llm/tasks/<name>.jsonl``, see
+         aux/make_task_snapshots.py) -> same offline harness;
+      3. a named task with ``lm_eval`` installed -> ``simple_evaluate``
+         over the JAX LM adapter (lm_eval_adapter.make_lm_eval_model);
+      4. otherwise the task is skipped with a warning."""
+    from . import eval_harness, lm_eval_adapter
+
     results: dict[str, Any] = {}
-    named = []
+    named: list[str] = []
     for task in tasks:
         if task.endswith(".jsonl"):
-            from . import eval_harness
-
             rows = eval_harness.load_task(task)
+            results[task] = eval_harness.evaluate_loglikelihood_task(
+                model, tokenizer, rows
+            )
+            continue
+        snapshot = lm_eval_adapter.resolve_offline_task(task)
+        if snapshot is not None:
+            logger.info(f"Evaluating {task} from offline snapshot {snapshot}")
+            rows = eval_harness.load_task(str(snapshot))
             results[task] = eval_harness.evaluate_loglikelihood_task(
                 model, tokenizer, rows
             )
@@ -96,13 +111,17 @@ def calc_lm_eval_metrics(
             named.append(task)
     if named:
         try:
-            import lm_eval  # noqa: F401
+            import lm_eval
 
-            raise NotImplementedError(
-                "lm_eval named tasks need a JAX LM adapter; use .jsonl tasks"
-            )
+            lm = lm_eval_adapter.make_lm_eval_model(model, tokenizer)
+            ev = lm_eval.simple_evaluate(model=lm, tasks=named)
+            if ev is not None:
+                for task, res in ev.get("results", {}).items():
+                    results[task] = res
         except ImportError:
             logger.warning(
-                f"lm_eval not installed; skipping named tasks {named}"
+                f"lm_eval not installed and no offline snapshot for "
+                f"{named}; skipping (export snapshots with "
+                "aux/make_task_snapshots.py)"
             )
     return results or None

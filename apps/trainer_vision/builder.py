@@ -17,6 +17,7 @@ import jax.numpy as jnp
 from ptdeco_tpu import engine, nn, utils
 from ptdeco_tpu.models import convnext as convnext_zoo
 from ptdeco_tpu.models import resnet as resnet_zoo
+from ptdeco_tpu.models import swin as swin_zoo
 from ptdeco_tpu.models import vit as vit_zoo
 
 logger = logging.getLogger(__name__)
@@ -31,6 +32,11 @@ _ZOO = {
     "vit_tiny_patch16_224": vit_zoo.vit_tiny,
     "vit_small_patch16_224": vit_zoo.vit_small,
     "vit_base_patch16_224": vit_zoo.vit_base,
+    # windowed-attention family (the reference's swinv2 dwain target,
+    # examples_config/decompose_dwain_swinv2_tiny.yaml); timm-style aliases
+    "swinv2_tiny_patch4_window7_224": swin_zoo.swinv2_tiny,
+    "swinv2_cr_tiny_ns_224": swin_zoo.swinv2_tiny,
+    "swinv2_small_patch4_window7_224": swin_zoo.swinv2_small,
 }
 
 
@@ -55,6 +61,7 @@ def make_model(
             sd = utils.load_state_dict_safetensors(checkpoint_path)
         else:
             sd = utils.load_state_dict_pt(checkpoint_path)
+        log_state_dict_keys_stats("make_model:", model, sd)
         model = utils.load_state_dict(model, sd, strict=False)
         logger.info(f"Loaded weights from {checkpoint_path}")
     log_decomposeable_inventory(model)
@@ -89,6 +96,123 @@ def get_model_stats(
         "gflops": gflops,
         "kmapps": kmapps,
     }
+
+
+class _ShapeTap(nn.Module):
+    """Records the input shape of a wrapped module during an ABSTRACT
+    forward (jax.eval_shape) — no compute, no compile."""
+
+    inner: nn.Module
+    site_name: str = nn.static_field(default="")
+    store: Any = nn.static_field(default=None)
+
+    def __call__(self, x, ctx=None):
+        self.store[self.site_name] = tuple(x.shape)
+        return self.inner(x, ctx=ctx)
+
+    def __getattr__(self, name: str):
+        return getattr(object.__getattribute__(self, "inner"), name)
+
+
+def _module_macs(m: nn.Module, in_shape: tuple) -> float:
+    """fvcore-equivalent MAC count for Linear/Conv2d (the module classes
+    fvcore counts and the only ones decomposition targets)."""
+    if isinstance(m, nn.Linear):
+        batch = 1.0
+        for d in in_shape[:-1]:
+            batch *= d
+        return batch * m.in_features * m.out_features
+    if isinstance(m, nn.Conv2d):
+        n, h, w, _ = in_shape
+        kh, kw = m.kernel_size
+        sh, sw = m.stride if isinstance(m.stride, tuple) else (m.stride,) * 2
+        ph, pw = m.padding if isinstance(m.padding, tuple) else (m.padding,) * 2
+        oh = (h + 2 * ph - kh) // sh + 1
+        ow = (w + 2 * pw - kw) // sw + 1
+        return (
+            n * oh * ow * m.out_channels * m.in_channels * kh * kw / m.groups
+        )
+    return 0.0
+
+
+def get_fpops_dict(
+    model: nn.Module,
+    b_h_w_c: tuple[int, int, int, int],
+    units: str = "gflops",
+) -> dict[str, float]:
+    """Per-module forward fpops (reference get_fpops_dict,
+    builder.py:63-91, which uses fvcore's by_module MAC counts x2).
+
+    TPU-native mechanism: ONE abstract forward (jax.eval_shape) through
+    shape-recording taps gives every Linear/Conv2d input shape — no device
+    compute, no per-module compile — then analytic MACs per module,
+    aggregated up the module tree like fvcore's by_module (parents sum
+    their children; '' is the whole model)."""
+    shapes: dict[str, tuple] = {}
+    tapped = model
+    for name, m in nn.named_modules(model):
+        if name and isinstance(m, (nn.Linear, nn.Conv2d)):
+            tapped = nn.replace_submodule(
+                tapped, name, _ShapeTap(inner=m, site_name=name, store=shapes)
+            )
+    x = jax.ShapeDtypeStruct(b_h_w_c, jnp.float32)
+    jax.eval_shape(lambda mm, xx: mm(xx), tapped, x)
+
+    leaf_macs = {
+        name: _module_macs(nn.get_submodule(model, name), shape) / b_h_w_c[0]
+        for name, shape in shapes.items()
+    }
+    # aggregate to every ancestor (fvcore by_module semantics)
+    per_module: dict[str, float] = {"": 0.0}
+    for name, _ in nn.named_modules(model):
+        per_module.setdefault(name, 0.0)
+    for leaf, macs in leaf_macs.items():
+        parts = leaf.split(".")
+        per_module[""] += macs
+        for i in range(1, len(parts) + 1):
+            per_module[".".join(parts[:i])] += macs
+
+    if units.lower() == "gflops":
+        factor = 2.0 / 1.0e9  # MACs -> GFLOPs
+    elif units.lower() == "kmapps":
+        factor = 1.0 / (b_h_w_c[1] * b_h_w_c[2]) / 1024.0  # kMACs/pixel
+    else:
+        raise ValueError(f"Unknown {units=}")
+    return {k: v * factor for k, v in per_module.items()}
+
+
+def get_decomposeable_model_stats(
+    model: nn.Module, b_h_w_c: tuple[int, int, int, int]
+) -> dict[str, float]:
+    """GFLOPs + Mparams concentrated in decomposeable modules (reference
+    get_decomposeable_model_stats, builder.py:93-109)."""
+    fpops = get_fpops_dict(model, b_h_w_c, units="gflops")
+    gflops = 0.0
+    params = 0
+    for name, m in nn.named_modules(model):
+        if name and engine.is_decomposeable_module(m):
+            gflops += fpops.get(name, 0.0)
+            params += utils.get_num_params(m)
+    return {
+        "gflops_decomposeable": gflops,
+        "mparams_decomposeable": params / 1.0e6,
+    }
+
+
+def log_state_dict_keys_stats(
+    log_prefix: str, model: nn.Module, state_dict: dict[str, Any]
+) -> int:
+    """Overlap between a model's keys and a loaded state dict (reference
+    log_state_dict_keys_stats, builder.py:187-201)."""
+    model_keys = set(utils.state_dict(model).keys())
+    loaded_keys = set(state_dict.keys())
+    n_common = len(model_keys & loaded_keys)
+    logger.info(
+        f"{log_prefix} num_model_sd_keys={len(model_keys)}, "
+        f"num_loaded_sd_keys={len(loaded_keys)}, "
+        f"num_common_sd_keys={n_common}"
+    )
+    return n_common
 
 
 def validate_module_names(model: nn.Module, names: Optional[list[str]]) -> None:

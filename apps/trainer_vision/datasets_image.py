@@ -23,7 +23,7 @@ import logging
 import pathlib
 import queue
 import threading
-from typing import Any, Iterator, Optional, Sequence
+from typing import Any, Iterator, Optional
 
 import numpy as np
 

@@ -52,6 +52,9 @@ def main(
         checkpoint_path=config.decompose_model_checkpoint_path,
     )
     stats_initial = builder.get_model_stats(raw_model, (1, *config.input_h_w, 3))
+    stats_initial.update(
+        builder.get_decomposeable_model_stats(raw_model, (1, *config.input_h_w, 3))
+    )
     model = dwain_wrapper_module.WrapperModule(raw_model=raw_model)
     blacklist = dwain_wrapper_module.add_prefix(config.blacklisted_modules)
     builder.validate_module_names(model, blacklist)
@@ -115,6 +118,9 @@ def main(
     raw_final = model.raw_model
     accuracy_final = metrics.calc_accuracy(raw_final, val_pipeline)
     stats_final = builder.get_model_stats(raw_final, (1, *config.input_h_w, 3))
+    stats_final.update(
+        builder.get_decomposeable_model_stats(raw_final, (1, *config.input_h_w, 3))
+    )
 
     with open(output_path / "decompose_config.json", "w") as f:
         json.dump(dwain_wrapper_module.strip_prefix_dict(decompose_config), f)
@@ -131,6 +137,10 @@ def main(
         "mparams_frac": stats_final["mparams"] / stats_initial["mparams"],
         "gflops_initial": stats_initial["gflops"],
         "gflops_final": stats_final["gflops"],
+        "gflops_decomposeable_initial": stats_initial["gflops_decomposeable"],
+        "gflops_decomposeable_final": stats_final["gflops_decomposeable"],
+        "mparams_decomposeable_initial": stats_initial["mparams_decomposeable"],
+        "mparams_decomposeable_final": stats_final["mparams_decomposeable"],
         "time_decomposition": t_deco,
         "device": f"{device.platform}:{device.device_kind}",
     }

@@ -14,7 +14,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
-from ptdeco_tpu import falor, parallel, utils
+from ptdeco_tpu import falor, utils
 
 from . import builder, configurator, datasets_image, metrics
 
@@ -46,6 +46,9 @@ def main(
     )
     builder.validate_module_names(model, config.blacklisted_modules)
     stats_initial = builder.get_model_stats(model, (1, *config.input_h_w, 3))
+    stats_initial.update(
+        builder.get_decomposeable_model_stats(model, (1, *config.input_h_w, 3))
+    )
 
     t0 = time.perf_counter()
     accuracy_initial = metrics.calc_accuracy(model, val_pipeline)
@@ -77,6 +80,9 @@ def main(
 
     accuracy_final = metrics.calc_accuracy(model, val_pipeline)
     stats_final = builder.get_model_stats(model, (1, *config.input_h_w, 3))
+    stats_final.update(
+        builder.get_decomposeable_model_stats(model, (1, *config.input_h_w, 3))
+    )
 
     with open(output_path / "decompose_config.json", "w") as f:
         json.dump(decompose_config, f)
@@ -93,6 +99,10 @@ def main(
         "mparams_frac": stats_final["mparams"] / stats_initial["mparams"],
         "gflops_initial": stats_initial["gflops"],
         "gflops_final": stats_final["gflops"],
+        "gflops_decomposeable_initial": stats_initial["gflops_decomposeable"],
+        "gflops_decomposeable_final": stats_final["gflops_decomposeable"],
+        "mparams_decomposeable_initial": stats_initial["mparams_decomposeable"],
+        "mparams_decomposeable_final": stats_final["mparams_decomposeable"],
         "kmapps_initial": stats_initial["kmapps"],
         "kmapps_final": stats_final["kmapps"],
         "time_decomposition": t_deco,

@@ -108,6 +108,8 @@ def main(
     else:
         sd = utils.load_state_dict_pt(config.decompose_state_dict)
     sd = filter_state_dict(sd, skipped)
+    # key-overlap audit, reference run_finetune.py:197-203
+    builder.log_state_dict_keys_stats("student:", student, sd)
     student = utils.load_state_dict(student, sd, strict=False)
 
     # trainable: decomposed factor pairs only (finetune_only_decomposed) or all

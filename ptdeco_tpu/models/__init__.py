@@ -2,6 +2,7 @@ from .mlp import MLP, make_mlp
 from .convnext import ConvNeXt, convnext_small, convnext_tiny
 from .resnet import ResNet, resnet18, resnet34, resnet50, resnet101
 from .phi import PhiCausalLM, PhiConfig
+from .swin import SwinV2, swinv2_small, swinv2_tiny
 from .vit import ViT, vit_base, vit_small, vit_tiny
 from .transformer import (
     Attention,
@@ -26,6 +27,9 @@ __all__ = [
     "PhiCausalLM",
     "PhiConfig",
     "ViT",
+    "SwinV2",
+    "swinv2_small",
+    "swinv2_tiny",
     "vit_base",
     "vit_small",
     "vit_tiny",

@@ -13,7 +13,7 @@ not decomposeable, matching the reference's behavior on ConvNeXt.
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,6 @@ from __future__ import annotations
 import logging
 from typing import Any, Mapping
 
-import jax
 import jax.numpy as jnp
 
 from .. import nn

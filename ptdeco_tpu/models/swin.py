@@ -1,0 +1,333 @@
+"""Swin Transformer V2 (windowed attention), NHWC, TPU-native.
+
+The reference's actual vision-dwain target is timm's
+``swinv2_cr_tiny_ns_224`` (examples_config/decompose_dwain_swinv2_tiny.yaml)
+and its lockd test model is an efficientformer — both hierarchical windowed
+transformers the plain ViT cannot stand in for.  This implements the SwinV2
+architecture family:
+
+  * 4 stages with patch merging (2x2 concat + 4C->2C linear reduction)
+  * window attention with SHIFTED windows on alternate blocks (roll +
+    static attention mask)
+  * SwinV2 attention: cosine similarity with a learned per-head
+    temperature, and a continuous log-spaced relative-position bias MLP
+    (CPB) instead of V1's bias table
+
+TPU-first notes: window partition/reverse are pure reshapes/transposes on
+static shapes, the shift is a ``jnp.roll``, and the shifted-window mask is
+a constant folded into the compiled program — no dynamic shapes anywhere.
+Decomposition sites: per-block qkv/proj/fc1/fc2, per-merge reduction, head
+(the same Linear classes the reference's swinv2 config targets).  The tiny
+CPB Linears (2->512->heads) are sites too but have rank<=2 bottlenecks; the
+example config blacklists them like the reference blacklists nothing but
+gains nothing there either.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import nn
+
+__all__ = ["SwinV2", "swinv2_tiny", "swinv2_small"]
+
+
+def _window_partition(x: jax.Array, w: int) -> jax.Array:
+    """(B, H, W, C) -> (B * nH * nW, w*w, C)."""
+    b, h, wd, c = x.shape
+    x = x.reshape(b, h // w, w, wd // w, w, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(-1, w * w, c)
+
+
+def _window_reverse(x: jax.Array, w: int, h: int, wd: int) -> jax.Array:
+    """Inverse of _window_partition."""
+    b = x.shape[0] // ((h // w) * (wd // w))
+    x = x.reshape(b, h // w, wd // w, w, w, -1)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h, wd, -1)
+
+
+def _relative_coords_log(window: int) -> np.ndarray:
+    """SwinV2 continuous-position-bias input: log-spaced relative
+    coordinates, ((2w-1)², 2) float32."""
+    coords = np.arange(-(window - 1), window, dtype=np.float32)
+    grid = np.stack(np.meshgrid(coords, coords, indexing="ij"), axis=-1)
+    grid = grid.reshape(-1, 2)  # ((2w-1)², 2)
+    grid = grid / (window - 1) * 8.0 if window > 1 else grid
+    return np.sign(grid) * np.log2(np.abs(grid) + 1.0) / np.log2(8.0)
+
+
+def _relative_index(window: int) -> np.ndarray:
+    """(w², w²) indices into the (2w-1)² relative-coordinate table."""
+    coords = np.stack(
+        np.meshgrid(np.arange(window), np.arange(window), indexing="ij"),
+        axis=0,
+    ).reshape(2, -1)
+    rel = coords[:, :, None] - coords[:, None, :]  # (2, w², w²)
+    rel = rel + (window - 1)
+    return (rel[0] * (2 * window - 1) + rel[1]).astype(np.int32)
+
+
+def _shift_attn_mask(h: int, w: int, window: int, shift: int) -> np.ndarray:
+    """Static mask for shifted-window attention: -100 where a window mixes
+    pixels from different pre-roll regions (standard Swin construction)."""
+    img = np.zeros((1, h, w, 1), np.float32)
+    cnt = 0
+    for hs in (slice(0, -window), slice(-window, -shift), slice(-shift, None)):
+        for ws in (slice(0, -window), slice(-window, -shift), slice(-shift, None)):
+            img[:, hs, ws, :] = cnt
+            cnt += 1
+    win = np.asarray(
+        _window_partition(jnp.asarray(img), window)
+    ).reshape(-1, window * window)
+    diff = win[:, None, :] - win[:, :, None]
+    return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
+
+
+class WindowAttention(nn.Module):
+    """SwinV2 window attention: cosine similarity * learned per-head
+    temperature + continuous relative-position bias."""
+
+    qkv: nn.Linear
+    proj: nn.Linear
+    logit_scale: jax.Array  # (n_heads, 1, 1)
+    cpb_fc1: nn.Linear  # 2 -> cpb_hidden
+    cpb_fc2: nn.Linear  # cpb_hidden -> n_heads (no bias)
+    rel_coords: jax.Array  # ((2w-1)², 2), constant buffer
+    rel_index: jax.Array  # (w², w²) int32, constant buffer
+    n_heads: int = nn.static_field(default=3)
+
+    def __call__(
+        self,
+        x: jax.Array,
+        mask: Optional[jax.Array] = None,
+        ctx: Optional[nn.Ctx] = None,
+    ) -> jax.Array:
+        bw, n, d = x.shape
+        qkv = self.qkv(x, ctx)
+        inner = qkv.shape[-1] // 3
+        hd = inner // self.n_heads
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(bw, n, self.n_heads, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(bw, n, self.n_heads, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(bw, n, self.n_heads, hd).transpose(0, 2, 1, 3)
+
+        q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-6)
+        k = k / jnp.maximum(jnp.linalg.norm(k, axis=-1, keepdims=True), 1e-6)
+        scale = jnp.exp(
+            jnp.minimum(self.logit_scale, jnp.log(jnp.float32(100.0)))
+        ).astype(jnp.float32)
+        attn = (
+            jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+            * scale
+        )
+
+        bias = self.cpb_fc2(jax.nn.relu(self.cpb_fc1(self.rel_coords, ctx)), ctx)
+        bias = 16.0 * jax.nn.sigmoid(bias.astype(jnp.float32))
+        bias = bias[self.rel_index]  # (w², w², H)
+        attn = attn + bias.transpose(2, 0, 1)[None]
+
+        if mask is not None:
+            n_win = mask.shape[0]
+            attn = attn.reshape(-1, n_win, self.n_heads, n, n)
+            attn = attn + mask[None, :, None]
+            attn = attn.reshape(bw, self.n_heads, n, n)
+
+        probs = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhqk,bhkd->bqhd", probs, v).reshape(bw, n, inner)
+        return self.proj(out, ctx)
+
+    @staticmethod
+    def create(key, dim, n_heads, window, cpb_hidden=512):
+        ks = jax.random.split(key, 4)
+        return WindowAttention(
+            qkv=nn.Linear.create(ks[0], dim, 3 * dim),
+            proj=nn.Linear.create(ks[1], dim, dim),
+            logit_scale=jnp.full((n_heads, 1, 1), np.log(10.0), jnp.float32),
+            cpb_fc1=nn.Linear.create(ks[2], 2, cpb_hidden),
+            cpb_fc2=nn.Linear.create(ks[3], cpb_hidden, n_heads, use_bias=False),
+            rel_coords=jnp.asarray(_relative_coords_log(window)),
+            rel_index=jnp.asarray(_relative_index(window)),
+            n_heads=n_heads,
+        )
+
+
+class SwinBlock(nn.Module):
+    norm1: nn.LayerNorm
+    attn: WindowAttention
+    norm2: nn.LayerNorm
+    mlp: "SwinMLP"
+    attn_mask: Optional[jax.Array]  # (nW, w², w²) for shifted blocks
+    resolution: tuple = nn.static_field(default=(56, 56))
+    window: int = nn.static_field(default=7)
+    shift: int = nn.static_field(default=0)
+
+    def __call__(self, x: jax.Array, ctx: Optional[nn.Ctx] = None) -> jax.Array:
+        h, w = self.resolution
+        b, n, c = x.shape
+        shortcut = x
+        x = self.norm1(x, ctx).reshape(b, h, w, c)
+        if self.shift > 0:
+            x = jnp.roll(x, (-self.shift, -self.shift), axis=(1, 2))
+        xw = _window_partition(x, self.window)
+        xw = self.attn(xw, self.attn_mask, ctx)
+        x = _window_reverse(xw, self.window, h, w)
+        if self.shift > 0:
+            x = jnp.roll(x, (self.shift, self.shift), axis=(1, 2))
+        x = shortcut + x.reshape(b, n, c)
+        return x + self.mlp(self.norm2(x, ctx), ctx)
+
+    @staticmethod
+    def create(key, dim, n_heads, resolution, window, shift, mlp_ratio=4.0):
+        ks = jax.random.split(key, 3)
+        window = min(window, min(resolution))
+        shift = 0 if window >= min(resolution) else shift
+        if resolution[0] % window or resolution[1] % window:
+            raise ValueError(
+                f"window {window} must divide stage resolution {resolution} "
+                "(pick image_size/patch_size so every stage is divisible)"
+            )
+        mask = (
+            jnp.asarray(_shift_attn_mask(resolution[0], resolution[1], window, shift))
+            if shift > 0
+            else None
+        )
+        return SwinBlock(
+            norm1=nn.LayerNorm.create(dim, eps=1e-5),
+            attn=WindowAttention.create(ks[0], dim, n_heads, window),
+            norm2=nn.LayerNorm.create(dim, eps=1e-5),
+            mlp=SwinMLP(
+                fc1=nn.Linear.create(ks[1], dim, int(dim * mlp_ratio)),
+                fc2=nn.Linear.create(ks[2], int(dim * mlp_ratio), dim),
+            ),
+            attn_mask=mask,
+            resolution=tuple(resolution),
+            window=window,
+            shift=shift,
+        )
+
+
+class SwinMLP(nn.Module):
+    fc1: nn.Linear
+    fc2: nn.Linear
+
+    def __call__(self, x, ctx=None):
+        return self.fc2(jax.nn.gelu(self.fc1(x, ctx)), ctx)
+
+
+class PatchMerging(nn.Module):
+    """2x2 neighborhood concat + linear 4C->2C (between stages)."""
+
+    reduction: nn.Linear
+    norm: nn.LayerNorm
+    resolution: tuple = nn.static_field(default=(56, 56))
+
+    def __call__(self, x: jax.Array, ctx: Optional[nn.Ctx] = None) -> jax.Array:
+        h, w = self.resolution
+        b, n, c = x.shape
+        x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, (h // 2) * (w // 2), 4 * c)
+        return self.reduction(self.norm(x, ctx), ctx)
+
+    @staticmethod
+    def create(key, dim, resolution):
+        return PatchMerging(
+            reduction=nn.Linear.create(key, 4 * dim, 2 * dim, use_bias=False),
+            norm=nn.LayerNorm.create(4 * dim, eps=1e-5),
+            resolution=tuple(resolution),
+        )
+
+
+class SwinStage(nn.Module):
+    blocks: nn.Sequential
+    downsample: Optional[PatchMerging]
+
+    def __call__(self, x, ctx=None):
+        x = self.blocks(x, ctx)
+        if self.downsample is not None:
+            x = self.downsample(x, ctx)
+        return x
+
+
+class SwinV2(nn.Module):
+    patch_embed: nn.Conv2d
+    patch_norm: nn.LayerNorm
+    stages: nn.Sequential
+    norm: nn.LayerNorm
+    head: nn.Linear
+
+    def __call__(self, x: jax.Array, ctx: Optional[nn.Ctx] = None) -> jax.Array:
+        p = self.patch_embed(x, ctx)  # (b, h/4, w/4, C)
+        b = p.shape[0]
+        p = p.reshape(b, -1, p.shape[-1])
+        h = self.patch_norm(p, ctx)
+        h = self.stages(h, ctx)
+        h = self.norm(h, ctx)
+        return self.head(jnp.mean(h, axis=1), ctx)
+
+    @staticmethod
+    def create(
+        key: jax.Array,
+        image_size: int = 224,
+        patch_size: int = 4,
+        embed_dim: int = 96,
+        depths: tuple = (2, 2, 6, 2),
+        n_heads: tuple = (3, 6, 12, 24),
+        window: int = 7,
+        num_classes: int = 1000,
+    ) -> "SwinV2":
+        n_stage = len(depths)
+        keys = jax.random.split(key, 3 + sum(depths) + n_stage)
+        ki = iter(range(len(keys)))
+        res = image_size // patch_size
+        stages = []
+        dim = embed_dim
+        for s in range(n_stage):
+            blocks = []
+            for b in range(depths[s]):
+                blocks.append(
+                    SwinBlock.create(
+                        keys[next(ki)],
+                        dim,
+                        n_heads[s],
+                        (res, res),
+                        window,
+                        shift=0 if b % 2 == 0 else window // 2,
+                    )
+                )
+            down = None
+            if s < n_stage - 1:
+                down = PatchMerging.create(keys[next(ki)], dim, (res, res))
+                dim *= 2
+                res //= 2
+            stages.append(
+                SwinStage(blocks=nn.Sequential(layers=tuple(blocks)), downsample=down)
+            )
+        return SwinV2(
+            patch_embed=nn.Conv2d.create(
+                keys[next(ki)], 3, embed_dim, patch_size, stride=patch_size
+            ),
+            patch_norm=nn.LayerNorm.create(embed_dim, eps=1e-5),
+            stages=nn.Sequential(layers=tuple(stages)),
+            norm=nn.LayerNorm.create(dim, eps=1e-5),
+            head=nn.Linear.create(keys[next(ki)], dim, num_classes),
+        )
+
+
+def swinv2_tiny(key, num_classes=1000, image_size=224):
+    """swinv2-tiny class: embed 96, depths (2,2,6,2), heads (3,6,12,24)
+    (the reference's decompose_dwain_swinv2_tiny.yaml target family)."""
+    return SwinV2.create(
+        key, image_size, 4, 96, (2, 2, 6, 2), (3, 6, 12, 24), 7, num_classes
+    )
+
+
+def swinv2_small(key, num_classes=1000, image_size=224):
+    return SwinV2.create(
+        key, image_size, 4, 96, (2, 2, 18, 2), (3, 6, 12, 24), 7, num_classes
+    )

@@ -10,7 +10,7 @@ swinv2-tiny dwain config targets exactly these module classes.
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,7 @@ bit-compatible round-trips with the reference) and ``.safetensors``.
 from __future__ import annotations
 
 import logging
-from typing import Any, Callable, Optional
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,6 @@ from __future__ import annotations
 import logging
 from typing import Any, Optional
 
-import jax
 
 logger = logging.getLogger(__name__)
 

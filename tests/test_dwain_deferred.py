@@ -4,7 +4,6 @@ direct pair-substitution mode — while keeping the working model's pytree
 structure constant (no per-site recompiles)."""
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ptdeco_tpu import dwain, nn

@@ -6,11 +6,10 @@ import json
 import pathlib
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
-from ptdeco_tpu import dwain, nn, utils
-from tests.test_dwain_e2e import MLP, loss_fn, lowrank_data_iter, make_mlp
+from ptdeco_tpu import dwain
+from tests.test_dwain_e2e import loss_fn, lowrank_data_iter, make_mlp
 
 
 def _decompose(model, tmp, **kw):

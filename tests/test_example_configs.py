@@ -39,3 +39,19 @@ def test_vision_example_configs_validate(path):
         "finetune": configurator.FinetuneConfig,
     }[cfg["task"]]
     schema(**cfg)
+
+
+def test_swinv2_config_blacklist_names_exist():
+    """The swinv2 example config's blacklisted module names must exist on
+    the zoo model it targets (the reference's swinv2 config rotted exactly
+    this way)."""
+    import jax
+
+    from apps.trainer_vision import builder
+
+    path = (
+        REPO / "apps/trainer_vision/examples_config/decompose_dwain_swinv2_tiny.yaml"
+    )
+    cfg = yaml.safe_load(path.read_text())
+    model = builder.make_model(cfg["decompose_model_name"], num_classes=10)
+    builder.validate_module_names(model, cfg["blacklisted_modules"])

@@ -2,7 +2,6 @@
 
 import flax.linen as fnn
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ptdeco_tpu import nn

@@ -1,0 +1,158 @@
+"""SwinV2 windowed-attention model (ptdeco_tpu/models/swin.py): window
+partition algebra, shifted-window masking, forward shapes, site discovery,
+and a dwain CLI run end-to-end on synthetic weights (the reference's
+decompose_dwain_swinv2_tiny.yaml workload class, SURVEY.md §2.3)."""
+
+import json
+import pathlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ptdeco_tpu import engine, nn
+from ptdeco_tpu.models import swin
+
+
+def _small_swin(key, num_classes=10):
+    return swin.SwinV2.create(
+        key,
+        image_size=32,
+        patch_size=4,
+        embed_dim=16,
+        depths=(2, 2, 2, 2),
+        n_heads=(2, 4, 4, 4),
+        window=4,
+        num_classes=num_classes,
+    )
+
+
+def test_window_partition_roundtrip():
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 5))
+    w = 4
+    back = swin._window_reverse(swin._window_partition(x, w), w, 8, 8)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+
+def test_shift_mask_blocks_cross_region_attention():
+    mask = swin._shift_attn_mask(8, 8, 4, 2)
+    assert mask.shape == (4, 16, 16)
+    # diagonal is always attendable
+    for wi in range(4):
+        np.testing.assert_array_equal(np.diag(mask[wi]), 0.0)
+    # the rolled bottom-right window mixes regions -> some -100 entries
+    assert (mask < 0).any()
+    # the first (unrolled interior) window is fully attendable
+    np.testing.assert_array_equal(mask[0], 0.0)
+
+
+def test_forward_shape_and_finite():
+    model = _small_swin(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    y = model(x)
+    assert y.shape == (2, 10)
+    assert np.all(np.isfinite(np.asarray(y)))
+
+
+def test_shifted_blocks_differ_from_unshifted():
+    """The shift must change the computation (mask + roll actually wired)."""
+    model = _small_swin(jax.random.PRNGKey(0))
+    blk = nn.get_submodule(model, "stages.0.blocks.1")
+    assert blk.shift > 0 and blk.attn_mask is not None
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 32, 32, 3))
+    y1 = model(x)
+    unshifted = blk.replace(shift=0, attn_mask=None)
+    model2 = nn.replace_submodule(model, "stages.0.blocks.1", unshifted)
+    y2 = model2(x)
+    assert not np.allclose(np.asarray(y1), np.asarray(y2))
+
+
+def test_site_discovery():
+    model = _small_swin(jax.random.PRNGKey(0))
+    names = engine.get_decomposeable_submodule_names(model)
+    assert "stages.0.blocks.0.attn.qkv" in names
+    assert "stages.0.blocks.0.attn.proj" in names
+    assert "stages.0.blocks.0.mlp.fc1" in names
+    assert "stages.0.downsample.reduction" in names
+    assert "head" in names
+    # patch embed is a 4x4 conv -> NOT a site
+    assert "patch_embed" not in names
+
+
+def test_dwain_cli_end_to_end(tmp_path: pathlib.Path):
+    """dwain driver run on the swin family via the vision trainer
+    (synthetic weights + synthetic pipeline), per VERDICT item 5."""
+    from apps.trainer_vision import builder, datasets_image, run_decompose_dwain
+
+    def _micro_swin(key, num_classes=10):
+        return swin.SwinV2.create(
+            key,
+            image_size=32,
+            patch_size=4,
+            embed_dim=16,
+            depths=(2, 1),
+            n_heads=(2, 2),
+            window=4,
+            num_classes=num_classes,
+        )
+
+    builder.register_model("swin_test", _micro_swin)
+    cpb_blacklist = [
+        f"stages.{s}.blocks.{b}.attn.{m}"
+        for s, nb in ((0, 2), (1, 1))
+        for b in range(nb)
+        for m in ("cpb_fc1", "cpb_fc2")
+    ]
+    cfg = dict(
+        task="decompose_dwain",
+        decompose_model_name="swin_test",
+        num_data_steps=2,
+        num_metric_steps=1,
+        trade_off_factor=1000.0,
+        reduction_factor=0.5,
+        max_accepted_ppl_diff=1.0,
+        nsr_final_threshold=0.9,
+        min_rank=2,
+        decompose_in_float64=True,
+        blacklisted_modules=["head"] + cpb_blacklist,
+        finetuning_run=False,
+        finetuning_lr=1e-4,
+        finetuning_optimizer="AdamW",
+        finetuning_reverting=False,
+        finetuning_batch_norms_in_eval=False,
+        finetuning_num_steps=0,
+        finetuning_num_log_steps=1,
+        finetuning_num_last_finetuned_modules=8,
+        imagenet_root_dir="/nonexistent",
+        trn_imagenet_classes_fname="/nonexistent",
+        val_imagenet_classes_fname="/nonexistent",
+        batch_size=2,
+        normalization="imagenet",
+        input_h_w=(32, 32),
+    )
+    train = datasets_image.SyntheticImagePipeline(2, (32, 32), 1000, 4, seed=0)
+    val = datasets_image.SyntheticImagePipeline(2, (32, 32), 1000, 2, seed=1)
+    run_decompose_dwain.main(cfg, tmp_path, train, val)
+    summary = json.loads((tmp_path / "summary.json").read_text())
+    assert (tmp_path / "decompose_config.json").exists()
+    config = json.loads((tmp_path / "decompose_config.json").read_text())
+    assert summary["n_decomposed"] == len(config) >= 1
+    # round-trip through the public API onto a fresh model
+    from ptdeco_tpu import utils
+
+    fresh = _micro_swin(jax.random.PRNGKey(0), num_classes=1000)
+    fresh = utils.apply_decompose_config(fresh, config)
+    sd = utils.load_state_dict_pt(str(tmp_path / "decompose_state_dict.pt"))
+    fresh = utils.load_state_dict(fresh, sd)
+    y = fresh(jax.random.normal(jax.random.PRNGKey(2), (1, 32, 32, 3)))
+    assert np.all(np.isfinite(np.asarray(y)))
+
+
+def test_swinv2_tiny_config_is_224_shaped():
+    """The zoo swinv2_tiny must accept 224x224 with window 7 at every stage
+    (56/28/14/7 all divisible) — constructing it proves the geometry."""
+    model = swin.swinv2_tiny(jax.random.PRNGKey(0), num_classes=10)
+    names = engine.get_decomposeable_submodule_names(model)
+    # 2+2+6+2 blocks x 4 sites + 3 merges + head + 12x2 cpb
+    n_blocks = 12
+    assert len(names) == n_blocks * 4 + 3 + 1 + n_blocks * 2

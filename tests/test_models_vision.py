@@ -4,7 +4,6 @@ on real models)."""
 
 import jax
 import jax.numpy as jnp
-import pytest
 
 from ptdeco_tpu import engine, lockd, models, nn
 

@@ -3,7 +3,6 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 import ptdeco_tpu
 from ptdeco_tpu import nn

@@ -4,7 +4,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ptdeco_tpu import dwain, engine, models, nn, utils
+from ptdeco_tpu import dwain, engine, models, utils
 
 
 def tiny_phi(key=0):

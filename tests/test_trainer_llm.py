@@ -2,7 +2,6 @@
 byte tokenizer fallback, finetune (full + LoRA) smoke, metrics."""
 
 import numpy as np
-import pytest
 
 from apps.trainer_llm.builder import ByteTokenizer
 from apps.trainer_llm import datasets_hf

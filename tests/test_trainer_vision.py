@@ -188,3 +188,40 @@ def test_kd_finetune_driver(tmp_path: pathlib.Path):
     summary = json.loads((tmp_path / "ft" / "summary.json").read_text())
     assert (tmp_path / "ft" / "finetuned_state_dict.pt").exists()
     assert summary["n_decomposed"] >= 1
+
+
+def test_fpops_dict_analytic_counts():
+    """Per-module FLOPs dict (reference get_fpops_dict semantics,
+    builder.py:63-91): analytic MACs x2, aggregated up the module tree."""
+    model = _tiny_cnn(jax.random.PRNGKey(0), num_classes=10)
+    d = builder.get_fpops_dict(model, (1, 16, 16, 3), units="gflops")
+    # conv1: 3x3x3 -> 8ch over 16x16 output
+    macs_conv1 = 16 * 16 * 8 * 3 * 3 * 3
+    assert d["conv1"] == pytest.approx(2 * macs_conv1 / 1e9)
+    # conv2: 1x1 8->16 over 16x16
+    macs_conv2 = 16 * 16 * 16 * 8
+    assert d["conv2"] == pytest.approx(2 * macs_conv2 / 1e9)
+    # fc: 16 -> 10
+    assert d["fc"] == pytest.approx(2 * 16 * 10 / 1e9)
+    # root aggregates every counted module
+    assert d[""] == pytest.approx(d["conv1"] + d["conv2"] + d["fc"])
+    k = builder.get_fpops_dict(model, (1, 16, 16, 3), units="kmapps")
+    assert k["conv1"] == pytest.approx(macs_conv1 / (16 * 16) / 1024.0)
+
+
+def test_decomposeable_stats_and_sd_overlap():
+    model = _tiny_cnn(jax.random.PRNGKey(0), num_classes=10)
+    stats = builder.get_decomposeable_model_stats(model, (1, 16, 16, 3))
+    # decomposeable = conv2 (1x1) + fc, NOT conv1 (3x3)
+    macs = 16 * 16 * 16 * 8 + 16 * 10
+    assert stats["gflops_decomposeable"] == pytest.approx(2 * macs / 1e9)
+    assert stats["mparams_decomposeable"] == pytest.approx(
+        (8 * 16 + 16 + 16 * 10 + 10) / 1e6
+    )
+    from ptdeco_tpu import utils
+
+    sd = utils.state_dict(model)
+    partial = {k: v for k, v in list(sd.items())[:3]}
+    partial["bogus"] = next(iter(sd.values()))
+    n = builder.log_state_dict_keys_stats("test:", model, partial)
+    assert n == 3
