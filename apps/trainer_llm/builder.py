@@ -99,7 +99,8 @@ def make_model_and_tokenizer(
         cfg = _PHI_CONFIGS[model_name](dtype=jdtype)
         model: nn.Module = models.PhiCausalLM.create(jax.random.PRNGKey(seed), cfg)
         if enable_gradient_checkpointing:
-            logger.warning("remat not implemented for the phi family yet")
+            model = model.replace(model=model.model.replace(remat=True))
+            logger.info("Per-block gradient checkpointing (remat) enabled")
     elif model_name in _KNOWN_CONFIGS:
         cfg = _KNOWN_CONFIGS[model_name](dtype=jdtype)
         model = models.CausalLM.create(jax.random.PRNGKey(seed), cfg)

@@ -73,6 +73,11 @@ def parse_args() -> argparse.Namespace:
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", required=True, type=pathlib.Path)
     parser.add_argument("--output-path", required=True, type=pathlib.Path)
+    # multi-host bring-up (jax.distributed; see docs/usage.md "Multi-host").
+    # On TPU pods all three may be omitted (auto-detected from the pod env).
+    parser.add_argument("--coordinator-address", default=None)
+    parser.add_argument("--num-processes", type=int, default=None)
+    parser.add_argument("--process-id", type=int, default=None)
     return parser.parse_args()
 
 
@@ -82,6 +87,12 @@ def main() -> int:
 
     enable_compilation_cache()
     args = parse_args()
+    if args.num_processes is not None or args.coordinator_address is not None:
+        from ptdeco_tpu import parallel
+
+        parallel.initialize_distributed(
+            args.coordinator_address, args.num_processes, args.process_id
+        )
     args.output_path.mkdir(exist_ok=True, parents=True)
     copy_config(args.config, args.output_path)
     if args.config.parent != args.output_path:

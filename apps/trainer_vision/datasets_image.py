@@ -53,10 +53,25 @@ def read_classes_file(fname: str) -> list[tuple[str, int]]:
     return out
 
 
-def _load_image(path: pathlib.Path) -> np.ndarray:
+def _load_image(
+    path: pathlib.Path, target_min_side: int = 0
+) -> np.ndarray:
+    """Decode an image, preferring the native libjpeg path with DCT-domain
+    scaling (never materializes full resolution when the augmentation
+    target is much smaller — the host-side answer to DALI's GPU decoder,
+    reference datasets_dali.py:226-259).  Falls back to PIL with JPEG draft
+    mode (same DCT trick), then to a plain PIL decode for non-JPEGs."""
+    if target_min_side > 0 and path.suffix.lower() in (".jpg", ".jpeg"):
+        from ptdeco_tpu.data import native_jpeg
+
+        img = native_jpeg.decode(path, target_min_side)
+        if img is not None:
+            return img
     from PIL import Image
 
     with Image.open(path) as im:
+        if target_min_side > 0 and im.format == "JPEG":
+            im.draft("RGB", (target_min_side, target_min_side))
         return np.asarray(im.convert("RGB"))
 
 
@@ -132,7 +147,12 @@ class ImageNetPipeline:
 
     def _decode_one(self, entry: tuple[str, int], rng_seed: int) -> np.ndarray:
         path, _ = entry
-        img = _load_image(self.root / path)
+        # train: DCT-scaled decode to >=2x the crop target keeps full
+        # fidelity for crops down to 25% area (random_resized_crop draws
+        # RELATIVE areas, so cropping the scaled image is distribution-
+        # equivalent); val: the resize target is exactly 256
+        target = 2 * min(self.input_h_w) if self.training else 256
+        img = _load_image(self.root / path, target_min_side=target)
         rng = np.random.RandomState(rng_seed)
         if self.training:
             img = _random_resized_crop(img, rng, self.input_h_w)

@@ -169,13 +169,24 @@ class PhiDecoder(nn.Module):
     embed_tokens: nn.Embedding
     layers: tuple
     final_layernorm: nn.LayerNorm
+    # rematerialize each block during backward (same contract as
+    # transformer.Decoder.remat; Ctx.no_remat gates capture paths)
+    remat: bool = nn.static_field(default=False)
 
     def __call__(self, input_ids, ctx=None, *, attn_mask=None):
         x = self.embed_tokens(input_ids)
         b, s = input_ids.shape
         positions = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s))
+        use_remat = self.remat and not (ctx is not None and ctx.no_remat)
         for layer in self.layers:
-            x = layer(x, ctx, positions=positions, attn_mask=attn_mask)
+            if use_remat:
+                x = jax.checkpoint(
+                    lambda lyr, h: lyr(
+                        h, ctx, positions=positions, attn_mask=attn_mask
+                    )
+                )(layer, x)
+            else:
+                x = layer(x, ctx, positions=positions, attn_mask=attn_mask)
         return self.final_layernorm(x)
 
 
