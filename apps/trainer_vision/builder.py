@@ -8,6 +8,7 @@ kmapps metric, builder.py:28-37, with FLOPs = 2*MACs).
 
 from __future__ import annotations
 
+import inspect
 import logging
 from typing import Any, Optional
 
@@ -16,6 +17,7 @@ import jax.numpy as jnp
 
 from ptdeco_tpu import engine, nn, utils
 from ptdeco_tpu.models import convnext as convnext_zoo
+from ptdeco_tpu.models import efficientformer as ef_zoo
 from ptdeco_tpu.models import resnet as resnet_zoo
 from ptdeco_tpu.models import swin as swin_zoo
 from ptdeco_tpu.models import vit as vit_zoo
@@ -37,6 +39,10 @@ _ZOO = {
     "swinv2_tiny_patch4_window7_224": swin_zoo.swinv2_tiny,
     "swinv2_cr_tiny_ns_224": swin_zoo.swinv2_tiny,
     "swinv2_small_patch4_window7_224": swin_zoo.swinv2_small,
+    # hybrid conv/attention family (the reference's lockd/wrap/config test
+    # model, tests/test_wrap_torchvision_timm.py:32); timm-style aliases
+    "efficientformerv2_s0": ef_zoo.efficientformerv2_s0,
+    "efficientformerv2_s1": ef_zoo.efficientformerv2_s1,
 }
 
 
@@ -49,12 +55,26 @@ def make_model(
     num_classes: int = 1000,
     seed: int = 0,
     checkpoint_path: Optional[str] = None,
+    input_h_w: Optional[tuple[int, int]] = None,
 ) -> nn.Module:
     if model_name.startswith("ptdeco_tpu."):
         model_name = model_name.split(".", 1)[1]
     if model_name not in _ZOO:
         raise ValueError(f"Unknown model {model_name!r}; known: {sorted(_ZOO)}")
-    model = _ZOO[model_name](jax.random.PRNGKey(seed), num_classes=num_classes)
+    factory = _ZOO[model_name]
+    kwargs: dict = {"num_classes": num_classes}
+    # static-resolution families (swin windows, efficientformer attention
+    # bias tables) must be built at the pipeline's input size, not 224
+    if input_h_w is not None:
+        params = inspect.signature(factory).parameters
+        if "image_size" in params:
+            h, w = input_h_w
+            if h != w:
+                raise ValueError(
+                    f"{model_name} requires square inputs, got {input_h_w}"
+                )
+            kwargs["image_size"] = h
+    model = factory(jax.random.PRNGKey(seed), **kwargs)
     if checkpoint_path is not None:
         # torchvision/timm state dicts load through the torch-format importer
         if checkpoint_path.endswith(".safetensors"):

@@ -50,6 +50,7 @@ def main(
     raw_model = builder.make_model(
         config.decompose_model_name,
         checkpoint_path=config.decompose_model_checkpoint_path,
+        input_h_w=tuple(config.input_h_w),
     )
     stats_initial = builder.get_model_stats(raw_model, (1, *config.input_h_w, 3))
     stats_initial.update(

@@ -77,6 +77,7 @@ def main(
     model = builder.make_model(
         config.decompose_model_name,
         checkpoint_path=config.decompose_model_checkpoint_path,
+        input_h_w=tuple(config.input_h_w),
     )
     builder.validate_module_names(model, config.blacklisted_modules)
     stats_initial = builder.get_model_stats(

@@ -90,6 +90,7 @@ def main(
     teacher = builder.make_model(
         config.decompose_model_name,
         checkpoint_path=config.decompose_model_checkpoint_path,
+        input_h_w=tuple(config.input_h_w),
     )
     with open(config.decompose_config) as f:
         decompose_config = json.load(f)
@@ -101,6 +102,7 @@ def main(
     student = builder.make_model(
         config.decompose_model_name,
         checkpoint_path=config.decompose_model_checkpoint_path,
+        input_h_w=tuple(config.input_h_w),
     )
     student = utils.apply_decompose_config(student, kept)
     if config.decompose_state_dict.endswith(".safetensors"):

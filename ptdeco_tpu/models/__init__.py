@@ -1,5 +1,10 @@
 from .mlp import MLP, make_mlp
 from .convnext import ConvNeXt, convnext_small, convnext_tiny
+from .efficientformer import (
+    EfficientFormerV2,
+    efficientformerv2_s0,
+    efficientformerv2_s1,
+)
 from .resnet import ResNet, resnet18, resnet34, resnet50, resnet101
 from .phi import PhiCausalLM, PhiConfig
 from .swin import SwinV2, swinv2_small, swinv2_tiny
@@ -19,6 +24,9 @@ __all__ = [
     "ConvNeXt",
     "convnext_small",
     "convnext_tiny",
+    "EfficientFormerV2",
+    "efficientformerv2_s0",
+    "efficientformerv2_s1",
     "ResNet",
     "resnet18",
     "resnet34",

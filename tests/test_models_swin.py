@@ -7,7 +7,6 @@ import json
 import pathlib
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ptdeco_tpu import engine, nn
