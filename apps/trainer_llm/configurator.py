@@ -56,7 +56,8 @@ class DecomposeDWAINConfig(_VersionConfig):
     nsr_final_threshold: float
     min_rank: int
     decompose_in_float64: bool
-    use_pallas_gram: bool = False
+    # None = auto (SYRK kernel on TPU for bf16 activations)
+    use_pallas_gram: Optional[bool] = None
     # per-layer resume state for the decomposition itself (TPU-new; the
     # reference's decomposition is not resumable, SURVEY.md §5).  Relative
     # paths resolve under the run's output directory.

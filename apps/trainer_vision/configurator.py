@@ -90,7 +90,8 @@ class DecomposeDWAINConfig(_VersionConfig, _DataConfig):
     nsr_final_threshold: float
     min_rank: int
     decompose_in_float64: bool
-    use_pallas_gram: bool = False
+    # None = auto (SYRK kernel on TPU for bf16 activations)
+    use_pallas_gram: Optional[bool] = None
     decomposition_checkpoint_dir: Optional[str] = "decompose_ckpt"
     precomputing_covariance_num_splits: Optional[int] = None
     blacklisted_modules: list[str]

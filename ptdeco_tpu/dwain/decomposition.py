@@ -80,7 +80,7 @@ def _process_module(
     reduction_factor: float,
     max_accepted_ppl_diff: float,
     decompose_in_float64: bool,
-    use_pallas_gram: bool,
+    use_pallas_gram: Optional[bool],
     u_matrix: Optional[np.ndarray],
     shared_metric_step=None,
     indexed_step_info: Optional[tuple[Any, int]] = None,
@@ -323,7 +323,7 @@ def _precompute_u_in_splits(
     data_iterator: Iterator[Any],
     apply_fn: engine.ApplyFn,
     decompose_in_float64: bool,
-    use_pallas_gram: bool = False,
+    use_pallas_gram: Optional[bool] = None,
     eigh_method: str = "exact",
     reduction_factor: float = 0.5,
 ) -> _AsyncUProvider:
@@ -584,7 +584,7 @@ def decompose(
     precomputing_covariance_num_splits: Optional[int] = None,
     apply_fn: engine.ApplyFn = engine.default_apply,
     checkpoint_dir: Optional[str] = None,
-    use_pallas_gram: bool = False,
+    use_pallas_gram: Optional[bool] = None,
     defer_substitution: bool = True,
     shared_metric_threshold: int = SHARED_METRIC_SITE_THRESHOLD,
     use_indexed_ladder: bool = True,

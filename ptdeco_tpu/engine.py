@@ -182,7 +182,7 @@ def make_gram_scan_step(
     sites: dict[str, Site],
     apply_fn: ApplyFn,
     accumulate_mean: bool = False,
-    use_pallas: bool = False,
+    use_pallas: Any = "auto",
 ):
     """Jitted step consuming a chunk of K stacked batches in ONE
     dispatch via lax.scan — K fewer host round-trips.  Essential when the
@@ -207,9 +207,14 @@ def make_gram_scan_step(
                     precision=jax.lax.Precision.HIGHEST,
                 )
                 n = y.shape[0]
-                if use_pallas:
-                    from .ops.gram_pallas import syrk_gram
+                from .ops.gram_pallas import should_use_syrk, syrk_gram
 
+                if use_pallas == "auto":
+                    # per-site static decision (dtype/shape known at trace)
+                    use = should_use_syrk(y.dtype, y.shape[1])
+                else:
+                    use = bool(use_pallas)
+                if use:
                     g = syrk_gram(y) / n
                 else:
                     g = jnp.einsum(
@@ -265,8 +270,11 @@ def compute_output_grams(
     means = {n: jnp.zeros((s.out_features,), jnp.float32) for n, s in sites.items()}
     scan_chunk = max(1, min(scan_chunk, num_data_steps))
     if use_pallas is None:
-        use_pallas = False
-    use_pallas = use_pallas and jax.default_backend() == "tpu"
+        # auto: per-site SYRK when it measurably wins (TPU + bf16 + big d,
+        # ops.gram_pallas.should_use_syrk); explicit True/False overrides
+        use_pallas = "auto"
+    elif use_pallas:
+        use_pallas = jax.default_backend() == "tpu"
     scan_step = make_gram_scan_step(
         tuple(site_names), sites, apply_fn, accumulate_mean, use_pallas
     )

@@ -73,7 +73,7 @@ def _process_module(
     use_float64: bool,
     use_mean: bool,
     use_damping: bool,
-    use_pallas_gram: bool = False,
+    use_pallas_gram: Optional[bool] = None,
     shared_metric_step=None,
     indexed_step_info: Optional[tuple[Any, int]] = None,
 ) -> dict[str, Any]:
@@ -192,7 +192,7 @@ def decompose(
     use_damping: bool = True,
     blacklisted_module_names: Optional[list[str]] = None,
     apply_fn: engine.ApplyFn = engine.default_apply,
-    use_pallas_gram: bool = False,
+    use_pallas_gram: Optional[bool] = None,
     checkpoint_dir: Optional[str] = None,
     shared_metric_threshold: int = SHARED_METRIC_SITE_THRESHOLD,
     use_indexed_ladder: bool = True,

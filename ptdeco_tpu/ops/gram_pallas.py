@@ -17,6 +17,7 @@ Falls back to plain XLA below the tiling threshold or on non-TPU backends.
 from __future__ import annotations
 
 import functools
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -24,7 +25,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["syrk_gram", "gram_xla"]
+__all__ = ["syrk_gram", "gram_xla", "should_use_syrk"]
 
 TILE = 256  # output tile (TILE, TILE); multiple of MXU 128
 KB = 512  # reduction block over N
@@ -96,6 +97,24 @@ def _syrk_padded(y: jax.Array, interpret: bool = False) -> jax.Array:
     col = jax.lax.broadcasted_iota(jnp.int32, (d, d), 1) // TILE
     keep_lower = row >= col
     return jnp.where(keep_lower, lower, lower.T)
+
+
+def should_use_syrk(dtype: Any, d: int, backend: Optional[str] = None) -> bool:
+    """Auto-dispatch rule for the calibration Gram (engine passes
+    ``use_pallas=None``): use the SYRK kernel when it measurably wins.
+
+    Measured on TPU v5e (aux/bench_kernels.py, 2026-08-16): bf16 inputs
+    19.8x at d=2048 (XLA's HIGHEST-precision bf16 einsum is the slow path),
+    parity at d=4096; f32 inputs 0.94-1.13x (a wash).  So: TPU + bf16 +
+    d big enough to tile.  The kernel accumulates in f32 from bf16 inputs,
+    which is numerically at least as good as the einsum it replaces."""
+    if backend is None:
+        backend = jax.default_backend()
+    return (
+        backend == "tpu"
+        and jnp.dtype(dtype) == jnp.bfloat16
+        and d >= 2 * TILE
+    )
 
 
 def syrk_gram(y: jax.Array, interpret: bool = False) -> jax.Array:

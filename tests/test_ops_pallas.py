@@ -33,3 +33,14 @@ def test_syrk_interpret_bf16_input():
     g = ops.syrk_gram(y, interpret=True)
     ref = ops.gram_xla(y)
     np.testing.assert_allclose(np.asarray(g), np.asarray(ref), rtol=2e-2, atol=2e-2)
+
+
+def test_should_use_syrk_auto_rule():
+    """The engine's use_pallas=None auto dispatch: TPU + bf16 + tileable d
+    (measured win on v5e, see should_use_syrk docstring)."""
+    assert ops.should_use_syrk(jnp.bfloat16, 2048, backend="tpu")
+    assert not ops.should_use_syrk(jnp.float32, 2048, backend="tpu")
+    assert not ops.should_use_syrk(jnp.bfloat16, 256, backend="tpu")  # < 2 tiles
+    assert not ops.should_use_syrk(jnp.bfloat16, 2048, backend="cpu")
+    # on this CPU test host the ambient default is off
+    assert not ops.should_use_syrk(jnp.bfloat16, 2048)
