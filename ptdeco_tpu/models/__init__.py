@@ -14,8 +14,10 @@ from .transformer import (
     Block,
     CausalLM,
     MLP as TransformerMLP,
+    PrunedSublayer,
     TransformerConfig,
     ce_loss,
+    prune_blocks,
 )
 
 __all__ = [
@@ -46,5 +48,7 @@ __all__ = [
     "CausalLM",
     "TransformerMLP",
     "TransformerConfig",
+    "PrunedSublayer",
     "ce_loss",
+    "prune_blocks",
 ]

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from .. import nn
 
-__all__ = ["TransformerConfig", "CausalLM", "Attention", "MLP", "Block"]
+__all__ = ["TransformerConfig", "CausalLM", "Attention", "MLP", "Block", "PrunedSublayer", "prune_blocks"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -328,3 +328,39 @@ def ce_loss(batch: dict[str, jax.Array], logits: jax.Array) -> jax.Array:
         m = mask[:, 1:].astype(jnp.float32)
         return -jnp.sum(ll * m) / jnp.maximum(jnp.sum(m), 1.0)
     return -jnp.mean(ll)
+
+
+class PrunedSublayer(nn.Module):
+    """Zero-output stand-in for a block-pruned attention/MLP sublayer: with
+    the residual connection the block degenerates to an identity skip.
+    Native analogue of the reference's block-pruned custom builders
+    (/root/reference/examples/trainer_llm/examples_builder/
+    bp_indices_builder.py, which delegates to an external, non-vendored
+    llm_pipelines package).  Dtype/shape-transparent and parameter-free, so
+    pruned models remain jittable, decomposable, and state-dict loadable."""
+
+    def __call__(self, x: jax.Array, ctx: Optional[nn.Ctx] = None, **_: Any):
+        return jnp.zeros_like(x)
+
+
+def prune_blocks(
+    model: CausalLM,
+    attn_indices: list[int],
+    mlp_indices: list[int],
+) -> CausalLM:
+    """Remove the attention sublayer of blocks in ``attn_indices`` and the
+    MLP sublayer of blocks in ``mlp_indices`` (block pruning).  Returns a
+    new model; decomposition then runs on the surviving sublayers only."""
+    n = len(model.model.layers)
+    for idx in list(attn_indices) + list(mlp_indices):
+        if not 0 <= idx < n:
+            raise ValueError(f"block index {idx} out of range [0, {n})")
+    for idx in attn_indices:
+        model = nn.replace_submodule(
+            model, f"model.layers.{idx}.self_attn", PrunedSublayer()
+        )
+    for idx in mlp_indices:
+        model = nn.replace_submodule(
+            model, f"model.layers.{idx}.mlp", PrunedSublayer()
+        )
+    return model
