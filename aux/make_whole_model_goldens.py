@@ -107,6 +107,56 @@ class CNN(torch.nn.Module):
         return self.fc(x)
 
 
+class Attn(torch.nn.Module):
+    """Single-head attention block + MLP + head: the LLM-shaped site mix
+    (qkv/o/fc sites feeding softmax attention).  Near-low-rank q/k/v/o and
+    fc1/fc2 (accept), full-rank head (reject)."""
+
+    def __init__(self):
+        super().__init__()
+        self.ln1 = torch.nn.LayerNorm(48)
+        self.q = torch.nn.Linear(48, 48)
+        self.k = torch.nn.Linear(48, 48)
+        self.v = torch.nn.Linear(48, 48)
+        self.o = torch.nn.Linear(48, 48)
+        self.ln2 = torch.nn.LayerNorm(48)
+        self.fc1 = torch.nn.Linear(48, 96)
+        self.fc2 = torch.nn.Linear(96, 48)
+        self.head = torch.nn.Linear(48, 10)
+
+    def forward(self, batch):
+        x = batch["inp"] if isinstance(batch, dict) else batch
+        h = self.ln1(x)
+        q, k, v = self.q(h), self.k(h), self.v(h)
+        a = torch.softmax(q @ k.transpose(-2, -1) / (48.0 ** 0.5), dim=-1)
+        x = x + self.o(a @ v)
+        h = self.ln2(x)
+        x = x + self.fc2(torch.relu(self.fc1(h)))
+        return self.head(x.mean(dim=1))
+
+
+def make_attn(rng):
+    m = Attn()
+    with torch.no_grad():
+        for lin, (do, di, r) in {
+            m.q: (48, 48, 6), m.k: (48, 48, 6), m.v: (48, 48, 5),
+            m.o: (48, 48, 6), m.fc1: (96, 48, 8), m.fc2: (48, 96, 6),
+        }.items():
+            lin.weight.copy_(torch.from_numpy(lowrank_weight(rng, do, di, r)))
+        m.head.weight.copy_(
+            torch.from_numpy(
+                (rng.randn(10, 48) / np.sqrt(48)).astype(np.float32)
+            )
+        )
+        for lin in (m.q, m.k, m.v, m.o, m.fc1, m.fc2, m.head):
+            lin.bias.copy_(
+                torch.from_numpy(
+                    (0.1 * rng.randn(lin.bias.shape[0])).astype(np.float32)
+                )
+            )
+    return m
+
+
 def make_mlp(rng):
     m = MLP()
     with torch.no_grad():
@@ -318,6 +368,34 @@ def main():
     )
 
     run_lockd(rng)
+
+    # --- Attention family (after lockd: keeps earlier RNG draws, and hence
+    # all previously generated goldens, bit-identical) --------------------
+    attn_init = make_attn(rng)
+    acalib_x = rng.randn(8, 4, 8, 48).astype(np.float32)
+    acalib_y = rng.randint(0, 10, size=(8, 4)).astype(np.int64)
+    ametric_x = rng.randn(16, 4, 8, 48).astype(np.float32)
+    ametric_y = rng.randint(0, 10, size=(16, 4)).astype(np.int64)
+    aprobe = rng.randn(4, 8, 48).astype(np.float32)
+    ainit_sd = {
+        k: v.detach().numpy().copy() for k, v in attn_init.state_dict().items()
+    }
+
+    import copy
+
+    ay_dwain = run_dwain(
+        "whole_dwain_attn", copy.deepcopy(attn_init), acalib_x, acalib_y,
+        ametric_x, ametric_y, aprobe,
+    )
+    ay_falor = run_falor(
+        "whole_falor_attn", copy.deepcopy(attn_init), acalib_x, aprobe
+    )
+    np.savez(
+        GOLDEN / "whole_attn_data.npz",
+        calib_x=acalib_x, calib_y=acalib_y, metric_x=ametric_x,
+        metric_y=ametric_y, probe=aprobe, y_dwain=ay_dwain, y_falor=ay_falor,
+        **{f"init__{k}": v for k, v in ainit_sd.items()},
+    )
 
     with open(GOLDEN / "whole_model_hparams.json", "w") as f:
         json.dump({"dwain": DWAIN_KW, "falor": FALOR_KW, "seed": SEED}, f, indent=2)

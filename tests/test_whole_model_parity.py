@@ -64,6 +64,33 @@ class CNN(nn.Module):
         return self.fc(x, ctx)
 
 
+class Attn(nn.Module):
+    """Twin of the generator's single-head attention toy (LLM-shaped sites:
+    q/k/v/o feeding softmax attention + MLP + head)."""
+
+    ln1: nn.LayerNorm
+    q: nn.Linear
+    k: nn.Linear
+    v: nn.Linear
+    o: nn.Linear
+    ln2: nn.LayerNorm
+    fc1: nn.Linear
+    fc2: nn.Linear
+    head: nn.Linear
+
+    def __call__(self, batch, ctx=None):
+        x = batch["inp"] if isinstance(batch, dict) else batch
+        h = self.ln1(x, ctx)
+        q, k, v = self.q(h, ctx), self.k(h, ctx), self.v(h, ctx)
+        a = jax.nn.softmax(
+            q @ jnp.swapaxes(k, -2, -1) / (48.0 ** 0.5), axis=-1
+        )
+        x = x + self.o(a @ v, ctx)
+        h = self.ln2(x, ctx)
+        x = x + self.fc2(jax.nn.relu(self.fc1(h, ctx)), ctx)
+        return self.head(jnp.mean(x, axis=1), ctx)
+
+
 def _load_family(stem):
     data = np.load(GOLDEN / f"{stem}_data.npz")
     init_sd = {
@@ -91,6 +118,25 @@ def make_cnn(init_sd):
         fc=nn.Linear.create(k[3], 24, 10),
     )
     return utils.load_state_dict(m, init_sd)
+
+
+def make_attn(init_sd):
+    k = jax.random.split(jax.random.PRNGKey(0), 7)
+    m = Attn(
+        ln1=nn.LayerNorm.create(48),
+        q=nn.Linear.create(k[0], 48, 48),
+        k=nn.Linear.create(k[1], 48, 48),
+        v=nn.Linear.create(k[2], 48, 48),
+        o=nn.Linear.create(k[3], 48, 48),
+        ln2=nn.LayerNorm.create(48),
+        fc1=nn.Linear.create(k[4], 48, 96),
+        fc2=nn.Linear.create(k[5], 96, 48),
+        head=nn.Linear.create(k[6], 48, 10),
+    )
+    return utils.load_state_dict(m, init_sd)
+
+
+_MAKERS = {"mlp": make_mlp, "cnn": make_cnn, "attn": make_attn}
 
 
 def _cycle_dicts(xs, ys, nhwc=False):
@@ -232,12 +278,12 @@ def assert_parity(
         np.testing.assert_allclose(np.asarray(y), data[out_key], atol=atol_out)
 
 
-@pytest.mark.parametrize("family", ["mlp", "cnn"])
+@pytest.mark.parametrize("family", ["mlp", "cnn", "attn"])
 def test_dwain_whole_model_decision_parity(family):
     hp = _hparams()["dwain"]
     data, init_sd = _load_family(f"whole_{family}")
     nhwc = family == "cnn"
-    model = make_mlp(init_sd) if family == "mlp" else make_cnn(init_sd)
+    model = _MAKERS[family](init_sd)
     model2, config = dwain.decompose(
         module=model,
         data_iterator=_cycle_dicts(data["calib_x"], data["calib_y"], nhwc),
@@ -330,12 +376,12 @@ def test_lockd_whole_walk_numeric_parity():
     np.testing.assert_allclose(np.asarray(y), io["y"], atol=1e-5)
 
 
-@pytest.mark.parametrize("family", ["mlp", "cnn"])
+@pytest.mark.parametrize("family", ["mlp", "cnn", "attn"])
 def test_falor_whole_model_decision_parity(family):
     hp = _hparams()["falor"]
     data, init_sd = _load_family(f"whole_{family}")
     nhwc = family == "cnn"
-    model = make_mlp(init_sd) if family == "mlp" else make_cnn(init_sd)
+    model = _MAKERS[family](init_sd)
     model2, config = falor.decompose(
         module=model,
         data_iterator=_cycle_tensors(data["calib_x"], nhwc),
