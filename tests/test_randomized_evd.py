@@ -117,3 +117,28 @@ def test_dwain_exact_pipelined_precompute_deterministic():
     np.testing.assert_allclose(
         np.asarray(m1(b)), np.asarray(m2(b)), atol=1e-7
     )
+
+
+def test_randomized_evd_on_sharded_gram():
+    """Distributed EVD path (SURVEY §2.7 "sharded linear algebra"): the
+    subspace-iteration matmuls accept a mesh-SHARDED Gram — XLA partitions
+    G @ Q row-wise and gathers only the thin (d, m) iterate for QR, so the
+    d x d Gram never needs to live on one device (the Llama-8B down_proj
+    Gram is 14336^2).  Correctness: projector equality with the exact path
+    on the 8-device mesh."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ptdeco_tpu import parallel
+
+    g = _make_gram(d=512, rank=24, seed=7)
+    mesh = parallel.make_mesh(dp=8, tp=1)
+    g_sharded = jax.device_put(
+        g, NamedSharding(mesh, P("dp", None))
+    )
+    assert len(g_sharded.sharding.device_set) == 8
+    u_sharded = engine.randomized_topk_eigenvectors(g_sharded, top_k=128)
+    u_exact = engine.eigenvectors_from_gram(g, in_float64=True)
+    for rank in (8, 16, 24):
+        pe = u_exact[:, -rank:] @ u_exact[:, -rank:].T
+        ur = np.asarray(u_sharded[:, -rank:])
+        np.testing.assert_allclose(ur @ ur.T, pe, atol=5e-4)
