@@ -120,7 +120,10 @@ def lowrank_matmul(
         + TN * TO * 4
         + TN * r * 4
     )
-    if n < TN or d_out < TO or vmem_bytes > 12 * 1024 * 1024:
+    # r < 128 pads the lane dimension of both the (., r) hidden tile and the
+    # (r, TO) K2 tile to 128 — measured slower than the XLA pair on v5e
+    # (BENCH_SERVING.json rank-32 run); wins start at r >= 128
+    if n < TN or d_out < TO or r < 128 or vmem_bytes > 12 * 1024 * 1024:
         y = lowrank_xla(x2, k1, k2, bias)
         return y.reshape(*lead, d_out)
 
