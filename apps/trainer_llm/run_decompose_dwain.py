@@ -82,15 +82,17 @@ def main(config_raw: dict[str, Any], output_path: pathlib.Path) -> None:
     builder.validate_module_names(model, config.blacklisted_modules)
 
     mesh = None
-    if config.mesh_dp is not None or config.mesh_tp > 1:
-        mesh = parallel.make_mesh(dp=config.mesh_dp, tp=config.mesh_tp)
+    if config.mesh_dp is not None or config.mesh_tp > 1 or config.mesh_sp > 1:
+        mesh = parallel.make_mesh(
+            dp=config.mesh_dp, tp=config.mesh_tp, sp=config.mesh_sp
+        )
         model = psh.shard_params(model, mesh)
         logger.info(f"Using mesh {dict(mesh.shape)}")
 
     deco_iter, ppl_loader = make_dataloaders(config, tokenizer)
     if mesh is not None:
         base_iter = deco_iter
-        deco_iter = (parallel.shard_batch(b, mesh) for b in base_iter)
+        deco_iter = (parallel.shard_batch_seq(b, mesh) for b in base_iter)
 
     t_start = time.perf_counter()
     sample_batch = next(iter(ppl_loader.one_epoch()))

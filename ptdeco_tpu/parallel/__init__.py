@@ -1,5 +1,6 @@
 from .mesh import (
     DP_AXIS,
+    SP_AXIS,
     TP_AXIS,
     batch_sharding,
     initialize_distributed,
@@ -8,11 +9,13 @@ from .mesh import (
     replicate,
     replicated_sharding,
     shard_batch,
+    shard_batch_seq,
 )
 from . import shardings  # noqa: F401
 
 __all__ = [
     "DP_AXIS",
+    "SP_AXIS",
     "TP_AXIS",
     "batch_sharding",
     "local_mesh",
@@ -20,4 +23,6 @@ __all__ = [
     "replicate",
     "replicated_sharding",
     "shard_batch",
+    "shard_batch_seq",
+    "initialize_distributed",
 ]

@@ -31,6 +31,7 @@ __all__ = [
 ]
 
 DP_AXIS = "dp"
+SP_AXIS = "sp"
 TP_AXIS = "tp"
 
 
@@ -55,15 +56,26 @@ def initialize_distributed(
 def make_mesh(
     dp: Optional[int] = None,
     tp: int = 1,
+    sp: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """Create a (dp, tp) mesh.  With dp=None, use all devices / tp."""
+    """Create a (dp[, sp], tp) mesh.  With dp=None, use all devices/(tp*sp).
+
+    ``sp`` (sequence parallel) adds a mesh axis for sharding the SEQUENCE
+    dimension of calibration batches (see ``shard_batch_seq``).  The Gram
+    accumulators are sums over flattened (B*S) rows, so sequence sharding
+    is exact for calibration, the honest sp story for this workload
+    (SURVEY.md §5 "long-context").  When sp == 1 the mesh stays 2-axis for
+    backward compatibility."""
     devices = list(devices if devices is not None else jax.devices())
     if dp is None:
-        dp = len(devices) // tp
-    assert dp * tp == len(devices), (dp, tp, len(devices))
-    arr = np.asarray(devices).reshape(dp, tp)
-    return Mesh(arr, (DP_AXIS, TP_AXIS))
+        dp = len(devices) // (tp * sp)
+    assert dp * tp * sp == len(devices), (dp, sp, tp, len(devices))
+    if sp == 1:
+        arr = np.asarray(devices).reshape(dp, tp)
+        return Mesh(arr, (DP_AXIS, TP_AXIS))
+    arr = np.asarray(devices).reshape(dp, sp, tp)
+    return Mesh(arr, (DP_AXIS, SP_AXIS, TP_AXIS))
 
 
 def local_mesh(n: Optional[int] = None) -> Mesh:
@@ -88,6 +100,25 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
         if hasattr(x, "shape") and getattr(x, "ndim", 0) >= 1:
             return jax.device_put(x, sharding)
         return x
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def shard_batch_seq(batch: Any, mesh: Mesh) -> Any:
+    """Shard batch over dp AND sequence (second axis) over sp — exact for
+    Gram calibration, which flattens to (B*S, d) rows before the row-sum.
+    Arrays without a sequence axis shard over dp only."""
+    if SP_AXIS not in mesh.axis_names:
+        return shard_batch(batch, mesh)
+    dp_sp = NamedSharding(mesh, P(DP_AXIS, SP_AXIS))
+    dp_only = NamedSharding(mesh, P(DP_AXIS))
+
+    def put(x):
+        if not hasattr(x, "shape") or getattr(x, "ndim", 0) < 1:
+            return x
+        if x.ndim >= 2 and x.shape[1] % mesh.shape[SP_AXIS] == 0:
+            return jax.device_put(x, dp_sp)
+        return jax.device_put(x, dp_only)
 
     return jax.tree_util.tree_map(put, batch)
 

@@ -61,3 +61,58 @@ def test_mesh_shapes():
     assert mesh.shape == {"dp": 4, "tp": 2}
     with pytest.raises(AssertionError):
         parallel.make_mesh(dp=3, tp=2)
+
+
+def test_seq_parallel_gram_matches_serial():
+    """Sequence-parallel calibration: (B, S, d) batches sharded over
+    (dp, sp) produce the same Gram as serial — the honest "long context /
+    sequence parallel" property for this workload (SURVEY.md §5): taps
+    flatten to (B*S, d) rows and the Gram is a row-sum, so sequence
+    sharding is exact.  The model forward under a sharded S is handled by
+    GSPMD-inserted collectives."""
+
+    class SeqNet(nn.Module):
+        mod: nn.Linear
+
+        def __call__(self, x, ctx=None):
+            return self.mod(x, ctx)  # (B, S, d_out)
+
+    d_in, d_out = 32, 24
+    net = SeqNet(mod=nn.Linear.create(jax.random.PRNGKey(0), d_in, d_out))
+    batches = [
+        jax.random.normal(jax.random.PRNGKey(10 + i), (4, 8, d_in))
+        for i in range(3)
+    ]
+    g_serial, _ = engine.compute_output_grams(
+        net, ["mod"], iter(batches), num_data_steps=3
+    )
+
+    mesh = parallel.make_mesh(dp=2, sp=2, tp=2)
+    assert mesh.shape == {"dp": 2, "sp": 2, "tp": 2}
+    net_r = parallel.replicate(net, mesh)
+    sharded = [parallel.shard_batch_seq(b, mesh) for b in batches]
+    assert sharded[0].sharding.spec == jax.sharding.PartitionSpec("dp", "sp")
+    g_sp, _ = engine.compute_output_grams(
+        net_r, ["mod"], iter(sharded), num_data_steps=3
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_serial["mod"]), np.asarray(g_sp["mod"]),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_shard_batch_seq_on_dict_batches():
+    mesh = parallel.make_mesh(dp=2, sp=2, tp=2)
+    batch = {
+        "input_ids": jnp.ones((4, 8), jnp.int32),
+        "attention_mask": jnp.ones((4, 8), jnp.int32),
+        "scalar": jnp.float32(1.0),
+    }
+    out = parallel.shard_batch_seq(batch, mesh)
+    assert out["input_ids"].sharding.spec == jax.sharding.PartitionSpec(
+        "dp", "sp"
+    )
+    # sp==1 mesh falls back to plain dp sharding
+    mesh2 = parallel.make_mesh(dp=4, tp=2)
+    out2 = parallel.shard_batch_seq(batch, mesh2)
+    assert out2["input_ids"].sharding.spec == jax.sharding.PartitionSpec("dp")
