@@ -107,11 +107,17 @@ def should_use_syrk(dtype: Any, d: int, backend: Optional[str] = None) -> bool:
     19.8x at d=2048 (XLA's HIGHEST-precision bf16 einsum is the slow path),
     parity at d=4096; f32 inputs 0.94-1.13x (a wash).  So: TPU + bf16 +
     d big enough to tile.  The kernel accumulates in f32 from bf16 inputs,
-    which is numerically at least as good as the einsum it replaces."""
+    which is numerically at least as good as the einsum it replaces.
+
+    Single-device only: a pallas_call is opaque to GSPMD, so with dp/sp-
+    sharded calibration batches it would force an all-gather of the
+    activations instead of the per-shard-einsum + psum the XLA path gets —
+    mesh runs keep the einsum."""
     if backend is None:
         backend = jax.default_backend()
     return (
         backend == "tpu"
+        and jax.device_count() == 1
         and jnp.dtype(dtype) == jnp.bfloat16
         and d >= 2 * TILE
     )

@@ -36,11 +36,18 @@ def test_syrk_interpret_bf16_input():
 
 
 def test_should_use_syrk_auto_rule():
-    """The engine's use_pallas=None auto dispatch: TPU + bf16 + tileable d
-    (measured win on v5e, see should_use_syrk docstring)."""
-    assert ops.should_use_syrk(jnp.bfloat16, 2048, backend="tpu")
-    assert not ops.should_use_syrk(jnp.float32, 2048, backend="tpu")
-    assert not ops.should_use_syrk(jnp.bfloat16, 256, backend="tpu")  # < 2 tiles
-    assert not ops.should_use_syrk(jnp.bfloat16, 2048, backend="cpu")
-    # on this CPU test host the ambient default is off
-    assert not ops.should_use_syrk(jnp.bfloat16, 2048)
+    """The engine's use_pallas=None auto dispatch: TPU + single device +
+    bf16 + tileable d (measured win on v5e, see should_use_syrk docstring).
+    This 8-virtual-device host is multi-device, so even backend="tpu" is
+    refused — pallas_call is opaque to GSPMD and would gather sharded
+    activations."""
+    assert not ops.should_use_syrk(jnp.bfloat16, 2048, backend="tpu")
+    import unittest.mock as mock
+
+    with mock.patch.object(jax, "device_count", return_value=1):
+        assert ops.should_use_syrk(jnp.bfloat16, 2048, backend="tpu")
+        assert not ops.should_use_syrk(jnp.float32, 2048, backend="tpu")
+        assert not ops.should_use_syrk(jnp.bfloat16, 256, backend="tpu")
+        assert not ops.should_use_syrk(jnp.bfloat16, 2048, backend="cpu")
+        # ambient default on this host is cpu -> off
+        assert not ops.should_use_syrk(jnp.bfloat16, 2048)
