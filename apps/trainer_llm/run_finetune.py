@@ -22,7 +22,8 @@ import numpy as np
 import optax
 
 from ptdeco_tpu import finetune as ft
-from ptdeco_tpu import models, nn, utils
+from ptdeco_tpu import models, nn, parallel, utils
+from ptdeco_tpu.parallel import shardings as psh
 
 from . import builder, configurator, datasets_hf, metrics
 
@@ -112,6 +113,12 @@ def main(config_raw: dict[str, Any], output_path: pathlib.Path) -> None:
             ),
         )
         lora_names.append(name)
+    mesh = None
+    if config.mesh_dp is not None or config.mesh_tp > 1:
+        mesh = parallel.make_mesh(dp=config.mesh_dp, tp=config.mesh_tp)
+        model = psh.shard_params(model, mesh)
+        logger.info(f"Using mesh {dict(mesh.shape)}")
+
     leaf_names = [f"{n}.lora_a" for n in lora_names] + [
         f"{n}.lora_b" for n in lora_names
     ]
@@ -173,6 +180,8 @@ def main(config_raw: dict[str, Any], output_path: pathlib.Path) -> None:
     t_train = time.perf_counter()
     for epoch in range(config.num_train_epochs):
         for batch in train_loader.one_epoch():
+            if mesh is not None:
+                batch = parallel.shard_batch(batch, mesh)
             tr_key = jax.random.fold_in(key, 10_000 + step)
             trainable, opt_state, loss = train_step(
                 trainable, opt_state, batch, tr_key
@@ -181,7 +190,14 @@ def main(config_raw: dict[str, Any], output_path: pathlib.Path) -> None:
                 logger.info(f"step {step}/{num_steps} loss={float(loss):.4f}")
             if (step + 1) % config.eval_steps == 0:
                 losses = [
-                    float(eval_loss(trainable, b))
+                    float(
+                        eval_loss(
+                            trainable,
+                            parallel.shard_batch(b, mesh)
+                            if mesh is not None
+                            else b,
+                        )
+                    )
                     for b in test_loader.one_epoch()
                 ]
                 ev = float(np.mean(losses)) if losses else float("inf")

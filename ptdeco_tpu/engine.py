@@ -210,12 +210,21 @@ def make_gram_scan_step(
                 from .ops.gram_pallas import should_use_syrk, syrk_gram
 
                 if use_pallas == "auto":
-                    # per-site static decision (dtype/shape known at trace)
-                    use = should_use_syrk(y.dtype, y.shape[1])
+                    # per-site static decision keyed on the ACTIVATION
+                    # dtype (y itself is f32 by construction above —
+                    # deciding on y.dtype was a bug that made this branch
+                    # dead, caught by an integration spy test)
+                    use = should_use_syrk(x.dtype, y.shape[1])
                 else:
                     use = bool(use_pallas)
                 if use:
-                    g = syrk_gram(y) / n
+                    # SYRK path: Gram from activation-dtype y (bf16 for
+                    # bf16 models) with f32 accumulation in the kernel.
+                    # Measured vs the f32-HIGHEST einsum below on the real
+                    # dataflow: 23x at d=2048 n=8192 on v5e, max relative
+                    # Gram error 2e-4 (BASELINE_MEASURED.md); decision
+                    # parity spot-checked on the bf16 bench workload.
+                    g = syrk_gram(y.astype(x.dtype)) / n
                 else:
                     g = jnp.einsum(
                         "bp,bq->pq",

@@ -101,13 +101,16 @@ def _syrk_padded(y: jax.Array, interpret: bool = False) -> jax.Array:
 
 def should_use_syrk(dtype: Any, d: int, backend: Optional[str] = None) -> bool:
     """Auto-dispatch rule for the calibration Gram (engine passes
-    ``use_pallas=None``): use the SYRK kernel when it measurably wins.
+    ``use_pallas=None``).  ``dtype`` is the site's ACTIVATION dtype — the
+    engine's y is always f32 (HIGHEST-precision site matmul); the SYRK path
+    casts y back to the activation dtype and accumulates in f32 inside the
+    kernel.
 
-    Measured on TPU v5e (aux/bench_kernels.py, 2026-08-16): bf16 inputs
-    19.8x at d=2048 (XLA's HIGHEST-precision bf16 einsum is the slow path),
-    parity at d=4096; f32 inputs 0.94-1.13x (a wash).  So: TPU + bf16 +
-    d big enough to tile.  The kernel accumulates in f32 from bf16 inputs,
-    which is numerically at least as good as the einsum it replaces.
+    Measured on v5e against the engine's real alternative (f32-HIGHEST
+    einsum) at d=2048 n=8192: **23x**, with max relative Gram error 2e-4 —
+    the precision trade is bounded by the bf16 numerics the user already
+    chose for the model.  f32 activations keep the einsum (kernel-vs-kernel
+    was a 0.94-1.13x wash, and f32 y is exact there).
 
     Single-device only: a pallas_call is opaque to GSPMD, so with dp/sp-
     sharded calibration batches it would force an all-gather of the

@@ -35,6 +35,53 @@ def test_syrk_interpret_bf16_input():
     np.testing.assert_allclose(np.asarray(g), np.asarray(ref), rtol=2e-2, atol=2e-2)
 
 
+def test_auto_dispatch_actually_fires_with_bf16_activations():
+    """INTEGRATION spy: under use_pallas='auto' the engine must route a
+    bf16-activation site through syrk_gram with a bf16 input.  (The first
+    auto implementation keyed on y.dtype — always f32 — and was dead code;
+    this test pins the wiring, with the rule itself forced open.)"""
+    import unittest.mock as mock
+
+    from ptdeco_tpu import engine, nn
+    from ptdeco_tpu.ops import gram_pallas
+
+    class Net(nn.Module):
+        mod: nn.Linear
+
+        def __call__(self, x, ctx=None):
+            return self.mod(x, ctx)
+
+    net = Net(mod=nn.Linear.create(jax.random.PRNGKey(0), 64, 64))
+    net = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16) if hasattr(a, "dtype") else a, net
+    )
+    seen = {}
+
+    def spy(y):
+        seen["dtype"] = y.dtype
+        return ops.gram_xla(y)
+
+    batches = [
+        (jax.random.normal(jax.random.PRNGKey(i), (16, 64)) * 0.1).astype(
+            jnp.bfloat16
+        )
+        for i in range(2)
+    ]
+    with mock.patch.object(
+        gram_pallas, "should_use_syrk", return_value=True
+    ), mock.patch.object(gram_pallas, "syrk_gram", side_effect=spy):
+        g, _ = engine.compute_output_grams(
+            net, ["mod"], iter(batches), num_data_steps=2
+        )
+    assert seen["dtype"] == jnp.bfloat16  # routed, with activation dtype
+    ref, _ = engine.compute_output_grams(
+        net, ["mod"], iter(batches), num_data_steps=2, use_pallas=False
+    )
+    np.testing.assert_allclose(
+        np.asarray(g["mod"]), np.asarray(ref["mod"]), rtol=1e-2, atol=1e-2
+    )
+
+
 def test_should_use_syrk_auto_rule():
     """The engine's use_pallas=None auto dispatch: TPU + single device +
     bf16 + tileable d (measured win on v5e, see should_use_syrk docstring).
