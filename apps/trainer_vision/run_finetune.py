@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ptdeco_tpu import nn, utils
+from ptdeco_tpu import nn, parallel, utils
 
 from . import builder, configurator, datasets_image, metrics
 
@@ -123,6 +123,14 @@ def main(
     else:
         trainable, frozen = nn.partition(student, lambda p, leaf: True)
 
+    mesh = None
+    if config.mesh_dp is not None:
+        mesh = parallel.make_mesh(dp=config.mesh_dp, tp=1)
+        trainable = parallel.replicate(trainable, mesh)
+        frozen = parallel.replicate(frozen, mesh)
+        teacher = parallel.replicate(teacher, mesh)
+        logger.info(f"Using mesh {dict(mesh.shape)}")
+
     steps_per_epoch = max(len(train_pipeline), 1)
     num_steps = configurator.parse_duration(config.max_duration, steps_per_epoch)
     schedule = configurator.get_lr_schedule(config, num_steps, steps_per_epoch)
@@ -154,8 +162,11 @@ def main(
     data_iter = datasets_image.infinite(train_pipeline)
     for step_idx in range(start_step, num_steps):
         batch = next(data_iter)
+        inputs = jnp.asarray(batch["inputs"])
+        if mesh is not None:
+            inputs = parallel.shard_batch(inputs, mesh)
         trainable, opt_state, loss = train_step(
-            trainable, opt_state, jnp.asarray(batch["inputs"])
+            trainable, opt_state, inputs
         )
         if step_idx % 100 == 0:
             logger.info(

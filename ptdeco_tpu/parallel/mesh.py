@@ -70,6 +70,10 @@ def make_mesh(
     devices = list(devices if devices is not None else jax.devices())
     if dp is None:
         dp = len(devices) // (tp * sp)
+    elif dp * tp * sp < len(devices):
+        # an explicit dp requests that many data-parallel groups — use the
+        # first dp*sp*tp devices rather than failing on larger hosts
+        devices = devices[: dp * tp * sp]
     assert dp * tp * sp == len(devices), (dp, sp, tp, len(devices))
     if sp == 1:
         arr = np.asarray(devices).reshape(dp, tp)

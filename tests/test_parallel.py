@@ -59,8 +59,12 @@ def test_sharded_batch_layout():
 def test_mesh_shapes():
     mesh = parallel.make_mesh(dp=4, tp=2)
     assert mesh.shape == {"dp": 4, "tp": 2}
+    # explicit dp smaller than the host takes a device subset
+    mesh6 = parallel.make_mesh(dp=3, tp=2)
+    assert mesh6.shape == {"dp": 3, "tp": 2}
+    # overshooting the host still fails loudly
     with pytest.raises(AssertionError):
-        parallel.make_mesh(dp=3, tp=2)
+        parallel.make_mesh(dp=5, tp=2)
 
 
 def test_seq_parallel_gram_matches_serial():
