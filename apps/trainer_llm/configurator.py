@@ -81,6 +81,9 @@ class DecomposeDWAINConfig(_VersionConfig):
     # Mesh (TPU-only extension; absent in the reference, SURVEY.md §2.7)
     mesh_dp: Optional[int] = None
     mesh_tp: int = 1
+    # sequence-parallel axis for calibration sharding (exact for Gram
+    # accumulation: rows are a sum over flattened B*S)
+    mesh_sp: int = 1
 
     model_config = pydantic.ConfigDict(extra="forbid")
 
@@ -141,8 +144,5 @@ class FinetuneConfig(_VersionConfig):
 
     mesh_dp: Optional[int] = None
     mesh_tp: int = 1
-    # sequence-parallel axis for calibration sharding (exact for Gram
-    # accumulation: rows are a sum over flattened B*S)
-    mesh_sp: int = 1
 
     model_config = pydantic.ConfigDict(extra="forbid")

@@ -175,6 +175,29 @@ def main() -> None:
         }
 
     mfu = measure_calibration_mfu()
+    # roll up the separately-tracked bench artifacts (real-model walk,
+    # serving, EVD scaling, input pipeline) so the driver-captured record
+    # carries them too
+    artifacts = {}
+    import pathlib as _pl
+
+    root = _pl.Path(__file__).parent
+    for fname, keys in (
+        ("BENCH_TINYLLAMA.json", ["sites_per_hour", "wall_clock_band_s", "dispatches"]),
+        ("BENCH_8B_SHAPED.json", ["s_per_site", "dispatches"]),
+        (
+            "BENCH_SERVING.json",
+            ["speedup_decomposed_vs_original", "speedup_fused_vs_decomposed"],
+        ),
+        ("BENCH_EVD.json", ["rows"]),
+        ("BENCH_IMAGE_PIPELINE.json", ["host_decode_native_images_per_s"]),
+    ):
+        try:
+            d = json.loads((root / fname).read_text())
+            artifacts[fname] = {k: d[k] for k in keys if k in d}
+        except Exception:
+            pass
+
     head = results["precompute"]
     print(
         json.dumps(
@@ -190,6 +213,7 @@ def main() -> None:
                     "serial": results["serial"],
                     "serial_exact_f64": results["serial-exact-f64"],
                     "calibration_mfu": mfu,
+                    "tracked_artifacts": artifacts,
                     "device": str(jax.devices()[0]),
                 },
             }
