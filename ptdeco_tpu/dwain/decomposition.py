@@ -40,8 +40,7 @@ logger = logging.getLogger(__name__)
 
 is_decomposeable_module = engine.is_decomposeable_module
 
-# above this many decomposeable sites, use the structure-shared metric step
-SHARED_METRIC_SITE_THRESHOLD = 12
+SHARED_METRIC_SITE_THRESHOLD = engine.SHARED_METRIC_SITE_THRESHOLD
 
 LossFn = Callable[[Any, jax.Array], jax.Array]
 FinetuneFn = Callable[[nn.Module, list[str]], nn.Module]
@@ -632,6 +631,10 @@ def decompose(
             "data_steps": num_data_steps,
             "metric_steps": num_metric_steps,
             "sites": modules_to_decompose,
+            # these change the eigenbasis / Gram semantics, so resuming
+            # across them would silently mix decompositions
+            "eigh_method": eigh_method,
+            "precompute_splits": precomputing_covariance_num_splits,
         },
         sort_keys=True,
     )
@@ -774,14 +777,37 @@ def decompose(
                     module, submodule_name, new_module
                 )
                 if finetune_fn is not None:
+                    # snapshot leaf identities so only pairs the finetune
+                    # actually touched get their checkpoints rewritten
+                    # (unconditional rewrites are O(n^2) full-weight IO
+                    # over a long walk; mirrors deferred.absorb's
+                    # ft_changed filtering)
+                    prev_leaves = (
+                        {
+                            p: jax.tree_util.tree_leaves(
+                                nn.get_submodule(module, p)
+                            )
+                            for p in decomposed_submodules[:-1]
+                        }
+                        if ckpt.dir is not None
+                        else {}
+                    )
                     module = finetune_fn(module, decomposed_submodules)
                     if ckpt.dir is not None:
                         for prev_name in decomposed_submodules[:-1]:
-                            ckpt.record(
-                                nn.get_submodule(module, prev_name),
-                                prev_name,
-                                decompose_config[prev_name],
-                            )
+                            pair_now = nn.get_submodule(module, prev_name)
+                            leaves_now = jax.tree_util.tree_leaves(pair_now)
+                            if any(
+                                a is not b
+                                for a, b in zip(
+                                    prev_leaves[prev_name], leaves_now
+                                )
+                            ):
+                                ckpt.record(
+                                    pair_now,
+                                    prev_name,
+                                    decompose_config[prev_name],
+                                )
                 pair = nn.get_submodule(module, submodule_name)
             module_config = utils.get_module_config(pair)
             engine.add_meta_to_module_config(module_config, result)

@@ -47,6 +47,10 @@ logger = logging.getLogger(__name__)
 
 EIGEN_DAMPEN_FACTOR = 0.01  # reference dwain/decomposition.py:14
 
+# above this many decomposeable sites, policies switch to the
+# structure-shared metric step (one compile for the whole walk)
+SHARED_METRIC_SITE_THRESHOLD = 12
+
 ApplyFn = Callable[[nn.Module, Any, Optional[nn.Ctx]], jax.Array]
 
 
@@ -287,12 +291,9 @@ def compute_output_grams(
     scan_step = make_gram_scan_step(
         tuple(site_names), sites, apply_fn, accumulate_mean, use_pallas
     )
-    remaining = num_data_steps
-    while remaining > 0:
-        k = min(scan_chunk, remaining)
-        chunk = [next(data_iterator) for _ in range(k)]
+    for sl in _chunk_slices(num_data_steps, scan_chunk):
+        chunk = [next(data_iterator) for _ in range(sl.stop - sl.start)]
         grams, means = scan_step(root, _stack_batches(chunk), grams, means)
-        remaining -= k
     grams = {n: g / num_data_steps for n, g in grams.items()}
     means = {n: m / num_data_steps for n, m in means.items()}
     return grams, means
@@ -313,6 +314,24 @@ def _batch_nbytes(batch: Any) -> int:
         for x in jax.tree_util.tree_leaves(batch)
         if hasattr(x, "size")
     )
+
+
+def _chunk_slices(total: int, max_chunk: int) -> list[slice]:
+    """Split [0, total) into near-equal chunks of <= max_chunk with at most
+    TWO distinct sizes (differing by 1).  A naive `range(0, n, chunk)` tail
+    chunk has a different shape and forces a full XLA recompile of the
+    whole-model program; balanced chunks cap that at 2 compiled shapes and
+    usually 1 (when the split is even)."""
+    if total <= 0:
+        return []
+    n_chunks = -(-total // max(1, max_chunk))
+    base, rem = divmod(total, n_chunks)
+    out, start = [], 0
+    for i in range(n_chunks):
+        size = base + (1 if i < rem else 0)
+        out.append(slice(start, start + size))
+        start += size
+    return out
 
 
 def make_ladder_metric_step(site: Site, apply_fn: ApplyFn, metric_fn):
@@ -523,11 +542,13 @@ class CandidateEvaluator:
                 )
                 out = self._indexed(root, idx, kernel2d, u_dev, ranks_arr, stacked)
                 return np.asarray(jax.device_get(out))
-            # over budget: chunk the metric batches, full candidate axis
+            # over budget: chunk the metric batches.  The stack still
+            # carries the full candidate axis, so the budget divides by c.
+            max_m_idx = max(1, METRIC_STACK_BUDGET_BYTES // max(per_batch * c, 1))
             outs = []
-            for j in range(0, m, max_m):
+            for sl in _chunk_slices(m, max_m_idx):
                 stacked = _stack_batches(
-                    [_stack_batches(cb[j : j + max_m]) for cb in all_batches]
+                    [_stack_batches(cb[sl]) for cb in all_batches]
                 )
                 outs.append(
                     self._indexed(root, idx, kernel2d, u_dev, ranks_arr, stacked)
@@ -542,9 +563,9 @@ class CandidateEvaluator:
                 root_deco = set_site_kernel2d(root, self.site, deco)
                 outs = [
                     self._shared(
-                        root_deco, root, _stack_batches(cb[j : j + max_m])
+                        root_deco, root, _stack_batches(cb[sl])
                     )
-                    for j in range(0, m, max_m)
+                    for sl in _chunk_slices(m, max_m)
                 ]
                 rows.append(jnp.concatenate(outs, axis=0))
             return np.asarray(jax.device_get(jnp.stack(rows)))
@@ -564,9 +585,9 @@ class CandidateEvaluator:
                     kernel2d,
                     u_dev,
                     jnp.int32(rank),
-                    _stack_batches(cb[j : j + max_m]),
+                    _stack_batches(cb[sl]),
                 )
-                for j in range(0, m, max_m)
+                for sl in _chunk_slices(m, max_m)
             ]
             rows.append(jnp.concatenate(outs, axis=0))
         return np.asarray(jax.device_get(jnp.stack(rows)))

@@ -47,8 +47,7 @@ logger = logging.getLogger(__name__)
 
 is_decomposeable_module = engine.is_decomposeable_module
 
-# above this many sites, share one metric program across all of them
-SHARED_METRIC_SITE_THRESHOLD = 12
+SHARED_METRIC_SITE_THRESHOLD = engine.SHARED_METRIC_SITE_THRESHOLD
 
 
 def _metric_fn(x: Any, y_deco: jax.Array, y_orig: jax.Array) -> jax.Array:
@@ -288,8 +287,6 @@ def decompose(
             rec = json.loads(line)
             resumed[rec["site"]] = rec
         logger.info(f"Resuming falor: {len(resumed)} sites already scored")
-    if ckpt_path is not None:
-        ckpt_path.parent.mkdir(parents=True, exist_ok=True)
 
     for i, submodule_name in enumerate(decomposable_submodules, start=1):
         msg_prefix = f"Processing {submodule_name}: module {i} of {n}"

@@ -137,6 +137,12 @@ class WrappedLOCKDLinear(nn.Module):
     def get_decomposed_module_and_meta(self) -> tuple[nn.Module, dict[str, Any]]:
         logits = np.asarray(jax.device_get(self.logits))
         indices = np.where(logits > 0)[0]
+        if len(indices) == 0:
+            # keep the strongest channel — a zero-width factor pair would
+            # reduce the layer to bias-only output.  The reference guards
+            # only its conv path this way (lockd:152-154); its Linear path
+            # has the same gap, fixed here for both.
+            indices = np.where(logits >= logits.max())[0]
         c1, c0 = len(indices), len(logits)
         p = c1 / c0
         logger.info(

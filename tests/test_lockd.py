@@ -173,3 +173,25 @@ def test_gumbel_sampling_stats():
     assert np.all(s[:, 0] == 0.0)  # negative logits are hard-zeroed
     assert 0.9 < s[:, 2].mean() < 1.0
     assert np.all((s >= 0) & (s <= 1))
+
+
+def test_decompose_all_gates_closed_keeps_strongest_channel():
+    """A fully-closed gate must not produce a zero-width factor pair (the
+    reference guards only its conv path, lockd:152-154; we fix Linear too)."""
+    net = make_net()
+    wrapped = lockd.wrap(net, jax.random.PRNGKey(1))
+    for name, m in lockd.named_wrapped_modules(wrapped):
+        logits = -np.abs(np.random.RandomState(0).randn(m.logits.shape[0])) - 1.0
+        wrapped = nn.replace_submodule(
+            wrapped, f"{name}.logits", jnp.asarray(logits, jnp.float32)
+        )
+    deco, config = lockd.decompose(wrapped, proportion_threshold=0.9)
+    for name, cfg in config.items():
+        # exactly one surviving channel everywhere, never zero
+        n = cfg["modules"]["0"].get(
+            "out_features", cfg["modules"]["0"].get("out_channels")
+        )
+        assert n == 1, (name, cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(2), (2, 8, 8, 3))
+    y = deco(x)
+    assert np.isfinite(np.asarray(y)).all()

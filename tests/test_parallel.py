@@ -120,3 +120,24 @@ def test_shard_batch_seq_on_dict_batches():
     mesh2 = parallel.make_mesh(dp=4, tp=2)
     out2 = parallel.shard_batch_seq(batch, mesh2)
     assert out2["input_ids"].sharding.spec == jax.sharding.PartitionSpec("dp")
+
+
+def test_chunk_slices_balanced():
+    """Balanced chunking caps compiled shapes at 2 (usually 1): a naive
+    trailing chunk would recompile the whole-model program."""
+    from ptdeco_tpu.engine import _chunk_slices
+
+    def sizes(total, mx):
+        return [s.stop - s.start for s in _chunk_slices(total, mx)]
+
+    assert sizes(12, 8) == [6, 6]  # even split, ONE compiled shape
+    assert sizes(13, 8) == [7, 6]  # at most two shapes, differ by 1
+    assert sizes(8, 8) == [8]
+    assert sizes(3, 8) == [3]
+    assert sizes(0, 8) == []
+    for total in range(1, 40):
+        for mx in range(1, 12):
+            ss = sizes(total, mx)
+            assert sum(ss) == total
+            assert max(ss) <= mx
+            assert len(set(ss)) <= 2
