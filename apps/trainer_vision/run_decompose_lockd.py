@@ -87,6 +87,12 @@ def main(
     wrapped = lockd.wrap(
         model, jax.random.PRNGKey(0), config.blacklisted_modules
     )
+    n_wrapped = len(list(lockd.named_wrapped_modules(wrapped)))
+    if n_wrapped == 0:
+        raise ValueError(
+            "lockd wrapped no layers: the model has no Linear / groups==1 "
+            "Conv2d outside the blacklist — nothing to train"
+        )
     trainable, frozen = lockd.trainable_partition(wrapped)
 
     mesh = None

@@ -75,7 +75,10 @@ def _run_training(
     key: Optional[jax.Array],
 ) -> nn.Module:
     trainable, frozen = _train_partition(model, trainable_module_names)
-    tx = optax.adamw(_linear_warmup_schedule(lr, num_steps))
+    # torch.optim.AdamW defaults weight_decay=0.01 (the reference builds
+    # AdamW(params, lr=lr), dwain_wrapper_module.py:118,229) while
+    # optax.adamw defaults 1e-4 — match the reference explicitly
+    tx = optax.adamw(_linear_warmup_schedule(lr, num_steps), weight_decay=0.01)
     # cast optimizer state to f32 master copies implicitly via optax defaults
     opt_state = tx.init(trainable)
 
@@ -122,8 +125,11 @@ def finetune_full(
     to_ft = decomposed_modules[-num_last_modules_to_finetune:]
     for name in to_ft:
         logger.info(f"full fine-tuning - training {name}")
+    # train-mode ctx: the reference calls model.train() for the full
+    # fine-tune (dwain_wrapper_module.py:127) — dropout active, RNG keyed
     model = _run_training(
-        model, to_ft, ft_iterator, loss_fn, apply_fn, num_steps, lr, key=None
+        model, to_ft, ft_iterator, loss_fn, apply_fn, num_steps, lr,
+        key=jax.random.PRNGKey(0),
     )
     logger.info(f"Full fine-tuning took {time.perf_counter() - start:.2f} seconds")
     return model

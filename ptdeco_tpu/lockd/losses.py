@@ -73,6 +73,12 @@ def get_nsr_loss(
     nsr_sink: dict[str, jax.Array], nsr_threshold: float
 ) -> jax.Array:
     """mean over layers of relu(nsr - t) / t (reference losses.py:56-62)."""
+    if not nsr_sink:
+        raise ValueError(
+            "empty NSR sink: no wrapped layers ran in this forward — "
+            "wrap the model first (lockd.wrap) and check the blacklist "
+            "did not exclude every Linear/Conv2d"
+        )
     vals = [
         jax.nn.relu(v - nsr_threshold) / nsr_threshold
         for v in nsr_sink.values()

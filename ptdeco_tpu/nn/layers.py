@@ -222,9 +222,17 @@ class Sequential(Module):
 
 
 class Activation(Module):
+    """Named activation as a module (for Sequential-style model defs).
+
+    ``gelu`` maps to the exact erf form — torch's ``nn.GELU`` default —
+    NOT jax.nn.gelu's tanh approximation, so torch-parity model ports
+    composed from this module keep decision-parity numerics."""
+
     name: str = static_field(default="relu")
 
     def __call__(self, x: jax.Array, ctx: Optional[Ctx] = None) -> jax.Array:
+        if self.name == "gelu":
+            return jax.nn.gelu(x, approximate=False)
         return getattr(jax.nn, self.name)(x)
 
 

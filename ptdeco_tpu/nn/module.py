@@ -194,7 +194,7 @@ def _resolve(root: Module, name: str) -> list[tuple[Any, str]]:
             child_parts = child_name.split(".")
             n = len(child_parts)
             if parts[i : i + n] == child_parts:
-                _record_hops(chain, current, child)
+                _record_hops(chain, current, child, child_name)
                 current = child
                 i += n
                 matched = True
@@ -224,14 +224,47 @@ def _identity_path(value: Any, child: Any) -> Optional[list[tuple[Any, str]]]:
     return None
 
 
-def _record_hops(chain: list, module: Module, child: Any) -> None:
+def _record_hops(
+    chain: list, module: Module, child: Any, child_name: str = ""
+) -> None:
     """Append the (container, key) hops leading from `module` to `child`.
 
-    Works for arbitrary `_name_children` elision (Sequential's "0", or any
-    module renaming its fields for torch-compatible paths) by locating the
-    child by identity under the module's dynamic fields.
+    The child's NAME (from `_name_children`) drives resolution wherever it
+    can, so aliased objects (tied submodules/arrays appearing under two
+    fields, or the same block repeated in a Sequential) land on the right
+    tree position; identity search is only the fallback for custom
+    `_name_children` elisions whose names match neither a field nor a
+    container key.
     """
-    for fname in type(module)._dynamic_fields:
+    fields = type(module)._dynamic_fields
+    head = child_name.split(".")[0] if child_name else None
+    if head is not None:
+        # 1. the common case: child name IS a field name
+        if head in fields:
+            value = getattr(module, head)
+            if value is child:
+                chain.append((module, head))
+                return
+            path = _identity_path(value, child)
+            if path is not None:
+                chain.append((module, head))
+                chain.extend(path)
+                return
+        # 2. elided container (Sequential "0"): name keys into a field
+        for fname in fields:
+            value = getattr(module, fname)
+            if isinstance(value, (list, tuple)) and head.isdigit():
+                idx = int(head)
+                if 0 <= idx < len(value) and value[idx] is child:
+                    chain.append((module, fname))
+                    chain.append((value, str(idx)))
+                    return
+            elif isinstance(value, dict) and head in value and value[head] is child:
+                chain.append((module, fname))
+                chain.append((value, head))
+                return
+    # 3. fallback: identity scan (custom renamed children)
+    for fname in fields:
         value = getattr(module, fname)
         path = _identity_path(value, child)
         if path is not None:
@@ -335,15 +368,37 @@ def combine(a: T, b: T) -> T:
     )
 
 
+def _keystr_prefix(chain: list[tuple[Any, str]]) -> str:
+    """keystr of the tree position a `_resolve` chain ends at."""
+    s = ""
+    for container, key in chain:
+        if isinstance(container, Module):
+            s += f".{key}"
+        elif isinstance(container, (list, tuple)):
+            s += f"[{int(key)}]"
+        else:
+            s += f"[{key!r}]"
+    return s
+
+
 def tree_paths_of(root: Module, dotted_names: list[str]) -> set[str]:
-    """Map dotted module names to the set of keystr paths of their leaves."""
+    """Map dotted module names to the set of keystr paths of their leaves.
+
+    Positional (prefix) matching, not leaf identity: tied/aliased arrays
+    appearing elsewhere in the tree must not drag unrelated positions in.
+    The full-tree walk happens once, not per name."""
+    all_paths = [
+        jax.tree_util.keystr(path)
+        for path, _ in jax.tree_util.tree_leaves_with_path(root)
+    ]
     out: set[str] = set()
     for dn in dotted_names:
-        sub = get_submodule(root, dn)
-        ids = {id(leaf) for leaf in jax.tree_util.tree_leaves(sub)}
-        for path, leaf in jax.tree_util.tree_leaves_with_path(root):
-            if id(leaf) in ids:
-                out.add(jax.tree_util.keystr(path))
+        prefix = _keystr_prefix(_resolve(root, dn))
+        for p in all_paths:
+            if p == prefix or p.startswith(prefix + ".") or p.startswith(
+                prefix + "["
+            ):
+                out.add(p)
     return out
 
 

@@ -197,12 +197,17 @@ def _load_module(
 ) -> nn.Module:
     importer = _IMPORTERS.get(type(root))
     if importer is not None:
+        # the module's exporter defines exactly which param names exist —
+        # only those count as consumed, so strict mode still flags keys the
+        # importer would silently ignore (e.g. a '.bias' for a bias-less
+        # Linear, or BN stats aimed at a site that is now a Linear)
+        expected = set(_EXPORTERS[type(root)](root).keys())
         local: dict[str, np.ndarray] = {}
         lead = f"{prefix}." if prefix else ""
         for full, v in sd.items():
             if full.startswith(lead):
                 pname = full[len(lead):]
-                if pname and "." not in pname:
+                if pname and "." not in pname and pname in expected:
                     local[pname] = v
                     used.add(full)
         try:
@@ -210,7 +215,13 @@ def _load_module(
         except KeyError as e:
             if strict:
                 raise KeyError(f"Missing key under {prefix!r}: {e}") from e
-            return root
+            if not local:
+                return root
+            # partial non-strict load: fill the missing names from the
+            # module's current values so the present keys still land
+            # (torch strict=False semantics), instead of dropping them all
+            current = _EXPORTERS[type(root)](root)
+            return importer(root, {**current, **local})
     # Generic container: walk named children (handles Sequential's elision
     # symmetrically with state_dict()).
     for name, child in list(root._name_children()):

@@ -161,3 +161,51 @@ def test_conv2d_stride_padding():
 
 def test_version():
     assert ptdeco_tpu.__version__
+
+
+def test_replace_submodule_with_aliased_children():
+    """Tied objects under two names must resolve POSITIONALLY: replacing
+    'b' may not touch 'a' even when both fields reference the same object
+    (identity-based hop recording used to hit the first field)."""
+    shared = nn.Linear.create(jax.random.PRNGKey(0), 4, 4)
+
+    class Tied(nn.Module):
+        a: nn.Linear
+        b: nn.Linear
+
+        def __call__(self, x, ctx=None):
+            return self.b(self.a(x, ctx), ctx)
+
+    m = Tied(a=shared, b=shared)
+    new = nn.Linear.create(jax.random.PRNGKey(1), 4, 4)
+    m2 = nn.replace_submodule(m, "b", new)
+    assert m2.a is shared
+    assert m2.b is new
+
+
+def test_replace_submodule_repeated_in_sequential():
+    """The same block object repeated in a Sequential: index '1' must be
+    replaced, not index '0'."""
+    blk = nn.Linear.create(jax.random.PRNGKey(0), 4, 4)
+    seq = nn.Sequential(layers=(blk, blk))
+    new = nn.Linear.create(jax.random.PRNGKey(1), 4, 4)
+    s2 = nn.replace_submodule(seq, "1", new)
+    assert s2.layers[0] is blk
+    assert s2.layers[1] is new
+
+
+def test_tree_paths_of_positional_not_identity():
+    """tree_paths_of must not mark aliased leaves at OTHER positions."""
+    shared = nn.Linear.create(jax.random.PRNGKey(0), 4, 4)
+
+    class Tied(nn.Module):
+        a: nn.Linear
+        b: nn.Linear
+
+        def __call__(self, x, ctx=None):
+            return self.b(self.a(x, ctx), ctx)
+
+    m = Tied(a=shared, b=shared)
+    paths = nn.tree_paths_of(m, ["b"])
+    assert all(p.startswith(".b") for p in paths), paths
+    assert len(paths) == 2  # kernel + bias

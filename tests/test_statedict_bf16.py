@@ -46,3 +46,27 @@ def test_bf16_safetensors_roundtrip(tmp_path):
         np.asarray(sd["fc.weight"], np.float32),
         np.asarray(sd2["fc.weight"], np.float32),
     )
+
+
+def test_strict_load_flags_ignored_keys():
+    """A key the importer would silently ignore (bias for a bias-less
+    Linear) must fail strict load instead of being consumed and dropped."""
+    import pytest
+
+    m = nn.Linear.create(jax.random.PRNGKey(0), 4, 3, use_bias=False)
+    sd = {
+        "weight": np.zeros((3, 4), np.float32),
+        "bias": np.zeros((3,), np.float32),
+    }
+    with pytest.raises(KeyError, match="Unexpected"):
+        utils.load_state_dict(m, sd, strict=True)
+
+
+def test_nonstrict_partial_load_keeps_present_keys():
+    """strict=False with a missing bias must still load the present weight
+    (torch partial-load semantics), not silently drop the whole module."""
+    m = nn.Linear.create(jax.random.PRNGKey(0), 4, 3)
+    w = np.arange(12, dtype=np.float32).reshape(3, 4)
+    m2 = utils.load_state_dict(m, {"weight": w}, strict=False)
+    np.testing.assert_array_equal(np.asarray(m2.kernel), w.T)
+    np.testing.assert_array_equal(np.asarray(m2.bias), np.asarray(m.bias))
