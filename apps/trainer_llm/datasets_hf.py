@@ -89,6 +89,11 @@ class BatchIterator:
         self.batch_size = batch_size
         self.rng = np.random.RandomState(seed)
         self.loop = loop
+        if batch_size > len(sequences):
+            raise ValueError(
+                f"batch_size {batch_size} > {len(sequences)} available "
+                "sequences — raise nsamples or lower batch_size"
+            )
         self._order = self.rng.permutation(len(sequences))
         self._pos = 0
 
@@ -114,8 +119,16 @@ class BatchIterator:
             "labels": ids.copy(),
         }
 
-    def one_epoch(self) -> Iterator[dict[str, np.ndarray]]:
-        order = np.arange(len(self.sequences))
+    def one_epoch(
+        self, shuffle: bool = False
+    ) -> Iterator[dict[str, np.ndarray]]:
+        """Deterministic order by default (evals); ``shuffle=True`` draws a
+        fresh permutation per call — training epochs must not replay the
+        identical batch sequence (HF Trainer shuffles per epoch)."""
+        if shuffle:
+            order = self.rng.permutation(len(self.sequences))
+        else:
+            order = np.arange(len(self.sequences))
         for i in range(0, len(order) - self.batch_size + 1, self.batch_size):
             idx = order[i : i + self.batch_size]
             yield {

@@ -20,8 +20,6 @@ import logging
 import pathlib
 from typing import Any, Sequence
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ptdeco_tpu import nn
@@ -39,18 +37,6 @@ def load_task(path: str) -> list[dict[str, Any]]:
     return rows
 
 
-def _score_step_factory():
-    @jax.jit
-    def step(model: nn.Module, ids: jax.Array, cont_mask: jax.Array,
-             attn_mask: jax.Array):
-        logits = model({"input_ids": ids, "attention_mask": attn_mask})
-        logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), -1)
-        tok_lp = jnp.take_along_axis(logp, ids[:, 1:, None], axis=-1)[..., 0]
-        return jnp.sum(tok_lp * cont_mask[:, 1:], axis=-1)
-
-    return step
-
-
 def evaluate_loglikelihood_task(
     model: nn.Module,
     tokenizer: Any,
@@ -59,37 +45,24 @@ def evaluate_loglikelihood_task(
     batch_size: int = 8,
 ) -> dict[str, float]:
     """Accuracy of gold-choice ranking by continuation log-likelihood."""
-    requests = []  # (row_idx, choice_idx, ids, cont_len, byte_len)
+    # scoring delegates to the lm_eval adapter's core (one implementation
+    # of the left-truncate/mask/teacher-forcing subtleties for both the
+    # offline and the lm_eval paths)
+    from .lm_eval_adapter import score_pairs
+
+    pairs: list[tuple[list[int], list[int]]] = []
+    meta: list[tuple[int, int, int]] = []  # (row_idx, choice_idx, byte_len)
     for ri, row in enumerate(rows):
         q_ids = tokenizer(row["query"], add_special_tokens=False)["input_ids"]
         for ci, choice in enumerate(row["choices"]):
             c_ids = tokenizer(choice, add_special_tokens=False)["input_ids"]
-            ids = (list(q_ids) + list(c_ids))[-max_len:]
-            cont_len = min(len(c_ids), len(ids))
-            requests.append(
-                (ri, ci, ids, cont_len, max(len(choice.encode()), 1))
-            )
+            pairs.append((list(q_ids), list(c_ids)))
+            meta.append((ri, ci, max(len(choice.encode()), 1)))
 
-    step = _score_step_factory()
+    results = score_pairs(model, pairs, max_len=max_len, batch_size=batch_size)
     scores: dict[tuple[int, int], tuple[float, int]] = {}
-    for start in range(0, len(requests), batch_size):
-        chunk = requests[start : start + batch_size]
-        pad = batch_size - len(chunk)
-        ids_arr = np.zeros((batch_size, max_len), np.int32)
-        cont = np.zeros((batch_size, max_len), np.float32)
-        attn = np.zeros((batch_size, max_len), np.int32)
-        for bi, (_, _, ids, cont_len, _) in enumerate(chunk):
-            # left-align; mask the continuation tail
-            ids_arr[bi, : len(ids)] = ids
-            attn[bi, : len(ids)] = 1
-            cont[bi, len(ids) - cont_len : len(ids)] = 1.0
-        lls = np.asarray(
-            step(model, jnp.asarray(ids_arr), jnp.asarray(cont),
-                 jnp.asarray(attn))
-        )
-        for bi, (ri, ci, _, _, nbytes) in enumerate(chunk):
-            scores[(ri, ci)] = (float(lls[bi]), nbytes)
-        del pad
+    for (ri, ci, nbytes), (ll, _) in zip(meta, results):
+        scores[(ri, ci)] = (ll, nbytes)
 
     correct = correct_norm = 0
     for ri, row in enumerate(rows):

@@ -18,6 +18,7 @@ The reference calls ``lm_eval.simple_evaluate`` with an HF torch model
 
 from __future__ import annotations
 
+import functools
 import logging
 import os
 import pathlib
@@ -40,7 +41,11 @@ DEFAULT_TASKS_DIR = pathlib.Path(__file__).parent / "tasks"
 # ---------------------------------------------------------------------------
 
 
+@functools.lru_cache(maxsize=1)
 def _score_step_factory():
+    # cached: a fresh jit closure per call would recompile the full model
+    # forward per scored batch shape AND per call site (rolling_nll calls
+    # score_pairs once per window)
     @jax.jit
     def step(model: nn.Module, ids, cont_mask, attn_mask):
         logits = model({"input_ids": ids, "attention_mask": attn_mask})
@@ -81,7 +86,9 @@ def score_pairs(
     for start in range(0, len(order), batch_size):
         sel = order[start : start + batch_size]
         longest = max(len(pairs[i][0]) + len(pairs[i][1]) for i in sel)
-        pad_len = _pad_pow2(min(longest, max_len))
+        # clamp: _pad_pow2 may overshoot a non-power-of-two max_len, which
+        # would feed the model sequences past its context length
+        pad_len = min(_pad_pow2(min(longest, max_len)), max_len)
         ids = np.zeros((batch_size, pad_len), np.int32)
         cont = np.zeros((batch_size, pad_len), np.float32)
         attn = np.zeros((batch_size, pad_len), np.int32)
@@ -144,11 +151,11 @@ def make_lm_eval_model(
     def _tok(s: str) -> list[int]:
         return tokenizer(s, add_special_tokens=False)["input_ids"]
 
-    prefix_token = (
-        getattr(tokenizer, "bos_token_id", None)
-        or getattr(tokenizer, "eos_token_id", None)
-        or 0
-    )
+    prefix_token = getattr(tokenizer, "bos_token_id", None)
+    if prefix_token is None:  # explicit: bos_token_id == 0 is a valid id
+        prefix_token = getattr(tokenizer, "eos_token_id", None)
+    if prefix_token is None:
+        prefix_token = 0
 
     class PtdecoTpuLM(LM):
         def loglikelihood(self, requests) -> list[tuple[float, bool]]:
@@ -196,7 +203,7 @@ def _greedy_generate(
     out_ids: list[int] = []
     cur = list(ids)
     for _ in range(max_new):
-        pad_len = _pad_pow2(min(len(cur), max_len))
+        pad_len = min(_pad_pow2(min(len(cur), max_len)), max_len)
         arr = np.zeros((1, pad_len), np.int32)
         arr[0, : len(cur)] = cur[-pad_len:]
         attn = np.zeros((1, pad_len), np.int32)
@@ -213,6 +220,7 @@ def _greedy_generate(
     return tokenizer.decode(out_ids)
 
 
+@functools.lru_cache(maxsize=1)
 def _argmax_step_factory():
     @jax.jit
     def step(model: nn.Module, ids, pos):

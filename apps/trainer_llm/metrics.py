@@ -8,6 +8,7 @@ from XLA's compiled cost analysis (no fvcore).
 
 from __future__ import annotations
 
+import functools
 import logging
 import time
 from typing import Any, Iterable, Optional
@@ -20,7 +21,10 @@ from ptdeco_tpu import engine, nn, utils
 logger = logging.getLogger(__name__)
 
 
+@functools.lru_cache(maxsize=4)
 def _ppl_step_factory(apply_fn=engine.default_apply):
+    # cached by apply_fn: a fresh jit closure per calc_perplexity call
+    # would recompile the model eval step for the before/after evals
     @jax.jit
     def step(model: nn.Module, batch: dict[str, jax.Array]):
         logits = apply_fn(model, batch, None)
@@ -48,7 +52,12 @@ def calc_perplexity(
         b_nll, b_n = step(model, batch)
         nll += float(b_nll)
         ntok += float(b_n)
-    ppl = float(jnp.exp(nll / max(ntok, 1.0)))
+    if ntok == 0:
+        raise ValueError(
+            "calc_perplexity saw zero tokens: empty dataloader "
+            "(batch_size > nsamples, or max_batches=0?)"
+        )
+    ppl = float(jnp.exp(nll / ntok))
     logger.info(
         f"Perplexity = {ppl:.4f} over {ntok:.0f} tokens "
         f"({time.perf_counter() - t0:.1f}s)"

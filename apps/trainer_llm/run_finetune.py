@@ -179,7 +179,7 @@ def main(config_raw: dict[str, Any], output_path: pathlib.Path) -> None:
     stop = False
     t_train = time.perf_counter()
     for epoch in range(config.num_train_epochs):
-        for batch in train_loader.one_epoch():
+        for batch in train_loader.one_epoch(shuffle=True):
             if mesh is not None:
                 batch = parallel.shard_batch(batch, mesh)
             tr_key = jax.random.fold_in(key, 10_000 + step)

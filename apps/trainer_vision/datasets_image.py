@@ -104,7 +104,11 @@ def _center_crop_resize(img: np.ndarray, out_hw: tuple[int, int]) -> np.ndarray:
     from PIL import Image
 
     h, w = img.shape[:2]
-    scale = 256 / min(h, w)  # resize shorter side to 256 (not_smaller)
+    # resize the shorter side to crop/0.875 (the standard 256-for-224 rule,
+    # reference datasets_dali.py:209-223) — scaled to the requested crop so
+    # >256 outputs (e.g. 384) don't produce negative crop offsets
+    target = int(round(min(out_hw) / 0.875))
+    scale = target / min(h, w)
     nh, nw = int(round(h * scale)), int(round(w * scale))
     img = np.asarray(Image.fromarray(img).resize((nw, nh), Image.BILINEAR))
     y = (nh - out_hw[0]) // 2

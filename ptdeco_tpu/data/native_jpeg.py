@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import ctypes
 import logging
+import os
 import pathlib
 import subprocess
 import threading
@@ -30,12 +31,20 @@ _unavailable = False
 
 
 def _build() -> None:
+    # build to a per-process temp name, then atomically rename: a second
+    # process (multi-host grids launch several trainers per box) must never
+    # dlopen a half-written .so — that disables the decoder for its run
+    tmp = _SO.with_suffix(f".tmp{os.getpid()}.so")
     cmd = [
         "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-        str(_SRC), "-ljpeg", "-o", str(_SO),
+        str(_SRC), "-ljpeg", "-o", str(tmp),
     ]
     logger.info("Building native jpeg decoder: %s", " ".join(cmd))
-    subprocess.run(cmd, check=True, capture_output=True)
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(tmp, _SO)
+    finally:
+        tmp.unlink(missing_ok=True)
 
 
 def _load() -> Optional[ctypes.CDLL]:

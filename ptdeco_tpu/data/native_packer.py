@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import ctypes
 import logging
+import os
 import pathlib
 import subprocess
 import threading
@@ -25,6 +26,9 @@ _lib: Optional[ctypes.CDLL] = None
 
 
 def _build() -> None:
+    # temp-then-rename: concurrent processes must never dlopen a
+    # half-written .so (see native_jpeg._build)
+    tmp = _SO.with_suffix(f".tmp{os.getpid()}.so")
     cmd = [
         "g++",
         "-O3",
@@ -33,10 +37,14 @@ def _build() -> None:
         "-std=c++17",
         str(_SRC),
         "-o",
-        str(_SO),
+        str(tmp),
     ]
     logger.info("Building native packer: %s", " ".join(cmd))
-    subprocess.run(cmd, check=True, capture_output=True)
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(tmp, _SO)
+    finally:
+        tmp.unlink(missing_ok=True)
 
 
 def _load() -> ctypes.CDLL:
