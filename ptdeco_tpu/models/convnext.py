@@ -33,7 +33,7 @@ class ConvNeXtBlock(nn.Module):
     def __call__(self, x: jax.Array, ctx: Optional[nn.Ctx] = None) -> jax.Array:
         h = self.dwconv(x, ctx)
         h = self.norm(h, ctx)
-        h = self.pwconv2(jax.nn.gelu(self.pwconv1(h, ctx)), ctx)
+        h = self.pwconv2(jax.nn.gelu(self.pwconv1(h, ctx), approximate=False), ctx)
         if self.gamma is not None:
             h = h * self.gamma
         return x + h

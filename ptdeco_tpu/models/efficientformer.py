@@ -45,6 +45,12 @@ from .. import nn
 __all__ = ["EfficientFormerV2", "efficientformerv2_s0", "efficientformerv2_s1"]
 
 
+def _gelu(x):
+    # torch/timm nn.GELU is erf-exact; jax.nn.gelu defaults to the tanh
+    # approximation, which would break pretrained-weight numerics parity
+    return jax.nn.gelu(x, approximate=False)
+
+
 class ConvNorm(nn.Module):
     """1x1/3x3 conv + BatchNorm (torch-style 'conv'/'bn' children)."""
 
@@ -76,8 +82,8 @@ class ConvMlp(nn.Module):
     fc2: ConvNorm
 
     def __call__(self, x, ctx=None):
-        x = jax.nn.gelu(self.fc1(x, ctx))
-        x = jax.nn.gelu(self.mid(x, ctx))
+        x = _gelu(self.fc1(x, ctx))
+        x = _gelu(self.mid(x, ctx))
         return self.fc2(x, ctx)
 
     @staticmethod
@@ -144,8 +150,8 @@ class Attention4D(nn.Module):
         attn = attn.transpose(0, 3, 1, 2).astype(x.dtype)
 
         out = jnp.einsum("bhqk,bhkd->bqhd", attn, v).reshape(b, h, w, nh * d)
-        out = out + self.v_local(jax.nn.gelu(vs), ctx)
-        return self.proj(jax.nn.gelu(out), ctx)
+        out = out + self.v_local(vs, ctx)
+        return self.proj(_gelu(out), ctx)
 
     @staticmethod
     def create(key, dim, res, sid, n_heads=8, key_dim=32, attn_ratio=4):
@@ -226,8 +232,8 @@ class EfficientFormerV2(nn.Module):
     head_dist: nn.Linear
 
     def __call__(self, x: jax.Array, ctx: Optional[nn.Ctx] = None) -> jax.Array:
-        x = jax.nn.gelu(self.stem0(x, ctx))
-        x = jax.nn.gelu(self.stem1(x, ctx))
+        x = _gelu(self.stem0(x, ctx))
+        x = _gelu(self.stem1(x, ctx))
         x = self.stages(x, ctx)
         x = self.norm(x, ctx)
         x = jnp.mean(x, axis=(1, 2))

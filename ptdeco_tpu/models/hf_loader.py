@@ -44,7 +44,9 @@ def load_into_causal_lm(model: nn.Module, checkpoint_dir: str) -> nn.Module:
     sd = read_hf_state_dict(checkpoint_dir)
     # rotary_emb buffers etc. may exist; load non-strict but log misses
     model2 = utils.load_state_dict(model, sd, strict=False)
-    own = set(utils.state_dict(model).keys())
+    # keys-only walk: state_dict() would device_get + transpose every
+    # parameter (16 GB host traffic on an 8B model) just for this audit
+    own = utils.statedict.state_dict_keys(model)
     missing = own - set(sd.keys())
     if missing:
         logger.warning(f"Keys missing from checkpoint: {sorted(missing)[:10]}...")

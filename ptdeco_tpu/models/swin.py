@@ -217,7 +217,7 @@ class SwinMLP(nn.Module):
     fc2: nn.Linear
 
     def __call__(self, x, ctx=None):
-        return self.fc2(jax.nn.gelu(self.fc1(x, ctx)), ctx)
+        return self.fc2(jax.nn.gelu(self.fc1(x, ctx), approximate=False), ctx)
 
 
 class PatchMerging(nn.Module):

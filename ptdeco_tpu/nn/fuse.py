@@ -10,7 +10,7 @@ factor pair, so fuse before serving, unfuse before saving).
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import jax
 
@@ -30,6 +30,9 @@ class FusedLowRankLinear(Module):
     k2: jax.Array  # (r, out)
     bias: Optional[jax.Array]
     from_conv: bool = static_field(default=False)
+    # preserved through fuse->unfuse so the rebuilt pair keeps the matmul
+    # precision the engine configured on the original factors
+    precision: Any = static_field(default=None)
 
     def __call__(self, x: jax.Array, ctx: Optional[Ctx] = None) -> jax.Array:
         from ..ops.lowrank_pallas import lowrank_matmul
@@ -74,7 +77,8 @@ def fuse_factor_pairs(root: Module) -> Module:
             continue
         if _is_linear_pair(m):
             fused = FusedLowRankLinear(
-                k1=m[0].kernel, k2=m[1].kernel, bias=m[1].bias, from_conv=False
+                k1=m[0].kernel, k2=m[1].kernel, bias=m[1].bias,
+                from_conv=False, precision=m[1].precision,
             )
             root = replace_submodule(root, name, fused)
         elif _is_plain_conv1x1_pair(m):
@@ -83,6 +87,7 @@ def fuse_factor_pairs(root: Module) -> Module:
                 k2=m[1].kernel[0, 0],
                 bias=m[1].bias,
                 from_conv=True,
+                precision=m[1].precision,
             )
             root = replace_submodule(root, name, fused)
     return root
@@ -95,15 +100,15 @@ def unfuse_factor_pairs(root: Module) -> Module:
             if m.from_conv:
                 pair = Sequential(
                     layers=(
-                        conv1x1_from_kernel(m.k1, None),
-                        conv1x1_from_kernel(m.k2, m.bias),
+                        conv1x1_from_kernel(m.k1, None, precision=m.precision),
+                        conv1x1_from_kernel(m.k2, m.bias, precision=m.precision),
                     )
                 )
             else:
                 pair = Sequential(
                     layers=(
-                        Linear(kernel=m.k1, bias=None),
-                        Linear(kernel=m.k2, bias=m.bias),
+                        Linear(kernel=m.k1, bias=None, precision=m.precision),
+                        Linear(kernel=m.k2, bias=m.bias, precision=m.precision),
                     )
                 )
             root = replace_submodule(root, name, pair)

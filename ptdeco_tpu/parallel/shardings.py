@@ -36,6 +36,9 @@ transformer_tp_rules: list[tuple[str, P]] = [
     (r".*(o_proj|down_proj)\.bias$", P()),
     # factor pairs of column-parallel sites: K2 column-sharded
     (r".*(q_proj|k_proj|v_proj|gate_proj|up_proj)\.1\.kernel$", P(None, TP_AXIS)),
+    # second-factor bias inherits the column-parallel layout (Qwen2 qkv
+    # sites carry biases; replicating it forces a per-layer reshard)
+    (r".*(q_proj|k_proj|v_proj|gate_proj|up_proj)\.1\.bias$", P(TP_AXIS)),
     (r".*(q_proj|k_proj|v_proj|gate_proj|up_proj)\.0\.kernel$", P()),
     # factor pairs of row-parallel sites: K1 row-sharded
     (r".*(o_proj|down_proj)\.0\.kernel$", P(TP_AXIS, None)),

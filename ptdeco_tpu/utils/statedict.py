@@ -169,6 +169,47 @@ def state_dict(root: nn.Module, prefix: str = "") -> dict[str, np.ndarray]:
     return out
 
 
+def state_dict_keys(root: nn.Module, prefix: str = "") -> set[str]:
+    """The key set ``state_dict`` would emit, WITHOUT materializing any
+    parameter on host (no device_get, no layout transposes) — for key
+    audits on large models."""
+    out: set[str] = set()
+    exporter = _EXPORTERS.get(type(root))
+    if exporter is not None:
+        # exporters are cheap on metadata but would device_get values; the
+        # key set depends only on which optional params exist, so probe
+        # with the real exporter only for modules (all registered types)
+        # whose key set we can derive from field presence instead:
+        names = _export_key_names(root)
+        for pname in names:
+            out.add(f"{prefix}.{pname}" if prefix else pname)
+        return out
+    for name, child in root._name_children():
+        full = f"{prefix}.{name}" if prefix else name
+        if isinstance(child, nn.Module):
+            out |= state_dict_keys(child, full)
+        elif _is_array(child):
+            out.add(full)
+    return out
+
+
+def _export_key_names(m: Any) -> list[str]:
+    if isinstance(m, nn.Linear) or isinstance(m, nn.Conv2d):
+        return ["weight"] + (["bias"] if m.bias is not None else [])
+    if isinstance(m, nn.BatchNorm2d):
+        return ["weight", "bias", "running_mean", "running_var",
+                "num_batches_tracked"]
+    if isinstance(m, (nn.LayerNorm, nn.RMSNorm)):
+        names = ["weight"]
+        if getattr(m, "offset", None) is not None:
+            names.append("bias")
+        return names
+    if isinstance(m, nn.Embedding):
+        return ["weight"]
+    # registered custom type: fall back to the exporter (materializes)
+    return list(_EXPORTERS[type(m)](m).keys())
+
+
 def load_state_dict(
     root: nn.Module,
     sd: dict[str, np.ndarray],
