@@ -44,6 +44,16 @@ _PHI_CONFIGS = {
     "phi-tiny": models.PhiConfig.tiny,
 }
 
+# alias -> canonical HF repo id, for tokenizer resolution (passing the bare
+# alias to AutoTokenizer.from_pretrained would raise and silently fall back
+# to the byte tokenizer)
+_HF_IDS = {
+    "tinyllama-1.1b": "TinyLlama/TinyLlama-1.1B-Chat-v1.0",
+    "qwen2-1.5b": "Qwen/Qwen2-1.5B",
+    "llama3-8b": "meta-llama/Meta-Llama-3-8B",
+    "phi-2": "microsoft/phi-2",
+}
+
 
 def str_to_dtype(s: str) -> Any:
     return _DTYPES[s]
@@ -122,7 +132,9 @@ def make_model_and_tokenizer(
     else:
         logger.info("No checkpoint available - randomly initialized weights")
 
-    tokenizer = make_tokenizer(model_name, cfg.vocab_size)
+    tokenizer = make_tokenizer(
+        model_name, cfg.vocab_size, checkpoint_path=checkpoint_path
+    )
     log_linear_submodules(model)
     return model, tokenizer
 
@@ -147,17 +159,32 @@ class ByteTokenizer:
         )
 
 
-def make_tokenizer(model_name: str, vocab_size: int) -> Any:
+def make_tokenizer(
+    model_name: str, vocab_size: int, checkpoint_path: Optional[str] = None
+) -> Any:
+    """Resolve the tokenizer: a local HF snapshot (checkpoint_path) first —
+    it ships tokenizer files and works offline — then the canonical HF id
+    for known aliases, then the name as given; byte-level fallback last."""
+    candidates = []
+    if checkpoint_path is not None:
+        candidates.append(checkpoint_path)
+    candidates.append(_HF_IDS.get(model_name, model_name))
     try:
         import transformers
-
-        tok = transformers.AutoTokenizer.from_pretrained(model_name)
-        if tok.pad_token is None:
-            tok.pad_token = tok.eos_token
-        return tok
-    except Exception as e:  # offline / unknown name
+    except ImportError as e:
         logger.warning(f"Falling back to ByteTokenizer ({e})")
         return ByteTokenizer(vocab_size)
+    last_err: Any = None
+    for cand in candidates:
+        try:
+            tok = transformers.AutoTokenizer.from_pretrained(cand)
+            if tok.pad_token is None:
+                tok.pad_token = tok.eos_token
+            return tok
+        except Exception as e:  # offline / unknown name
+            last_err = e
+    logger.warning(f"Falling back to ByteTokenizer ({last_err})")
+    return ByteTokenizer(vocab_size)
 
 
 def apply_decompose_config_and_state_dict(
@@ -175,6 +202,22 @@ def apply_decompose_config_and_state_dict(
     else:
         sd = utils.load_state_dict_pt(str(sd_path))
     model = utils.load_state_dict(model, sd, strict=False)
+    # audit (reference loads strict): a mismatched config/state-dict pair
+    # must not silently leave zero-filled factor pairs
+    own = utils.statedict.state_dict_keys(model)
+    missing = own - set(sd.keys())
+    unexpected = set(sd.keys()) - own
+    if missing:
+        raise KeyError(
+            f"decompose_state_dict is missing {len(missing)} keys the "
+            f"decomposed model needs (first: {sorted(missing)[:5]}) — "
+            "config/state-dict mismatch?"
+        )
+    if unexpected:
+        logger.warning(
+            f"decompose_state_dict has {len(unexpected)} unused keys "
+            f"(first: {sorted(unexpected)[:5]})"
+        )
     return model
 
 

@@ -146,12 +146,31 @@ def get_lr_schedule(config: _TrainConfig, num_steps: int, steps_per_epoch: int):
     )
 
 
+def bf16_compute(tree, precision):
+    """AMP-style compute cast for ``precision: bf16`` (composer amp_bf16
+    analogue, reference configurator.py:103-109): master params stay f32 in
+    the optimizer; the forward sees bf16 copies.  Identity for fp32/None."""
+    if precision != "bf16":
+        return tree
+    import jax
+    import jax.numpy as jnp
+
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32
+        else x,
+        tree,
+    )
+
+
 def get_optimizer(config: _TrainConfig, schedule) -> optax.GradientTransformation:
     logger.info(f"Using optimizer {config.optimizer}")
     if config.optimizer == "Adam":
         tx = optax.adam(schedule)
     elif config.optimizer == "AdamW":
-        tx = optax.adamw(schedule)
+        # torch AdamW default weight decay (the reference's composer
+        # optimizers wrap torch; optax defaults to 1e-4)
+        tx = optax.adamw(schedule, weight_decay=0.01)
     elif config.optimizer == "SGD":
         tx = optax.sgd(schedule)
     else:

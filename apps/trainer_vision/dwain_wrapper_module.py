@@ -73,20 +73,28 @@ def finetune_full(
     if len(decomposed_modules) == 0:
         logger.info("Skipping full fine-tuning - empty list of decomposed modules")
         return model
+    del reverting_checkpoints_dir  # reference disk-snapshot knob; the
+    # snapshot is held in (device) memory here — accepted for signature
+    # parity, unused
     start = time.perf_counter()
     to_ft = decomposed_modules[-num_last_modules_to_finetune:]
     paths = nn.tree_paths_of(model, to_ft)
     trainable, frozen = nn.partition(
         model, lambda p, leaf: jax.tree_util.keystr(p) in paths
     )
-    snapshot = trainable
+    # snapshot BOTH partitions: a revert must also roll back BatchNorm
+    # running stats mutated in `frozen` during the discarded fine-tune
+    # (the reference restores the FULL state dict, :127-162)
+    snapshot = (trainable, frozen) if use_reverting else None
 
     if optimizer == "SGD":
         tx = optax.sgd(lr)
     elif optimizer == "Adam":
         tx = optax.adam(lr)
     else:
-        tx = optax.adamw(lr)
+        # torch AdamW default weight decay (reference builds AdamW(params,
+        # lr=lr) -> wd=0.01; optax defaults 1e-4)
+        tx = optax.adamw(lr, weight_decay=0.01)
     opt_state = tx.init(trainable)
 
     # With batch_norms_in_eval=False, BatchNorms run on batch statistics and
@@ -94,12 +102,14 @@ def finetune_full(
     # every step (torch's model.train() in-place updates; reference :64-77) —
     # frozen is therefore a step ARGUMENT, not a closure constant.
     @jax.jit
-    def step(trainable, frozen, opt_state, batch):
+    def step(trainable, frozen, opt_state, batch, key):
         def loss_fn(tr):
             m = nn.combine(tr, frozen)
             if batch_norms_in_eval:
                 return ce_loss(batch, m(batch)), {}
-            ctx = nn.Ctx(key=jax.random.PRNGKey(0), train=True)
+            # per-step key: a constant key would repeat the identical
+            # dropout mask every iteration
+            ctx = nn.Ctx(key=key, train=True)
             loss = ce_loss(batch, m(batch, ctx=ctx))
             return loss, ctx.sink.get("bn", {})
 
@@ -111,20 +121,23 @@ def finetune_full(
         updates, opt_state = tx.update(grads, opt_state, trainable)
         return optax.apply_updates(trainable, updates), frozen, opt_state, loss
 
-    initial_loss = None
-    final_loss = None
+    losses: list[float] = []
+    base_key = jax.random.PRNGKey(0)
     for i in range(num_steps):
         batch = next(ft_iterator)
         trainable, frozen, opt_state, loss = step(
-            trainable, frozen, opt_state, batch
+            trainable, frozen, opt_state, batch, jax.random.fold_in(base_key, i)
         )
-        loss = float(loss)
-        if initial_loss is None:
-            initial_loss = loss
-        final_loss = loss
+        losses.append(float(loss))
         if i % num_log_steps == 0:
-            logger.info(f"Step: {i}/{num_steps}, loss: {loss:.4f}")
+            logger.info(f"Step: {i}/{num_steps}, loss: {losses[-1]:.4f}")
 
+    # window means, not single batches: the reference compares
+    # num_log_steps-window averages (:127-162); per-batch CE noise would
+    # otherwise trigger or mask reverts
+    k = max(1, min(num_log_steps, len(losses)))
+    initial_loss = sum(losses[:k]) / k if losses else None
+    final_loss = sum(losses[-k:]) / k if losses else None
     if (
         use_reverting
         and initial_loss is not None
@@ -135,7 +148,7 @@ def finetune_full(
             f"Reverting fine-tuning: final {final_loss:.4f} > "
             f"{REVERTING_FACTOR} x initial {initial_loss:.4f}"
         )
-        trainable = snapshot
+        trainable, frozen = snapshot
 
     logger.info(f"Full fine-tuning took {time.perf_counter() - start:.2f} s")
     return nn.combine(trainable, frozen)

@@ -30,17 +30,21 @@ from . import builder, configurator, datasets_image, metrics
 logger = logging.getLogger(__name__)
 
 
-def make_train_step(frozen, tx, lmbda: float, nsr_threshold: float):
+def make_train_step(
+    frozen, tx, lmbda: float, nsr_threshold: float, precision=None
+):
     @jax.jit
     def step(trainable, opt_state, inputs, key):
         def loss_fn(tr):
             m = nn.combine(tr, frozen)
+            m = configurator.bf16_compute(m, precision)
+            inputs_c = configurator.bf16_compute(inputs, precision)
             # train=False: the reference runs the wrapped model in eval mode
             # during gate training (run_decompose_lockd.py:53) — BatchNorms
             # stay on running stats; the Gumbel gates still sample because a
             # key is present.
             ctx = nn.Ctx(key=key, train=False)
-            _ = m(inputs, ctx=ctx)
+            _ = m(inputs_c, ctx=ctx)
             nsr_sink = ctx.sink.get("nsr", {})
             nsr_loss = lockd.get_nsr_loss(nsr_sink, nsr_threshold)
             proportion_loss = lockd.get_proportion_loss(m)
@@ -106,7 +110,9 @@ def main(
     schedule = configurator.get_lr_schedule(config, num_steps, steps_per_epoch)
     tx = configurator.get_optimizer(config, schedule)
     opt_state = tx.init(trainable)
-    step_fn = make_train_step(frozen, tx, config.lmbda, config.nsr_threshold)
+    step_fn = make_train_step(
+        frozen, tx, config.lmbda, config.nsr_threshold, config.precision
+    )
 
     ckpt = utils.train_ckpt.TrainCheckpointer(
         str(output_path / "checkpoints"), config.save_interval_steps

@@ -139,11 +139,13 @@ def main(
 
     @jax.jit
     def train_step(trainable, opt_state, inputs):
-        teacher_logits = teacher(inputs)
+        inputs_c = configurator.bf16_compute(inputs, config.precision)
+        teacher_logits = teacher(inputs_c)
 
         def loss_fn(tr):
             m = nn.combine(tr, frozen)
-            return kd_loss(m(inputs), teacher_logits)
+            m = configurator.bf16_compute(m, config.precision)
+            return kd_loss(m(inputs_c), teacher_logits)
 
         loss, grads = jax.value_and_grad(loss_fn)(trainable)
         updates, opt_state = tx.update(grads, opt_state, trainable)

@@ -95,7 +95,9 @@ class WrappedLOCKDLinear(nn.Module):
         y_orig = self.lin_orig(x)
         hidden = self.lin_0(x)
         mask = _gate(self.logits, ctx, self.rng_id)
-        y_deco = self.lin_1(mask * hidden)
+        # match the activation dtype: the f32 gate would otherwise promote
+        # bf16 hidden to f32 and break mixed-precision compute
+        y_deco = self.lin_1(mask.astype(hidden.dtype) * hidden)
         if x.ndim == 2:
             non_channel_dim: tuple[int, ...] = (0,)
         elif x.ndim == 3:
@@ -182,7 +184,7 @@ class WrappedLOCKDConv2d(nn.Module):
         y0 = self.conv_orig(x)
         mask = _gate(self.logits, ctx, self.rng_id)
         z = self.conv_1(x)
-        z = mask * z  # NHWC: broadcasts over channels
+        z = mask.astype(z.dtype) * z  # NHWC: broadcasts over channels
         z = self.conv_2(z)
         nsr = utils.calc_per_channel_noise_to_signal_ratio(
             y=y0, x=z, non_channel_dim=(0, 1, 2)

@@ -142,11 +142,15 @@ class Attention4D(nn.Module):
         )
         bias = self.attention_biases.astype(jnp.float32)[:, self.bias_idx]
         attn = attn + bias[None]
-        # talking heads: 1x1 convs across the head axis (NHWC: heads last)
+        # talking heads: 1x1 convs across the head axis (NHWC: heads last).
+        # The convs run in the model's compute dtype (bf16 under mixed
+        # precision; x.dtype, NOT a reach into .kernel — the conv may be
+        # lockd-wrapped); the softmax stays f32.
+        th = x.dtype
         attn = attn.transpose(0, 2, 3, 1)  # (b, n, n, heads)
-        attn = self.talking_head1(attn, ctx)
-        attn = jax.nn.softmax(attn, axis=2)
-        attn = self.talking_head2(attn, ctx)
+        attn = self.talking_head1(attn.astype(th), ctx)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=2)
+        attn = self.talking_head2(attn.astype(th), ctx)
         attn = attn.transpose(0, 3, 1, 2).astype(x.dtype)
 
         out = jnp.einsum("bhqk,bhkd->bqhd", attn, v).reshape(b, h, w, nh * d)

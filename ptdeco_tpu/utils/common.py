@@ -56,15 +56,29 @@ def to_device(
 
 def get_num_params(module: nn.Module, only_trainable: bool = False) -> int:
     """Parameter count deduplicated by array identity (reference
-    common.py:58-63 dedupes by data_ptr; shared/tied arrays count once)."""
-    del only_trainable  # no requires_grad concept; trainability is external
+    common.py:58-63 dedupes by data_ptr; shared/tied arrays count once).
+
+    Matches torch's ``parameters()`` scope: BatchNorm running statistics
+    and integer-typed buffers (index tables) are excluded — counting them
+    would inflate the ``drop_in_params / num_params`` fraction that drives
+    dwain's acceptance rule relative to the reference.  ``only_trainable``
+    has no meaning here (trainability is a partition, not a leaf flag) and
+    must be left False."""
+    if only_trainable:
+        raise NotImplementedError(
+            "trainability is external (nn.partition) — count the "
+            "partitioned trainable tree instead"
+        )
+    buffer_ids: set[int] = set()
+    for _, m in nn.named_modules(module):
+        if isinstance(m, nn.BatchNorm2d):
+            buffer_ids.add(id(m.running_mean))
+            buffer_ids.add(id(m.running_var))
     leaves = jax.tree_util.tree_leaves(module)
     unique: dict[int, Any] = {}
     for leaf in leaves:
         if hasattr(leaf, "size") and hasattr(leaf, "dtype"):
-            if jnp.issubdtype(leaf.dtype, jnp.floating) or jnp.issubdtype(
-                leaf.dtype, jnp.integer
-            ):
+            if jnp.issubdtype(leaf.dtype, jnp.floating) and id(leaf) not in buffer_ids:
                 unique[id(leaf)] = leaf
     return int(sum(v.size for v in unique.values()))
 

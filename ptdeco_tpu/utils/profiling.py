@@ -59,6 +59,12 @@ def static_flops(fn: Callable, *args: Any) -> float:
 
 
 def device_memory_gb() -> float:
+    from .common import get_device_memory_gb
+
+    return get_device_memory_gb()
+
+
+def _unused_device_memory_gb() -> float:  # pragma: no cover - replaced
     total = 0
     for d in jax.local_devices():
         try:
