@@ -225,3 +225,37 @@ def test_decomposeable_stats_and_sd_overlap():
     partial["bogus"] = next(iter(sd.values()))
     n = builder.log_state_dict_keys_stats("test:", model, partial)
     assert n == 3
+
+
+def test_lockd_driver_bf16_precision(tmp_path: pathlib.Path):
+    """precision: bf16 runs the amp-style compute cast path end-to-end
+    (the knob was once accepted-but-ignored; this pins that it executes)."""
+    from apps.trainer_vision import run_decompose_lockd
+
+    cfg = dict(
+        task="decompose_lockd",
+        decompose_model_name="tinycnn",
+        proportion_threshold=0.99,
+        blacklisted_modules=[],
+        lmbda=10.0,
+        nsr_threshold=0.05,
+        finetune_only_decomposed=True,
+        lr=0.5,
+        lr_t_warmup="1ba",
+        lr_scheduler="fixed",
+        max_duration="3ba",
+        optimizer="AdamW",
+        precision="bf16",
+        alg_gradient_clipping_type=None,
+        alg_gradient_clipping_threshold=None,
+        mesh_dp=None,
+        **DATA_CFG,
+    )
+    train, val = _pipelines()
+    run_decompose_lockd.main(cfg, tmp_path, train, val)
+    summary = json.loads((tmp_path / "summary.json").read_text())
+    assert "n_decomposed" in summary
+    rec = json.loads((tmp_path / "metrics.jsonl").read_text().splitlines()[0])
+    import math
+
+    assert all(math.isfinite(v) for v in rec["per_layer_nsr"].values())
