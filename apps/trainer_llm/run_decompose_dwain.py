@@ -27,6 +27,8 @@ from . import builder, configurator, datasets_hf, metrics
 
 logger = logging.getLogger(__name__)
 
+PPL_N_SAMPLES = 1000  # reference run_decompose_dwain.py:21
+
 
 def _make_infinite_iterator(loaders: list) -> Iterator[dict[str, np.ndarray]]:
     """Random merger over multiple datasets (reference :28-47)."""
@@ -60,6 +62,7 @@ def make_dataloaders(config: configurator.DecomposeDWAINConfig, tokenizer):
         separator=config.perplexity_data_separator,
         max_seqlen=config.perplexity_data_max_length,
         batch_size=config.perplexity_data_batch_size,
+        nsamples=min(PPL_N_SAMPLES, len(ppl_ds)),
     )
     return _make_infinite_iterator(deco_loaders), ppl_loader
 
@@ -99,7 +102,16 @@ def main(config_raw: dict[str, Any], output_path: pathlib.Path) -> None:
 
     ppl_initial = metrics.calc_perplexity(model, ppl_loader.one_epoch())
     params_initial = metrics.get_params_m(model)
-    gflops_initial = metrics.get_giga_flops(model, sample_batch)
+    # reference measures GFLOPs on a fixed (1, 512) input (:175), so the
+    # absolute numbers are config-independent
+    import jax.numpy as _jnp
+
+    flops_len = min(512, config.perplexity_data_max_length)
+    flops_batch = {
+        "input_ids": _jnp.zeros((1, flops_len), _jnp.int32),
+        "attention_mask": _jnp.ones((1, flops_len), _jnp.int32),
+    }
+    gflops_initial = metrics.get_giga_flops(model, flops_batch)
     lm_eval_initial_results = None
     if config.lm_eval_initial and config.lm_eval_tasks:
         lm_eval_initial_results = metrics.calc_lm_eval_metrics(
@@ -155,7 +167,7 @@ def main(config_raw: dict[str, Any], output_path: pathlib.Path) -> None:
 
     ppl_final = metrics.calc_perplexity(model, ppl_loader.one_epoch())
     params_final = metrics.get_params_m(model)
-    gflops_final = metrics.get_giga_flops(model, sample_batch)
+    gflops_final = metrics.get_giga_flops(model, flops_batch)
     lm_eval_final_results = None
     if config.lm_eval_tasks:
         lm_eval_final_results = metrics.calc_lm_eval_metrics(
@@ -168,10 +180,13 @@ def main(config_raw: dict[str, Any], output_path: pathlib.Path) -> None:
         "ppl_final": ppl_final,
         "mparams_initial": params_initial,
         "mparams_final": params_final,
-        "mparams_frac": params_final / params_initial,
+        # percent, matching the reference summary convention (:294)
+        "mparams_frac": params_final / params_initial * 100.0,
         "gflops_initial": gflops_initial,
         "gflops_final": gflops_final,
-        "gflops_frac": gflops_final / gflops_initial if gflops_initial else None,
+        "gflops_frac": (
+            gflops_final / gflops_initial * 100.0 if gflops_initial else None
+        ),
         "time_decomposition": t_deco,
         "time_total": time.perf_counter() - t_start,
         "device": f"{device.platform}:{device.device_kind}",

@@ -135,7 +135,7 @@ def main(
         "n_decomposed": len(decompose_config),
         "mparams_initial": stats_initial["mparams"],
         "mparams_final": stats_final["mparams"],
-        "mparams_frac": stats_final["mparams"] / stats_initial["mparams"],
+        "mparams_frac": stats_final["mparams"] / stats_initial["mparams"] * 100.0,
         "gflops_initial": stats_initial["gflops"],
         "gflops_final": stats_final["gflops"],
         "gflops_decomposeable_initial": stats_initial["gflops_decomposeable"],

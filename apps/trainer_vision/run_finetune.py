@@ -121,7 +121,11 @@ def main(
             student, lambda p, leaf: jax.tree_util.keystr(p) in paths
         )
     else:
-        trainable, frozen = nn.partition(student, lambda p, leaf: True)
+        # all PARAMETERS; buffers (window masks, position-index tables,
+        # BN running stats) must not reach the optimizer
+        trainable, frozen = nn.partition(
+            student, nn.trainable_predicate(student)
+        )
 
     mesh = None
     if config.mesh_dp is not None:

@@ -33,8 +33,16 @@ __all__ = [
 def calc_entropy_from_logits(
     logits: jax.Array, epsilon: float = 0.01
 ) -> jax.Array:
-    p = jax.nn.sigmoid(logits.astype(jnp.float32))
-    entropy = -(p * jnp.log(p) + (1.0 - p) * jnp.log(1.0 - p))
+    # stable binary entropy via log-sigmoid: the naive p*log(p) form is
+    # 0*log(0) = NaN once |logits| saturates fp32 sigmoid (~16.6), which
+    # the entropy-minimizing training objective reliably reaches.  The
+    # reference's torch formula has the same latent NaN (losses.py:16-23);
+    # this form is exactly equal in the non-saturated regime.
+    lz = logits.astype(jnp.float32)
+    p = jax.nn.sigmoid(lz)
+    # H(p) = log_sigmoid(z)*(-p') ... expressed as softplus-based identity:
+    # H = log(1+e^z) - z*sigmoid(z)  (binary entropy of sigmoid(z))
+    entropy = jax.nn.softplus(lz) - lz * p
     return jnp.maximum(jnp.mean(entropy), epsilon)
 
 

@@ -124,6 +124,7 @@ class Attention4D(nn.Module):
     attention_biases: jax.Array  # (heads, res*res) learned
     bias_idx: jax.Array  # (N, N) int32 constant buffer
     n_heads: int = nn.static_field(default=8)
+    _buffer_fields = ("bias_idx",)
     key_dim: int = nn.static_field(default=32)
 
     def __call__(self, x: jax.Array, ctx: Optional[nn.Ctx] = None) -> jax.Array:

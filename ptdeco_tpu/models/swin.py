@@ -82,9 +82,9 @@ def _shift_attn_mask(h: int, w: int, window: int, shift: int) -> np.ndarray:
         for ws in (slice(0, -window), slice(-window, -shift), slice(-shift, None)):
             img[:, hs, ws, :] = cnt
             cnt += 1
-    win = np.asarray(
-        _window_partition(jnp.asarray(img), window)
-    ).reshape(-1, window * window)
+    win = np.asarray(_window_partition(img, window)).reshape(
+        -1, window * window
+    )  # _window_partition is pure reshape/transpose: works on numpy
     diff = win[:, None, :] - win[:, :, None]
     return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
 
@@ -101,6 +101,7 @@ class WindowAttention(nn.Module):
     rel_coords: jax.Array  # ((2w-1)², 2), constant buffer
     rel_index: jax.Array  # (w², w²) int32, constant buffer
     n_heads: int = nn.static_field(default=3)
+    _buffer_fields = ("rel_coords", "rel_index")
 
     def __call__(
         self,
@@ -164,6 +165,7 @@ class SwinBlock(nn.Module):
     mlp: "SwinMLP"
     attn_mask: Optional[jax.Array]  # (nW, w², w²) for shifted blocks
     resolution: tuple = nn.static_field(default=(56, 56))
+    _buffer_fields = ("attn_mask",)
     window: int = nn.static_field(default=7)
     shift: int = nn.static_field(default=0)
 
@@ -171,7 +173,9 @@ class SwinBlock(nn.Module):
         h, w = self.resolution
         b, n, c = x.shape
         shortcut = x
-        x = self.norm1(x, ctx).reshape(b, h, w, c)
+        # SwinV2 residual POST-norm: x + norm(attn(x)) — the defining V2
+        # change alongside cosine attention and the CPB MLP (V1 pre-norms)
+        x = x.reshape(b, h, w, c)
         if self.shift > 0:
             x = jnp.roll(x, (-self.shift, -self.shift), axis=(1, 2))
         xw = _window_partition(x, self.window)
@@ -179,8 +183,8 @@ class SwinBlock(nn.Module):
         x = _window_reverse(xw, self.window, h, w)
         if self.shift > 0:
             x = jnp.roll(x, (self.shift, self.shift), axis=(1, 2))
-        x = shortcut + x.reshape(b, n, c)
-        return x + self.mlp(self.norm2(x, ctx), ctx)
+        x = shortcut + self.norm1(x.reshape(b, n, c), ctx)
+        return x + self.norm2(self.mlp(x, ctx), ctx)
 
     @staticmethod
     def create(key, dim, n_heads, resolution, window, shift, mlp_ratio=4.0):
@@ -232,13 +236,15 @@ class PatchMerging(nn.Module):
         b, n, c = x.shape
         x = x.reshape(b, h // 2, 2, w // 2, 2, c)
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, (h // 2) * (w // 2), 4 * c)
-        return self.reduction(self.norm(x, ctx), ctx)
+        # V2 order: linear reduction first, norm after (V1 norms first)
+        return self.norm(self.reduction(x, ctx), ctx)
 
     @staticmethod
     def create(key, dim, resolution):
         return PatchMerging(
             reduction=nn.Linear.create(key, 4 * dim, 2 * dim, use_bias=False),
-            norm=nn.LayerNorm.create(4 * dim, eps=1e-5),
+            # V2: norm sits after the reduction, over its 2*dim output
+            norm=nn.LayerNorm.create(2 * dim, eps=1e-5),
             resolution=tuple(resolution),
         )
 

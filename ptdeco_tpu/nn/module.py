@@ -40,6 +40,8 @@ __all__ = [
     "update_leaf",
     "get_leaf",
     "partition",
+    "buffer_leaf_ids",
+    "trainable_predicate",
     "combine",
     "tree_paths_of",
     "Ctx",
@@ -331,6 +333,43 @@ def update_leaf(root: T, name: str, value: Any) -> T:
 
 
 # -- filtering (equinox-style partition/combine) ---------------------------
+
+
+def buffer_leaf_ids(root: Module) -> set:
+    """ids of leaves that are BUFFERS, not parameters: integer-typed arrays
+    (index tables), BatchNorm running statistics, and any field a module
+    lists in its ``_buffer_fields`` class attribute (torch analogue:
+    ``register_buffer``).  Used to exclude them from "train everything"
+    partitions — optimizing a shifted-window mask or BN stats corrupts
+    the model."""
+    import numpy as _np
+
+    out: set = set()
+    for _, m in named_modules(root):
+        for fname in getattr(type(m), "_buffer_fields", ()):
+            v = getattr(m, fname, None)
+            if v is not None:
+                out.add(id(v))
+        if type(m).__name__ == "BatchNorm2d":
+            for fname in ("running_mean", "running_var"):
+                v = getattr(m, fname, None)
+                if v is not None:
+                    out.add(id(v))
+    for leaf in jax.tree_util.tree_leaves(root):
+        if hasattr(leaf, "dtype") and _np.issubdtype(leaf.dtype, _np.integer):
+            out.add(id(leaf))
+    return out
+
+
+def trainable_predicate(root: Module) -> Callable[[tuple, Any], bool]:
+    """Predicate for ``partition`` selecting every PARAMETER leaf (excludes
+    buffers, see ``buffer_leaf_ids``)."""
+    buf = buffer_leaf_ids(root)
+
+    def pred(path, leaf):
+        return id(leaf) not in buf
+
+    return pred
 
 
 def partition(

@@ -111,7 +111,7 @@ def test_phi_decompose_via_cli(tmp_path):
     out = tmp_path / "out"
     run_decompose_dwain.main(cfg, out)
     summary = json.loads((out / "summary.json").read_text())
-    assert summary["mparams_frac"] < 1.0
+    assert summary["mparams_frac"] < 100.0  # percent (reference convention)
     config = json.loads((out / "decompose_config.json").read_text())
     assert len(config) >= 1
 
