@@ -7,6 +7,7 @@ import json
 import pathlib
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ptdeco_tpu import engine, nn
@@ -155,3 +156,33 @@ def test_swinv2_tiny_config_is_224_shaped():
     # 2+2+6+2 blocks x 4 sites + 3 merges + head + 12x2 cpb
     n_blocks = 12
     assert len(names) == n_blocks * 4 + 3 + 1 + n_blocks * 2
+
+def test_swinv2_residual_post_norm():
+    """V2 blocks normalize AFTER attention/MLP (x + norm(f(x))): zeroing a
+    block's norm1 scale+offset must exactly remove the attention branch's
+    contribution while the identity path flows through — under V1 pre-norm
+    (norm before attn) zeroed norm1 would instead feed constants into the
+    attention and leave a bias-derived residue."""
+    m = swin.SwinV2.create(
+        jax.random.PRNGKey(0), image_size=32, patch_size=4, embed_dim=16,
+        depths=(2,), n_heads=(2,), window=4, num_classes=4,
+    )
+    blk = m.stages.layers[0].blocks.layers[0]
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 16))
+    zeroed = blk.replace(
+        norm1=blk.norm1.replace(
+            scale=jnp.zeros_like(blk.norm1.scale),
+            offset=jnp.zeros_like(blk.norm1.offset),
+        )
+    )
+    y = zeroed(x)
+    expected = x + zeroed.norm2(zeroed.mlp(x), None)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(expected), atol=1e-5)
+
+
+def test_patch_merging_norm_dim_is_output():
+    """V2 PatchMerging: norm after the 4C->2C reduction, so norm dim = 2C."""
+    pm = swin.PatchMerging.create(jax.random.PRNGKey(0), dim=16, resolution=(8, 8))
+    assert pm.norm.scale.shape == (32,)
+    y = pm(jax.random.normal(jax.random.PRNGKey(1), (1, 64, 16)))
+    assert y.shape == (1, 16, 32)
