@@ -74,7 +74,9 @@ def parse_args() -> argparse.Namespace:
     parser.add_argument("--config", required=True, type=pathlib.Path)
     parser.add_argument("--output-path", required=True, type=pathlib.Path)
     # multi-host bring-up (jax.distributed; see docs/usage.md "Multi-host").
-    # On TPU pods all three may be omitted (auto-detected from the pod env).
+    # On TPU pods pass --distributed alone (coordinator/process ids are
+    # auto-detected from the pod env).
+    parser.add_argument("--distributed", action="store_true")
     parser.add_argument("--coordinator-address", default=None)
     parser.add_argument("--num-processes", type=int, default=None)
     parser.add_argument("--process-id", type=int, default=None)
@@ -87,7 +89,12 @@ def main() -> int:
 
     enable_compilation_cache()
     args = parse_args()
-    if args.num_processes is not None or args.coordinator_address is not None:
+    if (
+        args.distributed
+        or args.coordinator_address is not None
+        or args.num_processes is not None
+        or args.process_id is not None
+    ):
         from ptdeco_tpu import parallel
 
         parallel.initialize_distributed(
@@ -95,7 +102,9 @@ def main() -> int:
         )
     args.output_path.mkdir(exist_ok=True, parents=True)
     copy_config(args.config, args.output_path)
-    if args.config.parent != args.output_path:
+    if args.config.resolve() != (
+        args.output_path / "config_original.yaml"
+    ).resolve():
         shutil.copy(args.config, args.output_path / "config_original.yaml")
 
     with open(args.config) as f:

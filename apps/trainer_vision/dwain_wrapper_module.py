@@ -70,9 +70,9 @@ def finetune_full(
     """Full fine-tuning of the last-N decomposed factor pairs with the
     reference's revert-on-regression safeguard: keep a snapshot of the
     trainable leaves; if final-loss > 1.2 x initial-loss, restore it."""
-    if len(decomposed_modules) == 0:
-        logger.info("Skipping full fine-tuning - empty list of decomposed modules")
-        return model
+    if len(decomposed_modules) == 0 or num_last_modules_to_finetune <= 0:
+        logger.info("Skipping full fine-tuning - nothing selected")
+        return model  # NB lst[-0:] == whole list; the guard is load-bearing
     del reverting_checkpoints_dir  # reference disk-snapshot knob; the
     # snapshot is held in (device) memory here — accepted for signature
     # parity, unused

@@ -71,11 +71,17 @@ def main() -> int:
     parser.add_argument("--config", required=True, type=pathlib.Path)
     parser.add_argument("--output-path", required=True, type=pathlib.Path)
     # multi-host bring-up (jax.distributed; see docs/usage.md "Multi-host")
+    parser.add_argument("--distributed", action="store_true")
     parser.add_argument("--coordinator-address", default=None)
     parser.add_argument("--num-processes", type=int, default=None)
     parser.add_argument("--process-id", type=int, default=None)
     args = parser.parse_args()
-    if args.num_processes is not None or args.coordinator_address is not None:
+    if (
+        args.distributed
+        or args.coordinator_address is not None
+        or args.num_processes is not None
+        or args.process_id is not None
+    ):
         from ptdeco_tpu import parallel
 
         parallel.initialize_distributed(

@@ -56,9 +56,9 @@ def main(
     t_eval = time.perf_counter() - t0
 
     def image_iter():
-        while True:
-            for batch in train_pipeline:
-                yield jnp.asarray(batch["inputs"])
+        # restart semantics live in datasets_image.infinite (one home)
+        for batch in datasets_image.infinite(train_pipeline):
+            yield jnp.asarray(batch["inputs"])
 
     t1 = time.perf_counter()
     model, decompose_config = falor.decompose(

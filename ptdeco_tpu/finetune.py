@@ -95,14 +95,14 @@ def _run_training(
         trainable = optax.apply_updates(trainable, updates)
         return trainable, opt_state, loss
 
-    total_loss = 0.0
     for i in range(num_steps):
         batch = next(ft_iterator)
         subkey = jax.random.fold_in(key, i) if key is not None else None
         trainable, opt_state, loss = step(trainable, opt_state, batch, subkey)
-        total_loss += float(loss)
+        # host-sync only at the log interval: float(loss) every step would
+        # serialize dispatch with device compute for the whole fine-tune
         if i % 10 == 0:
-            logger.info(f"Step: {i}/{num_steps}, loss: {total_loss / (i + 1)}")
+            logger.info(f"Step: {i}/{num_steps}, loss: {float(loss):.5f}")
     return nn.combine(trainable, frozen)
 
 
@@ -118,10 +118,11 @@ def finetune_full(
     lr: float = 1e-4,
 ) -> nn.Module:
     """Reference finetune_full (dwain_wrapper_module.py:92-147)."""
-    if len(decomposed_modules) == 0:
-        logger.info("Skipping full fine-tuning - empty list of decomposed modules")
+    if len(decomposed_modules) == 0 or num_last_modules_to_finetune <= 0:
+        logger.info("Skipping full fine-tuning - nothing selected")
         return model
     start = time.perf_counter()
+    # NB lst[-0:] == whole list — the <= 0 guard above is load-bearing
     to_ft = decomposed_modules[-num_last_modules_to_finetune:]
     for name in to_ft:
         logger.info(f"full fine-tuning - training {name}")
@@ -223,9 +224,9 @@ def finetune_lora(
     """Reference finetune_lora (dwain_wrapper_module.py:150-265): adapters on
     the factor pairs of the last N decomposed modules whose rank is at least
     ``min_rank_to_finetune``; merged back after training."""
-    if len(decomposed_modules) == 0:
-        logger.info("Skipping lora fine-tuning - empty list of decomposed modules")
-        return model
+    if len(decomposed_modules) == 0 or num_last_modules_to_finetune <= 0:
+        logger.info("Skipping lora fine-tuning - nothing selected")
+        return model  # NB lst[-0:] == whole list; the guard is load-bearing
     start = time.perf_counter()
     key = key if key is not None else jax.random.PRNGKey(0)
 
