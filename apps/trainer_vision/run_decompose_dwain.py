@@ -138,6 +138,7 @@ def main(
         "mparams_frac": stats_final["mparams"] / stats_initial["mparams"] * 100.0,
         "gflops_initial": stats_initial["gflops"],
         "gflops_final": stats_final["gflops"],
+        "gflops_frac": stats_final["gflops"] / stats_initial["gflops"] * 100.0,
         "gflops_decomposeable_initial": stats_initial["gflops_decomposeable"],
         "gflops_decomposeable_final": stats_final["gflops_decomposeable"],
         "mparams_decomposeable_initial": stats_initial["mparams_decomposeable"],

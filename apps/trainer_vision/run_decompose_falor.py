@@ -100,12 +100,14 @@ def main(
         "mparams_frac": stats_final["mparams"] / stats_initial["mparams"] * 100.0,
         "gflops_initial": stats_initial["gflops"],
         "gflops_final": stats_final["gflops"],
+        "gflops_frac": stats_final["gflops"] / stats_initial["gflops"] * 100.0,
         "gflops_decomposeable_initial": stats_initial["gflops_decomposeable"],
         "gflops_decomposeable_final": stats_final["gflops_decomposeable"],
         "mparams_decomposeable_initial": stats_initial["mparams_decomposeable"],
         "mparams_decomposeable_final": stats_final["mparams_decomposeable"],
         "kmapps_initial": stats_initial["kmapps"],
         "kmapps_final": stats_final["kmapps"],
+        "kmapps_frac": stats_final["kmapps"] / stats_initial["kmapps"] * 100.0,
         "time_decomposition": t_deco,
         "time_eval": t_eval,
         "device": f"{device.platform}:{device.device_kind}",
