@@ -154,8 +154,14 @@ class ImageNetPipeline:
         # train: DCT-scaled decode to >=2x the crop target keeps full
         # fidelity for crops down to 25% area (random_resized_crop draws
         # RELATIVE areas, so cropping the scaled image is distribution-
-        # equivalent); val: the resize target is exactly 256
-        target = 2 * min(self.input_h_w) if self.training else 256
+        # equivalent); val: match _center_crop_resize's crop/0.875 rule
+        # (256 for 224 crops; scales up for larger inputs so the decode
+        # never forces an upscale before the crop)
+        target = (
+            2 * min(self.input_h_w)
+            if self.training
+            else int(round(min(self.input_h_w) / 0.875))
+        )
         img = _load_image(self.root / path, target_min_side=target)
         rng = np.random.RandomState(rng_seed)
         if self.training:

@@ -33,6 +33,14 @@ void on_error(j_common_ptr cinfo) {
   longjmp(err->jump, 1);
 }
 
+void on_emit(j_common_ptr cinfo, int msg_level) {
+  // swallow stderr chatter, but keep counting warnings (msg_level < 0,
+  // e.g. premature EOF on a truncated file — the default emit_message does
+  // this increment); the count is checked after decode so corrupt data
+  // FAILS over to PIL instead of silently producing synthesized pixels
+  if (msg_level < 0) cinfo->err->num_warnings++;
+}
+
 void pick_scale(jpeg_decompress_struct* cinfo, int target_min_side) {
   cinfo->scale_denom = 8;
   cinfo->scale_num = 8;
@@ -81,6 +89,7 @@ int jpeg_decode_rgb(const uint8_t* data, int64_t len, int target_min_side,
   ErrMgr err;
   cinfo.err = jpeg_std_error(&err.pub);
   err.pub.error_exit = on_error;
+  err.pub.emit_message = on_emit;
   if (setjmp(err.jump)) {
     jpeg_destroy_decompress(&cinfo);
     return -1;
@@ -105,7 +114,9 @@ int jpeg_decode_rgb(const uint8_t* data, int64_t len, int target_min_side,
     jpeg_read_scanlines(&cinfo, rows, 1);
   }
   jpeg_finish_decompress(&cinfo);
+  const long warnings = cinfo.err->num_warnings;
   jpeg_destroy_decompress(&cinfo);
+  if (warnings > 0) return -1;  // truncated/corrupt: let the caller fall back
   *out_w = static_cast<int>(w);
   *out_h = static_cast<int>(h);
   return 0;

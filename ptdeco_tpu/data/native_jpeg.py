@@ -57,7 +57,9 @@ def _load() -> Optional[ctypes.CDLL]:
                 _build()
             lib = ctypes.CDLL(str(_SO))
         except Exception as e:
-            logger.warning(f"native jpeg decoder unavailable: {e}")
+            stderr = getattr(e, "stderr", b"")
+            detail = stderr.decode(errors="replace")[-400:] if stderr else ""
+            logger.warning(f"native jpeg decoder unavailable: {e} {detail}")
             _unavailable = True
             return None
         u8p = ctypes.POINTER(ctypes.c_uint8)

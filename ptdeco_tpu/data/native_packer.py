@@ -23,6 +23,7 @@ _SRC = _HERE / "packer.cc"
 _SO = _HERE / "_packer.so"
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
+_unavailable = False
 
 
 def _build() -> None:
@@ -48,12 +49,23 @@ def _build() -> None:
 
 
 def _load() -> ctypes.CDLL:
-    global _lib
+    global _lib, _unavailable
     with _lock:
         if _lib is not None:
             return _lib
-        if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
-            _build()
+        if _unavailable:
+            raise RuntimeError("native packer unavailable (build failed)")
+        try:
+            if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+                _build()
+        except Exception as e:
+            # cache the failure: callers retry per epoch/batch and would
+            # otherwise re-run the failing g++ each time
+            _unavailable = True
+            stderr = getattr(e, "stderr", b"")
+            detail = stderr.decode(errors="replace")[-400:] if stderr else ""
+            logger.warning(f"native packer build failed: {e} {detail}")
+            raise
         lib = ctypes.CDLL(str(_SO))
         lib.pack_greedy.restype = ctypes.c_int64
         lib.pack_greedy.argtypes = [

@@ -42,3 +42,24 @@ def test_update_version_bumps_segments(tmp_path):
     assert '__version__ = "2.0.0"' in (
         tmp_path / "ptdeco_tpu" / "_version.py"
     ).read_text()
+
+
+def test_native_jpeg_rejects_truncated_files():
+    """A truncated JPEG must decode to None (fall back to PIL, which
+    raises) rather than returning silently synthesized pixels."""
+    import io
+
+    import numpy as np
+    import pytest
+    from PIL import Image
+
+    from ptdeco_tpu.data import native_jpeg
+
+    if native_jpeg._load() is None:
+        pytest.skip("native decoder unavailable")
+    arr = np.random.default_rng(0).integers(0, 255, (96, 128, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="JPEG", quality=90)
+    data = buf.getvalue()
+    assert native_jpeg.decode(data, target_min_side=64) is not None
+    assert native_jpeg.decode(data[: len(data) // 2], target_min_side=64) is None
