@@ -20,12 +20,14 @@
 #include <cstdio>
 
 #include <jpeglib.h>
+#include <jerror.h>
 
 namespace {
 
 struct ErrMgr {
   jpeg_error_mgr pub;
   jmp_buf jump;
+  long data_warnings;  // warnings that imply synthesized/garbage pixels
 };
 
 void on_error(j_common_ptr cinfo) {
@@ -33,12 +35,30 @@ void on_error(j_common_ptr cinfo) {
   longjmp(err->jump, 1);
 }
 
+// decodes rejected because of data-corruption warnings, for fallback-rate
+// visibility on the Python side (single counter; racy increments under
+// threads only under-count diagnostics, never affect correctness)
+int64_t g_rejected_decodes = 0;
+
 void on_emit(j_common_ptr cinfo, int msg_level) {
-  // swallow stderr chatter, but keep counting warnings (msg_level < 0,
-  // e.g. premature EOF on a truncated file — the default emit_message does
-  // this increment); the count is checked after decode so corrupt data
-  // FAILS over to PIL instead of silently producing synthesized pixels
-  if (msg_level < 0) cinfo->err->num_warnings++;
+  // swallow stderr chatter, but flag warnings implying the decoder
+  // synthesized pixels (premature EOF fills fake scanlines, corrupt entropy
+  // data resyncs mid-stream) so such files FAIL over to PIL.  Benign
+  // warnings (extraneous bytes before marker, bogus Adobe markers — common
+  // in ImageNet) decode fully and must NOT force the slow fallback.
+  if (msg_level < 0) {
+    cinfo->err->num_warnings++;
+    switch (cinfo->err->msg_code) {
+      case JWRN_JPEG_EOF:
+      case JWRN_HIT_MARKER:
+      case JWRN_MUST_RESYNC:
+      case JWRN_NOT_SEQUENTIAL:
+        reinterpret_cast<ErrMgr*>(cinfo->err)->data_warnings++;
+        break;
+      default:
+        break;  // fully decodable; keep the native fast path
+    }
+  }
 }
 
 void pick_scale(jpeg_decompress_struct* cinfo, int target_min_side) {
@@ -90,6 +110,7 @@ int jpeg_decode_rgb(const uint8_t* data, int64_t len, int target_min_side,
   cinfo.err = jpeg_std_error(&err.pub);
   err.pub.error_exit = on_error;
   err.pub.emit_message = on_emit;
+  err.data_warnings = 0;
   if (setjmp(err.jump)) {
     jpeg_destroy_decompress(&cinfo);
     return -1;
@@ -114,12 +135,18 @@ int jpeg_decode_rgb(const uint8_t* data, int64_t len, int target_min_side,
     jpeg_read_scanlines(&cinfo, rows, 1);
   }
   jpeg_finish_decompress(&cinfo);
-  const long warnings = cinfo.err->num_warnings;
+  const long bad = err.data_warnings;
   jpeg_destroy_decompress(&cinfo);
-  if (warnings > 0) return -1;  // truncated/corrupt: let the caller fall back
+  if (bad > 0) {
+    // truncated/corrupt entropy data: let the caller fall back to PIL
+    ++g_rejected_decodes;
+    return -1;
+  }
   *out_w = static_cast<int>(w);
   *out_h = static_cast<int>(h);
   return 0;
 }
+
+int64_t jpeg_rejected_decodes(void) { return g_rejected_decodes; }
 
 }  // extern "C"

@@ -70,12 +70,21 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.jpeg_decode_rgb.argtypes = [
             u8p, ctypes.c_int64, ctypes.c_int, u8p, ctypes.c_int64, ip, ip,
         ]
+        lib.jpeg_rejected_decodes.restype = ctypes.c_int64
+        lib.jpeg_rejected_decodes.argtypes = []
         _lib = lib
         return _lib
 
 
 def available() -> bool:
     return _load() is not None
+
+
+def rejected_decodes() -> int:
+    """Decodes the native path rejected for data-corruption warnings
+    (each forced a PIL fallback) — fallback-rate visibility for pipelines."""
+    lib = _load()
+    return int(lib.jpeg_rejected_decodes()) if lib is not None else 0
 
 
 def decode(

@@ -797,7 +797,9 @@ def decompose(
                         for prev_name in decomposed_submodules[:-1]:
                             pair_now = nn.get_submodule(module, prev_name)
                             leaves_now = jax.tree_util.tree_leaves(pair_now)
-                            if any(
+                            if len(prev_leaves[prev_name]) != len(
+                                leaves_now
+                            ) or any(
                                 a is not b
                                 for a, b in zip(
                                     prev_leaves[prev_name], leaves_now

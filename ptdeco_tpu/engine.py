@@ -288,6 +288,17 @@ def compute_output_grams(
         use_pallas = "auto"
     elif use_pallas:
         use_pallas = jax.default_backend() == "tpu"
+        if use_pallas and jax.device_count() > 1:
+            # pallas_call is opaque to GSPMD: on a multi-device mesh it
+            # all-gathers sharded activations to every device before the
+            # SYRK — a perf cliff the auto mode deliberately avoids
+            # (ops.gram_pallas.should_use_syrk)
+            logger.warning(
+                "use_pallas=True forced with %d devices: the SYRK kernel "
+                "will gather sharded activations (GSPMD-opaque); prefer "
+                "use_pallas=None (auto) on meshes",
+                jax.device_count(),
+            )
     scan_step = make_gram_scan_step(
         tuple(site_names), sites, apply_fn, accumulate_mean, use_pallas
     )

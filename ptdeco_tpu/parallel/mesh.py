@@ -14,6 +14,7 @@ accumulation bit-for-bit (up to reduction order).
 
 from __future__ import annotations
 
+import logging
 from typing import Any, Optional, Sequence
 
 import jax
@@ -72,7 +73,14 @@ def make_mesh(
         dp = len(devices) // (tp * sp)
     elif dp * tp * sp < len(devices):
         # an explicit dp requests that many data-parallel groups — use the
-        # first dp*sp*tp devices rather than failing on larger hosts
+        # first dp*sp*tp devices rather than failing on larger hosts; say
+        # so, or a typo'd dp leaves devices idle with no signal
+        logging.getLogger(__name__).warning(
+            "make_mesh(dp=%d, sp=%d, tp=%d) uses %d of %d devices "
+            "(%d left idle)",
+            dp, sp, tp, dp * sp * tp, len(devices),
+            len(devices) - dp * sp * tp,
+        )
         devices = devices[: dp * tp * sp]
     assert dp * tp * sp == len(devices), (dp, sp, tp, len(devices))
     if sp == 1:

@@ -194,17 +194,22 @@ def state_dict_keys(root: nn.Module, prefix: str = "") -> set[str]:
 
 
 def _export_key_names(m: Any) -> list[str]:
-    if isinstance(m, nn.Linear) or isinstance(m, nn.Conv2d):
+    # dispatch on EXACT type like _EXPORTERS does: a registered subclass of
+    # nn.Linear etc. with a custom exporter may emit different keys, and an
+    # isinstance shortcut here would make state_dict_keys() disagree with
+    # state_dict()
+    t = type(m)
+    if t in (nn.Linear, nn.Conv2d):
         return ["weight"] + (["bias"] if m.bias is not None else [])
-    if isinstance(m, nn.BatchNorm2d):
+    if t is nn.BatchNorm2d:
         return ["weight", "bias", "running_mean", "running_var",
                 "num_batches_tracked"]
-    if isinstance(m, (nn.LayerNorm, nn.RMSNorm)):
+    if t in (nn.LayerNorm, nn.RMSNorm):
         names = ["weight"]
         if getattr(m, "offset", None) is not None:
             names.append("bias")
         return names
-    if isinstance(m, nn.Embedding):
+    if t is nn.Embedding:
         return ["weight"]
     # registered custom type: fall back to the exporter (materializes)
     return list(_EXPORTERS[type(m)](m).keys())
