@@ -117,11 +117,30 @@ def make_model_and_tokenizer(
         if enable_gradient_checkpointing:
             model = model.replace(model=model.model.replace(remat=True))
             logger.info("Per-block gradient checkpointing (remat) enabled")
+    elif checkpoint_path is not None and (
+        pathlib.Path(checkpoint_path) / "config.json"
+    ).exists():
+        # generic path: ANY llama-config-family snapshot (llama/mistral/
+        # qwen2/gemma) builds straight from its config.json — the
+        # AutoModelForCausalLM analogue for the family (reference
+        # trainer_llm/builder.py:97-107)
+        from ptdeco_tpu.models import hf_loader
+
+        hf_cfg = hf_loader.read_hf_config(checkpoint_path)
+        cfg = models.TransformerConfig.from_hf_config(
+            hf_cfg, dtype=jdtype, remat=enable_gradient_checkpointing
+        )
+        logger.info(
+            f"Built {model_name!r} generically from config.json "
+            f"(model_type={hf_cfg.get('model_type')!r})"
+        )
+        model = models.CausalLM.create(jax.random.PRNGKey(seed), cfg)
     else:
         raise ValueError(
             f"Unknown model {model_name!r}; known: "
             f"{sorted(_KNOWN_CONFIGS) + sorted(_PHI_CONFIGS)} "
-            "(or pass decomposed_model_custom_builder_path)"
+            "(or pass a checkpoint dir with a llama-family config.json, "
+            "or decomposed_model_custom_builder_path)"
         )
 
     if checkpoint_path is not None:

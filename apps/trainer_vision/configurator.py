@@ -32,6 +32,9 @@ class _DataConfig(pydantic.BaseModel):
         "zero_to_one", "negative_one_to_one", "imagenet", "identity"
     ]
     input_h_w: tuple[int, int]
+    # optional train-time rotation aug (reference datasets_dali.py:260-272;
+    # an unexposed attribute there, a config knob here)
+    use_rotation: bool = False
 
 
 class _TrainConfig(pydantic.BaseModel):

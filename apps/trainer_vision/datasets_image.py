@@ -100,6 +100,44 @@ def _random_resized_crop(
     return _center_crop_resize(img, out_hw)
 
 
+def _rotate_keep_size(img: np.ndarray, angle_deg: float) -> np.ndarray:
+    """Bilinear rotation about the image center, keeping the frame size and
+    filling exposed corners with 0 — the semantics of the reference's
+    optional train-time rotation (datasets_dali.py:260-272: coin-flip 50%,
+    uniform(-30, 30) degrees, INTERP_LINEAR, keep_size, fill_value=0,
+    applied AFTER normalization so the fill is normalized-zero).  Pure
+    numpy inverse-mapping so float32 HWC images rotate without PIL's
+    uint8-only multi-channel limitation."""
+    h, w = img.shape[:2]
+    theta = np.deg2rad(angle_deg)
+    c, s = np.cos(theta), np.sin(theta)
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    yy, xx = np.meshgrid(
+        np.arange(h, dtype=np.float32), np.arange(w, dtype=np.float32),
+        indexing="ij",
+    )
+    # inverse rotation: output pixel -> source coordinate
+    sx = c * (xx - cx) + s * (yy - cy) + cx
+    sy = -s * (xx - cx) + c * (yy - cy) + cy
+    x0 = np.floor(sx).astype(np.int64)
+    y0 = np.floor(sy).astype(np.int64)
+    fx = (sx - x0)[..., None]
+    fy = (sy - y0)[..., None]
+    im = img.astype(np.float32)
+
+    def tap(yc: np.ndarray, xc: np.ndarray) -> np.ndarray:
+        # out-of-bounds taps contribute 0 (per-tap feathering — the
+        # zero-padding convention of both DALI's warp and torch
+        # grid_sample, so edges blend into the fill instead of cutting)
+        inb = (yc >= 0) & (yc < h) & (xc >= 0) & (xc < w)
+        val = im[np.clip(yc, 0, h - 1), np.clip(xc, 0, w - 1)]
+        return np.where(inb[..., None], val, 0.0)
+
+    top = tap(y0, x0) * (1 - fx) + tap(y0, x0 + 1) * fx
+    bot = tap(y0 + 1, x0) * (1 - fx) + tap(y0 + 1, x0 + 1) * fx
+    return (top * (1 - fy) + bot * fy).astype(np.float32)
+
+
 def _center_crop_resize(img: np.ndarray, out_hw: tuple[int, int]) -> np.ndarray:
     from PIL import Image
 
@@ -131,6 +169,7 @@ class ImageNetPipeline:
         seed: int = 42,
         num_workers: int = 4,
         prefetch: int = 4,
+        use_rotation: bool = False,
     ) -> None:
         self.root = pathlib.Path(root_dir)
         self.entries = read_classes_file(classes_fname)
@@ -145,6 +184,9 @@ class ImageNetPipeline:
         self.epoch = 0
         self.num_workers = num_workers
         self.prefetch = prefetch
+        # optional train-time rotation (reference datasets_dali.py:145,
+        # :260-272 — an attribute there, a constructor knob here)
+        self.use_rotation = use_rotation
 
     def __len__(self) -> int:
         return len(self.entries) // self.batch_size
@@ -170,7 +212,10 @@ class ImageNetPipeline:
                 img = img[:, ::-1]
         else:
             img = _center_crop_resize(img, self.input_h_w)
-        return (img.astype(np.float32) - self.mean) / self.std
+        out = (img.astype(np.float32) - self.mean) / self.std
+        if self.training and self.use_rotation and rng.rand() < 0.5:
+            out = _rotate_keep_size(out, rng.uniform(-30.0, 30.0))
+        return out
 
     def __iter__(self) -> Iterator[dict[str, np.ndarray]]:
         epoch = self.epoch
@@ -302,6 +347,7 @@ def make_imagenet_pipelines(
     normalization: str,
     input_h_w: tuple[int, int],
     seed: int = 42,
+    use_rotation: bool = False,
 ) -> tuple[ImageNetPipeline, ImageNetPipeline]:
     """Train/val pipeline pair (reference make_imagenet_pipelines)."""
     train = ImageNetPipeline(
@@ -312,6 +358,7 @@ def make_imagenet_pipelines(
         input_h_w,
         training=True,
         seed=seed,
+        use_rotation=use_rotation,
     )
     val = ImageNetPipeline(
         imagenet_root_dir,

@@ -45,6 +45,7 @@ def main(
             batch_size=config.batch_size,
             normalization=config.normalization,
             input_h_w=config.input_h_w,
+            use_rotation=config.use_rotation,
         )
 
     raw_model = builder.make_model(

@@ -85,6 +85,7 @@ def main(
             batch_size=config.batch_size,
             normalization=config.normalization,
             input_h_w=config.input_h_w,
+            use_rotation=config.use_rotation,
         )
 
     teacher = builder.make_model(

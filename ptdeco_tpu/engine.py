@@ -204,32 +204,41 @@ def make_gram_scan_step(
             for name in site_names:
                 x = store[name]
                 kernel = get_site_kernel2d(root, sites[name])
-                y = jnp.dot(
-                    x,
-                    kernel.astype(x.dtype),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )
-                n = y.shape[0]
                 from .ops.gram_pallas import should_use_syrk, syrk_gram
 
                 if use_pallas == "auto":
                     # per-site static decision keyed on the ACTIVATION
-                    # dtype (y itself is f32 by construction above —
-                    # deciding on y.dtype was a bug that made this branch
-                    # dead, caught by an integration spy test)
-                    use = should_use_syrk(x.dtype, y.shape[1])
+                    # dtype (deciding on a post-matmul f32 y.dtype was a
+                    # bug that made this branch dead, caught by an
+                    # integration spy test)
+                    use = should_use_syrk(x.dtype, kernel.shape[-1])
                 else:
                     use = bool(use_pallas)
+                n = x.shape[0]
                 if use:
-                    # SYRK path: Gram from activation-dtype y (bf16 for
-                    # bf16 models) with f32 accumulation in the kernel.
-                    # Measured vs the f32-HIGHEST einsum below on the real
-                    # dataflow: 23x at d=2048 n=8192 on v5e, max relative
-                    # Gram error 2e-4 (BASELINE_MEASURED.md); decision
-                    # parity spot-checked on the bf16 bench workload.
-                    g = syrk_gram(y.astype(x.dtype)) / n
+                    # SYRK path: y in ACTIVATION dtype at DEFAULT
+                    # precision — one MXU-native bf16 pass.  Computing y at
+                    # f32-HIGHEST (6-pass) only to round it back to bf16
+                    # for the kernel wasted ~6x the matmul cost for
+                    # precision the cast destroyed; matching the forward's
+                    # own x@W also lets XLA CSE the two.  The kernel
+                    # accumulates the Gram in f32 (23x vs the f32-HIGHEST
+                    # einsum at d=2048 n=8192 on v5e, max relative Gram
+                    # error 2e-4, BASELINE_MEASURED.md; decision parity
+                    # spot-checked on the bf16 bench workload).
+                    y = jnp.dot(
+                        x,
+                        kernel.astype(x.dtype),
+                        preferred_element_type=x.dtype,
+                    )
+                    g = syrk_gram(y) / n
                 else:
+                    y = jnp.dot(
+                        x,
+                        kernel.astype(x.dtype),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
                     g = jnp.einsum(
                         "bp,bq->pq",
                         y,
@@ -241,7 +250,9 @@ def make_gram_scan_step(
                 grams[name] = grams[name] + g
                 if accumulate_mean:
                     means = dict(means)
-                    means[name] = means[name] + jnp.mean(y, axis=0)
+                    means[name] = means[name] + jnp.mean(
+                        y.astype(jnp.float32), axis=0
+                    )
             return (grams, means), None
 
         (grams, means), _ = jax.lax.scan(body, (grams, means), batches)
@@ -396,12 +407,15 @@ def dispatch_count() -> int:
 
 def _counted(fn):
     """Wrap a jitted step so each host-side invocation (one device
-    dispatch) is tallied."""
+    dispatch) is tallied.  The underlying jitted callable stays reachable
+    as ``.jitted`` for ``lower().compile().cost_analysis()`` — the FLOP
+    source for the MFU accounting in aux/bench_calib_mfu.py."""
 
     def wrapper(*args, **kwargs):
         _DISPATCH_COUNT["n"] += 1
         return fn(*args, **kwargs)
 
+    wrapper.jitted = fn
     return wrapper
 
 

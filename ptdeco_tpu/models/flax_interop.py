@@ -81,7 +81,9 @@ def load_flax_params(
         if last == "offset":
             candidates.append(f"{stem}.bias" if stem else "bias")
         if last == "scale":
-            candidates.append(f"{stem}.scale" if stem else "scale")
+            # HF Flax norm layers call the scale "weight"
+            # (e.g. FlaxLlamaRMSNorm)
+            candidates.append(f"{stem}.weight" if stem else "weight")
         found = next((c for c in candidates if c in flat), None)
         if found is None:
             if strict:

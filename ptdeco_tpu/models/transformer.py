@@ -17,12 +17,15 @@ computed on the fly (no persistent cache to shard).
 from __future__ import annotations
 
 import dataclasses
+import logging
 from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
 
 from .. import nn
+
+logger = logging.getLogger(__name__)
 
 __all__ = ["TransformerConfig", "CausalLM", "Attention", "MLP", "Block", "PrunedSublayer", "prune_blocks"]
 
@@ -39,6 +42,13 @@ class TransformerConfig:
     rope_theta: float = 10000.0
     qkv_bias: bool = False  # True for Qwen2
     tie_embeddings: bool = False
+    # gemma-family knobs (HF GemmaConfig): explicit head_dim (gemma-7b has
+    # n_heads*head_dim != dim), tanh-GELU MLP, sqrt(dim) embedding scale,
+    # and (1 + w) RMSNorm
+    head_dim_override: Optional[int] = None
+    mlp_act: str = "silu"  # "silu" | "gelu_tanh"
+    scale_embeddings: bool = False
+    norm_plus_one: bool = False
     # rematerialize each block's activations during backward passes
     # (jax.checkpoint) — the HBM/flops trade for large-model calibration
     # and fine-tuning (the reference toggles HF gradient checkpointing,
@@ -48,7 +58,75 @@ class TransformerConfig:
 
     @property
     def head_dim(self) -> int:
+        if self.head_dim_override is not None:
+            return self.head_dim_override
         return self.dim // self.n_heads
+
+    @staticmethod
+    def from_hf_config(
+        hf: dict[str, Any], dtype: Any = jnp.bfloat16, remat: bool = False
+    ) -> "TransformerConfig":
+        """Generic HF ``config.json`` -> native config for the llama config
+        family (llama / tinyllama / mistral / qwen2 / gemma): ANY checkpoint
+        in the family loads without a hand-written zoo entry or custom
+        builder, narrowing the reference's AutoModelForCausalLM coverage
+        delta (/root/reference/examples/trainer_llm/builder.py:97-107).
+        Raises ValueError (naming the offending field) for architectures
+        whose compute graph this decoder does not express."""
+        mt = hf.get("model_type", "llama")
+        if mt not in ("llama", "mistral", "qwen2", "gemma"):
+            raise ValueError(
+                f"model_type={mt!r} is outside the supported llama config "
+                "family (llama/mistral/qwen2/gemma); use a models/ zoo "
+                "entry or a custom builder"
+            )
+        # gemma configs carry "hidden_activation" (the authoritative field,
+        # older snapshots say hidden_act="gelu" but run tanh-approx)
+        act = hf.get("hidden_activation") or hf.get("hidden_act", "silu")
+        act_map = {
+            "silu": "silu",
+            "gelu": "gelu_tanh",  # HF gemma "gelu" runs tanh-approx in practice
+            "gelu_pytorch_tanh": "gelu_tanh",
+        }
+        if act not in act_map:
+            raise ValueError(f"Unsupported hidden_act={act!r}")
+        n_heads = int(hf["num_attention_heads"])
+        dim = int(hf["hidden_size"])
+        head_dim = hf.get("head_dim")
+        override = (
+            int(head_dim)
+            if head_dim is not None and int(head_dim) * n_heads != dim
+            else None
+        )
+        sliding = hf.get("sliding_window")
+        if sliding is not None and hf.get("use_sliding_window", True):
+            # vanilla causal attention is exact for seqlen <= window; the
+            # calibration loaders cap max_seqlen, so just surface it
+            logger.info(
+                "sliding_window=%s in config: full causal attention is used;"
+                " keep calibration max_seqlen <= window for exactness",
+                sliding,
+            )
+        return TransformerConfig(
+            vocab_size=int(hf["vocab_size"]),
+            dim=dim,
+            n_layers=int(hf["num_hidden_layers"]),
+            n_heads=n_heads,
+            n_kv_heads=int(hf.get("num_key_value_heads", n_heads)),
+            hidden_dim=int(hf["intermediate_size"]),
+            norm_eps=float(hf.get("rms_norm_eps", 1e-6)),
+            rope_theta=float(hf.get("rope_theta", 10000.0)),
+            qkv_bias=bool(hf.get("attention_bias", mt == "qwen2")),
+            tie_embeddings=bool(
+                hf.get("tie_word_embeddings", mt == "gemma")
+            ),
+            head_dim_override=override,
+            mlp_act=act_map[act],
+            scale_embeddings=mt == "gemma",
+            norm_plus_one=mt == "gemma",
+            remat=remat,
+            dtype=dtype,
+        )
 
     @staticmethod
     def tiny(vocab_size: int = 256, dtype: Any = jnp.float32) -> "TransformerConfig":
@@ -175,16 +253,20 @@ class Attention(nn.Module):
 
 
 class MLP(nn.Module):
-    """SwiGLU MLP (llama/qwen2)."""
+    """Gated MLP: SwiGLU (llama/qwen2) or GeGLU-tanh (gemma)."""
 
     gate_proj: nn.Linear
     up_proj: nn.Linear
     down_proj: nn.Linear
+    act: str = nn.static_field(default="silu")
 
     def __call__(self, x: jax.Array, ctx: Optional[nn.Ctx] = None) -> jax.Array:
-        return self.down_proj(
-            jax.nn.silu(self.gate_proj(x, ctx)) * self.up_proj(x, ctx), ctx
-        )
+        g = self.gate_proj(x, ctx)
+        if self.act == "gelu_tanh":
+            g = jax.nn.gelu(g, approximate=True)
+        else:
+            g = jax.nn.silu(g)
+        return self.down_proj(g * self.up_proj(x, ctx), ctx)
 
     @staticmethod
     def create(key: jax.Array, cfg: TransformerConfig) -> "MLP":
@@ -193,6 +275,7 @@ class MLP(nn.Module):
             gate_proj=nn.Linear.create(ks[0], cfg.dim, cfg.hidden_dim, False, cfg.dtype),
             up_proj=nn.Linear.create(ks[1], cfg.dim, cfg.hidden_dim, False, cfg.dtype),
             down_proj=nn.Linear.create(ks[2], cfg.hidden_dim, cfg.dim, False, cfg.dtype),
+            act=cfg.mlp_act,
         )
 
 
@@ -222,10 +305,12 @@ class Block(nn.Module):
     def create(key: jax.Array, cfg: TransformerConfig) -> "Block":
         k1, k2 = jax.random.split(key)
         return Block(
-            input_layernorm=nn.RMSNorm.create(cfg.dim, cfg.norm_eps, cfg.dtype),
+            input_layernorm=nn.RMSNorm.create(
+                cfg.dim, cfg.norm_eps, cfg.dtype, plus_one=cfg.norm_plus_one
+            ),
             self_attn=Attention.create(k1, cfg),
             post_attention_layernorm=nn.RMSNorm.create(
-                cfg.dim, cfg.norm_eps, cfg.dtype
+                cfg.dim, cfg.norm_eps, cfg.dtype, plus_one=cfg.norm_plus_one
             ),
             mlp=MLP.create(k2, cfg),
         )
@@ -236,6 +321,9 @@ class Decoder(nn.Module):
     layers: tuple
     norm: nn.RMSNorm
     remat: bool = nn.static_field(default=False)
+    # gemma: hidden states scaled by sqrt(dim) after embedding (HF
+    # GemmaModel.forward normalizer, applied in the activation dtype)
+    scale_embeddings: bool = nn.static_field(default=False)
 
     def __call__(
         self,
@@ -245,6 +333,8 @@ class Decoder(nn.Module):
         attn_mask: Optional[jax.Array] = None,
     ) -> jax.Array:
         x = self.embed_tokens(input_ids)
+        if self.scale_embeddings:
+            x = x * jnp.asarray(x.shape[-1] ** 0.5, x.dtype)
         b, s = input_ids.shape
         positions = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s))
         use_remat = self.remat and not (ctx is not None and ctx.no_remat)
@@ -296,8 +386,11 @@ class CausalLM(nn.Module):
             layers=tuple(
                 Block.create(keys[1 + i], cfg) for i in range(cfg.n_layers)
             ),
-            norm=nn.RMSNorm.create(cfg.dim, cfg.norm_eps, cfg.dtype),
+            norm=nn.RMSNorm.create(
+                cfg.dim, cfg.norm_eps, cfg.dtype, plus_one=cfg.norm_plus_one
+            ),
             remat=cfg.remat,
+            scale_embeddings=cfg.scale_embeddings,
         )
         lm_head = (
             None

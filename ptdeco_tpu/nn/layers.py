@@ -265,17 +265,29 @@ class LayerNorm(Module):
 class RMSNorm(Module):
     scale: jax.Array
     eps: float = static_field(default=1e-6)
+    # gemma convention: y * (1 + weight), weight zero-initialized (HF
+    # GemmaRMSNorm); the stored/exported weight stays the raw HF value
+    plus_one: bool = static_field(default=False)
 
     def __call__(self, x: jax.Array, ctx: Optional[Ctx] = None) -> jax.Array:
         dtype = x.dtype
         xf = x.astype(jnp.float32)
         var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
         y = xf * jax.lax.rsqrt(var + self.eps)
-        return (y * self.scale.astype(jnp.float32)).astype(dtype)
+        w = self.scale.astype(jnp.float32)
+        if self.plus_one:
+            w = w + 1.0
+        return (y * w).astype(dtype)
 
     @staticmethod
-    def create(dim: int, eps: float = 1e-6, dtype: Any = jnp.float32) -> "RMSNorm":
-        return RMSNorm(scale=jnp.ones((dim,), dtype), eps=eps)
+    def create(
+        dim: int,
+        eps: float = 1e-6,
+        dtype: Any = jnp.float32,
+        plus_one: bool = False,
+    ) -> "RMSNorm":
+        init = jnp.zeros if plus_one else jnp.ones
+        return RMSNorm(scale=init((dim,), dtype), eps=eps, plus_one=plus_one)
 
 
 class Embedding(Module):

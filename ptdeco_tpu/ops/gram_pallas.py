@@ -101,10 +101,10 @@ def _syrk_padded(y: jax.Array, interpret: bool = False) -> jax.Array:
 
 def should_use_syrk(dtype: Any, d: int, backend: Optional[str] = None) -> bool:
     """Auto-dispatch rule for the calibration Gram (engine passes
-    ``use_pallas=None``).  ``dtype`` is the site's ACTIVATION dtype — the
-    engine's y is always f32 (HIGHEST-precision site matmul); the SYRK path
-    casts y back to the activation dtype and accumulates in f32 inside the
-    kernel.
+    ``use_pallas=None``).  ``dtype`` is the site's ACTIVATION dtype — on
+    the SYRK path the engine computes y MXU-native in that dtype and the
+    kernel accumulates the Gram in f32; on the einsum path y is f32 from a
+    HIGHEST-precision site matmul.
 
     Measured on v5e against the engine's real alternative (f32-HIGHEST
     einsum) at d=2048 n=8192: **23x**, with max relative Gram error 2e-4 —

@@ -1,0 +1,142 @@
+"""Generic HF-config-family constructor (VERDICT r2 item 4).
+
+``TransformerConfig.from_hf_config`` must build a native model for ANY
+llama/mistral/qwen2/gemma ``config.json`` whose forward matches the live
+HF torch implementation on the SAME weights — the strongest available
+parity pin in a zero-egress sandbox (transformers is installed; models are
+random-init from config, no network).  Reference coverage analogue:
+AutoModelForCausalLM (trainer_llm/builder.py:97-107)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from ptdeco_tpu import models, utils
+
+torch.set_num_threads(1)
+
+
+def _hf_to_native(hf_model, hf_cfg_dict):
+    sd = {
+        k: v.detach().to(torch.float32).numpy()
+        for k, v in hf_model.state_dict().items()
+        if not k.endswith("rotary_emb.inv_freq")
+    }
+    cfg = models.TransformerConfig.from_hf_config(
+        hf_cfg_dict, dtype=jnp.float32
+    )
+    native = models.CausalLM.create(jax.random.PRNGKey(0), cfg)
+    return utils.load_state_dict(native, sd, strict=False), cfg
+
+
+def _compare(hf_model, native, vocab, atol):
+    rng = np.random.RandomState(0)
+    ids = rng.randint(0, vocab, (2, 12))
+    with torch.no_grad():
+        ref = hf_model(torch.from_numpy(ids)).logits.to(torch.float32).numpy()
+    out = np.asarray(
+        native({"input_ids": jnp.asarray(ids)}), np.float32
+    )
+    assert np.allclose(out, ref, atol=atol), np.abs(out - ref).max()
+
+
+def _tiny(**kw):
+    base = dict(
+        vocab_size=128,
+        hidden_size=32,
+        intermediate_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=64,
+    )
+    base.update(kw)
+    return base
+
+
+def test_llama_family_logits_match_hf():
+    cfg = transformers.LlamaConfig(**_tiny(rope_theta=10000.0))
+    hf = transformers.LlamaForCausalLM(cfg).eval()
+    native, ncfg = _hf_to_native(hf, cfg.to_dict())
+    assert ncfg.qkv_bias is False and ncfg.mlp_act == "silu"
+    _compare(hf, native, 128, atol=2e-4)
+
+
+def test_mistral_logits_match_hf():
+    cfg = transformers.MistralConfig(
+        **_tiny(rope_theta=1e6, sliding_window=4096)
+    )
+    hf = transformers.MistralForCausalLM(cfg).eval()
+    native, _ = _hf_to_native(hf, cfg.to_dict())
+    _compare(hf, native, 128, atol=2e-4)
+
+
+def test_qwen2_logits_match_hf():
+    cfg = transformers.Qwen2Config(
+        **_tiny(rope_theta=1e6, tie_word_embeddings=True)
+    )
+    hf = transformers.Qwen2ForCausalLM(cfg).eval()
+    native, ncfg = _hf_to_native(hf, cfg.to_dict())
+    assert ncfg.qkv_bias is True and ncfg.tie_embeddings is True
+    _compare(hf, native, 128, atol=2e-4)
+
+
+def test_gemma_logits_match_hf():
+    # head_dim != dim/n_heads exercises the override (the gemma-7b layout)
+    cfg = transformers.GemmaConfig(
+        **_tiny(head_dim=16, hidden_activation="gelu_pytorch_tanh")
+    )
+    hf = transformers.GemmaForCausalLM(cfg).eval()
+    native, ncfg = _hf_to_native(hf, cfg.to_dict())
+    assert ncfg.head_dim_override == 16
+    assert ncfg.mlp_act == "gelu_tanh"
+    assert ncfg.scale_embeddings and ncfg.norm_plus_one
+    assert ncfg.tie_embeddings
+    _compare(hf, native, 128, atol=3e-4)
+
+
+def test_from_hf_config_rejects_foreign_architectures():
+    with pytest.raises(ValueError, match="model_type"):
+        models.TransformerConfig.from_hf_config({"model_type": "gpt2"})
+    with pytest.raises(ValueError, match="hidden_act"):
+        models.TransformerConfig.from_hf_config(
+            {
+                "model_type": "llama",
+                "hidden_act": "relu",
+                "vocab_size": 8,
+                "hidden_size": 8,
+                "intermediate_size": 8,
+                "num_hidden_layers": 1,
+                "num_attention_heads": 1,
+            }
+        )
+
+
+def test_builder_generic_checkpoint_path(tmp_path):
+    """End-to-end: an HF snapshot dir (config.json + safetensors) of an
+    unknown model name loads through the generic family path."""
+    import safetensors.numpy
+
+    from apps.trainer_llm import builder
+
+    cfg = transformers.LlamaConfig(**_tiny())
+    hf = transformers.LlamaForCausalLM(cfg).eval()
+    (tmp_path / "config.json").write_text(cfg.to_json_string())
+    sd = {
+        k: v.detach().to(torch.float32).numpy().copy()
+        for k, v in hf.state_dict().items()
+        if not k.endswith("rotary_emb.inv_freq")
+    }
+    safetensors.numpy.save_file(sd, tmp_path / "model.safetensors")
+
+    model, tokenizer = builder.make_model_and_tokenizer(
+        model_name="someorg/some-novel-llama",
+        dtype="float32",
+        checkpoint_path=str(tmp_path),
+    )
+    _compare(hf, model, 128, atol=2e-4)
