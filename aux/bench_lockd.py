@@ -1,0 +1,187 @@
+"""TPU perf artifacts for the two TRAINING loops (VERDICT r2 item 5):
+lockd stage-0 gate training and the vision KD finetune — the paths whose
+reference analogue is the composer Trainer
+(/root/reference/examples/trainer_vision/run_decompose_lockd.py:206-228,
+run_finetune.py:376-400) and which previously had correctness tests but no
+measured step time / throughput / MFU.
+
+Uses the REAL driver step functions (apps.trainer_vision.run_decompose_lockd
+.make_train_step, and a KD step identical to run_finetune's) on resnet18 at
+224x224, synthetic NHWC batches (weight-independent step time), bf16
+compute.  FLOPs from compiled cost analysis.  Also records lockd decompose
+decisions (per-layer proportions) after the timed steps as the
+decisions-sanity artifact.
+
+Persists BENCH_LOCKD.json.  Run on TPU:  python aux/bench_lockd.py
+"""
+
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ptdeco_tpu import lockd, nn
+from ptdeco_tpu.utils.cache import enable_compilation_cache
+
+V5E_BF16_PEAK = 197e12
+BATCH = 64
+HOT_STEPS = 5
+
+
+def flops_of(lowered) -> float:
+    ca = lowered.compile().cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0]
+    return float(ca["flops"])
+
+
+def time_steps(fn, *args, reps=HOT_STEPS, varying=None):
+    out = fn(*args)
+    # drain the device queue fully (device_get) before starting timers; on
+    # the tunneled transport block_until_ready right after a compile
+    # returns before the backlog drains and fabricates timings
+    jax.device_get(jax.tree_util.tree_leaves(out)[0].ravel()[0])
+    times = []
+    for i in range(reps):
+        a = varying(i, args) if varying is not None else args
+        t0 = time.perf_counter()
+        out = fn(*a)
+        jax.block_until_ready(jax.tree_util.tree_leaves(out))
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return times[len(times) // 2], times
+
+
+def main() -> None:
+    import logging
+
+    logging.basicConfig(level=logging.INFO, format="%(message)s")
+    enable_compilation_cache()
+
+    from apps.trainer_vision import builder, configurator, run_decompose_lockd
+
+    inputs = jax.random.normal(
+        jax.random.PRNGKey(0), (BATCH, 224, 224, 3), jnp.float32
+    )
+
+    # ---- lockd stage-0 gate training ------------------------------------
+    model = builder.make_model("resnet18", input_h_w=(224, 224))
+    wrapped = lockd.wrap(model, jax.random.PRNGKey(1))
+    trainable, frozen = lockd.trainable_partition(wrapped)
+    tx = optax.sgd(1e-3, momentum=0.9)
+    opt_state = tx.init(trainable)
+    step_fn = run_decompose_lockd.make_train_step(
+        frozen, tx, lmbda=0.4, nsr_threshold=0.05, precision="bf16"
+    )
+    key = jax.random.PRNGKey(42)
+
+    lockd_flops = flops_of(
+        step_fn.lower(trainable, opt_state, inputs, key)
+    )
+
+    state = {"tr": trainable, "opt": opt_state}
+
+    def run_step(k):
+        tr, opt, loss, aux = step_fn(state["tr"], state["opt"], inputs, k)
+        state["tr"], state["opt"] = tr, opt
+        return loss
+
+    t_lockd, lockd_times = time_steps(
+        run_step, key, varying=lambda i, a: (jax.random.fold_in(key, i),)
+    )
+    lockd_mfu = lockd_flops / t_lockd / V5E_BF16_PEAK
+
+    # decisions-sanity artifact: losses finite, gates alive, decompose runs
+    final = nn.combine(state["tr"], frozen)
+    proportions = {
+        name: float(lockd.calc_propotion_from_logits(mod.logits))
+        for name, mod in lockd.named_wrapped_modules(final)
+    }
+    assert all(jnp.isfinite(v) for v in proportions.values())
+    decomposed, deco_cfg = lockd.decompose(final, proportion_threshold=1.0)
+    n_decomposed = len(deco_cfg)
+
+    # ---- KD finetune step (run_finetune.py's train_step verbatim shape) --
+    from apps.trainer_vision.run_finetune import kd_loss
+
+    teacher = builder.make_model("resnet18", input_h_w=(224, 224))
+    student = builder.make_model("resnet18", seed=1, input_h_w=(224, 224))
+    s_trainable, s_frozen = nn.partition(
+        student, nn.trainable_predicate(student)
+    )
+    tx2 = optax.adamw(1e-4)
+    opt2 = tx2.init(s_trainable)
+    precision = "bf16"
+
+    @jax.jit
+    def kd_step(trainable, opt_state, inputs):
+        inputs_c = configurator.bf16_compute(inputs, precision)
+        teacher_logits = configurator.bf16_compute(teacher, precision)(inputs_c)
+
+        def loss_fn(tr):
+            m = nn.combine(tr, s_frozen)
+            m = configurator.bf16_compute(m, precision)
+            return kd_loss(m(inputs_c), teacher_logits)
+
+        loss, grads = jax.value_and_grad(loss_fn)(trainable)
+        updates, opt_state = tx2.update(grads, opt_state, trainable)
+        return optax.apply_updates(trainable, updates), opt_state, loss
+
+    kd_flops = flops_of(kd_step.lower(s_trainable, opt2, inputs))
+
+    kstate = {"tr": s_trainable, "opt": opt2}
+
+    def run_kd(_):
+        tr, opt, loss = kd_step(kstate["tr"], kstate["opt"], inputs)
+        kstate["tr"], kstate["opt"] = tr, opt
+        return loss
+
+    t_kd, kd_times = time_steps(run_kd, 0)
+    kd_mfu = kd_flops / t_kd / V5E_BF16_PEAK
+
+    out = {
+        "metric": "lockd_and_kd_train_step",
+        "config": {
+            "model": "resnet18 224x224 NHWC",
+            "batch": BATCH,
+            "precision": "bf16 compute",
+            "flop_source": "compiled.cost_analysis()",
+            "peak_tflops_v5e_bf16": V5E_BF16_PEAK / 1e12,
+        },
+        "lockd_stage0": {
+            "step_s": round(t_lockd, 4),
+            "runs_s": [round(t, 4) for t in lockd_times],
+            "images_per_s": round(BATCH / t_lockd, 1),
+            "flops_per_step": lockd_flops,
+            "achieved_tflops": round(lockd_flops / t_lockd / 1e12, 2),
+            "mfu_vs_v5e_bf16_peak": round(lockd_mfu, 4),
+            "wrapped_layers": len(proportions),
+            "decompose_after_steps": {
+                "n_decomposed": n_decomposed,
+                "proportions_finite": True,
+            },
+        },
+        "kd_finetune": {
+            "step_s": round(t_kd, 4),
+            "runs_s": [round(t, 4) for t in kd_times],
+            "images_per_s": round(BATCH / t_kd, 1),
+            "flops_per_step": kd_flops,
+            "achieved_tflops": round(kd_flops / t_kd / 1e12, 2),
+            "mfu_vs_v5e_bf16_peak": round(kd_mfu, 4),
+        },
+        "device": str(jax.devices()[0]),
+        "measured_on": time.strftime("%Y-%m-%d"),
+    }
+    path = pathlib.Path(__file__).resolve().parent.parent / "BENCH_LOCKD.json"
+    path.write_text(json.dumps(out, indent=2) + "\n")
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -130,8 +130,10 @@ def run_once(mode: str) -> tuple[float, int, dict]:
 
 def measure_calibration_mfu() -> dict:
     """MFU of the calibration gram pass (forward + per-site SYRK), vs the
-    v5e bf16 peak.  Informational: the bench model is latency- not
-    FLOP-bound over the tunnel."""
+    v5e bf16 peak.  Informational only — THIS bench model is tiny and
+    latency-bound by construction; the meaningful compute-bound MFU at
+    Llama-8B shapes is measured by aux/bench_calib_mfu.py and rolled up
+    from BENCH_CALIB_MFU.json in tracked_artifacts."""
     model = models.make_mlp(jax.random.PRNGKey(0), dim=D, depth=DEPTH, n_out=16)
     names = [f"blocks.{i}" for i in range(DEPTH)]
     it = data_iterator(7)
@@ -191,6 +193,8 @@ def main() -> None:
         ),
         ("BENCH_EVD.json", ["rows"]),
         ("BENCH_IMAGE_PIPELINE.json", ["host_decode_native_images_per_s"]),
+        ("BENCH_CALIB_MFU.json", ["gram_pass", "ladder_step"]),
+        ("BENCH_LOCKD.json", ["lockd_stage0", "kd_finetune"]),
     ):
         try:
             d = json.loads((root / fname).read_text())

@@ -191,9 +191,64 @@ def make_gram_scan_step(
     """Jitted step consuming a chunk of K stacked batches in ONE
     dispatch via lax.scan — K fewer host round-trips.  Essential when the
     device sits behind a high-latency transport (per-call overhead measured
-    at ~100ms over the axon tunnel vs ~1ms of MXU work on small models)."""
+    at ~100ms over the axon tunnel vs ~1ms of MXU work on small models).
+
+    Per-site HBM-traffic dispatch: accumulating a (d, d) f32 Gram inside
+    the scan costs a read+write of 2d^2 floats per iteration (822 MB each
+    way at Llama-8B's d=14336 — the measured bottleneck of the calibration
+    pass), while stacking the per-iteration y and computing ONE Gram per
+    chunk costs n*d extra activation traffic.  Each site statically takes
+    whichever is cheaper: few-rows/huge-d LLM sites defer the Gram to the
+    chunk level; many-rows vision 1x1 sites keep the in-scan accumulate."""
+
+    def _site_y(root, x, name):
+        """Site output y and its per-site static Gram strategy."""
+        kernel = get_site_kernel2d(root, sites[name])
+        from .ops.gram_pallas import should_use_syrk
+
+        if use_pallas == "auto":
+            # per-site static decision keyed on the ACTIVATION dtype
+            # (deciding on a post-matmul f32 y.dtype was a bug that made
+            # this branch dead, caught by an integration spy test)
+            use = should_use_syrk(x.dtype, kernel.shape[-1])
+        else:
+            use = bool(use_pallas)
+        if use:
+            # SYRK path: y in ACTIVATION dtype at DEFAULT precision — one
+            # MXU-native bf16 pass.  Computing y at f32-HIGHEST (6-pass)
+            # only to round it back to bf16 for the kernel wasted ~6x the
+            # matmul cost for precision the cast destroyed; matching the
+            # forward's own x@W also lets XLA CSE the two.  The kernel
+            # accumulates the Gram in f32 (23x vs the f32-HIGHEST einsum
+            # at d=2048 n=8192 on v5e, max relative Gram error 2e-4,
+            # BASELINE_MEASURED.md).
+            y = jnp.dot(x, kernel.astype(x.dtype), preferred_element_type=x.dtype)
+        else:
+            y = jnp.dot(
+                x,
+                kernel.astype(x.dtype),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        return y, use
+
+    def _gram(y, use):
+        from .ops.gram_pallas import syrk_gram
+
+        if use:
+            return syrk_gram(y)
+        return jnp.einsum(
+            "bp,bq->pq",
+            y,
+            y,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
 
     def _step(root, batches, grams, means):
+        # per-site static strategy, recorded at trace time: (defer, use)
+        strategy: dict[str, tuple[bool, bool]] = {}
+
         def body(carry, batch):
             grams, means = carry
             store: dict[str, jax.Array] = {}
@@ -201,61 +256,39 @@ def make_gram_scan_step(
             # Ctx (not None) disables remat: tap captures must not escape
             # a jax.checkpoint region
             _ = apply_fn(tapped, batch, nn.Ctx(no_remat=True))
+            ys_out = {}
             for name in site_names:
                 x = store[name]
-                kernel = get_site_kernel2d(root, sites[name])
-                from .ops.gram_pallas import should_use_syrk, syrk_gram
-
-                if use_pallas == "auto":
-                    # per-site static decision keyed on the ACTIVATION
-                    # dtype (deciding on a post-matmul f32 y.dtype was a
-                    # bug that made this branch dead, caught by an
-                    # integration spy test)
-                    use = should_use_syrk(x.dtype, kernel.shape[-1])
+                y, use = _site_y(root, x, name)
+                n, d = y.shape
+                # defer when stacking y is cheaper than accumulating the
+                # d^2 Gram in-scan (n < 2d), mirroring the HBM cost model
+                # in the docstring
+                defer = n < 2 * d
+                strategy[name] = (defer, use)
+                if defer:
+                    ys_out[name] = y
                 else:
-                    use = bool(use_pallas)
-                n = x.shape[0]
-                if use:
-                    # SYRK path: y in ACTIVATION dtype at DEFAULT
-                    # precision — one MXU-native bf16 pass.  Computing y at
-                    # f32-HIGHEST (6-pass) only to round it back to bf16
-                    # for the kernel wasted ~6x the matmul cost for
-                    # precision the cast destroyed; matching the forward's
-                    # own x@W also lets XLA CSE the two.  The kernel
-                    # accumulates the Gram in f32 (23x vs the f32-HIGHEST
-                    # einsum at d=2048 n=8192 on v5e, max relative Gram
-                    # error 2e-4, BASELINE_MEASURED.md; decision parity
-                    # spot-checked on the bf16 bench workload).
-                    y = jnp.dot(
-                        x,
-                        kernel.astype(x.dtype),
-                        preferred_element_type=x.dtype,
-                    )
-                    g = syrk_gram(y) / n
-                else:
-                    y = jnp.dot(
-                        x,
-                        kernel.astype(x.dtype),
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST,
-                    )
-                    g = jnp.einsum(
-                        "bp,bq->pq",
-                        y,
-                        y,
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST,
-                    ) / n
-                grams = dict(grams)
-                grams[name] = grams[name] + g
+                    grams = dict(grams)
+                    grams[name] = grams[name] + _gram(y, use) / n
                 if accumulate_mean:
                     means = dict(means)
                     means[name] = means[name] + jnp.mean(
                         y.astype(jnp.float32), axis=0
                     )
-            return (grams, means), None
+            return (grams, means), ys_out
 
-        (grams, means), _ = jax.lax.scan(body, (grams, means), batches)
+        (grams, means), ys_stacked = jax.lax.scan(body, (grams, means), batches)
+        for name, (defer, use) in strategy.items():
+            if not defer:
+                continue
+            ys = ys_stacked[name]  # (K, n, d)
+            k, n, d = ys.shape
+            # sum_b (Y_b^T Y_b / n) == (Y_all^T Y_all) / n for equal-size
+            # batches: one Gram per chunk, same value up to f32 summation
+            # order
+            grams = dict(grams)
+            grams[name] = grams[name] + _gram(ys.reshape(k * n, d), use) / n
         return grams, means
 
     return _counted(jax.jit(_step, donate_argnums=(2, 3)))
