@@ -38,3 +38,93 @@ def test_harness_ranks_consistent_continuation_first():
     assert res["acc"] == 1.0
     assert res["n"] == 3.0
     assert 0.0 <= res["acc_norm"] <= 1.0
+
+
+def test_doc_task_snapshots_are_genuine_prose():
+    """The checked-in doc_lambada / doc_continuation snapshots (real English
+    prose harvested from package descriptions, aux/make_doc_tasks.py) are
+    well-formed loglikelihood tasks: 4 choices, valid gold, lambada
+    criterion (answer word occurs in the query)."""
+    import json
+    import pathlib
+
+    tasks_dir = (
+        pathlib.Path(__file__).parent.parent / "apps" / "trainer_llm" / "tasks"
+    )
+    for name in ("doc_lambada", "doc_continuation"):
+        rows = [
+            json.loads(line)
+            for line in (tasks_dir / f"{name}.jsonl").read_text().splitlines()
+        ]
+        assert len(rows) >= 30, name
+        min_query = 100 if name == "doc_lambada" else 40
+        for r in rows:
+            assert len(r["choices"]) == 4
+            assert 0 <= r["gold"] < 4
+            # real passages, not toy strings (continuation prefixes are
+            # 2 sentences and can be shorter)
+            assert len(r["query"]) > min_query
+        if name == "doc_lambada":
+            for r in rows:
+                gold_word = r["choices"][r["gold"]].lower()
+                assert gold_word in r["query"].lower(), r["query"][:80]
+
+
+def test_cli_decompose_with_real_offline_tasks(tmp_path):
+    """End-to-end: the trainer CLI evaluates the REAL doc-prose tasks
+    before and after decomposition and lands both accuracies in
+    summary.json (closing the lm_eval parity hole, reference
+    metrics.py:81-107 — VERDICT r2 item 6)."""
+    import json
+
+    from apps.trainer_llm import run_decompose_dwain
+
+    data = tmp_path / "data.jsonl"
+    rows = [{"text": "the quick brown fox jumps over the lazy dog"}] * 32
+    data.write_text("\n".join(json.dumps(r) for r in rows))
+
+    cfg = dict(
+        task="decompose_dwain",
+        decomposed_model_name="tiny-test",
+        decomposed_model_custom_builder_path=str(tmp_path / "builder.py"),
+        decomposed_model_dtype="float32",
+        decomposition_data_name=str(data),
+        decomposition_data_separator="\n\n",
+        decomposition_data_max_length=32,
+        decomposition_data_batch_size=2,
+        perplexity_data_name=str(data),
+        perplexity_data_separator="",
+        perplexity_data_max_length=32,
+        perplexity_data_batch_size=2,
+        num_data_steps=2,
+        num_metric_steps=1,
+        trade_off_factor=1000.0,
+        reduction_factor=0.5,
+        max_accepted_ppl_diff=1.0,
+        nsr_final_threshold=0.9,
+        min_rank=2,
+        decompose_in_float64=True,
+        blacklisted_modules=["lm_head"],
+        finetuning_run=False,
+        finetuning_use_lora=False,
+        lm_eval_initial=True,
+        lm_eval_tasks=["doc_lambada", "doc_continuation"],
+    )
+    (tmp_path / "builder.py").write_text(
+        "import jax\n"
+        "from ptdeco_tpu import models\n"
+        "from apps.trainer_llm.builder import ByteTokenizer\n"
+        "def make_model_and_tokenizer(config):\n"
+        "    cfg = models.TransformerConfig.tiny()\n"
+        "    return (models.CausalLM.create(jax.random.PRNGKey(0), cfg),\n"
+        "            ByteTokenizer(256))\n"
+    )
+    out = tmp_path / "out"
+    run_decompose_dwain.main(cfg, out)
+    summary = json.loads((out / "summary.json").read_text())
+    for phase in ("lm_eval_initial", "lm_eval_final"):
+        res = summary[phase]
+        assert set(res.keys()) == {"doc_lambada", "doc_continuation"}, phase
+        for task, metrics_d in res.items():
+            assert 0.0 <= metrics_d["acc"] <= 1.0, (phase, task)
+            assert metrics_d["n"] >= 30, (phase, task)
