@@ -128,6 +128,9 @@ def _process_module(
                 grams[site.name],
                 use_damping=True,
                 in_float64=decompose_in_float64,
+                # the ladder never evaluates above full_rank*reduction:
+                # subset-solve only the consumed eigvecs (dsyevr, ~2x)
+                top_k=_site_top_k(site, reduction_factor),
             )
         logger.info(f"Computed u_matrix, dtype={u_matrix.dtype}")
     else:
@@ -370,9 +373,10 @@ def _precompute_u_in_splits(
                 )
             elif decompose_in_float64:
                 g_host = np.asarray(jax.device_get(grams[name]), np.float64)
+                k = _site_top_k(site, reduction_factor)
                 host_jobs[name] = (
-                    lambda g=g_host: engine.eigenvectors_from_gram(
-                        g, use_damping=True, in_float64=True
+                    lambda g=g_host, k=k: engine.eigenvectors_from_gram(
+                        g, use_damping=True, in_float64=True, top_k=k
                     ),
                     None,
                 )

@@ -337,3 +337,46 @@ def swinv2_small(key, num_classes=1000, image_size=224):
     return SwinV2.create(
         key, image_size, 4, 96, (2, 2, 18, 2), (3, 6, 12, 24), 7, num_classes
     )
+
+
+def translate_official_state_dict(sd: dict) -> dict:
+    """Translate an OFFICIAL SwinV2 checkpoint layout
+    (microsoft/Swin-Transformer v2; timm's swinv2_* non-cr models use the
+    same names) into this module's naming, still in torch tensor layout —
+    feed the result to ``utils.load_state_dict``.
+
+    Renames: ``layers.N`` -> ``stages.N``, ``patch_embed.proj`` ->
+    ``patch_embed``, ``patch_embed.norm`` -> ``patch_norm``,
+    ``cpb_mlp.0/.2`` -> ``cpb_fc1/cpb_fc2``; the upstream split
+    ``q_bias``/``v_bias`` pair (k-bias pinned to zero) is packed into our
+    fused ``qkv.bias``; precomputed buffers
+    (relative_coords_table/relative_position_index/attn_mask) are dropped —
+    ours are constants rebuilt from static shapes."""
+    import numpy as np
+
+    out: dict = {}
+    qv: dict = {}
+    for k, v in sd.items():
+        if k.endswith((
+            "relative_coords_table",
+            "relative_position_index",
+            "attn_mask",
+        )):
+            continue
+        name = k
+        if name.startswith("layers."):
+            name = "stages." + name[len("layers."):]
+        name = name.replace("patch_embed.proj.", "patch_embed.")
+        name = name.replace("patch_embed.norm.", "patch_norm.")
+        name = name.replace(".cpb_mlp.0.", ".cpb_fc1.")
+        name = name.replace(".cpb_mlp.2.", ".cpb_fc2.")
+        if name.endswith((".attn.q_bias", ".attn.v_bias")):
+            qv.setdefault(name.rsplit(".", 1)[0], {})[name.rsplit(".", 1)[1]] = v
+            continue
+        out[name] = v
+    for prefix, parts in qv.items():
+        q, v = np.asarray(parts["q_bias"]), np.asarray(parts["v_bias"])
+        out[f"{prefix}.qkv.bias"] = np.concatenate(
+            [q, np.zeros_like(q), v]
+        )
+    return out

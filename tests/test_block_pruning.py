@@ -91,3 +91,50 @@ def test_pruned_model_state_dict_roundtrip():
     np.testing.assert_allclose(
         np.asarray(pruned(batch)), np.asarray(twin(batch)), atol=1e-6
     )
+
+
+def test_bp_checkpoint_builder_example(tmp_path):
+    """The bp_checkpoint_builder example recreates a pruned model from a
+    pruned-checkpoint directory (bp_config.json + state_dict.safetensors)
+    and loads its weights exactly — analogue of the reference's
+    examples_builder/bp_checkpoint_builder.py, self-contained instead of
+    depending on the non-vendored llm_pipelines package."""
+    import importlib.util
+    import json
+    import pathlib
+
+    # produce a pruned checkpoint
+    model, _ = _tiny()
+    pruned = models.prune_blocks(model, attn_indices=[1], mlp_indices=[0])
+    sd = utils.state_dict(pruned)
+    utils.save_state_dict_safetensors(
+        sd, str(tmp_path / "state_dict.safetensors")
+    )
+    (tmp_path / "bp_config.json").write_text(
+        json.dumps({"attn_indices": [1], "mlp_indices": [0]})
+    )
+
+    path = (
+        pathlib.Path(__file__).parent.parent
+        / "apps/trainer_llm/examples_builder/bp_checkpoint_builder.py"
+    )
+    spec = importlib.util.spec_from_file_location("bp_ckpt_builder", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    model2, tok = mod.make_model_and_tokenizer(
+        {"bp_model_path": str(tmp_path), "seed": 9}
+    )
+    assert isinstance(model2.model.layers[1].self_attn, models.PrunedSublayer)
+    batch = {"input_ids": jnp.ones((1, 8), jnp.int32)}
+    np.testing.assert_allclose(
+        np.asarray(pruned(batch)), np.asarray(model2(batch)), atol=1e-6
+    )
+
+    # bp_load_state_dict=False keeps the fresh init (different output)
+    model3, _ = mod.make_model_and_tokenizer(
+        {"bp_model_path": str(tmp_path), "seed": 9, "bp_load_state_dict": False}
+    )
+    assert not np.allclose(
+        np.asarray(pruned(batch)), np.asarray(model3(batch))
+    )
