@@ -127,14 +127,21 @@ def make_model_and_tokenizer(
         from ptdeco_tpu.models import hf_loader
 
         hf_cfg = hf_loader.read_hf_config(checkpoint_path)
-        cfg = models.TransformerConfig.from_hf_config(
-            hf_cfg, dtype=jdtype, remat=enable_gradient_checkpointing
-        )
         logger.info(
-            f"Built {model_name!r} generically from config.json "
+            f"Building {model_name!r} generically from config.json "
             f"(model_type={hf_cfg.get('model_type')!r})"
         )
-        model = models.CausalLM.create(jax.random.PRNGKey(seed), cfg)
+        if hf_cfg.get("model_type") == "phi":
+            pcfg = models.PhiConfig.from_hf_config(hf_cfg, dtype=jdtype)
+            cfg = pcfg
+            model = models.PhiCausalLM.create(jax.random.PRNGKey(seed), pcfg)
+            if enable_gradient_checkpointing:
+                model = model.replace(model=model.model.replace(remat=True))
+        else:
+            cfg = models.TransformerConfig.from_hf_config(
+                hf_cfg, dtype=jdtype, remat=enable_gradient_checkpointing
+            )
+            model = models.CausalLM.create(jax.random.PRNGKey(seed), cfg)
     else:
         raise ValueError(
             f"Unknown model {model_name!r}; known: "

@@ -50,6 +50,31 @@ class PhiConfig:
         return PhiConfig(dtype=dtype)
 
     @staticmethod
+    def from_hf_config(hf: dict, dtype: Any = jnp.bfloat16) -> "PhiConfig":
+        """HF ``config.json`` (model_type "phi") -> PhiConfig: any
+        phi-family checkpoint (phi-1/-1.5/-2) builds without a zoo entry —
+        the phi arm of the generic-constructor coverage
+        (cf. TransformerConfig.from_hf_config for the llama family)."""
+        if hf.get("model_type") != "phi":
+            raise ValueError(f"not a phi config: {hf.get('model_type')!r}")
+        if hf.get("hidden_act", "gelu_new") not in ("gelu_new", "gelu"):
+            raise ValueError(f"Unsupported hidden_act={hf.get('hidden_act')!r}")
+        n_heads = int(hf["num_attention_heads"])
+        if int(hf.get("num_key_value_heads", n_heads)) != n_heads:
+            raise ValueError("phi decoder here is MHA; GQA phi unsupported")
+        return PhiConfig(
+            vocab_size=int(hf["vocab_size"]),
+            dim=int(hf["hidden_size"]),
+            n_layers=int(hf["num_hidden_layers"]),
+            n_heads=n_heads,
+            hidden_dim=int(hf["intermediate_size"]),
+            rope_theta=float(hf.get("rope_theta", 10000.0)),
+            partial_rotary_factor=float(hf.get("partial_rotary_factor", 0.5)),
+            norm_eps=float(hf.get("layer_norm_eps", 1e-5)),
+            dtype=dtype,
+        )
+
+    @staticmethod
     def tiny(vocab_size: int = 256, dtype: Any = jnp.float32) -> "PhiConfig":
         return PhiConfig(
             vocab_size=vocab_size, dim=64, n_layers=2, n_heads=4,

@@ -49,6 +49,8 @@ class TransformerConfig:
     mlp_act: str = "silu"  # "silu" | "gelu_tanh"
     scale_embeddings: bool = False
     norm_plus_one: bool = False
+    # qwen3: per-head RMSNorm on q and k before RoPE
+    qk_norm: bool = False
     # rematerialize each block's activations during backward passes
     # (jax.checkpoint) — the HBM/flops trade for large-model calibration
     # and fine-tuning (the reference toggles HF gradient checkpointing,
@@ -74,11 +76,11 @@ class TransformerConfig:
         Raises ValueError (naming the offending field) for architectures
         whose compute graph this decoder does not express."""
         mt = hf.get("model_type", "llama")
-        if mt not in ("llama", "mistral", "qwen2", "gemma"):
+        if mt not in ("llama", "mistral", "qwen2", "qwen3", "gemma"):
             raise ValueError(
                 f"model_type={mt!r} is outside the supported llama config "
-                "family (llama/mistral/qwen2/gemma); use a models/ zoo "
-                "entry or a custom builder"
+                "family (llama/mistral/qwen2/qwen3/gemma); use a models/ "
+                "zoo entry or a custom builder"
             )
         # gemma configs carry "hidden_activation" (the authoritative field,
         # older snapshots say hidden_act="gelu" but run tanh-approx)
@@ -98,6 +100,7 @@ class TransformerConfig:
             if head_dim is not None and int(head_dim) * n_heads != dim
             else None
         )
+        qk_norm = mt == "qwen3"  # per-head q/k RMSNorm before RoPE
         sliding = hf.get("sliding_window")
         if sliding is not None and hf.get("use_sliding_window", True):
             # vanilla causal attention is exact for seqlen <= window; the
@@ -124,6 +127,7 @@ class TransformerConfig:
             mlp_act=act_map[act],
             scale_embeddings=mt == "gemma",
             norm_plus_one=mt == "gemma",
+            qk_norm=qk_norm,
             remat=remat,
             dtype=dtype,
         )
@@ -187,6 +191,9 @@ class Attention(nn.Module):
     k_proj: nn.Linear
     v_proj: nn.Linear
     o_proj: nn.Linear
+    # qwen3-style per-head norms over head_dim, pre-RoPE (None elsewhere)
+    q_norm: Optional[nn.RMSNorm] = None
+    k_norm: Optional[nn.RMSNorm] = None
     n_heads: int = nn.static_field(default=8)
     n_kv_heads: int = nn.static_field(default=8)
     rope_theta: float = nn.static_field(default=10000.0)
@@ -205,6 +212,10 @@ class Attention(nn.Module):
         q = q.reshape(b, s, self.n_heads, hd)
         k = self.k_proj(x, ctx).reshape(b, s, self.n_kv_heads, hd)
         v = self.v_proj(x, ctx).reshape(b, s, self.n_kv_heads, hd)
+        if self.q_norm is not None:
+            q = self.q_norm(q, ctx)
+        if self.k_norm is not None:
+            k = self.k_norm(k, ctx)
 
         if positions is None:
             positions = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s))
@@ -245,6 +256,16 @@ class Attention(nn.Module):
             ),
             o_proj=nn.Linear.create(
                 ks[3], cfg.n_heads * hd, cfg.dim, False, cfg.dtype
+            ),
+            q_norm=(
+                nn.RMSNorm.create(hd, cfg.norm_eps, cfg.dtype)
+                if cfg.qk_norm
+                else None
+            ),
+            k_norm=(
+                nn.RMSNorm.create(hd, cfg.norm_eps, cfg.dtype)
+                if cfg.qk_norm
+                else None
             ),
             n_heads=cfg.n_heads,
             n_kv_heads=cfg.n_kv_heads,

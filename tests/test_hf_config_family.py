@@ -140,3 +140,70 @@ def test_builder_generic_checkpoint_path(tmp_path):
         checkpoint_path=str(tmp_path),
     )
     _compare(hf, model, 128, atol=2e-4)
+
+
+def test_phi_logits_match_hf():
+    """phi arm of the generic constructor (PhiConfig.from_hf_config): tiny
+    HF PhiForCausalLM weights -> native PhiCausalLM, logits must match
+    (the reference's headline LLM family, decompose_dwain_phi2.yaml)."""
+    cfg = transformers.PhiConfig(
+        vocab_size=128,
+        hidden_size=32,
+        intermediate_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        max_position_embeddings=64,
+        partial_rotary_factor=0.5,
+    )
+    hf = transformers.PhiForCausalLM(cfg).eval()
+    sd = {
+        k: v.detach().to(torch.float32).numpy()
+        for k, v in hf.state_dict().items()
+        if not k.endswith("rotary_emb.inv_freq")
+    }
+    ncfg = models.PhiConfig.from_hf_config(cfg.to_dict(), dtype=jnp.float32)
+    native = models.PhiCausalLM.create(jax.random.PRNGKey(0), ncfg)
+    native = utils.load_state_dict(native, sd, strict=False)
+    _compare(hf, native, 128, atol=2e-4)
+
+
+def test_builder_generic_phi_checkpoint_path(tmp_path):
+    import safetensors.numpy
+
+    from apps.trainer_llm import builder
+
+    cfg = transformers.PhiConfig(
+        vocab_size=128,
+        hidden_size=32,
+        intermediate_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        max_position_embeddings=64,
+    )
+    hf = transformers.PhiForCausalLM(cfg).eval()
+    (tmp_path / "config.json").write_text(cfg.to_json_string())
+    sd = {
+        k: v.detach().to(torch.float32).numpy().copy()
+        for k, v in hf.state_dict().items()
+        if not k.endswith("rotary_emb.inv_freq")
+    }
+    safetensors.numpy.save_file(sd, tmp_path / "model.safetensors")
+    model, _ = builder.make_model_and_tokenizer(
+        model_name="someorg/custom-phi-variant",
+        dtype="float32",
+        checkpoint_path=str(tmp_path),
+    )
+    _compare(hf, model, 128, atol=2e-4)
+
+
+def test_qwen3_logits_match_hf():
+    """qwen3 arm: per-head q/k RMSNorm before RoPE, no attention bias."""
+    if not hasattr(transformers, "Qwen3ForCausalLM"):
+        pytest.skip("transformers without qwen3")
+    cfg = transformers.Qwen3Config(
+        **_tiny(rope_theta=1e6, head_dim=8, tie_word_embeddings=False)
+    )
+    hf = transformers.Qwen3ForCausalLM(cfg).eval()
+    native, ncfg = _hf_to_native(hf, cfg.to_dict())
+    assert ncfg.qk_norm is True and ncfg.qkv_bias is False
+    _compare(hf, native, 128, atol=2e-4)
