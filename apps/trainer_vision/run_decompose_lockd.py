@@ -124,12 +124,16 @@ def main(
     metrics_log = open(output_path / "metrics.jsonl", "a")
     t0 = time.perf_counter()
     step_idx = start_step
-    data_iter = datasets_image.infinite(train_pipeline)
+    # device prefetch: the next batches' H2D transfers run under the
+    # current step's compute (TPU input-overlap idiom; the reference gets
+    # this from DALI's GPU pipeline)
+    data_iter = utils.prefetch_to_device(
+        datasets_image.infinite(train_pipeline),
+        sharding=parallel.batch_sharding(mesh) if mesh is not None else None,
+    )
     while step_idx < num_steps:
         batch = next(data_iter)
-        inputs = jnp.asarray(batch["inputs"])
-        if mesh is not None:
-            inputs = parallel.shard_batch(inputs, mesh)
+        inputs = batch["inputs"]
         trainable, opt_state, loss, (nsr_loss, prop_loss, nsr_sink) = step_fn(
             trainable, opt_state, inputs, jax.random.fold_in(key, step_idx)
         )

@@ -166,12 +166,15 @@ def main(
     trainable, opt_state, start_step = ckpt.restore_or(trainable, opt_state)
 
     t0 = time.perf_counter()
-    data_iter = datasets_image.infinite(train_pipeline)
+    # device prefetch: next batches' H2D transfers overlap the current
+    # step's compute (the reference's DALI pipeline analogue)
+    data_iter = utils.prefetch_to_device(
+        datasets_image.infinite(train_pipeline),
+        sharding=parallel.batch_sharding(mesh) if mesh is not None else None,
+    )
     for step_idx in range(start_step, num_steps):
         batch = next(data_iter)
-        inputs = jnp.asarray(batch["inputs"])
-        if mesh is not None:
-            inputs = parallel.shard_batch(inputs, mesh)
+        inputs = batch["inputs"]
         trainable, opt_state, loss = train_step(
             trainable, opt_state, inputs
         )

@@ -6,6 +6,7 @@ from .common import (
     get_type_name,
     is_compound_module,
     split_module_parent_child_name,
+    prefetch_to_device,
     to_device,
 )
 from .losses_primitives import (
@@ -39,6 +40,7 @@ __all__ = [
     "get_type_name",
     "is_compound_module",
     "split_module_parent_child_name",
+    "prefetch_to_device",
     "to_device",
     "calc_kl_divergence",
     "calc_kl_loss",

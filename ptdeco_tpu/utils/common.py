@@ -54,6 +54,41 @@ def to_device(
     return put(o)
 
 
+def prefetch_to_device(
+    iterator: Any, size: int = 2, sharding: Optional[Any] = None
+) -> Any:
+    """Wrap a host batch iterator so the NEXT ``size`` batches' host->device
+    transfers are already in flight while the current step computes —
+    the standard TPU input-overlap idiom (device_put is async; issuing it
+    ahead keeps the H2D DMA busy under the jitted step instead of
+    serializing transfer-then-compute).  ``sharding`` places batches
+    directly into a mesh layout (e.g. ``parallel.batch_sharding(mesh)``).
+
+    The reference gets this overlap from DALI's GPU pipeline + torch's
+    pinned-memory loaders; here it is one generator around any of the
+    pipelines (vision ImageNetPipeline, LLM loaders, synthetic)."""
+    import collections
+    import itertools
+
+    def put(b: Any) -> Any:
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, sharding)
+            if isinstance(x, (jax.Array, np.ndarray))
+            else x,
+            b,
+        )
+
+    it = iter(iterator)
+    queue: Any = collections.deque()
+    for b in itertools.islice(it, size):
+        queue.append(put(b))
+    while queue:
+        out = queue.popleft()
+        for b in itertools.islice(it, 1):
+            queue.append(put(b))
+        yield out
+
+
 def get_num_params(module: nn.Module, only_trainable: bool = False) -> int:
     """Parameter count deduplicated by array identity (reference
     common.py:58-63 dedupes by data_ptr; shared/tied arrays count once).

@@ -141,3 +141,25 @@ def test_chunk_slices_balanced():
             assert sum(ss) == total
             assert max(ss) <= mx
             assert len(set(ss)) <= 2
+
+
+def test_prefetch_to_device_preserves_order_and_shards():
+    import numpy as np
+
+    from ptdeco_tpu import parallel, utils
+
+    batches = [{"inputs": np.full((8, 2), i, np.float32)} for i in range(5)]
+    mesh = parallel.local_mesh(4)
+    out = list(
+        utils.prefetch_to_device(
+            iter(batches), size=2, sharding=parallel.batch_sharding(mesh)
+        )
+    )
+    assert len(out) == 5
+    for i, b in enumerate(out):
+        assert float(b["inputs"][0, 0]) == i
+        assert b["inputs"].sharding.spec == parallel.batch_sharding(mesh).spec
+
+    # no sharding: plain device arrays, same order
+    out2 = list(utils.prefetch_to_device(iter(batches)))
+    assert [float(b["inputs"][0, 0]) for b in out2] == [0, 1, 2, 3, 4]
