@@ -20,7 +20,6 @@ import time
 from typing import Any
 
 import jax
-import jax.numpy as jnp
 import optax
 
 from ptdeco_tpu import lockd, nn, parallel, utils

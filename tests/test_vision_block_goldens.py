@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 torch = pytest.importorskip("torch")
 
-from ptdeco_tpu import models, nn, utils
+from ptdeco_tpu import nn, utils
 from ptdeco_tpu.models import convnext, efficientformer, swin
 
 torch.set_num_threads(1)
