@@ -119,6 +119,11 @@ class FinetuneConfig(_VersionConfig, _DataConfig, _TrainConfig):
     decompose_state_dict: str
     proportion_threshold: float = 1.0
     blacklisted_modules: list[str]
+    # reference KdClassificationModel(eval_mode=False): the student trains
+    # in TRAIN mode — BatchNorms normalize with batch statistics and update
+    # running stats during KD (run_finetune.py:54,69-71,341); True freezes
+    # them on running stats
+    finetune_eval_mode: bool = False
 
     model_config = pydantic.ConfigDict(extra="forbid")
 

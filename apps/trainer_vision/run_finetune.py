@@ -142,18 +142,31 @@ def main(
     opt_state = tx.init(trainable)
 
     @jax.jit
-    def train_step(trainable, opt_state, inputs):
+    def train_step(trainable, frozen, opt_state, inputs, key):
         inputs_c = configurator.bf16_compute(inputs, config.precision)
-        teacher_logits = teacher(inputs_c)
+        teacher_logits = teacher(inputs_c)  # teacher stays in eval mode
 
         def loss_fn(tr):
             m = nn.combine(tr, frozen)
             m = configurator.bf16_compute(m, config.precision)
-            return kd_loss(m(inputs_c), teacher_logits)
+            if config.finetune_eval_mode:
+                return kd_loss(m(inputs_c), teacher_logits), {}
+            # reference default: student in TRAIN mode — BatchNorms use
+            # batch statistics and sow updated running stats
+            ctx = nn.Ctx(key=key, train=True)
+            loss = kd_loss(m(inputs_c, ctx=ctx), teacher_logits)
+            return loss, ctx.sink.get("bn", {})
 
-        loss, grads = jax.value_and_grad(loss_fn)(trainable)
+        (loss, bn_sink), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            trainable
+        )
         updates, opt_state = tx.update(grads, opt_state, trainable)
-        return optax.apply_updates(trainable, updates), opt_state, loss
+        trainable = optax.apply_updates(trainable, updates)
+        if bn_sink:
+            # running stats live in the frozen partition (buffers never
+            # reach the optimizer); write the sown updates back in-jit
+            frozen = nn.apply_bn_updates(frozen, bn_sink)
+        return trainable, frozen, opt_state, loss
 
     accuracy_initial = metrics.calc_accuracy(
         nn.combine(trainable, frozen), val_pipeline
@@ -171,11 +184,13 @@ def main(
         datasets_image.infinite(train_pipeline),
         sharding=parallel.batch_sharding(mesh) if mesh is not None else None,
     )
+    key = jax.random.PRNGKey(17)
     for step_idx in range(start_step, num_steps):
         batch = next(data_iter)
         inputs = batch["inputs"]
-        trainable, opt_state, loss = train_step(
-            trainable, opt_state, inputs
+        trainable, frozen, opt_state, loss = train_step(
+            trainable, frozen, opt_state, inputs,
+            jax.random.fold_in(key, step_idx),
         )
         if step_idx % 100 == 0:
             logger.info(

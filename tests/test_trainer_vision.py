@@ -259,3 +259,69 @@ def test_lockd_driver_bf16_precision(tmp_path: pathlib.Path):
     import math
 
     assert all(math.isfinite(v) for v in rec["per_layer_nsr"].values())
+
+
+def test_kd_finetune_trains_bn_running_stats(tmp_path: pathlib.Path):
+    """The reference KD finetune runs the student in TRAIN mode
+    (KdClassificationModel eval_mode=False default, reference
+    run_finetune.py:54,341): BatchNorm running stats must refresh during
+    KD; finetune_eval_mode=True freezes them."""
+    from apps.trainer_vision import run_decompose_falor, run_finetune
+
+    deco_dir = tmp_path / "deco"
+    cfg = dict(
+        task="decompose_falor",
+        decompose_model_name="tinycnn",
+        proportion_threshold=1.1,
+        nsr_final_threshold=10.0,
+        kl_final_threshold=100.0,
+        num_data_steps=2,
+        num_metric_steps=1,
+        use_float64=True,
+        blacklisted_modules=[],
+        **DATA_CFG,
+    )
+    train, val = _pipelines()
+    import numpy as np
+
+    from ptdeco_tpu import utils
+
+    run_decompose_falor.main(cfg, deco_dir, train, val)
+    sd0 = utils.load_state_dict_pt(str(deco_dir / "decompose_state_dict.pt"))
+
+    base_ft = dict(
+        task="finetune",
+        decompose_model_name="tinycnn",
+        decompose_config=str(deco_dir / "decompose_config.json"),
+        decompose_state_dict=str(deco_dir / "decompose_state_dict.pt"),
+        proportion_threshold=1.0,
+        blacklisted_modules=[],
+        finetune_only_decomposed=True,
+        lr=1e-4,
+        lr_t_warmup="1ba",
+        lr_scheduler="cosine",
+        max_duration="4ba",
+        optimizer="AdamW",
+        precision=None,
+        alg_gradient_clipping_type=None,
+        alg_gradient_clipping_threshold=None,
+        mesh_dp=None,
+        **DATA_CFG,
+    )
+    run_finetune.main(dict(base_ft), tmp_path / "ft_train", train, val)
+    sd_train = utils.load_state_dict_pt(
+        str(tmp_path / "ft_train" / "finetuned_state_dict.pt")
+    )
+    assert not np.allclose(
+        sd_train["bn1.running_mean"], sd0["bn1.running_mean"]
+    ), "train-mode KD must refresh BN running stats"
+
+    run_finetune.main(
+        dict(base_ft, finetune_eval_mode=True), tmp_path / "ft_eval", train, val
+    )
+    sd_eval = utils.load_state_dict_pt(
+        str(tmp_path / "ft_eval" / "finetuned_state_dict.pt")
+    )
+    np.testing.assert_allclose(
+        sd_eval["bn1.running_mean"], sd0["bn1.running_mean"]
+    )
