@@ -48,6 +48,9 @@ class _TrainConfig(pydantic.BaseModel):
     alg_gradient_clipping_type: Optional[Literal["norm", "value"]] = None
     alg_gradient_clipping_threshold: Optional[float] = None
     mesh_dp: Optional[int] = None
+    # mirror the per-layer scalars into tensorboard event files (reference
+    # TensorboardCallBack / KD writer); metrics.jsonl is always written
+    tensorboard: bool = False
     # autoresume (composer analogue: autoresume=True + save_folder,
     # reference run_decompose_lockd.py:215-219); 0 disables
     save_interval_steps: int = 0

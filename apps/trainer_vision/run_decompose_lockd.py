@@ -121,6 +121,9 @@ def main(
 
     key = jax.random.PRNGKey(42)
     metrics_log = open(output_path / "metrics.jsonl", "a")
+    from .tb_writer import TBWriter
+
+    tb = TBWriter(output_path / "tensorboard", config.tensorboard)
     t0 = time.perf_counter()
     step_idx = start_step
     # device prefetch: the next batches' H2D transfers run under the
@@ -152,6 +155,17 @@ def main(
             }
             metrics_log.write(json.dumps(rec) + "\n")
             metrics_log.flush()
+            tb.scalars(
+                step_idx,
+                {
+                    "loss/total": rec["loss"],
+                    "loss/nsr": rec["loss_nsr"],
+                    "loss/proportion": rec["loss_proportion"],
+                    "loss/entropy": rec["loss_entropy"],
+                    **{f"nsr/{k}": v for k, v in rec["per_layer_nsr"].items()},
+                    **{f"proportion/{k}": v for k, v in rec["per_layer_p"].items()},
+                },
+            )
             logger.info(
                 f"step {step_idx}/{num_steps} loss={rec['loss']:.4f} "
                 f"nsr={rec['loss_nsr']:.4f} p={rec['loss_proportion']:.4f}"
@@ -159,6 +173,7 @@ def main(
         ckpt.maybe_save(step_idx, trainable, opt_state)
         step_idx += 1
     time_training = time.perf_counter() - t0
+    tb.close()
     metrics_log.close()
     ckpt.close()
 

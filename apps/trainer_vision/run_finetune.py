@@ -184,6 +184,9 @@ def main(
         datasets_image.infinite(train_pipeline),
         sharding=parallel.batch_sharding(mesh) if mesh is not None else None,
     )
+    from .tb_writer import TBWriter
+
+    tb = TBWriter(output_path / "tensorboard", config.tensorboard)
     key = jax.random.PRNGKey(17)
     for step_idx in range(start_step, num_steps):
         batch = next(data_iter)
@@ -196,8 +199,10 @@ def main(
             logger.info(
                 f"step {step_idx}/{num_steps} kd_loss={float(loss):.5f}"
             )
+            tb.scalars(step_idx, {"loss/kd": float(loss)})
         ckpt.maybe_save(step_idx, trainable, opt_state)
     time_training = time.perf_counter() - t0
+    tb.close()
     ckpt.close()
 
     student = nn.combine(trainable, frozen)

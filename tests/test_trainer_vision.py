@@ -325,3 +325,31 @@ def test_kd_finetune_trains_bn_running_stats(tmp_path: pathlib.Path):
     np.testing.assert_allclose(
         sd_eval["bn1.running_mean"], sd0["bn1.running_mean"]
     )
+
+
+def test_tensorboard_events_emitted(tmp_path: pathlib.Path):
+    """tensorboard: true mirrors the per-layer scalars into event files
+    (reference TensorboardCallBack parity); absent/false stays jsonl-only."""
+    pytest.importorskip("torch.utils.tensorboard")
+    from apps.trainer_vision import run_decompose_lockd
+
+    cfg = dict(
+        task="decompose_lockd",
+        decompose_model_name="tinycnn",
+        proportion_threshold=1.1,
+        blacklisted_modules=[],
+        lmbda=0.5,
+        nsr_threshold=0.1,
+        lr=1e-3,
+        lr_t_warmup="1ba",
+        lr_scheduler="fixed",
+        max_duration="2ba",
+        optimizer="SGD",
+        precision=None,
+        tensorboard=True,
+        **DATA_CFG,
+    )
+    train, val = _pipelines()
+    run_decompose_lockd.main(cfg, tmp_path / "out", train, val)
+    events = list((tmp_path / "out" / "tensorboard").glob("events.out.*"))
+    assert events and events[0].stat().st_size > 0
