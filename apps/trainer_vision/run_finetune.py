@@ -175,7 +175,13 @@ def main(
     ckpt = utils.train_ckpt.TrainCheckpointer(
         str(output_path / "checkpoints"), config.save_interval_steps
     )
-    trainable, opt_state, start_step = ckpt.restore_or(trainable, opt_state)
+    # checkpoint BOTH partitions: in train mode the BatchNorm running stats
+    # (frozen leaves) are training state too — resuming only `trainable`
+    # would silently reset them
+    state, opt_state, start_step = ckpt.restore_or(
+        {"params": trainable, "frozen": frozen}, opt_state
+    )
+    trainable, frozen = state["params"], state["frozen"]
 
     t0 = time.perf_counter()
     # device prefetch: next batches' H2D transfers overlap the current
@@ -200,7 +206,9 @@ def main(
                 f"step {step_idx}/{num_steps} kd_loss={float(loss):.5f}"
             )
             tb.scalars(step_idx, {"loss/kd": float(loss)})
-        ckpt.maybe_save(step_idx, trainable, opt_state)
+        ckpt.maybe_save(
+            step_idx, {"params": trainable, "frozen": frozen}, opt_state
+        )
     time_training = time.perf_counter() - t0
     tb.close()
     ckpt.close()

@@ -101,6 +101,22 @@ class TransformerConfig:
             else None
         )
         qk_norm = mt == "qwen3"  # per-head q/k RMSNorm before RoPE
+        # bias layouts this decoder does NOT express: llama/mistral with
+        # attention_bias=True also put a bias on o_proj (qwen2's layout —
+        # the one qkv_bias models — has none), and mlp_bias adds biases to
+        # gate/up/down.  Loading such a checkpoint would silently DROP
+        # those biases (strict=False import), so refuse loudly instead.
+        if bool(hf.get("attention_bias", False)) and mt != "qwen2":
+            raise ValueError(
+                "attention_bias=True with an o_proj bias is not expressed "
+                "by this decoder (only qwen2's q/k/v-bias layout is); use "
+                "a custom builder"
+            )
+        if bool(hf.get("mlp_bias", False)):
+            raise ValueError(
+                "mlp_bias=True (biases on gate/up/down) is not expressed "
+                "by this decoder; use a custom builder"
+            )
         sliding = hf.get("sliding_window")
         if sliding is not None and hf.get("use_sliding_window", True):
             # vanilla causal attention is exact for seqlen <= window; the

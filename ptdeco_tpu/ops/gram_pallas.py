@@ -25,7 +25,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["syrk_gram", "gram_xla", "should_use_syrk"]
+__all__ = ["syrk_gram", "syrk_gram_sharded", "gram_xla", "should_use_syrk"]
 
 TILE = 256  # output tile (TILE, TILE); multiple of MXU 128
 KB = 512  # reduction block over N
@@ -112,10 +112,11 @@ def should_use_syrk(dtype: Any, d: int, backend: Optional[str] = None) -> bool:
     chose for the model.  f32 activations keep the einsum (kernel-vs-kernel
     was a 0.94-1.13x wash, and f32 y is exact there).
 
-    Single-device only: a pallas_call is opaque to GSPMD, so with dp/sp-
-    sharded calibration batches it would force an all-gather of the
+    Single-device only: a bare pallas_call is opaque to GSPMD, so with
+    dp/sp-sharded calibration batches it would force an all-gather of the
     activations instead of the per-shard-einsum + psum the XLA path gets —
-    mesh runs keep the einsum."""
+    mesh runs keep the einsum (``syrk_gram_sharded`` provides the
+    shard_map-wrapped per-shard-SYRK + psum form for explicit mesh use)."""
     if backend is None:
         backend = jax.default_backend()
     return (
@@ -140,3 +141,36 @@ def syrk_gram(y: jax.Array, interpret: bool = False) -> jax.Array:
     if d_pad:
         g = g[:d, :d]
     return g
+
+
+def syrk_gram_sharded(
+    y: jax.Array,
+    mesh: Any,
+    row_axes: tuple[str, ...] = ("dp",),
+    interpret: bool = False,
+) -> jax.Array:
+    """Mesh-compatible SYRK: ``Yᵀ Y`` for y whose ROWS are sharded over
+    ``row_axes`` of ``mesh``.
+
+    A bare ``pallas_call`` is opaque to GSPMD (it would all-gather the
+    sharded activations); wrapping it in ``shard_map`` runs the SYRK
+    per-shard on each device's LOCAL rows and ``psum``s the partial Grams
+    over the row axes — the same communication pattern XLA derives for the
+    einsum path, with the kernel's 2x triangle saving on every shard.
+    Returns the full (d, d) f32 Gram, replicated."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def local(y_local: jax.Array) -> jax.Array:
+        g = syrk_gram(y_local, interpret=interpret)
+        for ax in row_axes:
+            g = jax.lax.psum(g, ax)
+        return g
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=P(row_axes),
+        out_specs=P(),
+        check_rep=False,
+    )(y)

@@ -207,3 +207,26 @@ def test_qwen3_logits_match_hf():
     native, ncfg = _hf_to_native(hf, cfg.to_dict())
     assert ncfg.qk_norm is True and ncfg.qkv_bias is False
     _compare(hf, native, 128, atol=2e-4)
+
+
+def test_from_hf_config_rejects_unexpressible_bias_layouts():
+    """attention_bias=True outside qwen2 (o_proj bias) and mlp_bias=True
+    would silently drop biases through the strict=False import — the
+    constructor must refuse loudly instead."""
+    base = dict(
+        model_type="llama",
+        vocab_size=64,
+        hidden_size=16,
+        intermediate_size=32,
+        num_hidden_layers=1,
+        num_attention_heads=2,
+    )
+    with pytest.raises(ValueError, match="attention_bias"):
+        models.TransformerConfig.from_hf_config(
+            dict(base, attention_bias=True)
+        )
+    with pytest.raises(ValueError, match="mlp_bias"):
+        models.TransformerConfig.from_hf_config(dict(base, mlp_bias=True))
+    # the defaults (False / absent) build fine
+    cfg = models.TransformerConfig.from_hf_config(base)
+    assert cfg.qkv_bias is False

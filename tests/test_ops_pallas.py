@@ -98,3 +98,20 @@ def test_should_use_syrk_auto_rule():
         assert not ops.should_use_syrk(jnp.bfloat16, 2048, backend="cpu")
         # ambient default on this host is cpu -> off
         assert not ops.should_use_syrk(jnp.bfloat16, 2048)
+
+
+def test_syrk_gram_sharded_matches_einsum_on_mesh():
+    """shard_map-wrapped SYRK on dp-sharded rows == the replicated einsum
+    Gram (per-shard kernel + psum — the GSPMD-compatible path a bare
+    pallas_call cannot express).  Interpreter mode on the virtual mesh."""
+    from ptdeco_tpu import parallel
+    from ptdeco_tpu.ops.gram_pallas import gram_xla, syrk_gram_sharded
+
+    mesh = parallel.local_mesh(4)
+    n, d = 64, 512  # d >= 2*TILE so the kernel path runs (not the fallback)
+    y = jax.random.normal(jax.random.PRNGKey(0), (n, d), jnp.float32)
+    y_sharded = jax.device_put(y, parallel.batch_sharding(mesh))
+
+    g = syrk_gram_sharded(y_sharded, mesh, row_axes=("dp",), interpret=True)
+    ref = gram_xla(y)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(ref), atol=1e-4)
