@@ -153,7 +153,22 @@ def make_model_and_tokenizer(
     if checkpoint_path is not None:
         from ptdeco_tpu.models import hf_loader
 
-        model = hf_loader.load_into_causal_lm(model, checkpoint_path)
+        translator = None
+        if (pathlib.Path(checkpoint_path) / "config.json").exists():
+            hf_cfg2 = hf_loader.read_hf_config(checkpoint_path)
+            if hf_cfg2.get("model_type") == "phi3":
+                n_heads = int(hf_cfg2["num_attention_heads"])
+                n_kv = int(hf_cfg2.get("num_key_value_heads", n_heads))
+                hd = int(hf_cfg2["hidden_size"]) // n_heads
+
+                def translator(sd):  # noqa: F811 - deliberate rebind
+                    return hf_loader.split_phi3_fused_projections(
+                        sd, n_heads, n_kv, hd
+                    )
+
+        model = hf_loader.load_into_causal_lm(
+            model, checkpoint_path, key_translator=translator
+        )
         logger.info(f"Loaded weights from {checkpoint_path}")
     else:
         logger.info("No checkpoint available - randomly initialized weights")

@@ -40,8 +40,14 @@ def read_hf_state_dict(checkpoint_dir: str) -> dict[str, np.ndarray]:
     raise FileNotFoundError(f"No checkpoint shards found in {checkpoint_dir}")
 
 
-def load_into_causal_lm(model: nn.Module, checkpoint_dir: str) -> nn.Module:
+def load_into_causal_lm(
+    model: nn.Module, checkpoint_dir: str, key_translator: Any = None
+) -> nn.Module:
     sd = read_hf_state_dict(checkpoint_dir)
+    if key_translator is not None:
+        # checkpoint-layout translation (e.g. phi3's fused projections
+        # via split_phi3_fused_projections)
+        sd = key_translator(sd)
     # rotary_emb buffers etc. may exist; load non-strict but log misses
     model2 = utils.load_state_dict(model, sd, strict=False)
     # keys-only walk: state_dict() would device_get + transpose every
@@ -56,3 +62,30 @@ def load_into_causal_lm(model: nn.Module, checkpoint_dir: str) -> nn.Module:
 def read_hf_config(checkpoint_dir: str) -> dict[str, Any]:
     with open(pathlib.Path(checkpoint_dir) / "config.json") as f:
         return json.load(f)
+
+
+def split_phi3_fused_projections(
+    sd: dict[str, np.ndarray], n_heads: int, n_kv_heads: int, head_dim: int
+) -> dict[str, np.ndarray]:
+    """Translate the phi3 fused-projection layout into the per-projection
+    llama layout this decoder uses: ``self_attn.qkv_proj.weight``
+    ((q+k+v), dim torch layout) splits into q/k/v_proj, and
+    ``mlp.gate_up_proj.weight`` ((2*hidden), dim) into gate/up_proj.
+    Every other key passes through unchanged."""
+    out: dict[str, np.ndarray] = {}
+    q_rows = n_heads * head_dim
+    kv_rows = n_kv_heads * head_dim
+    for k, v in sd.items():
+        if k.endswith(".self_attn.qkv_proj.weight"):
+            stem = k[: -len("qkv_proj.weight")]
+            out[stem + "q_proj.weight"] = v[:q_rows]
+            out[stem + "k_proj.weight"] = v[q_rows : q_rows + kv_rows]
+            out[stem + "v_proj.weight"] = v[q_rows + kv_rows :]
+        elif k.endswith(".mlp.gate_up_proj.weight"):
+            stem = k[: -len("gate_up_proj.weight")]
+            half = v.shape[0] // 2
+            out[stem + "gate_proj.weight"] = v[:half]
+            out[stem + "up_proj.weight"] = v[half:]
+        else:
+            out[k] = v
+    return out

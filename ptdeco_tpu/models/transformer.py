@@ -51,6 +51,13 @@ class TransformerConfig:
     norm_plus_one: bool = False
     # qwen3: per-head RMSNorm on q and k before RoPE
     qk_norm: bool = False
+    # gemma2: sandwich norms (post-attn/pre+post-FFN), tanh softcapping of
+    # attention and final logits, and a fixed query scale
+    # (query_pre_attn_scalar ** -0.5 instead of head_dim ** -0.5)
+    sandwich_norms: bool = False
+    attn_logit_softcap: Optional[float] = None
+    final_logit_softcap: Optional[float] = None
+    query_scale_override: Optional[float] = None
     # rematerialize each block's activations during backward passes
     # (jax.checkpoint) — the HBM/flops trade for large-model calibration
     # and fine-tuning (the reference toggles HF gradient checkpointing,
@@ -76,12 +83,25 @@ class TransformerConfig:
         Raises ValueError (naming the offending field) for architectures
         whose compute graph this decoder does not express."""
         mt = hf.get("model_type", "llama")
-        if mt not in ("llama", "mistral", "qwen2", "qwen3", "gemma"):
+        if mt not in (
+            "llama", "mistral", "qwen2", "qwen3", "gemma", "gemma2", "phi3",
+        ):
             raise ValueError(
                 f"model_type={mt!r} is outside the supported llama config "
-                "family (llama/mistral/qwen2/qwen3/gemma); use a models/ "
-                "zoo entry or a custom builder"
+                "family (llama/mistral/qwen2/qwen3/gemma/gemma2/phi3); use "
+                "a models/ zoo entry or a custom builder"
             )
+        gemma_like = mt in ("gemma", "gemma2")
+        if mt == "phi3":
+            # phi3's compute graph IS the llama graph; only the checkpoint
+            # layout differs (fused qkv_proj / gate_up_proj — split on load
+            # with hf_loader.split_phi3_fused_projections).  The longrope
+            # scaling used beyond the original context is not implemented.
+            if hf.get("rope_scaling") is not None:
+                raise ValueError(
+                    "phi3 rope_scaling (longrope) is not implemented; "
+                    "decompose within the original context window"
+                )
         # gemma configs carry "hidden_activation" (the authoritative field,
         # older snapshots say hidden_act="gelu" but run tanh-approx)
         act = hf.get("hidden_activation") or hf.get("hidden_act", "silu")
@@ -136,14 +156,28 @@ class TransformerConfig:
             norm_eps=float(hf.get("rms_norm_eps", 1e-6)),
             rope_theta=float(hf.get("rope_theta", 10000.0)),
             qkv_bias=bool(hf.get("attention_bias", mt == "qwen2")),
-            tie_embeddings=bool(
-                hf.get("tie_word_embeddings", mt == "gemma")
-            ),
+            tie_embeddings=bool(hf.get("tie_word_embeddings", gemma_like)),
             head_dim_override=override,
             mlp_act=act_map[act],
-            scale_embeddings=mt == "gemma",
-            norm_plus_one=mt == "gemma",
+            scale_embeddings=gemma_like,
+            norm_plus_one=gemma_like,
             qk_norm=qk_norm,
+            sandwich_norms=mt == "gemma2",
+            attn_logit_softcap=(
+                float(hf["attn_logit_softcapping"])
+                if hf.get("attn_logit_softcapping") is not None
+                else None
+            ),
+            final_logit_softcap=(
+                float(hf["final_logit_softcapping"])
+                if hf.get("final_logit_softcapping") is not None
+                else None
+            ),
+            query_scale_override=(
+                float(hf["query_pre_attn_scalar"])
+                if hf.get("query_pre_attn_scalar") is not None
+                else None
+            ),
             remat=remat,
             dtype=dtype,
         )
@@ -213,6 +247,9 @@ class Attention(nn.Module):
     n_heads: int = nn.static_field(default=8)
     n_kv_heads: int = nn.static_field(default=8)
     rope_theta: float = nn.static_field(default=10000.0)
+    # gemma2: tanh softcap on attention logits and fixed query scale
+    logit_softcap: Optional[float] = nn.static_field(default=None)
+    scale_override: Optional[float] = nn.static_field(default=None)
 
     def __call__(
         self,
@@ -243,10 +280,15 @@ class Attention(nn.Module):
             k = jnp.repeat(k, rep, axis=2)
             v = jnp.repeat(v, rep, axis=2)
 
-        scale = hd**-0.5
+        scale = (
+            self.scale_override if self.scale_override is not None else hd
+        ) ** -0.5
         logits = jnp.einsum(
             "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
         ) * scale
+        if self.logit_softcap is not None:
+            cap = jnp.float32(self.logit_softcap)
+            logits = cap * jnp.tanh(logits / cap)
         causal = jnp.tril(jnp.ones((s, s), bool))
         mask = causal[None, None, :, :]
         if attn_mask is not None:
@@ -273,6 +315,8 @@ class Attention(nn.Module):
             o_proj=nn.Linear.create(
                 ks[3], cfg.n_heads * hd, cfg.dim, False, cfg.dtype
             ),
+            logit_softcap=cfg.attn_logit_softcap,
+            scale_override=cfg.query_scale_override,
             q_norm=(
                 nn.RMSNorm.create(hd, cfg.norm_eps, cfg.dtype)
                 if cfg.qk_norm
@@ -321,6 +365,11 @@ class Block(nn.Module):
     self_attn: Attention
     post_attention_layernorm: nn.RMSNorm
     mlp: MLP
+    # gemma2 sandwich norms: post_attention_layernorm applies AFTER the
+    # attention output (HF keeps the same field name with this changed
+    # meaning), and the MLP gets its own pre/post pair
+    pre_feedforward_layernorm: Optional[nn.RMSNorm] = None
+    post_feedforward_layernorm: Optional[nn.RMSNorm] = None
 
     def __call__(
         self,
@@ -330,26 +379,35 @@ class Block(nn.Module):
         positions: Optional[jax.Array] = None,
         attn_mask: Optional[jax.Array] = None,
     ) -> jax.Array:
-        h = x + self.self_attn(
+        attn_out = self.self_attn(
             self.input_layernorm(x),
             ctx,
             positions=positions,
             attn_mask=attn_mask,
         )
+        if self.pre_feedforward_layernorm is not None:  # gemma2 wiring
+            h = x + self.post_attention_layernorm(attn_out)
+            ffw = self.mlp(self.pre_feedforward_layernorm(h), ctx)
+            return h + self.post_feedforward_layernorm(ffw)
+        h = x + attn_out
         return h + self.mlp(self.post_attention_layernorm(h), ctx)
 
     @staticmethod
     def create(key: jax.Array, cfg: TransformerConfig) -> "Block":
         k1, k2 = jax.random.split(key)
+
+        def norm():
+            return nn.RMSNorm.create(
+                cfg.dim, cfg.norm_eps, cfg.dtype, plus_one=cfg.norm_plus_one
+            )
+
         return Block(
-            input_layernorm=nn.RMSNorm.create(
-                cfg.dim, cfg.norm_eps, cfg.dtype, plus_one=cfg.norm_plus_one
-            ),
+            input_layernorm=norm(),
             self_attn=Attention.create(k1, cfg),
-            post_attention_layernorm=nn.RMSNorm.create(
-                cfg.dim, cfg.norm_eps, cfg.dtype, plus_one=cfg.norm_plus_one
-            ),
+            post_attention_layernorm=norm(),
             mlp=MLP.create(k2, cfg),
+            pre_feedforward_layernorm=norm() if cfg.sandwich_norms else None,
+            post_feedforward_layernorm=norm() if cfg.sandwich_norms else None,
         )
 
 
@@ -401,6 +459,8 @@ class CausalLM(nn.Module):
     model: Decoder
     lm_head: Optional[nn.Linear]
     tie_embeddings: bool = nn.static_field(default=False)
+    # gemma2: tanh softcap on the final logits
+    final_logit_softcap: Optional[float] = nn.static_field(default=None)
 
     def __call__(self, batch: Any, ctx: Optional[nn.Ctx] = None) -> jax.Array:
         if isinstance(batch, dict):
@@ -410,8 +470,13 @@ class CausalLM(nn.Module):
             input_ids, attn_mask = batch, None
         h = self.model(input_ids, ctx, attn_mask=attn_mask)
         if self.tie_embeddings:
-            return jnp.dot(h, self.model.embed_tokens.table.T)
-        return self.lm_head(h, ctx)
+            logits = jnp.dot(h, self.model.embed_tokens.table.T)
+        else:
+            logits = self.lm_head(h, ctx)
+        if self.final_logit_softcap is not None:
+            cap = jnp.asarray(self.final_logit_softcap, logits.dtype)
+            logits = cap * jnp.tanh(logits / cap)
+        return logits
 
     @staticmethod
     def create(key: jax.Array, cfg: TransformerConfig) -> "CausalLM":
@@ -435,7 +500,10 @@ class CausalLM(nn.Module):
             else nn.Linear.create(keys[-1], cfg.dim, cfg.vocab_size, False, cfg.dtype)
         )
         return CausalLM(
-            model=decoder, lm_head=lm_head, tie_embeddings=cfg.tie_embeddings
+            model=decoder,
+            lm_head=lm_head,
+            tie_embeddings=cfg.tie_embeddings,
+            final_logit_softcap=cfg.final_logit_softcap,
         )
 
 

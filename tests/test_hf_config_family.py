@@ -230,3 +230,69 @@ def test_from_hf_config_rejects_unexpressible_bias_layouts():
     # the defaults (False / absent) build fine
     cfg = models.TransformerConfig.from_hf_config(base)
     assert cfg.qkv_bias is False
+
+
+def test_gemma2_logits_match_hf():
+    """gemma2 arm: sandwich norms, attn + final logit softcapping,
+    query_pre_attn_scalar scale, (1+w) RMSNorm, sqrt(dim) embed scale."""
+    if not hasattr(transformers, "Gemma2ForCausalLM"):
+        pytest.skip("transformers without gemma2")
+    cfg = transformers.Gemma2Config(
+        **_tiny(
+            head_dim=8,
+            query_pre_attn_scalar=13,
+            attn_logit_softcapping=50.0,
+            final_logit_softcapping=30.0,
+            sliding_window=64,
+            hidden_activation="gelu_pytorch_tanh",
+        )
+    )
+    cfg._attn_implementation = "eager"  # softcapping path
+    hf = transformers.Gemma2ForCausalLM(cfg).eval()
+    native, ncfg = _hf_to_native(hf, cfg.to_dict())
+    assert ncfg.sandwich_norms and ncfg.attn_logit_softcap == 50.0
+    assert ncfg.final_logit_softcap == 30.0
+    assert ncfg.query_scale_override == 13.0
+    _compare(hf, native, 128, atol=3e-4)
+
+
+def test_phi3_logits_match_hf(tmp_path):
+    """phi3 arm: the llama compute graph with FUSED checkpoint projections
+    (qkv_proj / gate_up_proj) split on load — end-to-end through the
+    builder's generic snapshot path."""
+    if not hasattr(transformers, "Phi3ForCausalLM"):
+        pytest.skip("transformers without phi3")
+    import safetensors.numpy
+
+    from apps.trainer_llm import builder
+
+    cfg = transformers.Phi3Config(
+        vocab_size=128,
+        hidden_size=32,
+        intermediate_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=64,
+        pad_token_id=0,
+        eos_token_id=1,
+        bos_token_id=2,
+    )
+    hf = transformers.Phi3ForCausalLM(cfg).eval()
+    (tmp_path / "config.json").write_text(cfg.to_json_string())
+    sd = {
+        k: v.detach().to(torch.float32).numpy().copy()
+        for k, v in hf.state_dict().items()
+    }
+    safetensors.numpy.save_file(sd, tmp_path / "model.safetensors")
+    model, _ = builder.make_model_and_tokenizer(
+        model_name="someorg/custom-phi3",
+        dtype="float32",
+        checkpoint_path=str(tmp_path),
+    )
+    _compare(hf, model, 128, atol=2e-4)
+
+    with pytest.raises(ValueError, match="longrope|rope_scaling"):
+        models.TransformerConfig.from_hf_config(
+            dict(cfg.to_dict(), rope_scaling={"type": "longrope"})
+        )
