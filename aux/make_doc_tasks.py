@@ -32,8 +32,60 @@ MAX_ITEMS = 250
 WORD_RE = re.compile(r"^[a-zA-Z][a-zA-Z'-]{2,}$")
 
 
+def _prose_filter(para: str) -> bool:
+    if len(para) < 200 or len(para) > 1200:
+        return False
+    if any(tok in para for tok in ("```", "===", "---", "|", "<img",
+                                   "http", "::", "$", "{", "}", ">>>")):
+        return False
+    words = para.split()
+    wordish = sum(1 for w in words if WORD_RE.match(w.strip(".,;:()")))
+    if wordish / len(words) < 0.8:
+        return False
+    return para[0].isupper()
+
+
+def _docstring_paragraphs() -> list[str]:
+    """English prose from stdlib + installed-package module docstrings —
+    the other large body of genuine text in the image."""
+    import importlib
+    import pydoc  # noqa: F401  (documents the intent)
+
+    out: list[str] = []
+    modules = [
+        "os", "json", "random", "difflib", "pickle", "shutil", "tarfile",
+        "logging", "argparse", "asyncio", "collections", "csv", "datetime",
+        "decimal", "email", "fractions", "ftplib", "gettext", "heapq",
+        "imaplib", "inspect", "ipaddress", "mailbox", "multiprocessing",
+        "pathlib", "pdb", "profile", "queue", "re", "sched", "secrets",
+        "selectors", "smtplib", "socket", "sqlite3", "ssl", "statistics",
+        "subprocess", "tempfile", "threading", "timeit", "turtle",
+        "unittest", "uuid", "warnings", "weakref", "xml", "zipfile",
+        "numpy", "scipy", "pandas",
+    ]
+    for name in modules:
+        try:
+            mod = importlib.import_module(name)
+        except Exception:
+            continue
+        docs = [getattr(mod, "__doc__", None)]
+        for attr in list(vars(mod).values())[:400]:
+            d = getattr(attr, "__doc__", None)
+            if isinstance(d, str):
+                docs.append(d)
+        for d in docs:
+            if not d:
+                continue
+            for para in d.split("\n\n"):
+                para = " ".join(para.split())
+                if _prose_filter(para):
+                    out.append(para)
+    return out
+
+
 def harvest_paragraphs() -> list[str]:
-    """English prose paragraphs from package long descriptions."""
+    """English prose paragraphs from package long descriptions and module
+    docstrings."""
     paras: list[str] = []
     for meta in sorted(SITE.glob("*.dist-info/METADATA")):
         try:
@@ -46,20 +98,9 @@ def harvest_paragraphs() -> list[str]:
             continue
         for para in body[1].split("\n\n"):
             para = " ".join(para.split())
-            # prose filter: long enough, mostly words, sentence-shaped,
-            # not markdown tables/code/badges
-            if len(para) < 200 or len(para) > 1200:
-                continue
-            if any(tok in para for tok in ("```", "===", "---", "|", "<img",
-                                           "http", "::", "$", "{", "}")):
-                continue
-            words = para.split()
-            wordish = sum(1 for w in words if WORD_RE.match(w.strip(".,;:()")))
-            if wordish / len(words) < 0.8:
-                continue
-            if not para[0].isupper():
-                continue
-            paras.append(para)
+            if _prose_filter(para):
+                paras.append(para)
+    paras.extend(_docstring_paragraphs())
     # de-duplicate (many packages share boilerplate)
     seen, out = set(), []
     for p in paras:

@@ -296,3 +296,60 @@ def test_phi3_logits_match_hf(tmp_path):
         models.TransformerConfig.from_hf_config(
             dict(cfg.to_dict(), rope_scaling={"type": "longrope"})
         )
+
+
+def test_gemma2_decompose_and_roundtrip():
+    """dwain surgery + modconfig round-trip on the gemma2 sandwich-block
+    decoder: new-family models must decompose and rebuild like any other."""
+    from ptdeco_tpu import dwain, engine
+
+    cfg = models.TransformerConfig.from_hf_config(
+        {
+            "model_type": "gemma2",
+            "vocab_size": 64,
+            "hidden_size": 32,
+            "intermediate_size": 64,
+            "num_hidden_layers": 2,
+            "num_attention_heads": 4,
+            "num_key_value_heads": 2,
+            "head_dim": 8,
+            "query_pre_attn_scalar": 13,
+            "attn_logit_softcapping": 50.0,
+            "final_logit_softcapping": 30.0,
+            "hidden_activation": "gelu_pytorch_tanh",
+        },
+        dtype=jnp.float32,
+    )
+    model = models.CausalLM.create(jax.random.PRNGKey(0), cfg)
+
+    def batches(seed):
+        key = jax.random.PRNGKey(seed)
+        while True:
+            key, sub = jax.random.split(key)
+            yield {"input_ids": jax.random.randint(sub, (2, 12), 0, 64)}
+
+    names = engine.get_decomposeable_submodule_names(model)
+    keep = {"model.layers.0.mlp.up_proj", "model.layers.1.self_attn.o_proj"}
+    assert keep <= set(names)
+    model2, deco_cfg = dwain.decompose(
+        module=model,
+        data_iterator=batches(1),
+        loss_fn=models.ce_loss,
+        num_data_steps=2,
+        metric_iterator=batches(2),
+        num_metric_steps=1,
+        nsr_final_threshold=1e9,
+        blacklisted_module_names=[n for n in names if n not in keep],
+        min_rank=2,
+        trade_off_factor=1e9,
+        max_accepted_ppl_diff=1e9,
+    )
+    assert set(deco_cfg.keys()) == keep
+
+    fresh = models.CausalLM.create(jax.random.PRNGKey(9), cfg)
+    fresh = utils.apply_decompose_config(fresh, deco_cfg)
+    fresh = utils.load_state_dict(fresh, utils.state_dict(model2))
+    b = next(batches(3))
+    np.testing.assert_allclose(
+        np.asarray(model2(b)), np.asarray(fresh(b)), atol=2e-5
+    )
