@@ -30,7 +30,8 @@ from ptdeco_tpu import lockd, nn
 from ptdeco_tpu.utils.cache import enable_compilation_cache
 
 V5E_BF16_PEAK = 197e12
-BATCH = 64
+BATCH = 64  # primary artifact batch
+SWEEP_BATCHES = (64, 256)  # MFU scales with per-step work
 HOT_STEPS = 5
 
 
@@ -107,6 +108,34 @@ def main() -> None:
     decomposed, deco_cfg = lockd.decompose(final, proportion_threshold=1.0)
     n_decomposed = len(deco_cfg)
 
+    # batch sweep: conv-training MFU is batch-bound; record the scaling
+    sweep = {}
+    for bs in SWEEP_BATCHES:
+        if bs == BATCH:
+            sweep[bs] = {
+                "step_s": round(t_lockd, 4),
+                "images_per_s": round(BATCH / t_lockd, 1),
+                "mfu_vs_v5e_bf16_peak": round(lockd_mfu, 4),
+            }
+            continue
+        inputs_b = jax.random.normal(
+            jax.random.PRNGKey(5), (bs, 224, 224, 3), jnp.float32
+        )
+        fl = flops_of(step_fn.lower(state["tr"], state["opt"], inputs_b, key))
+
+        def run_b(k, inputs_b=inputs_b):
+            tr, opt, loss, aux = step_fn(state["tr"], state["opt"], inputs_b, k)
+            return loss
+
+        t_b, _ = time_steps(
+            run_b, key, varying=lambda i, a: (jax.random.fold_in(key, 100 + i),)
+        )
+        sweep[bs] = {
+            "step_s": round(t_b, 4),
+            "images_per_s": round(bs / t_b, 1),
+            "mfu_vs_v5e_bf16_peak": round(fl / t_b / V5E_BF16_PEAK, 4),
+        }
+
     # ---- KD finetune step (run_finetune.py's train_step verbatim shape) --
     from apps.trainer_vision.run_finetune import kd_loss
 
@@ -162,6 +191,7 @@ def main() -> None:
             "achieved_tflops": round(lockd_flops / t_lockd / 1e12, 2),
             "mfu_vs_v5e_bf16_peak": round(lockd_mfu, 4),
             "wrapped_layers": len(proportions),
+            "batch_sweep": sweep,
             "decompose_after_steps": {
                 "n_decomposed": n_decomposed,
                 "proportions_finite": True,
