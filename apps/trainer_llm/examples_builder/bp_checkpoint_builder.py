@@ -47,6 +47,11 @@ def make_model_and_tokenizer(config: dict):
         model = models.CausalLM.create(
             jax.random.PRNGKey(int(config.get("seed", 0))), tcfg
         )
+        # the ORIGINAL model carries the pretrained snapshot weights (the
+        # reference builds it with from_pretrained) — load them before
+        # pruning so bp_load_state_dict=False keeps pretrained, not random,
+        # parameters
+        model = hf_loader.load_into_causal_lm(model, str(hf_path))
         tokenizer = make_tokenizer(
             str(hf_path), tcfg.vocab_size, checkpoint_path=str(hf_path)
         )

@@ -128,12 +128,6 @@ def main() -> None:
         }
         print(min_rank, sweeps[min_rank])
 
-    best = {
-        r: max(
-            s["speedup_decomposed_vs_original"], s["speedup_fused_vs_original"]
-        )
-        for r, s in sweeps.items()
-    }
     out = {
         "metric": "serving_forward_throughput",
         "workload": {
@@ -145,7 +139,15 @@ def main() -> None:
         },
         "original_ms": round(t_orig * 1e3, 3),
         "rank_sweep": sweeps,
-        "speedup_decomposed_vs_original": best[32],
+        # labeled honestly: decomposed = plain factor pair; best may be the
+        # fused kernel (reported under its own key)
+        "speedup_decomposed_vs_original": sweeps[32][
+            "speedup_decomposed_vs_original"
+        ],
+        "speedup_best_vs_original_rank32": max(
+            sweeps[32]["speedup_decomposed_vs_original"],
+            sweeps[32]["speedup_fused_vs_original"],
+        ),
         "speedup_fused_vs_decomposed": round(
             sweeps[128]["decomposed_ms"] / sweeps[128]["fused_ms"], 2
         ),

@@ -43,20 +43,20 @@ int64_t g_rejected_decodes = 0;
 void on_emit(j_common_ptr cinfo, int msg_level) {
   // swallow stderr chatter, but flag warnings implying the decoder
   // synthesized pixels (premature EOF fills fake scanlines, corrupt entropy
-  // data resyncs mid-stream) so such files FAIL over to PIL.  Benign
-  // warnings (extraneous bytes before marker, bogus Adobe markers — common
-  // in ImageNet) decode fully and must NOT force the slow fallback.
+  // data inserts zero blocks) so such files FAIL over to PIL.  Deny by
+  // default: ONLY warnings known to leave every pixel faithfully decoded
+  // (extraneous bytes before a marker, bogus Adobe markers — both common
+  // in ImageNet) keep the native fast path; any other warning code is
+  // treated as corruption.
   if (msg_level < 0) {
     cinfo->err->num_warnings++;
     switch (cinfo->err->msg_code) {
-      case JWRN_JPEG_EOF:
-      case JWRN_HIT_MARKER:
-      case JWRN_MUST_RESYNC:
-      case JWRN_NOT_SEQUENTIAL:
+      case JWRN_EXTRANEOUS_DATA:
+      case JWRN_ADOBE_XFORM:
+        break;  // fully decodable; keep the native fast path
+      default:
         reinterpret_cast<ErrMgr*>(cinfo->err)->data_warnings++;
         break;
-      default:
-        break;  // fully decodable; keep the native fast path
     }
   }
 }

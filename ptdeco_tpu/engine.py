@@ -180,6 +180,11 @@ def _wrap_taps(root: nn.Module, site_names: list[str], store: dict) -> nn.Module
 # Gram / covariance accumulation
 # ---------------------------------------------------------------------------
 
+# cap on the stacked deferred-Gram activations a single chunk may
+# materialize simultaneously (see make_gram_scan_step docstring); ~4 GB
+# leaves plenty of a v5e's 16 GB for model + grams + metric batches
+GRAM_DEFER_BUDGET_BYTES = 4 * 1024**3
+
 
 def make_gram_scan_step(
     site_names: tuple[str, ...],
@@ -199,7 +204,12 @@ def make_gram_scan_step(
     pass), while stacking the per-iteration y and computing ONE Gram per
     chunk costs n*d extra activation traffic.  Each site statically takes
     whichever is cheaper: few-rows/huge-d LLM sites defer the Gram to the
-    chunk level; many-rows vision 1x1 sites keep the in-scan accumulate."""
+    chunk level; many-rows vision 1x1 sites keep the in-scan accumulate.
+    Deferred stacks materialize K*n*d per site simultaneously, so the
+    total is capped by GRAM_DEFER_BUDGET_BYTES (largest-d sites first —
+    they save the most traffic); sites over budget keep the in-scan
+    accumulate.  Overall split memory is still bounded by
+    ``precomputing_covariance_num_splits``."""
 
     def _site_y(root, x, name):
         """Site output y and its per-site static Gram strategy."""
@@ -248,6 +258,13 @@ def make_gram_scan_step(
     def _step(root, batches, grams, means):
         # per-site static strategy, recorded at trace time: (defer, use)
         strategy: dict[str, tuple[bool, bool]] = {}
+        k_chunk = jax.tree_util.tree_leaves(batches)[0].shape[0]
+        budget = {"left": GRAM_DEFER_BUDGET_BYTES}
+        # visit largest-d sites first when ALLOCATING the defer budget —
+        # they save the most accumulator traffic per stacked byte
+        budget_order = sorted(
+            site_names, key=lambda nm: -sites[nm].out_features
+        )
 
         def body(carry, batch):
             grams, means = carry
@@ -256,16 +273,32 @@ def make_gram_scan_step(
             # Ctx (not None) disables remat: tap captures must not escape
             # a jax.checkpoint region
             _ = apply_fn(tapped, batch, nn.Ctx(no_remat=True))
+            if not strategy:
+                # single trace-time pass: decide (defer, use) per site,
+                # allocating the stacked-bytes budget in benefit order
+                from .ops.gram_pallas import should_use_syrk
+
+                for nm in budget_order:
+                    x_nm = store[nm]
+                    n_nm, d_nm = x_nm.shape[0], sites[nm].out_features
+                    if use_pallas == "auto":
+                        use_nm = should_use_syrk(x_nm.dtype, d_nm)
+                    else:
+                        use_nm = bool(use_pallas)
+                    y_itemsize = (
+                        x_nm.dtype.itemsize if use_nm else 4  # f32 einsum y
+                    )
+                    stacked = k_chunk * n_nm * d_nm * y_itemsize
+                    defer = n_nm < 2 * d_nm and stacked <= budget["left"]
+                    if defer:
+                        budget["left"] -= stacked
+                    strategy[nm] = (defer, use_nm)
             ys_out = {}
             for name in site_names:
                 x = store[name]
                 y, use = _site_y(root, x, name)
                 n, d = y.shape
-                # defer when stacking y is cheaper than accumulating the
-                # d^2 Gram in-scan (n < 2d), mirroring the HBM cost model
-                # in the docstring
-                defer = n < 2 * d
-                strategy[name] = (defer, use)
+                defer, _ = strategy[name]
                 if defer:
                     ys_out[name] = y
                 else:

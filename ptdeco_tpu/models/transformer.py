@@ -58,6 +58,8 @@ class TransformerConfig:
     attn_logit_softcap: Optional[float] = None
     final_logit_softcap: Optional[float] = None
     query_scale_override: Optional[float] = None
+    # llama3.1+ rope scaling (factor, low_freq, high_freq, original_len)
+    rope_llama3_scaling: Optional[tuple] = None
     # rematerialize each block's activations during backward passes
     # (jax.checkpoint) — the HBM/flops trade for large-model calibration
     # and fine-tuning (the reference toggles HF gradient checkpointing,
@@ -137,6 +139,28 @@ class TransformerConfig:
                 "mlp_bias=True (biases on gate/up/down) is not expressed "
                 "by this decoder; use a custom builder"
             )
+        # rope scaling: the llama3 type is implemented (it rescales
+        # frequencies at EVERY position — Llama-3.1/3.2 checkpoints are
+        # wrong without it); other types are refused loudly rather than
+        # silently ignored
+        rope_llama3 = None
+        rs = hf.get("rope_scaling")
+        if rs is not None and mt != "phi3":
+            rtype = rs.get("rope_type", rs.get("type"))
+            if rtype == "llama3":
+                rope_llama3 = (
+                    float(rs["factor"]),
+                    float(rs.get("low_freq_factor", 1.0)),
+                    float(rs.get("high_freq_factor", 4.0)),
+                    int(rs.get("original_max_position_embeddings", 8192)),
+                )
+            elif rtype in (None, "default"):
+                pass
+            else:
+                raise ValueError(
+                    f"rope_scaling type {rtype!r} is not implemented "
+                    "(only 'llama3'); use a custom builder"
+                )
         sliding = hf.get("sliding_window")
         if sliding is not None and hf.get("use_sliding_window", True):
             # vanilla causal attention is exact for seqlen <= window; the
@@ -178,6 +202,7 @@ class TransformerConfig:
                 if hf.get("query_pre_attn_scalar") is not None
                 else None
             ),
+            rope_llama3_scaling=rope_llama3,
             remat=remat,
             dtype=dtype,
         )
@@ -217,7 +242,35 @@ class TransformerConfig:
         )
 
 
-def _rope(x: jax.Array, positions: jax.Array, theta: float) -> jax.Array:
+def _llama3_scale_freqs(
+    inv_freq: jax.Array, scaling: tuple[float, float, float, int]
+) -> jax.Array:
+    """HF llama3 rope scaling (transformers _compute_llama3_parameters):
+    frequencies whose wavelength exceeds the original context are divided
+    by ``factor``, high frequencies pass through, and the band between is
+    smoothly interpolated.  Applies at EVERY position (not just long
+    context), so Llama-3.1/3.2 checkpoints need it for correct logits."""
+    factor, low_freq_factor, high_freq_factor, old_len = scaling
+    import math
+
+    wavelen = 2.0 * math.pi / inv_freq
+    low_freq_wavelen = old_len / low_freq_factor
+    high_freq_wavelen = old_len / high_freq_factor
+    scaled = jnp.where(wavelen > low_freq_wavelen, inv_freq / factor, inv_freq)
+    smooth = (old_len / wavelen - low_freq_factor) / (
+        high_freq_factor - low_freq_factor
+    )
+    smoothed = (1.0 - smooth) / factor * inv_freq + smooth * inv_freq
+    is_medium = (wavelen >= high_freq_wavelen) & (wavelen <= low_freq_wavelen)
+    return jnp.where(is_medium, smoothed, scaled)
+
+
+def _rope(
+    x: jax.Array,
+    positions: jax.Array,
+    theta: float,
+    llama3_scaling: Optional[tuple[float, float, float, int]] = None,
+) -> jax.Array:
     """Rotary embedding, interleaved-half convention (HF llama).
     x: (B, S, H, hd)."""
     hd = x.shape[-1]
@@ -225,6 +278,8 @@ def _rope(x: jax.Array, positions: jax.Array, theta: float) -> jax.Array:
     freqs = 1.0 / (
         theta ** (jnp.arange(0, half, dtype=jnp.float32) / half)
     )
+    if llama3_scaling is not None:
+        freqs = _llama3_scale_freqs(freqs, llama3_scaling)
     angles = positions[:, :, None].astype(jnp.float32) * freqs  # (B,S,half)
     cos = jnp.cos(angles)[:, :, None, :]
     sin = jnp.sin(angles)[:, :, None, :]
@@ -250,6 +305,8 @@ class Attention(nn.Module):
     # gemma2: tanh softcap on attention logits and fixed query scale
     logit_softcap: Optional[float] = nn.static_field(default=None)
     scale_override: Optional[float] = nn.static_field(default=None)
+    # llama3.1+: (factor, low_freq_factor, high_freq_factor, original_len)
+    rope_llama3_scaling: Optional[tuple] = nn.static_field(default=None)
 
     def __call__(
         self,
@@ -272,8 +329,8 @@ class Attention(nn.Module):
 
         if positions is None:
             positions = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s))
-        q = _rope(q, positions, self.rope_theta)
-        k = _rope(k, positions, self.rope_theta)
+        q = _rope(q, positions, self.rope_theta, self.rope_llama3_scaling)
+        k = _rope(k, positions, self.rope_theta, self.rope_llama3_scaling)
 
         rep = self.n_heads // self.n_kv_heads
         if rep > 1:
@@ -317,6 +374,7 @@ class Attention(nn.Module):
             ),
             logit_softcap=cfg.attn_logit_softcap,
             scale_override=cfg.query_scale_override,
+            rope_llama3_scaling=cfg.rope_llama3_scaling,
             q_norm=(
                 nn.RMSNorm.create(hd, cfg.norm_eps, cfg.dtype)
                 if cfg.qk_norm

@@ -353,3 +353,34 @@ def test_gemma2_decompose_and_roundtrip():
     np.testing.assert_allclose(
         np.asarray(model2(b)), np.asarray(fresh(b)), atol=2e-5
     )
+
+
+def test_llama31_rope_scaling_logits_match_hf():
+    """llama3-type rope_scaling (Llama-3.1/3.2 checkpoints) rescales RoPE
+    frequencies at EVERY position; the constructor must implement it, not
+    ignore it.  Other scaling types are refused loudly."""
+    cfg = transformers.LlamaConfig(
+        **_tiny(
+            rope_theta=500000.0,
+            rope_scaling={
+                "rope_type": "llama3",
+                "factor": 8.0,
+                "low_freq_factor": 1.0,
+                "high_freq_factor": 4.0,
+                "original_max_position_embeddings": 16,
+            },
+            max_position_embeddings=64,
+        )
+    )
+    hf = transformers.LlamaForCausalLM(cfg).eval()
+    native, ncfg = _hf_to_native(hf, cfg.to_dict())
+    assert ncfg.rope_llama3_scaling == (8.0, 1.0, 4.0, 16)
+    _compare(hf, native, 128, atol=2e-4)
+
+    with pytest.raises(ValueError, match="rope_scaling"):
+        models.TransformerConfig.from_hf_config(
+            dict(
+                cfg.to_dict(),
+                rope_scaling={"rope_type": "yarn", "factor": 4.0},
+            )
+        )
