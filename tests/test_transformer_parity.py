@@ -279,3 +279,66 @@ def test_resstage_strided_conv_decision_parity():
     probe = jnp.asarray(data["probe"].transpose(0, 2, 3, 1))
     y = model2({"inp": probe})
     np.testing.assert_allclose(np.asarray(y), data["y"], atol=1e-3)
+
+
+def test_resstage_falor_decision_parity():
+    """falor on the strided-conv stage: identical accept decisions
+    (proportion = rank_best/full_rank).  Structural comparison corrects the
+    reference's last-tried-rank factor bug (falor:340-391, documented
+    divergence) exactly as tests/test_whole_model_parity.py does."""
+    import json as _json
+
+    from ptdeco_tpu import falor
+
+    hp = _hparams()["resstage_falor"]
+    data, init_sd = _load("resstage")
+    model = make_resstage(init_sd)
+
+    def tensors(xs):
+        i = 0
+        while True:
+            yield jnp.asarray(xs[i % len(xs)].transpose(0, 2, 3, 1))
+            i += 1
+
+    model2, config = falor.decompose(
+        module=model,
+        data_iterator=tensors(data["calib_x"]),
+        proportion_threshold=hp["proportion_threshold"],
+        nsr_final_threshold=hp["nsr_final_threshold"],
+        kl_final_threshold=hp["kl_final_threshold"],
+        num_data_steps=hp["num_data_steps"],
+        num_metric_steps=hp["num_metric_steps"],
+        use_float64=hp["use_float64"],
+        use_mean=hp["use_mean"],
+        use_damping=hp["use_damping"],
+    )
+    with open(GOLDEN / "resstage_falor_config.json") as f:
+        ref_config = _json.load(f)
+    assert set(config.keys()) == set(ref_config.keys())
+
+    def entry_rank(entry):
+        m0 = entry["modules"]["0"]
+        return m0.get("out_features", m0.get("out_channels"))
+
+    def full_rank(entry):
+        m0, m1 = entry["modules"]["0"], entry["modules"]["1"]
+        d_in = m0.get("in_features", m0.get("in_channels"))
+        d_out = m1.get("out_features", m1.get("out_channels"))
+        return min(d_in, d_out)
+
+    for name in ref_config:
+        ref_meta = ref_config[name]["__meta__"]
+        our_meta = config[name]["__meta__"]
+        assert our_meta["proportion"] == ref_meta["proportion"], name
+        ref_entry = {
+            k: v for k, v in ref_config[name].items() if k != "__meta__"
+        }
+        # OUR factors are built at the accepted rank (the reference builds
+        # the last binary-search probe's rank — its documented bug)
+        rank_best = round(ref_meta["proportion"] * full_rank(ref_entry))
+        assert entry_rank(
+            {k: v for k, v in config[name].items() if k != "__meta__"}
+        ) == rank_best, name
+    # strided factors keep the original stride
+    for name in ("conv_a", "down"):
+        assert tuple(config[name]["modules"]["0"]["stride"]) == (2, 2)
