@@ -242,6 +242,18 @@ def main() -> None:
     path = (
         pathlib.Path(__file__).resolve().parent.parent / "BENCH_CALIB_MFU.json"
     )
+    runs = []
+    if path.exists():
+        runs = json.loads(path.read_text()).get("runs", [])
+    runs.append(
+        {
+            "measured_on": out["measured_on"],
+            "gram_mfu": out["gram_pass"]["mfu_vs_v5e_bf16_peak"],
+            "gram_hot_s": out["gram_pass"]["hot_s"],
+            "ladder_mfu": out["ladder_step"]["mfu_vs_v5e_bf16_peak"],
+        }
+    )
+    out["runs"] = runs
     path.write_text(json.dumps(out, indent=2) + "\n")
     print(json.dumps(out))
 
