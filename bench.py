@@ -195,6 +195,7 @@ def main() -> None:
         ("BENCH_IMAGE_PIPELINE.json", ["host_decode_native_images_per_s"]),
         ("BENCH_CALIB_MFU.json", ["gram_pass", "ladder_step"]),
         ("BENCH_LOCKD.json", ["lockd_stage0", "kd_finetune"]),
+        ("BENCH_QUALITY.json", ["baseline", "decomposed"]),
     ):
         try:
             d = json.loads((root / fname).read_text())
