@@ -16,6 +16,12 @@ Recipe:
   4. report held-out perplexity + doc_lambada/doc_continuation accuracy
      before and after, with the achieved parameter fraction.
 
+Honesty note: the doc_* task items are built from the SAME corpus the
+model trains on (a 6M-param model over 84kB memorizes much of it), so the
+task accuracies measure DEGRADATION UNDER COMPRESSION of a capable model,
+not held-out generalization; the held-out perplexity (disjoint paragraphs)
+is the generalization-grade number.
+
 Persists BENCH_QUALITY.json.  Run on TPU:  python aux/bench_quality.py
 (~10-20 min incl. training).
 """
@@ -207,6 +213,7 @@ def main() -> None:
         "metric": "quality_at_compression_trained_bytelm",
         "model": "CausalLM dim=256 x4 layers, byte vocab, ~6M params",
         "corpus": "local package/docstring English prose (aux/make_doc_tasks)",
+        "note": "doc_* tasks overlap the training corpus: they measure degradation under compression, not generalization; heldout_ppl is the generalization-grade number",
         "train": {
             "steps": TRAIN_STEPS,
             "batch": BATCH,
