@@ -51,6 +51,12 @@ class TransformerConfig:
     norm_plus_one: bool = False
     # qwen3: per-head RMSNorm on q and k before RoPE
     qk_norm: bool = False
+    # olmo2: RMSNorm over the FLAT q/k projections (all heads jointly,
+    # weight shape n_heads*head_dim) instead of per-head
+    qk_norm_flat: bool = False
+    # olmo2: post-norm-only blocks — no input/pre-FFN norms; norms apply
+    # to the attention and MLP OUTPUTS before the residual adds
+    post_norm_only: bool = False
     # gemma2: sandwich norms (post-attn/pre+post-FFN), tanh softcapping of
     # attention and final logits, and a fixed query scale
     # (query_pre_attn_scalar ** -0.5 instead of head_dim ** -0.5)
@@ -87,11 +93,12 @@ class TransformerConfig:
         mt = hf.get("model_type", "llama")
         if mt not in (
             "llama", "mistral", "qwen2", "qwen3", "gemma", "gemma2", "phi3",
+            "olmo2",
         ):
             raise ValueError(
                 f"model_type={mt!r} is outside the supported llama config "
-                "family (llama/mistral/qwen2/qwen3/gemma/gemma2/phi3); use "
-                "a models/ zoo entry or a custom builder"
+                "family (llama/mistral/qwen2/qwen3/gemma/gemma2/phi3/"
+                "olmo2); use a models/ zoo entry or a custom builder"
             )
         gemma_like = mt in ("gemma", "gemma2")
         if mt == "phi3":
@@ -186,6 +193,8 @@ class TransformerConfig:
             scale_embeddings=gemma_like,
             norm_plus_one=gemma_like,
             qk_norm=qk_norm,
+            qk_norm_flat=mt == "olmo2",
+            post_norm_only=mt == "olmo2",
             sandwich_norms=mt == "gemma2",
             attn_logit_softcap=(
                 float(hf["attn_logit_softcapping"])
@@ -296,9 +305,11 @@ class Attention(nn.Module):
     k_proj: nn.Linear
     v_proj: nn.Linear
     o_proj: nn.Linear
-    # qwen3-style per-head norms over head_dim, pre-RoPE (None elsewhere)
+    # qwen3-style per-head norms over head_dim (or olmo2-style flat norms
+    # over the whole projection, see qk_norm_flat), pre-RoPE
     q_norm: Optional[nn.RMSNorm] = None
     k_norm: Optional[nn.RMSNorm] = None
+    qk_norm_flat: bool = nn.static_field(default=False)
     n_heads: int = nn.static_field(default=8)
     n_kv_heads: int = nn.static_field(default=8)
     rope_theta: float = nn.static_field(default=10000.0)
@@ -319,12 +330,15 @@ class Attention(nn.Module):
         b, s, d = x.shape
         q = self.q_proj(x, ctx)
         hd = q.shape[-1] // self.n_heads  # robust to decomposed projections
+        k = self.k_proj(x, ctx)
+        if self.q_norm is not None and self.qk_norm_flat:
+            q = self.q_norm(q, ctx)  # olmo2: all heads jointly
+            k = self.k_norm(k, ctx)
         q = q.reshape(b, s, self.n_heads, hd)
-        k = self.k_proj(x, ctx).reshape(b, s, self.n_kv_heads, hd)
+        k = k.reshape(b, s, self.n_kv_heads, hd)
         v = self.v_proj(x, ctx).reshape(b, s, self.n_kv_heads, hd)
-        if self.q_norm is not None:
-            q = self.q_norm(q, ctx)
-        if self.k_norm is not None:
+        if self.q_norm is not None and not self.qk_norm_flat:
+            q = self.q_norm(q, ctx)  # qwen3: per head
             k = self.k_norm(k, ctx)
 
         if positions is None:
@@ -376,15 +390,24 @@ class Attention(nn.Module):
             scale_override=cfg.query_scale_override,
             rope_llama3_scaling=cfg.rope_llama3_scaling,
             q_norm=(
-                nn.RMSNorm.create(hd, cfg.norm_eps, cfg.dtype)
-                if cfg.qk_norm
+                nn.RMSNorm.create(
+                    cfg.n_heads * hd if cfg.qk_norm_flat else hd,
+                    cfg.norm_eps,
+                    cfg.dtype,
+                )
+                if cfg.qk_norm or cfg.qk_norm_flat
                 else None
             ),
             k_norm=(
-                nn.RMSNorm.create(hd, cfg.norm_eps, cfg.dtype)
-                if cfg.qk_norm
+                nn.RMSNorm.create(
+                    cfg.n_kv_heads * hd if cfg.qk_norm_flat else hd,
+                    cfg.norm_eps,
+                    cfg.dtype,
+                )
+                if cfg.qk_norm or cfg.qk_norm_flat
                 else None
             ),
+            qk_norm_flat=cfg.qk_norm_flat,
             n_heads=cfg.n_heads,
             n_kv_heads=cfg.n_kv_heads,
             rope_theta=cfg.rope_theta,
@@ -419,13 +442,15 @@ class MLP(nn.Module):
 
 
 class Block(nn.Module):
-    input_layernorm: nn.RMSNorm
+    # input_layernorm is None for olmo2's post-norm-only blocks
+    input_layernorm: Optional[nn.RMSNorm]
     self_attn: Attention
     post_attention_layernorm: nn.RMSNorm
     mlp: MLP
     # gemma2 sandwich norms: post_attention_layernorm applies AFTER the
     # attention output (HF keeps the same field name with this changed
-    # meaning), and the MLP gets its own pre/post pair
+    # meaning), and the MLP gets its own pre/post pair.  olmo2 reuses
+    # post_feedforward_layernorm with pre/input norms absent.
     pre_feedforward_layernorm: Optional[nn.RMSNorm] = None
     post_feedforward_layernorm: Optional[nn.RMSNorm] = None
 
@@ -437,12 +462,13 @@ class Block(nn.Module):
         positions: Optional[jax.Array] = None,
         attn_mask: Optional[jax.Array] = None,
     ) -> jax.Array:
+        xin = x if self.input_layernorm is None else self.input_layernorm(x)
         attn_out = self.self_attn(
-            self.input_layernorm(x),
-            ctx,
-            positions=positions,
-            attn_mask=attn_mask,
+            xin, ctx, positions=positions, attn_mask=attn_mask
         )
+        if self.input_layernorm is None:  # olmo2 post-norm-only wiring
+            h = x + self.post_attention_layernorm(attn_out)
+            return h + self.post_feedforward_layernorm(self.mlp(h, ctx))
         if self.pre_feedforward_layernorm is not None:  # gemma2 wiring
             h = x + self.post_attention_layernorm(attn_out)
             ffw = self.mlp(self.pre_feedforward_layernorm(h), ctx)
@@ -460,12 +486,14 @@ class Block(nn.Module):
             )
 
         return Block(
-            input_layernorm=norm(),
+            input_layernorm=None if cfg.post_norm_only else norm(),
             self_attn=Attention.create(k1, cfg),
             post_attention_layernorm=norm(),
             mlp=MLP.create(k2, cfg),
             pre_feedforward_layernorm=norm() if cfg.sandwich_norms else None,
-            post_feedforward_layernorm=norm() if cfg.sandwich_norms else None,
+            post_feedforward_layernorm=norm()
+            if (cfg.sandwich_norms or cfg.post_norm_only)
+            else None,
         )
 
 

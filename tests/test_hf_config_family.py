@@ -384,3 +384,17 @@ def test_llama31_rope_scaling_logits_match_hf():
                 rope_scaling={"rope_type": "yarn", "factor": 4.0},
             )
         )
+
+
+def test_olmo2_logits_match_hf():
+    """olmo2 arm: post-norm-only blocks (norms on attention/MLP OUTPUTS,
+    no input norms) and FLAT q/k RMSNorm over the whole projection."""
+    if not hasattr(transformers, "Olmo2ForCausalLM"):
+        pytest.skip("transformers without olmo2")
+    cfg = transformers.Olmo2Config(
+        **_tiny(rope_theta=500000.0, rms_norm_eps=1e-6)
+    )
+    hf = transformers.Olmo2ForCausalLM(cfg).eval()
+    native, ncfg = _hf_to_native(hf, cfg.to_dict())
+    assert ncfg.post_norm_only and ncfg.qk_norm_flat
+    _compare(hf, native, 128, atol=2e-4)
