@@ -165,6 +165,8 @@ def make_model_and_tokenizer(
                     return hf_loader.split_phi3_fused_projections(
                         sd, n_heads, n_kv, hd
                     )
+            elif hf_cfg2.get("model_type") == "mixtral":
+                translator = hf_loader.translate_mixtral_state_dict
 
         model = hf_loader.load_into_causal_lm(
             model, checkpoint_path, key_translator=translator

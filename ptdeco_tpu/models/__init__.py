@@ -14,6 +14,7 @@ from .transformer import (
     Block,
     CausalLM,
     MLP as TransformerMLP,
+    MoEMLP,
     PrunedSublayer,
     TransformerConfig,
     ce_loss,
@@ -47,6 +48,7 @@ __all__ = [
     "Block",
     "CausalLM",
     "TransformerMLP",
+    "MoEMLP",
     "TransformerConfig",
     "PrunedSublayer",
     "ce_loss",

@@ -64,6 +64,31 @@ def read_hf_config(checkpoint_dir: str) -> dict[str, Any]:
         return json.load(f)
 
 
+def translate_mixtral_state_dict(
+    sd: dict[str, np.ndarray],
+) -> dict[str, np.ndarray]:
+    """Translate the HF Mixtral checkpoint layout into the qwen3_moe-style
+    layout the native MoEMLP uses: ``block_sparse_moe`` -> ``mlp`` and the
+    Megablocks-era expert names ``w1/w3/w2`` -> ``gate_proj/up_proj/
+    down_proj`` (w1 gates, w3 is the up projection, w2 projects down —
+    HF MixtralBlockSparseTop2MLP).  The router ``block_sparse_moe.gate``
+    becomes ``mlp.gate`` unchanged; every other key passes through."""
+    out: dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        if ".block_sparse_moe." in k:
+            k = k.replace(".block_sparse_moe.", ".mlp.")
+            for old, new in (
+                (".w1.", ".gate_proj."),
+                (".w3.", ".up_proj."),
+                (".w2.", ".down_proj."),
+            ):
+                if old in k:
+                    k = k.replace(old, new)
+                    break
+        out[k] = v
+    return out
+
+
 def split_phi3_fused_projections(
     sd: dict[str, np.ndarray], n_heads: int, n_kv_heads: int, head_dim: int
 ) -> dict[str, np.ndarray]:

@@ -27,7 +27,10 @@ from .. import nn
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["TransformerConfig", "CausalLM", "Attention", "MLP", "Block", "PrunedSublayer", "prune_blocks"]
+__all__ = [
+    "TransformerConfig", "CausalLM", "Attention", "MLP", "MoEMLP", "Block",
+    "PrunedSublayer", "prune_blocks",
+]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -66,6 +69,19 @@ class TransformerConfig:
     query_scale_override: Optional[float] = None
     # llama3.1+ rope scaling (factor, low_freq, high_freq, original_len)
     rope_llama3_scaling: Optional[tuple] = None
+    # Mixture-of-Experts (mixtral / qwen3_moe): n_experts > 0 replaces the
+    # dense MLP with a top-k-routed MoEMLP on sparse layers.  moe_hidden_dim
+    # is the per-expert FFN width (qwen3's moe_intermediate_size differs
+    # from intermediate_size; mixtral reuses it).  A layer i is sparse iff
+    # i not in mlp_only_layers and (i + 1) % decoder_sparse_step == 0 —
+    # the HF Qwen3Moe layer-selection rule; mixtral is all-sparse
+    # (step 1, empty list).
+    n_experts: int = 0
+    n_experts_per_tok: int = 2
+    norm_topk_prob: bool = True
+    moe_hidden_dim: Optional[int] = None
+    mlp_only_layers: tuple = ()
+    decoder_sparse_step: int = 1
     # rematerialize each block's activations during backward passes
     # (jax.checkpoint) — the HBM/flops trade for large-model calibration
     # and fine-tuning (the reference toggles HF gradient checkpointing,
@@ -93,12 +109,13 @@ class TransformerConfig:
         mt = hf.get("model_type", "llama")
         if mt not in (
             "llama", "mistral", "qwen2", "qwen3", "gemma", "gemma2", "phi3",
-            "olmo2",
+            "olmo2", "mixtral", "qwen3_moe",
         ):
             raise ValueError(
                 f"model_type={mt!r} is outside the supported llama config "
                 "family (llama/mistral/qwen2/qwen3/gemma/gemma2/phi3/"
-                "olmo2); use a models/ zoo entry or a custom builder"
+                "olmo2/mixtral/qwen3_moe); use a models/ zoo entry or a "
+                "custom builder"
             )
         gemma_like = mt in ("gemma", "gemma2")
         if mt == "phi3":
@@ -129,7 +146,25 @@ class TransformerConfig:
             if head_dim is not None and int(head_dim) * n_heads != dim
             else None
         )
-        qk_norm = mt == "qwen3"  # per-head q/k RMSNorm before RoPE
+        # per-head q/k RMSNorm before RoPE (qwen3 and its MoE sibling)
+        qk_norm = mt in ("qwen3", "qwen3_moe")
+        # MoE routing fields.  Mixtral (HF MixtralSparseMoeBlock) always
+        # renormalizes the top-k probabilities and runs experts at
+        # intermediate_size on every layer; qwen3_moe gates normalization
+        # on norm_topk_prob, sizes experts by moe_intermediate_size, and
+        # selects sparse layers via decoder_sparse_step / mlp_only_layers.
+        n_experts, top_k, norm_topk, moe_hidden = 0, 2, True, None
+        mlp_only, sparse_step = (), 1
+        if mt == "mixtral":
+            n_experts = int(hf["num_local_experts"])
+            top_k = int(hf.get("num_experts_per_tok", 2))
+        elif mt == "qwen3_moe":
+            n_experts = int(hf["num_experts"])
+            top_k = int(hf.get("num_experts_per_tok", 8))
+            norm_topk = bool(hf.get("norm_topk_prob", False))
+            moe_hidden = int(hf["moe_intermediate_size"])
+            mlp_only = tuple(hf.get("mlp_only_layers") or ())
+            sparse_step = int(hf.get("decoder_sparse_step", 1))
         # bias layouts this decoder does NOT express: llama/mistral with
         # attention_bias=True also put a bias on o_proj (qwen2's layout —
         # the one qkv_bias models — has none), and mlp_bias adds biases to
@@ -212,6 +247,12 @@ class TransformerConfig:
                 else None
             ),
             rope_llama3_scaling=rope_llama3,
+            n_experts=n_experts,
+            n_experts_per_tok=top_k,
+            norm_topk_prob=norm_topk,
+            moe_hidden_dim=moe_hidden,
+            mlp_only_layers=mlp_only,
+            decoder_sparse_step=sparse_step,
             remat=remat,
             dtype=dtype,
         )
@@ -441,6 +482,80 @@ class MLP(nn.Module):
         )
 
 
+class MoEMLP(nn.Module):
+    """Top-k-routed mixture of expert MLPs (Mixtral / Qwen3-MoE).
+
+    TPU-first dense dispatch with ZERO-MASKED expert inputs: every expert
+    runs on the full token batch (static shapes, large MXU matmuls, no
+    gather/scatter), but tokens not routed to an expert are zeroed at its
+    INPUT.  Because expert projections are bias-free, zero inputs produce
+    zero outputs, so the result is bit-for-bit the routed computation the
+    HF implementations index-add together (MixtralSparseMoeBlock /
+    Qwen3MoeSparseMoeBlock) — and, crucially for decomposition, the tap
+    capture (engine._Tap) then records exactly the ROUTED token set per
+    expert: zero rows contribute nothing to an input Gram, so low-rank
+    EVD initialization sees each expert's true input distribution instead
+    of the all-token superset.  The FLOPs overhead vs routed dispatch is
+    n_experts/top_k on the expert matmuls — acceptable for calibration
+    and finetune passes, which is what this framework runs; a
+    sorted/grouped serving dispatch is deliberately out of scope.
+
+    Field names put the router at ``<block>.mlp.gate`` and experts at
+    ``<block>.mlp.experts.E.{gate_proj,up_proj,down_proj}`` — the HF
+    qwen3_moe layout; mixtral checkpoints are translated on load
+    (hf_loader.translate_mixtral_state_dict).  The router Linear
+    (dim x n_experts) is a valid dwain site but far too small to ever
+    clear a proportion threshold; blacklist ``.mlp.gate`` to avoid
+    wasting a ladder walk on it.
+    """
+
+    gate: nn.Linear  # router: dim -> n_experts
+    experts: tuple  # of MLP
+    top_k: int = nn.static_field(default=2)
+    norm_topk: bool = nn.static_field(default=True)
+
+    def __call__(self, x: jax.Array, ctx: Optional[nn.Ctx] = None) -> jax.Array:
+        n_experts = len(self.experts)
+        # HF computes routing in f32 regardless of activation dtype
+        logits = self.gate(x, ctx).astype(jnp.float32)
+        probs = jax.nn.softmax(logits, axis=-1)
+        top_vals, top_idx = jax.lax.top_k(probs, self.top_k)
+        if self.norm_topk:
+            top_vals = top_vals / jnp.sum(top_vals, axis=-1, keepdims=True)
+        # combine weights per expert: (..., E); zero where not selected
+        onehot = jax.nn.one_hot(top_idx, n_experts, dtype=jnp.float32)
+        w = jnp.einsum("...ke,...k->...e", onehot, top_vals).astype(x.dtype)
+        out = jnp.zeros_like(x)
+        for e, expert in enumerate(self.experts):
+            w_e = w[..., e : e + 1]
+            x_e = jnp.where(w_e > 0, x, jnp.zeros_like(x))
+            out = out + expert(x_e, ctx) * w_e
+        return out
+
+    @staticmethod
+    def create(key: jax.Array, cfg: TransformerConfig) -> "MoEMLP":
+        ks = jax.random.split(key, cfg.n_experts + 1)
+        moe_hidden = cfg.moe_hidden_dim or cfg.hidden_dim
+        expert_cfg = dataclasses.replace(cfg, hidden_dim=moe_hidden)
+        return MoEMLP(
+            gate=nn.Linear.create(ks[0], cfg.dim, cfg.n_experts, False, cfg.dtype),
+            experts=tuple(
+                MLP.create(ks[1 + e], expert_cfg) for e in range(cfg.n_experts)
+            ),
+            top_k=cfg.n_experts_per_tok,
+            norm_topk=cfg.norm_topk_prob,
+        )
+
+
+def _layer_is_sparse(cfg: TransformerConfig, layer_idx: int) -> bool:
+    """HF Qwen3Moe layer-selection rule; all layers for mixtral."""
+    return (
+        cfg.n_experts > 0
+        and layer_idx not in cfg.mlp_only_layers
+        and (layer_idx + 1) % cfg.decoder_sparse_step == 0
+    )
+
+
 class Block(nn.Module):
     # input_layernorm is None for olmo2's post-norm-only blocks
     input_layernorm: Optional[nn.RMSNorm]
@@ -477,7 +592,7 @@ class Block(nn.Module):
         return h + self.mlp(self.post_attention_layernorm(h), ctx)
 
     @staticmethod
-    def create(key: jax.Array, cfg: TransformerConfig) -> "Block":
+    def create(key: jax.Array, cfg: TransformerConfig, layer_idx: int = 0) -> "Block":
         k1, k2 = jax.random.split(key)
 
         def norm():
@@ -489,7 +604,11 @@ class Block(nn.Module):
             input_layernorm=None if cfg.post_norm_only else norm(),
             self_attn=Attention.create(k1, cfg),
             post_attention_layernorm=norm(),
-            mlp=MLP.create(k2, cfg),
+            mlp=(
+                MoEMLP.create(k2, cfg)
+                if _layer_is_sparse(cfg, layer_idx)
+                else MLP.create(k2, cfg)
+            ),
             pre_feedforward_layernorm=norm() if cfg.sandwich_norms else None,
             post_feedforward_layernorm=norm()
             if (cfg.sandwich_norms or cfg.post_norm_only)
@@ -572,7 +691,8 @@ class CausalLM(nn.Module):
                 keys[0], cfg.vocab_size, cfg.dim, cfg.dtype
             ),
             layers=tuple(
-                Block.create(keys[1 + i], cfg) for i in range(cfg.n_layers)
+                Block.create(keys[1 + i], cfg, layer_idx=i)
+                for i in range(cfg.n_layers)
             ),
             norm=nn.RMSNorm.create(
                 cfg.dim, cfg.norm_eps, cfg.dtype, plus_one=cfg.norm_plus_one
