@@ -142,6 +142,14 @@ def _process_module(
     # control flow to reference dwain:407-421 incl. the drop==0 skip), then
     # evaluate ALL candidates' metrics in as few dispatches as possible.
     ladder: list[tuple[int, int, float]] = []  # (rank, drop, ppl_threshold)
+    # int(r*f) < r for every f < 1, so the ladder always terminates; at
+    # f >= 1 it would spin forever (the reference inherits this hang,
+    # dwain:407-421) — fail loudly instead.
+    if not 0.0 < reduction_factor < 1.0:
+        raise ValueError(
+            f"{reduction_factor=} must be in (0, 1) — at >=1 the rank "
+            "ladder never descends (reference default: 0.5)"
+        )
     rank_new = full_rank
     while rank_new > min_rank:
         rank_new = int(rank_new * reduction_factor)

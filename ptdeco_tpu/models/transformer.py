@@ -82,6 +82,8 @@ class TransformerConfig:
     moe_hidden_dim: Optional[int] = None
     mlp_only_layers: tuple = ()
     decoder_sparse_step: int = 1
+    # qwen2_moe: always-on shared expert of this width, sigmoid-gated
+    shared_expert_hidden_dim: Optional[int] = None
     # rematerialize each block's activations during backward passes
     # (jax.checkpoint) — the HBM/flops trade for large-model calibration
     # and fine-tuning (the reference toggles HF gradient checkpointing,
@@ -109,13 +111,13 @@ class TransformerConfig:
         mt = hf.get("model_type", "llama")
         if mt not in (
             "llama", "mistral", "qwen2", "qwen3", "gemma", "gemma2", "phi3",
-            "olmo2", "mixtral", "qwen3_moe",
+            "olmo2", "mixtral", "qwen2_moe", "qwen3_moe",
         ):
             raise ValueError(
                 f"model_type={mt!r} is outside the supported llama config "
                 "family (llama/mistral/qwen2/qwen3/gemma/gemma2/phi3/"
-                "olmo2/mixtral/qwen3_moe); use a models/ zoo entry or a "
-                "custom builder"
+                "olmo2/mixtral/qwen2_moe/qwen3_moe); use a models/ zoo "
+                "entry or a custom builder"
             )
         gemma_like = mt in ("gemma", "gemma2")
         if mt == "phi3":
@@ -154,17 +156,19 @@ class TransformerConfig:
         # on norm_topk_prob, sizes experts by moe_intermediate_size, and
         # selects sparse layers via decoder_sparse_step / mlp_only_layers.
         n_experts, top_k, norm_topk, moe_hidden = 0, 2, True, None
-        mlp_only, sparse_step = (), 1
+        mlp_only, sparse_step, shared_hidden = (), 1, None
         if mt == "mixtral":
             n_experts = int(hf["num_local_experts"])
             top_k = int(hf.get("num_experts_per_tok", 2))
-        elif mt == "qwen3_moe":
+        elif mt in ("qwen2_moe", "qwen3_moe"):
             n_experts = int(hf["num_experts"])
             top_k = int(hf.get("num_experts_per_tok", 8))
             norm_topk = bool(hf.get("norm_topk_prob", False))
             moe_hidden = int(hf["moe_intermediate_size"])
             mlp_only = tuple(hf.get("mlp_only_layers") or ())
             sparse_step = int(hf.get("decoder_sparse_step", 1))
+            if mt == "qwen2_moe":
+                shared_hidden = int(hf["shared_expert_intermediate_size"])
         # bias layouts this decoder does NOT express: llama/mistral with
         # attention_bias=True also put a bias on o_proj (qwen2's layout —
         # the one qkv_bias models — has none), and mlp_bias adds biases to
@@ -221,7 +225,13 @@ class TransformerConfig:
             hidden_dim=int(hf["intermediate_size"]),
             norm_eps=float(hf.get("rms_norm_eps", 1e-6)),
             rope_theta=float(hf.get("rope_theta", 10000.0)),
-            qkv_bias=bool(hf.get("attention_bias", mt == "qwen2")),
+            qkv_bias=(
+                # qwen2_moe names the q/k/v-bias layout knob "qkv_bias"
+                # (attention_bias is present but None in its configs)
+                bool(hf.get("qkv_bias", True))
+                if mt == "qwen2_moe"
+                else bool(hf.get("attention_bias", mt == "qwen2"))
+            ),
             tie_embeddings=bool(hf.get("tie_word_embeddings", gemma_like)),
             head_dim_override=override,
             mlp_act=act_map[act],
@@ -253,6 +263,7 @@ class TransformerConfig:
             moe_hidden_dim=moe_hidden,
             mlp_only_layers=mlp_only,
             decoder_sparse_step=sparse_step,
+            shared_expert_hidden_dim=shared_hidden,
             remat=remat,
             dtype=dtype,
         )
@@ -483,27 +494,45 @@ class MLP(nn.Module):
 
 
 class MoEMLP(nn.Module):
-    """Top-k-routed mixture of expert MLPs (Mixtral / Qwen3-MoE).
+    """Top-k-routed mixture of expert MLPs (Mixtral / Qwen2-MoE / Qwen3-MoE).
 
-    TPU-first dense dispatch with ZERO-MASKED expert inputs: every expert
-    runs on the full token batch (static shapes, large MXU matmuls, no
-    gather/scatter), but tokens not routed to an expert are zeroed at its
-    INPUT.  Because expert projections are bias-free, zero inputs produce
-    zero outputs, so the result is bit-for-bit the routed computation the
-    HF implementations index-add together (MixtralSparseMoeBlock /
-    Qwen3MoeSparseMoeBlock) — and, crucially for decomposition, the tap
-    capture (engine._Tap) then records exactly the ROUTED token set per
-    expert: zero rows contribute nothing to an input Gram, so low-rank
-    EVD initialization sees each expert's true input distribution instead
-    of the all-token superset.  The FLOPs overhead vs routed dispatch is
-    n_experts/top_k on the expert matmuls — acceptable for calibration
-    and finetune passes, which is what this framework runs; a
-    sorted/grouped serving dispatch is deliberately out of scope.
+    Two dispatch strategies, chosen statically at trace time:
+
+    * **Grouped (fast) path** — when every expert is a pristine plain
+      ``MLP`` of exact-type ``nn.Linear`` projections, the (token, slot)
+      pairs are sorted by expert id and the three expert matmuls run as
+      ``lax.ragged_dot`` grouped matmuls over kernels stacked to
+      ``(E, d, h)`` — the MXU-native MoE dispatch: exact routing (no
+      capacity-factor token dropping), expert FLOPs proportional to
+      ``top_k`` rather than ``n_experts``.  Kernels stay unstacked in the
+      pytree (each expert projection remains an addressable dwain site);
+      the stack is traced, so XLA materializes a transient contiguous
+      copy per layer call.
+
+    * **Zero-masked dense path** — whenever any expert projection is NOT
+      a plain Linear (engine tap wrappers during calibration, decomposed
+      factor pairs after surgery, LoRA-wrapped Linears during recovery
+      finetune), every expert runs on the full token batch with tokens
+      not routed to it ZEROED at its input.  Because expert projections
+      are bias-free, zero inputs produce zero outputs, so this is
+      numerically the routed computation the HF implementations
+      index-add together (MixtralSparseMoeBlock / Qwen3MoeSparseMoeBlock)
+      — and the tap capture (engine._Tap) records exactly the ROUTED
+      token set per expert: zero rows contribute nothing to an input
+      Gram, so low-rank EVD initialization sees each expert's true input
+      distribution instead of the all-token superset.  FLOPs overhead is
+      n_experts/top_k on the expert matmuls, paid only on calibration /
+      post-surgery passes.
+
+    Both paths produce identical routing decisions; their outputs agree
+    to matmul-reassociation tolerance (pinned by tests).
 
     Field names put the router at ``<block>.mlp.gate`` and experts at
     ``<block>.mlp.experts.E.{gate_proj,up_proj,down_proj}`` — the HF
     qwen3_moe layout; mixtral checkpoints are translated on load
-    (hf_loader.translate_mixtral_state_dict).  The router Linear
+    (hf_loader.translate_mixtral_state_dict).  Qwen2-MoE additionally
+    carries an always-on ``shared_expert`` whose output is scaled by
+    ``sigmoid(shared_expert_gate(x))``.  The router Linear
     (dim x n_experts) is a valid dwain site but far too small to ever
     clear a proportion threshold; blacklist ``.mlp.gate`` to avoid
     wasting a ladder walk on it.
@@ -511,17 +540,65 @@ class MoEMLP(nn.Module):
 
     gate: nn.Linear  # router: dim -> n_experts
     experts: tuple  # of MLP
+    # qwen2_moe: always-on shared expert, sigmoid-gated by a dim->1 Linear
+    shared_expert: Optional[MLP] = None
+    shared_expert_gate: Optional[nn.Linear] = None
     top_k: int = nn.static_field(default=2)
     norm_topk: bool = nn.static_field(default=True)
 
-    def __call__(self, x: jax.Array, ctx: Optional[nn.Ctx] = None) -> jax.Array:
-        n_experts = len(self.experts)
-        # HF computes routing in f32 regardless of activation dtype
+    def _experts_are_pristine(self) -> bool:
+        """Static (trace-time) check: grouped dispatch requires every
+        expert projection to be an exact-type plain Linear — tap wrappers,
+        decomposed factor pairs, and LoRA wrappers all fail this and fall
+        back to the zero-masked dense path."""
+        for e in self.experts:
+            if type(e) is not MLP:
+                return False
+            for p in (e.gate_proj, e.up_proj, e.down_proj):
+                if type(p) is not nn.Linear or p.bias is not None:
+                    return False
+        return True
+
+    def _routing(
+        self, x: jax.Array, ctx: Optional[nn.Ctx]
+    ) -> tuple[jax.Array, jax.Array]:
+        """Top-k expert ids and combine weights; HF computes the softmax
+        in f32 regardless of activation dtype and casts the (optionally
+        renormalized) top-k weights back."""
         logits = self.gate(x, ctx).astype(jnp.float32)
         probs = jax.nn.softmax(logits, axis=-1)
         top_vals, top_idx = jax.lax.top_k(probs, self.top_k)
         if self.norm_topk:
             top_vals = top_vals / jnp.sum(top_vals, axis=-1, keepdims=True)
+        return top_vals, top_idx
+
+    def _grouped(self, x: jax.Array, ctx: Optional[nn.Ctx]) -> jax.Array:
+        n_experts = len(self.experts)
+        b, s, d = x.shape
+        n_tok = b * s
+        xf = x.reshape(n_tok, d)
+        top_vals, top_idx = self._routing(xf, ctx)
+        expert_ids = top_idx.reshape(-1)  # (n_tok * k,), row-major by token
+        token_ids = jnp.arange(n_tok * self.top_k, dtype=jnp.int32) // self.top_k
+        order = jnp.argsort(expert_ids)
+        tok_sorted = token_ids[order]
+        group_sizes = jnp.bincount(expert_ids, length=n_experts).astype(jnp.int32)
+        xg = xf[tok_sorted]
+        w_gate = jnp.stack([e.gate_proj.kernel for e in self.experts])
+        w_up = jnp.stack([e.up_proj.kernel for e in self.experts])
+        w_down = jnp.stack([e.down_proj.kernel for e in self.experts])
+        g = jax.lax.ragged_dot(xg, w_gate, group_sizes)
+        u = jax.lax.ragged_dot(xg, w_up, group_sizes)
+        act = self.experts[0].act
+        h = (jax.nn.gelu(g, approximate=True) if act == "gelu_tanh" else jax.nn.silu(g)) * u
+        y = jax.lax.ragged_dot(h, w_down, group_sizes)
+        w = top_vals.reshape(-1)[order].astype(x.dtype)
+        out = jnp.zeros((n_tok, d), x.dtype).at[tok_sorted].add(y * w[:, None])
+        return out.reshape(b, s, d)
+
+    def _dense_masked(self, x: jax.Array, ctx: Optional[nn.Ctx]) -> jax.Array:
+        n_experts = len(self.experts)
+        top_vals, top_idx = self._routing(x, ctx)
         # combine weights per expert: (..., E); zero where not selected
         onehot = jax.nn.one_hot(top_idx, n_experts, dtype=jnp.float32)
         w = jnp.einsum("...ke,...k->...e", onehot, top_vals).astype(x.dtype)
@@ -532,16 +609,38 @@ class MoEMLP(nn.Module):
             out = out + expert(x_e, ctx) * w_e
         return out
 
+    def __call__(self, x: jax.Array, ctx: Optional[nn.Ctx] = None) -> jax.Array:
+        if self._experts_are_pristine():
+            out = self._grouped(x, ctx)
+        else:
+            out = self._dense_masked(x, ctx)
+        if self.shared_expert is not None:
+            gate = jax.nn.sigmoid(
+                self.shared_expert_gate(x, ctx).astype(jnp.float32)
+            ).astype(x.dtype)
+            out = out + self.shared_expert(x, ctx) * gate
+        return out
+
     @staticmethod
     def create(key: jax.Array, cfg: TransformerConfig) -> "MoEMLP":
-        ks = jax.random.split(key, cfg.n_experts + 1)
+        ks = jax.random.split(key, cfg.n_experts + 3)
         moe_hidden = cfg.moe_hidden_dim or cfg.hidden_dim
         expert_cfg = dataclasses.replace(cfg, hidden_dim=moe_hidden)
+        shared = None
+        shared_gate = None
+        if cfg.shared_expert_hidden_dim is not None:
+            shared_cfg = dataclasses.replace(
+                cfg, hidden_dim=cfg.shared_expert_hidden_dim
+            )
+            shared = MLP.create(ks[-2], shared_cfg)
+            shared_gate = nn.Linear.create(ks[-1], cfg.dim, 1, False, cfg.dtype)
         return MoEMLP(
             gate=nn.Linear.create(ks[0], cfg.dim, cfg.n_experts, False, cfg.dtype),
             experts=tuple(
                 MLP.create(ks[1 + e], expert_cfg) for e in range(cfg.n_experts)
             ),
+            shared_expert=shared,
+            shared_expert_gate=shared_gate,
             top_k=cfg.n_experts_per_tok,
             norm_topk=cfg.norm_topk_prob,
         )

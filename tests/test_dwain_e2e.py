@@ -201,3 +201,26 @@ def test_dwain_rank1_head_and_uneven_splits():
     assert "value" not in config  # rank-1 site skipped, no crash
     batch = next(mit)
     assert new_model(batch).shape == (16, 1)
+
+
+def test_dwain_rejects_nondescending_reduction_factor():
+    """reduction_factor >= 1 would spin the rank ladder forever (the
+    reference inherits this hang at dwain:407-421); we raise instead."""
+    import pytest
+
+    model = make_mlp(32)
+    it = lowrank_data_iter(jax.random.PRNGKey(0), 8, 32)
+    with pytest.raises(ValueError, match="reduction_factor"):
+        dwain.decompose(
+            module=model,
+            data_iterator=it,
+            loss_fn=loss_fn,
+            num_data_steps=1,
+            metric_iterator=it,
+            num_metric_steps=1,
+            nsr_final_threshold=0.1,
+            min_rank=2,
+            trade_off_factor=1000.0,
+            max_accepted_ppl_diff=1.0,
+            reduction_factor=1.0,
+        )

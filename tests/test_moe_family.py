@@ -128,6 +128,63 @@ def test_qwen3_moe_unnormalized_topk_matches_hf():
     _compare(hf, native, 128, atol=2e-4)
 
 
+def test_qwen2_moe_logits_match_hf():
+    """qwen2_moe arm: qkv bias (qwen2 layout), unnormalized top-k by
+    default, and the always-on sigmoid-gated shared expert."""
+    cfg = transformers.Qwen2MoeConfig(
+        vocab_size=128,
+        hidden_size=32,
+        intermediate_size=64,
+        moe_intermediate_size=48,
+        shared_expert_intermediate_size=80,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        num_experts=4,
+        num_experts_per_tok=2,
+        max_position_embeddings=64,
+    )
+    hf = transformers.Qwen2MoeForCausalLM(cfg).eval()
+    ncfg = models.TransformerConfig.from_hf_config(
+        cfg.to_dict(), dtype=jnp.float32
+    )
+    assert ncfg.qkv_bias and not ncfg.norm_topk_prob
+    assert ncfg.shared_expert_hidden_dim == 80
+    native = models.CausalLM.create(jax.random.PRNGKey(0), ncfg)
+    moe = native.model.layers[0].mlp
+    assert isinstance(moe, models.MoEMLP)
+    assert moe.shared_expert is not None
+    native = utils.load_state_dict(native, _hf_sd(hf), strict=False)
+    _compare(hf, native, 128, atol=2e-4)
+
+
+def test_grouped_and_dense_dispatch_agree():
+    """The ragged_dot grouped fast path and the zero-masked dense path are
+    the same routed computation; pristine experts must take the fast path,
+    and any non-Linear expert projection must force the dense fallback."""
+    cfg = models.TransformerConfig(
+        vocab_size=64, dim=16, n_layers=1, n_heads=2, n_kv_heads=2,
+        hidden_dim=32, n_experts=4, n_experts_per_tok=2,
+        norm_topk_prob=True, dtype=jnp.float32,
+    )
+    moe = models.MoEMLP.create(jax.random.PRNGKey(0), cfg)
+    assert moe._experts_are_pristine()
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 6, 16), jnp.float32)
+    y_fast = np.asarray(moe(x))
+    y_dense = np.asarray(moe._dense_masked(x, None))
+    np.testing.assert_allclose(y_fast, y_dense, atol=1e-5)
+    # the two paths agree under jit as well (grouped path has gather /
+    # scatter-add / bincount that must trace)
+    y_jit = np.asarray(jax.jit(moe)(x))
+    np.testing.assert_allclose(y_jit, y_dense, atol=1e-5)
+    # tap-wrapping one projection statically disables the grouped path
+    store: dict = {}
+    tapped = engine._wrap_taps(moe, ["experts.1.gate_proj"], store)
+    assert not tapped._experts_are_pristine()
+    np.testing.assert_allclose(np.asarray(tapped(x)), y_dense, atol=1e-5)
+    assert "experts.1.gate_proj" in store
+
+
 def test_builder_mixtral_checkpoint_path(tmp_path):
     """End-to-end: a Mixtral snapshot dir loads through the generic family
     path with the w1/w2/w3 -> gate/down/up key translation applied."""
