@@ -58,6 +58,10 @@ class DecomposeDWAINConfig(_VersionConfig):
     decompose_in_float64: bool
     # None = auto (SYRK kernel on TPU for bf16 activations)
     use_pallas_gram: Optional[bool] = None
+    # exact = reference host-LAPACK numerics; auto switches wide sites to
+    # the device-side randomized EVD; distributed = shard_map CholeskyQR
+    # subspace iteration (no single-device stage larger than the sketch)
+    eigh_method: str = "auto"
     # per-layer resume state for the decomposition itself (TPU-new; the
     # reference's decomposition is not resumable, SURVEY.md §5).  Relative
     # paths resolve under the run's output directory.

@@ -151,6 +151,7 @@ def main(config_raw: dict[str, Any], output_path: pathlib.Path) -> None:
         decompose_in_float64=config.decompose_in_float64,
         precomputing_covariance_num_splits=config.precomputing_covariance_num_splits,
         use_pallas_gram=config.use_pallas_gram,
+        eigh_method=config.eigh_method,
         checkpoint_dir=utils.resolve_subdir(
             output_path, config.decomposition_checkpoint_dir
         ),

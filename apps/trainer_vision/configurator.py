@@ -98,6 +98,7 @@ class DecomposeDWAINConfig(_VersionConfig, _DataConfig):
     decompose_in_float64: bool
     # None = auto (SYRK kernel on TPU for bf16 activations)
     use_pallas_gram: Optional[bool] = None
+    eigh_method: str = "auto"
     decomposition_checkpoint_dir: Optional[str] = "decompose_ckpt"
     precomputing_covariance_num_splits: Optional[int] = None
     blacklisted_modules: list[str]

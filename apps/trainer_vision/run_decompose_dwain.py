@@ -111,6 +111,7 @@ def main(
             config.precomputing_covariance_num_splits
         ),
         use_pallas_gram=config.use_pallas_gram,
+        eigh_method=config.eigh_method,
         checkpoint_dir=utils.resolve_subdir(
             output_path, config.decomposition_checkpoint_dir
         ),

@@ -57,10 +57,28 @@ def main() -> None:
         jax.block_until_ready(u)
         t_rand = time.perf_counter() - t0
 
+        # distributed: shard_map subspace iteration, CholeskyQR3 instead of
+        # the single-device Householder QR (on one chip this isolates the
+        # orthonormalization cost: CholeskyQR is matmul-only and MXU-bound,
+        # blocked Householder QR on TPU is not).  Queue-drain before timing
+        # (block_until_ready right after a compile does not drain the
+        # tunnel backlog on this box).
+        from ptdeco_tpu import parallel
+
+        u_d = parallel.distributed_topk_eigenvectors(g, top_k)
+        float(jax.device_get(jnp.sum(u_d)))
+        t0 = time.perf_counter()
+        u_d = parallel.distributed_topk_eigenvectors(
+            g, top_k, key=jax.random.PRNGKey(7)
+        )
+        jax.block_until_ready(u_d)
+        t_dist = time.perf_counter() - t0
+
         row = {
             "d": d,
             "top_k": top_k,
             "randomized_s": round(t_rand, 2),
+            "distributed_1dev_s": round(t_dist, 2),
         }
 
         if d <= EXACT_LIMIT:
@@ -91,7 +109,11 @@ def main() -> None:
         "note": (
             "randomized = engine.randomized_topk_eigenvectors (device "
             "subspace sketch in f32 + host f64 Rayleigh-Ritz of the "
-            "(top_k+64)^2 projection); exact = numpy.linalg.eigh f64 on one "
+            "(top_k+64)^2 projection); distributed_1dev = "
+            "parallel.distributed_topk_eigenvectors on a 1-device mesh "
+            "(shard_map + CholeskyQR3 — multi-chip scaling path, timed "
+            "here for its single-chip overhead vs the Householder-QR "
+            "sketch); exact = numpy.linalg.eigh f64 on one "
             "host core (the reference's only path, dwain:155-163).  d=14336 "
             "is the Llama-3-8B up_proj Gram."
         ),

@@ -119,8 +119,15 @@ def _process_module(
             apply_fn,
             use_pallas=use_pallas_gram,
         )
-        if _resolve_eigh_method(site, eigh_method) == "randomized":
+        method = _resolve_eigh_method(site, eigh_method)
+        if method == "randomized":
             u_matrix = engine.randomized_topk_eigenvectors(
+                grams[site.name], _site_top_k(site, reduction_factor)
+            )
+        elif method == "distributed":
+            from ptdeco_tpu.parallel import evd as parallel_evd
+
+            u_matrix = parallel_evd.distributed_topk_eigenvectors(
                 grams[site.name], _site_top_k(site, reduction_factor)
             )
         else:
@@ -315,6 +322,17 @@ AUTO_RANDOMIZED_EIGH_MIN_RANK = 4096
 
 
 def _resolve_eigh_method(site: engine.Site, eigh_method: str) -> str:
+    """exact: host LAPACK f64 on the full Gram (reference numerics,
+    dwain:155-163).  randomized: device subspace sketch, GSPMD-sharded
+    matmuls, single-device thin QR.  distributed: shard_map subspace
+    iteration with CholeskyQR — no single-device stage larger than m²
+    (parallel/evd.py).  auto: randomized above the width where host
+    LAPACK becomes the bottleneck."""
+    if eigh_method not in ("auto", "exact", "randomized", "distributed"):
+        raise ValueError(
+            f"{eigh_method=} not in ('auto', 'exact', 'randomized', "
+            "'distributed')"
+        )
     if eigh_method == "auto":
         return (
             "randomized"
@@ -368,11 +386,19 @@ def _precompute_u_in_splits(
         )
         for name in sublist:
             site = engine.get_site(root, name)
-            if _resolve_eigh_method(site, eigh_method) == "randomized":
+            method = _resolve_eigh_method(site, eigh_method)
+            if method in ("randomized", "distributed"):
                 top_k = _site_top_k(site, reduction_factor)
-                q, b_host = engine.sketch_for_randomized_eigh(
-                    grams[name], top_k
-                )
+                if method == "distributed":
+                    from ptdeco_tpu.parallel import evd as parallel_evd
+
+                    q, b_host = parallel_evd.distributed_sketch_for_eigh(
+                        grams[name], top_k
+                    )
+                else:
+                    q, b_host = engine.sketch_for_randomized_eigh(
+                        grams[name], top_k
+                    )
                 host_jobs[name] = (
                     lambda b=b_host: np.linalg.eigh(b)[1],
                     lambda v, q=q, k=top_k: engine.finish_randomized_eigh(

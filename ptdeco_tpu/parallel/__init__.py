@@ -12,6 +12,11 @@ from .mesh import (
     shard_batch_seq,
 )
 from . import shardings  # noqa: F401
+from .evd import (
+    distributed_sketch_for_eigh,
+    distributed_topk_eigenvectors,
+    finish_distributed_eigh,
+)
 
 __all__ = [
     "DP_AXIS",
@@ -25,4 +30,7 @@ __all__ = [
     "shard_batch",
     "shard_batch_seq",
     "initialize_distributed",
+    "distributed_sketch_for_eigh",
+    "distributed_topk_eigenvectors",
+    "finish_distributed_eigh",
 ]
