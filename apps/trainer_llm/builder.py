@@ -167,6 +167,8 @@ def make_model_and_tokenizer(
                     )
             elif hf_cfg2.get("model_type") == "mixtral":
                 translator = hf_loader.translate_mixtral_state_dict
+            elif hf_cfg2.get("model_type") == "glm4":
+                translator = hf_loader.translate_glm4_state_dict
 
         model = hf_loader.load_into_causal_lm(
             model, checkpoint_path, key_translator=translator

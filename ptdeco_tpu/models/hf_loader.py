@@ -89,6 +89,43 @@ def translate_mixtral_state_dict(
     return out
 
 
+def translate_glm4_state_dict(
+    sd: dict[str, np.ndarray],
+) -> dict[str, np.ndarray]:
+    """Translate the HF Glm4 checkpoint layout into this decoder's gemma2
+    sandwich naming (the block wiring is identical, HF Glm4DecoderLayer):
+
+    * ``post_self_attn_layernorm``  (norm on the attention OUTPUT)
+      -> ``post_attention_layernorm`` (our post-attn sandwich slot)
+    * ``post_attention_layernorm``  (glm4's PRE-MLP norm)
+      -> ``pre_feedforward_layernorm``
+    * ``post_mlp_layernorm`` -> ``post_feedforward_layernorm``
+    * ``mlp.gate_up_proj`` splits into gate/up (the phi3 fused layout,
+      Glm4MLP chunks it in halves the same way)
+
+    Each key matches at most one rule, so ordering cannot collide the two
+    post_* names."""
+    out: dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        if ".post_self_attn_layernorm." in k:
+            out[k.replace(".post_self_attn_layernorm.",
+                          ".post_attention_layernorm.")] = v
+        elif ".post_attention_layernorm." in k:
+            out[k.replace(".post_attention_layernorm.",
+                          ".pre_feedforward_layernorm.")] = v
+        elif ".post_mlp_layernorm." in k:
+            out[k.replace(".post_mlp_layernorm.",
+                          ".post_feedforward_layernorm.")] = v
+        elif k.endswith(".mlp.gate_up_proj.weight"):
+            stem = k[: -len("gate_up_proj.weight")]
+            half = v.shape[0] // 2
+            out[stem + "gate_proj.weight"] = v[:half]
+            out[stem + "up_proj.weight"] = v[half:]
+        else:
+            out[k] = v
+    return out
+
+
 def split_phi3_fused_projections(
     sd: dict[str, np.ndarray], n_heads: int, n_kv_heads: int, head_dim: int
 ) -> dict[str, np.ndarray]:

@@ -84,6 +84,13 @@ class TransformerConfig:
     decoder_sparse_step: int = 1
     # qwen2_moe: always-on shared expert of this width, sigmoid-gated
     shared_expert_hidden_dim: Optional[int] = None
+    # smollm3: per-layer NoPE — rope_layers[i] == 0 disables rotary in
+    # layer i (HF no_rope_layers; empty tuple = rope everywhere)
+    rope_layers: tuple = ()
+    # glm4: rotary over only the first head_dim*factor dims of each head,
+    # with the pair-interleaved (GPT-J style) rotation convention
+    rope_partial_factor: Optional[float] = None
+    rope_interleaved: bool = False
     # rematerialize each block's activations during backward passes
     # (jax.checkpoint) — the HBM/flops trade for large-model calibration
     # and fine-tuning (the reference toggles HF gradient checkpointing,
@@ -111,13 +118,13 @@ class TransformerConfig:
         mt = hf.get("model_type", "llama")
         if mt not in (
             "llama", "mistral", "qwen2", "qwen3", "gemma", "gemma2", "phi3",
-            "olmo2", "mixtral", "qwen2_moe", "qwen3_moe",
+            "olmo2", "mixtral", "qwen2_moe", "qwen3_moe", "smollm3", "glm4",
         ):
             raise ValueError(
                 f"model_type={mt!r} is outside the supported llama config "
                 "family (llama/mistral/qwen2/qwen3/gemma/gemma2/phi3/"
-                "olmo2/mixtral/qwen2_moe/qwen3_moe); use a models/ zoo "
-                "entry or a custom builder"
+                "olmo2/mixtral/qwen2_moe/qwen3_moe/smollm3/glm4); use a "
+                "models/ zoo entry or a custom builder"
             )
         gemma_like = mt in ("gemma", "gemma2")
         if mt == "phi3":
@@ -174,11 +181,15 @@ class TransformerConfig:
         # the one qkv_bias models — has none), and mlp_bias adds biases to
         # gate/up/down.  Loading such a checkpoint would silently DROP
         # those biases (strict=False import), so refuse loudly instead.
-        if bool(hf.get("attention_bias", False)) and mt != "qwen2":
+        # glm4 puts biases on q/k/v only (Glm4Attention: o_proj bias=False)
+        # — the same layout qwen2 uses, so it is expressible
+        if bool(hf.get("attention_bias", False)) and mt not in (
+            "qwen2", "glm4"
+        ):
             raise ValueError(
                 "attention_bias=True with an o_proj bias is not expressed "
-                "by this decoder (only qwen2's q/k/v-bias layout is); use "
-                "a custom builder"
+                "by this decoder (only the qwen2/glm4 q/k/v-bias layout "
+                "is); use a custom builder"
             )
         if bool(hf.get("mlp_bias", False)):
             raise ValueError(
@@ -230,7 +241,7 @@ class TransformerConfig:
                 # (attention_bias is present but None in its configs)
                 bool(hf.get("qkv_bias", True))
                 if mt == "qwen2_moe"
-                else bool(hf.get("attention_bias", mt == "qwen2"))
+                else bool(hf.get("attention_bias", mt in ("qwen2", "glm4")))
             ),
             tie_embeddings=bool(hf.get("tie_word_embeddings", gemma_like)),
             head_dim_override=override,
@@ -240,7 +251,10 @@ class TransformerConfig:
             qk_norm=qk_norm,
             qk_norm_flat=mt == "olmo2",
             post_norm_only=mt == "olmo2",
-            sandwich_norms=mt == "gemma2",
+            # glm4's block is gemma2's sandwich wiring under different
+            # state-dict key names (post_self_attn/post_mlp_layernorm —
+            # translated on load, hf_loader.translate_glm4_state_dict)
+            sandwich_norms=mt in ("gemma2", "glm4"),
             attn_logit_softcap=(
                 float(hf["attn_logit_softcapping"])
                 if hf.get("attn_logit_softcapping") is not None
@@ -264,6 +278,17 @@ class TransformerConfig:
             mlp_only_layers=mlp_only,
             decoder_sparse_step=sparse_step,
             shared_expert_hidden_dim=shared_hidden,
+            rope_layers=(
+                tuple(int(v) for v in (hf.get("no_rope_layers") or ()))
+                if mt == "smollm3"
+                else ()
+            ),
+            rope_partial_factor=(
+                float(hf.get("partial_rotary_factor", 0.5))
+                if mt == "glm4"
+                else None
+            ),
+            rope_interleaved=mt == "glm4",
             remat=remat,
             dtype=dtype,
         )
@@ -331,11 +356,20 @@ def _rope(
     positions: jax.Array,
     theta: float,
     llama3_scaling: Optional[tuple[float, float, float, int]] = None,
+    partial_dim: Optional[int] = None,
+    interleaved: bool = False,
 ) -> jax.Array:
-    """Rotary embedding, interleaved-half convention (HF llama).
-    x: (B, S, H, hd)."""
-    hd = x.shape[-1]
-    half = hd // 2
+    """Rotary embedding.  Default: split-half convention (HF llama
+    rotate_half).  ``partial_dim`` rotates only the first that many dims of
+    each head (the rest pass through) and ``interleaved`` switches to the
+    pair-interleaved GPT-J convention — together they are glm4's rotary
+    (HF Glm4 apply_rotary_pos_emb: repeat_interleaved cos/sin over the
+    leading partial_rotary_factor*head_dim dims).  x: (B, S, H, hd)."""
+    if partial_dim is not None and partial_dim < x.shape[-1]:
+        xr, xp = x[..., :partial_dim], x[..., partial_dim:]
+    else:
+        xr, xp = x, None
+    half = xr.shape[-1] // 2
     freqs = 1.0 / (
         theta ** (jnp.arange(0, half, dtype=jnp.float32) / half)
     )
@@ -344,12 +378,20 @@ def _rope(
     angles = positions[:, :, None].astype(jnp.float32) * freqs  # (B,S,half)
     cos = jnp.cos(angles)[:, :, None, :]
     sin = jnp.sin(angles)[:, :, None, :]
-    x1, x2 = x[..., :half], x[..., half:]
+    if interleaved:
+        x1, x2 = xr[..., 0::2], xr[..., 1::2]
+    else:
+        x1, x2 = xr[..., :half], xr[..., half:]
     xf1, xf2 = x1.astype(jnp.float32), x2.astype(jnp.float32)
-    out = jnp.concatenate(
-        [xf1 * cos - xf2 * sin, xf2 * cos + xf1 * sin], axis=-1
-    )
-    return out.astype(x.dtype)
+    o1, o2 = xf1 * cos - xf2 * sin, xf2 * cos + xf1 * sin
+    if interleaved:
+        out = jnp.stack([o1, o2], axis=-1).reshape(xr.shape)
+    else:
+        out = jnp.concatenate([o1, o2], axis=-1)
+    out = out.astype(x.dtype)
+    if xp is not None:
+        out = jnp.concatenate([out, xp], axis=-1)
+    return out
 
 
 class Attention(nn.Module):
@@ -370,6 +412,11 @@ class Attention(nn.Module):
     scale_override: Optional[float] = nn.static_field(default=None)
     # llama3.1+: (factor, low_freq_factor, high_freq_factor, original_len)
     rope_llama3_scaling: Optional[tuple] = nn.static_field(default=None)
+    # smollm3 NoPE layers skip rotary entirely
+    use_rope: bool = nn.static_field(default=True)
+    # glm4: rotate only the first rope_partial_dim dims, pair-interleaved
+    rope_partial_dim: Optional[int] = nn.static_field(default=None)
+    rope_interleaved: bool = nn.static_field(default=False)
 
     def __call__(
         self,
@@ -395,8 +442,15 @@ class Attention(nn.Module):
 
         if positions is None:
             positions = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s))
-        q = _rope(q, positions, self.rope_theta, self.rope_llama3_scaling)
-        k = _rope(k, positions, self.rope_theta, self.rope_llama3_scaling)
+        if self.use_rope:
+            q = _rope(
+                q, positions, self.rope_theta, self.rope_llama3_scaling,
+                self.rope_partial_dim, self.rope_interleaved,
+            )
+            k = _rope(
+                k, positions, self.rope_theta, self.rope_llama3_scaling,
+                self.rope_partial_dim, self.rope_interleaved,
+            )
 
         rep = self.n_heads // self.n_kv_heads
         if rep > 1:
@@ -422,9 +476,14 @@ class Attention(nn.Module):
         return self.o_proj(out.reshape(b, s, -1), ctx)
 
     @staticmethod
-    def create(key: jax.Array, cfg: TransformerConfig) -> "Attention":
+    def create(
+        key: jax.Array, cfg: TransformerConfig, layer_idx: int = 0
+    ) -> "Attention":
         ks = jax.random.split(key, 4)
         hd = cfg.head_dim
+        use_rope = True
+        if cfg.rope_layers and layer_idx < len(cfg.rope_layers):
+            use_rope = bool(cfg.rope_layers[layer_idx])
         return Attention(
             q_proj=nn.Linear.create(
                 ks[0], cfg.dim, cfg.n_heads * hd, cfg.qkv_bias, cfg.dtype
@@ -463,6 +522,13 @@ class Attention(nn.Module):
             n_heads=cfg.n_heads,
             n_kv_heads=cfg.n_kv_heads,
             rope_theta=cfg.rope_theta,
+            use_rope=use_rope,
+            rope_partial_dim=(
+                int(hd * cfg.rope_partial_factor)
+                if cfg.rope_partial_factor is not None
+                else None
+            ),
+            rope_interleaved=cfg.rope_interleaved,
         )
 
 
@@ -701,7 +767,7 @@ class Block(nn.Module):
 
         return Block(
             input_layernorm=None if cfg.post_norm_only else norm(),
-            self_attn=Attention.create(k1, cfg),
+            self_attn=Attention.create(k1, cfg, layer_idx),
             post_attention_layernorm=norm(),
             mlp=(
                 MoEMLP.create(k2, cfg)

@@ -398,3 +398,80 @@ def test_olmo2_logits_match_hf():
     native, ncfg = _hf_to_native(hf, cfg.to_dict())
     assert ncfg.post_norm_only and ncfg.qk_norm_flat
     _compare(hf, native, 128, atol=2e-4)
+
+
+def test_smollm3_logits_match_hf():
+    """smollm3 arm: llama graph with per-layer NoPE — no_rope_layers[i]==0
+    disables rotary in layer i (HF SmolLM3Attention.use_rope)."""
+    if not hasattr(transformers, "SmolLM3ForCausalLM"):
+        pytest.skip("transformers without smollm3")
+    cfg = transformers.SmolLM3Config(
+        **_tiny(num_hidden_layers=4, rope_theta=2000000.0),
+        no_rope_layers=[1, 1, 1, 0],
+        pad_token_id=0,
+    )
+    hf = transformers.SmolLM3ForCausalLM(cfg).eval()
+    native, ncfg = _hf_to_native(hf, cfg.to_dict())
+    assert ncfg.rope_layers == (1, 1, 1, 0)
+    assert native.model.layers[3].self_attn.use_rope is False
+    assert native.model.layers[0].self_attn.use_rope is True
+    _compare(hf, native, 128, atol=2e-4)
+
+
+def test_glm4_logits_match_hf():
+    """glm4 arm: gemma2-style sandwich norms under glm4 key names
+    (translated on load), q/k/v biases, fused gate_up split, and
+    pair-interleaved PARTIAL rotary (factor 0.5 of head_dim)."""
+    if not hasattr(transformers, "Glm4ForCausalLM"):
+        pytest.skip("transformers without glm4")
+    cfg = transformers.Glm4Config(
+        **_tiny(num_key_value_heads=2, head_dim=8),
+        partial_rotary_factor=0.5,
+        attention_bias=True,
+        pad_token_id=0,
+    )
+    hf = transformers.Glm4ForCausalLM(cfg).eval()
+    from ptdeco_tpu.models import hf_loader
+
+    sd = {
+        k: v.detach().to(torch.float32).numpy()
+        for k, v in hf.state_dict().items()
+        if not k.endswith("rotary_emb.inv_freq")
+    }
+    sd = hf_loader.translate_glm4_state_dict(sd)
+    ncfg = models.TransformerConfig.from_hf_config(
+        cfg.to_dict(), dtype=jnp.float32
+    )
+    assert ncfg.sandwich_norms and ncfg.qkv_bias
+    assert ncfg.rope_partial_factor == 0.5 and ncfg.rope_interleaved
+    native = models.CausalLM.create(jax.random.PRNGKey(0), ncfg)
+    assert native.model.layers[0].self_attn.rope_partial_dim == 4
+    native = utils.load_state_dict(native, sd, strict=False)
+    _compare(hf, native, 128, atol=2e-4)
+
+
+def test_builder_glm4_checkpoint_path(tmp_path):
+    """End-to-end: a glm4 snapshot dir loads through the generic family
+    path with the sandwich-norm renames + gate_up split applied."""
+    import safetensors.numpy
+
+    from apps.trainer_llm import builder
+
+    cfg = transformers.Glm4Config(
+        **_tiny(num_key_value_heads=2, head_dim=8), pad_token_id=0
+    )
+    hf = transformers.Glm4ForCausalLM(cfg).eval()
+    (tmp_path / "config.json").write_text(cfg.to_json_string())
+    sd = {
+        k: v.detach().to(torch.float32).numpy().copy()
+        for k, v in hf.state_dict().items()
+        if not k.endswith("rotary_emb.inv_freq")
+    }
+    safetensors.numpy.save_file(sd, tmp_path / "model.safetensors")
+
+    model, _ = builder.make_model_and_tokenizer(
+        model_name="someorg/glm4-tiny",
+        dtype="float32",
+        checkpoint_path=str(tmp_path),
+    )
+    _compare(hf, model, 128, atol=2e-4)
