@@ -11,6 +11,7 @@ from .swin import SwinV2, swinv2_small, swinv2_tiny
 from .vit import ViT, vit_base, vit_small, vit_tiny
 from .transformer import (
     Attention,
+    MLAttention,
     Block,
     CausalLM,
     MLP as TransformerMLP,
@@ -45,6 +46,7 @@ __all__ = [
     "vit_small",
     "vit_tiny",
     "Attention",
+    "MLAttention",
     "Block",
     "CausalLM",
     "TransformerMLP",

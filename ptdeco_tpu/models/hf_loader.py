@@ -126,6 +126,32 @@ def translate_glm4_state_dict(
     return out
 
 
+def translate_deepseek_state_dict(
+    sd: dict[str, np.ndarray],
+) -> dict[str, np.ndarray]:
+    """Translate the HF Deepseek V2/V3 checkpoint layout: the ungated
+    always-on expert block is ``mlp.shared_experts`` (plural) -> our
+    qwen2_moe-named ``mlp.shared_expert`` slot, and the v3 router's
+    selection bias buffer ``mlp.gate.e_score_correction_bias`` -> the
+    ``mlp.gate_correction_bias`` leaf (our router gate is a plain Linear
+    that cannot carry a non-weight buffer).  Everything else (MLA
+    projections, experts.N.*) matches field-for-field."""
+    out: dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        if ".mlp.shared_experts." in k:
+            out[k.replace(".mlp.shared_experts.", ".mlp.shared_expert.")] = v
+        elif k.endswith(".mlp.gate.e_score_correction_bias"):
+            out[
+                k.replace(
+                    ".mlp.gate.e_score_correction_bias",
+                    ".mlp.gate_correction_bias",
+                )
+            ] = v
+        else:
+            out[k] = v
+    return out
+
+
 def split_phi3_fused_projections(
     sd: dict[str, np.ndarray], n_heads: int, n_kv_heads: int, head_dim: int
 ) -> dict[str, np.ndarray]:

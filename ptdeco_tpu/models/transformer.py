@@ -84,6 +84,28 @@ class TransformerConfig:
     decoder_sparse_step: int = 1
     # qwen2_moe: always-on shared expert of this width, sigmoid-gated
     shared_expert_hidden_dim: Optional[int] = None
+    # deepseek_v2/v3 multi-head latent attention: kv_lora_rank set
+    # switches Block to MLAttention (latent-compressed KV with a decoupled
+    # per-token rope head); q_lora_rank None = direct q_proj (V2-Lite)
+    q_lora_rank: Optional[int] = None
+    kv_lora_rank: Optional[int] = None
+    qk_rope_head_dim: int = 64
+    qk_nope_head_dim: int = 128
+    v_head_dim: int = 128
+    # deepseek MoE routing flavor on top of the qwen3-style fields above:
+    # sigmoid scores (v3), group-limited expert choice over n_group groups
+    # keeping topk_group (group score = max for v2, top-2 sum for v3's
+    # noaux_tc), a selection-only correction bias (v3), and a scale on the
+    # final combine weights
+    router_score_func: str = "softmax"  # | "sigmoid"
+    router_n_group: int = 0  # 0 = no group limiting
+    router_topk_group: int = 0
+    router_group_top2_sum: bool = False
+    router_correction_bias: bool = False
+    routed_scaling_factor: float = 1.0
+    # qwen2_moe gates the shared expert by sigmoid(dim->1); deepseek's
+    # shared experts are always-on ungated
+    shared_expert_gated: bool = True
     # smollm3: per-layer NoPE — rope_layers[i] == 0 disables rotary in
     # layer i (HF no_rope_layers; empty tuple = rope everywhere)
     rope_layers: tuple = ()
@@ -119,12 +141,22 @@ class TransformerConfig:
         if mt not in (
             "llama", "mistral", "qwen2", "qwen3", "gemma", "gemma2", "phi3",
             "olmo2", "mixtral", "qwen2_moe", "qwen3_moe", "smollm3", "glm4",
+            "deepseek_v2", "deepseek_v3",
         ):
             raise ValueError(
                 f"model_type={mt!r} is outside the supported llama config "
                 "family (llama/mistral/qwen2/qwen3/gemma/gemma2/phi3/"
-                "olmo2/mixtral/qwen2_moe/qwen3_moe/smollm3/glm4); use a "
-                "models/ zoo entry or a custom builder"
+                "olmo2/mixtral/qwen2_moe/qwen3_moe/smollm3/glm4/"
+                "deepseek_v2/deepseek_v3); use a models/ zoo entry or a "
+                "custom builder"
+            )
+        deepseek = mt in ("deepseek_v2", "deepseek_v3")
+        if deepseek and hf.get("rope_scaling") is not None:
+            raise ValueError(
+                "deepseek rope_scaling (yarn) is not implemented; "
+                "decompose within the original context window with "
+                "rope_scaling removed from the config, or use a custom "
+                "builder"
             )
         gemma_like = mt in ("gemma", "gemma2")
         if mt == "phi3":
@@ -164,6 +196,37 @@ class TransformerConfig:
         # selects sparse layers via decoder_sparse_step / mlp_only_layers.
         n_experts, top_k, norm_topk, moe_hidden = 0, 2, True, None
         mlp_only, sparse_step, shared_hidden = (), 1, None
+        score_func, n_group, topk_group = "softmax", 0, 0
+        group_top2, corr_bias, routed_scale, shared_gated = (
+            False, False, 1.0, True,
+        )
+        if deepseek:
+            # HF DeepseekV2MoEGate / DeepseekV3TopkRouter: dense layers are
+            # the first first_k_dense_replace (expressed via
+            # mlp_only_layers), shared experts are ungated at
+            # moe_intermediate_size * n_shared_experts
+            n_experts = int(hf["n_routed_experts"])
+            top_k = int(hf.get("num_experts_per_tok", 8))
+            norm_topk = bool(hf.get("norm_topk_prob", False))
+            moe_hidden = int(hf["moe_intermediate_size"])
+            mlp_only = tuple(range(int(hf.get("first_k_dense_replace", 0))))
+            shared_hidden = moe_hidden * int(hf.get("n_shared_experts") or 1)
+            shared_gated = False
+            routed_scale = float(hf.get("routed_scaling_factor", 1.0))
+            if mt == "deepseek_v3":
+                score_func = "sigmoid"
+                group_top2 = True
+                corr_bias = True
+                n_group = int(hf.get("n_group", 1))
+                topk_group = int(hf.get("topk_group", 1))
+            elif hf.get("topk_method") == "group_limited_greedy":
+                n_group = int(hf.get("n_group", 1))
+                topk_group = int(hf.get("topk_group", 1))
+            elif hf.get("topk_method", "greedy") != "greedy":
+                raise ValueError(
+                    f"deepseek topk_method={hf.get('topk_method')!r} is "
+                    "not implemented"
+                )
         if mt == "mixtral":
             n_experts = int(hf["num_local_experts"])
             top_k = int(hf.get("num_experts_per_tok", 2))
@@ -278,6 +341,22 @@ class TransformerConfig:
             mlp_only_layers=mlp_only,
             decoder_sparse_step=sparse_step,
             shared_expert_hidden_dim=shared_hidden,
+            q_lora_rank=(
+                int(hf["q_lora_rank"])
+                if deepseek and hf.get("q_lora_rank") is not None
+                else None
+            ),
+            kv_lora_rank=int(hf["kv_lora_rank"]) if deepseek else None,
+            qk_rope_head_dim=int(hf.get("qk_rope_head_dim", 64)),
+            qk_nope_head_dim=int(hf.get("qk_nope_head_dim", 128)),
+            v_head_dim=int(hf.get("v_head_dim", 128)),
+            router_score_func=score_func,
+            router_n_group=n_group,
+            router_topk_group=topk_group,
+            router_group_top2_sum=group_top2,
+            router_correction_bias=corr_bias,
+            routed_scaling_factor=routed_scale,
+            shared_expert_gated=shared_gated,
             rope_layers=(
                 tuple(int(v) for v in (hf.get("no_rope_layers") or ()))
                 if mt == "smollm3"
@@ -288,7 +367,12 @@ class TransformerConfig:
                 if mt == "glm4"
                 else None
             ),
-            rope_interleaved=mt == "glm4",
+            rope_interleaved=(
+                mt == "glm4"
+                # v3 configs carry rope_interleave (default true); v2's
+                # complex-pair apply_rotary_emb is always interleaved
+                or (deepseek and bool(hf.get("rope_interleave", True)))
+            ),
             remat=remat,
             dtype=dtype,
         )
@@ -532,6 +616,145 @@ class Attention(nn.Module):
         )
 
 
+class MLAttention(nn.Module):
+    """Deepseek V2/V3 multi-head latent attention (HF DeepseekV2Attention /
+    DeepseekV3Attention; field names match the checkpoint layout).
+
+    Queries go through an optional low-rank bottleneck (q_a_proj ->
+    RMSNorm -> q_b_proj; direct q_proj when q_lora_rank is None, the
+    V2-Lite layout).  Keys/values are compressed to a kv_lora_rank latent
+    plus ONE shared per-token rope head (kv_a_proj_with_mqa), normalized,
+    and expanded per head by kv_b_proj into qk_nope_head_dim key dims and
+    v_head_dim value dims; attention runs over qk_nope+qk_rope dims with
+    1/sqrt(qk_head_dim) scaling while values keep v_head_dim.
+
+    Rope applies only to the decoupled rope dims, pair-interleaved when
+    ``rope_interleaved`` (HF v3 de-interleaves then splits halves; v2
+    rotates complex pairs in place — both are the same pair rotations
+    under a fixed permutation applied to q and k alike, so attention
+    scores are identical; we use the in-place convention).  Yarn scaling
+    is NOT implemented (from_hf_config refuses such configs).
+
+    Every projection (q_a/q_b/kv_a/kv_b/o) is a plain Linear and
+    therefore a dwain/falor site; kv_a_proj_with_mqa and q_a_proj are the
+    model's own low-rank bottlenecks — already-compressed sites the
+    ladder will typically reject, which is the correct outcome."""
+
+    kv_a_proj_with_mqa: nn.Linear
+    kv_a_layernorm: nn.RMSNorm
+    kv_b_proj: nn.Linear
+    o_proj: nn.Linear
+    q_proj: Optional[nn.Linear] = None  # V2-Lite: no q bottleneck
+    q_a_proj: Optional[nn.Linear] = None
+    q_a_layernorm: Optional[nn.RMSNorm] = None
+    q_b_proj: Optional[nn.Linear] = None
+    n_heads: int = nn.static_field(default=8)
+    qk_nope_head_dim: int = nn.static_field(default=128)
+    qk_rope_head_dim: int = nn.static_field(default=64)
+    v_head_dim: int = nn.static_field(default=128)
+    kv_lora_rank: int = nn.static_field(default=512)
+    rope_theta: float = nn.static_field(default=10000.0)
+    rope_interleaved: bool = nn.static_field(default=True)
+
+    def __call__(
+        self,
+        x: jax.Array,
+        ctx: Optional[nn.Ctx] = None,
+        *,
+        positions: Optional[jax.Array] = None,
+        attn_mask: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        b, s, _ = x.shape
+        nope, rope_d = self.qk_nope_head_dim, self.qk_rope_head_dim
+        qk_head = nope + rope_d
+        if self.q_a_proj is not None:
+            q = self.q_b_proj(self.q_a_layernorm(self.q_a_proj(x, ctx)), ctx)
+        else:
+            q = self.q_proj(x, ctx)
+        q = q.reshape(b, s, self.n_heads, qk_head)
+        q_nope, q_pe = q[..., :nope], q[..., nope:]
+
+        ckv = self.kv_a_proj_with_mqa(x, ctx)
+        k_lat, k_pe = ckv[..., : self.kv_lora_rank], ckv[..., self.kv_lora_rank :]
+        kv = self.kv_b_proj(self.kv_a_layernorm(k_lat), ctx)
+        kv = kv.reshape(b, s, self.n_heads, nope + self.v_head_dim)
+        k_nope, v = kv[..., :nope], kv[..., nope:]
+        k_pe = k_pe[:, :, None, :]  # one shared rope head
+
+        if positions is None:
+            positions = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s))
+        q_pe = _rope(
+            q_pe, positions, self.rope_theta, interleaved=self.rope_interleaved
+        )
+        k_pe = _rope(
+            k_pe, positions, self.rope_theta, interleaved=self.rope_interleaved
+        )
+        k_pe = jnp.broadcast_to(k_pe, (b, s, self.n_heads, rope_d))
+
+        qf = jnp.concatenate([q_nope, q_pe], axis=-1)
+        kf = jnp.concatenate([k_nope, k_pe], axis=-1)
+        logits = jnp.einsum(
+            "bqhd,bkhd->bhqk", qf, kf, preferred_element_type=jnp.float32
+        ) * (qk_head ** -0.5)
+        causal = jnp.tril(jnp.ones((s, s), bool))
+        mask = causal[None, None, :, :]
+        if attn_mask is not None:
+            mask = mask & attn_mask[:, None, None, :].astype(bool)
+        logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
+        probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+        return self.o_proj(out.reshape(b, s, -1), ctx)
+
+    @staticmethod
+    def create(key: jax.Array, cfg: TransformerConfig) -> "MLAttention":
+        ks = jax.random.split(key, 5)
+        qk_head = cfg.qk_nope_head_dim + cfg.qk_rope_head_dim
+        if cfg.q_lora_rank is not None:
+            q_kw = dict(
+                q_a_proj=nn.Linear.create(
+                    ks[0], cfg.dim, cfg.q_lora_rank, False, cfg.dtype
+                ),
+                q_a_layernorm=nn.RMSNorm.create(
+                    cfg.q_lora_rank, cfg.norm_eps, cfg.dtype
+                ),
+                q_b_proj=nn.Linear.create(
+                    ks[1], cfg.q_lora_rank, cfg.n_heads * qk_head, False,
+                    cfg.dtype,
+                ),
+            )
+        else:
+            q_kw = dict(
+                q_proj=nn.Linear.create(
+                    ks[0], cfg.dim, cfg.n_heads * qk_head, False, cfg.dtype
+                )
+            )
+        return MLAttention(
+            kv_a_proj_with_mqa=nn.Linear.create(
+                ks[2], cfg.dim, cfg.kv_lora_rank + cfg.qk_rope_head_dim,
+                False, cfg.dtype,
+            ),
+            kv_a_layernorm=nn.RMSNorm.create(
+                cfg.kv_lora_rank, cfg.norm_eps, cfg.dtype
+            ),
+            kv_b_proj=nn.Linear.create(
+                ks[3], cfg.kv_lora_rank,
+                cfg.n_heads * (cfg.qk_nope_head_dim + cfg.v_head_dim),
+                False, cfg.dtype,
+            ),
+            o_proj=nn.Linear.create(
+                ks[4], cfg.n_heads * cfg.v_head_dim, cfg.dim, False, cfg.dtype
+            ),
+            n_heads=cfg.n_heads,
+            qk_nope_head_dim=cfg.qk_nope_head_dim,
+            qk_rope_head_dim=cfg.qk_rope_head_dim,
+            v_head_dim=cfg.v_head_dim,
+            kv_lora_rank=cfg.kv_lora_rank,
+            rope_theta=cfg.rope_theta,
+            rope_interleaved=cfg.rope_interleaved,
+            **q_kw,
+        )
+
+
 class MLP(nn.Module):
     """Gated MLP: SwiGLU (llama/qwen2) or GeGLU-tanh (gemma)."""
 
@@ -606,11 +829,23 @@ class MoEMLP(nn.Module):
 
     gate: nn.Linear  # router: dim -> n_experts
     experts: tuple  # of MLP
-    # qwen2_moe: always-on shared expert, sigmoid-gated by a dim->1 Linear
+    # qwen2_moe: always-on shared expert, sigmoid-gated by a dim->1 Linear;
+    # deepseek: same field UNGATED (shared_expert_gate stays None) — the
+    # checkpoint's plural 'shared_experts' key is renamed on load
     shared_expert: Optional[MLP] = None
     shared_expert_gate: Optional[nn.Linear] = None
+    # deepseek_v3 noaux_tc: per-expert bias added to the scores for expert
+    # SELECTION only (combine weights use the raw scores) — a state-dict
+    # leaf ('gate.e_score_correction_bias' renamed on load)
+    gate_correction_bias: Optional[jax.Array] = None
     top_k: int = nn.static_field(default=2)
     norm_topk: bool = nn.static_field(default=True)
+    # deepseek routing flavor (see TransformerConfig router_* fields)
+    score_func: str = nn.static_field(default="softmax")
+    n_group: int = nn.static_field(default=0)
+    topk_group: int = nn.static_field(default=0)
+    group_top2_sum: bool = nn.static_field(default=False)
+    routed_scaling: float = nn.static_field(default=1.0)
 
     def _experts_are_pristine(self) -> bool:
         """Static (trace-time) check: grouped dispatch requires every
@@ -628,14 +863,50 @@ class MoEMLP(nn.Module):
     def _routing(
         self, x: jax.Array, ctx: Optional[nn.Ctx]
     ) -> tuple[jax.Array, jax.Array]:
-        """Top-k expert ids and combine weights; HF computes the softmax
+        """Top-k expert ids and combine weights; HF computes the scores
         in f32 regardless of activation dtype and casts the (optionally
-        renormalized) top-k weights back."""
+        renormalized) top-k weights back.
+
+        Deepseek extensions on top of the mixtral/qwen softmax-top-k:
+        sigmoid scores (v3), a selection-only correction bias, and
+        group-limited choice (experts partitioned into n_group groups,
+        only the best topk_group groups eligible; group score is the max
+        member for v2's group_limited_greedy, the top-2 sum for v3's
+        noaux_tc); combine weights always come from the RAW scores at the
+        selected indices, scaled by routed_scaling."""
+        n_experts = len(self.experts)
         logits = self.gate(x, ctx).astype(jnp.float32)
-        probs = jax.nn.softmax(logits, axis=-1)
-        top_vals, top_idx = jax.lax.top_k(probs, self.top_k)
+        if self.score_func == "sigmoid":
+            scores = jax.nn.sigmoid(logits)
+        else:
+            scores = jax.nn.softmax(logits, axis=-1)
+        choice = scores
+        if self.gate_correction_bias is not None:
+            choice = choice + self.gate_correction_bias.astype(jnp.float32)
+        if self.n_group > 1:
+            g = choice.reshape(*choice.shape[:-1], self.n_group, -1)
+            if self.group_top2_sum:
+                group_scores = jnp.sum(jax.lax.top_k(g, 2)[0], axis=-1)
+            else:
+                group_scores = jnp.max(g, axis=-1)
+            _, group_idx = jax.lax.top_k(group_scores, self.topk_group)
+            group_mask = jnp.sum(
+                jax.nn.one_hot(group_idx, self.n_group, dtype=jnp.float32),
+                axis=-2,
+            )  # (..., n_group)
+            expert_mask = jnp.repeat(
+                group_mask, n_experts // self.n_group, axis=-1
+            )
+            choice = jnp.where(expert_mask > 0, choice, 0.0)
+        _, top_idx = jax.lax.top_k(choice, self.top_k)
+        top_vals = jnp.take_along_axis(scores, top_idx, axis=-1)
         if self.norm_topk:
-            top_vals = top_vals / jnp.sum(top_vals, axis=-1, keepdims=True)
+            denom = jnp.sum(top_vals, axis=-1, keepdims=True)
+            if self.score_func == "sigmoid":
+                denom = denom + 1e-20  # HF v3 epsilon
+            top_vals = top_vals / denom
+        if self.routed_scaling != 1.0:
+            top_vals = top_vals * jnp.float32(self.routed_scaling)
         return top_vals, top_idx
 
     def _grouped(self, x: jax.Array, ctx: Optional[nn.Ctx]) -> jax.Array:
@@ -681,10 +952,13 @@ class MoEMLP(nn.Module):
         else:
             out = self._dense_masked(x, ctx)
         if self.shared_expert is not None:
-            gate = jax.nn.sigmoid(
-                self.shared_expert_gate(x, ctx).astype(jnp.float32)
-            ).astype(x.dtype)
-            out = out + self.shared_expert(x, ctx) * gate
+            shared = self.shared_expert(x, ctx)
+            if self.shared_expert_gate is not None:  # qwen2_moe
+                gate = jax.nn.sigmoid(
+                    self.shared_expert_gate(x, ctx).astype(jnp.float32)
+                ).astype(x.dtype)
+                shared = shared * gate
+            out = out + shared  # deepseek: ungated always-on
         return out
 
     @staticmethod
@@ -699,7 +973,10 @@ class MoEMLP(nn.Module):
                 cfg, hidden_dim=cfg.shared_expert_hidden_dim
             )
             shared = MLP.create(ks[-2], shared_cfg)
-            shared_gate = nn.Linear.create(ks[-1], cfg.dim, 1, False, cfg.dtype)
+            if cfg.shared_expert_gated:
+                shared_gate = nn.Linear.create(
+                    ks[-1], cfg.dim, 1, False, cfg.dtype
+                )
         return MoEMLP(
             gate=nn.Linear.create(ks[0], cfg.dim, cfg.n_experts, False, cfg.dtype),
             experts=tuple(
@@ -707,8 +984,18 @@ class MoEMLP(nn.Module):
             ),
             shared_expert=shared,
             shared_expert_gate=shared_gate,
+            gate_correction_bias=(
+                jnp.zeros((cfg.n_experts,), jnp.float32)
+                if cfg.router_correction_bias
+                else None
+            ),
             top_k=cfg.n_experts_per_tok,
             norm_topk=cfg.norm_topk_prob,
+            score_func=cfg.router_score_func,
+            n_group=cfg.router_n_group,
+            topk_group=cfg.router_topk_group,
+            group_top2_sum=cfg.router_group_top2_sum,
+            routed_scaling=cfg.routed_scaling_factor,
         )
 
 
@@ -767,7 +1054,11 @@ class Block(nn.Module):
 
         return Block(
             input_layernorm=None if cfg.post_norm_only else norm(),
-            self_attn=Attention.create(k1, cfg, layer_idx),
+            self_attn=(
+                MLAttention.create(k1, cfg)
+                if cfg.kv_lora_rank is not None
+                else Attention.create(k1, cfg, layer_idx)
+            ),
             post_attention_layernorm=norm(),
             mlp=(
                 MoEMLP.create(k2, cfg)

@@ -475,3 +475,119 @@ def test_builder_glm4_checkpoint_path(tmp_path):
         checkpoint_path=str(tmp_path),
     )
     _compare(hf, model, 128, atol=2e-4)
+
+
+def test_deepseek_v3_logits_match_hf():
+    """deepseek_v3 arm: MLA (q bottleneck + latent KV + decoupled
+    interleaved rope head), sigmoid noaux_tc routing (nonzero correction
+    bias steering SELECTION while combine weights stay raw-score),
+    group-limited top-k with top-2-sum group scores, routed scaling,
+    ungated shared experts, and first_k_dense_replace dense layers."""
+    if not hasattr(transformers, "DeepseekV3ForCausalLM"):
+        pytest.skip("transformers without deepseek_v3")
+    cfg = transformers.DeepseekV3Config(
+        vocab_size=128,
+        hidden_size=32,
+        intermediate_size=48,
+        moe_intermediate_size=16,
+        num_hidden_layers=3,
+        num_attention_heads=4,
+        num_key_value_heads=4,
+        q_lora_rank=24,
+        kv_lora_rank=16,
+        qk_rope_head_dim=4,
+        qk_nope_head_dim=8,
+        v_head_dim=8,
+        n_routed_experts=8,
+        n_shared_experts=2,
+        num_experts_per_tok=3,
+        n_group=4,
+        topk_group=2,
+        routed_scaling_factor=2.5,
+        norm_topk_prob=True,
+        first_k_dense_replace=1,
+        max_position_embeddings=64,
+        rope_scaling=None,
+        pad_token_id=0,
+    )
+    hf = transformers.DeepseekV3ForCausalLM(cfg).eval()
+    # the correction bias ships as a zero buffer; randomize it so the
+    # selection-vs-weighting split is actually exercised
+    with torch.no_grad():
+        for layer in hf.model.layers[cfg.first_k_dense_replace:]:
+            layer.mlp.gate.e_score_correction_bias.normal_(0.0, 0.5)
+    from ptdeco_tpu.models import hf_loader
+
+    sd = {
+        k: v.detach().to(torch.float32).numpy()
+        for k, v in hf.state_dict().items()
+        if not k.endswith("rotary_emb.inv_freq")
+    }
+    sd = hf_loader.translate_deepseek_state_dict(sd)
+    ncfg = models.TransformerConfig.from_hf_config(
+        cfg.to_dict(), dtype=jnp.float32
+    )
+    assert ncfg.kv_lora_rank == 16 and ncfg.q_lora_rank == 24
+    assert ncfg.router_score_func == "sigmoid" and ncfg.router_correction_bias
+    assert ncfg.mlp_only_layers == (0,) and not ncfg.shared_expert_gated
+    native = models.CausalLM.create(jax.random.PRNGKey(0), ncfg)
+    assert isinstance(native.model.layers[0].self_attn, models.MLAttention)
+    moe = native.model.layers[1].mlp
+    assert isinstance(moe, models.MoEMLP) and moe.shared_expert_gate is None
+    native = utils.load_state_dict(native, sd, strict=False)
+    assert np.abs(
+        np.asarray(native.model.layers[1].mlp.gate_correction_bias)
+    ).max() > 0  # the randomized buffer actually landed
+    _compare(hf, native, 128, atol=3e-4)
+
+
+def test_deepseek_v2_logits_match_hf():
+    """deepseek_v2 arm: V2-Lite-style direct q_proj (no q bottleneck),
+    softmax scores with group_limited_greedy (max-member group scores),
+    no top-k renormalization."""
+    if not hasattr(transformers, "DeepseekV2ForCausalLM"):
+        pytest.skip("transformers without deepseek_v2")
+    cfg = transformers.DeepseekV2Config(
+        vocab_size=128,
+        hidden_size=32,
+        intermediate_size=48,
+        moe_intermediate_size=16,
+        num_hidden_layers=3,
+        num_attention_heads=4,
+        num_key_value_heads=4,
+        q_lora_rank=None,
+        kv_lora_rank=16,
+        qk_rope_head_dim=4,
+        qk_nope_head_dim=8,
+        v_head_dim=8,
+        n_routed_experts=8,
+        n_shared_experts=1,
+        num_experts_per_tok=2,
+        topk_method="group_limited_greedy",
+        n_group=4,
+        topk_group=2,
+        routed_scaling_factor=1.0,
+        norm_topk_prob=False,
+        first_k_dense_replace=1,
+        max_position_embeddings=64,
+        rope_scaling=None,
+        pad_token_id=0,
+    )
+    hf = transformers.DeepseekV2ForCausalLM(cfg).eval()
+    from ptdeco_tpu.models import hf_loader
+
+    sd = {
+        k: v.detach().to(torch.float32).numpy()
+        for k, v in hf.state_dict().items()
+        if not k.endswith("rotary_emb.inv_freq")
+    }
+    sd = hf_loader.translate_deepseek_state_dict(sd)
+    ncfg = models.TransformerConfig.from_hf_config(
+        cfg.to_dict(), dtype=jnp.float32
+    )
+    assert ncfg.q_lora_rank is None and ncfg.router_score_func == "softmax"
+    assert ncfg.router_n_group == 4 and not ncfg.router_group_top2_sum
+    native = models.CausalLM.create(jax.random.PRNGKey(0), ncfg)
+    assert native.model.layers[0].self_attn.q_proj is not None
+    native = utils.load_state_dict(native, sd, strict=False)
+    _compare(hf, native, 128, atol=3e-4)

@@ -18,7 +18,9 @@ import jax.numpy as jnp
 torch = pytest.importorskip("torch")
 transformers = pytest.importorskip("transformers")
 
-from ptdeco_tpu import engine, models, utils
+import dataclasses
+
+from ptdeco_tpu import dwain, engine, models, utils
 from ptdeco_tpu.models import hf_loader
 
 torch.set_num_threads(1)
@@ -280,4 +282,84 @@ def test_moe_decompose_and_roundtrip():
     b = next(batches(3))
     np.testing.assert_allclose(
         np.asarray(model2(b)), np.asarray(fresh(b)), atol=2e-5
+    )
+
+
+def test_deepseek_routing_grouped_and_dense_agree():
+    """The grouped ragged_dot fast path must honor the full deepseek_v3
+    routing flavor (sigmoid scores, selection-only correction bias,
+    group-limited choice, routed scaling) identically to the dense path."""
+    cfg = models.TransformerConfig(
+        vocab_size=64, dim=16, n_layers=1, n_heads=2, n_kv_heads=2,
+        hidden_dim=32, n_experts=8, n_experts_per_tok=3,
+        router_score_func="sigmoid", router_n_group=4, router_topk_group=2,
+        router_group_top2_sum=True, router_correction_bias=True,
+        routed_scaling_factor=2.5, norm_topk_prob=True,
+        moe_hidden_dim=16, dtype=jnp.float32,
+    )
+    moe = models.MoEMLP.create(jax.random.PRNGKey(0), cfg)
+    moe = dataclasses.replace(
+        moe,
+        gate_correction_bias=jax.random.normal(
+            jax.random.PRNGKey(9), (8,), jnp.float32
+        ),
+    )
+    assert moe._experts_are_pristine()
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 6, 16), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(moe(x)), np.asarray(moe._dense_masked(x, None)), atol=1e-5
+    )
+
+
+def test_deepseek_style_decompose_roundtrip():
+    """A native MLA + deepseek-MoE model walks through dwain end-to-end:
+    MLA projections and expert/shared-expert projections are sites, the
+    decomposed model round-trips through config + state dict (including
+    the gate_correction_bias leaf)."""
+    cfg = models.TransformerConfig(
+        vocab_size=64, dim=32, n_layers=2, n_heads=4, n_kv_heads=4,
+        hidden_dim=48, kv_lora_rank=16, q_lora_rank=24,
+        qk_rope_head_dim=4, qk_nope_head_dim=8, v_head_dim=8,
+        n_experts=4, n_experts_per_tok=2, router_score_func="sigmoid",
+        router_n_group=2, router_topk_group=1, router_group_top2_sum=True,
+        router_correction_bias=True, routed_scaling_factor=2.5,
+        shared_expert_hidden_dim=32, shared_expert_gated=False,
+        moe_hidden_dim=16, mlp_only_layers=(0,), norm_topk_prob=True,
+        dtype=jnp.float32,
+    )
+    model = models.CausalLM.create(jax.random.PRNGKey(0), cfg)
+
+    def data_iter():
+        key = jax.random.PRNGKey(1)
+        while True:
+            key, sub = jax.random.split(key)
+            yield {
+                "input_ids": jax.random.randint(sub, (2, 16), 0, 64),
+            }
+
+    it = data_iter()
+    new_model, dconfig = dwain.decompose(
+        module=model,
+        data_iterator=it,
+        loss_fn=models.ce_loss,
+        num_data_steps=2,
+        metric_iterator=it,
+        num_metric_steps=1,
+        nsr_final_threshold=0.9,
+        min_rank=2,
+        trade_off_factor=1000.0,
+        max_accepted_ppl_diff=10.0,
+        blacklisted_module_names=["lm_head"],
+    )
+    assert dconfig, "nothing decomposed"
+    # MLA sites participate
+    assert any(".self_attn." in k for k in dconfig)
+    sd = utils.state_dict(new_model)
+    assert "model.layers.1.mlp.gate_correction_bias" in sd
+    model2 = models.CausalLM.create(jax.random.PRNGKey(7), cfg)
+    model2 = utils.apply_decompose_config(model2, dconfig)
+    model2 = utils.load_state_dict(model2, sd)
+    batch = next(it)
+    np.testing.assert_allclose(
+        np.asarray(new_model(batch)), np.asarray(model2(batch)), atol=1e-5
     )
