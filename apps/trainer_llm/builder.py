@@ -171,6 +171,8 @@ def make_model_and_tokenizer(
                 translator = hf_loader.translate_glm4_state_dict
             elif hf_cfg2.get("model_type") in ("deepseek_v2", "deepseek_v3"):
                 translator = hf_loader.translate_deepseek_state_dict
+            elif hf_cfg2.get("model_type") == "gpt_oss":
+                translator = hf_loader.translate_gpt_oss_state_dict
 
         model = hf_loader.load_into_causal_lm(
             model, checkpoint_path, key_translator=translator

@@ -152,6 +152,57 @@ def translate_deepseek_state_dict(
     return out
 
 
+def translate_gpt_oss_state_dict(
+    sd: dict[str, np.ndarray],
+) -> dict[str, np.ndarray]:
+    """Translate the HF GptOss checkpoint layout into per-expert Linears:
+
+    * ``mlp.router.{weight,bias}`` -> ``mlp.gate.{weight,bias}``
+    * ``mlp.experts.gate_up_proj``  (E, d, 2h) with gate/up INTERLEAVED in
+      the last dim (HF GptOssExperts: gate = [..., ::2], up = [..., 1::2])
+      -> per-expert ``experts.N.gate_proj.weight`` / ``up_proj.weight`` in
+      torch (out, in) layout, plus the matching de-interleaved biases
+    * ``mlp.experts.down_proj`` (E, h, d) + bias -> per-expert
+      ``experts.N.down_proj.{weight,bias}``
+    * ``self_attn.sinks`` passes through (a bare leaf on Attention)
+    """
+    out: dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        if ".mlp.router." in k:
+            out[k.replace(".mlp.router.", ".mlp.gate.")] = v
+        elif k.endswith(".mlp.experts.gate_up_proj"):
+            stem = k[: -len("gate_up_proj")]
+            for e in range(v.shape[0]):
+                out[f"{stem}{e}.gate_proj.weight"] = np.ascontiguousarray(
+                    v[e][:, 0::2].T
+                )
+                out[f"{stem}{e}.up_proj.weight"] = np.ascontiguousarray(
+                    v[e][:, 1::2].T
+                )
+        elif k.endswith(".mlp.experts.gate_up_proj_bias"):
+            stem = k[: -len("gate_up_proj_bias")]
+            for e in range(v.shape[0]):
+                out[f"{stem}{e}.gate_proj.bias"] = np.ascontiguousarray(
+                    v[e][0::2]
+                )
+                out[f"{stem}{e}.up_proj.bias"] = np.ascontiguousarray(
+                    v[e][1::2]
+                )
+        elif k.endswith(".mlp.experts.down_proj"):
+            stem = k[: -len("down_proj")]
+            for e in range(v.shape[0]):
+                out[f"{stem}{e}.down_proj.weight"] = np.ascontiguousarray(
+                    v[e].T
+                )
+        elif k.endswith(".mlp.experts.down_proj_bias"):
+            stem = k[: -len("down_proj_bias")]
+            for e in range(v.shape[0]):
+                out[f"{stem}{e}.down_proj.bias"] = np.ascontiguousarray(v[e])
+        else:
+            out[k] = v
+    return out
+
+
 def split_phi3_fused_projections(
     sd: dict[str, np.ndarray], n_heads: int, n_kv_heads: int, head_dim: int
 ) -> dict[str, np.ndarray]:

@@ -22,6 +22,7 @@ from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .. import nn
 
@@ -106,6 +107,21 @@ class TransformerConfig:
     # qwen2_moe gates the shared expert by sigmoid(dim->1); deepseek's
     # shared experts are always-on ungated
     shared_expert_gated: bool = True
+    # gpt_oss: per-head learned attention-sink logits, sliding-window
+    # attention on the layers layer_types marks "sliding_attention",
+    # biases on ALL FOUR attention projections, a router that softmaxes
+    # over the top-k LOGITS (with a router bias), clamped-swiglu experts
+    # with biases, and yarn rope
+    attn_sinks: bool = False
+    sliding_window: Optional[int] = None
+    layer_types: tuple = ()
+    o_proj_bias: bool = False
+    router_bias: bool = False
+    router_softmax_after_topk: bool = False
+    moe_clamp_limit: Optional[float] = None  # 7.0 for gpt-oss
+    # precomputed yarn rotary: (inv_freq tuple, attention_factor) — cos/sin
+    # are scaled by attention_factor (HF _compute_yarn_parameters)
+    rope_yarn: Optional[tuple] = None
     # smollm3: per-layer NoPE — rope_layers[i] == 0 disables rotary in
     # layer i (HF no_rope_layers; empty tuple = rope everywhere)
     rope_layers: tuple = ()
@@ -141,14 +157,14 @@ class TransformerConfig:
         if mt not in (
             "llama", "mistral", "qwen2", "qwen3", "gemma", "gemma2", "phi3",
             "olmo2", "mixtral", "qwen2_moe", "qwen3_moe", "smollm3", "glm4",
-            "deepseek_v2", "deepseek_v3",
+            "deepseek_v2", "deepseek_v3", "gpt_oss",
         ):
             raise ValueError(
                 f"model_type={mt!r} is outside the supported llama config "
                 "family (llama/mistral/qwen2/qwen3/gemma/gemma2/phi3/"
                 "olmo2/mixtral/qwen2_moe/qwen3_moe/smollm3/glm4/"
-                "deepseek_v2/deepseek_v3); use a models/ zoo entry or a "
-                "custom builder"
+                "deepseek_v2/deepseek_v3/gpt_oss); use a models/ zoo "
+                "entry or a custom builder"
             )
         deepseek = mt in ("deepseek_v2", "deepseek_v3")
         if deepseek and hf.get("rope_scaling") is not None:
@@ -227,7 +243,16 @@ class TransformerConfig:
                     f"deepseek topk_method={hf.get('topk_method')!r} is "
                     "not implemented"
                 )
-        if mt == "mixtral":
+        if mt == "gpt_oss":
+            # HF GptOssExperts/GptOssTopKRouter: every layer is MoE,
+            # experts carry biases and the clamped swiglu, the router has
+            # a bias and softmaxes over the top-k logits.  The fused
+            # (E, d, 2h) checkpoint layout is split per expert on load
+            # (hf_loader.translate_gpt_oss_state_dict).
+            n_experts = int(hf["num_local_experts"])
+            top_k = int(hf.get("num_experts_per_tok", 4))
+            moe_hidden = int(hf["intermediate_size"])
+        elif mt == "mixtral":
             n_experts = int(hf["num_local_experts"])
             top_k = int(hf.get("num_experts_per_tok", 2))
         elif mt in ("qwen2_moe", "qwen3_moe"):
@@ -247,7 +272,7 @@ class TransformerConfig:
         # glm4 puts biases on q/k/v only (Glm4Attention: o_proj bias=False)
         # — the same layout qwen2 uses, so it is expressible
         if bool(hf.get("attention_bias", False)) and mt not in (
-            "qwen2", "glm4"
+            "qwen2", "glm4", "gpt_oss"
         ):
             raise ValueError(
                 "attention_bias=True with an o_proj bias is not expressed "
@@ -264,6 +289,7 @@ class TransformerConfig:
         # wrong without it); other types are refused loudly rather than
         # silently ignored
         rope_llama3 = None
+        rope_yarn = None
         rs = hf.get("rope_scaling")
         if rs is not None and mt != "phi3":
             rtype = rs.get("rope_type", rs.get("type"))
@@ -274,15 +300,31 @@ class TransformerConfig:
                     float(rs.get("high_freq_factor", 4.0)),
                     int(rs.get("original_max_position_embeddings", 8192)),
                 )
+            elif rtype == "yarn":
+                yarn_dim = (
+                    int(head_dim)
+                    if head_dim is not None
+                    else dim // n_heads
+                )
+                rope_yarn = yarn_parameters(
+                    yarn_dim,
+                    float(hf.get("rope_theta", 10000.0)),
+                    rs,
+                    int(hf.get("max_position_embeddings", 4096)),
+                )
             elif rtype in (None, "default"):
                 pass
             else:
                 raise ValueError(
                     f"rope_scaling type {rtype!r} is not implemented "
-                    "(only 'llama3'); use a custom builder"
+                    "(only 'llama3' and 'yarn'); use a custom builder"
                 )
         sliding = hf.get("sliding_window")
-        if sliding is not None and hf.get("use_sliding_window", True):
+        if (
+            sliding is not None
+            and hf.get("use_sliding_window", True)
+            and mt != "gpt_oss"  # implemented per layer_types for gpt_oss
+        ):
             # vanilla causal attention is exact for seqlen <= window; the
             # calibration loaders cap max_seqlen, so just surface it
             logger.info(
@@ -304,7 +346,9 @@ class TransformerConfig:
                 # (attention_bias is present but None in its configs)
                 bool(hf.get("qkv_bias", True))
                 if mt == "qwen2_moe"
-                else bool(hf.get("attention_bias", mt in ("qwen2", "glm4")))
+                else bool(
+                    hf.get("attention_bias", mt in ("qwen2", "glm4", "gpt_oss"))
+                )
             ),
             tie_embeddings=bool(hf.get("tie_word_embeddings", gemma_like)),
             head_dim_override=override,
@@ -362,6 +406,26 @@ class TransformerConfig:
                 if mt == "smollm3"
                 else ()
             ),
+            attn_sinks=mt == "gpt_oss",
+            sliding_window=(
+                int(sliding) if mt == "gpt_oss" and sliding else None
+            ),
+            layer_types=(
+                tuple(hf.get("layer_types") or ())
+                if mt == "gpt_oss"
+                else ()
+            ),
+            o_proj_bias=(
+                mt == "gpt_oss" and bool(hf.get("attention_bias", True))
+            ),
+            router_bias=mt == "gpt_oss",
+            router_softmax_after_topk=mt == "gpt_oss",
+            moe_clamp_limit=(
+                float(hf.get("swiglu_limit", 7.0))
+                if mt == "gpt_oss"
+                else None
+            ),
+            rope_yarn=rope_yarn,
             rope_partial_factor=(
                 float(hf.get("partial_rotary_factor", 0.5))
                 if mt == "glm4"
@@ -435,6 +499,68 @@ def _llama3_scale_freqs(
     return jnp.where(is_medium, smoothed, scaled)
 
 
+def yarn_parameters(
+    head_dim: int, theta: float, scaling: dict, max_pos: int
+) -> tuple[tuple, float]:
+    """Yarn inverse frequencies + attention factor, mirroring HF
+    _compute_yarn_parameters (transformers modeling_rope_utils): low
+    frequencies are interpolated by ``factor``, high frequencies
+    extrapolated unchanged, with a linear ramp between the beta_fast /
+    beta_slow rotation boundaries; cos/sin are scaled by the attention
+    factor (0.1·mscale·ln(factor)+1 unless given).  Returned as plain
+    floats so the result can live in a static (hashable) module field."""
+    import math
+
+    factor = float(scaling["factor"])
+    attention_factor = scaling.get("attention_factor")
+    mscale = scaling.get("mscale")
+    mscale_all_dim = scaling.get("mscale_all_dim")
+    original_max = int(
+        scaling.get("original_max_position_embeddings") or max_pos
+    )
+
+    def get_mscale(scale: float, m: float = 1.0) -> float:
+        return 0.1 * m * math.log(scale) + 1.0 if scale > 1 else 1.0
+
+    if attention_factor is None:
+        if mscale and mscale_all_dim:
+            attention_factor = get_mscale(factor, mscale) / get_mscale(
+                factor, mscale_all_dim
+            )
+        else:
+            attention_factor = get_mscale(factor)
+    beta_fast = float(scaling.get("beta_fast") or 32.0)
+    beta_slow = float(scaling.get("beta_slow") or 1.0)
+    truncate = bool(scaling.get("truncate", True))
+
+    def correction_dim(num_rotations: float) -> float:
+        return (
+            head_dim
+            * math.log(original_max / (num_rotations * 2 * math.pi))
+        ) / (2 * math.log(theta))
+
+    low, high = correction_dim(beta_fast), correction_dim(beta_slow)
+    if truncate:
+        low, high = math.floor(low), math.ceil(high)
+    low, high = max(low, 0.0), min(high, head_dim - 1)
+    if low == high:
+        high += 0.001
+    pos_freqs = np.asarray(
+        [theta ** (2 * i / head_dim) for i in range(head_dim // 2)],
+        np.float64,
+    )
+    extrap = 1.0 / pos_freqs
+    interp = 1.0 / (factor * pos_freqs)
+    ramp = np.clip(
+        (np.arange(head_dim // 2, dtype=np.float64) - low) / (high - low),
+        0.0,
+        1.0,
+    )
+    extrap_factor = 1.0 - ramp
+    inv_freq = interp * (1 - extrap_factor) + extrap * extrap_factor
+    return tuple(float(v) for v in inv_freq), float(attention_factor)
+
+
 def _rope(
     x: jax.Array,
     positions: jax.Array,
@@ -442,6 +568,7 @@ def _rope(
     llama3_scaling: Optional[tuple[float, float, float, int]] = None,
     partial_dim: Optional[int] = None,
     interleaved: bool = False,
+    yarn: Optional[tuple] = None,
 ) -> jax.Array:
     """Rotary embedding.  Default: split-half convention (HF llama
     rotate_half).  ``partial_dim`` rotates only the first that many dims of
@@ -454,14 +581,19 @@ def _rope(
     else:
         xr, xp = x, None
     half = xr.shape[-1] // 2
-    freqs = 1.0 / (
-        theta ** (jnp.arange(0, half, dtype=jnp.float32) / half)
-    )
+    attn_factor = 1.0
+    if yarn is not None:
+        inv_freq, attn_factor = yarn
+        freqs = jnp.asarray(inv_freq, jnp.float32)
+    else:
+        freqs = 1.0 / (
+            theta ** (jnp.arange(0, half, dtype=jnp.float32) / half)
+        )
     if llama3_scaling is not None:
         freqs = _llama3_scale_freqs(freqs, llama3_scaling)
     angles = positions[:, :, None].astype(jnp.float32) * freqs  # (B,S,half)
-    cos = jnp.cos(angles)[:, :, None, :]
-    sin = jnp.sin(angles)[:, :, None, :]
+    cos = jnp.cos(angles)[:, :, None, :] * attn_factor
+    sin = jnp.sin(angles)[:, :, None, :] * attn_factor
     if interleaved:
         x1, x2 = xr[..., 0::2], xr[..., 1::2]
     else:
@@ -487,6 +619,8 @@ class Attention(nn.Module):
     # over the whole projection, see qk_norm_flat), pre-RoPE
     q_norm: Optional[nn.RMSNorm] = None
     k_norm: Optional[nn.RMSNorm] = None
+    # gpt_oss: learned per-head sink logit joining the softmax denominator
+    sinks: Optional[jax.Array] = None
     qk_norm_flat: bool = nn.static_field(default=False)
     n_heads: int = nn.static_field(default=8)
     n_kv_heads: int = nn.static_field(default=8)
@@ -501,6 +635,10 @@ class Attention(nn.Module):
     # glm4: rotate only the first rope_partial_dim dims, pair-interleaved
     rope_partial_dim: Optional[int] = nn.static_field(default=None)
     rope_interleaved: bool = nn.static_field(default=False)
+    # yarn: (inv_freq floats, attention_factor) — see yarn_parameters
+    rope_yarn: Optional[tuple] = nn.static_field(default=None)
+    # gpt_oss sliding layers: attend only to the last `sliding_window` keys
+    sliding_window: Optional[int] = nn.static_field(default=None)
 
     def __call__(
         self,
@@ -530,10 +668,12 @@ class Attention(nn.Module):
             q = _rope(
                 q, positions, self.rope_theta, self.rope_llama3_scaling,
                 self.rope_partial_dim, self.rope_interleaved,
+                self.rope_yarn,
             )
             k = _rope(
                 k, positions, self.rope_theta, self.rope_llama3_scaling,
                 self.rope_partial_dim, self.rope_interleaved,
+                self.rope_yarn,
             )
 
         rep = self.n_heads // self.n_kv_heads
@@ -551,11 +691,27 @@ class Attention(nn.Module):
             cap = jnp.float32(self.logit_softcap)
             logits = cap * jnp.tanh(logits / cap)
         causal = jnp.tril(jnp.ones((s, s), bool))
+        if self.sliding_window is not None:
+            # attend only to keys within the window: q - k < window
+            # (HF sliding_window_overlay convention, self included)
+            idx = jnp.arange(s)
+            causal = causal & (idx[:, None] - idx[None, :] < self.sliding_window)
         mask = causal[None, None, :, :]
         if attn_mask is not None:
             mask = mask & attn_mask[:, None, None, :].astype(bool)
         logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
-        probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+        if self.sinks is not None:
+            # gpt_oss: a learned per-head logit competes in the softmax
+            # denominator and its probability mass is then discarded
+            sink = jnp.broadcast_to(
+                self.sinks.astype(jnp.float32)[None, :, None, None],
+                (b, logits.shape[1], s, 1),
+            )
+            probs = jax.nn.softmax(
+                jnp.concatenate([logits, sink], axis=-1), axis=-1
+            )[..., :-1].astype(x.dtype)
+        else:
+            probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
         return self.o_proj(out.reshape(b, s, -1), ctx)
 
@@ -579,7 +735,12 @@ class Attention(nn.Module):
                 ks[2], cfg.dim, cfg.n_kv_heads * hd, cfg.qkv_bias, cfg.dtype
             ),
             o_proj=nn.Linear.create(
-                ks[3], cfg.n_heads * hd, cfg.dim, False, cfg.dtype
+                ks[3], cfg.n_heads * hd, cfg.dim, cfg.o_proj_bias, cfg.dtype
+            ),
+            sinks=(
+                jnp.zeros((cfg.n_heads,), cfg.dtype)
+                if cfg.attn_sinks
+                else None
             ),
             logit_softcap=cfg.attn_logit_softcap,
             scale_override=cfg.query_scale_override,
@@ -613,6 +774,16 @@ class Attention(nn.Module):
                 else None
             ),
             rope_interleaved=cfg.rope_interleaved,
+            rope_yarn=cfg.rope_yarn,
+            sliding_window=(
+                cfg.sliding_window
+                if (
+                    cfg.layer_types
+                    and layer_idx < len(cfg.layer_types)
+                    and cfg.layer_types[layer_idx] == "sliding_attention"
+                )
+                else None
+            ),
         )
 
 
@@ -756,15 +927,24 @@ class MLAttention(nn.Module):
 
 
 class MLP(nn.Module):
-    """Gated MLP: SwiGLU (llama/qwen2) or GeGLU-tanh (gemma)."""
+    """Gated MLP: SwiGLU (llama/qwen2), GeGLU-tanh (gemma), or gpt_oss's
+    clamped swiglu (act "gptoss_glu": gate clamped above at clamp_limit,
+    up clamped to ±clamp_limit, glu = gate·sigmoid(1.702·gate), output
+    (up+1)·glu — HF GptOssExperts with its hardcoded alpha)."""
 
     gate_proj: nn.Linear
     up_proj: nn.Linear
     down_proj: nn.Linear
     act: str = nn.static_field(default="silu")
+    clamp_limit: float = nn.static_field(default=7.0)
 
     def __call__(self, x: jax.Array, ctx: Optional[nn.Ctx] = None) -> jax.Array:
         g = self.gate_proj(x, ctx)
+        if self.act == "gptoss_glu":
+            u = jnp.clip(self.up_proj(x, ctx), -self.clamp_limit, self.clamp_limit)
+            g = jnp.minimum(g, self.clamp_limit)
+            glu = g * jax.nn.sigmoid(1.702 * g)
+            return self.down_proj((u + 1.0) * glu, ctx)
         if self.act == "gelu_tanh":
             g = jax.nn.gelu(g, approximate=True)
         else:
@@ -774,11 +954,17 @@ class MLP(nn.Module):
     @staticmethod
     def create(key: jax.Array, cfg: TransformerConfig) -> "MLP":
         ks = jax.random.split(key, 3)
+        act = cfg.mlp_act
+        bias = False
+        if cfg.moe_clamp_limit is not None:
+            act = "gptoss_glu"
+            bias = True  # gpt_oss experts carry biases on all projections
         return MLP(
-            gate_proj=nn.Linear.create(ks[0], cfg.dim, cfg.hidden_dim, False, cfg.dtype),
-            up_proj=nn.Linear.create(ks[1], cfg.dim, cfg.hidden_dim, False, cfg.dtype),
-            down_proj=nn.Linear.create(ks[2], cfg.hidden_dim, cfg.dim, False, cfg.dtype),
-            act=cfg.mlp_act,
+            gate_proj=nn.Linear.create(ks[0], cfg.dim, cfg.hidden_dim, bias, cfg.dtype),
+            up_proj=nn.Linear.create(ks[1], cfg.dim, cfg.hidden_dim, bias, cfg.dtype),
+            down_proj=nn.Linear.create(ks[2], cfg.hidden_dim, cfg.dim, bias, cfg.dtype),
+            act=act,
+            clamp_limit=cfg.moe_clamp_limit if cfg.moe_clamp_limit is not None else 7.0,
         )
 
 
@@ -846,18 +1032,28 @@ class MoEMLP(nn.Module):
     topk_group: int = nn.static_field(default=0)
     group_top2_sum: bool = nn.static_field(default=False)
     routed_scaling: float = nn.static_field(default=1.0)
+    # gpt_oss: top-k on the raw router logits, softmax over just those k
+    softmax_after_topk: bool = nn.static_field(default=False)
 
     def _experts_are_pristine(self) -> bool:
         """Static (trace-time) check: grouped dispatch requires every
         expert projection to be an exact-type plain Linear — tap wrappers,
         decomposed factor pairs, and LoRA wrappers all fail this and fall
-        back to the zero-masked dense path."""
+        back to the zero-masked dense path.  Biases (gpt_oss) are fine as
+        long as their presence is uniform across experts (the grouped path
+        stacks them per slot)."""
+        bias_sig = None
         for e in self.experts:
             if type(e) is not MLP:
                 return False
-            for p in (e.gate_proj, e.up_proj, e.down_proj):
-                if type(p) is not nn.Linear or p.bias is not None:
-                    return False
+            projs = (e.gate_proj, e.up_proj, e.down_proj)
+            if any(type(p) is not nn.Linear for p in projs):
+                return False
+            sig = tuple(p.bias is not None for p in projs)
+            if bias_sig is None:
+                bias_sig = sig
+            elif sig != bias_sig:
+                return False
         return True
 
     def _routing(
@@ -876,6 +1072,9 @@ class MoEMLP(nn.Module):
         selected indices, scaled by routed_scaling."""
         n_experts = len(self.experts)
         logits = self.gate(x, ctx).astype(jnp.float32)
+        if self.softmax_after_topk:  # gpt_oss GptOssTopKRouter
+            top_logits, top_idx = jax.lax.top_k(logits, self.top_k)
+            return jax.nn.softmax(top_logits, axis=-1), top_idx
         if self.score_func == "sigmoid":
             scores = jax.nn.sigmoid(logits)
         else:
@@ -921,14 +1120,40 @@ class MoEMLP(nn.Module):
         tok_sorted = token_ids[order]
         group_sizes = jnp.bincount(expert_ids, length=n_experts).astype(jnp.int32)
         xg = xf[tok_sorted]
+        eid_sorted = expert_ids[order]
         w_gate = jnp.stack([e.gate_proj.kernel for e in self.experts])
         w_up = jnp.stack([e.up_proj.kernel for e in self.experts])
         w_down = jnp.stack([e.down_proj.kernel for e in self.experts])
+
+        def _bias_rows(projs):
+            # per-row bias: stack per-expert biases, gather by sorted id
+            if projs[0].bias is None:
+                return None
+            return jnp.stack([p.bias for p in projs])[eid_sorted]
+
+        b_gate = _bias_rows([e.gate_proj for e in self.experts])
+        b_up = _bias_rows([e.up_proj for e in self.experts])
+        b_down = _bias_rows([e.down_proj for e in self.experts])
         g = jax.lax.ragged_dot(xg, w_gate, group_sizes)
         u = jax.lax.ragged_dot(xg, w_up, group_sizes)
-        act = self.experts[0].act
-        h = (jax.nn.gelu(g, approximate=True) if act == "gelu_tanh" else jax.nn.silu(g)) * u
+        if b_gate is not None:
+            g = g + b_gate
+        if b_up is not None:
+            u = u + b_up
+        e0 = self.experts[0]
+        if e0.act == "gptoss_glu":
+            lim = e0.clamp_limit
+            gc = jnp.minimum(g, lim)
+            h = (jnp.clip(u, -lim, lim) + 1.0) * (
+                gc * jax.nn.sigmoid(1.702 * gc)
+            )
+        elif e0.act == "gelu_tanh":
+            h = jax.nn.gelu(g, approximate=True) * u
+        else:
+            h = jax.nn.silu(g) * u
         y = jax.lax.ragged_dot(h, w_down, group_sizes)
+        if b_down is not None:
+            y = y + b_down
         w = top_vals.reshape(-1)[order].astype(x.dtype)
         out = jnp.zeros((n_tok, d), x.dtype).at[tok_sorted].add(y * w[:, None])
         return out.reshape(b, s, d)
@@ -978,7 +1203,9 @@ class MoEMLP(nn.Module):
                     ks[-1], cfg.dim, 1, False, cfg.dtype
                 )
         return MoEMLP(
-            gate=nn.Linear.create(ks[0], cfg.dim, cfg.n_experts, False, cfg.dtype),
+            gate=nn.Linear.create(
+                ks[0], cfg.dim, cfg.n_experts, cfg.router_bias, cfg.dtype
+            ),
             experts=tuple(
                 MLP.create(ks[1 + e], expert_cfg) for e in range(cfg.n_experts)
             ),
@@ -996,6 +1223,7 @@ class MoEMLP(nn.Module):
             topk_group=cfg.router_topk_group,
             group_top2_sum=cfg.router_group_top2_sum,
             routed_scaling=cfg.routed_scaling_factor,
+            softmax_after_topk=cfg.router_softmax_after_topk,
         )
 
 

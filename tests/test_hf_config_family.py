@@ -591,3 +591,64 @@ def test_deepseek_v2_logits_match_hf():
     assert native.model.layers[0].self_attn.q_proj is not None
     native = utils.load_state_dict(native, sd, strict=False)
     _compare(hf, native, 128, atol=3e-4)
+
+
+def test_gpt_oss_logits_match_hf():
+    """gpt_oss arm: yarn rope, learned attention sinks, alternating
+    sliding/full layers, biases on all four attention projections,
+    router bias + softmax-over-top-k-logits, clamped-swiglu experts with
+    biases (fused checkpoint layout split per expert on load)."""
+    if not hasattr(transformers, "GptOssForCausalLM"):
+        pytest.skip("transformers without gpt_oss")
+    cfg = transformers.GptOssConfig(
+        vocab_size=128,
+        hidden_size=32,
+        intermediate_size=16,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        head_dim=8,
+        num_local_experts=4,
+        num_experts_per_tok=2,
+        sliding_window=4,
+        layer_types=["sliding_attention", "full_attention"],
+        max_position_embeddings=64,
+        rope_theta=150000.0,
+        rope_scaling={
+            "rope_type": "yarn",
+            "factor": 4.0,
+            "beta_fast": 32.0,
+            "beta_slow": 1.0,
+            "truncate": False,
+            "original_max_position_embeddings": 16,
+        },
+        pad_token_id=0,
+    )
+    hf = transformers.GptOssForCausalLM(cfg).eval()
+    from ptdeco_tpu.models import hf_loader
+
+    sd = {
+        k: v.detach().to(torch.float32).numpy()
+        for k, v in hf.state_dict().items()
+        if not k.endswith("rotary_emb.inv_freq")
+    }
+    sd = hf_loader.translate_gpt_oss_state_dict(sd)
+    ncfg = models.TransformerConfig.from_hf_config(
+        cfg.to_dict(), dtype=jnp.float32
+    )
+    assert ncfg.attn_sinks and ncfg.o_proj_bias and ncfg.router_bias
+    assert ncfg.router_softmax_after_topk and ncfg.moe_clamp_limit == 7.0
+    assert ncfg.rope_yarn is not None and len(ncfg.rope_yarn[0]) == 4
+    native = models.CausalLM.create(jax.random.PRNGKey(0), ncfg)
+    a0 = native.model.layers[0].self_attn
+    a1 = native.model.layers[1].self_attn
+    assert a0.sliding_window == 4 and a1.sliding_window is None
+    assert a0.sinks is not None and a0.o_proj.bias is not None
+    moe = native.model.layers[0].mlp
+    assert isinstance(moe, models.MoEMLP)
+    assert moe.gate.bias is not None
+    assert moe.experts[0].gate_proj.bias is not None
+    assert moe._experts_are_pristine()  # biased experts still take ragged_dot
+    native = utils.load_state_dict(native, sd, strict=False)
+    # seqlen > sliding_window so the window mask actually bites
+    _compare(hf, native, 128, atol=3e-4)

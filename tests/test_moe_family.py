@@ -363,3 +363,29 @@ def test_deepseek_style_decompose_roundtrip():
     np.testing.assert_allclose(
         np.asarray(new_model(batch)), np.asarray(model2(batch)), atol=1e-5
     )
+
+
+def test_gpt_oss_biased_experts_grouped_and_dense_agree():
+    """Biased clamped-swiglu experts (gpt_oss) must produce identical
+    results through the ragged_dot grouped path (per-row bias gathers)
+    and the zero-masked dense fallback (bias leakage on unrouted tokens
+    is cancelled by the zero combine weight)."""
+    cfg = models.TransformerConfig(
+        vocab_size=64, dim=16, n_layers=1, n_heads=2, n_kv_heads=2,
+        hidden_dim=24, n_experts=4, n_experts_per_tok=2,
+        moe_clamp_limit=7.0, router_bias=True,
+        router_softmax_after_topk=True, dtype=jnp.float32,
+    )
+    moe = models.MoEMLP.create(jax.random.PRNGKey(0), cfg)
+    assert moe._experts_are_pristine()
+    assert moe.experts[0].act == "gptoss_glu"
+    assert moe.experts[0].down_proj.bias is not None
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 6, 16), jnp.float32)
+    y_fast = np.asarray(moe(x))
+    y_dense = np.asarray(moe._dense_masked(x, None))
+    np.testing.assert_allclose(y_fast, y_dense, atol=1e-5)
+    # tap-wrapping forces the dense path and captures only routed inputs
+    store: dict = {}
+    tapped = engine._wrap_taps(moe, ["experts.2.gate_proj"], store)
+    assert not tapped._experts_are_pristine()
+    np.testing.assert_allclose(np.asarray(tapped(x)), y_dense, atol=1e-5)
