@@ -377,11 +377,13 @@ def test_llama31_rope_scaling_logits_match_hf():
     assert ncfg.rope_llama3_scaling == (8.0, 1.0, 4.0, 16)
     _compare(hf, native, 128, atol=2e-4)
 
+    # yarn is implemented (gpt_oss arm); a genuinely unsupported scaling
+    # type must still be refused loudly rather than silently ignored
     with pytest.raises(ValueError, match="rope_scaling"):
         models.TransformerConfig.from_hf_config(
             dict(
                 cfg.to_dict(),
-                rope_scaling={"rope_type": "yarn", "factor": 4.0},
+                rope_scaling={"rope_type": "longrope", "factor": 4.0},
             )
         )
 
