@@ -93,6 +93,10 @@ class TransformerConfig:
     qk_rope_head_dim: int = 64
     qk_nope_head_dim: int = 128
     v_head_dim: int = 128
+    # deepseek yarn: softmax scale multiplier beyond qk_head^-0.5
+    # (mscale^2 with mscale = 0.1*mscale_all_dim*ln(factor)+1, HF
+    # DeepseekV3Attention.__init__)
+    mla_softmax_scale: Optional[float] = None
     # deepseek MoE routing flavor on top of the qwen3-style fields above:
     # sigmoid scores (v3), group-limited expert choice over n_group groups
     # keeping topk_group (group score = max for v2, top-2 sum for v3's
@@ -167,13 +171,6 @@ class TransformerConfig:
                 "entry or a custom builder"
             )
         deepseek = mt in ("deepseek_v2", "deepseek_v3")
-        if deepseek and hf.get("rope_scaling") is not None:
-            raise ValueError(
-                "deepseek rope_scaling (yarn) is not implemented; "
-                "decompose within the original context window with "
-                "rope_scaling removed from the config, or use a custom "
-                "builder"
-            )
         gemma_like = mt in ("gemma", "gemma2")
         if mt == "phi3":
             # phi3's compute graph IS the llama graph; only the checkpoint
@@ -301,11 +298,13 @@ class TransformerConfig:
                     int(rs.get("original_max_position_embeddings", 8192)),
                 )
             elif rtype == "yarn":
-                yarn_dim = (
-                    int(head_dim)
-                    if head_dim is not None
-                    else dim // n_heads
-                )
+                if deepseek:
+                    # the decoupled rope head is the only rotated part
+                    yarn_dim = int(hf.get("qk_rope_head_dim", 64))
+                elif head_dim is not None:
+                    yarn_dim = int(head_dim)
+                else:
+                    yarn_dim = dim // n_heads
                 rope_yarn = yarn_parameters(
                     yarn_dim,
                     float(hf.get("rope_theta", 10000.0)),
@@ -319,6 +318,18 @@ class TransformerConfig:
                     f"rope_scaling type {rtype!r} is not implemented "
                     "(only 'llama3' and 'yarn'); use a custom builder"
                 )
+        # deepseek + yarn: the softmax scale gains mscale^2 on top of
+        # qk_head^-0.5 (HF DeepseekV2/V3Attention.__init__)
+        mla_scale = None
+        if deepseek and rs is not None and rs.get("mscale_all_dim"):
+            import math
+
+            factor = float(rs["factor"])
+            if factor > 1:
+                mla_scale = (
+                    0.1 * float(rs["mscale_all_dim"]) * math.log(factor)
+                    + 1.0
+                ) ** 2
         sliding = hf.get("sliding_window")
         if (
             sliding is not None
@@ -401,6 +412,7 @@ class TransformerConfig:
             router_correction_bias=corr_bias,
             routed_scaling_factor=routed_scale,
             shared_expert_gated=shared_gated,
+            mla_softmax_scale=mla_scale,
             rope_layers=(
                 tuple(int(v) for v in (hf.get("no_rope_layers") or ()))
                 if mt == "smollm3"
@@ -804,7 +816,9 @@ class MLAttention(nn.Module):
     rotates complex pairs in place — both are the same pair rotations
     under a fixed permutation applied to q and k alike, so attention
     scores are identical; we use the in-place convention).  Yarn scaling
-    is NOT implemented (from_hf_config refuses such configs).
+    applies over the rope dims (inv_freq + attention factor precomputed
+    by yarn_parameters) with the deepseek mscale^2 multiplier on the
+    softmax scale (softmax_scale_mult).
 
     Every projection (q_a/q_b/kv_a/kv_b/o) is a plain Linear and
     therefore a dwain/falor site; kv_a_proj_with_mqa and q_a_proj are the
@@ -826,6 +840,9 @@ class MLAttention(nn.Module):
     kv_lora_rank: int = nn.static_field(default=512)
     rope_theta: float = nn.static_field(default=10000.0)
     rope_interleaved: bool = nn.static_field(default=True)
+    rope_yarn: Optional[tuple] = nn.static_field(default=None)
+    # extra multiplier on qk_head^-0.5 (deepseek yarn mscale^2)
+    softmax_scale_mult: float = nn.static_field(default=1.0)
 
     def __call__(
         self,
@@ -855,10 +872,12 @@ class MLAttention(nn.Module):
         if positions is None:
             positions = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s))
         q_pe = _rope(
-            q_pe, positions, self.rope_theta, interleaved=self.rope_interleaved
+            q_pe, positions, self.rope_theta,
+            interleaved=self.rope_interleaved, yarn=self.rope_yarn,
         )
         k_pe = _rope(
-            k_pe, positions, self.rope_theta, interleaved=self.rope_interleaved
+            k_pe, positions, self.rope_theta,
+            interleaved=self.rope_interleaved, yarn=self.rope_yarn,
         )
         k_pe = jnp.broadcast_to(k_pe, (b, s, self.n_heads, rope_d))
 
@@ -866,7 +885,7 @@ class MLAttention(nn.Module):
         kf = jnp.concatenate([k_nope, k_pe], axis=-1)
         logits = jnp.einsum(
             "bqhd,bkhd->bhqk", qf, kf, preferred_element_type=jnp.float32
-        ) * (qk_head ** -0.5)
+        ) * (qk_head ** -0.5 * self.softmax_scale_mult)
         causal = jnp.tril(jnp.ones((s, s), bool))
         mask = causal[None, None, :, :]
         if attn_mask is not None:
@@ -922,6 +941,12 @@ class MLAttention(nn.Module):
             kv_lora_rank=cfg.kv_lora_rank,
             rope_theta=cfg.rope_theta,
             rope_interleaved=cfg.rope_interleaved,
+            rope_yarn=cfg.rope_yarn,
+            softmax_scale_mult=(
+                cfg.mla_softmax_scale
+                if cfg.mla_softmax_scale is not None
+                else 1.0
+            ),
             **q_kw,
         )
 

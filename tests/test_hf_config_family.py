@@ -654,3 +654,67 @@ def test_gpt_oss_logits_match_hf():
     native = utils.load_state_dict(native, sd, strict=False)
     # seqlen > sliding_window so the window mask actually bites
     _compare(hf, native, 128, atol=3e-4)
+
+
+def test_deepseek_v3_yarn_logits_match_hf():
+    """deepseek_v3 with yarn rope scaling (the real checkpoints' config):
+    yarn inv_freq over the decoupled rope head, cos/sin attention factor
+    from mscale/mscale_all_dim, and the mscale^2 multiplier on the
+    softmax scale."""
+    if not hasattr(transformers, "DeepseekV3ForCausalLM"):
+        pytest.skip("transformers without deepseek_v3")
+    cfg = transformers.DeepseekV3Config(
+        vocab_size=128,
+        hidden_size=32,
+        intermediate_size=48,
+        moe_intermediate_size=16,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=4,
+        q_lora_rank=24,
+        kv_lora_rank=16,
+        qk_rope_head_dim=4,
+        qk_nope_head_dim=8,
+        v_head_dim=8,
+        n_routed_experts=8,
+        n_shared_experts=1,
+        num_experts_per_tok=3,
+        n_group=4,
+        topk_group=2,
+        routed_scaling_factor=2.5,
+        norm_topk_prob=True,
+        first_k_dense_replace=1,
+        max_position_embeddings=64,
+        rope_scaling={
+            "rope_type": "yarn",
+            "factor": 8.0,
+            "beta_fast": 32.0,
+            "beta_slow": 1.0,
+            "mscale": 0.707,
+            "mscale_all_dim": 0.8,
+            "original_max_position_embeddings": 16,
+        },
+        pad_token_id=0,
+    )
+    hf = transformers.DeepseekV3ForCausalLM(cfg).eval()
+    from ptdeco_tpu.models import hf_loader
+
+    sd = {
+        k: v.detach().to(torch.float32).numpy()
+        for k, v in hf.state_dict().items()
+        if not k.endswith("rotary_emb.inv_freq")
+    }
+    sd = hf_loader.translate_deepseek_state_dict(sd)
+    ncfg = models.TransformerConfig.from_hf_config(
+        cfg.to_dict(), dtype=jnp.float32
+    )
+    assert ncfg.rope_yarn is not None
+    assert len(ncfg.rope_yarn[0]) == 2  # qk_rope_head_dim // 2
+    import math
+
+    expected_mult = (0.1 * 0.8 * math.log(8.0) + 1.0) ** 2
+    assert abs(ncfg.mla_softmax_scale - expected_mult) < 1e-9
+    native = models.CausalLM.create(jax.random.PRNGKey(0), ncfg)
+    assert native.model.layers[0].self_attn.rope_yarn is not None
+    native = utils.load_state_dict(native, sd, strict=False)
+    _compare(hf, native, 128, atol=3e-4)
