@@ -64,6 +64,18 @@ def copy_config(config_path: pathlib.Path, output_path: pathlib.Path) -> None:
 
 def main() -> int:
     setup_logging()
+    import os
+
+    if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+        # the CPU backend can deadlock on a futex at the first real
+        # computation under async dispatch (observed as multi-minute
+        # stalls right after model build); serialize dispatch for CPU
+        # runs.  Env-var gated (not jax.default_backend()) so the
+        # check cannot initialize a backend before
+        # jax.distributed.initialize in the multi-host path below.
+        import jax
+
+        jax.config.update("jax_cpu_enable_async_dispatch", False)
     from ptdeco_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()

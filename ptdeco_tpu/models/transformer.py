@@ -28,6 +28,12 @@ from .. import nn
 
 logger = logging.getLogger(__name__)
 
+# Trace-time switch for the pallas flash-attention core (single-TPU bf16
+# paths only; see Attention.__call__).  Benches flip this to measure the
+# einsum path — flip BEFORE building a fresh jit wrapper, the value is
+# read at trace time.
+_FLASH_ENABLED = True
+
 __all__ = [
     "TransformerConfig", "CausalLM", "Attention", "MLP", "MoEMLP", "Block",
     "PrunedSublayer", "prune_blocks",
@@ -696,6 +702,36 @@ class Attention(nn.Module):
         scale = (
             self.scale_override if self.scale_override is not None else hd
         ) ** -0.5
+        if (
+            _FLASH_ENABLED
+            and jax.default_backend() == "tpu"
+            and jax.device_count() == 1  # pallas is opaque to GSPMD
+            and q.dtype == jnp.bfloat16
+            and self.logit_softcap is None
+            and self.sinks is None
+            and self.sliding_window is None
+            and attn_mask is None
+            and s % 128 == 0
+            and (hd <= 128 or hd % 128 == 0)
+        ):
+            # Flash attention (pallas): never materializes the s x s f32
+            # logits — at calibration shapes (s=1024, 32 heads) the einsum
+            # path writes/reads a 128MB logits tensor per batch element
+            # per layer, which HBM-bounds the forward.  The kernel's
+            # causal mask from absolute indices matches the einsum path's
+            # tril (positions only affect rope, not masking, on both).
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                flash_attention as _tpu_flash,
+            )
+
+            out = _tpu_flash(
+                q.transpose(0, 2, 1, 3),
+                k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3),
+                causal=True,
+                sm_scale=scale,
+            ).transpose(0, 2, 1, 3)
+            return self.o_proj(out.reshape(b, s, -1), ctx)
         logits = jnp.einsum(
             "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
         ) * scale
@@ -1146,6 +1182,26 @@ class MoEMLP(nn.Module):
         group_sizes = jnp.bincount(expert_ids, length=n_experts).astype(jnp.int32)
         xg = xf[tok_sorted]
         eid_sorted = expert_ids[order]
+        use_gmm = (
+            jax.default_backend() == "tpu"
+            and jax.device_count() == 1  # pallas is opaque to GSPMD
+            and xg.dtype == jnp.bfloat16
+        )
+        m_rows = xg.shape[0]
+        pad = (-m_rows) % 512 if use_gmm else 0
+        if pad:
+            # megablox gmm requires m % tm == 0 (k/n tiles pad internally,
+            # the m tile does not).  Pad rows are routed to the LAST
+            # expert (group_sizes must sum to the padded m); their outputs
+            # are sliced off after the down-projection.
+            xg = jnp.concatenate([xg, jnp.zeros((pad, d), xg.dtype)])
+            eid_sorted = jnp.concatenate(
+                [
+                    eid_sorted,
+                    jnp.full((pad,), n_experts - 1, eid_sorted.dtype),
+                ]
+            )
+            group_sizes = group_sizes.at[-1].add(pad)
         w_gate = jnp.stack([e.gate_proj.kernel for e in self.experts])
         w_up = jnp.stack([e.up_proj.kernel for e in self.experts])
         w_down = jnp.stack([e.down_proj.kernel for e in self.experts])
@@ -1159,8 +1215,40 @@ class MoEMLP(nn.Module):
         b_gate = _bias_rows([e.gate_proj for e in self.experts])
         b_up = _bias_rows([e.up_proj for e in self.experts])
         b_down = _bias_rows([e.down_proj for e in self.experts])
-        g = jax.lax.ragged_dot(xg, w_gate, group_sizes)
-        u = jax.lax.ragged_dot(xg, w_up, group_sizes)
+        if use_gmm:
+            # megablox grouped-matmul Pallas kernel.  Tiling is the whole
+            # game: the default (128,128,128) measured 10 TF/s on v5e
+            # where (512, k, n) reaches 41 TF/s = 83% of a dense matmul
+            # of the same (narrow-n) shape; tiles are clamped so the
+            # lhs/rhs/acc working set stays inside the 16MB scoped vmem
+            from jax.experimental.pallas.ops.tpu.megablox.ops import gmm
+
+            def _gdot(a, w):
+                m_t, k_t = 512, min(w.shape[1], 2048)
+                n_t = min(w.shape[2], 1024)
+                # double-buffered lhs/rhs tiles + f32 acc must fit the
+                # 16MB scoped vmem; keep the estimate under 12MB
+                def est():
+                    return (
+                        2 * (m_t * k_t + k_t * n_t) * 2 + m_t * n_t * 4
+                    )
+
+                while est() > 12 * 1024 * 1024 and max(k_t, n_t) > 512:
+                    if k_t >= n_t:
+                        k_t //= 2
+                    else:
+                        n_t //= 2
+                return gmm(
+                    a, w, group_sizes,
+                    preferred_element_type=a.dtype,
+                    tiling=(m_t, k_t, n_t),
+                )
+        else:
+            def _gdot(a, w):
+                return jax.lax.ragged_dot(a, w, group_sizes)
+
+        g = _gdot(xg, w_gate)
+        u = _gdot(xg, w_up)
         if b_gate is not None:
             g = g + b_gate
         if b_up is not None:
@@ -1176,9 +1264,11 @@ class MoEMLP(nn.Module):
             h = jax.nn.gelu(g, approximate=True) * u
         else:
             h = jax.nn.silu(g) * u
-        y = jax.lax.ragged_dot(h, w_down, group_sizes)
+        y = _gdot(h, w_down)
         if b_down is not None:
             y = y + b_down
+        if pad:
+            y = y[:m_rows]
         w = top_vals.reshape(-1)[order].astype(x.dtype)
         out = jnp.zeros((n_tok, d), x.dtype).at[tok_sorted].add(y * w[:, None])
         return out.reshape(b, s, d)
