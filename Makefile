@@ -4,11 +4,17 @@ PYTHON ?= python
 
 .PHONY: test test-fast check build bench clean
 
+# PALLAS_AXON_POOL_IPS is cleared so the TPU-tunnel plugin never
+# registers in test processes: tests force the CPU platform anyway
+# (tests/conftest.py), and a python-start plugin registration would
+# otherwise block every run whenever the tunnel holds a stale device
+# claim (the env var must be cleared in the SHELL — sitecustomize runs
+# before conftest can touch os.environ).
 test:
-	$(PYTHON) -m pytest tests/ -x -q
+	PALLAS_AXON_POOL_IPS= $(PYTHON) -m pytest tests/ -x -q
 
 test-fast:
-	$(PYTHON) -m pytest tests/ -x -q -m "not slow"
+	PALLAS_AXON_POOL_IPS= $(PYTHON) -m pytest tests/ -x -q -m "not slow"
 
 # check = byte-compile + dependency-free lint (always available) + ruff /
 # mypy when installed (this dev image ships neither; CI installs both —

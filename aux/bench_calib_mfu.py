@@ -132,10 +132,22 @@ def main() -> None:
 
     sites = {n: engine.get_site(model, n) for n in SITE_NAMES}
 
+    # --- flash-attention numeric pin (TPU-only path; CPU tests never
+    # exercise the pallas kernel) ------------------------------------------
+    from ptdeco_tpu.models import transformer as _tr
+
+    small = make_batches(7, 1)
+    one = jax.tree_util.tree_map(lambda x: x[0], small)
+    _tr._FLASH_ENABLED = True
+    y_flash = jax.jit(lambda m, b: m(b))(model, one)
+    _tr._FLASH_ENABLED = False
+    y_einsum = jax.jit(lambda m, b: m(b))(model, one)
+    lp_f = jax.nn.log_softmax(y_flash.astype(jnp.float32), axis=-1)
+    lp_e = jax.nn.log_softmax(y_einsum.astype(jnp.float32), axis=-1)
+    flash_err = float(jnp.max(jnp.abs(lp_f - lp_e)))
+    assert flash_err < 0.15, f"flash vs einsum logprob drift: {flash_err}"
+
     # --- (a) calibration forward + Gram scan step -------------------------
-    gram_step = engine.make_gram_scan_step(
-        tuple(SITE_NAMES), sites, engine.default_apply, False, "auto"
-    )
     batches = make_batches(1, GRAM_CHUNK)
 
     def zeros():
@@ -149,11 +161,20 @@ def main() -> None:
         }
         return g, m
 
-    def run_gram(b):
-        g, m = zeros()
-        return gram_step(model, b, g, m)
+    def time_gram(flash: bool):
+        _tr._FLASH_ENABLED = flash
+        gram_step = engine.make_gram_scan_step(
+            tuple(SITE_NAMES), sites, engine.default_apply, False, "auto"
+        )
 
-    gram_t, gram_times = time_hot(run_gram, batches)
+        def run_gram(b):
+            g, m = zeros()
+            return gram_step(model, b, g, m)
+
+        return time_hot(run_gram, batches)
+
+    gram_t_einsum, _ = time_gram(False)
+    gram_t, gram_times = time_gram(True)
 
     chunk_tokens = GRAM_CHUNK * BATCH * SEQLEN
     fwd = forward_flops(cfg, chunk_tokens, lm_head=False)
@@ -167,9 +188,6 @@ def main() -> None:
         s
         for s in sites.values()
         if engine.site_group_signature(s) == engine.site_group_signature(site)
-    )
-    ladder = engine.make_indexed_ladder_metric_step(
-        group, engine.default_apply, ce_metric
     )
     kernel2d = engine.get_site_kernel2d(model, site)
     u = jnp.asarray(
@@ -186,9 +204,16 @@ def main() -> None:
         make_batches(2, n_cand * n_metric),
     )
     idx = jnp.int32(0)
-    ladder_t, ladder_times = time_hot(
-        ladder, model, idx, kernel2d, u, ranks, lbatches
-    )
+
+    def time_ladder(flash: bool):
+        _tr._FLASH_ENABLED = flash
+        ladder = engine.make_indexed_ladder_metric_step(
+            group, engine.default_apply, ce_metric
+        )
+        return time_hot(ladder, model, idx, kernel2d, u, ranks, lbatches)
+
+    ladder_t_einsum, _ = time_ladder(False)
+    ladder_t, ladder_times = time_ladder(True)
     # per (candidate, metric batch): TWO full forwards incl. lm_head,
     # plus the deco-kernel composition (W^T u_r then (U V)^T: 2 matmuls of
     # 2*d_in*d_out*r; the indexed ladder composes at the max rank once per
@@ -222,9 +247,14 @@ def main() -> None:
             ),
             "effective_flops_full_einsum": gram_effective,
             "effective_tflops": round(gram_effective / gram_t / 1e12, 2),
+            "einsum_attn_hot_s": round(gram_t_einsum, 4),
+            "flash_speedup": round(gram_t_einsum / gram_t, 3),
             "note": "SYRK executes half the Gram; effective_* counts the "
-            "full 2nd^2 einsum the reference dataflow computes",
+            "full 2nd^2 einsum the reference dataflow computes; "
+            "flash_speedup is vs the materialized-logits einsum "
+            "attention path on the same program",
         },
+        "flash_parity_max_logprob_err": round(flash_err, 5),
         "ladder_step": {
             "hot_s": round(ladder_t, 4),
             "runs_s": [round(t, 4) for t in ladder_times],
@@ -235,6 +265,8 @@ def main() -> None:
             "mfu_vs_v5e_bf16_peak": round(
                 ladder_required / ladder_t / V5E_BF16_PEAK, 4
             ),
+            "einsum_attn_hot_s": round(ladder_t_einsum, 4),
+            "flash_speedup": round(ladder_t_einsum / ladder_t, 3),
         },
         "device": str(jax.devices()[0]),
         "measured_on": time.strftime("%Y-%m-%d"),
