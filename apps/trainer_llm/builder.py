@@ -165,14 +165,11 @@ def make_model_and_tokenizer(
                     return hf_loader.split_phi3_fused_projections(
                         sd, n_heads, n_kv, hd
                     )
-            elif hf_cfg2.get("model_type") == "mixtral":
-                translator = hf_loader.translate_mixtral_state_dict
-            elif hf_cfg2.get("model_type") == "glm4":
-                translator = hf_loader.translate_glm4_state_dict
-            elif hf_cfg2.get("model_type") in ("deepseek_v2", "deepseek_v3"):
-                translator = hf_loader.translate_deepseek_state_dict
-            elif hf_cfg2.get("model_type") == "gpt_oss":
-                translator = hf_loader.translate_gpt_oss_state_dict
+            else:
+                # central model_type -> layout-translator registry
+                # (mixtral/glm4/deepseek/gpt_oss/gpt2/gpt_neox/falcon/
+                # starcoder2; None when names already match)
+                translator = hf_loader.translator_for(hf_cfg2)
 
         model = hf_loader.load_into_causal_lm(
             model, checkpoint_path, key_translator=translator

@@ -228,3 +228,391 @@ def split_phi3_fused_projections(
         else:
             out[k] = v
     return out
+
+
+def translate_gpt2_state_dict(
+    sd: dict[str, np.ndarray],
+) -> dict[str, np.ndarray]:
+    """Translate the HF GPT2 checkpoint layout (reference analogue:
+    consumed whole by AutoModelForCausalLM,
+    /root/reference/examples/trainer_llm/builder.py:97-107).
+
+    GPT2 stores projections as Conv1D — (in, out), the TRANSPOSE of
+    torch Linear — so every projection transposes; ``attn.c_attn``
+    additionally splits into thirds (q|k|v along the output dim).  Name
+    map: wte/wpe -> embed_tokens/pos_embed, ln_1/ln_2 ->
+    input/post_attention_layernorm, c_proj -> o_proj, mlp.c_fc/c_proj ->
+    up/down_proj, ln_f -> model.norm.  The causal-mask buffers
+    (attn.bias/masked_bias) and the tied lm_head are dropped."""
+    out: dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        if k.endswith(".attn.bias") or k.endswith(".attn.masked_bias"):
+            continue
+        if k == "lm_head.weight":
+            continue  # tied to wte
+        k = k.replace("transformer.wte.", "model.embed_tokens.")
+        k = k.replace("transformer.wpe.", "model.pos_embed.")
+        k = k.replace("transformer.ln_f.", "model.norm.")
+        k = k.replace("transformer.h.", "model.layers.")
+        k = k.replace(".ln_1.", ".input_layernorm.")
+        k = k.replace(".ln_2.", ".post_attention_layernorm.")
+        if ".attn.c_attn." in k:
+            stem = k.split(".attn.c_attn.")[0] + ".self_attn."
+            leaf = k.rsplit(".", 1)[1]
+            w = v.T if leaf == "weight" else v  # Conv1D -> Linear layout
+            third = w.shape[0] // 3
+            for i, name in enumerate(("q_proj", "k_proj", "v_proj")):
+                out[f"{stem}{name}.{leaf}"] = np.ascontiguousarray(
+                    w[i * third : (i + 1) * third]
+                )
+            continue
+        if ".attn.c_proj." in k:
+            k = k.replace(".attn.c_proj.", ".self_attn.o_proj.")
+            if k.endswith(".weight"):
+                v = np.ascontiguousarray(v.T)
+        elif ".mlp.c_fc." in k:
+            k = k.replace(".mlp.c_fc.", ".mlp.up_proj.")
+            if k.endswith(".weight"):
+                v = np.ascontiguousarray(v.T)
+        elif ".mlp.c_proj." in k:
+            k = k.replace(".mlp.c_proj.", ".mlp.down_proj.")
+            if k.endswith(".weight"):
+                v = np.ascontiguousarray(v.T)
+        out[k] = v
+    return out
+
+
+def make_gpt_neox_translator(hf_cfg: dict[str, Any]):
+    """HF GPTNeoX fuses q/k/v PER HEAD: ``query_key_value.weight`` is
+    (n_heads*3*head_dim, dim) laid out [head0: q k v][head1: q k v]...
+    (GPTNeoXAttention view (..., n_heads, 3*head_dim)); splitting needs
+    the head count, hence a config closure.  Remaining map: embed_in ->
+    embed_tokens, attention.dense -> o_proj, dense_h_to_4h/dense_4h_to_h
+    -> up/down_proj, final_layer_norm -> model.norm, embed_out ->
+    lm_head."""
+    n_heads = int(hf_cfg["num_attention_heads"])
+    hd = int(hf_cfg["hidden_size"]) // n_heads
+
+    def translate(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        out: dict[str, np.ndarray] = {}
+        for k, v in sd.items():
+            if (
+                k.endswith(".attention.bias")
+                or k.endswith(".attention.masked_bias")
+                or k.endswith("rotary_emb.inv_freq")
+            ):
+                continue
+            k = k.replace("gpt_neox.embed_in.", "model.embed_tokens.")
+            k = k.replace("gpt_neox.final_layer_norm.", "model.norm.")
+            k = k.replace("gpt_neox.layers.", "model.layers.")
+            k = k.replace("embed_out.", "lm_head.")
+            if ".attention.query_key_value." in k:
+                stem = k.split(".attention.query_key_value.")[0] + ".self_attn."
+                leaf = k.rsplit(".", 1)[1]
+                w = v.reshape(n_heads, 3, hd, *v.shape[1:])
+                for i, name in enumerate(("q_proj", "k_proj", "v_proj")):
+                    out[f"{stem}{name}.{leaf}"] = np.ascontiguousarray(
+                        w[:, i].reshape(n_heads * hd, *v.shape[1:])
+                    )
+                continue
+            k = k.replace(".attention.dense.", ".self_attn.o_proj.")
+            k = k.replace(".mlp.dense_h_to_4h.", ".mlp.up_proj.")
+            k = k.replace(".mlp.dense_4h_to_h.", ".mlp.down_proj.")
+            out[k] = v
+        return out
+
+    return translate
+
+
+def make_falcon_translator(hf_cfg: dict[str, Any]):
+    """HF Falcon's fused ``query_key_value`` has three layouts
+    (FalconAttention._split_heads): new_decoder_architecture groups
+    [q x (heads/kv) | k | v] per kv head; classic multi_query appends one
+    k and one v row-block after all q heads; falcon-rw interleaves per
+    head like neox.  Norm names also differ per generation (ln_attn/
+    ln_mlp vs input/post_attention_layernorm)."""
+    n_heads = int(hf_cfg["num_attention_heads"])
+    hd = int(hf_cfg["hidden_size"]) // n_heads
+    new_arch = bool(hf_cfg.get("new_decoder_architecture", False))
+    multi_query = bool(hf_cfg.get("multi_query", True))
+    n_kv = (
+        int(hf_cfg.get("num_kv_heads") or n_heads)
+        if new_arch
+        else (1 if multi_query else n_heads)
+    )
+
+    def split_qkv(v: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        rest = v.shape[1:]
+        if new_arch:
+            g = n_heads // n_kv
+            w = v.reshape(n_kv, g + 2, hd, *rest)
+            q = w[:, :g].reshape(n_heads * hd, *rest)
+            k = w[:, g].reshape(n_kv * hd, *rest)
+            val = w[:, g + 1].reshape(n_kv * hd, *rest)
+        elif multi_query:
+            w = v.reshape(n_heads + 2, hd, *rest)
+            q = w[:n_heads].reshape(n_heads * hd, *rest)
+            k = w[n_heads].reshape(hd, *rest)
+            val = w[n_heads + 1].reshape(hd, *rest)
+        else:
+            w = v.reshape(n_heads, 3, hd, *rest)
+            q = w[:, 0].reshape(n_heads * hd, *rest)
+            k = w[:, 1].reshape(n_heads * hd, *rest)
+            val = w[:, 2].reshape(n_heads * hd, *rest)
+        return q, k, val
+
+    def translate(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        out: dict[str, np.ndarray] = {}
+        for k, v in sd.items():
+            if k.endswith("rotary_emb.inv_freq"):
+                continue
+            k = k.replace("transformer.word_embeddings.", "model.embed_tokens.")
+            k = k.replace("transformer.ln_f.", "model.norm.")
+            k = k.replace("transformer.h.", "model.layers.")
+            k = k.replace(".ln_attn.", ".input_layernorm.")
+            k = k.replace(".ln_mlp.", ".post_attention_layernorm.")
+            if ".self_attention.query_key_value." in k:
+                stem = (
+                    k.split(".self_attention.query_key_value.")[0]
+                    + ".self_attn."
+                )
+                leaf = k.rsplit(".", 1)[1]
+                q, key, val = split_qkv(v)
+                out[f"{stem}q_proj.{leaf}"] = np.ascontiguousarray(q)
+                out[f"{stem}k_proj.{leaf}"] = np.ascontiguousarray(key)
+                out[f"{stem}v_proj.{leaf}"] = np.ascontiguousarray(val)
+                continue
+            k = k.replace(".self_attention.dense.", ".self_attn.o_proj.")
+            k = k.replace(".mlp.dense_h_to_4h.", ".mlp.up_proj.")
+            k = k.replace(".mlp.dense_4h_to_h.", ".mlp.down_proj.")
+            out[k] = v
+        return out
+
+    return translate
+
+
+def translate_starcoder2_state_dict(
+    sd: dict[str, np.ndarray],
+) -> dict[str, np.ndarray]:
+    """Starcoder2 matches the llama layout except the non-gated MLP names
+    (mlp.c_fc -> up_proj, mlp.c_proj -> down_proj)."""
+    out: dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        k = k.replace(".mlp.c_fc.", ".mlp.up_proj.")
+        k = k.replace(".mlp.c_proj.", ".mlp.down_proj.")
+        out[k] = v
+    return out
+
+
+def translate_gptj_state_dict(
+    sd: dict[str, np.ndarray],
+) -> dict[str, np.ndarray]:
+    """HF GPTJ layout: plain renames (separate unfused projections) —
+    ln_1 -> input_layernorm (the single one_norm), attn.out_proj ->
+    o_proj, mlp.fc_in/fc_out -> up/down_proj; causal-mask buffers
+    dropped; the biased lm_head passes through."""
+    out: dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        if k.endswith(".attn.bias") or k.endswith(".attn.masked_bias"):
+            continue
+        k = k.replace("transformer.wte.", "model.embed_tokens.")
+        k = k.replace("transformer.ln_f.", "model.norm.")
+        k = k.replace("transformer.h.", "model.layers.")
+        k = k.replace(".ln_1.", ".input_layernorm.")
+        k = k.replace(".attn.q_proj.", ".self_attn.q_proj.")
+        k = k.replace(".attn.k_proj.", ".self_attn.k_proj.")
+        k = k.replace(".attn.v_proj.", ".self_attn.v_proj.")
+        k = k.replace(".attn.out_proj.", ".self_attn.o_proj.")
+        k = k.replace(".mlp.fc_in.", ".mlp.up_proj.")
+        k = k.replace(".mlp.fc_out.", ".mlp.down_proj.")
+        out[k] = v
+    return out
+
+
+def translate_opt_state_dict(
+    sd: dict[str, np.ndarray],
+) -> dict[str, np.ndarray]:
+    """HF OPT layout.  ``embed_positions`` carries torch's legacy +2
+    offset rows (OPTLearnedPositionalEmbedding adds 2 to every index) —
+    the first two rows are DROPPED so the native absolute arange indexes
+    the same vectors.  Per-layer ``final_layer_norm`` (the pre-MLP norm)
+    maps to post_attention_layernorm; the decoder-level one to
+    model.norm."""
+    out: dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        if k == "lm_head.weight":
+            continue  # tied
+        k = k.replace("model.decoder.embed_tokens.", "model.embed_tokens.")
+        if k.startswith("model.decoder.embed_positions."):
+            out[
+                k.replace("model.decoder.embed_positions.", "model.pos_embed.")
+            ] = v[2:]
+            continue
+        k = k.replace("model.decoder.final_layer_norm.", "model.norm.")
+        k = k.replace("model.decoder.layers.", "model.layers.")
+        k = k.replace(".self_attn.out_proj.", ".self_attn.o_proj.")
+        k = k.replace(".self_attn_layer_norm.", ".input_layernorm.")
+        k = k.replace(".final_layer_norm.", ".post_attention_layernorm.")
+        k = k.replace(".fc1.", ".mlp.up_proj.")
+        k = k.replace(".fc2.", ".mlp.down_proj.")
+        out[k] = v
+    return out
+
+
+def make_bloom_translator(hf_cfg: dict[str, Any]):
+    """HF Bloom layout: word_embeddings(+_layernorm) -> model.embed_tokens
+    / model.embed_norm, h.N -> model.layers.N, self_attention.dense ->
+    o_proj, dense_h_to_4h/dense_4h_to_h -> up/down_proj, ln_f ->
+    model.norm.  ``self_attention.query_key_value`` fuses q/k/v PER HEAD
+    ((n_heads, 3, head_dim) view, BloomAttention._reshape) — same split
+    as gpt_neox."""
+    n_heads = int(
+        hf_cfg.get("n_head", hf_cfg.get("num_attention_heads", 0))
+    )
+    dim = int(hf_cfg.get("hidden_size", hf_cfg.get("n_embed", 0)))
+    hd = dim // n_heads
+
+    def translate(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        out: dict[str, np.ndarray] = {}
+        for k, v in sd.items():
+            if k == "lm_head.weight":
+                continue  # tied
+            k = k.replace(
+                "transformer.word_embeddings_layernorm.", "model.embed_norm."
+            )
+            k = k.replace("transformer.word_embeddings.", "model.embed_tokens.")
+            k = k.replace("transformer.ln_f.", "model.norm.")
+            k = k.replace("transformer.h.", "model.layers.")
+            if ".self_attention.query_key_value." in k:
+                stem = (
+                    k.split(".self_attention.query_key_value.")[0]
+                    + ".self_attn."
+                )
+                leaf = k.rsplit(".", 1)[1]
+                w = v.reshape(n_heads, 3, hd, *v.shape[1:])
+                for i, name in enumerate(("q_proj", "k_proj", "v_proj")):
+                    out[f"{stem}{name}.{leaf}"] = np.ascontiguousarray(
+                        w[:, i].reshape(n_heads * hd, *v.shape[1:])
+                    )
+                continue
+            k = k.replace(".self_attention.dense.", ".self_attn.o_proj.")
+            k = k.replace(".mlp.dense_h_to_4h.", ".mlp.up_proj.")
+            k = k.replace(".mlp.dense_4h_to_h.", ".mlp.down_proj.")
+            out[k] = v
+        return out
+
+    return translate
+
+
+def make_mpt_translator(hf_cfg: dict[str, Any]):
+    """HF MPT layout: wte -> embed_tokens, blocks.N.norm_1/norm_2 ->
+    input/post_attention_layernorm, attn.out_proj -> o_proj,
+    ffn.up_proj/down_proj pass through, norm_f -> model.norm.
+    ``attn.Wqkv`` is a straight [q | k | v] stack (MptAttention splits
+    [d_model, kv_dim, kv_dim]) — cut by the config's kv head count."""
+    dim = int(hf_cfg["d_model"])
+    n_heads = int(hf_cfg["n_heads"])
+    kv_heads = int(hf_cfg.get("attn_config", {}).get("kv_n_heads", n_heads))
+    kv_dim = (dim // n_heads) * kv_heads
+
+    def translate(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        out: dict[str, np.ndarray] = {}
+        for k, v in sd.items():
+            if k == "lm_head.weight":
+                continue  # tied (mpt always ties)
+            k = k.replace("transformer.wte.", "model.embed_tokens.")
+            k = k.replace("transformer.norm_f.", "model.norm.")
+            k = k.replace("transformer.blocks.", "model.layers.")
+            k = k.replace(".norm_1.", ".input_layernorm.")
+            k = k.replace(".norm_2.", ".post_attention_layernorm.")
+            if ".attn.Wqkv." in k:
+                stem = k.split(".attn.Wqkv.")[0] + ".self_attn."
+                leaf = k.rsplit(".", 1)[1]
+                cuts = (dim, dim + kv_dim)
+                for name, part in zip(
+                    ("q_proj", "k_proj", "v_proj"),
+                    (v[: cuts[0]], v[cuts[0] : cuts[1]], v[cuts[1] :]),
+                ):
+                    out[f"{stem}{name}.{leaf}"] = np.ascontiguousarray(part)
+                continue
+            k = k.replace(".attn.out_proj.", ".self_attn.o_proj.")
+            k = k.replace(".ffn.up_proj.", ".mlp.up_proj.")
+            k = k.replace(".ffn.down_proj.", ".mlp.down_proj.")
+            out[k] = v
+        return out
+
+    return translate
+
+
+def make_gpt_bigcode_translator(hf_cfg: dict[str, Any]):
+    """HF GPTBigCode (starcoder1) layout: gpt2 names but plain Linear
+    modules (no Conv1D transpose) and a multi-query fused ``c_attn``
+    packing [q (dim) | k (head_dim) | v (head_dim)] rows, split onto
+    q/k/v_proj with the single shared kv head."""
+    dim = int(hf_cfg["n_embd"])
+    hd = dim // int(hf_cfg["n_head"])
+
+    def translate(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        out: dict[str, np.ndarray] = {}
+        for k, v in sd.items():
+            if k.endswith(".attn.bias") or k.endswith(".attn.masked_bias"):
+                continue
+            if k == "lm_head.weight":
+                continue  # tied
+            k = k.replace("transformer.wte.", "model.embed_tokens.")
+            k = k.replace("transformer.wpe.", "model.pos_embed.")
+            k = k.replace("transformer.ln_f.", "model.norm.")
+            k = k.replace("transformer.h.", "model.layers.")
+            k = k.replace(".ln_1.", ".input_layernorm.")
+            k = k.replace(".ln_2.", ".post_attention_layernorm.")
+            if ".attn.c_attn." in k:
+                stem = k.split(".attn.c_attn.")[0] + ".self_attn."
+                leaf = k.rsplit(".", 1)[1]
+                for name, part in zip(
+                    ("q_proj", "k_proj", "v_proj"),
+                    (v[:dim], v[dim : dim + hd], v[dim + hd :]),
+                ):
+                    out[f"{stem}{name}.{leaf}"] = np.ascontiguousarray(part)
+                continue
+            k = k.replace(".attn.c_proj.", ".self_attn.o_proj.")
+            k = k.replace(".mlp.c_fc.", ".mlp.up_proj.")
+            k = k.replace(".mlp.c_proj.", ".mlp.down_proj.")
+            out[k] = v
+        return out
+
+    return translate
+
+
+def translator_for(hf_cfg: dict[str, Any]):
+    """Checkpoint-layout translator for a config dict's model_type, or
+    None when the HF layout already matches the native tree field-for-
+    field.  phi3 is NOT handled here (its split needs head counts AND the
+    fused names collide with glm4's — the builder wires it explicitly)."""
+    mt = hf_cfg.get("model_type")
+    if mt == "mixtral":
+        return translate_mixtral_state_dict
+    if mt == "glm4":
+        return translate_glm4_state_dict
+    if mt in ("deepseek_v2", "deepseek_v3"):
+        return translate_deepseek_state_dict
+    if mt == "gpt_oss":
+        return translate_gpt_oss_state_dict
+    if mt == "gpt2":
+        return translate_gpt2_state_dict
+    if mt == "gpt_neox":
+        return make_gpt_neox_translator(hf_cfg)
+    if mt == "falcon":
+        return make_falcon_translator(hf_cfg)
+    if mt == "starcoder2":
+        return translate_starcoder2_state_dict
+    if mt == "gptj":
+        return translate_gptj_state_dict
+    if mt == "opt":
+        return translate_opt_state_dict
+    if mt == "bloom":
+        return make_bloom_translator(hf_cfg)
+    if mt == "mpt":
+        return make_mpt_translator(hf_cfg)
+    if mt == "gpt_bigcode":
+        return make_gpt_bigcode_translator(hf_cfg)
+    return None

@@ -139,6 +139,38 @@ class TransformerConfig:
     # with the pair-interleaved (GPT-J style) rotation convention
     rope_partial_factor: Optional[float] = None
     rope_interleaved: bool = False
+    # --- beyond-llama graph knobs (gpt2 / gpt_neox / falcon / starcoder2
+    # / stablelm / granite / cohere) -----------------------------------
+    # LayerNorm blocks instead of RMSNorm (norm_bias = the LN offset;
+    # cohere's LNs carry no bias)
+    norm_type: str = "rmsnorm"  # | "layernorm"
+    norm_bias: bool = True
+    # non-gated MLP: up_proj -> act -> down_proj, no gate_proj
+    # (gpt2 c_fc/c_proj, neox/falcon dense_h_to_4h/dense_4h_to_h,
+    # starcoder2 c_fc/c_proj — all translated onto up/down at load)
+    mlp_gated: bool = True
+    mlp_bias: bool = False
+    # learned absolute position table of this many positions added to the
+    # token embedding (gpt2 wpe); pairs with use_rope=False
+    learned_pos: Optional[int] = None
+    use_rope: bool = True
+    # parallel attention+MLP residual: "two_norm" = neox/falcon-new
+    # (x + attn(ln1(x)) + mlp(ln2(x))), "one_norm" = falcon-7b/cohere
+    # (both branches read the SAME input_layernorm output)
+    parallel_residual: str = "none"  # | "two_norm" | "one_norm"
+    # granite scalar multipliers (attention_multiplier is carried by
+    # query_scale_override); cohere's logit_scale also lands on
+    # logit_scale (multiplies final logits)
+    embedding_multiplier: Optional[float] = None
+    residual_multiplier: Optional[float] = None
+    logit_scale: Optional[float] = None
+    # gptj: the untied lm_head carries a bias
+    lm_head_bias: bool = False
+    # bloom/mpt: ALiBi linear attention biases instead of any positional
+    # embedding (pairs with use_rope=False, learned_pos=None)
+    use_alibi: bool = False
+    # bloom: LayerNorm over the token embedding before the first block
+    embed_norm: bool = False
     # rematerialize each block's activations during backward passes
     # (jax.checkpoint) — the HBM/flops trade for large-model calibration
     # and fine-tuning (the reference toggles HF gradient checkpointing,
@@ -164,16 +196,36 @@ class TransformerConfig:
         Raises ValueError (naming the offending field) for architectures
         whose compute graph this decoder does not express."""
         mt = hf.get("model_type", "llama")
+        # families whose graph differs from the llama decoder (LayerNorm,
+        # non-gated MLPs, learned positions, parallel residual) build
+        # through dedicated constructors below
+        beyond_llama = {
+            "gpt2": _hf_gpt2,
+            "gpt_neox": _hf_gpt_neox,
+            "falcon": _hf_falcon,
+            "starcoder2": _hf_starcoder2,
+            "stablelm": _hf_stablelm,
+            "granite": _hf_granite,
+            "cohere": _hf_cohere,
+            "gptj": _hf_gptj,
+            "opt": _hf_opt,
+            "bloom": _hf_bloom,
+            "mpt": _hf_mpt,
+            "gpt_bigcode": _hf_gpt_bigcode,
+        }
+        if mt in beyond_llama:
+            return beyond_llama[mt](hf, dtype, remat)
         if mt not in (
             "llama", "mistral", "qwen2", "qwen3", "gemma", "gemma2", "phi3",
             "olmo2", "mixtral", "qwen2_moe", "qwen3_moe", "smollm3", "glm4",
             "deepseek_v2", "deepseek_v3", "gpt_oss",
         ):
             raise ValueError(
-                f"model_type={mt!r} is outside the supported llama config "
-                "family (llama/mistral/qwen2/qwen3/gemma/gemma2/phi3/"
+                f"model_type={mt!r} is outside the supported config "
+                "families (llama/mistral/qwen2/qwen3/gemma/gemma2/phi3/"
                 "olmo2/mixtral/qwen2_moe/qwen3_moe/smollm3/glm4/"
-                "deepseek_v2/deepseek_v3/gpt_oss); use a models/ zoo "
+                "deepseek_v2/deepseek_v3/gpt_oss/gpt2/gpt_neox/falcon/"
+                "starcoder2/stablelm/granite/cohere); use a models/ zoo "
                 "entry or a custom builder"
             )
         deepseek = mt in ("deepseek_v2", "deepseek_v3")
@@ -494,6 +546,459 @@ class TransformerConfig:
         )
 
 
+def _hf_act(act: str) -> str:
+    table = {
+        "gelu": "gelu_exact",
+        "gelu_new": "gelu_tanh",
+        "gelu_fast": "gelu_tanh",
+        "gelu_pytorch_tanh": "gelu_tanh",
+        "silu": "silu",
+        "relu": "relu",
+        "relu2": "relu2",
+    }
+    if act not in table:
+        raise ValueError(f"Unsupported hidden_act={act!r}")
+    return table[act]
+
+
+def _hf_gpt2(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
+    """HF GPT2Config -> native.  Learned wpe positions, pre-LN blocks,
+    non-gated gelu_new MLP, fused Conv1D projections split+transposed on
+    load (hf_loader.translate_gpt2_state_dict); always weight-tied."""
+    if hf.get("scale_attn_by_inverse_layer_idx") or hf.get(
+        "reorder_and_upcast_attn"
+    ):
+        raise ValueError(
+            "gpt2 scale_attn_by_inverse_layer_idx/reorder_and_upcast_attn "
+            "are not implemented; use a custom builder"
+        )
+    dim = int(hf["n_embd"])
+    n_heads = int(hf["n_head"])
+    inner = hf.get("n_inner")
+    return TransformerConfig(
+        vocab_size=int(hf["vocab_size"]),
+        dim=dim,
+        n_layers=int(hf["n_layer"]),
+        n_heads=n_heads,
+        n_kv_heads=n_heads,
+        hidden_dim=int(inner) if inner else 4 * dim,
+        norm_eps=float(hf.get("layer_norm_epsilon", 1e-5)),
+        norm_type="layernorm",
+        mlp_gated=False,
+        mlp_bias=True,
+        mlp_act=_hf_act(hf.get("activation_function", "gelu_new")),
+        qkv_bias=True,
+        o_proj_bias=True,
+        use_rope=False,
+        learned_pos=int(hf["n_positions"]),
+        tie_embeddings=True,
+        query_scale_override=(
+            None if hf.get("scale_attn_weights", True) else 1.0
+        ),
+        remat=remat,
+        dtype=dtype,
+    )
+
+
+def _hf_gpt_neox(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
+    """HF GPTNeoXConfig (pythia) -> native.  Partial rotary (rotary_pct,
+    rotate-half), LayerNorm, non-gated exact-gelu MLP, fused per-head
+    query_key_value split on load (translate_gpt_neox_state_dict), and the
+    use_parallel_residual wiring (x + attn(ln1 x) + mlp(ln2 x))."""
+    dim = int(hf["hidden_size"])
+    pct = float(hf.get("rotary_pct", 0.25))
+    return TransformerConfig(
+        vocab_size=int(hf["vocab_size"]),
+        dim=dim,
+        n_layers=int(hf["num_hidden_layers"]),
+        n_heads=int(hf["num_attention_heads"]),
+        n_kv_heads=int(hf["num_attention_heads"]),
+        hidden_dim=int(hf["intermediate_size"]),
+        norm_eps=float(hf.get("layer_norm_eps", 1e-5)),
+        norm_type="layernorm",
+        mlp_gated=False,
+        mlp_bias=True,
+        mlp_act=_hf_act(hf.get("hidden_act", "gelu")),
+        qkv_bias=bool(hf.get("attention_bias", True)),
+        o_proj_bias=bool(hf.get("attention_bias", True)),
+        rope_theta=float(hf.get("rotary_emb_base", hf.get("rope_theta", 10000.0))),
+        rope_partial_factor=pct if pct < 1.0 else None,
+        parallel_residual=(
+            "two_norm" if hf.get("use_parallel_residual", True) else "none"
+        ),
+        tie_embeddings=bool(hf.get("tie_word_embeddings", False)),
+        remat=remat,
+        dtype=dtype,
+    )
+
+
+def _hf_falcon(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
+    """HF FalconConfig -> native.  Three generations of block wiring:
+    new_decoder_architecture (ln_attn/ln_mlp, parallel two-norm, grouped
+    fused qkv), classic parallel_attn (single norm shared by both
+    branches, MQA), and sequential falcon-rw.  Fused query_key_value is
+    split per layout on load (make_falcon_translator)."""
+    if hf.get("alibi"):
+        raise ValueError("falcon alibi positions are not implemented")
+    dim = int(hf["hidden_size"])
+    n_heads = int(hf["num_attention_heads"])
+    new_arch = bool(hf.get("new_decoder_architecture", False))
+    if new_arch:
+        n_kv = int(hf.get("num_kv_heads") or n_heads)
+        parallel = "two_norm"
+    else:
+        n_kv = 1 if hf.get("multi_query", True) else n_heads
+        parallel = "one_norm" if hf.get("parallel_attn", True) else "none"
+    bias = bool(hf.get("bias", False))
+    ffn = hf.get("ffn_hidden_size")
+    return TransformerConfig(
+        vocab_size=int(hf["vocab_size"]),
+        dim=dim,
+        n_layers=int(hf["num_hidden_layers"]),
+        n_heads=n_heads,
+        n_kv_heads=n_kv,
+        hidden_dim=int(ffn) if ffn else 4 * dim,
+        norm_eps=float(hf.get("layer_norm_epsilon", 1e-5)),
+        norm_type="layernorm",
+        mlp_gated=False,
+        mlp_bias=bias,
+        mlp_act=_hf_act(hf.get("activation", hf.get("hidden_act", "gelu"))),
+        qkv_bias=bias,
+        o_proj_bias=bias,
+        rope_theta=float(hf.get("rope_theta", 10000.0)),
+        parallel_residual=parallel,
+        tie_embeddings=bool(hf.get("tie_word_embeddings", True)),
+        remat=remat,
+        dtype=dtype,
+    )
+
+
+def _hf_starcoder2(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
+    """HF Starcoder2Config -> native.  The llama graph with LayerNorm,
+    a non-gated tanh-gelu MLP (c_fc/c_proj -> up/down on load), and
+    use_bias on every projection; full rotary, GQA."""
+    bias = bool(hf.get("use_bias", True))
+    sliding = hf.get("sliding_window")
+    if sliding:
+        logger.info(
+            "starcoder2 sliding_window=%s: full causal attention is used; "
+            "keep calibration max_seqlen <= window for exactness",
+            sliding,
+        )
+    return TransformerConfig(
+        vocab_size=int(hf["vocab_size"]),
+        dim=int(hf["hidden_size"]),
+        n_layers=int(hf["num_hidden_layers"]),
+        n_heads=int(hf["num_attention_heads"]),
+        n_kv_heads=int(hf.get("num_key_value_heads", hf["num_attention_heads"])),
+        hidden_dim=int(hf["intermediate_size"]),
+        norm_eps=float(hf.get("norm_epsilon", 1e-5)),
+        norm_type="layernorm",
+        mlp_gated=False,
+        mlp_bias=bias,
+        mlp_act=_hf_act(hf.get("hidden_act", "gelu_pytorch_tanh")),
+        qkv_bias=bias,
+        o_proj_bias=bias,
+        rope_theta=float(hf.get("rope_theta", 10000.0)),
+        tie_embeddings=bool(hf.get("tie_word_embeddings", True)),
+        remat=remat,
+        dtype=dtype,
+    )
+
+
+def _hf_stablelm(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
+    """HF StableLmConfig -> native.  Llama graph with LayerNorm blocks
+    and partial rotary (partial_rotary_factor, rotate-half); gated silu
+    MLP; optional qkv biases (use_qkv_bias)."""
+    if hf.get("qk_layernorm"):
+        raise ValueError("stablelm qk_layernorm is not implemented")
+    if hf.get("use_parallel_residual"):
+        raise ValueError(
+            "stablelm use_parallel_residual is not implemented; "
+            "use a custom builder"
+        )
+    pct = float(hf.get("partial_rotary_factor", 0.25))
+    return TransformerConfig(
+        vocab_size=int(hf["vocab_size"]),
+        dim=int(hf["hidden_size"]),
+        n_layers=int(hf["num_hidden_layers"]),
+        n_heads=int(hf["num_attention_heads"]),
+        n_kv_heads=int(hf.get("num_key_value_heads", hf["num_attention_heads"])),
+        hidden_dim=int(hf["intermediate_size"]),
+        norm_eps=float(hf.get("layer_norm_eps", 1e-5)),
+        norm_type="layernorm",
+        mlp_act=_hf_act(hf.get("hidden_act", "silu")),
+        qkv_bias=bool(hf.get("use_qkv_bias", False)),
+        rope_theta=float(hf.get("rope_theta", 10000.0)),
+        rope_partial_factor=pct if pct < 1.0 else None,
+        tie_embeddings=bool(hf.get("tie_word_embeddings", False)),
+        remat=remat,
+        dtype=dtype,
+    )
+
+
+def _hf_granite(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
+    """HF GraniteConfig -> native.  Exactly the llama graph plus four
+    scalar multipliers: embedding_multiplier on the embeddings,
+    residual_multiplier on both residual adds, attention_multiplier as
+    the attention score scale (stored via query_scale_override =
+    multiplier**-2 so override**-0.5 reproduces it), and logits scaled by
+    1/logits_scaling."""
+    attn_mult = float(hf.get("attention_multiplier", 1.0))
+    logits_scaling = float(hf.get("logits_scaling", 1.0))
+    return TransformerConfig(
+        vocab_size=int(hf["vocab_size"]),
+        dim=int(hf["hidden_size"]),
+        n_layers=int(hf["num_hidden_layers"]),
+        n_heads=int(hf["num_attention_heads"]),
+        n_kv_heads=int(hf.get("num_key_value_heads", hf["num_attention_heads"])),
+        hidden_dim=int(hf["intermediate_size"]),
+        norm_eps=float(hf.get("rms_norm_eps", 1e-6)),
+        mlp_act=_hf_act(hf.get("hidden_act", "silu")),
+        rope_theta=float(hf.get("rope_theta", 10000.0)),
+        embedding_multiplier=(
+            float(hf["embedding_multiplier"])
+            if hf.get("embedding_multiplier") is not None
+            else None
+        ),
+        residual_multiplier=(
+            float(hf["residual_multiplier"])
+            if hf.get("residual_multiplier") is not None
+            else None
+        ),
+        query_scale_override=(
+            attn_mult ** -2 if attn_mult != 1.0 else None
+        ),
+        logit_scale=(
+            1.0 / logits_scaling if logits_scaling != 1.0 else None
+        ),
+        tie_embeddings=bool(hf.get("tie_word_embeddings", False)),
+        remat=remat,
+        dtype=dtype,
+    )
+
+
+def _hf_cohere(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
+    """HF CohereConfig (command-r) -> native.  Bias-free LayerNorm, a
+    single shared input norm feeding parallel attention+MLP branches,
+    gated silu MLP, interleaved rotary, and logit_scale on the tied
+    logits."""
+    if hf.get("use_qk_norm"):
+        raise ValueError("cohere use_qk_norm is not implemented")
+    return TransformerConfig(
+        vocab_size=int(hf["vocab_size"]),
+        dim=int(hf["hidden_size"]),
+        n_layers=int(hf["num_hidden_layers"]),
+        n_heads=int(hf["num_attention_heads"]),
+        n_kv_heads=int(hf.get("num_key_value_heads", hf["num_attention_heads"])),
+        hidden_dim=int(hf["intermediate_size"]),
+        norm_eps=float(hf.get("layer_norm_eps", 1e-5)),
+        norm_type="layernorm",
+        norm_bias=False,
+        mlp_act=_hf_act(hf.get("hidden_act", "silu")),
+        qkv_bias=bool(hf.get("attention_bias", False)),
+        rope_theta=float(hf.get("rope_theta", 10000.0)),
+        rope_interleaved=True,
+        parallel_residual="one_norm",
+        logit_scale=float(hf.get("logit_scale", 0.0625)),
+        tie_embeddings=bool(hf.get("tie_word_embeddings", True)),
+        remat=remat,
+        dtype=dtype,
+    )
+
+
+def _hf_gptj(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
+    """HF GPTJConfig -> native.  The namesake pair-interleaved rotary over
+    the first rotary_dim dims, a single shared norm feeding parallel
+    attention+MLP (one_norm), bias-free separate q/k/v/out projections, a
+    biased non-gated gelu_new MLP, and an untied lm_head WITH bias."""
+    dim = int(hf["n_embd"])
+    n_heads = int(hf["n_head"])
+    hd = dim // n_heads
+    inner = hf.get("n_inner")
+    rotary_dim = hf.get("rotary_dim")
+    return TransformerConfig(
+        vocab_size=int(hf["vocab_size"]),
+        dim=dim,
+        n_layers=int(hf["n_layer"]),
+        n_heads=n_heads,
+        n_kv_heads=n_heads,
+        hidden_dim=int(inner) if inner else 4 * dim,
+        norm_eps=float(hf.get("layer_norm_epsilon", 1e-5)),
+        norm_type="layernorm",
+        mlp_gated=False,
+        mlp_bias=True,
+        mlp_act=_hf_act(hf.get("activation_function", "gelu_new")),
+        rope_theta=10000.0,
+        rope_interleaved=True,
+        rope_partial_factor=(
+            int(rotary_dim) / hd if rotary_dim and int(rotary_dim) < hd else None
+        ),
+        parallel_residual="one_norm",
+        tie_embeddings=bool(hf.get("tie_word_embeddings", False)),
+        lm_head_bias=True,
+        remat=remat,
+        dtype=dtype,
+    )
+
+
+def _hf_opt(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
+    """HF OPTConfig -> native.  Learned positions with the checkpoint's
+    +2 offset rows DROPPED by the translator (equivalent for the
+    non-padded absolute positions this decoder uses), pre-LN blocks,
+    biased non-gated relu MLP.  The 350m layout (word_embed_proj_dim !=
+    hidden_size, do_layer_norm_before=False) is refused."""
+    dim = int(hf["hidden_size"])
+    if int(hf.get("word_embed_proj_dim", dim)) != dim:
+        raise ValueError(
+            "opt word_embed_proj_dim != hidden_size (project_in/out, the "
+            "350m layout) is not implemented; use a custom builder"
+        )
+    if not hf.get("do_layer_norm_before", True):
+        raise ValueError(
+            "opt do_layer_norm_before=False (the 350m post-norm layout) "
+            "is not implemented; use a custom builder"
+        )
+    if not hf.get("layer_norm_elementwise_affine", True):
+        raise ValueError("opt layer_norm_elementwise_affine=False unsupported")
+    bias = bool(hf.get("enable_bias", True))
+    return TransformerConfig(
+        vocab_size=int(hf["vocab_size"]),
+        dim=dim,
+        n_layers=int(hf["num_hidden_layers"]),
+        n_heads=int(hf["num_attention_heads"]),
+        n_kv_heads=int(hf["num_attention_heads"]),
+        hidden_dim=int(hf["ffn_dim"]),
+        norm_eps=1e-5,
+        norm_type="layernorm",
+        mlp_gated=False,
+        mlp_bias=bias,
+        mlp_act=_hf_act(hf.get("activation_function", "relu")),
+        qkv_bias=bias,
+        o_proj_bias=bias,
+        use_rope=False,
+        learned_pos=int(hf["max_position_embeddings"]),
+        tie_embeddings=bool(hf.get("tie_word_embeddings", True)),
+        remat=remat,
+        dtype=dtype,
+    )
+
+
+def _hf_bloom(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
+    """HF BloomConfig -> native.  ALiBi positions (no rope), a LayerNorm
+    over the word embeddings before block 0 (word_embeddings_layernorm),
+    biased per-head-fused query_key_value split on load
+    (hf_loader.translate_bloom_state_dict), biased tanh-gelu MLP, tied
+    embeddings."""
+    if hf.get("apply_residual_connection_post_layernorm"):
+        raise ValueError(
+            "bloom apply_residual_connection_post_layernorm unsupported"
+        )
+    dim = int(hf.get("hidden_size", hf.get("n_embed", 0)))
+    return TransformerConfig(
+        vocab_size=int(hf["vocab_size"]),
+        dim=dim,
+        n_layers=int(hf.get("n_layer", hf.get("num_hidden_layers", 0))),
+        n_heads=int(hf.get("n_head", hf.get("num_attention_heads", 0))),
+        n_kv_heads=int(hf.get("n_head", hf.get("num_attention_heads", 0))),
+        hidden_dim=4 * dim,
+        norm_eps=float(hf.get("layer_norm_epsilon", 1e-5)),
+        norm_type="layernorm",
+        mlp_gated=False,
+        mlp_bias=True,
+        mlp_act="gelu_tanh",
+        qkv_bias=True,
+        o_proj_bias=True,
+        use_rope=False,
+        use_alibi=True,
+        embed_norm=True,
+        tie_embeddings=bool(hf.get("tie_word_embeddings", True)),
+        remat=remat,
+        dtype=dtype,
+    )
+
+
+def _hf_mpt(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
+    """HF MptConfig -> native.  ALiBi, bias-free everything (no_bias),
+    bias-free LayerNorms, straight-thirds fused Wqkv split on load
+    (hf_loader.translate_mpt_state_dict), non-gated exact-gelu MLP at
+    expansion_ratio, tied embeddings (mpt has no untied variant)."""
+    attn_cfg = hf.get("attn_config", {})
+    if not attn_cfg.get("alibi", True):
+        raise ValueError("mpt attn_config.alibi=False unsupported (use rope?)")
+    if attn_cfg.get("qk_ln"):
+        raise ValueError("mpt attn_config.qk_ln unsupported")
+    n_heads = int(hf.get("n_heads", 0))
+    if n_heads & (n_heads - 1):
+        raise ValueError(
+            "mpt with non-power-of-2 n_heads unsupported (mpt's gen_slopes "
+            "interleaving differs from the ALiBi-paper construction there)"
+        )
+    if float(attn_cfg.get("alibi_bias_max", 8)) != 8.0:
+        raise ValueError("mpt alibi_bias_max != 8 unsupported")
+    if not hf.get("no_bias", True):
+        raise ValueError("mpt no_bias=False unsupported")
+    dim = int(hf["d_model"])
+    return TransformerConfig(
+        vocab_size=int(hf["vocab_size"]),
+        dim=dim,
+        n_layers=int(hf["n_layers"]),
+        n_heads=n_heads,
+        n_kv_heads=int(attn_cfg.get("kv_n_heads", n_heads)),
+        hidden_dim=int(hf.get("expansion_ratio", 4)) * dim,
+        norm_eps=1e-5,
+        norm_type="layernorm",
+        norm_bias=False,
+        mlp_gated=False,
+        mlp_bias=False,
+        mlp_act="gelu_exact",
+        qkv_bias=False,
+        o_proj_bias=False,
+        use_rope=False,
+        use_alibi=True,
+        tie_embeddings=True,
+        remat=remat,
+        dtype=dtype,
+    )
+
+
+def _hf_gpt_bigcode(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
+    """HF GPTBigCodeConfig (starcoder1/santacoder) -> native.  gpt2-style
+    learned positions + pre-LN + biased tanh-gelu MLP, but plain Linear
+    projections and multi-query attention: the fused c_attn packs
+    [q (dim), k (head_dim), v (head_dim)] rows, split on load onto
+    q/k/v_proj with n_kv_heads=1 (hf_loader.translate_gpt_bigcode_
+    state_dict)."""
+    if not hf.get("multi_query", True):
+        raise ValueError("gpt_bigcode multi_query=False unsupported")
+    dim = int(hf["n_embd"])
+    n_heads = int(hf["n_head"])
+    inner = hf.get("n_inner")
+    return TransformerConfig(
+        vocab_size=int(hf["vocab_size"]),
+        dim=dim,
+        n_layers=int(hf["n_layer"]),
+        n_heads=n_heads,
+        n_kv_heads=1,
+        hidden_dim=int(inner) if inner else 4 * dim,
+        norm_eps=float(hf.get("layer_norm_epsilon", 1e-5)),
+        norm_type="layernorm",
+        mlp_gated=False,
+        mlp_bias=True,
+        mlp_act=_hf_act(hf.get("activation_function", "gelu_pytorch_tanh")),
+        qkv_bias=True,
+        o_proj_bias=True,
+        use_rope=False,
+        learned_pos=int(hf["n_positions"]),
+        query_scale_override=(
+            None if hf.get("scale_attn_weights", True) else 1.0
+        ),
+        tie_embeddings=True,
+        remat=remat,
+        dtype=dtype,
+    )
+
+
 def _llama3_scale_freqs(
     inv_freq: jax.Array, scaling: tuple[float, float, float, int]
 ) -> jax.Array:
@@ -628,6 +1133,26 @@ def _rope(
     return out
 
 
+def alibi_slopes(n_heads: int) -> np.ndarray:
+    """Per-head ALiBi slopes, the closest-power-of-2 construction from the
+    ALiBi paper that HF's ``build_alibi_tensor`` (bloom) implements: for
+    2^k heads, slopes are ``2^(-8i/n)`` for i in 1..n; otherwise the
+    power-of-2 prefix plus interleaved slopes from the doubled table.
+    MPT's ``gen_slopes`` agrees for power-of-2 head counts (every released
+    MPT model); the mpt constructor guards the rest."""
+    import math
+
+    def pow2_slopes(n: int) -> list[float]:
+        start = 2.0 ** (-(2.0 ** -(math.log2(n) - 3)))
+        return [start * (start**i) for i in range(n)]
+
+    if math.log2(n_heads).is_integer():
+        return np.asarray(pow2_slopes(n_heads), np.float32)
+    base = 2 ** math.floor(math.log2(n_heads))
+    extra = pow2_slopes(2 * base)[0::2][: n_heads - base]
+    return np.asarray(pow2_slopes(base) + extra, np.float32)
+
+
 class Attention(nn.Module):
     q_proj: nn.Linear
     k_proj: nn.Linear
@@ -657,6 +1182,10 @@ class Attention(nn.Module):
     rope_yarn: Optional[tuple] = nn.static_field(default=None)
     # gpt_oss sliding layers: attend only to the last `sliding_window` keys
     sliding_window: Optional[int] = nn.static_field(default=None)
+    # bloom/mpt ALiBi: per-head slope * key-position bias on the logits
+    # (equivalent to the distance form under row-wise softmax shift
+    # invariance, the identity HF's build_alibi_tensor relies on)
+    use_alibi: bool = nn.static_field(default=False)
 
     def __call__(
         self,
@@ -710,6 +1239,7 @@ class Attention(nn.Module):
             and self.logit_softcap is None
             and self.sinks is None
             and self.sliding_window is None
+            and not self.use_alibi
             and attn_mask is None
             and s % 128 == 0
             and (hd <= 128 or hd % 128 == 0)
@@ -735,6 +1265,12 @@ class Attention(nn.Module):
         logits = jnp.einsum(
             "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
         ) * scale
+        if self.use_alibi:
+            slopes = jnp.asarray(alibi_slopes(self.n_heads))
+            logits = logits + (
+                slopes[None, :, None, None]
+                * positions.astype(jnp.float32)[:, None, None, :]
+            )
         if self.logit_softcap is not None:
             cap = jnp.float32(self.logit_softcap)
             logits = cap * jnp.tanh(logits / cap)
@@ -769,7 +1305,7 @@ class Attention(nn.Module):
     ) -> "Attention":
         ks = jax.random.split(key, 4)
         hd = cfg.head_dim
-        use_rope = True
+        use_rope = cfg.use_rope
         if cfg.rope_layers and layer_idx < len(cfg.rope_layers):
             use_rope = bool(cfg.rope_layers[layer_idx])
         return Attention(
@@ -823,6 +1359,7 @@ class Attention(nn.Module):
             ),
             rope_interleaved=cfg.rope_interleaved,
             rope_yarn=cfg.rope_yarn,
+            use_alibi=cfg.use_alibi,
             sliding_window=(
                 cfg.sliding_window
                 if (
@@ -993,35 +1530,50 @@ class MLP(nn.Module):
     up clamped to ±clamp_limit, glu = gate·sigmoid(1.702·gate), output
     (up+1)·glu — HF GptOssExperts with its hardcoded alpha)."""
 
-    gate_proj: nn.Linear
+    # gate_proj is None for the non-gated families (gpt2 / neox / falcon
+    # / starcoder2): up_proj -> act -> down_proj
+    gate_proj: Optional[nn.Linear]
     up_proj: nn.Linear
     down_proj: nn.Linear
     act: str = nn.static_field(default="silu")
     clamp_limit: float = nn.static_field(default=7.0)
 
+    def _apply_act(self, h: jax.Array) -> jax.Array:
+        if self.act == "gelu_tanh":
+            return jax.nn.gelu(h, approximate=True)
+        if self.act == "gelu_exact":
+            return jax.nn.gelu(h, approximate=False)
+        if self.act == "relu":
+            return jax.nn.relu(h)
+        if self.act == "relu2":  # nemotron relu^2
+            return jnp.square(jax.nn.relu(h))
+        return jax.nn.silu(h)
+
     def __call__(self, x: jax.Array, ctx: Optional[nn.Ctx] = None) -> jax.Array:
+        if self.gate_proj is None:
+            return self.down_proj(self._apply_act(self.up_proj(x, ctx)), ctx)
         g = self.gate_proj(x, ctx)
         if self.act == "gptoss_glu":
             u = jnp.clip(self.up_proj(x, ctx), -self.clamp_limit, self.clamp_limit)
             g = jnp.minimum(g, self.clamp_limit)
             glu = g * jax.nn.sigmoid(1.702 * g)
             return self.down_proj((u + 1.0) * glu, ctx)
-        if self.act == "gelu_tanh":
-            g = jax.nn.gelu(g, approximate=True)
-        else:
-            g = jax.nn.silu(g)
-        return self.down_proj(g * self.up_proj(x, ctx), ctx)
+        return self.down_proj(self._apply_act(g) * self.up_proj(x, ctx), ctx)
 
     @staticmethod
     def create(key: jax.Array, cfg: TransformerConfig) -> "MLP":
         ks = jax.random.split(key, 3)
         act = cfg.mlp_act
-        bias = False
+        bias = cfg.mlp_bias
         if cfg.moe_clamp_limit is not None:
             act = "gptoss_glu"
             bias = True  # gpt_oss experts carry biases on all projections
         return MLP(
-            gate_proj=nn.Linear.create(ks[0], cfg.dim, cfg.hidden_dim, bias, cfg.dtype),
+            gate_proj=(
+                nn.Linear.create(ks[0], cfg.dim, cfg.hidden_dim, bias, cfg.dtype)
+                if cfg.mlp_gated
+                else None
+            ),
             up_proj=nn.Linear.create(ks[1], cfg.dim, cfg.hidden_dim, bias, cfg.dtype),
             down_proj=nn.Linear.create(ks[2], cfg.hidden_dim, cfg.dim, bias, cfg.dtype),
             act=act,
@@ -1351,18 +1903,34 @@ def _layer_is_sparse(cfg: TransformerConfig, layer_idx: int) -> bool:
     )
 
 
+def _make_block_norm(cfg: TransformerConfig):
+    if cfg.norm_type == "layernorm":
+        return nn.LayerNorm.create(cfg.dim, cfg.norm_bias, cfg.norm_eps, cfg.dtype)
+    return nn.RMSNorm.create(
+        cfg.dim, cfg.norm_eps, cfg.dtype, plus_one=cfg.norm_plus_one
+    )
+
+
 class Block(nn.Module):
-    # input_layernorm is None for olmo2's post-norm-only blocks
-    input_layernorm: Optional[nn.RMSNorm]
+    # input_layernorm is None for olmo2's post-norm-only blocks.  Norms
+    # are RMSNorm or LayerNorm per TransformerConfig.norm_type.
+    input_layernorm: Optional[nn.Module]
     self_attn: Attention
-    post_attention_layernorm: nn.RMSNorm
+    # None for "one_norm" parallel-residual blocks (falcon-7b / cohere):
+    # attention and MLP both read the single input_layernorm output
+    post_attention_layernorm: Optional[nn.Module]
     mlp: MLP
     # gemma2 sandwich norms: post_attention_layernorm applies AFTER the
     # attention output (HF keeps the same field name with this changed
     # meaning), and the MLP gets its own pre/post pair.  olmo2 reuses
     # post_feedforward_layernorm with pre/input norms absent.
-    pre_feedforward_layernorm: Optional[nn.RMSNorm] = None
-    post_feedforward_layernorm: Optional[nn.RMSNorm] = None
+    pre_feedforward_layernorm: Optional[nn.Module] = None
+    post_feedforward_layernorm: Optional[nn.Module] = None
+    # "two_norm" (neox / falcon-new): x + attn(ln1(x)) + mlp(ln2(x));
+    # "one_norm" (falcon-7b / cohere): both branches share ln1(x)
+    parallel_residual: str = nn.static_field(default="none")
+    # granite: residual adds scaled by this factor
+    residual_multiplier: Optional[float] = nn.static_field(default=None)
 
     def __call__(
         self,
@@ -1376,6 +1944,13 @@ class Block(nn.Module):
         attn_out = self.self_attn(
             xin, ctx, positions=positions, attn_mask=attn_mask
         )
+        if self.parallel_residual != "none":
+            mlp_in = (
+                xin
+                if self.parallel_residual == "one_norm"
+                else self.post_attention_layernorm(x)
+            )
+            return x + attn_out + self.mlp(mlp_in, ctx)
         if self.input_layernorm is None:  # olmo2 post-norm-only wiring
             h = x + self.post_attention_layernorm(attn_out)
             return h + self.post_feedforward_layernorm(self.mlp(h, ctx))
@@ -1383,6 +1958,10 @@ class Block(nn.Module):
             h = x + self.post_attention_layernorm(attn_out)
             ffw = self.mlp(self.pre_feedforward_layernorm(h), ctx)
             return h + self.post_feedforward_layernorm(ffw)
+        if self.residual_multiplier is not None:  # granite
+            mult = jnp.asarray(self.residual_multiplier, x.dtype)
+            h = x + mult * attn_out
+            return h + mult * self.mlp(self.post_attention_layernorm(h), ctx)
         h = x + attn_out
         return h + self.mlp(self.post_attention_layernorm(h), ctx)
 
@@ -1391,9 +1970,7 @@ class Block(nn.Module):
         k1, k2 = jax.random.split(key)
 
         def norm():
-            return nn.RMSNorm.create(
-                cfg.dim, cfg.norm_eps, cfg.dtype, plus_one=cfg.norm_plus_one
-            )
+            return _make_block_norm(cfg)
 
         return Block(
             input_layernorm=None if cfg.post_norm_only else norm(),
@@ -1402,7 +1979,9 @@ class Block(nn.Module):
                 if cfg.kv_lora_rank is not None
                 else Attention.create(k1, cfg, layer_idx)
             ),
-            post_attention_layernorm=norm(),
+            post_attention_layernorm=(
+                None if cfg.parallel_residual == "one_norm" else norm()
+            ),
             mlp=(
                 MoEMLP.create(k2, cfg)
                 if _layer_is_sparse(cfg, layer_idx)
@@ -1412,17 +1991,26 @@ class Block(nn.Module):
             post_feedforward_layernorm=norm()
             if (cfg.sandwich_norms or cfg.post_norm_only)
             else None,
+            parallel_residual=cfg.parallel_residual,
+            residual_multiplier=cfg.residual_multiplier,
         )
 
 
 class Decoder(nn.Module):
     embed_tokens: nn.Embedding
     layers: tuple
-    norm: nn.RMSNorm
+    norm: nn.Module
+    # gpt2 wpe: learned absolute position table added to the embedding
+    pos_embed: Optional[nn.Embedding] = None
+    # bloom word_embeddings_layernorm
+    embed_norm: Optional[nn.Module] = None
     remat: bool = nn.static_field(default=False)
     # gemma: hidden states scaled by sqrt(dim) after embedding (HF
     # GemmaModel.forward normalizer, applied in the activation dtype)
     scale_embeddings: bool = nn.static_field(default=False)
+    # granite embedding_multiplier (an arbitrary scalar, unlike gemma's
+    # sqrt(dim))
+    embedding_multiplier: Optional[float] = nn.static_field(default=None)
 
     def __call__(
         self,
@@ -1434,8 +2022,14 @@ class Decoder(nn.Module):
         x = self.embed_tokens(input_ids)
         if self.scale_embeddings:
             x = x * jnp.asarray(x.shape[-1] ** 0.5, x.dtype)
+        if self.embedding_multiplier is not None:
+            x = x * jnp.asarray(self.embedding_multiplier, x.dtype)
         b, s = input_ids.shape
         positions = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s))
+        if self.pos_embed is not None:
+            x = x + self.pos_embed(positions)
+        if self.embed_norm is not None:
+            x = self.embed_norm(x, ctx)
         use_remat = self.remat and not (ctx is not None and ctx.no_remat)
         for layer in self.layers:
             if use_remat:
@@ -1465,6 +2059,8 @@ class CausalLM(nn.Module):
     tie_embeddings: bool = nn.static_field(default=False)
     # gemma2: tanh softcap on the final logits
     final_logit_softcap: Optional[float] = nn.static_field(default=None)
+    # cohere logit_scale / granite 1/logits_scaling: multiplies the logits
+    logit_scale: Optional[float] = nn.static_field(default=None)
 
     def __call__(self, batch: Any, ctx: Optional[nn.Ctx] = None) -> jax.Array:
         if isinstance(batch, dict):
@@ -1477,6 +2073,8 @@ class CausalLM(nn.Module):
             logits = jnp.dot(h, self.model.embed_tokens.table.T)
         else:
             logits = self.lm_head(h, ctx)
+        if self.logit_scale is not None:
+            logits = logits * jnp.asarray(self.logit_scale, logits.dtype)
         if self.final_logit_softcap is not None:
             cap = jnp.asarray(self.final_logit_softcap, logits.dtype)
             logits = cap * jnp.tanh(logits / cap)
@@ -1484,7 +2082,7 @@ class CausalLM(nn.Module):
 
     @staticmethod
     def create(key: jax.Array, cfg: TransformerConfig) -> "CausalLM":
-        keys = jax.random.split(key, cfg.n_layers + 2)
+        keys = jax.random.split(key, cfg.n_layers + 3)
         decoder = Decoder(
             embed_tokens=nn.Embedding.create(
                 keys[0], cfg.vocab_size, cfg.dim, cfg.dtype
@@ -1493,22 +2091,36 @@ class CausalLM(nn.Module):
                 Block.create(keys[1 + i], cfg, layer_idx=i)
                 for i in range(cfg.n_layers)
             ),
-            norm=nn.RMSNorm.create(
-                cfg.dim, cfg.norm_eps, cfg.dtype, plus_one=cfg.norm_plus_one
+            norm=_make_block_norm(cfg),
+            pos_embed=(
+                nn.Embedding.create(
+                    keys[-2], cfg.learned_pos, cfg.dim, cfg.dtype
+                )
+                if cfg.learned_pos is not None
+                else None
+            ),
+            embed_norm=(
+                nn.LayerNorm.create(cfg.dim, True, cfg.norm_eps, cfg.dtype)
+                if cfg.embed_norm
+                else None
             ),
             remat=cfg.remat,
             scale_embeddings=cfg.scale_embeddings,
+            embedding_multiplier=cfg.embedding_multiplier,
         )
         lm_head = (
             None
             if cfg.tie_embeddings
-            else nn.Linear.create(keys[-1], cfg.dim, cfg.vocab_size, False, cfg.dtype)
+            else nn.Linear.create(
+                keys[-1], cfg.dim, cfg.vocab_size, cfg.lm_head_bias, cfg.dtype
+            )
         )
         return CausalLM(
             model=decoder,
             lm_head=lm_head,
             tie_embeddings=cfg.tie_embeddings,
             final_logit_softcap=cfg.final_logit_softcap,
+            logit_scale=cfg.logit_scale,
         )
 
 

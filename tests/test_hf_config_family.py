@@ -102,7 +102,7 @@ def test_gemma_logits_match_hf():
 
 def test_from_hf_config_rejects_foreign_architectures():
     with pytest.raises(ValueError, match="model_type"):
-        models.TransformerConfig.from_hf_config({"model_type": "gpt2"})
+        models.TransformerConfig.from_hf_config({"model_type": "mamba"})
     with pytest.raises(ValueError, match="hidden_act"):
         models.TransformerConfig.from_hf_config(
             {
@@ -718,3 +718,317 @@ def test_deepseek_v3_yarn_logits_match_hf():
     assert native.model.layers[0].self_attn.rope_yarn is not None
     native = utils.load_state_dict(native, sd, strict=False)
     _compare(hf, native, 128, atol=3e-4)
+
+
+# --------------------------------------------------------------------------
+# Beyond-llama graphs: LayerNorm blocks, non-gated MLPs, learned positions,
+# parallel residual, fused-qkv checkpoint layouts.  Each family is pinned
+# by logits parity against the live HF torch implementation on shared
+# weights (reference coverage analogue: AutoModelForCausalLM,
+# trainer_llm/builder.py:97-107).
+# --------------------------------------------------------------------------
+
+
+def _hf_to_native_translated(hf_model, hf_cfg_dict):
+    from ptdeco_tpu.models import hf_loader
+
+    sd = {
+        k: v.detach().to(torch.float32).numpy()
+        for k, v in hf_model.state_dict().items()
+        if not k.endswith("rotary_emb.inv_freq")
+    }
+    tr = hf_loader.translator_for(hf_cfg_dict)
+    if tr is not None:
+        sd = tr(sd)
+    cfg = models.TransformerConfig.from_hf_config(
+        hf_cfg_dict, dtype=jnp.float32
+    )
+    native = models.CausalLM.create(jax.random.PRNGKey(0), cfg)
+    return utils.load_state_dict(native, sd, strict=False), cfg
+
+
+def test_gpt2_logits_match_hf():
+    cfg = transformers.GPT2Config(
+        vocab_size=128, n_embd=32, n_layer=2, n_head=4, n_positions=64
+    )
+    hf = transformers.GPT2LMHeadModel(cfg).eval()
+    native, ncfg = _hf_to_native_translated(hf, cfg.to_dict())
+    assert ncfg.norm_type == "layernorm" and not ncfg.mlp_gated
+    assert ncfg.learned_pos == 64 and not ncfg.use_rope
+    assert ncfg.tie_embeddings
+    _compare(hf, native, 128, atol=2e-4)
+
+
+def test_gpt_neox_parallel_residual_logits_match_hf():
+    cfg = transformers.GPTNeoXConfig(
+        vocab_size=128,
+        hidden_size=32,
+        num_attention_heads=4,
+        num_hidden_layers=2,
+        intermediate_size=64,
+        rotary_pct=0.25,
+        use_parallel_residual=True,
+        max_position_embeddings=64,
+    )
+    hf = transformers.GPTNeoXForCausalLM(cfg).eval()
+    native, ncfg = _hf_to_native_translated(hf, cfg.to_dict())
+    assert ncfg.parallel_residual == "two_norm"
+    assert ncfg.rope_partial_factor == 0.25
+    assert ncfg.mlp_act == "gelu_exact"  # HF GPTNeoX hidden_act default "gelu"
+    _compare(hf, native, 128, atol=2e-4)
+
+
+def test_gpt_neox_sequential_logits_match_hf():
+    cfg = transformers.GPTNeoXConfig(
+        vocab_size=128,
+        hidden_size=32,
+        num_attention_heads=4,
+        num_hidden_layers=2,
+        intermediate_size=64,
+        use_parallel_residual=False,
+        max_position_embeddings=64,
+    )
+    hf = transformers.GPTNeoXForCausalLM(cfg).eval()
+    native, ncfg = _hf_to_native_translated(hf, cfg.to_dict())
+    assert ncfg.parallel_residual == "none"
+    _compare(hf, native, 128, atol=2e-4)
+
+
+def test_falcon7b_style_logits_match_hf():
+    """Classic falcon: multi-query, single shared norm, parallel
+    attention+MLP, no biases."""
+    cfg = transformers.FalconConfig(
+        vocab_size=128,
+        hidden_size=32,
+        num_attention_heads=4,
+        num_hidden_layers=2,
+        new_decoder_architecture=False,
+        multi_query=True,
+        parallel_attn=True,
+        bias=False,
+        alibi=False,
+        max_position_embeddings=64,
+    )
+    hf = transformers.FalconForCausalLM(cfg).eval()
+    native, ncfg = _hf_to_native_translated(hf, cfg.to_dict())
+    assert ncfg.parallel_residual == "one_norm" and ncfg.n_kv_heads == 1
+    _compare(hf, native, 128, atol=2e-4)
+
+
+def test_falcon_new_arch_logits_match_hf():
+    """Falcon-40b/180b layout: grouped fused qkv, ln_attn/ln_mlp."""
+    cfg = transformers.FalconConfig(
+        vocab_size=128,
+        hidden_size=32,
+        num_attention_heads=4,
+        num_hidden_layers=2,
+        new_decoder_architecture=True,
+        num_kv_heads=2,
+        bias=False,
+        alibi=False,
+        max_position_embeddings=64,
+    )
+    hf = transformers.FalconForCausalLM(cfg).eval()
+    native, ncfg = _hf_to_native_translated(hf, cfg.to_dict())
+    assert ncfg.parallel_residual == "two_norm" and ncfg.n_kv_heads == 2
+    _compare(hf, native, 128, atol=2e-4)
+
+
+def test_starcoder2_logits_match_hf():
+    cfg = transformers.Starcoder2Config(
+        vocab_size=128,
+        hidden_size=32,
+        intermediate_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        use_bias=True,
+        max_position_embeddings=64,
+    )
+    hf = transformers.Starcoder2ForCausalLM(cfg).eval()
+    native, ncfg = _hf_to_native_translated(hf, cfg.to_dict())
+    assert ncfg.qkv_bias and ncfg.mlp_bias and not ncfg.mlp_gated
+    _compare(hf, native, 128, atol=2e-4)
+
+
+def test_stablelm_logits_match_hf():
+    cfg = transformers.StableLmConfig(
+        vocab_size=128,
+        hidden_size=32,
+        intermediate_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        partial_rotary_factor=0.25,
+        max_position_embeddings=64,
+    )
+    hf = transformers.StableLmForCausalLM(cfg).eval()
+    native, ncfg = _hf_to_native_translated(hf, cfg.to_dict())
+    assert ncfg.norm_type == "layernorm" and ncfg.mlp_gated
+    assert ncfg.rope_partial_factor == 0.25
+    _compare(hf, native, 128, atol=2e-4)
+
+
+def test_granite_logits_match_hf():
+    cfg = transformers.GraniteConfig(
+        vocab_size=128,
+        hidden_size=32,
+        intermediate_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        embedding_multiplier=12.0,
+        residual_multiplier=0.22,
+        attention_multiplier=0.015625,
+        logits_scaling=8.0,
+        max_position_embeddings=64,
+    )
+    hf = transformers.GraniteForCausalLM(cfg).eval()
+    native, ncfg = _hf_to_native_translated(hf, cfg.to_dict())
+    assert ncfg.embedding_multiplier == 12.0
+    assert ncfg.residual_multiplier == 0.22
+    assert ncfg.logit_scale == 0.125
+    _compare(hf, native, 128, atol=3e-4)
+
+
+def test_cohere_logits_match_hf():
+    cfg = transformers.CohereConfig(
+        vocab_size=128,
+        hidden_size=32,
+        intermediate_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        logit_scale=0.0625,
+        max_position_embeddings=64,
+    )
+    hf = transformers.CohereForCausalLM(cfg).eval()
+    native, ncfg = _hf_to_native_translated(hf, cfg.to_dict())
+    assert ncfg.parallel_residual == "one_norm"
+    assert ncfg.norm_type == "layernorm" and not ncfg.norm_bias
+    assert ncfg.logit_scale == 0.0625
+    _compare(hf, native, 128, atol=2e-4)
+
+
+def test_builder_generic_gpt2_checkpoint_path(tmp_path):
+    """An unknown-name gpt2 snapshot dir drives the full builder path:
+    config.json dispatch + Conv1D transpose/split translation."""
+    import safetensors.numpy
+
+    from apps.trainer_llm import builder
+
+    cfg = transformers.GPT2Config(
+        vocab_size=128, n_embd=32, n_layer=2, n_head=4, n_positions=64
+    )
+    hf = transformers.GPT2LMHeadModel(cfg).eval()
+    (tmp_path / "config.json").write_text(cfg.to_json_string())
+    sd = {
+        k: v.detach().to(torch.float32).numpy().copy()
+        for k, v in hf.state_dict().items()
+        if not (k.endswith(".attn.bias") or k.endswith(".attn.masked_bias"))
+    }
+    safetensors.numpy.save_file(sd, tmp_path / "model.safetensors")
+    model, _ = builder.make_model_and_tokenizer(
+        model_name="someorg/custom-gpt2-variant",
+        dtype="float32",
+        checkpoint_path=str(tmp_path),
+    )
+    _compare(hf, model, 128, atol=2e-4)
+
+
+def test_gptj_logits_match_hf():
+    cfg = transformers.GPTJConfig(
+        vocab_size=128,
+        n_embd=32,
+        n_layer=2,
+        n_head=4,
+        rotary_dim=4,
+        n_positions=64,
+    )
+    hf = transformers.GPTJForCausalLM(cfg).eval()
+    native, ncfg = _hf_to_native_translated(hf, cfg.to_dict())
+    assert ncfg.parallel_residual == "one_norm"
+    assert ncfg.rope_interleaved and ncfg.rope_partial_factor == 0.5
+    assert ncfg.lm_head_bias
+    _compare(hf, native, 128, atol=2e-4)
+
+
+def test_opt_logits_match_hf():
+    cfg = transformers.OPTConfig(
+        vocab_size=128,
+        hidden_size=32,
+        ffn_dim=64,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        max_position_embeddings=64,
+        do_layer_norm_before=True,
+        word_embed_proj_dim=32,
+    )
+    hf = transformers.OPTForCausalLM(cfg).eval()
+    native, ncfg = _hf_to_native_translated(hf, cfg.to_dict())
+    assert ncfg.learned_pos == 64 and not ncfg.use_rope
+    assert ncfg.mlp_act == "relu" and not ncfg.mlp_gated
+    _compare(hf, native, 128, atol=2e-4)
+
+
+def test_bloom_logits_match_hf():
+    """Bloom: ALiBi attention biases, the word-embeddings LayerNorm, and
+    the per-head-fused biased query_key_value split (27th family)."""
+    cfg = transformers.BloomConfig(
+        vocab_size=128,
+        hidden_size=32,
+        n_layer=2,
+        n_head=4,
+        layer_norm_epsilon=1e-5,
+    )
+    hf = transformers.BloomForCausalLM(cfg).eval()
+    native, ncfg = _hf_to_native_translated(hf, cfg.to_dict())
+    assert ncfg.use_alibi and ncfg.embed_norm and not ncfg.use_rope
+    _compare(hf, native, 128, atol=2e-4)
+
+
+def test_bloom_alibi_nonpow2_heads_match_hf():
+    """The closest-power-of-2 slope construction (6 heads) matches HF's
+    build_alibi_tensor."""
+    cfg = transformers.BloomConfig(
+        vocab_size=64, hidden_size=48, n_layer=1, n_head=6
+    )
+    hf = transformers.BloomForCausalLM(cfg).eval()
+    native, _ = _hf_to_native_translated(hf, cfg.to_dict())
+    _compare(hf, native, 64, atol=2e-4)
+
+
+def test_mpt_logits_match_hf():
+    """MPT: ALiBi, bias-free projections AND LayerNorms, straight-thirds
+    fused Wqkv, exact-gelu MLP at expansion_ratio (28th family)."""
+    cfg = transformers.MptConfig(
+        vocab_size=128,
+        d_model=32,
+        n_layers=2,
+        n_heads=4,
+        expansion_ratio=4,
+        max_seq_len=64,
+    )
+    hf = transformers.MptForCausalLM(cfg).eval()
+    native, ncfg = _hf_to_native_translated(hf, cfg.to_dict())
+    assert ncfg.use_alibi and not ncfg.norm_bias and not ncfg.mlp_bias
+    _compare(hf, native, 128, atol=2e-4)
+
+
+def test_gpt_bigcode_logits_match_hf():
+    """GPTBigCode (starcoder1): learned positions + multi-query fused
+    c_attn ([q | k_hd | v_hd] rows onto n_kv_heads=1) + biased tanh-gelu
+    MLP (29th family)."""
+    cfg = transformers.GPTBigCodeConfig(
+        vocab_size=128,
+        n_embd=32,
+        n_layer=2,
+        n_head=4,
+        n_positions=64,
+        multi_query=True,
+        activation_function="gelu_pytorch_tanh",
+    )
+    hf = transformers.GPTBigCodeForCausalLM(cfg).eval()
+    native, ncfg = _hf_to_native_translated(hf, cfg.to_dict())
+    assert ncfg.n_kv_heads == 1 and ncfg.learned_pos == 64
+    _compare(hf, native, 128, atol=2e-4)
