@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import inspect
 import logging
+import os
 from typing import Any, Optional
 
 import jax
@@ -59,6 +60,15 @@ def make_model(
 ) -> nn.Module:
     if model_name.startswith("ptdeco_tpu."):
         model_name = model_name.split(".", 1)[1]
+    # a checkpoint DIRECTORY is an HF snapshot: build from its config.json
+    # (generic-architecture path, mirroring the LLM builder; reference
+    # analogue: timm.create_model(pretrained=True), builder.py:134-144)
+    if checkpoint_path is not None and os.path.isdir(checkpoint_path):
+        model = build_from_hf_snapshot(
+            checkpoint_path, seed=seed, input_h_w=input_h_w
+        )
+        log_decomposeable_inventory(model)
+        return model
     if model_name not in _ZOO:
         raise ValueError(f"Unknown model {model_name!r}; known: {sorted(_ZOO)}")
     factory = _ZOO[model_name]
@@ -85,6 +95,111 @@ def make_model(
         model = utils.load_state_dict(model, sd, strict=False)
         logger.info(f"Loaded weights from {checkpoint_path}")
     log_decomposeable_inventory(model)
+    return model
+
+
+def build_from_hf_snapshot(
+    snapshot_dir: str,
+    seed: int = 0,
+    input_h_w: Optional[tuple[int, int]] = None,
+) -> nn.Module:
+    """Build a native vision model from a local HF snapshot directory
+    (config.json + safetensors), dispatching on ``model_type`` the way the
+    LLM builder does — the vision analogue of the reference's
+    any-timm-model coverage (trainer_vision/builder.py:134-144).
+
+    Families: vit / convnext / swinv2 / resnet (each logits-pinned vs the
+    live HF torch implementation, tests/test_vision_hf_parity.py).
+    Config knobs outside the native modules' graphs (non-4x ViT MLPs,
+    non-torchvision resnet widths, swin mlp_ratio != 4) raise ValueError
+    naming the field rather than silently diverging."""
+    from ptdeco_tpu.models import hf_loader
+
+    cfg = hf_loader.read_hf_config(snapshot_dir)
+    mt = cfg.get("model_type")
+    sd = hf_loader.read_hf_state_dict(snapshot_dir)
+    num_labels = len(cfg.get("id2label", {})) or 1000
+    if input_h_w is not None and input_h_w[0] != input_h_w[1]:
+        raise ValueError(f"HF vision snapshots need square inputs, got {input_h_w}")
+    image_size = (
+        input_h_w[0] if input_h_w is not None else int(cfg.get("image_size", 224))
+    )
+    key = jax.random.PRNGKey(seed)
+    strict = True
+    if mt == "vit":
+        dim = int(cfg["hidden_size"])
+        if int(cfg["intermediate_size"]) != 4 * dim:
+            raise ValueError("vit intermediate_size != 4*hidden_size unsupported")
+        if cfg.get("hidden_act", "gelu") != "gelu":
+            raise ValueError(f"vit hidden_act={cfg.get('hidden_act')!r} unsupported")
+        if not cfg.get("qkv_bias", True):
+            raise ValueError("vit qkv_bias=False unsupported")
+        model = vit_zoo.ViT.create(
+            key,
+            image_size=image_size,
+            patch_size=int(cfg.get("patch_size", 16)),
+            dim=dim,
+            depth=int(cfg["num_hidden_layers"]),
+            n_heads=int(cfg["num_attention_heads"]),
+            num_classes=num_labels,
+        )
+        sd = vit_zoo.translate_hf_vit_state_dict(sd)
+    elif mt == "convnext":
+        model = convnext_zoo.ConvNeXt.create(
+            key,
+            depths=tuple(cfg["depths"]),
+            dims=tuple(cfg["hidden_sizes"]),
+            num_classes=num_labels,
+        )
+        sd = convnext_zoo.translate_hf_convnext_state_dict(sd)
+    elif mt == "swinv2":
+        if float(cfg.get("mlp_ratio", 4.0)) != 4.0:
+            raise ValueError("swinv2 mlp_ratio != 4 unsupported")
+        if cfg.get("use_absolute_embeddings"):
+            raise ValueError("swinv2 use_absolute_embeddings unsupported")
+        depths = tuple(cfg["depths"])
+        model = swin_zoo.SwinV2.create(
+            key,
+            image_size=image_size,
+            patch_size=int(cfg.get("patch_size", 4)),
+            embed_dim=int(cfg["embed_dim"]),
+            depths=depths,
+            n_heads=tuple(cfg["num_heads"])[: len(depths)],
+            window=int(cfg.get("window_size", 7)),
+            num_classes=num_labels,
+        )
+        sd = swin_zoo.translate_hf_swinv2_state_dict(sd)
+        strict = False  # native CPB/index buffers rebuild from static shapes
+    elif mt == "resnet":
+        if int(cfg.get("embedding_size", 64)) != 64:
+            raise ValueError("resnet embedding_size != 64 unsupported")
+        if cfg.get("downsample_in_first_stage"):
+            raise ValueError("resnet downsample_in_first_stage unsupported")
+        if cfg.get("hidden_act", "relu") != "relu":
+            raise ValueError("resnet hidden_act != relu unsupported")
+        layer_type = cfg.get("layer_type", "bottleneck")
+        expansion = 4 if layer_type == "bottleneck" else 1
+        expect = [64 * expansion * 2**i for i in range(4)]
+        if list(cfg["hidden_sizes"]) != expect:
+            raise ValueError(
+                f"resnet hidden_sizes={cfg['hidden_sizes']} is outside the "
+                f"torchvision family (expected {expect})"
+            )
+        model = resnet_zoo.ResNet.create(
+            key,
+            block=layer_type,
+            layers=tuple(cfg["depths"]),
+            num_classes=num_labels,
+        )
+        sd = resnet_zoo.translate_hf_resnet_state_dict(sd)
+    else:
+        raise ValueError(
+            f"model_type={mt!r} is outside the supported HF vision families "
+            "(vit/convnext/swinv2/resnet); use a zoo entry or register_model"
+        )
+    log_state_dict_keys_stats("build_from_hf_snapshot:", model, sd)
+    model = utils.load_state_dict(model, sd, strict=strict)
+    logger.info(f"Built {mt} from HF snapshot {snapshot_dir}")
     return model
 
 

@@ -122,3 +122,40 @@ def convnext_tiny(key: jax.Array, num_classes: int = 1000) -> ConvNeXt:
 
 def convnext_small(key: jax.Array, num_classes: int = 1000) -> ConvNeXt:
     return ConvNeXt.create(key, (3, 3, 27, 3), (96, 192, 384, 768), num_classes)
+
+
+def translate_hf_convnext_state_dict(sd):
+    """Translate the HF ``ConvNextForImageClassification`` layout
+    (facebook/convnext-* snapshots) into this module's tree: embeddings
+    patch conv + layernorm -> stem/stem_norm, encoder.stages.S.layers.B.*
+    -> stages.S.B.* (layer_scale_parameter -> the bare ``gamma`` leaf),
+    stages.S.downsampling_layer.{0,1} -> downsamples.{S-1}.{norm,conv},
+    final layernorm/classifier -> norm/head.  Logits parity pinned in
+    tests/test_vision_hf_parity.py."""
+    out = {}
+    for k, v in sd.items():
+        if k.startswith("convnext.embeddings.patch_embeddings."):
+            out[
+                k.replace("convnext.embeddings.patch_embeddings.", "stem.")
+            ] = v
+        elif k.startswith("convnext.embeddings.layernorm."):
+            out[
+                k.replace("convnext.embeddings.layernorm.", "stem_norm.")
+            ] = v
+        elif ".downsampling_layer." in k:
+            stage = int(k.split("convnext.encoder.stages.")[1].split(".")[0])
+            which, leaf = k.split(".downsampling_layer.")[1].split(".")
+            name = "norm" if which == "0" else "conv"
+            out[f"downsamples.{stage - 1}.{name}.{leaf}"] = v
+        elif ".layers." in k and k.startswith("convnext.encoder.stages."):
+            stage, rest = k.split("convnext.encoder.stages.")[1].split(
+                ".layers.", 1
+            )
+            rest = rest.replace(".layernorm.", ".norm.")
+            rest = rest.replace(".layer_scale_parameter", ".gamma")
+            out[f"stages.{stage}.{rest}"] = v
+        elif k.startswith("convnext.layernorm."):
+            out[k.replace("convnext.layernorm.", "norm.")] = v
+        elif k.startswith("classifier."):
+            out[k.replace("classifier.", "head.")] = v
+    return out

@@ -194,3 +194,41 @@ def resnet50(key: jax.Array, num_classes: int = 1000) -> ResNet:
 
 def resnet101(key: jax.Array, num_classes: int = 1000) -> ResNet:
     return ResNet.create(key, "bottleneck", (3, 4, 23, 3), num_classes)
+
+
+def translate_hf_resnet_state_dict(sd: dict) -> dict:
+    """Translate the HF ``ResNetForImageClassification`` layout
+    (microsoft/resnet-* snapshots) into this module's torchvision-style
+    naming: ``embedder.embedder.convolution/normalization`` -> conv1/bn1,
+    ``encoder.stages.S.layers.B.layer.L.{convolution,normalization}`` ->
+    ``layer{S+1}.B.{conv,bn}{L+1}``, ``shortcut.{convolution,
+    normalization}`` -> ``downsample.{0,1}``, ``classifier.1`` (the Linear
+    after Flatten) -> ``fc``.  The graphs match exactly for the
+    torchvision-shaped configs (v1.5 stride in the 3x3, stem maxpool,
+    stride-2 from stage 2 on); logits parity is pinned in
+    tests/test_vision_hf_parity.py."""
+    out: dict = {}
+    for k, v in sd.items():
+        if k.endswith("num_batches_tracked"):
+            continue
+        if k.startswith("resnet.embedder.embedder.convolution."):
+            out[k.replace("resnet.embedder.embedder.convolution.", "conv1.")] = v
+        elif k.startswith("resnet.embedder.embedder.normalization."):
+            out[k.replace("resnet.embedder.embedder.normalization.", "bn1.")] = v
+        elif k.startswith("resnet.encoder.stages."):
+            rest = k[len("resnet.encoder.stages."):]
+            stage, rest = rest.split(".layers.", 1)
+            blk, rest = rest.split(".", 1)
+            if rest.startswith("layer."):
+                conv_idx, what, leaf = rest[len("layer."):].split(".")
+                name = ("conv" if what == "convolution" else "bn") + str(
+                    int(conv_idx) + 1
+                )
+                out[f"layer{int(stage) + 1}.{blk}.{name}.{leaf}"] = v
+            elif rest.startswith("shortcut."):
+                what, leaf = rest[len("shortcut."):].split(".")
+                idx = "0" if what == "convolution" else "1"
+                out[f"layer{int(stage) + 1}.{blk}.downsample.{idx}.{leaf}"] = v
+        elif k.startswith("classifier.1."):
+            out[k.replace("classifier.1.", "fc.")] = v
+    return out

@@ -235,7 +235,12 @@ class PatchMerging(nn.Module):
         h, w = self.resolution
         b, n, c = x.shape
         x = x.reshape(b, h // 2, 2, w // 2, 2, c)
-        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, (h // 2) * (w // 2), 4 * c)
+        # upstream 4C concat order is [x(0,0), x(1,0), x(0,1), x(1,1)] in
+        # (row-offset, col-offset) terms — i.e. col-offset-major — so the
+        # row/col offset axes land as (..., col, row, c) before the merge
+        # (microsoft Swin-Transformer PatchMerging cat([x0,x1,x2,x3]); HF
+        # Swinv2PatchMerging matches; pinned by tests/test_vision_hf_parity)
+        x = x.transpose(0, 1, 3, 4, 2, 5).reshape(b, (h // 2) * (w // 2), 4 * c)
         # V2 order: linear reduction first, norm after (V1 norms first)
         return self.norm(self.reduction(x, ctx), ctx)
 
@@ -379,4 +384,70 @@ def translate_official_state_dict(sd: dict) -> dict:
         out[f"{prefix}.qkv.bias"] = np.concatenate(
             [q, np.zeros_like(q), v]
         )
+    return out
+
+
+def translate_hf_swinv2_state_dict(sd: dict) -> dict:
+    """Translate the HF transformers ``Swinv2ForImageClassification``
+    layout (microsoft/swinv2-* snapshots as served by transformers, which
+    renames the official fields) into this module's naming: separate
+    attention.self.query/key/value fuse into ``attn.qkv`` (the key
+    carries no bias upstream — zeros are packed into the fused bias,
+    matching the official q_bias/zero/v_bias convention),
+    ``continuous_position_bias_mlp.0/.2`` -> ``cpb_fc1/cpb_fc2``,
+    ``attention.output.dense`` -> ``attn.proj``, ``intermediate/output
+    .dense`` -> ``mlp.fc1/fc2``, ``layernorm_before/after`` (HF keeps the
+    v1 names for what are POST-norms in v2) -> ``norm1/norm2``.
+    Precomputed buffers are dropped (ours rebuild from static shapes).
+    Logits parity vs live HF: tests/test_vision_hf_parity.py."""
+    import numpy as np
+
+    out: dict = {}
+    qkv: dict = {}
+    for k, v in sd.items():
+        if k.endswith(
+            (
+                "relative_coords_table",
+                "relative_position_index",
+                "attn_mask",
+            )
+        ):
+            continue
+        name = k
+        name = name.replace(
+            "swinv2.embeddings.patch_embeddings.projection.", "patch_embed."
+        )
+        name = name.replace("swinv2.embeddings.norm.", "patch_norm.")
+        name = name.replace("swinv2.encoder.layers.", "stages.")
+        name = name.replace("swinv2.layernorm.", "norm.")
+        name = name.replace("classifier.", "head.")
+        name = name.replace(".layernorm_before.", ".norm1.")
+        name = name.replace(".layernorm_after.", ".norm2.")
+        name = name.replace(
+            ".attention.self.continuous_position_bias_mlp.0.", ".attn.cpb_fc1."
+        )
+        name = name.replace(
+            ".attention.self.continuous_position_bias_mlp.2.", ".attn.cpb_fc2."
+        )
+        name = name.replace(".attention.self.logit_scale", ".attn.logit_scale")
+        name = name.replace(".attention.output.dense.", ".attn.proj.")
+        name = name.replace(".intermediate.dense.", ".mlp.fc1.")
+        name = name.replace(".output.dense.", ".mlp.fc2.")
+        if ".attention.self." in name:
+            stem, rest = name.split(".attention.self.")
+            which, leaf = rest.split(".")
+            qkv.setdefault((stem, leaf), {})[which] = v
+            continue
+        out[name] = v
+    for (stem, leaf), parts in qkv.items():
+        if leaf == "bias":
+            q = np.asarray(parts["query"])
+            out[f"{stem}.attn.qkv.bias"] = np.concatenate(
+                [q, np.zeros_like(q), np.asarray(parts["value"])]
+            )
+        else:
+            out[f"{stem}.attn.qkv.weight"] = np.concatenate(
+                [parts["query"], parts["key"], parts["value"]], axis=0
+            )
+    # HF logit_scale is (n_heads, 1, 1) like ours; nothing else remains
     return out

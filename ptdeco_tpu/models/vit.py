@@ -137,3 +137,62 @@ def vit_small(key, num_classes=1000, image_size=224):
 
 def vit_base(key, num_classes=1000, image_size=224):
     return ViT.create(key, image_size, 16, 768, 12, 12, num_classes)
+
+
+def translate_hf_vit_state_dict(sd):
+    """Translate the HF ``ViTForImageClassification`` checkpoint layout
+    (google/vit-* snapshots) into this module's timm-style tree: separate
+    query/key/value fuse into ``attn.qkv`` (concatenated along the output
+    dim, matching the thirds split in ``ViTAttention.__call__``),
+    layernorm_before/after -> norm1/norm2, intermediate/output dense ->
+    mlp.fc1/fc2, attention.output.dense -> attn.proj.  Whole-model logits
+    parity vs the live HF implementation is pinned in
+    tests/test_vision_hf_parity.py (reference coverage analogue:
+    timm.create_model, trainer_vision/builder.py:134-144)."""
+    import numpy as np
+
+    out = {}
+    qkv: dict = {}
+    for k, v in sd.items():
+        if k.startswith("vit.embeddings.cls_token"):
+            out["cls_token"] = v
+        elif k.startswith("vit.embeddings.position_embeddings"):
+            out["pos_embed"] = v
+        elif k.startswith("vit.embeddings.patch_embeddings.projection."):
+            out[
+                k.replace(
+                    "vit.embeddings.patch_embeddings.projection.",
+                    "patch_embed.",
+                )
+            ] = v
+        elif ".attention.attention." in k:
+            stem, rest = k.split(".attention.attention.")
+            n = stem.rsplit(".", 1)[1]
+            which, leaf = rest.split(".")
+            qkv.setdefault((n, leaf), {})[which] = v
+        elif ".attention.output.dense." in k:
+            n = k.split("vit.encoder.layer.")[1].split(".")[0]
+            out[f"blocks.{n}.attn.proj.{k.rsplit('.', 1)[1]}"] = v
+        elif ".layernorm_before." in k:
+            n = k.split("vit.encoder.layer.")[1].split(".")[0]
+            out[f"blocks.{n}.norm1.{k.rsplit('.', 1)[1]}"] = v
+        elif ".layernorm_after." in k:
+            n = k.split("vit.encoder.layer.")[1].split(".")[0]
+            out[f"blocks.{n}.norm2.{k.rsplit('.', 1)[1]}"] = v
+        elif ".intermediate.dense." in k:
+            n = k.split("vit.encoder.layer.")[1].split(".")[0]
+            out[f"blocks.{n}.mlp.fc1.{k.rsplit('.', 1)[1]}"] = v
+        elif ".output.dense." in k:  # attention.output matched above
+            n = k.split("vit.encoder.layer.")[1].split(".")[0]
+            out[f"blocks.{n}.mlp.fc2.{k.rsplit('.', 1)[1]}"] = v
+        elif k.startswith("vit.layernorm."):
+            out[k.replace("vit.layernorm.", "norm.")] = v
+        elif k.startswith("classifier."):
+            out[k.replace("classifier.", "head.")] = v
+        else:  # pooler etc: not part of the classification forward
+            continue
+    for (n, leaf), parts in qkv.items():
+        out[f"blocks.{n}.attn.qkv.{leaf}"] = np.concatenate(
+            [parts["query"], parts["key"], parts["value"]], axis=0
+        )
+    return out
