@@ -32,6 +32,7 @@ _ZOO = {
     "resnet101": resnet_zoo.resnet101,
     "convnext_tiny": convnext_zoo.convnext_tiny,
     "convnext_small": convnext_zoo.convnext_small,
+    "convnextv2_tiny": convnext_zoo.convnextv2_tiny,
     "vit_tiny_patch16_224": vit_zoo.vit_tiny,
     "vit_small_patch16_224": vit_zoo.vit_small,
     "vit_base_patch16_224": vit_zoo.vit_base,
@@ -108,7 +109,8 @@ def build_from_hf_snapshot(
     LLM builder does — the vision analogue of the reference's
     any-timm-model coverage (trainer_vision/builder.py:134-144).
 
-    Families: vit / convnext / swinv2 / resnet (each logits-pinned vs the
+    Families: vit / convnext / convnextv2 / swinv2 / resnet (each
+    logits-pinned vs the
     live HF torch implementation, tests/test_vision_hf_parity.py).
     Config knobs outside the native modules' graphs (non-4x ViT MLPs,
     non-torchvision resnet widths, swin mlp_ratio != 4) raise ValueError
@@ -144,14 +146,18 @@ def build_from_hf_snapshot(
             num_classes=num_labels,
         )
         sd = vit_zoo.translate_hf_vit_state_dict(sd)
-    elif mt == "convnext":
+    elif mt in ("convnext", "convnextv2"):
         model = convnext_zoo.ConvNeXt.create(
             key,
             depths=tuple(cfg["depths"]),
             dims=tuple(cfg["hidden_sizes"]),
             num_classes=num_labels,
+            use_grn=(mt == "convnextv2"),
         )
-        sd = convnext_zoo.translate_hf_convnext_state_dict(sd)
+        if mt == "convnextv2":
+            sd = convnext_zoo.translate_hf_convnextv2_state_dict(sd)
+        else:
+            sd = convnext_zoo.translate_hf_convnext_state_dict(sd)
     elif mt == "swinv2":
         if float(cfg.get("mlp_ratio", 4.0)) != 4.0:
             raise ValueError("swinv2 mlp_ratio != 4 unsupported")
@@ -195,7 +201,8 @@ def build_from_hf_snapshot(
     else:
         raise ValueError(
             f"model_type={mt!r} is outside the supported HF vision families "
-            "(vit/convnext/swinv2/resnet); use a zoo entry or register_model"
+            "(vit/convnext/convnextv2/swinv2/resnet); use a zoo entry or "
+            "register_model"
         )
     log_state_dict_keys_stats("build_from_hf_snapshot:", model, sd)
     model = utils.load_state_dict(model, sd, strict=strict)
@@ -305,7 +312,11 @@ def get_fpops_dict(
         parts = leaf.split(".")
         per_module[""] += macs
         for i in range(1, len(parts) + 1):
-            per_module[".".join(parts[:i])] += macs
+            # .get: ancestor paths that are bare tuple containers (e.g.
+            # ConvNeXt.stages) are not Modules and so never appear in
+            # named_modules, but fvcore's by_module still reports them
+            key = ".".join(parts[:i])
+            per_module[key] = per_module.get(key, 0.0) + macs
 
     if units.lower() == "gflops":
         factor = 2.0 / 1.0e9  # MACs -> GFLOPs

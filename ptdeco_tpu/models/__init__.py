@@ -1,5 +1,5 @@
 from .mlp import MLP, make_mlp
-from .convnext import ConvNeXt, convnext_small, convnext_tiny
+from .convnext import ConvNeXt, convnext_small, convnext_tiny, convnextv2_tiny
 from .efficientformer import (
     EfficientFormerV2,
     efficientformerv2_s0,
@@ -28,6 +28,7 @@ __all__ = [
     "ConvNeXt",
     "convnext_small",
     "convnext_tiny",
+    "convnextv2_tiny",
     "EfficientFormerV2",
     "efficientformerv2_s0",
     "efficientformerv2_s1",

@@ -20,7 +20,12 @@ import jax.numpy as jnp
 
 from .. import nn
 
-__all__ = ["ConvNeXt", "convnext_tiny", "convnext_small"]
+__all__ = [
+    "ConvNeXt",
+    "convnext_tiny",
+    "convnext_small",
+    "convnextv2_tiny",
+]
 
 
 class ConvNeXtBlock(nn.Module):
@@ -28,18 +33,31 @@ class ConvNeXtBlock(nn.Module):
     norm: nn.LayerNorm
     pwconv1: nn.Linear  # expand 4x — decomposeable
     pwconv2: nn.Linear  # project — decomposeable
-    gamma: Optional[jax.Array]  # layer scale
+    gamma: Optional[jax.Array]  # layer scale (v1); None in v2
+    grn_gamma: Optional[jax.Array]  # GRN weight (v2, on 4*dim); None in v1
+    grn_beta: Optional[jax.Array]  # GRN bias (v2)
 
     def __call__(self, x: jax.Array, ctx: Optional[nn.Ctx] = None) -> jax.Array:
         h = self.dwconv(x, ctx)
         h = self.norm(h, ctx)
-        h = self.pwconv2(jax.nn.gelu(self.pwconv1(h, ctx), approximate=False), ctx)
+        h = jax.nn.gelu(self.pwconv1(h, ctx), approximate=False)
+        if self.grn_gamma is not None:
+            # Global Response Normalization (ConvNeXtV2, Woo et al. 2023):
+            # per-channel global L2 over (H, W), divisively normalized by
+            # the channel mean; zero-init weight/bias make it identity at
+            # init.  Matches HF ConvNextV2GRN (eps 1e-6 on the mean).
+            g = jnp.sqrt(jnp.sum(jnp.square(h), axis=(1, 2), keepdims=True))
+            n = g / (jnp.mean(g, axis=-1, keepdims=True) + 1e-6)
+            h = self.grn_gamma * (h * n) + self.grn_beta + h
+        h = self.pwconv2(h, ctx)
         if self.gamma is not None:
             h = h * self.gamma
         return x + h
 
     @staticmethod
-    def create(key: jax.Array, dim: int, ls_init: float = 1e-6) -> "ConvNeXtBlock":
+    def create(
+        key: jax.Array, dim: int, ls_init: float = 1e-6, use_grn: bool = False
+    ) -> "ConvNeXtBlock":
         k1, k2, k3 = jax.random.split(key, 3)
         return ConvNeXtBlock(
             dwconv=nn.Conv2d.create(
@@ -48,7 +66,9 @@ class ConvNeXtBlock(nn.Module):
             norm=nn.LayerNorm.create(dim, eps=1e-6),
             pwconv1=nn.Linear.create(k2, dim, 4 * dim),
             pwconv2=nn.Linear.create(k3, 4 * dim, dim),
-            gamma=ls_init * jnp.ones((dim,), jnp.float32),
+            gamma=None if use_grn else ls_init * jnp.ones((dim,), jnp.float32),
+            grn_gamma=jnp.zeros((4 * dim,), jnp.float32) if use_grn else None,
+            grn_beta=jnp.zeros((4 * dim,), jnp.float32) if use_grn else None,
         )
 
 
@@ -83,6 +103,7 @@ class ConvNeXt(nn.Module):
         depths: tuple[int, ...] = (3, 3, 9, 3),
         dims: tuple[int, ...] = (96, 192, 384, 768),
         num_classes: int = 1000,
+        use_grn: bool = False,
     ) -> "ConvNeXt":
         n_keys = sum(depths) + len(dims) + 2
         keys = iter(jax.random.split(key, n_keys))
@@ -101,7 +122,7 @@ class ConvNeXt(nn.Module):
             stages.append(
                 nn.Sequential(
                     layers=tuple(
-                        ConvNeXtBlock.create(next(keys), dim)
+                        ConvNeXtBlock.create(next(keys), dim, use_grn=use_grn)
                         for _ in range(depth)
                     )
                 )
@@ -122,6 +143,12 @@ def convnext_tiny(key: jax.Array, num_classes: int = 1000) -> ConvNeXt:
 
 def convnext_small(key: jax.Array, num_classes: int = 1000) -> ConvNeXt:
     return ConvNeXt.create(key, (3, 3, 27, 3), (96, 192, 384, 768), num_classes)
+
+
+def convnextv2_tiny(key: jax.Array, num_classes: int = 1000) -> ConvNeXt:
+    return ConvNeXt.create(
+        key, (3, 3, 9, 3), (96, 192, 384, 768), num_classes, use_grn=True
+    )
 
 
 def translate_hf_convnext_state_dict(sd):
@@ -159,3 +186,19 @@ def translate_hf_convnext_state_dict(sd):
         elif k.startswith("classifier."):
             out[k.replace("classifier.", "head.")] = v
     return out
+
+
+def translate_hf_convnextv2_state_dict(sd):
+    """ConvNextV2ForImageClassification layout (facebook/convnextv2-*):
+    same tree as v1 with the ``convnextv2.`` prefix, ``grn.weight``/
+    ``grn.bias`` (1,1,1,4*dim) -> flat ``grn_gamma``/``grn_beta`` leaves,
+    and no layer_scale_parameter.  Pinned in tests/test_vision_hf_parity.py."""
+    renamed = {}
+    for k, v in sd.items():
+        k = k.replace("convnextv2.", "convnext.", 1)
+        if k.endswith(".grn.weight"):
+            k, v = k[: -len(".grn.weight")] + ".grn_gamma", v.reshape(-1)
+        elif k.endswith(".grn.bias"):
+            k, v = k[: -len(".grn.bias")] + ".grn_beta", v.reshape(-1)
+        renamed[k] = v
+    return translate_hf_convnext_state_dict(renamed)

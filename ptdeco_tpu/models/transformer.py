@@ -130,8 +130,13 @@ class TransformerConfig:
     router_softmax_after_topk: bool = False
     moe_clamp_limit: Optional[float] = None  # 7.0 for gpt-oss
     # precomputed yarn rotary: (inv_freq tuple, attention_factor) — cos/sin
-    # are scaled by attention_factor (HF _compute_yarn_parameters)
+    # are scaled by attention_factor (HF _compute_yarn_parameters).  Also
+    # reused for linear rope scaling (inv_freq / factor, attention factor 1)
     rope_yarn: Optional[tuple] = None
+    # gemma3: sliding-attention layers run an UNSCALED local rotary at this
+    # theta (HF rope_local_base_freq) while full-attention layers use
+    # rope_theta with the config's rope_scaling (carried via rope_yarn)
+    rope_local_theta: Optional[float] = None
     # smollm3: per-layer NoPE — rope_layers[i] == 0 disables rotary in
     # layer i (HF no_rope_layers; empty tuple = rope everywhere)
     rope_layers: tuple = ()
@@ -216,20 +221,27 @@ class TransformerConfig:
         if mt in beyond_llama:
             return beyond_llama[mt](hf, dtype, remat)
         if mt not in (
-            "llama", "mistral", "qwen2", "qwen3", "gemma", "gemma2", "phi3",
+            "llama", "mistral", "qwen2", "qwen3", "gemma", "gemma2",
+            "gemma3_text", "phi3",
             "olmo2", "mixtral", "qwen2_moe", "qwen3_moe", "smollm3", "glm4",
             "deepseek_v2", "deepseek_v3", "gpt_oss",
         ):
             raise ValueError(
                 f"model_type={mt!r} is outside the supported config "
-                "families (llama/mistral/qwen2/qwen3/gemma/gemma2/phi3/"
+                "families (llama/mistral/qwen2/qwen3/gemma/gemma2/"
+                "gemma3_text/phi3/"
                 "olmo2/mixtral/qwen2_moe/qwen3_moe/smollm3/glm4/"
                 "deepseek_v2/deepseek_v3/gpt_oss/gpt2/gpt_neox/falcon/"
                 "starcoder2/stablelm/granite/cohere); use a models/ zoo "
                 "entry or a custom builder"
             )
         deepseek = mt in ("deepseek_v2", "deepseek_v3")
-        gemma_like = mt in ("gemma", "gemma2")
+        gemma_like = mt in ("gemma", "gemma2", "gemma3_text")
+        if mt == "gemma3_text" and hf.get("use_bidirectional_attention"):
+            raise ValueError(
+                "gemma3 use_bidirectional_attention is not implemented "
+                "(this decoder is causal)"
+            )
         if mt == "phi3":
             # phi3's compute graph IS the llama graph; only the checkpoint
             # layout differs (fused qkv_proj / gate_up_proj — split on load
@@ -258,8 +270,9 @@ class TransformerConfig:
             if head_dim is not None and int(head_dim) * n_heads != dim
             else None
         )
-        # per-head q/k RMSNorm before RoPE (qwen3 and its MoE sibling)
-        qk_norm = mt in ("qwen3", "qwen3_moe")
+        # per-head q/k RMSNorm before RoPE (qwen3 and its MoE sibling;
+        # gemma3's are the zero-centered (1+w) flavor via norm_plus_one)
+        qk_norm = mt in ("qwen3", "qwen3_moe", "gemma3_text")
         # MoE routing fields.  Mixtral (HF MixtralSparseMoeBlock) always
         # renormalizes the top-k probabilities and runs experts at
         # intermediate_size on every layer; qwen3_moe gates normalization
@@ -327,7 +340,7 @@ class TransformerConfig:
         # glm4 puts biases on q/k/v only (Glm4Attention: o_proj bias=False)
         # — the same layout qwen2 uses, so it is expressible
         if bool(hf.get("attention_bias", False)) and mt not in (
-            "qwen2", "glm4", "gpt_oss"
+            "qwen2", "glm4", "gpt_oss", "gemma3_text"
         ):
             raise ValueError(
                 "attention_bias=True with an o_proj bias is not expressed "
@@ -369,12 +382,30 @@ class TransformerConfig:
                     rs,
                     int(hf.get("max_position_embeddings", 4096)),
                 )
+            elif rtype == "linear":
+                # linear position interpolation (gemma3's global layers):
+                # every inverse frequency divided by factor, no cos/sin
+                # scaling — expressed through the rope_yarn carrier
+                lin_dim = (
+                    int(head_dim) if head_dim is not None else dim // n_heads
+                )
+                factor = float(rs["factor"])
+                theta0 = float(hf.get("rope_theta", 10000.0))
+                half = lin_dim // 2
+                rope_yarn = (
+                    tuple(
+                        float(1.0 / (theta0 ** (i / half) * factor))
+                        for i in range(half)
+                    ),
+                    1.0,
+                )
             elif rtype in (None, "default"):
                 pass
             else:
                 raise ValueError(
                     f"rope_scaling type {rtype!r} is not implemented "
-                    "(only 'llama3' and 'yarn'); use a custom builder"
+                    "(only 'llama3', 'yarn' and 'linear'); use a custom "
+                    "builder"
                 )
         # deepseek + yarn: the softmax scale gains mscale^2 on top of
         # qk_head^-0.5 (HF DeepseekV2/V3Attention.__init__)
@@ -388,11 +419,25 @@ class TransformerConfig:
                     0.1 * float(rs["mscale_all_dim"]) * math.log(factor)
                     + 1.0
                 ) ** 2
+        # layer-alternating sliding-window attention (gpt_oss, gemma3):
+        # layer_types marks which layers are windowed; gemma3 configs that
+        # omit it derive the pattern (every sliding_window_pattern-th layer
+        # is full attention, HF Gemma3TextConfig.__init__)
+        hybrid_sliding = mt in ("gpt_oss", "gemma3_text")
+        layer_types = tuple(hf.get("layer_types") or ())
+        if mt == "gemma3_text" and not layer_types:
+            pat = int(hf.get("sliding_window_pattern") or 6)
+            layer_types = tuple(
+                "full_attention"
+                if (i + 1) % pat == 0
+                else "sliding_attention"
+                for i in range(int(hf["num_hidden_layers"]))
+            )
         sliding = hf.get("sliding_window")
         if (
             sliding is not None
             and hf.get("use_sliding_window", True)
-            and mt != "gpt_oss"  # implemented per layer_types for gpt_oss
+            and not hybrid_sliding  # implemented per layer_types there
         ):
             # vanilla causal attention is exact for seqlen <= window; the
             # calibration loaders cap max_seqlen, so just surface it
@@ -430,7 +475,7 @@ class TransformerConfig:
             # glm4's block is gemma2's sandwich wiring under different
             # state-dict key names (post_self_attn/post_mlp_layernorm —
             # translated on load, hf_loader.translate_glm4_state_dict)
-            sandwich_norms=mt in ("gemma2", "glm4"),
+            sandwich_norms=mt in ("gemma2", "gemma3_text", "glm4"),
             attn_logit_softcap=(
                 float(hf["attn_logit_softcapping"])
                 if hf.get("attn_logit_softcapping") is not None
@@ -478,15 +523,15 @@ class TransformerConfig:
             ),
             attn_sinks=mt == "gpt_oss",
             sliding_window=(
-                int(sliding) if mt == "gpt_oss" and sliding else None
+                int(sliding) if hybrid_sliding and sliding else None
             ),
-            layer_types=(
-                tuple(hf.get("layer_types") or ())
-                if mt == "gpt_oss"
-                else ()
-            ),
+            layer_types=layer_types if hybrid_sliding else (),
             o_proj_bias=(
-                mt == "gpt_oss" and bool(hf.get("attention_bias", True))
+                # gpt_oss and gemma3 bias ALL FOUR projections when
+                # attention_bias is set (default True / False resp.)
+                bool(hf.get("attention_bias", mt == "gpt_oss"))
+                if hybrid_sliding
+                else False
             ),
             router_bias=mt == "gpt_oss",
             router_softmax_after_topk=mt == "gpt_oss",
@@ -496,6 +541,11 @@ class TransformerConfig:
                 else None
             ),
             rope_yarn=rope_yarn,
+            rope_local_theta=(
+                float(hf.get("rope_local_base_freq", 10000.0))
+                if mt == "gemma3_text"
+                else None
+            ),
             rope_partial_factor=(
                 float(hf.get("partial_rotary_factor", 0.5))
                 if mt == "glm4"
@@ -1308,6 +1358,14 @@ class Attention(nn.Module):
         use_rope = cfg.use_rope
         if cfg.rope_layers and layer_idx < len(cfg.rope_layers):
             use_rope = bool(cfg.rope_layers[layer_idx])
+        is_sliding = (
+            cfg.layer_types
+            and layer_idx < len(cfg.layer_types)
+            and cfg.layer_types[layer_idx] == "sliding_attention"
+        )
+        # gemma3: sliding layers rotate at the unscaled local theta; only
+        # full-attention layers get rope_theta + the rope_yarn scaling
+        local_rope = is_sliding and cfg.rope_local_theta is not None
         return Attention(
             q_proj=nn.Linear.create(
                 ks[0], cfg.dim, cfg.n_heads * hd, cfg.qkv_bias, cfg.dtype
@@ -1334,6 +1392,7 @@ class Attention(nn.Module):
                     cfg.n_heads * hd if cfg.qk_norm_flat else hd,
                     cfg.norm_eps,
                     cfg.dtype,
+                    plus_one=cfg.norm_plus_one,
                 )
                 if cfg.qk_norm or cfg.qk_norm_flat
                 else None
@@ -1343,6 +1402,7 @@ class Attention(nn.Module):
                     cfg.n_kv_heads * hd if cfg.qk_norm_flat else hd,
                     cfg.norm_eps,
                     cfg.dtype,
+                    plus_one=cfg.norm_plus_one,
                 )
                 if cfg.qk_norm or cfg.qk_norm_flat
                 else None
@@ -1350,7 +1410,9 @@ class Attention(nn.Module):
             qk_norm_flat=cfg.qk_norm_flat,
             n_heads=cfg.n_heads,
             n_kv_heads=cfg.n_kv_heads,
-            rope_theta=cfg.rope_theta,
+            rope_theta=(
+                cfg.rope_local_theta if local_rope else cfg.rope_theta
+            ),
             use_rope=use_rope,
             rope_partial_dim=(
                 int(hd * cfg.rope_partial_factor)
@@ -1358,17 +1420,9 @@ class Attention(nn.Module):
                 else None
             ),
             rope_interleaved=cfg.rope_interleaved,
-            rope_yarn=cfg.rope_yarn,
+            rope_yarn=None if local_rope else cfg.rope_yarn,
             use_alibi=cfg.use_alibi,
-            sliding_window=(
-                cfg.sliding_window
-                if (
-                    cfg.layer_types
-                    and layer_idx < len(cfg.layer_types)
-                    and cfg.layer_types[layer_idx] == "sliding_attention"
-                )
-                else None
-            ),
+            sliding_window=cfg.sliding_window if is_sliding else None,
         )
 
 

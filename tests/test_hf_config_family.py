@@ -256,6 +256,41 @@ def test_gemma2_logits_match_hf():
     _compare(hf, native, 128, atol=3e-4)
 
 
+def test_gemma3_logits_match_hf():
+    """gemma3 (text) arm: hybrid sliding/full attention layers, DUAL rotary
+    (unscaled local theta on sliding layers, linear-scaled global theta on
+    full layers), (1+w) per-head q/k RMSNorm, biases on all four attention
+    projections, query_pre_attn_scalar scale, sqrt(dim) embed scale.
+    Geometry chosen so the sliding window (4 < seqlen 12) actually masks."""
+    if not hasattr(transformers, "Gemma3ForCausalLM"):
+        pytest.skip("transformers without gemma3")
+    cfg = transformers.Gemma3TextConfig(
+        **_tiny(
+            num_hidden_layers=7,
+            head_dim=8,
+            query_pre_attn_scalar=13,
+            sliding_window=4,
+            sliding_window_pattern=3,
+            rope_theta=1_000_000.0,
+            rope_local_base_freq=10_000.0,
+            rope_scaling={"rope_type": "linear", "factor": 8.0},
+            attention_bias=True,
+            hidden_activation="gelu_pytorch_tanh",
+        )
+    )
+    cfg._attn_implementation = "eager"
+    hf = transformers.Gemma3ForCausalLM(cfg).eval()
+    native, ncfg = _hf_to_native(hf, cfg.to_dict())
+    assert ncfg.sandwich_norms and ncfg.qk_norm and ncfg.norm_plus_one
+    assert ncfg.rope_local_theta == 10_000.0
+    assert ncfg.qkv_bias and ncfg.o_proj_bias
+    assert ncfg.sliding_window == 4
+    assert "full_attention" in ncfg.layer_types
+    assert "sliding_attention" in ncfg.layer_types
+    assert ncfg.rope_yarn is not None and ncfg.rope_yarn[1] == 1.0
+    _compare(hf, native, 128, atol=3e-4)
+
+
 def test_phi3_logits_match_hf(tmp_path):
     """phi3 arm: the llama compute graph with FUSED checkpoint projections
     (qkv_proj / gate_up_proj) split on load — end-to-end through the

@@ -87,6 +87,35 @@ def test_convnext_logits_match_hf():
     _compare_images(hf, native, 32, atol=2e-4)
 
 
+def test_convnextv2_logits_match_hf():
+    """ConvNeXtV2: GRN on the expanded MLP features replaces v1's layer
+    scale (HF ConvNextV2GRN: global spatial L2 per channel, divisive
+    channel-mean normalization, zero-init affine).  GRN weights are
+    randomized so the pin exercises the non-identity path."""
+    cfg = transformers.ConvNextV2Config(
+        num_channels=3,
+        hidden_sizes=[8, 16, 32, 64],
+        depths=[1, 1, 2, 1],
+        num_labels=10,
+        image_size=32,
+    )
+    hf = transformers.ConvNextV2ForImageClassification(cfg).eval()
+    with torch.no_grad():  # zero-init GRN would hide translation bugs
+        for name, p in hf.named_parameters():
+            if ".grn." in name:
+                p.copy_(torch.randn_like(p))
+    native = models.ConvNeXt.create(
+        jax.random.PRNGKey(0),
+        depths=(1, 1, 2, 1),
+        dims=(8, 16, 32, 64),
+        num_classes=10,
+        use_grn=True,
+    )
+    sd = convnext_mod.translate_hf_convnextv2_state_dict(_hf_sd(hf))
+    native = utils.load_state_dict(native, sd, strict=True)
+    _compare_images(hf, native, 32, atol=2e-4)
+
+
 def test_swinv2_logits_match_hf():
     """Whole-model SwinV2 vs transformers' Swinv2ForImageClassification:
     shifted windows, cosine attention, CPB, patch merging, fused-qkv
