@@ -583,6 +583,101 @@ def make_gpt_bigcode_translator(hf_cfg: dict[str, Any]):
     return translate
 
 
+def make_persimmon_translator(hf_cfg: dict[str, Any]):
+    """HF Persimmon fuses q/k/v per head exactly like gpt_neox
+    (PersimmonAttention._split_heads views (..., n_heads, 3, head_dim)).
+    Remaining map: self_attn.dense -> o_proj, q/k_layernorm -> q/k_norm,
+    dense_h_to_4h/dense_4h_to_h -> up/down_proj, final_layernorm ->
+    model.norm."""
+    n_heads = int(hf_cfg["num_attention_heads"])
+    hd = int(hf_cfg["hidden_size"]) // n_heads
+
+    def translate(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        out: dict[str, np.ndarray] = {}
+        for k, v in sd.items():
+            if k.endswith("rotary_emb.inv_freq"):
+                continue
+            k = k.replace("model.final_layernorm.", "model.norm.")
+            if ".self_attn.query_key_value." in k:
+                stem = k.split(".query_key_value.")[0] + "."
+                leaf = k.rsplit(".", 1)[1]
+                w = v.reshape(n_heads, 3, hd, *v.shape[1:])
+                for i, name in enumerate(("q_proj", "k_proj", "v_proj")):
+                    out[f"{stem}{name}.{leaf}"] = np.ascontiguousarray(
+                        w[:, i].reshape(n_heads * hd, *v.shape[1:])
+                    )
+                continue
+            k = k.replace(".self_attn.dense.", ".self_attn.o_proj.")
+            k = k.replace(".self_attn.q_layernorm.", ".self_attn.q_norm.")
+            k = k.replace(".self_attn.k_layernorm.", ".self_attn.k_norm.")
+            k = k.replace(".mlp.dense_h_to_4h.", ".mlp.up_proj.")
+            k = k.replace(".mlp.dense_4h_to_h.", ".mlp.down_proj.")
+            out[k] = v
+        return out
+
+    return translate
+
+
+def make_dbrx_translator(hf_cfg: dict[str, Any]):
+    """HF Dbrx layout -> native: transformer.wte/norm_f -> model
+    embed_tokens/norm, blocks.N.norm_attn_norm.{norm_1,norm_2} ->
+    input/post_attention_layernorm, the fused ``Wqkv`` split
+    [q (d rows) | k (kv*hd) | v (kv*hd)] (DbrxAttention.forward), and the
+    fused expert tensors ``ffn.experts.mlp.{w1,v1,w2}`` of shape
+    (E*ffn_hidden, d) chunked per expert onto
+    ``mlp.experts.E.{gate_proj,up_proj,down_proj}`` — w2 chunks transpose
+    because DbrxExpertGLU right-multiplies (h @ w2[e]) while Linear
+    stores (out, in).  Router ``ffn.router.layer`` -> ``mlp.gate``."""
+    d = int(hf_cfg["d_model"])
+    n_heads = int(hf_cfg["n_heads"])
+    hd = d // n_heads
+    attn = hf_cfg.get("attn_config") or {}
+    ffn = hf_cfg.get("ffn_config") or {}
+    kv = int(attn.get("kv_n_heads", 1))
+    n_exp = int(ffn["moe_num_experts"])
+    ffn_h = int(ffn["ffn_hidden_size"])
+
+    def translate(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        out: dict[str, np.ndarray] = {}
+        for k, v in sd.items():
+            k = k.replace("transformer.wte.", "model.embed_tokens.")
+            k = k.replace("transformer.norm_f.", "model.norm.")
+            k = k.replace("transformer.blocks.", "model.layers.")
+            k = k.replace(".norm_attn_norm.norm_1.", ".input_layernorm.")
+            k = k.replace(
+                ".norm_attn_norm.norm_2.", ".post_attention_layernorm."
+            )
+            if ".norm_attn_norm.attn.Wqkv." in k:
+                stem = (
+                    k.split(".norm_attn_norm.attn.Wqkv.")[0] + ".self_attn."
+                )
+                leaf = k.rsplit(".", 1)[1]
+                q, kk, vv = np.split(v, [d, d + kv * hd], axis=0)
+                for name, w in (("q_proj", q), ("k_proj", kk), ("v_proj", vv)):
+                    out[f"{stem}{name}.{leaf}"] = np.ascontiguousarray(w)
+                continue
+            k = k.replace(".norm_attn_norm.attn.out_proj.", ".self_attn.o_proj.")
+            k = k.replace(".ffn.router.layer.", ".mlp.gate.")
+            if ".ffn.experts.mlp." in k:
+                stem, which = k.split(".ffn.experts.mlp.")
+                w = v.reshape(n_exp, ffn_h, d)
+                for e in range(n_exp):
+                    if which == "w2":
+                        out[f"{stem}.mlp.experts.{e}.down_proj.weight"] = (
+                            np.ascontiguousarray(w[e].T)
+                        )
+                    else:
+                        name = "gate_proj" if which == "w1" else "up_proj"
+                        out[f"{stem}.mlp.experts.{e}.{name}.weight"] = (
+                            np.ascontiguousarray(w[e])
+                        )
+                continue
+            out[k] = v
+        return out
+
+    return translate
+
+
 def translator_for(hf_cfg: dict[str, Any]):
     """Checkpoint-layout translator for a config dict's model_type, or
     None when the HF layout already matches the native tree field-for-
@@ -615,4 +710,8 @@ def translator_for(hf_cfg: dict[str, Any]):
         return make_mpt_translator(hf_cfg)
     if mt == "gpt_bigcode":
         return make_gpt_bigcode_translator(hf_cfg)
+    if mt == "persimmon":
+        return make_persimmon_translator(hf_cfg)
+    if mt == "dbrx":
+        return make_dbrx_translator(hf_cfg)
     return None

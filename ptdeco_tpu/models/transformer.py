@@ -59,8 +59,11 @@ class TransformerConfig:
     mlp_act: str = "silu"  # "silu" | "gelu_tanh"
     scale_embeddings: bool = False
     norm_plus_one: bool = False
-    # qwen3: per-head RMSNorm on q and k before RoPE
+    # qwen3: per-head RMSNorm on q and k before RoPE.  qk_norm_type
+    # "layernorm" switches the flavor to per-head LayerNorm with affine
+    # and bias (persimmon/phi2's qk_layernorm)
     qk_norm: bool = False
+    qk_norm_type: str = "rmsnorm"  # | "layernorm"
     # olmo2: RMSNorm over the FLAT q/k projections (all heads jointly,
     # weight shape n_heads*head_dim) instead of per-head
     qk_norm_flat: bool = False
@@ -147,9 +150,14 @@ class TransformerConfig:
     # --- beyond-llama graph knobs (gpt2 / gpt_neox / falcon / starcoder2
     # / stablelm / granite / cohere) -----------------------------------
     # LayerNorm blocks instead of RMSNorm (norm_bias = the LN offset;
-    # cohere's LNs carry no bias)
+    # cohere's LNs carry no bias).  norm_no_affine drops the learnable
+    # affine entirely (olmo's OlmoLayerNorm); norm_plus_one on layernorm
+    # is nemotron's LayerNorm1P (y * (w + 1) + b, zero-init w)
     norm_type: str = "rmsnorm"  # | "layernorm"
     norm_bias: bool = True
+    norm_no_affine: bool = False
+    # olmo / dbrx: clamp q/k/v projections to [-clip_qkv, clip_qkv]
+    clip_qkv: Optional[float] = None
     # non-gated MLP: up_proj -> act -> down_proj, no gate_proj
     # (gpt2 c_fc/c_proj, neox/falcon dense_h_to_4h/dense_4h_to_h,
     # starcoder2 c_fc/c_proj — all translated onto up/down at load)
@@ -217,13 +225,18 @@ class TransformerConfig:
             "bloom": _hf_bloom,
             "mpt": _hf_mpt,
             "gpt_bigcode": _hf_gpt_bigcode,
+            "olmo": _hf_olmo,
+            "nemotron": _hf_nemotron,
+            "persimmon": _hf_persimmon,
+            "dbrx": _hf_dbrx,
         }
         if mt in beyond_llama:
             return beyond_llama[mt](hf, dtype, remat)
         if mt not in (
             "llama", "mistral", "qwen2", "qwen3", "gemma", "gemma2",
             "gemma3_text", "phi3",
-            "olmo2", "mixtral", "qwen2_moe", "qwen3_moe", "smollm3", "glm4",
+            "olmo2", "olmoe", "mixtral", "qwen2_moe", "qwen3_moe",
+            "smollm3", "glm4",
             "deepseek_v2", "deepseek_v3", "gpt_oss",
         ):
             raise ValueError(
@@ -332,6 +345,15 @@ class TransformerConfig:
             sparse_step = int(hf.get("decoder_sparse_step", 1))
             if mt == "qwen2_moe":
                 shared_hidden = int(hf["shared_expert_intermediate_size"])
+        elif mt == "olmoe":
+            # OlmoeSparseMoeBlock: mixtral-style softmax-then-topk routing
+            # gated by norm_topk_prob, every layer sparse, experts at
+            # intermediate_size; attention adds FLAT q/k RMSNorms (the
+            # olmo2 layout) and an optional clip_qkv clamp
+            n_experts = int(hf["num_experts"])
+            top_k = int(hf.get("num_experts_per_tok", 8))
+            norm_topk = bool(hf.get("norm_topk_prob", False))
+            moe_hidden = int(hf["intermediate_size"])
         # bias layouts this decoder does NOT express: llama/mistral with
         # attention_bias=True also put a bias on o_proj (qwen2's layout —
         # the one qkv_bias models — has none), and mlp_bias adds biases to
@@ -470,8 +492,13 @@ class TransformerConfig:
             scale_embeddings=gemma_like,
             norm_plus_one=gemma_like,
             qk_norm=qk_norm,
-            qk_norm_flat=mt == "olmo2",
+            qk_norm_flat=mt in ("olmo2", "olmoe"),
             post_norm_only=mt == "olmo2",
+            clip_qkv=(
+                float(hf["clip_qkv"])
+                if hf.get("clip_qkv") is not None
+                else None
+            ),
             # glm4's block is gemma2's sandwich wiring under different
             # state-dict key names (post_self_attn/post_mlp_layernorm —
             # translated on load, hf_loader.translate_glm4_state_dict)
@@ -781,6 +808,145 @@ def _hf_stablelm(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
         qkv_bias=bool(hf.get("use_qkv_bias", False)),
         rope_theta=float(hf.get("rope_theta", 10000.0)),
         rope_partial_factor=pct if pct < 1.0 else None,
+        tie_embeddings=bool(hf.get("tie_word_embeddings", False)),
+        remat=remat,
+        dtype=dtype,
+    )
+
+
+def _hf_olmo(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
+    """HF OlmoConfig (OLMo v1: OLMo-1B/7B) -> native.  The llama graph
+    with NON-PARAMETRIC LayerNorms (OlmoLayerNorm: no weight, no bias,
+    eps hardcoded 1e-5 — modeling_olmo.py) and an optional q/k/v clamp
+    (clip_qkv).  Gated silu MLP, full rotary, no biases anywhere."""
+    if bool(hf.get("attention_bias", False)):
+        raise ValueError("olmo attention_bias=True is not expressed")
+    return TransformerConfig(
+        vocab_size=int(hf["vocab_size"]),
+        dim=int(hf["hidden_size"]),
+        n_layers=int(hf["num_hidden_layers"]),
+        n_heads=int(hf["num_attention_heads"]),
+        n_kv_heads=int(
+            hf.get("num_key_value_heads") or hf["num_attention_heads"]
+        ),
+        hidden_dim=int(hf["intermediate_size"]),
+        norm_eps=1e-5,  # hardcoded in OlmoLayerNorm, not a config field
+        norm_type="layernorm",
+        norm_no_affine=True,
+        clip_qkv=(
+            float(hf["clip_qkv"]) if hf.get("clip_qkv") is not None else None
+        ),
+        mlp_act=_hf_act(hf.get("hidden_act", "silu")),
+        rope_theta=float(hf.get("rope_theta", 10000.0)),
+        tie_embeddings=bool(hf.get("tie_word_embeddings", False)),
+        remat=remat,
+        dtype=dtype,
+    )
+
+
+def _hf_nemotron(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
+    """HF NemotronConfig -> native.  Llama-shaped blocks with LayerNorm1P
+    norms (y * (weight + 1) + bias, NemotronLayerNorm1P), a NON-gated
+    squared-relu MLP (up_proj -> relu^2 -> down_proj), and partial rotary
+    (partial_rotary_factor, split-half convention)."""
+    pct = float(hf.get("partial_rotary_factor", 0.5))
+    bias = bool(hf.get("attention_bias", False))
+    return TransformerConfig(
+        vocab_size=int(hf["vocab_size"]),
+        dim=int(hf["hidden_size"]),
+        n_layers=int(hf["num_hidden_layers"]),
+        n_heads=int(hf["num_attention_heads"]),
+        n_kv_heads=int(
+            hf.get("num_key_value_heads") or hf["num_attention_heads"]
+        ),
+        hidden_dim=int(hf["intermediate_size"]),
+        norm_eps=float(hf.get("norm_eps", 1e-5)),
+        norm_type="layernorm",
+        norm_plus_one=True,
+        mlp_gated=False,
+        mlp_bias=bool(hf.get("mlp_bias", False)),
+        mlp_act=_hf_act(hf.get("hidden_act", "relu2")),
+        qkv_bias=bias,
+        o_proj_bias=bias,
+        rope_theta=float(hf.get("rope_theta", 10000.0)),
+        rope_partial_factor=pct if pct < 1.0 else None,
+        tie_embeddings=bool(hf.get("tie_word_embeddings", False)),
+        remat=remat,
+        dtype=dtype,
+    )
+
+
+def _hf_persimmon(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
+    """HF PersimmonConfig -> native.  LayerNorm blocks with biases
+    everywhere (fused query_key_value + dense + both MLP projections all
+    carry bias=True), per-head q/k LAYERNORM (qk_layernorm), partial
+    rotary (default 0.5, split-half), and the non-gated squared-relu MLP.
+    The per-head-interleaved fused qkv is split on load
+    (hf_loader.make_persimmon_translator)."""
+    pct = float(hf.get("partial_rotary_factor", 0.5))
+    return TransformerConfig(
+        vocab_size=int(hf["vocab_size"]),
+        dim=int(hf["hidden_size"]),
+        n_layers=int(hf["num_hidden_layers"]),
+        n_heads=int(hf["num_attention_heads"]),
+        n_kv_heads=int(hf["num_attention_heads"]),  # MHA only
+        hidden_dim=int(hf["intermediate_size"]),
+        norm_eps=float(hf.get("layer_norm_eps", 1e-5)),
+        norm_type="layernorm",
+        qk_norm=bool(hf.get("qk_layernorm", True)),
+        qk_norm_type="layernorm",
+        mlp_gated=False,
+        mlp_bias=True,
+        mlp_act=_hf_act(hf.get("hidden_act", "relu2")),
+        qkv_bias=True,
+        o_proj_bias=True,
+        rope_theta=float(hf.get("rope_theta", 25000.0)),
+        rope_partial_factor=pct if pct < 1.0 else None,
+        tie_embeddings=bool(hf.get("tie_word_embeddings", False)),
+        remat=remat,
+        dtype=dtype,
+    )
+
+
+def _hf_dbrx(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
+    """HF DbrxConfig -> native.  Bias-free-LayerNorm pre-norm blocks
+    (DbrxNormAttentionNorm norm_1/norm_2), a GQA attention whose fused
+    Wqkv is clamped to ±clip_qkv BEFORE the [q | k | v] split, and a
+    mixtral-style MoE on every layer (DbrxRouter: softmax over all
+    experts, top-k, then p-norm renormalization — p=1 on released
+    checkpoints, which for positive softmax weights is exactly the
+    norm_topk_prob sum).  Config is NESTED (attn_config / ffn_config);
+    fused Wqkv and the (E*ffn, d) expert tensors split on load
+    (hf_loader.make_dbrx_translator)."""
+    attn = hf.get("attn_config") or {}
+    ffn = hf.get("ffn_config") or {}
+    norm_p = ffn.get("moe_normalize_expert_weights")
+    if norm_p is not None and float(norm_p) != 1.0:
+        raise ValueError(
+            f"dbrx moe_normalize_expert_weights={norm_p} is not "
+            "implemented (only p=1 / None)"
+        )
+    act = (ffn.get("ffn_act_fn") or {}).get("name", "silu")
+    return TransformerConfig(
+        vocab_size=int(hf["vocab_size"]),
+        dim=int(hf["d_model"]),
+        n_layers=int(hf["n_layers"]),
+        n_heads=int(hf["n_heads"]),
+        n_kv_heads=int(attn.get("kv_n_heads", 1)),
+        hidden_dim=int(ffn["ffn_hidden_size"]),
+        norm_eps=1e-5,  # torch LayerNorm default; dbrx sets none
+        norm_type="layernorm",
+        norm_bias=False,
+        clip_qkv=(
+            float(attn["clip_qkv"])
+            if attn.get("clip_qkv") is not None
+            else None
+        ),
+        mlp_act=_hf_act(act),
+        rope_theta=float(attn.get("rope_theta", 10000.0)),
+        n_experts=int(ffn["moe_num_experts"]),
+        n_experts_per_tok=int(ffn.get("moe_top_k", 1)),
+        norm_topk_prob=norm_p is not None,
         tie_embeddings=bool(hf.get("tie_word_embeddings", False)),
         remat=remat,
         dtype=dtype,
@@ -1203,6 +1369,14 @@ def alibi_slopes(n_heads: int) -> np.ndarray:
     return np.asarray(pow2_slopes(base) + extra, np.float32)
 
 
+def _make_qk_norm(cfg: "TransformerConfig", width: int):
+    if cfg.qk_norm_type == "layernorm":  # persimmon/phi2 qk_layernorm
+        return nn.LayerNorm.create(width, True, cfg.norm_eps, cfg.dtype)
+    return nn.RMSNorm.create(
+        width, cfg.norm_eps, cfg.dtype, plus_one=cfg.norm_plus_one
+    )
+
+
 class Attention(nn.Module):
     q_proj: nn.Linear
     k_proj: nn.Linear
@@ -1236,6 +1410,8 @@ class Attention(nn.Module):
     # (equivalent to the distance form under row-wise softmax shift
     # invariance, the identity HF's build_alibi_tensor relies on)
     use_alibi: bool = nn.static_field(default=False)
+    # olmo/dbrx: clamp q/k/v projection outputs to ±clip_qkv
+    clip_qkv: Optional[float] = nn.static_field(default=None)
 
     def __call__(
         self,
@@ -1249,12 +1425,16 @@ class Attention(nn.Module):
         q = self.q_proj(x, ctx)
         hd = q.shape[-1] // self.n_heads  # robust to decomposed projections
         k = self.k_proj(x, ctx)
+        v = self.v_proj(x, ctx)
         if self.q_norm is not None and self.qk_norm_flat:
             q = self.q_norm(q, ctx)  # olmo2: all heads jointly
             k = self.k_norm(k, ctx)
+        if self.clip_qkv is not None:  # olmo/dbrx/olmoe (olmoe: post-norm)
+            c = self.clip_qkv
+            q, k, v = (jnp.clip(t, -c, c) for t in (q, k, v))
         q = q.reshape(b, s, self.n_heads, hd)
         k = k.reshape(b, s, self.n_kv_heads, hd)
-        v = self.v_proj(x, ctx).reshape(b, s, self.n_kv_heads, hd)
+        v = v.reshape(b, s, self.n_kv_heads, hd)
         if self.q_norm is not None and not self.qk_norm_flat:
             q = self.q_norm(q, ctx)  # qwen3: per head
             k = self.k_norm(k, ctx)
@@ -1388,21 +1568,13 @@ class Attention(nn.Module):
             scale_override=cfg.query_scale_override,
             rope_llama3_scaling=cfg.rope_llama3_scaling,
             q_norm=(
-                nn.RMSNorm.create(
-                    cfg.n_heads * hd if cfg.qk_norm_flat else hd,
-                    cfg.norm_eps,
-                    cfg.dtype,
-                    plus_one=cfg.norm_plus_one,
-                )
+                _make_qk_norm(cfg, cfg.n_heads * hd if cfg.qk_norm_flat else hd)
                 if cfg.qk_norm or cfg.qk_norm_flat
                 else None
             ),
             k_norm=(
-                nn.RMSNorm.create(
-                    cfg.n_kv_heads * hd if cfg.qk_norm_flat else hd,
-                    cfg.norm_eps,
-                    cfg.dtype,
-                    plus_one=cfg.norm_plus_one,
+                _make_qk_norm(
+                    cfg, cfg.n_kv_heads * hd if cfg.qk_norm_flat else hd
                 )
                 if cfg.qk_norm or cfg.qk_norm_flat
                 else None
@@ -1422,6 +1594,7 @@ class Attention(nn.Module):
             rope_interleaved=cfg.rope_interleaved,
             rope_yarn=None if local_rope else cfg.rope_yarn,
             use_alibi=cfg.use_alibi,
+            clip_qkv=cfg.clip_qkv,
             sliding_window=cfg.sliding_window if is_sliding else None,
         )
 
@@ -1959,7 +2132,10 @@ def _layer_is_sparse(cfg: TransformerConfig, layer_idx: int) -> bool:
 
 def _make_block_norm(cfg: TransformerConfig):
     if cfg.norm_type == "layernorm":
-        return nn.LayerNorm.create(cfg.dim, cfg.norm_bias, cfg.norm_eps, cfg.dtype)
+        return nn.LayerNorm.create(
+            cfg.dim, cfg.norm_bias, cfg.norm_eps, cfg.dtype,
+            plus_one=cfg.norm_plus_one, affine=not cfg.norm_no_affine,
+        )
     return nn.RMSNorm.create(
         cfg.dim, cfg.norm_eps, cfg.dtype, plus_one=cfg.norm_plus_one
     )

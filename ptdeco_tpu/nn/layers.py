@@ -237,9 +237,14 @@ class Activation(Module):
 
 
 class LayerNorm(Module):
-    scale: jax.Array
+    # scale is None for the non-parametric flavor (olmo's OlmoLayerNorm:
+    # no learnable affine at all); plus_one is nemotron's LayerNorm1P
+    # (y * (weight + 1) + bias, weight zero-initialized; the stored/
+    # exported weight stays the raw HF value)
+    scale: Optional[jax.Array]
     offset: Optional[jax.Array]
     eps: float = static_field(default=1e-5)
+    plus_one: bool = static_field(default=False)
 
     def __call__(self, x: jax.Array, ctx: Optional[Ctx] = None) -> jax.Array:
         dtype = x.dtype
@@ -247,18 +252,23 @@ class LayerNorm(Module):
         mean = jnp.mean(xf, axis=-1, keepdims=True)
         var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
         y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
-        y = y * self.scale.astype(jnp.float32)
+        if self.scale is not None:
+            w = self.scale.astype(jnp.float32)
+            y = y * (w + 1.0) if self.plus_one else y * w
         if self.offset is not None:
             y = y + self.offset.astype(jnp.float32)
         return y.astype(dtype)
 
     @staticmethod
     def create(dim: int, use_bias: bool = True, eps: float = 1e-5,
-               dtype: Any = jnp.float32) -> "LayerNorm":
+               dtype: Any = jnp.float32, plus_one: bool = False,
+               affine: bool = True) -> "LayerNorm":
+        init = jnp.zeros if plus_one else jnp.ones
         return LayerNorm(
-            scale=jnp.ones((dim,), dtype),
-            offset=jnp.zeros((dim,), dtype) if use_bias else None,
+            scale=init((dim,), dtype) if affine else None,
+            offset=jnp.zeros((dim,), dtype) if use_bias and affine else None,
             eps=eps,
+            plus_one=plus_one,
         )
 
 

@@ -75,6 +75,8 @@ def _import_conv2d(m: nn.Conv2d, d: dict[str, np.ndarray]) -> nn.Conv2d:
 
 
 def _export_norm(m: Any) -> dict[str, np.ndarray]:
+    if m.scale is None:  # olmo's non-parametric LayerNorm: no keys at all
+        return {}
     out = {"weight": _np(m.scale)}
     offset = getattr(m, "offset", None)
     if offset is not None:
@@ -83,6 +85,8 @@ def _export_norm(m: Any) -> dict[str, np.ndarray]:
 
 
 def _import_norm(m: Any, d: dict[str, np.ndarray]) -> Any:
+    if m.scale is None:
+        return m
     changes: dict[str, Any] = {"scale": jnp.asarray(d["weight"], m.scale.dtype)}
     if getattr(m, "offset", None) is not None:
         changes["offset"] = jnp.asarray(d["bias"], m.offset.dtype)
@@ -205,6 +209,8 @@ def _export_key_names(m: Any) -> list[str]:
         return ["weight", "bias", "running_mean", "running_var",
                 "num_batches_tracked"]
     if t in (nn.LayerNorm, nn.RMSNorm):
+        if m.scale is None:  # non-parametric (olmo) — no keys
+            return []
         names = ["weight"]
         if getattr(m, "offset", None) is not None:
             names.append("bias")

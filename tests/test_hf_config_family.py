@@ -1067,3 +1067,106 @@ def test_gpt_bigcode_logits_match_hf():
     native, ncfg = _hf_to_native_translated(hf, cfg.to_dict())
     assert ncfg.n_kv_heads == 1 and ncfg.learned_pos == 64
     _compare(hf, native, 128, atol=2e-4)
+
+
+def test_olmo_logits_match_hf():
+    """OLMo v1: llama graph with NON-PARAMETRIC LayerNorms (no learnable
+    affine — the state dict carries no norm keys at all) and the clip_qkv
+    clamp on q/k/v (31st family).  clip set low (0.05) so the clamp
+    actually bites on random-init projections."""
+    cfg = transformers.OlmoConfig(
+        **_tiny(clip_qkv=0.05, rope_theta=10000.0)
+    )
+    hf = transformers.OlmoForCausalLM(cfg).eval()
+    native, ncfg = _hf_to_native(hf, cfg.to_dict())
+    assert ncfg.norm_type == "layernorm" and ncfg.norm_no_affine
+    assert ncfg.clip_qkv == 0.05
+    _compare(hf, native, 128, atol=2e-4)
+
+
+def test_nemotron_logits_match_hf():
+    """Nemotron: LayerNorm1P norms (y*(w+1)+b, zero-centered weight),
+    NON-gated squared-relu MLP, partial rotary (32nd family)."""
+    cfg = transformers.NemotronConfig(
+        **_tiny(partial_rotary_factor=0.5, norm_eps=1e-5)
+    )
+    hf = transformers.NemotronForCausalLM(cfg).eval()
+    native, ncfg = _hf_to_native(hf, cfg.to_dict())
+    assert ncfg.norm_type == "layernorm" and ncfg.norm_plus_one
+    assert not ncfg.mlp_gated and ncfg.mlp_act == "relu2"
+    assert ncfg.rope_partial_factor == 0.5
+    _compare(hf, native, 128, atol=2e-4)
+
+
+def test_olmoe_logits_match_hf():
+    """OLMoE: pre-norm llama wiring + FLAT q/k RMSNorms (the olmo2
+    layout) + mixtral-style softmax-then-topk MoE on every layer with
+    norm_topk_prob renormalization and the clip_qkv clamp (33rd family)."""
+    if not hasattr(transformers, "OlmoeForCausalLM"):
+        pytest.skip("transformers without olmoe")
+    cfg = transformers.OlmoeConfig(
+        **_tiny(
+            num_experts=4,
+            num_experts_per_tok=2,
+            norm_topk_prob=True,
+            clip_qkv=0.05,
+        )
+    )
+    hf = transformers.OlmoeForCausalLM(cfg).eval()
+    native, ncfg = _hf_to_native(hf, cfg.to_dict())
+    assert ncfg.qk_norm_flat and not ncfg.post_norm_only
+    assert ncfg.n_experts == 4 and ncfg.norm_topk_prob
+    assert ncfg.clip_qkv == 0.05
+    _compare(hf, native, 128, atol=2e-4)
+
+
+def test_persimmon_logits_match_hf():
+    """Persimmon: per-head-interleaved fused query_key_value split on
+    load, per-head q/k LAYERNORM, biases on every projection, partial
+    rotary, non-gated squared-relu MLP (34th family)."""
+    if not hasattr(transformers, "PersimmonForCausalLM"):
+        pytest.skip("transformers without persimmon")
+    cfg = transformers.PersimmonConfig(
+        vocab_size=128,
+        hidden_size=32,
+        intermediate_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        max_position_embeddings=64,
+        partial_rotary_factor=0.5,
+    )
+    hf = transformers.PersimmonForCausalLM(cfg).eval()
+    native, ncfg = _hf_to_native_translated(hf, cfg.to_dict())
+    assert ncfg.qk_norm and ncfg.qk_norm_type == "layernorm"
+    assert ncfg.norm_type == "layernorm" and ncfg.mlp_bias
+    assert not ncfg.mlp_gated and ncfg.mlp_act == "relu2"
+    _compare(hf, native, 128, atol=2e-4)
+
+
+def test_dbrx_logits_match_hf():
+    """DBRX: nested attn/ffn configs, bias-free LayerNorms, fused Wqkv
+    clamped before the GQA split, fused (E*ffn, d) expert tensors split
+    per expert, softmax-then-topk routing with p=1 renormalization
+    (35th family)."""
+    if not hasattr(transformers, "DbrxForCausalLM"):
+        pytest.skip("transformers without dbrx")
+    cfg = transformers.DbrxConfig(
+        vocab_size=128,
+        d_model=32,
+        n_layers=2,
+        n_heads=4,
+        max_seq_len=64,
+        attn_config=dict(kv_n_heads=2, clip_qkv=0.05, rope_theta=10000.0),
+        ffn_config=dict(
+            ffn_hidden_size=16,
+            moe_num_experts=4,
+            moe_top_k=2,
+            moe_normalize_expert_weights=1.0,
+        ),
+    )
+    hf = transformers.DbrxForCausalLM(cfg).eval()
+    native, ncfg = _hf_to_native_translated(hf, cfg.to_dict())
+    assert ncfg.norm_type == "layernorm" and not ncfg.norm_bias
+    assert ncfg.clip_qkv == 0.05 and ncfg.n_kv_heads == 2
+    assert ncfg.n_experts == 4 and ncfg.norm_topk_prob
+    _compare(hf, native, 128, atol=2e-4)
