@@ -34,6 +34,8 @@ _ZOO = {
     "convnext_small": convnext_zoo.convnext_small,
     "convnextv2_tiny": convnext_zoo.convnextv2_tiny,
     "vit_tiny_patch16_224": vit_zoo.vit_tiny,
+    "deit_small_distilled_patch16_224": vit_zoo.deit_small,
+    "dinov2_small": vit_zoo.dinov2_small,
     "vit_small_patch16_224": vit_zoo.vit_small,
     "vit_base_patch16_224": vit_zoo.vit_base,
     # windowed-attention family (the reference's swinv2 dwain target,
@@ -109,7 +111,8 @@ def build_from_hf_snapshot(
     LLM builder does — the vision analogue of the reference's
     any-timm-model coverage (trainer_vision/builder.py:134-144).
 
-    Families: vit / convnext / convnextv2 / swinv2 / resnet (each
+    Families: vit / deit / dinov2 / convnext / convnextv2 / swinv2
+    / resnet (each
     logits-pinned vs the
     live HF torch implementation, tests/test_vision_hf_parity.py).
     Config knobs outside the native modules' graphs (non-4x ViT MLPs,
@@ -144,8 +147,47 @@ def build_from_hf_snapshot(
             depth=int(cfg["num_hidden_layers"]),
             n_heads=int(cfg["num_attention_heads"]),
             num_classes=num_labels,
+            norm_eps=float(cfg.get("layer_norm_eps", 1e-12)),
         )
         sd = vit_zoo.translate_hf_vit_state_dict(sd)
+    elif mt == "deit":
+        dim = int(cfg["hidden_size"])
+        if int(cfg["intermediate_size"]) != 4 * dim:
+            raise ValueError("deit intermediate_size != 4*hidden_size unsupported")
+        # the WithTeacher variant averages two classifiers; the plain one
+        # classifies the CLS token (both carry the distillation token)
+        with_teacher = any(k.startswith("distillation_classifier.") for k in sd)
+        model = vit_zoo.ViT.create(
+            key,
+            image_size=image_size,
+            patch_size=int(cfg.get("patch_size", 16)),
+            dim=dim,
+            depth=int(cfg["num_hidden_layers"]),
+            n_heads=int(cfg["num_attention_heads"]),
+            num_classes=num_labels,
+            distilled=True,
+            norm_eps=float(cfg.get("layer_norm_eps", 1e-12)),
+        )
+        if not with_teacher:
+            model = model.replace(head_dist=None)
+        sd = vit_zoo.translate_hf_deit_state_dict(sd)
+    elif mt == "dinov2":
+        if cfg.get("use_swiglu_ffn"):
+            raise ValueError("dinov2 use_swiglu_ffn is unsupported")
+        dim = int(cfg["hidden_size"])
+        model = vit_zoo.ViT.create(
+            key,
+            image_size=image_size,
+            patch_size=int(cfg.get("patch_size", 14)),
+            dim=dim,
+            depth=int(cfg["num_hidden_layers"]),
+            n_heads=int(cfg["num_attention_heads"]),
+            num_classes=num_labels,
+            layerscale_init=float(cfg.get("layerscale_value", 1.0)),
+            pool="cls_avg",
+            norm_eps=float(cfg.get("layer_norm_eps", 1e-6)),
+        )
+        sd = vit_zoo.translate_hf_dinov2_state_dict(sd)
     elif mt in ("convnext", "convnextv2"):
         model = convnext_zoo.ConvNeXt.create(
             key,
@@ -201,8 +243,8 @@ def build_from_hf_snapshot(
     else:
         raise ValueError(
             f"model_type={mt!r} is outside the supported HF vision families "
-            "(vit/convnext/convnextv2/swinv2/resnet); use a zoo entry or "
-            "register_model"
+            "(vit/deit/dinov2/convnext/convnextv2/swinv2/resnet); use a zoo "
+            "entry or register_model"
         )
     log_state_dict_keys_stats("build_from_hf_snapshot:", model, sd)
     model = utils.load_state_dict(model, sd, strict=strict)

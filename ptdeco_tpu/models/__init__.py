@@ -8,7 +8,7 @@ from .efficientformer import (
 from .resnet import ResNet, resnet18, resnet34, resnet50, resnet101
 from .phi import PhiCausalLM, PhiConfig
 from .swin import SwinV2, swinv2_small, swinv2_tiny
-from .vit import ViT, vit_base, vit_small, vit_tiny
+from .vit import ViT, vit_base, vit_small, vit_tiny, deit_small, dinov2_small
 from .transformer import (
     Attention,
     MLAttention,
@@ -46,6 +46,8 @@ __all__ = [
     "vit_base",
     "vit_small",
     "vit_tiny",
+    "deit_small",
+    "dinov2_small",
     "Attention",
     "MLAttention",
     "Block",

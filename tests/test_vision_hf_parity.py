@@ -193,3 +193,86 @@ def test_builder_hf_snapshot_dir(tmp_path):
         "some-unknown-name", checkpoint_path=str(tmp_path)
     )
     _compare_images(hf, native, 64, atol=3e-4)
+
+
+def test_deit_logits_match_hf():
+    """DeiT (WithTeacher): distillation token in the sequence, logits are
+    the AVERAGE of the cls and distillation classifiers."""
+    cfg = transformers.DeiTConfig(
+        hidden_size=32,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        intermediate_size=128,
+        image_size=32,
+        patch_size=16,
+        num_labels=10,
+    )
+    hf = transformers.DeiTForImageClassificationWithTeacher(cfg).eval()
+    native = models.ViT.create(
+        jax.random.PRNGKey(0),
+        image_size=32,
+        patch_size=16,
+        dim=32,
+        depth=2,
+        n_heads=4,
+        num_classes=10,
+        distilled=True,
+        norm_eps=1e-12,
+    )
+    sd = vit_mod.translate_hf_deit_state_dict(_hf_sd(hf))
+    native = utils.load_state_dict(native, sd, strict=True)
+    _compare_images(hf, native, 32, atol=2e-4)
+
+
+def test_dinov2_logits_match_hf():
+    """DINOv2: per-branch layer scale (lambda1) and the cat(cls,
+    mean(patches)) classifier input.  Layer scales randomized so the
+    translation is actually exercised."""
+    cfg = transformers.Dinov2Config(
+        hidden_size=32,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        intermediate_size=128,
+        image_size=32,
+        patch_size=8,
+        num_labels=10,
+    )
+    hf = transformers.Dinov2ForImageClassification(cfg).eval()
+    with torch.no_grad():
+        for name, p in hf.named_parameters():
+            if "lambda1" in name:
+                p.copy_(torch.randn_like(p))
+    native = models.ViT.create(
+        jax.random.PRNGKey(0),
+        image_size=32,
+        patch_size=8,
+        dim=32,
+        depth=2,
+        n_heads=4,
+        num_classes=10,
+        layerscale_init=1.0,
+        pool="cls_avg",
+    )
+    sd = vit_mod.translate_hf_dinov2_state_dict(_hf_sd(hf))
+    native = utils.load_state_dict(native, sd, strict=True)
+    _compare_images(hf, native, 32, atol=2e-4)
+
+
+def test_builder_deit_plain_snapshot(tmp_path):
+    """A plain DeiTForImageClassification snapshot (no teacher head)
+    builds through the generic path and classifies from the CLS token."""
+    from apps.trainer_vision import builder
+
+    cfg = transformers.DeiTConfig(
+        hidden_size=32,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        intermediate_size=128,
+        image_size=32,
+        patch_size=16,
+        num_labels=6,
+    )
+    hf = transformers.DeiTForImageClassification(cfg).eval()
+    hf.save_pretrained(tmp_path)
+    native = builder.make_model("whatever", checkpoint_path=str(tmp_path))
+    _compare_images(hf, native, 32, atol=2e-4)
