@@ -126,6 +126,24 @@ def translate_glm4_state_dict(
     return out
 
 
+def translate_glm_state_dict(
+    sd: dict[str, np.ndarray],
+) -> dict[str, np.ndarray]:
+    """HF Glm (glm-4 chat generation, GlmDecoderLayer): a standard
+    two-norm pre-norm llama block — only the fused ``mlp.gate_up_proj``
+    (chunked in halves, GlmMLP.forward) needs splitting."""
+    out: dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        if k.endswith(".mlp.gate_up_proj.weight"):
+            stem = k[: -len("gate_up_proj.weight")]
+            half = v.shape[0] // 2
+            out[stem + "gate_proj.weight"] = v[:half]
+            out[stem + "up_proj.weight"] = v[half:]
+        else:
+            out[k] = v
+    return out
+
+
 def translate_deepseek_state_dict(
     sd: dict[str, np.ndarray],
 ) -> dict[str, np.ndarray]:
@@ -678,6 +696,46 @@ def make_dbrx_translator(hf_cfg: dict[str, Any]):
     return translate
 
 
+def make_granitemoe_translator(hf_cfg: dict[str, Any]):
+    """HF GraniteMoe: block_sparse_moe holds megablocks-format fused
+    expert tensors — input_linear.weight (E, 2*ffn, d) whose output is
+    chunked [gate | up] (GraniteMoeMoE.forward: act(chunk0)*chunk1), and
+    output_linear.weight (E, d, ffn) already in Linear (out, in) format.
+    Split per expert onto mlp.experts.E.{gate_proj,up_proj,down_proj};
+    router.layer -> mlp.gate."""
+    ffn_h = int(hf_cfg["intermediate_size"])
+
+    def translate(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        out: dict[str, np.ndarray] = {}
+        for k, v in sd.items():
+            if ".block_sparse_moe.router.layer." in k:
+                out[
+                    k.replace(".block_sparse_moe.router.layer.", ".mlp.gate.")
+                ] = v
+                continue
+            if ".block_sparse_moe.input_linear.weight" in k:
+                stem = k.split(".block_sparse_moe.")[0]
+                for e in range(v.shape[0]):
+                    out[f"{stem}.mlp.experts.{e}.gate_proj.weight"] = (
+                        np.ascontiguousarray(v[e, :ffn_h])
+                    )
+                    out[f"{stem}.mlp.experts.{e}.up_proj.weight"] = (
+                        np.ascontiguousarray(v[e, ffn_h:])
+                    )
+                continue
+            if ".block_sparse_moe.output_linear.weight" in k:
+                stem = k.split(".block_sparse_moe.")[0]
+                for e in range(v.shape[0]):
+                    out[f"{stem}.mlp.experts.{e}.down_proj.weight"] = (
+                        np.ascontiguousarray(v[e])
+                    )
+                continue
+            out[k] = v
+        return out
+
+    return translate
+
+
 def translator_for(hf_cfg: dict[str, Any]):
     """Checkpoint-layout translator for a config dict's model_type, or
     None when the HF layout already matches the native tree field-for-
@@ -688,6 +746,8 @@ def translator_for(hf_cfg: dict[str, Any]):
         return translate_mixtral_state_dict
     if mt == "glm4":
         return translate_glm4_state_dict
+    if mt == "glm":
+        return translate_glm_state_dict
     if mt in ("deepseek_v2", "deepseek_v3"):
         return translate_deepseek_state_dict
     if mt == "gpt_oss":
@@ -714,4 +774,6 @@ def translator_for(hf_cfg: dict[str, Any]):
         return make_persimmon_translator(hf_cfg)
     if mt == "dbrx":
         return make_dbrx_translator(hf_cfg)
+    if mt == "granitemoe":
+        return make_granitemoe_translator(hf_cfg)
     return None

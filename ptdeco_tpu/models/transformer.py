@@ -229,6 +229,7 @@ class TransformerConfig:
             "nemotron": _hf_nemotron,
             "persimmon": _hf_persimmon,
             "dbrx": _hf_dbrx,
+            "granitemoe": _hf_granitemoe,
         }
         if mt in beyond_llama:
             return beyond_llama[mt](hf, dtype, remat)
@@ -236,7 +237,7 @@ class TransformerConfig:
             "llama", "mistral", "qwen2", "qwen3", "gemma", "gemma2",
             "gemma3_text", "phi3",
             "olmo2", "olmoe", "mixtral", "qwen2_moe", "qwen3_moe",
-            "smollm3", "glm4",
+            "smollm3", "glm", "glm4",
             "deepseek_v2", "deepseek_v3", "gpt_oss",
         ):
             raise ValueError(
@@ -362,7 +363,7 @@ class TransformerConfig:
         # glm4 puts biases on q/k/v only (Glm4Attention: o_proj bias=False)
         # — the same layout qwen2 uses, so it is expressible
         if bool(hf.get("attention_bias", False)) and mt not in (
-            "qwen2", "glm4", "gpt_oss", "gemma3_text"
+            "qwen2", "glm", "glm4", "gpt_oss", "gemma3_text"
         ):
             raise ValueError(
                 "attention_bias=True with an o_proj bias is not expressed "
@@ -483,7 +484,10 @@ class TransformerConfig:
                 bool(hf.get("qkv_bias", True))
                 if mt == "qwen2_moe"
                 else bool(
-                    hf.get("attention_bias", mt in ("qwen2", "glm4", "gpt_oss"))
+                    hf.get(
+                        "attention_bias",
+                        mt in ("qwen2", "glm", "glm4", "gpt_oss"),
+                    )
                 )
             ),
             tie_embeddings=bool(hf.get("tie_word_embeddings", gemma_like)),
@@ -575,11 +579,11 @@ class TransformerConfig:
             ),
             rope_partial_factor=(
                 float(hf.get("partial_rotary_factor", 0.5))
-                if mt == "glm4"
+                if mt in ("glm", "glm4")
                 else None
             ),
             rope_interleaved=(
-                mt == "glm4"
+                mt in ("glm", "glm4")
                 # v3 configs carry rope_interleave (default true); v2's
                 # complex-pair apply_rotary_emb is always interleaved
                 or (deepseek and bool(hf.get("rope_interleave", True)))
@@ -902,6 +906,54 @@ def _hf_persimmon(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
         o_proj_bias=True,
         rope_theta=float(hf.get("rope_theta", 25000.0)),
         rope_partial_factor=pct if pct < 1.0 else None,
+        tie_embeddings=bool(hf.get("tie_word_embeddings", False)),
+        remat=remat,
+        dtype=dtype,
+    )
+
+
+def _hf_granitemoe(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
+    """HF GraniteMoeConfig -> native.  The granite scalar-multiplier graph
+    (embedding/residual/attention multipliers, logits_scaling) with every
+    MLP a top-k MoE whose router picks top-k LOGITS and softmaxes over
+    them (GraniteMoeTopKGating — the gpt_oss ordering, without the router
+    bias).  Fused (E, 2*ffn, d) input_linear and (E, d, ffn) output_linear
+    expert tensors split on load (hf_loader.make_granitemoe_translator)."""
+    attn_mult = float(hf.get("attention_multiplier", 1.0))
+    logits_scaling = float(hf.get("logits_scaling", 1.0))
+    if bool(hf.get("attention_bias", False)):
+        raise ValueError("granitemoe attention_bias=True is not expressed")
+    return TransformerConfig(
+        vocab_size=int(hf["vocab_size"]),
+        dim=int(hf["hidden_size"]),
+        n_layers=int(hf["num_hidden_layers"]),
+        n_heads=int(hf["num_attention_heads"]),
+        n_kv_heads=int(
+            hf.get("num_key_value_heads") or hf["num_attention_heads"]
+        ),
+        hidden_dim=int(hf["intermediate_size"]),
+        norm_eps=float(hf.get("rms_norm_eps", 1e-6)),
+        mlp_act=_hf_act(hf.get("hidden_act", "silu")),
+        rope_theta=float(hf.get("rope_theta", 10000.0)),
+        n_experts=int(hf["num_local_experts"]),
+        n_experts_per_tok=int(hf.get("num_experts_per_tok", 2)),
+        router_softmax_after_topk=True,
+        embedding_multiplier=(
+            float(hf["embedding_multiplier"])
+            if hf.get("embedding_multiplier") is not None
+            else None
+        ),
+        residual_multiplier=(
+            float(hf["residual_multiplier"])
+            if hf.get("residual_multiplier") is not None
+            else None
+        ),
+        query_scale_override=(
+            attn_mult**-2 if attn_mult != 1.0 else None
+        ),
+        logit_scale=(
+            1.0 / logits_scaling if logits_scaling != 1.0 else None
+        ),
         tie_embeddings=bool(hf.get("tie_word_embeddings", False)),
         remat=remat,
         dtype=dtype,

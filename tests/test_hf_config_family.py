@@ -1170,3 +1170,50 @@ def test_dbrx_logits_match_hf():
     assert ncfg.clip_qkv == 0.05 and ncfg.n_kv_heads == 2
     assert ncfg.n_experts == 4 and ncfg.norm_topk_prob
     _compare(hf, native, 128, atol=2e-4)
+
+
+def test_glm_logits_match_hf():
+    """Glm (glm-4 chat generation): standard pre-norm llama block with
+    q/k/v biases, fused gate_up_proj split on load, and interleaved
+    PARTIAL rotary over head_dim/2 dims (36th family)."""
+    if not hasattr(transformers, "GlmForCausalLM"):
+        pytest.skip("transformers without glm")
+    cfg = transformers.GlmConfig(
+        **_tiny(
+            head_dim=8,
+            partial_rotary_factor=0.5,
+            attention_bias=True,
+            pad_token_id=0,
+            eos_token_id=1,
+        )
+    )
+    hf = transformers.GlmForCausalLM(cfg).eval()
+    native, ncfg = _hf_to_native_translated(hf, cfg.to_dict())
+    assert ncfg.qkv_bias and not ncfg.o_proj_bias
+    assert ncfg.rope_interleaved and ncfg.rope_partial_factor == 0.5
+    assert not ncfg.sandwich_norms
+    _compare(hf, native, 128, atol=2e-4)
+
+
+def test_granitemoe_logits_match_hf():
+    """GraniteMoe: granite's scalar multipliers + every-layer MoE with
+    topk-then-softmax routing and megablocks-format fused expert tensors
+    split on load (37th family)."""
+    if not hasattr(transformers, "GraniteMoeForCausalLM"):
+        pytest.skip("transformers without granitemoe")
+    cfg = transformers.GraniteMoeConfig(
+        **_tiny(
+            num_local_experts=4,
+            num_experts_per_tok=2,
+            embedding_multiplier=3.0,
+            residual_multiplier=0.5,
+            attention_multiplier=0.25,
+            logits_scaling=2.0,
+        )
+    )
+    hf = transformers.GraniteMoeForCausalLM(cfg).eval()
+    native, ncfg = _hf_to_native_translated(hf, cfg.to_dict())
+    assert ncfg.n_experts == 4 and ncfg.router_softmax_after_topk
+    assert ncfg.embedding_multiplier == 3.0
+    assert ncfg.residual_multiplier == 0.5
+    _compare(hf, native, 128, atol=2e-4)
