@@ -705,6 +705,8 @@ def make_granitemoe_translator(hf_cfg: dict[str, Any]):
     router.layer -> mlp.gate."""
     ffn_h = int(hf_cfg["intermediate_size"])
 
+    shared_h = int(hf_cfg.get("shared_intermediate_size") or 0)
+
     def translate(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
         out: dict[str, np.ndarray] = {}
         for k, v in sd.items():
@@ -712,6 +714,21 @@ def make_granitemoe_translator(hf_cfg: dict[str, Any]):
                 out[
                     k.replace(".block_sparse_moe.router.layer.", ".mlp.gate.")
                 ] = v
+                continue
+            if ".shared_mlp.input_linear.weight" in k:
+                # granitemoeshared: fused (2*shared_ffn, d), chunk
+                # [gate | up] (GraniteMoeSharedMLP.forward)
+                stem = k.split(".shared_mlp.")[0]
+                out[f"{stem}.mlp.shared_expert.gate_proj.weight"] = (
+                    np.ascontiguousarray(v[:shared_h])
+                )
+                out[f"{stem}.mlp.shared_expert.up_proj.weight"] = (
+                    np.ascontiguousarray(v[shared_h:])
+                )
+                continue
+            if ".shared_mlp.output_linear.weight" in k:
+                stem = k.split(".shared_mlp.")[0]
+                out[f"{stem}.mlp.shared_expert.down_proj.weight"] = v
                 continue
             if ".block_sparse_moe.input_linear.weight" in k:
                 stem = k.split(".block_sparse_moe.")[0]
@@ -736,6 +753,18 @@ def make_granitemoe_translator(hf_cfg: dict[str, Any]):
     return translate
 
 
+def translate_vaultgemma_state_dict(
+    sd: dict[str, np.ndarray],
+) -> dict[str, np.ndarray]:
+    """VaultGemma names its PRE-MLP norm ``pre_feedforward_layernorm``
+    (VaultGemmaDecoderLayer) in an otherwise standard two-norm block —
+    rename onto the post_attention_layernorm slot."""
+    return {
+        k.replace(".pre_feedforward_layernorm.", ".post_attention_layernorm."): v
+        for k, v in sd.items()
+    }
+
+
 def translator_for(hf_cfg: dict[str, Any]):
     """Checkpoint-layout translator for a config dict's model_type, or
     None when the HF layout already matches the native tree field-for-
@@ -748,7 +777,9 @@ def translator_for(hf_cfg: dict[str, Any]):
         return translate_glm4_state_dict
     if mt == "glm":
         return translate_glm_state_dict
-    if mt in ("deepseek_v2", "deepseek_v3"):
+    if mt in ("deepseek_v2", "deepseek_v3", "glm4_moe", "dots1"):
+        # glm4_moe / dots1 reuse deepseek's shared_experts + router
+        # correction-bias checkpoint naming
         return translate_deepseek_state_dict
     if mt == "gpt_oss":
         return translate_gpt_oss_state_dict
@@ -774,6 +805,8 @@ def translator_for(hf_cfg: dict[str, Any]):
         return make_persimmon_translator(hf_cfg)
     if mt == "dbrx":
         return make_dbrx_translator(hf_cfg)
-    if mt == "granitemoe":
+    if mt in ("granitemoe", "granitemoeshared"):
         return make_granitemoe_translator(hf_cfg)
+    if mt == "vaultgemma":
+        return translate_vaultgemma_state_dict
     return None

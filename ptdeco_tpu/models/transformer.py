@@ -230,14 +230,23 @@ class TransformerConfig:
             "persimmon": _hf_persimmon,
             "dbrx": _hf_dbrx,
             "granitemoe": _hf_granitemoe,
+            "granitemoeshared": _hf_granitemoe,
+            "cohere2": _hf_cohere2,
+            "glm4_moe": _hf_glm4_moe,
+            "dots1": _hf_dots1,
+            "vaultgemma": _hf_vaultgemma,
+            "exaone4": _hf_exaone4,
+            "ernie4_5": _hf_ernie4_5,
+            "arcee": _hf_arcee,
+            "seed_oss": _hf_seed_oss,
         }
         if mt in beyond_llama:
             return beyond_llama[mt](hf, dtype, remat)
         if mt not in (
             "llama", "mistral", "qwen2", "qwen3", "gemma", "gemma2",
             "gemma3_text", "phi3",
-            "olmo2", "olmoe", "mixtral", "qwen2_moe", "qwen3_moe",
-            "smollm3", "glm", "glm4",
+            "olmo2", "olmo3", "olmoe", "mixtral", "ministral", "qwen2_moe",
+            "qwen3_moe", "smollm3", "glm", "glm4",
             "deepseek_v2", "deepseek_v3", "gpt_oss",
         ):
             raise ValueError(
@@ -446,7 +455,9 @@ class TransformerConfig:
         # layer_types marks which layers are windowed; gemma3 configs that
         # omit it derive the pattern (every sliding_window_pattern-th layer
         # is full attention, HF Gemma3TextConfig.__init__)
-        hybrid_sliding = mt in ("gpt_oss", "gemma3_text")
+        hybrid_sliding = mt in (
+            "gpt_oss", "gemma3_text", "ministral", "olmo3"
+        )
         layer_types = tuple(hf.get("layer_types") or ())
         if mt == "gemma3_text" and not layer_types:
             pat = int(hf.get("sliding_window_pattern") or 6)
@@ -496,8 +507,8 @@ class TransformerConfig:
             scale_embeddings=gemma_like,
             norm_plus_one=gemma_like,
             qk_norm=qk_norm,
-            qk_norm_flat=mt in ("olmo2", "olmoe"),
-            post_norm_only=mt == "olmo2",
+            qk_norm_flat=mt in ("olmo2", "olmo3", "olmoe"),
+            post_norm_only=mt in ("olmo2", "olmo3"),
             clip_qkv=(
                 float(hf["clip_qkv"])
                 if hf.get("clip_qkv") is not None
@@ -573,8 +584,13 @@ class TransformerConfig:
             ),
             rope_yarn=rope_yarn,
             rope_local_theta=(
+                # gemma3: a separate local base frequency; olmo3: sliding
+                # layers use the SAME theta but with rope_scaling dropped
+                # (Olmo3Model.rotary_embs rope_type="default")
                 float(hf.get("rope_local_base_freq", 10000.0))
                 if mt == "gemma3_text"
+                else float(hf.get("rope_theta", 10000.0))
+                if mt == "olmo3"
                 else None
             ),
             rope_partial_factor=(
@@ -912,6 +928,105 @@ def _hf_persimmon(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
     )
 
 
+def _hf_ernie4_5(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
+    """HF Ernie4_5Config -> native.  The llama graph with ONE bias knob
+    (use_bias) covering q/k/v, o_proj AND the gated MLP, plus an explicit
+    head_dim."""
+    bias = bool(hf.get("use_bias", False))
+    n_heads = int(hf["num_attention_heads"])
+    dim = int(hf["hidden_size"])
+    head_dim = hf.get("head_dim")
+    return TransformerConfig(
+        vocab_size=int(hf["vocab_size"]),
+        dim=dim,
+        n_layers=int(hf["num_hidden_layers"]),
+        n_heads=n_heads,
+        n_kv_heads=int(hf.get("num_key_value_heads") or n_heads),
+        hidden_dim=int(hf["intermediate_size"]),
+        norm_eps=float(hf.get("rms_norm_eps", 1e-5)),
+        head_dim_override=(
+            int(head_dim)
+            if head_dim is not None and int(head_dim) * n_heads != dim
+            else None
+        ),
+        mlp_act=_hf_act(hf.get("hidden_act", "silu")),
+        mlp_bias=bias,
+        qkv_bias=bias,
+        o_proj_bias=bias,
+        rope_theta=float(hf.get("rope_theta", 10000.0)),
+        # "glm rope style (with full dim)" — pair-interleaved rotation
+        # over the whole head (HF ernie4_5 apply_rotary_pos_emb)
+        rope_interleaved=True,
+        tie_embeddings=bool(hf.get("tie_word_embeddings", True)),
+        remat=remat,
+        dtype=dtype,
+    )
+
+
+def _hf_arcee(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
+    """HF ArceeConfig (AFM) -> native.  The llama graph with a NON-gated
+    squared-relu MLP (ArceeMLP: up_proj -> relu^2 -> down_proj) and an
+    explicit head_dim."""
+    n_heads = int(hf["num_attention_heads"])
+    dim = int(hf["hidden_size"])
+    head_dim = hf.get("head_dim")
+    bias = bool(hf.get("attention_bias", False))
+    return TransformerConfig(
+        vocab_size=int(hf["vocab_size"]),
+        dim=dim,
+        n_layers=int(hf["num_hidden_layers"]),
+        n_heads=n_heads,
+        n_kv_heads=int(hf.get("num_key_value_heads") or n_heads),
+        hidden_dim=int(hf["intermediate_size"]),
+        norm_eps=float(hf.get("rms_norm_eps", 1e-5)),
+        head_dim_override=(
+            int(head_dim)
+            if head_dim is not None and int(head_dim) * n_heads != dim
+            else None
+        ),
+        mlp_gated=False,
+        mlp_bias=bool(hf.get("mlp_bias", False)),
+        mlp_act=_hf_act(hf.get("hidden_act", "relu2")),
+        qkv_bias=bias,
+        o_proj_bias=bias,
+        rope_theta=float(hf.get("rope_theta", 10000.0)),
+        tie_embeddings=bool(hf.get("tie_word_embeddings", False)),
+        remat=remat,
+        dtype=dtype,
+    )
+
+
+def _hf_seed_oss(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
+    """HF SeedOssConfig -> native.  Llama graph with SPLIT bias knobs:
+    attention_bias on q/k/v, attention_out_bias on o_proj; explicit
+    head_dim."""
+    n_heads = int(hf["num_attention_heads"])
+    dim = int(hf["hidden_size"])
+    head_dim = hf.get("head_dim")
+    return TransformerConfig(
+        vocab_size=int(hf["vocab_size"]),
+        dim=dim,
+        n_layers=int(hf["num_hidden_layers"]),
+        n_heads=n_heads,
+        n_kv_heads=int(hf.get("num_key_value_heads") or n_heads),
+        hidden_dim=int(hf["intermediate_size"]),
+        norm_eps=float(hf.get("rms_norm_eps", 1e-6)),
+        head_dim_override=(
+            int(head_dim)
+            if head_dim is not None and int(head_dim) * n_heads != dim
+            else None
+        ),
+        mlp_act=_hf_act(hf.get("hidden_act", "silu")),
+        mlp_bias=bool(hf.get("mlp_bias", False)),
+        qkv_bias=bool(hf.get("attention_bias", True)),
+        o_proj_bias=bool(hf.get("attention_out_bias", False)),
+        rope_theta=float(hf.get("rope_theta", 10000.0)),
+        tie_embeddings=bool(hf.get("tie_word_embeddings", False)),
+        remat=remat,
+        dtype=dtype,
+    )
+
+
 def _hf_granitemoe(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
     """HF GraniteMoeConfig -> native.  The granite scalar-multiplier graph
     (embedding/residual/attention multipliers, logits_scaling) with every
@@ -923,6 +1038,9 @@ def _hf_granitemoe(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
     logits_scaling = float(hf.get("logits_scaling", 1.0))
     if bool(hf.get("attention_bias", False)):
         raise ValueError("granitemoe attention_bias=True is not expressed")
+    # granitemoeshared: an always-on UNGATED shared MLP of
+    # shared_intermediate_size added to the routed output (0 = none)
+    shared = int(hf.get("shared_intermediate_size") or 0)
     return TransformerConfig(
         vocab_size=int(hf["vocab_size"]),
         dim=int(hf["hidden_size"]),
@@ -938,6 +1056,8 @@ def _hf_granitemoe(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
         n_experts=int(hf["num_local_experts"]),
         n_experts_per_tok=int(hf.get("num_experts_per_tok", 2)),
         router_softmax_after_topk=True,
+        shared_expert_hidden_dim=shared if shared > 0 else None,
+        shared_expert_gated=False,
         embedding_multiplier=(
             float(hf["embedding_multiplier"])
             if hf.get("embedding_multiplier") is not None
@@ -954,6 +1074,58 @@ def _hf_granitemoe(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
         logit_scale=(
             1.0 / logits_scaling if logits_scaling != 1.0 else None
         ),
+        tie_embeddings=bool(hf.get("tie_word_embeddings", False)),
+        remat=remat,
+        dtype=dtype,
+    )
+
+
+def _hf_exaone4(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
+    """HF Exaone4Config -> native.  olmo2-style POST-norm blocks
+    (post_attention/post_feedforward norms on the sublayer outputs),
+    per-head q/k RMSNorm, hybrid sliding layers — and ROTARY ONLY ON
+    SLIDING layers when a window is configured (Exaone4Attention.forward:
+    full-attention layers skip apply_rotary_pos_emb), expressed through
+    per-layer rope_layers."""
+    sliding = hf.get("sliding_window")
+    layer_types = tuple(hf.get("layer_types") or ())
+    if not layer_types and sliding:
+        pat = int(hf.get("sliding_window_pattern") or 4)
+        layer_types = tuple(
+            "full_attention" if (i + 1) % pat == 0 else "sliding_attention"
+            for i in range(int(hf["num_hidden_layers"]))
+        )
+    rope_layers = (
+        tuple(
+            1 if lt == "sliding_attention" else 0 for lt in layer_types
+        )
+        if sliding
+        else ()
+    )
+    n_heads = int(hf["num_attention_heads"])
+    dim = int(hf["hidden_size"])
+    head_dim = hf.get("head_dim")
+    return TransformerConfig(
+        vocab_size=int(hf["vocab_size"]),
+        dim=dim,
+        n_layers=int(hf["num_hidden_layers"]),
+        n_heads=n_heads,
+        n_kv_heads=int(hf.get("num_key_value_heads") or n_heads),
+        hidden_dim=int(hf["intermediate_size"]),
+        norm_eps=float(hf.get("rms_norm_eps", 1e-5)),
+        head_dim_override=(
+            int(head_dim)
+            if head_dim is not None and int(head_dim) * n_heads != dim
+            else None
+        ),
+        qk_norm=True,
+        post_norm_only=True,
+        mlp_act=_hf_act(hf.get("hidden_act", "silu")),
+        qkv_bias=bool(hf.get("attention_bias") or False),
+        rope_theta=float(hf.get("rope_theta", 10000.0)),
+        sliding_window=int(sliding) if sliding else None,
+        layer_types=layer_types,
+        rope_layers=rope_layers,
         tie_embeddings=bool(hf.get("tie_word_embeddings", False)),
         remat=remat,
         dtype=dtype,
@@ -1070,6 +1242,216 @@ def _hf_cohere(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
         parallel_residual="one_norm",
         logit_scale=float(hf.get("logit_scale", 0.0625)),
         tie_embeddings=bool(hf.get("tie_word_embeddings", True)),
+        remat=remat,
+        dtype=dtype,
+    )
+
+
+def _hf_cohere2(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
+    """HF Cohere2Config (command-r7b) -> native.  The cohere one-norm
+    parallel-residual graph plus hybrid sliding layers where ROTARY
+    APPLIES ONLY ON SLIDING layers (Cohere2Attention.forward: full
+    layers skip apply_rotary_pos_emb) — expressed via layer_types +
+    per-layer rope_layers."""
+    if hf.get("use_qk_norm"):
+        raise ValueError("cohere2 use_qk_norm is not implemented")
+    sliding = hf.get("sliding_window")
+    layer_types = tuple(hf.get("layer_types") or ())
+    if not layer_types and sliding:
+        pat = int(hf.get("sliding_window_pattern") or 4)
+        layer_types = tuple(
+            "full_attention" if (i + 1) % pat == 0 else "sliding_attention"
+            for i in range(int(hf["num_hidden_layers"]))
+        )
+    rope_layers = (
+        tuple(1 if lt == "sliding_attention" else 0 for lt in layer_types)
+        if sliding
+        else ()
+    )
+    n_heads = int(hf["num_attention_heads"])
+    dim = int(hf["hidden_size"])
+    head_dim = hf.get("head_dim")
+    return TransformerConfig(
+        vocab_size=int(hf["vocab_size"]),
+        dim=dim,
+        n_layers=int(hf["num_hidden_layers"]),
+        n_heads=n_heads,
+        n_kv_heads=int(hf.get("num_key_value_heads") or n_heads),
+        hidden_dim=int(hf["intermediate_size"]),
+        norm_eps=float(hf.get("layer_norm_eps", 1e-5)),
+        norm_type="layernorm",
+        norm_bias=False,
+        head_dim_override=(
+            int(head_dim)
+            if head_dim is not None and int(head_dim) * n_heads != dim
+            else None
+        ),
+        mlp_act=_hf_act(hf.get("hidden_act", "silu")),
+        qkv_bias=bool(hf.get("attention_bias", False)),
+        rope_theta=float(hf.get("rope_theta", 10000.0)),
+        rope_interleaved=True,
+        parallel_residual="one_norm",
+        logit_scale=float(hf.get("logit_scale", 0.0625)),
+        sliding_window=int(sliding) if sliding else None,
+        layer_types=layer_types,
+        rope_layers=rope_layers,
+        tie_embeddings=bool(hf.get("tie_word_embeddings", True)),
+        remat=remat,
+        dtype=dtype,
+    )
+
+
+def _hf_vaultgemma(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
+    """HF VaultGemmaConfig -> native.  A gemma2-generation graph WITHOUT
+    the sandwich norms: standard two-norm pre-norm blocks whose second
+    norm is named ``pre_feedforward_layernorm`` in the checkpoint
+    (renamed on load), (1+w) RMSNorms, sqrt(dim) embedding scale,
+    query_pre_attn_scalar scale, attn+final softcapping, hybrid sliding
+    layers, tied embeddings."""
+    sliding = hf.get("sliding_window")
+    layer_types = tuple(hf.get("layer_types") or ())
+    if not layer_types and sliding:
+        layer_types = tuple(
+            "sliding_attention" if i % 2 == 0 else "full_attention"
+            for i in range(int(hf["num_hidden_layers"]))
+        )
+    n_heads = int(hf["num_attention_heads"])
+    dim = int(hf["hidden_size"])
+    head_dim = hf.get("head_dim")
+    act = hf.get("hidden_activation") or hf.get("hidden_act", "gelu_pytorch_tanh")
+    return TransformerConfig(
+        vocab_size=int(hf["vocab_size"]),
+        dim=dim,
+        n_layers=int(hf["num_hidden_layers"]),
+        n_heads=n_heads,
+        n_kv_heads=int(hf.get("num_key_value_heads") or n_heads),
+        hidden_dim=int(hf["intermediate_size"]),
+        norm_eps=float(hf.get("rms_norm_eps", 1e-6)),
+        head_dim_override=(
+            int(head_dim)
+            if head_dim is not None and int(head_dim) * n_heads != dim
+            else None
+        ),
+        mlp_act=_hf_act(act),
+        scale_embeddings=True,
+        norm_plus_one=True,
+        attn_logit_softcap=(
+            float(hf["attn_logit_softcapping"])
+            if hf.get("attn_logit_softcapping") is not None
+            else None
+        ),
+        final_logit_softcap=(
+            float(hf["final_logit_softcapping"])
+            if hf.get("final_logit_softcapping") is not None
+            else None
+        ),
+        query_scale_override=(
+            float(hf["query_pre_attn_scalar"])
+            if hf.get("query_pre_attn_scalar") is not None
+            else None
+        ),
+        rope_theta=float(hf.get("rope_theta", 10000.0)),
+        sliding_window=int(sliding) if sliding else None,
+        layer_types=layer_types,
+        tie_embeddings=bool(hf.get("tie_word_embeddings", True)),
+        remat=remat,
+        dtype=dtype,
+    )
+
+
+def _hf_glm4_moe(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
+    """HF Glm4MoeConfig -> native.  Glm attention (partial interleaved
+    rotary, q/k/v biases per attention_bias, optional per-head qk_norm)
+    over the deepseek-v3 noaux_tc router (sigmoid scores, selection-only
+    correction bias, group-top2-sum limiting, norm_topk, routed scaling),
+    ungated shared experts, first_k_dense_replace dense layers."""
+    n_heads = int(hf["num_attention_heads"])
+    dim = int(hf["hidden_size"])
+    head_dim = hf.get("head_dim")
+    moe_hidden = int(hf["moe_intermediate_size"])
+    return TransformerConfig(
+        vocab_size=int(hf["vocab_size"]),
+        dim=dim,
+        n_layers=int(hf["num_hidden_layers"]),
+        n_heads=n_heads,
+        n_kv_heads=int(hf.get("num_key_value_heads") or n_heads),
+        hidden_dim=int(hf["intermediate_size"]),
+        norm_eps=float(hf.get("rms_norm_eps", 1e-5)),
+        head_dim_override=(
+            int(head_dim)
+            if head_dim is not None and int(head_dim) * n_heads != dim
+            else None
+        ),
+        qk_norm=bool(hf.get("use_qk_norm", False)),
+        mlp_act=_hf_act(hf.get("hidden_act", "silu")),
+        qkv_bias=bool(hf.get("attention_bias", False)),
+        rope_theta=float(hf.get("rope_theta", 10000.0)),
+        # partial rotary with the STANDARD split-half convention — unlike
+        # glm/glm4, glm4_moe's rotate_half is the llama one
+        rope_partial_factor=float(hf.get("partial_rotary_factor", 0.5)),
+        n_experts=int(hf["n_routed_experts"]),
+        n_experts_per_tok=int(hf.get("num_experts_per_tok", 8)),
+        norm_topk_prob=bool(hf.get("norm_topk_prob", True)),
+        moe_hidden_dim=moe_hidden,
+        mlp_only_layers=tuple(range(int(hf.get("first_k_dense_replace", 0)))),
+        shared_expert_hidden_dim=(
+            moe_hidden * int(hf.get("n_shared_experts") or 1)
+        ),
+        shared_expert_gated=False,
+        router_score_func="sigmoid",
+        router_n_group=int(hf.get("n_group", 1)),
+        router_topk_group=int(hf.get("topk_group", 1)),
+        router_group_top2_sum=True,
+        router_correction_bias=True,
+        routed_scaling_factor=float(hf.get("routed_scaling_factor", 1.0)),
+        tie_embeddings=bool(hf.get("tie_word_embeddings", False)),
+        remat=remat,
+        dtype=dtype,
+    )
+
+
+def _hf_dots1(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
+    """HF Dots1Config (rednote dots.llm1) -> native.  Qwen3-style
+    attention (per-head q/k RMSNorm, split-half rotary) over the same
+    deepseek-v3 noaux_tc router as glm4_moe; ungated shared experts."""
+    n_heads = int(hf["num_attention_heads"])
+    dim = int(hf["hidden_size"])
+    head_dim = hf.get("head_dim")
+    moe_hidden = int(hf["moe_intermediate_size"])
+    n_shared = int(hf.get("n_shared_experts") or 0)
+    return TransformerConfig(
+        vocab_size=int(hf["vocab_size"]),
+        dim=dim,
+        n_layers=int(hf["num_hidden_layers"]),
+        n_heads=n_heads,
+        n_kv_heads=int(hf.get("num_key_value_heads") or n_heads),
+        hidden_dim=int(hf["intermediate_size"]),
+        norm_eps=float(hf.get("rms_norm_eps", 1e-6)),
+        head_dim_override=(
+            int(head_dim)
+            if head_dim is not None and int(head_dim) * n_heads != dim
+            else None
+        ),
+        qk_norm=True,
+        mlp_act=_hf_act(hf.get("hidden_act", "silu")),
+        qkv_bias=bool(hf.get("attention_bias", False)),
+        rope_theta=float(hf.get("rope_theta", 10000.0)),
+        n_experts=int(hf["n_routed_experts"]),
+        n_experts_per_tok=int(hf.get("num_experts_per_tok", 6)),
+        norm_topk_prob=bool(hf.get("norm_topk_prob", False)),
+        moe_hidden_dim=moe_hidden,
+        mlp_only_layers=tuple(range(int(hf.get("first_k_dense_replace", 0)))),
+        shared_expert_hidden_dim=(
+            moe_hidden * n_shared if n_shared else None
+        ),
+        shared_expert_gated=False,
+        router_score_func="sigmoid",
+        router_n_group=int(hf.get("n_group", 1)),
+        router_topk_group=int(hf.get("topk_group", 1)),
+        router_group_top2_sum=True,
+        router_correction_bias=True,
+        routed_scaling_factor=float(hf.get("routed_scaling_factor", 1.0)),
+        tie_embeddings=bool(hf.get("tie_word_embeddings", False)),
         remat=remat,
         dtype=dtype,
     )

@@ -1217,3 +1217,225 @@ def test_granitemoe_logits_match_hf():
     assert ncfg.embedding_multiplier == 3.0
     assert ncfg.residual_multiplier == 0.5
     _compare(hf, native, 128, atol=2e-4)
+
+
+def test_ernie4_5_logits_match_hf():
+    """Ernie 4.5: llama graph with ONE use_bias knob across q/k/v, o_proj
+    and the gated MLP (38th family)."""
+    if not hasattr(transformers, "Ernie4_5ForCausalLM"):
+        pytest.skip("transformers without ernie4_5")
+    cfg = transformers.Ernie4_5Config(
+        **_tiny(head_dim=8, use_bias=True, rope_theta=5e5)
+    )
+    hf = transformers.Ernie4_5ForCausalLM(cfg).eval()
+    native, ncfg = _hf_to_native(hf, cfg.to_dict())
+    assert ncfg.qkv_bias and ncfg.o_proj_bias and ncfg.mlp_bias
+    _compare(hf, native, 128, atol=2e-4)
+
+
+def test_arcee_logits_match_hf():
+    """Arcee (AFM): llama attention + NON-gated squared-relu MLP
+    (39th family)."""
+    if not hasattr(transformers, "ArceeForCausalLM"):
+        pytest.skip("transformers without arcee")
+    cfg = transformers.ArceeConfig(**_tiny(head_dim=8))
+    hf = transformers.ArceeForCausalLM(cfg).eval()
+    native, ncfg = _hf_to_native(hf, cfg.to_dict())
+    assert not ncfg.mlp_gated and ncfg.mlp_act == "relu2"
+    _compare(hf, native, 128, atol=2e-4)
+
+
+def test_seed_oss_logits_match_hf():
+    """Seed-OSS: split bias knobs — q/k/v biased (attention_bias default
+    True), o_proj per attention_out_bias (40th family)."""
+    if not hasattr(transformers, "SeedOssForCausalLM"):
+        pytest.skip("transformers without seed_oss")
+    cfg = transformers.SeedOssConfig(
+        **_tiny(head_dim=8, attention_bias=True, attention_out_bias=True)
+    )
+    hf = transformers.SeedOssForCausalLM(cfg).eval()
+    native, ncfg = _hf_to_native(hf, cfg.to_dict())
+    assert ncfg.qkv_bias and ncfg.o_proj_bias
+    _compare(hf, native, 128, atol=2e-4)
+
+
+def test_ministral_logits_match_hf():
+    """Ministral: the mistral graph with EVERY layer sliding-window
+    attention via layer_types (41st family).  Window 4 < seqlen 12 so the
+    mask actually bites."""
+    if not hasattr(transformers, "MinistralForCausalLM"):
+        pytest.skip("transformers without ministral")
+    cfg = transformers.MinistralConfig(**_tiny(sliding_window=4, head_dim=8))
+    cfg._attn_implementation = "eager"
+    hf = transformers.MinistralForCausalLM(cfg).eval()
+    native, ncfg = _hf_to_native(hf, cfg.to_dict())
+    assert ncfg.sliding_window == 4 and "sliding_attention" in ncfg.layer_types
+    _compare(hf, native, 128, atol=2e-4)
+
+
+def test_olmo3_logits_match_hf():
+    """Olmo3: olmo2's post-norm blocks + flat q/k norms, hybrid sliding
+    layers, and DUAL rotary — sliding layers drop rope_scaling
+    (Olmo3Model.rotary_embs rope_type="default") while full layers apply
+    the config's yarn (42nd family)."""
+    if not hasattr(transformers, "Olmo3ForCausalLM"):
+        pytest.skip("transformers without olmo3")
+    cfg = transformers.Olmo3Config(
+        **_tiny(
+            sliding_window=4,
+            rope_scaling={
+                "rope_type": "yarn",
+                "factor": 4.0,
+                "original_max_position_embeddings": 16,
+                "beta_fast": 32.0,
+                "beta_slow": 1.0,
+            },
+        )
+    )
+    cfg._attn_implementation = "eager"
+    hf = transformers.Olmo3ForCausalLM(cfg).eval()
+    native, ncfg = _hf_to_native(hf, cfg.to_dict())
+    assert ncfg.post_norm_only and ncfg.qk_norm_flat
+    assert ncfg.rope_local_theta == ncfg.rope_theta
+    assert ncfg.rope_yarn is not None
+    assert "sliding_attention" in ncfg.layer_types
+    _compare(hf, native, 128, atol=3e-4)
+
+
+def test_granitemoe_shared_logits_match_hf():
+    """GraniteMoeShared: granitemoe plus an always-on UNGATED shared MLP
+    whose fused input_linear is chunked [gate | up] (43rd family)."""
+    if not hasattr(transformers, "GraniteMoeSharedForCausalLM"):
+        pytest.skip("transformers without granitemoeshared")
+    cfg = transformers.GraniteMoeSharedConfig(
+        **_tiny(
+            num_local_experts=4,
+            num_experts_per_tok=2,
+            shared_intermediate_size=16,
+            embedding_multiplier=2.0,
+            residual_multiplier=0.5,
+            attention_multiplier=0.25,
+            logits_scaling=2.0,
+        )
+    )
+    hf = transformers.GraniteMoeSharedForCausalLM(cfg).eval()
+    native, ncfg = _hf_to_native_translated(hf, cfg.to_dict())
+    assert ncfg.shared_expert_hidden_dim == 16
+    assert not ncfg.shared_expert_gated
+    _compare(hf, native, 128, atol=2e-4)
+
+
+def test_exaone4_logits_match_hf():
+    """EXAONE-4: post-norm blocks, per-head q/k RMSNorm, hybrid sliding
+    layers with ROTARY ONLY ON SLIDING layers (full-attention layers are
+    NoPE when a window is set) (44th family)."""
+    if not hasattr(transformers, "Exaone4ForCausalLM"):
+        pytest.skip("transformers without exaone4")
+    cfg = transformers.Exaone4Config(
+        **_tiny(sliding_window=4, sliding_window_pattern=2, head_dim=8)
+    )
+    cfg._attn_implementation = "eager"
+    hf = transformers.Exaone4ForCausalLM(cfg).eval()
+    native, ncfg = _hf_to_native(hf, cfg.to_dict())
+    assert ncfg.post_norm_only and ncfg.qk_norm
+    assert 0 in ncfg.rope_layers and 1 in ncfg.rope_layers
+    _compare(hf, native, 128, atol=2e-4)
+
+
+def test_cohere2_logits_match_hf():
+    """Cohere2 (command-r7b): the cohere one-norm parallel-residual graph
+    + hybrid sliding layers with rope ONLY on sliding layers
+    (45th family)."""
+    if not hasattr(transformers, "Cohere2ForCausalLM"):
+        pytest.skip("transformers without cohere2")
+    cfg = transformers.Cohere2Config(
+        **_tiny(sliding_window=4, sliding_window_pattern=2, logit_scale=0.25)
+    )
+    cfg._attn_implementation = "eager"
+    hf = transformers.Cohere2ForCausalLM(cfg).eval()
+    native, ncfg = _hf_to_native(hf, cfg.to_dict())
+    assert ncfg.parallel_residual == "one_norm" and ncfg.rope_interleaved
+    assert 0 in ncfg.rope_layers
+    _compare(hf, native, 128, atol=2e-4)
+
+
+def test_vaultgemma_logits_match_hf():
+    """VaultGemma: gemma2-generation graph WITHOUT sandwich norms — the
+    pre-MLP norm is checkpoint-named pre_feedforward_layernorm (renamed
+    on load); softcaps + query scale + hybrid sliding (46th family)."""
+    if not hasattr(transformers, "VaultGemmaForCausalLM"):
+        pytest.skip("transformers without vaultgemma")
+    cfg = transformers.VaultGemmaConfig(
+        **_tiny(
+            head_dim=8,
+            query_pre_attn_scalar=13,
+            sliding_window=4,
+            attn_logit_softcapping=50.0,
+            final_logit_softcapping=30.0,
+        )
+    )
+    cfg._attn_implementation = "eager"
+    hf = transformers.VaultGemmaForCausalLM(cfg).eval()
+    native, ncfg = _hf_to_native_translated(hf, cfg.to_dict())
+    assert ncfg.scale_embeddings and ncfg.norm_plus_one
+    assert not ncfg.sandwich_norms
+    assert ncfg.attn_logit_softcap == 50.0
+    _compare(hf, native, 128, atol=3e-4)
+
+
+def test_glm4_moe_logits_match_hf():
+    """GLM-4 MoE: glm attention (partial interleaved rope, optional
+    per-head qk_norm) + the deepseek-v3 noaux_tc router with ungated
+    shared experts and first-k dense layers (47th family)."""
+    if not hasattr(transformers, "Glm4MoeForCausalLM"):
+        pytest.skip("transformers without glm4_moe")
+    cfg = transformers.Glm4MoeConfig(
+        **_tiny(
+            head_dim=8,
+            n_routed_experts=4,
+            num_experts_per_tok=2,
+            n_shared_experts=1,
+            n_group=2,
+            topk_group=1,
+            norm_topk_prob=True,
+            routed_scaling_factor=1.5,
+            first_k_dense_replace=1,
+            moe_intermediate_size=16,
+            use_qk_norm=True,
+            attention_bias=True,
+            pad_token_id=0,
+            eos_token_id=1,
+        )
+    )
+    hf = transformers.Glm4MoeForCausalLM(cfg).eval()
+    native, ncfg = _hf_to_native_translated(hf, cfg.to_dict())
+    assert ncfg.router_score_func == "sigmoid" and ncfg.router_correction_bias
+    assert ncfg.qk_norm and not ncfg.rope_interleaved
+    assert ncfg.mlp_only_layers == (0,)
+    _compare(hf, native, 128, atol=2e-4)
+
+
+def test_dots1_logits_match_hf():
+    """dots.llm1: qwen3-style per-head q/k norms over the deepseek-v3
+    noaux_tc router (48th family)."""
+    if not hasattr(transformers, "Dots1ForCausalLM"):
+        pytest.skip("transformers without dots1")
+    cfg = transformers.Dots1Config(
+        **_tiny(
+            head_dim=8,
+            n_routed_experts=4,
+            num_experts_per_tok=2,
+            n_shared_experts=1,
+            n_group=2,
+            topk_group=1,
+            norm_topk_prob=True,
+            routed_scaling_factor=2.0,
+            first_k_dense_replace=1,
+            moe_intermediate_size=16,
+        )
+    )
+    hf = transformers.Dots1ForCausalLM(cfg).eval()
+    native, ncfg = _hf_to_native_translated(hf, cfg.to_dict())
+    assert ncfg.qk_norm and not ncfg.rope_interleaved
+    assert ncfg.router_group_top2_sum
+    _compare(hf, native, 128, atol=2e-4)
