@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from ptdeco_tpu import engine, nn, utils
 from ptdeco_tpu.models import convnext as convnext_zoo
 from ptdeco_tpu.models import efficientformer as ef_zoo
+from ptdeco_tpu.models import regnet as regnet_zoo
 from ptdeco_tpu.models import resnet as resnet_zoo
 from ptdeco_tpu.models import swin as swin_zoo
 from ptdeco_tpu.models import vit as vit_zoo
@@ -30,6 +31,7 @@ _ZOO = {
     "resnet34": resnet_zoo.resnet34,
     "resnet50": resnet_zoo.resnet50,
     "resnet101": resnet_zoo.resnet101,
+    "regnety_004": regnet_zoo.regnet_y_tiny,
     "convnext_tiny": convnext_zoo.convnext_tiny,
     "convnext_small": convnext_zoo.convnext_small,
     "convnextv2_tiny": convnext_zoo.convnextv2_tiny,
@@ -218,6 +220,20 @@ def build_from_hf_snapshot(
         )
         sd = swin_zoo.translate_hf_swinv2_state_dict(sd)
         strict = False  # native CPB/index buffers rebuild from static shapes
+    elif mt == "regnet":
+        model = regnet_zoo.RegNet.create(
+            key,
+            embedding_size=int(cfg.get("embedding_size", 32)),
+            hidden_sizes=tuple(cfg["hidden_sizes"]),
+            depths=tuple(cfg["depths"]),
+            groups_width=int(cfg.get("groups_width", 64)),
+            layer_type=cfg.get("layer_type", "y"),
+            num_classes=num_labels,
+            downsample_in_first_stage=bool(
+                cfg.get("downsample_in_first_stage", True)
+            ),
+        )
+        sd = regnet_zoo.translate_hf_regnet_state_dict(sd)
     elif mt == "resnet":
         if int(cfg.get("embedding_size", 64)) != 64:
             raise ValueError("resnet embedding_size != 64 unsupported")
@@ -243,7 +259,7 @@ def build_from_hf_snapshot(
     else:
         raise ValueError(
             f"model_type={mt!r} is outside the supported HF vision families "
-            "(vit/deit/dinov2/convnext/convnextv2/swinv2/resnet); use a zoo "
+            "(vit/deit/dinov2/convnext/convnextv2/swinv2/resnet/regnet); use a "
             "entry or register_model"
         )
     log_state_dict_keys_stats("build_from_hf_snapshot:", model, sd)

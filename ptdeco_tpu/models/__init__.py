@@ -6,6 +6,7 @@ from .efficientformer import (
     efficientformerv2_s1,
 )
 from .resnet import ResNet, resnet18, resnet34, resnet50, resnet101
+from .regnet import RegNet, regnet_y_tiny
 from .phi import PhiCausalLM, PhiConfig
 from .swin import SwinV2, swinv2_small, swinv2_tiny
 from .vit import ViT, vit_base, vit_small, vit_tiny, deit_small, dinov2_small
@@ -37,6 +38,8 @@ __all__ = [
     "resnet34",
     "resnet50",
     "resnet101",
+    "RegNet",
+    "regnet_y_tiny",
     "PhiCausalLM",
     "PhiConfig",
     "ViT",

@@ -276,3 +276,62 @@ def test_builder_deit_plain_snapshot(tmp_path):
     hf.save_pretrained(tmp_path)
     native = builder.make_model("whatever", checkpoint_path=str(tmp_path))
     _compare_images(hf, native, 32, atol=2e-4)
+
+
+def test_regnet_y_logits_match_hf():
+    """RegNet-Y: grouped 3x3 convs, squeeze-excitation gates, conv-BN
+    shortcuts — whole-model vs HF RegNetForImageClassification."""
+    from ptdeco_tpu.models import regnet as regnet_mod
+
+    cfg = transformers.RegNetConfig(
+        num_channels=3,
+        embedding_size=8,
+        hidden_sizes=[8, 16],
+        depths=[1, 2],
+        groups_width=4,
+        layer_type="y",
+        num_labels=5,
+    )
+    hf = transformers.RegNetForImageClassification(cfg).eval()
+    native = regnet_mod.RegNet.create(
+        jax.random.PRNGKey(0),
+        embedding_size=8,
+        hidden_sizes=(8, 16),
+        depths=(1, 2),
+        groups_width=4,
+        layer_type="y",
+        num_classes=5,
+        downsample_in_first_stage=True,
+    )
+    sd = regnet_mod.translate_hf_regnet_state_dict(_hf_sd(hf))
+    native = utils.load_state_dict(native, sd, strict=True)
+    _compare_images(hf, native, 32, atol=3e-4)
+
+
+def test_regnet_x_logits_match_hf():
+    """RegNet-X: the SE-free variant (last conv at layer index 2)."""
+    from ptdeco_tpu.models import regnet as regnet_mod
+
+    cfg = transformers.RegNetConfig(
+        num_channels=3,
+        embedding_size=8,
+        hidden_sizes=[8, 16],
+        depths=[1, 1],
+        groups_width=4,
+        layer_type="x",
+        num_labels=5,
+    )
+    hf = transformers.RegNetForImageClassification(cfg).eval()
+    native = regnet_mod.RegNet.create(
+        jax.random.PRNGKey(0),
+        embedding_size=8,
+        hidden_sizes=(8, 16),
+        depths=(1, 1),
+        groups_width=4,
+        layer_type="x",
+        num_classes=5,
+        downsample_in_first_stage=True,
+    )
+    sd = regnet_mod.translate_hf_regnet_state_dict(_hf_sd(hf))
+    native = utils.load_state_dict(native, sd, strict=True)
+    _compare_images(hf, native, 32, atol=3e-4)
