@@ -265,16 +265,24 @@ class TransformerConfig:
                 "gemma3 use_bidirectional_attention is not implemented "
                 "(this decoder is causal)"
             )
-        if mt == "phi3":
-            # phi3's compute graph IS the llama graph; only the checkpoint
-            # layout differs (fused qkv_proj / gate_up_proj — split on load
-            # with hf_loader.split_phi3_fused_projections).  The longrope
-            # scaling used beyond the original context is not implemented.
-            if hf.get("rope_scaling") is not None:
+        # phi3's compute graph IS the llama graph; only the checkpoint
+        # layout differs (fused qkv_proj / gate_up_proj — split on load
+        # with hf_loader.split_phi3_fused_projections).  Its longrope
+        # scaling is supported in the SHORT-FACTOR regime: HF picks
+        # short_factor whenever the actual sequence length stays within
+        # original_max_position_embeddings (_compute_longrope_parameters),
+        # which is exactly the calibration regime (the data loaders cap
+        # max_length).  The attention factor sqrt(1 + ln(f)/ln(orig))
+        # still applies at every length.
+        longrope = None
+        if mt == "phi3" and hf.get("rope_scaling") is not None:
+            rs3 = hf["rope_scaling"]
+            rtype3 = rs3.get("rope_type", rs3.get("type"))
+            if rtype3 != "longrope":
                 raise ValueError(
-                    "phi3 rope_scaling (longrope) is not implemented; "
-                    "decompose within the original context window"
+                    f"phi3 rope_scaling type {rtype3!r} is not implemented"
                 )
+            longrope = rs3
         # gemma configs carry "hidden_activation" (the authoritative field,
         # older snapshots say hidden_act="gelu" but run tanh-approx)
         act = hf.get("hidden_activation") or hf.get("hidden_act", "silu")
@@ -439,6 +447,37 @@ class TransformerConfig:
                     "(only 'llama3', 'yarn' and 'linear'); use a custom "
                     "builder"
                 )
+        if longrope is not None:
+            import math
+
+            hd_full = int(head_dim) if head_dim is not None else dim // n_heads
+            rot = int(hd_full * float(hf.get("partial_rotary_factor", 1.0)))
+            short = [float(v) for v in longrope["short_factor"]]
+            orig = int(
+                hf.get("original_max_position_embeddings")
+                or hf.get("max_position_embeddings", 4096)
+            )
+            lr_factor = float(hf.get("max_position_embeddings", orig)) / orig
+            af = longrope.get("attention_factor")
+            if af is None:
+                af = (
+                    1.0
+                    if lr_factor <= 1.0
+                    else math.sqrt(1 + math.log(lr_factor) / math.log(orig))
+                )
+            theta0 = float(hf.get("rope_theta", 10000.0))
+            rope_yarn = (
+                tuple(
+                    float(1.0 / (short[i] * theta0 ** (2 * i / rot)))
+                    for i in range(rot // 2)
+                ),
+                float(af),
+            )
+            logger.info(
+                "phi3 longrope: short-factor frequencies (exact for "
+                "sequences <= original_max_position_embeddings=%d)",
+                orig,
+            )
         # deepseek + yarn: the softmax scale gains mscale^2 on top of
         # qk_head^-0.5 (HF DeepseekV2/V3Attention.__init__)
         mla_scale = None

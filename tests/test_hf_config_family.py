@@ -327,9 +327,9 @@ def test_phi3_logits_match_hf(tmp_path):
     )
     _compare(hf, model, 128, atol=2e-4)
 
-    with pytest.raises(ValueError, match="longrope|rope_scaling"):
+    with pytest.raises(ValueError, match="rope_scaling"):
         models.TransformerConfig.from_hf_config(
-            dict(cfg.to_dict(), rope_scaling={"type": "longrope"})
+            dict(cfg.to_dict(), rope_scaling={"type": "dynamic"})
         )
 
 
@@ -1438,4 +1438,50 @@ def test_dots1_logits_match_hf():
     native, ncfg = _hf_to_native_translated(hf, cfg.to_dict())
     assert ncfg.qk_norm and not ncfg.rope_interleaved
     assert ncfg.router_group_top2_sum
+    _compare(hf, native, 128, atol=2e-4)
+
+
+def test_phi3_longrope_logits_match_hf():
+    """phi3 longrope (the rope_scaling ALL real phi-3 checkpoints carry):
+    short-factor inverse frequencies + the sqrt(1+ln(f)/ln(orig))
+    attention factor, exact for sequences within
+    original_max_position_embeddings — the calibration regime."""
+    if not hasattr(transformers, "Phi3ForCausalLM"):
+        pytest.skip("transformers without phi3")
+    short = [1.0 + 0.1 * i for i in range(4)]
+    long = [4.0] * 4
+    cfg = transformers.Phi3Config(
+        vocab_size=128,
+        hidden_size=32,
+        intermediate_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=64,
+        original_max_position_embeddings=32,
+        rope_scaling={
+            "type": "longrope",
+            "short_factor": short,
+            "long_factor": long,
+        },
+        pad_token_id=0,
+        eos_token_id=1,
+        bos_token_id=2,
+    )
+    cfg._attn_implementation = "eager"
+    hf = transformers.Phi3ForCausalLM(cfg).eval()
+    from ptdeco_tpu.models import hf_loader
+
+    sd = {
+        k: v.detach().to(torch.float32).numpy()
+        for k, v in hf.state_dict().items()
+        if not k.endswith("rotary_emb.inv_freq")
+    }
+    sd = hf_loader.split_phi3_fused_projections(sd, 4, 2, 8)
+    ncfg = models.TransformerConfig.from_hf_config(
+        cfg.to_dict(), dtype=jnp.float32
+    )
+    assert ncfg.rope_yarn is not None and ncfg.rope_yarn[1] > 1.0
+    native = models.CausalLM.create(jax.random.PRNGKey(0), ncfg)
+    native = utils.load_state_dict(native, sd, strict=False)
     _compare(hf, native, 128, atol=2e-4)
