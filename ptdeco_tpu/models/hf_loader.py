@@ -765,6 +765,36 @@ def translate_vaultgemma_state_dict(
     }
 
 
+def translate_apertus_state_dict(
+    sd: dict[str, np.ndarray],
+) -> dict[str, np.ndarray]:
+    """HF Apertus: block norms named attention_layernorm /
+    feedforward_layernorm (standard pre-norm slots) and the xIELU
+    activation's learned scalars mlp.act_fn.{alpha_p,alpha_n} -> the
+    mlp.act_alpha_p / act_alpha_n leaves."""
+    out: dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        k = k.replace(".attention_layernorm.", ".input_layernorm.")
+        k = k.replace(".feedforward_layernorm.", ".post_attention_layernorm.")
+        k = k.replace(".mlp.act_fn.alpha_p", ".mlp.act_alpha_p")
+        k = k.replace(".mlp.act_fn.alpha_n", ".mlp.act_alpha_n")
+        out[k] = v
+    return out
+
+
+def translate_hunyuan_state_dict(
+    sd: dict[str, np.ndarray],
+) -> dict[str, np.ndarray]:
+    """HF HunYuanDenseV1: per-head q/k RMSNorms named query_layernorm /
+    key_layernorm -> q_norm / k_norm."""
+    out: dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        k = k.replace(".self_attn.query_layernorm.", ".self_attn.q_norm.")
+        k = k.replace(".self_attn.key_layernorm.", ".self_attn.k_norm.")
+        out[k] = v
+    return out
+
+
 def translator_for(hf_cfg: dict[str, Any]):
     """Checkpoint-layout translator for a config dict's model_type, or
     None when the HF layout already matches the native tree field-for-
@@ -809,4 +839,8 @@ def translator_for(hf_cfg: dict[str, Any]):
         return make_granitemoe_translator(hf_cfg)
     if mt == "vaultgemma":
         return translate_vaultgemma_state_dict
+    if mt == "apertus":
+        return translate_apertus_state_dict
+    if mt == "hunyuan_v1_dense":
+        return translate_hunyuan_state_dict
     return None

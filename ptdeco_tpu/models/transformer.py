@@ -233,6 +233,8 @@ class TransformerConfig:
             "granitemoeshared": _hf_granitemoe,
             "cohere2": _hf_cohere2,
             "glm4_moe": _hf_glm4_moe,
+            "apertus": _hf_apertus,
+            "hunyuan_v1_dense": _hf_hunyuan_dense,
             "dots1": _hf_dots1,
             "vaultgemma": _hf_vaultgemma,
             "exaone4": _hf_exaone4,
@@ -245,7 +247,8 @@ class TransformerConfig:
         if mt not in (
             "llama", "mistral", "qwen2", "qwen3", "gemma", "gemma2",
             "gemma3_text", "phi3",
-            "olmo2", "olmo3", "olmoe", "mixtral", "ministral", "qwen2_moe",
+            "olmo2", "olmo3", "olmoe", "flex_olmo", "mixtral",
+            "ministral", "qwen2_moe",
             "qwen3_moe", "smollm3", "glm", "glm4",
             "deepseek_v2", "deepseek_v3", "gpt_oss",
         ):
@@ -363,7 +366,7 @@ class TransformerConfig:
             sparse_step = int(hf.get("decoder_sparse_step", 1))
             if mt == "qwen2_moe":
                 shared_hidden = int(hf["shared_expert_intermediate_size"])
-        elif mt == "olmoe":
+        elif mt in ("olmoe", "flex_olmo"):
             # OlmoeSparseMoeBlock: mixtral-style softmax-then-topk routing
             # gated by norm_topk_prob, every layer sparse, experts at
             # intermediate_size; attention adds FLAT q/k RMSNorms (the
@@ -546,8 +549,8 @@ class TransformerConfig:
             scale_embeddings=gemma_like,
             norm_plus_one=gemma_like,
             qk_norm=qk_norm,
-            qk_norm_flat=mt in ("olmo2", "olmo3", "olmoe"),
-            post_norm_only=mt in ("olmo2", "olmo3"),
+            qk_norm_flat=mt in ("olmo2", "olmo3", "olmoe", "flex_olmo"),
+            post_norm_only=mt in ("olmo2", "olmo3", "flex_olmo"),
             clip_qkv=(
                 float(hf["clip_qkv"])
                 if hf.get("clip_qkv") is not None
@@ -691,6 +694,7 @@ def _hf_act(act: str) -> str:
         "silu": "silu",
         "relu": "relu",
         "relu2": "relu2",
+        "xielu": "xielu",
     }
     if act not in table:
         raise ValueError(f"Unsupported hidden_act={act!r}")
@@ -1496,6 +1500,94 @@ def _hf_dots1(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
     )
 
 
+def _hf_apertus(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
+    """HF ApertusConfig (Swiss AI) -> native.  Llama attention with
+    per-head q/k RMSNorms, block norms checkpoint-named
+    attention_layernorm/feedforward_layernorm (renamed on load), a
+    NON-gated xIELU MLP with learned scalar alphas, and llama3 rope
+    scaling."""
+    rope_llama3 = None
+    rs = hf.get("rope_scaling")
+    if rs is not None:
+        rtype = rs.get("rope_type", rs.get("type"))
+        if rtype == "llama3":
+            rope_llama3 = (
+                float(rs["factor"]),
+                float(rs.get("low_freq_factor", 1.0)),
+                float(rs.get("high_freq_factor", 4.0)),
+                int(rs.get("original_max_position_embeddings", 8192)),
+            )
+        elif rtype not in (None, "default"):
+            raise ValueError(
+                f"apertus rope_scaling type {rtype!r} is not implemented"
+            )
+    n_heads = int(hf["num_attention_heads"])
+    dim = int(hf["hidden_size"])
+    head_dim = hf.get("head_dim")
+    bias = bool(hf.get("attention_bias", False))
+    return TransformerConfig(
+        vocab_size=int(hf["vocab_size"]),
+        dim=dim,
+        n_layers=int(hf["num_hidden_layers"]),
+        n_heads=n_heads,
+        n_kv_heads=int(hf.get("num_key_value_heads") or n_heads),
+        hidden_dim=int(hf["intermediate_size"]),
+        norm_eps=float(hf.get("rms_norm_eps", 1e-5)),
+        head_dim_override=(
+            int(head_dim)
+            if head_dim is not None and int(head_dim) * n_heads != dim
+            else None
+        ),
+        qk_norm=True,
+        mlp_gated=False,
+        mlp_act=_hf_act(hf.get("hidden_act", "xielu")),
+        mlp_bias=bool(hf.get("mlp_bias", False)),
+        qkv_bias=bias,
+        o_proj_bias=bias,
+        rope_theta=float(hf.get("rope_theta", 10000.0)),
+        rope_llama3_scaling=rope_llama3,
+        tie_embeddings=bool(hf.get("tie_word_embeddings", False)),
+        remat=remat,
+        dtype=dtype,
+    )
+
+
+def _hf_hunyuan_dense(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
+    """HF HunYuanDenseV1Config -> native.  The llama graph with per-head
+    q/k RMSNorms checkpoint-named query_layernorm/key_layernorm (renamed
+    on load)."""
+    if hf.get("rope_scaling") is not None:
+        raise ValueError(
+            "hunyuan rope_scaling is not implemented; use a custom builder"
+        )
+    n_heads = int(hf["num_attention_heads"])
+    dim = int(hf["hidden_size"])
+    head_dim = hf.get("head_dim")
+    bias = bool(hf.get("attention_bias", False))
+    return TransformerConfig(
+        vocab_size=int(hf["vocab_size"]),
+        dim=dim,
+        n_layers=int(hf["num_hidden_layers"]),
+        n_heads=n_heads,
+        n_kv_heads=int(hf.get("num_key_value_heads") or n_heads),
+        hidden_dim=int(hf["intermediate_size"]),
+        norm_eps=float(hf.get("rms_norm_eps", 1e-5)),
+        head_dim_override=(
+            int(head_dim)
+            if head_dim is not None and int(head_dim) * n_heads != dim
+            else None
+        ),
+        qk_norm=True,
+        mlp_act=_hf_act(hf.get("hidden_act", "silu")),
+        qkv_bias=bias,
+        o_proj_bias=bias,
+        rope_theta=float(hf.get("rope_theta", 10000.0)),
+        tie_embeddings=bool(hf.get("tie_word_embeddings", False)),
+        remat=remat,
+        dtype=dtype,
+    )
+
+
 def _hf_gptj(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
     """HF GPTJConfig -> native.  The namesake pair-interleaved rotary over
     the first rotary_dim dims, a single shared norm feeding parallel
@@ -2237,6 +2329,10 @@ class MLP(nn.Module):
     down_proj: nn.Linear
     act: str = nn.static_field(default="silu")
     clamp_limit: float = nn.static_field(default=7.0)
+    # apertus xIELU (HF XIELUActivation): learned scalar alphas, raw
+    # (pre-softplus) checkpoint values; beta/eps fixed bf16 buffers
+    act_alpha_p: Optional[jax.Array] = None
+    act_alpha_n: Optional[jax.Array] = None
 
     def _apply_act(self, h: jax.Array) -> jax.Array:
         if self.act == "gelu_tanh":
@@ -2247,6 +2343,28 @@ class MLP(nn.Module):
             return jax.nn.relu(h)
         if self.act == "relu2":  # nemotron relu^2
             return jnp.square(jax.nn.relu(h))
+        if self.act == "xielu":
+            # HF _xielu_python: x>0 -> alpha_p x^2 + beta x; else
+            # (expm1(min(x, eps)) - x) alpha_n + beta x, with
+            # alpha_p = softplus(a_p), alpha_n = beta + softplus(a_n).
+            # HF keeps the alpha params (and the softplus outputs) in
+            # bf16 regardless of model dtype — reproduce that rounding.
+            beta = jnp.float32(0.5)
+            eps = jnp.asarray(-1e-6, jnp.bfloat16).astype(jnp.float32)
+            ap_ = (
+                jax.nn.softplus(self.act_alpha_p.astype(jnp.float32))
+                .astype(jnp.bfloat16)
+                .astype(jnp.float32)
+            )
+            an_ = beta + (
+                jax.nn.softplus(self.act_alpha_n.astype(jnp.float32))
+                .astype(jnp.bfloat16)
+                .astype(jnp.float32)
+            )
+            xf = h.astype(jnp.float32)
+            pos = ap_ * xf * xf + beta * xf
+            neg = (jnp.expm1(jnp.minimum(xf, eps)) - xf) * an_ + beta * xf
+            return jnp.where(xf > 0, pos, neg).astype(h.dtype)
         return jax.nn.silu(h)
 
     def __call__(self, x: jax.Array, ctx: Optional[nn.Ctx] = None) -> jax.Array:
@@ -2278,6 +2396,20 @@ class MLP(nn.Module):
             down_proj=nn.Linear.create(ks[2], cfg.hidden_dim, cfg.dim, bias, cfg.dtype),
             act=act,
             clamp_limit=cfg.moe_clamp_limit if cfg.moe_clamp_limit is not None else 7.0,
+            # HF XIELUActivation init: log(expm1(0.8)) and
+            # log(expm1(0.8 - 0.5)), stored bf16
+            act_alpha_p=(
+                jnp.log(jnp.expm1(jnp.asarray([0.8], jnp.bfloat16)))
+                .astype(jnp.float32)
+                if act == "xielu"
+                else None
+            ),
+            act_alpha_n=(
+                jnp.log(jnp.expm1(jnp.asarray([0.3], jnp.bfloat16)))
+                .astype(jnp.float32)
+                if act == "xielu"
+                else None
+            ),
         )
 
 

@@ -1485,3 +1485,57 @@ def test_phi3_longrope_logits_match_hf():
     native = models.CausalLM.create(jax.random.PRNGKey(0), ncfg)
     native = utils.load_state_dict(native, sd, strict=False)
     _compare(hf, native, 128, atol=2e-4)
+
+
+def test_apertus_logits_match_hf():
+    """Apertus: per-head q/k norms + NON-gated xIELU MLP (learned scalar
+    alphas, bf16-rounded softplus reproduced) + llama3 rope scaling
+    (49th family).  Alphas randomized so translation is exercised."""
+    if not hasattr(transformers, "ApertusForCausalLM"):
+        pytest.skip("transformers without apertus")
+    cfg = transformers.ApertusConfig(
+        **_tiny(
+            rope_scaling={
+                "rope_type": "llama3",
+                "factor": 4.0,
+                "original_max_position_embeddings": 16,
+                "low_freq_factor": 1.0,
+                "high_freq_factor": 4.0,
+            }
+        )
+    )
+    hf = transformers.ApertusForCausalLM(cfg).eval()
+    with torch.no_grad():
+        for name, p in hf.named_parameters():
+            if "alpha" in name:
+                p.copy_(torch.rand_like(p) + 0.2)
+    native, ncfg = _hf_to_native_translated(hf, cfg.to_dict())
+    assert ncfg.mlp_act == "xielu" and not ncfg.mlp_gated and ncfg.qk_norm
+    assert ncfg.rope_llama3_scaling is not None
+    _compare(hf, native, 128, atol=3e-4)
+
+
+def test_hunyuan_dense_logits_match_hf():
+    """HunYuan dense v1: llama graph + per-head q/k RMSNorms under the
+    query_layernorm/key_layernorm checkpoint names (50th family)."""
+    if not hasattr(transformers, "HunYuanDenseV1ForCausalLM"):
+        pytest.skip("transformers without hunyuan")
+    cfg = transformers.HunYuanDenseV1Config(**_tiny(head_dim=8))
+    hf = transformers.HunYuanDenseV1ForCausalLM(cfg).eval()
+    native, ncfg = _hf_to_native_translated(hf, cfg.to_dict())
+    assert ncfg.qk_norm
+    _compare(hf, native, 128, atol=2e-4)
+
+
+def test_flex_olmo_logits_match_hf():
+    """FlexOlmo: olmo2 post-norm wiring + flat q/k norms + mixtral-style
+    MoE at intermediate_size (51st family)."""
+    if not hasattr(transformers, "FlexOlmoForCausalLM"):
+        pytest.skip("transformers without flex_olmo")
+    cfg = transformers.FlexOlmoConfig(
+        **_tiny(num_experts=4, num_experts_per_tok=2, norm_topk_prob=True, pad_token_id=0, eos_token_id=1)
+    )
+    hf = transformers.FlexOlmoForCausalLM(cfg).eval()
+    native, ncfg = _hf_to_native(hf, cfg.to_dict())
+    assert ncfg.post_norm_only and ncfg.qk_norm_flat and ncfg.n_experts == 4
+    _compare(hf, native, 128, atol=2e-4)
