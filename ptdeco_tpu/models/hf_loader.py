@@ -795,6 +795,59 @@ def translate_hunyuan_state_dict(
     return out
 
 
+def translate_gpt_neo_state_dict(
+    sd: dict[str, np.ndarray],
+) -> dict[str, np.ndarray]:
+    """HF GPTNeo layout: transformer.h.N.attn.attention.{q,k,v,out}_proj
+    (plain Linears, no Conv1D transpose) -> self_attn ..., ln_1/ln_2 ->
+    input/post_attention_layernorm, mlp.c_fc/c_proj -> up/down_proj,
+    wte/wpe -> embed_tokens/pos_embed, ln_f -> model.norm."""
+    out: dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        if k.endswith(".attn.bias") or k.endswith(".attn.masked_bias"):
+            continue
+        k = k.replace("transformer.wte.", "model.embed_tokens.")
+        k = k.replace("transformer.wpe.", "model.pos_embed.")
+        k = k.replace("transformer.ln_f.", "model.norm.")
+        k = k.replace("transformer.h.", "model.layers.")
+        k = k.replace(".ln_1.", ".input_layernorm.")
+        k = k.replace(".ln_2.", ".post_attention_layernorm.")
+        k = k.replace(".attn.attention.out_proj.", ".self_attn.o_proj.")
+        k = k.replace(".attn.attention.", ".self_attn.")
+        k = k.replace(".mlp.c_fc.", ".mlp.up_proj.")
+        k = k.replace(".mlp.c_proj.", ".mlp.down_proj.")
+        out[k] = v
+    return out
+
+
+def translate_biogpt_state_dict(
+    sd: dict[str, np.ndarray],
+) -> dict[str, np.ndarray]:
+    """HF BioGpt: the OPT layout under a ``biogpt.`` prefix — learned
+    positions with the legacy +2 offset rows dropped, per-layer
+    self_attn_layer_norm/final_layer_norm onto the input/post slots,
+    fc1/fc2 onto up/down; ``output_projection`` is the tied lm_head."""
+    out: dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        if k == "output_projection.weight":
+            continue  # tied
+        k = k.replace("biogpt.embed_tokens.", "model.embed_tokens.")
+        if k.startswith("biogpt.embed_positions."):
+            out[
+                k.replace("biogpt.embed_positions.", "model.pos_embed.")
+            ] = v[2:]
+            continue
+        k = k.replace("biogpt.layer_norm.", "model.norm.")
+        k = k.replace("biogpt.layers.", "model.layers.")
+        k = k.replace(".self_attn.out_proj.", ".self_attn.o_proj.")
+        k = k.replace(".self_attn_layer_norm.", ".input_layernorm.")
+        k = k.replace(".final_layer_norm.", ".post_attention_layernorm.")
+        k = k.replace(".fc1.", ".mlp.up_proj.")
+        k = k.replace(".fc2.", ".mlp.down_proj.")
+        out[k] = v
+    return out
+
+
 def translator_for(hf_cfg: dict[str, Any]):
     """Checkpoint-layout translator for a config dict's model_type, or
     None when the HF layout already matches the native tree field-for-
@@ -843,4 +896,8 @@ def translator_for(hf_cfg: dict[str, Any]):
         return translate_apertus_state_dict
     if mt == "hunyuan_v1_dense":
         return translate_hunyuan_state_dict
+    if mt == "gpt_neo":
+        return translate_gpt_neo_state_dict
+    if mt == "biogpt":
+        return translate_biogpt_state_dict
     return None

@@ -234,6 +234,8 @@ class TransformerConfig:
             "cohere2": _hf_cohere2,
             "glm4_moe": _hf_glm4_moe,
             "apertus": _hf_apertus,
+            "gpt_neo": _hf_gpt_neo,
+            "biogpt": _hf_biogpt,
             "hunyuan_v1_dense": _hf_hunyuan_dense,
             "dots1": _hf_dots1,
             "vaultgemma": _hf_vaultgemma,
@@ -1583,6 +1585,76 @@ def _hf_hunyuan_dense(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
         o_proj_bias=bias,
         rope_theta=float(hf.get("rope_theta", 10000.0)),
         tie_embeddings=bool(hf.get("tie_word_embeddings", False)),
+        remat=remat,
+        dtype=dtype,
+    )
+
+
+def _hf_gpt_neo(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
+    """HF GPTNeoConfig -> native.  Learned positions, UNSCALED attention
+    (GPTNeoSelfAttention._attn has no 1/sqrt(hd) — query_scale_override
+    1.0), alternating global/local layers where local = sliding window
+    (bias buffer: 0 <= q-k < window, our mask convention exactly),
+    bias-free q/k/v with a biased out_proj, non-gated gelu_new MLP."""
+    layers = [str(t) for t in hf.get("attention_layers") or []]
+    if not layers:
+        layers = ["global"] * int(hf["num_layers"])
+    has_local = "local" in layers
+    return TransformerConfig(
+        vocab_size=int(hf["vocab_size"]),
+        dim=int(hf["hidden_size"]),
+        n_layers=int(hf["num_layers"]),
+        n_heads=int(hf["num_heads"]),
+        n_kv_heads=int(hf["num_heads"]),
+        hidden_dim=int(
+            hf.get("intermediate_size") or 4 * int(hf["hidden_size"])
+        ),
+        norm_eps=float(hf.get("layer_norm_epsilon", 1e-5)),
+        norm_type="layernorm",
+        mlp_gated=False,
+        mlp_bias=True,
+        mlp_act=_hf_act(hf.get("activation_function", "gelu_new")),
+        qkv_bias=False,
+        o_proj_bias=True,
+        learned_pos=int(hf["max_position_embeddings"]),
+        use_rope=False,
+        query_scale_override=1.0,
+        sliding_window=int(hf.get("window_size", 256)) if has_local else None,
+        layer_types=tuple(
+            "sliding_attention" if t == "local" else "full_attention"
+            for t in layers
+        )
+        if has_local
+        else (),
+        tie_embeddings=bool(hf.get("tie_word_embeddings", True)),
+        remat=remat,
+        dtype=dtype,
+    )
+
+
+def _hf_biogpt(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
+    """HF BioGptConfig -> native.  OPT-style pre-norm blocks (biased
+    everything, exact-gelu non-gated MLP, learned +2-offset positions
+    dropped on load) plus the sqrt(dim) embedding scale
+    (BioGptScaledWordEmbedding)."""
+    return TransformerConfig(
+        vocab_size=int(hf["vocab_size"]),
+        dim=int(hf["hidden_size"]),
+        n_layers=int(hf["num_hidden_layers"]),
+        n_heads=int(hf["num_attention_heads"]),
+        n_kv_heads=int(hf["num_attention_heads"]),
+        hidden_dim=int(hf["intermediate_size"]),
+        norm_eps=float(hf.get("layer_norm_eps", 1e-12)),
+        norm_type="layernorm",
+        mlp_gated=False,
+        mlp_bias=True,
+        mlp_act=_hf_act(hf.get("hidden_act", "gelu")),
+        qkv_bias=True,
+        o_proj_bias=True,
+        learned_pos=int(hf["max_position_embeddings"]),
+        use_rope=False,
+        scale_embeddings=bool(hf.get("scale_embedding", True)),
+        tie_embeddings=True,
         remat=remat,
         dtype=dtype,
     )

@@ -1539,3 +1539,46 @@ def test_flex_olmo_logits_match_hf():
     native, ncfg = _hf_to_native(hf, cfg.to_dict())
     assert ncfg.post_norm_only and ncfg.qk_norm_flat and ncfg.n_experts == 4
     _compare(hf, native, 128, atol=2e-4)
+
+
+def test_gpt_neo_logits_match_hf():
+    """GPT-Neo: UNSCALED attention, learned positions, alternating
+    global/LOCAL (sliding-window) layers, bias-free q/k/v + biased out,
+    non-gated gelu_new MLP (52nd family).  window 4 < seqlen 12."""
+    if not hasattr(transformers, "GPTNeoForCausalLM"):
+        pytest.skip("transformers without gpt_neo")
+    cfg = transformers.GPTNeoConfig(
+        vocab_size=128,
+        hidden_size=32,
+        num_layers=2,
+        num_heads=4,
+        attention_types=[[["global", "local"], 1]],
+        window_size=4,
+        max_position_embeddings=64,
+    )
+    hf = transformers.GPTNeoForCausalLM(cfg).eval()
+    native, ncfg = _hf_to_native_translated(hf, cfg.to_dict())
+    assert ncfg.query_scale_override == 1.0 and ncfg.sliding_window == 4
+    assert ncfg.layer_types == ("full_attention", "sliding_attention")
+    assert ncfg.learned_pos == 64 and not ncfg.use_rope
+    _compare(hf, native, 128, atol=2e-4)
+
+
+def test_biogpt_logits_match_hf():
+    """BioGpt: OPT-style biased pre-norm blocks + sqrt(dim) embedding
+    scale + legacy +2-offset learned positions (53rd family)."""
+    if not hasattr(transformers, "BioGptForCausalLM"):
+        pytest.skip("transformers without biogpt")
+    cfg = transformers.BioGptConfig(
+        vocab_size=128,
+        hidden_size=32,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        intermediate_size=64,
+        max_position_embeddings=64,
+    )
+    hf = transformers.BioGptForCausalLM(cfg).eval()
+    native, ncfg = _hf_to_native_translated(hf, cfg.to_dict())
+    assert ncfg.scale_embeddings and ncfg.learned_pos == 64
+    # sqrt(dim) embedding scale amplifies f32 roundoff ~3x vs unscaled
+    _compare(hf, native, 128, atol=5e-4)
