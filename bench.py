@@ -153,10 +153,47 @@ def measure_calibration_mfu() -> dict:
     }
 
 
+def _backend_available(timeout_s: float = 600.0) -> bool:
+    """Bounded device-availability probe.  The axon plugin dials the
+    tunnel relay inside PJRT init and, when the relay is down, blocks for
+    over an hour before raising UNAVAILABLE — which would hang the whole
+    bench.  Probe in a SUBPROCESS with a hard timeout instead: a process
+    that never finished dialing holds no device claim, so killing it
+    cannot wedge the chip (unlike killing a process mid-dispatch)."""
+    import os
+    import subprocess
+    import sys
+
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        return True
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s,
+            capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> None:
     import logging
 
     logging.disable(logging.INFO)
+    if not _backend_available():
+        print(
+            json.dumps(
+                {
+                    "metric": "dwain_mlp_wall_s",
+                    "value": None,
+                    "unit": "s",
+                    "vs_baseline": None,
+                    "error": "tpu_backend_unavailable (tunnel down)",
+                }
+            )
+        )
+        return
     from ptdeco_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
