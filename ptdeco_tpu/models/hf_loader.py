@@ -795,6 +795,194 @@ def translate_hunyuan_state_dict(
     return out
 
 
+def translate_hunyuan_moe_state_dict(
+    sd: dict[str, np.ndarray],
+) -> dict[str, np.ndarray]:
+    """HF HunYuanMoEV1: the dense family's query/key_layernorm renames
+    plus the router weight at ``mlp.gate.wg`` -> ``mlp.gate`` and the
+    always-on ``mlp.shared_mlp`` -> ``mlp.shared_expert``."""
+    out: dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        k = k.replace(".self_attn.query_layernorm.", ".self_attn.q_norm.")
+        k = k.replace(".self_attn.key_layernorm.", ".self_attn.k_norm.")
+        k = k.replace(".mlp.gate.wg.", ".mlp.gate.")
+        k = k.replace(".mlp.shared_mlp.", ".mlp.shared_expert.")
+        out[k] = v
+    return out
+
+
+def translate_ernie_moe_state_dict(
+    sd: dict[str, np.ndarray],
+) -> dict[str, np.ndarray]:
+    """HF Ernie4_5_Moe: ``mlp.moe_statics.e_score_correction_bias`` (shape
+    (1, E)) -> the flat ``mlp.gate_correction_bias`` leaf, plural
+    ``mlp.shared_experts`` -> ``mlp.shared_expert``."""
+    out: dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        if k.endswith(".mlp.moe_statics.e_score_correction_bias"):
+            out[
+                k.replace(
+                    ".mlp.moe_statics.e_score_correction_bias",
+                    ".mlp.gate_correction_bias",
+                )
+            ] = v.reshape(-1)
+        elif ".mlp.shared_experts." in k:
+            out[k.replace(".mlp.shared_experts.", ".mlp.shared_expert.")] = v
+        else:
+            out[k] = v
+    return out
+
+
+def translate_aria_state_dict(
+    sd: dict[str, np.ndarray],
+) -> dict[str, np.ndarray]:
+    """HF AriaText: the grouped-GEMM expert tensors are stored FUSED and
+    in (in, out) orientation — ``mlp.experts.fc1.weight`` (E, d, 2h)
+    chunks into (projection, gate) where silu applies to the FIRST half
+    (AriaGroupedExpertsMLP: silu(projection) * gate — so projection is
+    our gate_proj and gate our up_proj), ``fc2.weight`` (E, h, d) is the
+    down projection.  Each per-expert slice is transposed back to the
+    torch (out, in) exchange layout.  ``mlp.router`` -> ``mlp.gate``,
+    plural shared_experts -> shared_expert."""
+    out: dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        if k.endswith(".mlp.experts.fc1.weight"):
+            stem = k[: -len("experts.fc1.weight")]
+            h = v.shape[2] // 2
+            for e in range(v.shape[0]):
+                out[f"{stem}experts.{e}.gate_proj.weight"] = (
+                    np.ascontiguousarray(v[e, :, :h].T)
+                )
+                out[f"{stem}experts.{e}.up_proj.weight"] = (
+                    np.ascontiguousarray(v[e, :, h:].T)
+                )
+        elif k.endswith(".mlp.experts.fc2.weight"):
+            stem = k[: -len("experts.fc2.weight")]
+            for e in range(v.shape[0]):
+                out[f"{stem}experts.{e}.down_proj.weight"] = (
+                    np.ascontiguousarray(v[e].T)
+                )
+        elif ".mlp.shared_experts." in k:
+            out[k.replace(".mlp.shared_experts.", ".mlp.shared_expert.")] = v
+        elif ".mlp.router." in k:
+            out[k.replace(".mlp.router.", ".mlp.gate.")] = v
+        else:
+            out[k] = v
+    return out
+
+
+def translate_xglm_state_dict(
+    sd: dict[str, np.ndarray],
+) -> dict[str, np.ndarray]:
+    """HF XGLM layout (OPT-like): out_proj -> o_proj, the per-layer
+    self_attn_layer_norm/final_layer_norm pre-norm pair -> input/
+    post_attention_layernorm, fc1/fc2 -> up/down_proj, the decoder-level
+    layer_norm -> model.norm.  Sinusoidal positions have no weight."""
+    out: dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        if k == "lm_head.weight":
+            continue  # tied to embed_tokens
+        k = k.replace("model.layer_norm.", "model.norm.")
+        k = k.replace(".self_attn.out_proj.", ".self_attn.o_proj.")
+        k = k.replace(".self_attn_layer_norm.", ".input_layernorm.")
+        k = k.replace(".final_layer_norm.", ".post_attention_layernorm.")
+        k = k.replace(".fc1.", ".mlp.up_proj.")
+        k = k.replace(".fc2.", ".mlp.down_proj.")
+        out[k] = v
+    return out
+
+
+def make_codegen_translator(hf_cfg: dict[str, Any]):
+    """HF CodeGen fuses q/k/v across mp_num=4 TP shards:
+    ``attn.qkv_proj.weight`` is (3*dim, dim) laid out
+    [shard0: q v k][shard1: q v k]... with local_dim = dim/4 rows per
+    projection per shard (CodeGenAttention.forward's reshape + split
+    ordering — note the q, VALUE, KEY order).  Concatenating each
+    projection's shard slices restores contiguous head-major q/k/v.
+    Remaining map: the gptj naming (ln_1 one-norm parallel block,
+    fc_in/fc_out, biased lm_head)."""
+    dim = int(hf_cfg["n_embd"])
+    mp_num = 4
+    local = dim // mp_num
+
+    def translate(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        out: dict[str, np.ndarray] = {}
+        for k, v in sd.items():
+            if k.endswith(".attn.causal_mask"):
+                continue
+            k = k.replace("transformer.wte.", "model.embed_tokens.")
+            k = k.replace("transformer.ln_f.", "model.norm.")
+            k = k.replace("transformer.h.", "model.layers.")
+            k = k.replace(".ln_1.", ".input_layernorm.")
+            if ".attn.qkv_proj." in k:
+                stem = k.split(".attn.qkv_proj.")[0] + ".self_attn."
+                leaf = k.rsplit(".", 1)[1]
+                w = v.reshape(mp_num, 3 * local, *v.shape[1:])
+                # per-shard row order is (q, value, key)
+                parts = {
+                    "q_proj": w[:, :local],
+                    "v_proj": w[:, local : 2 * local],
+                    "k_proj": w[:, 2 * local :],
+                }
+                for name, p in parts.items():
+                    out[f"{stem}{name}.{leaf}"] = np.ascontiguousarray(
+                        p.reshape(dim, *v.shape[1:])
+                    )
+                continue
+            k = k.replace(".attn.out_proj.", ".self_attn.o_proj.")
+            k = k.replace(".mlp.fc_in.", ".mlp.up_proj.")
+            k = k.replace(".mlp.fc_out.", ".mlp.down_proj.")
+            out[k] = v
+        return out
+
+    return translate
+
+
+def make_gpt_neox_japanese_translator(hf_cfg: dict[str, Any]):
+    """HF GPTNeoXJapanese: the neox per-head-fused query_key_value split
+    (heads x [q k v] x head_dim rows), ``attention.dense`` -> o_proj with
+    the LAST layer's separate ``attention.dense_bias`` mapped to its
+    o_proj bias and every other layer's bias ZERO-FILLED (the HF module
+    only instantiates the bias on the final layer), embed_in/embed_out
+    and the mlp dense_* renames."""
+    n_heads = int(hf_cfg["num_attention_heads"])
+    dim = int(hf_cfg["hidden_size"])
+    hd = dim // n_heads
+    n_layers = int(hf_cfg["num_hidden_layers"])
+
+    def translate(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        out: dict[str, np.ndarray] = {}
+        for k, v in sd.items():
+            if k.endswith("rotary_emb.inv_freq"):
+                continue
+            k = k.replace("gpt_neox_japanese.embed_in.", "model.embed_tokens.")
+            k = k.replace("gpt_neox_japanese.final_layer_norm.", "model.norm.")
+            k = k.replace("gpt_neox_japanese.layers.", "model.layers.")
+            k = k.replace("embed_out.", "lm_head.")
+            if ".attention.query_key_value." in k:
+                stem = k.split(".attention.query_key_value.")[0] + ".self_attn."
+                leaf = k.rsplit(".", 1)[1]
+                w = v.reshape(n_heads, 3, hd, *v.shape[1:])
+                for i, name in enumerate(("q_proj", "k_proj", "v_proj")):
+                    out[f"{stem}{name}.{leaf}"] = np.ascontiguousarray(
+                        w[:, i].reshape(n_heads * hd, *v.shape[1:])
+                    )
+                continue
+            if k.endswith(".attention.dense_bias"):
+                k = k.replace(".attention.dense_bias", ".self_attn.o_proj.bias")
+            k = k.replace(".attention.dense.", ".self_attn.o_proj.")
+            k = k.replace(".mlp.dense_h_to_4h.", ".mlp.up_proj.")
+            k = k.replace(".mlp.dense_4h_to_h.", ".mlp.down_proj.")
+            out[k] = v
+        for i in range(n_layers):
+            key = f"model.layers.{i}.self_attn.o_proj.bias"
+            if key not in out:
+                out[key] = np.zeros((dim,), np.float32)
+        return out
+
+    return translate
+
+
 def translate_gpt_neo_state_dict(
     sd: dict[str, np.ndarray],
 ) -> dict[str, np.ndarray]:
@@ -896,6 +1084,18 @@ def translator_for(hf_cfg: dict[str, Any]):
         return translate_apertus_state_dict
     if mt == "hunyuan_v1_dense":
         return translate_hunyuan_state_dict
+    if mt == "hunyuan_v1_moe":
+        return translate_hunyuan_moe_state_dict
+    if mt == "ernie4_5_moe":
+        return translate_ernie_moe_state_dict
+    if mt == "aria_text":
+        return translate_aria_state_dict
+    if mt == "xglm":
+        return translate_xglm_state_dict
+    if mt == "codegen":
+        return make_codegen_translator(hf_cfg)
+    if mt == "gpt_neox_japanese":
+        return make_gpt_neox_japanese_translator(hf_cfg)
     if mt == "gpt_neo":
         return translate_gpt_neo_state_dict
     if mt == "biogpt":

@@ -184,6 +184,17 @@ class TransformerConfig:
     use_alibi: bool = False
     # bloom: LayerNorm over the token embedding before the first block
     embed_norm: bool = False
+    # bitnet: RMSNorms over the attention output (pre-o_proj, named
+    # attn_sub_norm) and the MLP activation product (pre-down_proj,
+    # ffn_sub_norm) — HF BitNetAttention/BitNetMLP
+    sub_norms: bool = False
+    # ernie4_5_moe: the top-k renormalization denominator is clamped
+    # below at this value (Ernie4_5_MoeSparseMoeBlock norm_min)
+    router_norm_min: float = 0.0
+    # xglm: deterministic fairseq/tensor2tensor sinusoidal position
+    # embedding (cat(sin, cos) halves, +2 index offset) added to the
+    # scaled token embedding — no checkpoint weight
+    sinusoidal_pos: bool = False
     # rematerialize each block's activations during backward passes
     # (jax.checkpoint) — the HBM/flops trade for large-model calibration
     # and fine-tuning (the reference toggles HF gradient checkpointing,
@@ -209,6 +220,11 @@ class TransformerConfig:
         Raises ValueError (naming the offending field) for architectures
         whose compute graph this decoder does not express."""
         mt = hf.get("model_type", "llama")
+        if mt == "emu3":
+            # Emu3ForCausalLM runs entirely on its text_config (a llama
+            # graph over the multimodal token vocabulary)
+            hf = dict(hf["text_config"])
+            mt = hf.get("model_type", "emu3_text_model")
         # families whose graph differs from the llama decoder (LayerNorm,
         # non-gated MLPs, learned positions, parallel residual) build
         # through dedicated constructors below
@@ -243,6 +259,13 @@ class TransformerConfig:
             "ernie4_5": _hf_ernie4_5,
             "arcee": _hf_arcee,
             "seed_oss": _hf_seed_oss,
+            "bitnet": _hf_bitnet,
+            "hunyuan_v1_moe": _hf_hunyuan_moe,
+            "ernie4_5_moe": _hf_ernie4_5_moe,
+            "aria_text": _hf_aria_text,
+            "xglm": _hf_xglm,
+            "codegen": _hf_codegen,
+            "gpt_neox_japanese": _hf_gpt_neox_japanese,
         }
         if mt in beyond_llama:
             return beyond_llama[mt](hf, dtype, remat)
@@ -253,6 +276,7 @@ class TransformerConfig:
             "ministral", "qwen2_moe",
             "qwen3_moe", "smollm3", "glm", "glm4",
             "deepseek_v2", "deepseek_v3", "gpt_oss",
+            "emu3_text_model",  # the llama graph over multimodal tokens
         ):
             raise ValueError(
                 f"model_type={mt!r} is outside the supported config "
@@ -2014,6 +2038,322 @@ def _make_qk_norm(cfg: "TransformerConfig", width: int):
     )
 
 
+def _hf_bitnet(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
+    """HF BitNetConfig -> native.  The llama graph plus two sub-RMSNorms:
+    attn_sub_norm on the merged attention output before o_proj and
+    ffn_sub_norm on the activation product before down_proj
+    (BitNetAttention/BitNetMLP), with a relu^2 gated MLP.  The public HF
+    modeling runs plain Linears (the ternary quantization lives in the
+    quantizer config, not the graph)."""
+    n_heads = int(hf["num_attention_heads"])
+    dim = int(hf["hidden_size"])
+    head_dim = hf.get("head_dim")
+    bias = bool(hf.get("attention_bias", False))
+    return TransformerConfig(
+        vocab_size=int(hf["vocab_size"]),
+        dim=dim,
+        n_layers=int(hf["num_hidden_layers"]),
+        n_heads=n_heads,
+        n_kv_heads=int(hf.get("num_key_value_heads") or n_heads),
+        hidden_dim=int(hf["intermediate_size"]),
+        norm_eps=float(hf.get("rms_norm_eps", 1e-5)),
+        head_dim_override=(
+            int(head_dim)
+            if head_dim is not None and int(head_dim) * n_heads != dim
+            else None
+        ),
+        sub_norms=True,
+        mlp_act=_hf_act(hf.get("hidden_act", "relu2")),
+        qkv_bias=bias,
+        o_proj_bias=bias,
+        rope_theta=float(hf.get("rope_theta", 500000.0)),
+        tie_embeddings=bool(hf.get("tie_word_embeddings", False)),
+        remat=remat,
+        dtype=dtype,
+    )
+
+
+def _int_or_uniform(v: Any, what: str) -> int:
+    """hunyuan configs may carry per-layer lists for num_experts/moe_topk;
+    only the uniform case is expressible by one TransformerConfig."""
+    if isinstance(v, (list, tuple)):
+        vals = set(int(x) for x in v)
+        if len(vals) != 1:
+            raise ValueError(
+                f"per-layer heterogeneous {what}={v!r} is not supported"
+            )
+        return vals.pop()
+    return int(v)
+
+
+def _hf_hunyuan_moe(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
+    """HF HunYuanMoEV1Config -> native.  The hunyuan dense graph (per-head
+    q/k RMSNorms named query/key_layernorm) where every MLP is a
+    mixtral-routed MoE (softmax -> top-k -> renormalize,
+    HunYuanMoEV1Moe.forward) at expert width intermediate_size plus an
+    ALWAYS-ON ungated shared MLP of the same width; the fp32 router
+    weight lives at mlp.gate.wg (renamed on load)."""
+    if hf.get("rope_scaling") is not None:
+        raise ValueError(
+            "hunyuan rope_scaling is not implemented; use a custom builder"
+        )
+    n_heads = int(hf["num_attention_heads"])
+    dim = int(hf["hidden_size"])
+    head_dim = hf.get("head_dim")
+    bias = bool(hf.get("attention_bias", False))
+    return TransformerConfig(
+        vocab_size=int(hf["vocab_size"]),
+        dim=dim,
+        n_layers=int(hf["num_hidden_layers"]),
+        n_heads=n_heads,
+        n_kv_heads=int(hf.get("num_key_value_heads") or n_heads),
+        hidden_dim=int(hf["intermediate_size"]),
+        norm_eps=float(hf.get("rms_norm_eps", 1e-5)),
+        head_dim_override=(
+            int(head_dim)
+            if head_dim is not None and int(head_dim) * n_heads != dim
+            else None
+        ),
+        qk_norm=True,
+        mlp_act=_hf_act(hf.get("hidden_act", "silu")),
+        qkv_bias=bias,
+        o_proj_bias=bias,
+        rope_theta=float(hf.get("rope_theta", 10000.0)),
+        n_experts=_int_or_uniform(hf["num_experts"], "num_experts"),
+        n_experts_per_tok=_int_or_uniform(
+            hf.get("moe_topk", 1), "moe_topk"
+        ),
+        norm_topk_prob=True,
+        moe_hidden_dim=int(hf["intermediate_size"]),
+        shared_expert_hidden_dim=int(hf["intermediate_size"]),
+        shared_expert_gated=False,
+        tie_embeddings=bool(hf.get("tie_word_embeddings", False)),
+        remat=remat,
+        dtype=dtype,
+    )
+
+
+def _hf_ernie4_5_moe(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
+    """HF Ernie4_5_MoeConfig -> native.  The ernie4_5 graph (full-dim
+    interleaved rope, one use_bias knob) where a layer is MoE iff
+    (i+1) % moe_layer_interval == 0 and start <= i <= end
+    (Ernie4_5_MoeDecoderLayer) — expressed as mlp_only_layers over the
+    complement.  Routing: softmax scores in fp32, SELECTION biased by
+    moe_statics.e_score_correction_bias, combine weights gathered from
+    the raw softmax and renormalized with the denominator clamped at
+    moe_norm_min (Ernie4_5_MoeSparseMoeBlock); optional ungated shared
+    experts at moe_intermediate_size * moe_num_shared_experts."""
+    bias = bool(hf.get("use_bias", False))
+    n_heads = int(hf["num_attention_heads"])
+    dim = int(hf["hidden_size"])
+    head_dim = hf.get("head_dim")
+    n_layers = int(hf["num_hidden_layers"])
+    interval = int(hf.get("moe_layer_interval", 1))
+    start = int(hf.get("moe_layer_start_index", 0))
+    end_raw = hf.get("moe_layer_end_index")
+    end = n_layers - 1 if end_raw is None or int(end_raw) < 0 else int(end_raw)
+    mlp_only = tuple(
+        i
+        for i in range(n_layers)
+        if not ((i + 1) % interval == 0 and start <= i <= end)
+    )
+    n_shared = int(hf.get("moe_num_shared_experts") or 0)
+    return TransformerConfig(
+        vocab_size=int(hf["vocab_size"]),
+        dim=dim,
+        n_layers=n_layers,
+        n_heads=n_heads,
+        n_kv_heads=int(hf.get("num_key_value_heads") or n_heads),
+        hidden_dim=int(hf["intermediate_size"]),
+        norm_eps=float(hf.get("rms_norm_eps", 1e-5)),
+        head_dim_override=(
+            int(head_dim)
+            if head_dim is not None and int(head_dim) * n_heads != dim
+            else None
+        ),
+        mlp_act=_hf_act(hf.get("hidden_act", "silu")),
+        mlp_bias=bias,
+        qkv_bias=bias,
+        o_proj_bias=bias,
+        rope_theta=float(hf.get("rope_theta", 10000.0)),
+        rope_interleaved=True,
+        n_experts=int(hf["moe_num_experts"]),
+        n_experts_per_tok=int(hf.get("moe_k", 2)),
+        norm_topk_prob=True,
+        router_norm_min=float(hf.get("moe_norm_min", 1e-12)),
+        router_correction_bias=True,
+        moe_hidden_dim=int(hf["moe_intermediate_size"]),
+        mlp_only_layers=mlp_only,
+        shared_expert_hidden_dim=(
+            int(hf["moe_intermediate_size"]) * n_shared
+            if n_shared > 0
+            else None
+        ),
+        shared_expert_gated=False,
+        tie_embeddings=bool(hf.get("tie_word_embeddings", True)),
+        remat=remat,
+        dtype=dtype,
+    )
+
+
+def _hf_aria_text(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
+    """HF AriaTextConfig -> native.  The llama graph where every MLP is a
+    MoE routed gpt_oss-style (top-k on the raw router logits, softmax
+    over just those k — AriaTextMoELayer.forward) at expert width
+    intermediate_size, plus an always-on ungated shared MLP at
+    intermediate_size * moe_num_shared_experts.  The fused grouped-GEMM
+    expert tensors (fc1 (E, d, 2h) in (projection, gate) order, fc2
+    (E, h, d)) are split per expert on load
+    (hf_loader.translate_aria_state_dict)."""
+    n_heads = int(hf["num_attention_heads"])
+    dim = int(hf["hidden_size"])
+    head_dim = hf.get("head_dim")
+    bias = bool(hf.get("attention_bias", False))
+    if hf.get("rope_scaling") is not None:
+        raise ValueError(
+            "aria rope_scaling is not implemented; use a custom builder"
+        )
+    n_shared = int(hf.get("moe_num_shared_experts") or 0)
+    return TransformerConfig(
+        vocab_size=int(hf["vocab_size"]),
+        dim=dim,
+        n_layers=int(hf["num_hidden_layers"]),
+        n_heads=n_heads,
+        n_kv_heads=int(hf.get("num_key_value_heads") or n_heads),
+        hidden_dim=int(hf["intermediate_size"]),
+        norm_eps=float(hf.get("rms_norm_eps", 1e-5)),
+        head_dim_override=(
+            int(head_dim)
+            if head_dim is not None and int(head_dim) * n_heads != dim
+            else None
+        ),
+        mlp_act=_hf_act(hf.get("hidden_act", "silu")),
+        qkv_bias=bias,
+        o_proj_bias=bias,
+        rope_theta=float(hf.get("rope_theta", 10000.0)),
+        n_experts=int(hf["moe_num_experts"]),
+        n_experts_per_tok=int(hf.get("moe_topk", 2)),
+        router_softmax_after_topk=True,
+        moe_hidden_dim=int(hf["intermediate_size"]),
+        shared_expert_hidden_dim=(
+            int(hf["intermediate_size"]) * n_shared if n_shared > 0 else None
+        ),
+        shared_expert_gated=False,
+        tie_embeddings=bool(hf.get("tie_word_embeddings", False)),
+        remat=remat,
+        dtype=dtype,
+    )
+
+
+def _hf_xglm(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
+    """HF XGLMConfig -> native.  OPT-style pre-norm biased blocks with a
+    final LayerNorm, exact-gelu non-gated MLP, sqrt(d_model) embedding
+    scale, and DETERMINISTIC fairseq sinusoidal positions with the +2
+    index offset (XGLMSinusoidalPositionalEmbedding — no checkpoint
+    weight; computed on the fly)."""
+    if hf.get("activation_function", "gelu") != "gelu":
+        raise ValueError(
+            f"xglm activation {hf.get('activation_function')!r} is not "
+            "implemented"
+        )
+    return TransformerConfig(
+        vocab_size=int(hf["vocab_size"]),
+        dim=int(hf["d_model"]),
+        n_layers=int(hf["num_layers"]),
+        n_heads=int(hf["attention_heads"]),
+        n_kv_heads=int(hf["attention_heads"]),
+        hidden_dim=int(hf["ffn_dim"]),
+        norm_eps=1e-5,
+        norm_type="layernorm",
+        mlp_gated=False,
+        mlp_bias=True,
+        mlp_act="gelu_exact",
+        qkv_bias=True,
+        o_proj_bias=True,
+        use_rope=False,
+        sinusoidal_pos=True,
+        scale_embeddings=bool(hf.get("scale_embedding", True)),
+        tie_embeddings=bool(hf.get("tie_word_embeddings", True)),
+        remat=remat,
+        dtype=dtype,
+    )
+
+
+def _hf_codegen(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
+    """HF CodeGenConfig -> native.  The gptj graph (pair-interleaved
+    partial rotary over rotary_dim, one shared norm feeding parallel
+    attention+MLP, biased gelu_new MLP, biased untied lm_head) with
+    bias-free FUSED qkv in the mp_num=4 sharded (q, v, k) layout — split
+    on load (hf_loader.translate_codegen_state_dict)."""
+    dim = int(hf["n_embd"])
+    n_heads = int(hf["n_head"])
+    hd = dim // n_heads
+    rotary_dim = hf.get("rotary_dim")
+    if not rotary_dim:
+        raise ValueError(
+            "codegen without rotary_dim is not implemented (the fallback "
+            "rotates the whole embed dim, not per-head dims)"
+        )
+    inner = hf.get("n_inner")
+    return TransformerConfig(
+        vocab_size=int(hf["vocab_size"]),
+        dim=dim,
+        n_layers=int(hf["n_layer"]),
+        n_heads=n_heads,
+        n_kv_heads=n_heads,
+        hidden_dim=int(inner) if inner else 4 * dim,
+        norm_eps=float(hf.get("layer_norm_epsilon", 1e-5)),
+        norm_type="layernorm",
+        mlp_gated=False,
+        mlp_bias=True,
+        mlp_act=_hf_act(hf.get("activation_function", "gelu_new")),
+        rope_theta=10000.0,
+        rope_interleaved=True,
+        rope_partial_factor=(
+            int(rotary_dim) / hd if int(rotary_dim) < hd else None
+        ),
+        parallel_residual="one_norm",
+        tie_embeddings=bool(hf.get("tie_word_embeddings", False)),
+        lm_head_bias=True,
+        remat=remat,
+        dtype=dtype,
+    )
+
+
+def _hf_gpt_neox_japanese(
+    hf: dict, dtype: Any, remat: bool
+) -> "TransformerConfig":
+    """HF GPTNeoXJapaneseConfig -> native.  SEQUENTIAL-residual neox
+    blocks (unlike gpt_neox's parallel default): per-head-fused bias-free
+    query_key_value, partial split-half rotary at rotary_pct, bias-free
+    non-gated exact-gelu MLP at dim * intermediate_multiple_size, and an
+    attention dense bias ON THE LAST LAYER ONLY (zero-filled elsewhere by
+    the translator)."""
+    dim = int(hf["hidden_size"])
+    return TransformerConfig(
+        vocab_size=int(hf["vocab_size"]),
+        dim=dim,
+        n_layers=int(hf["num_hidden_layers"]),
+        n_heads=int(hf["num_attention_heads"]),
+        n_kv_heads=int(hf["num_attention_heads"]),
+        hidden_dim=int(dim * float(hf.get("intermediate_multiple_size", 4))),
+        norm_eps=float(hf.get("layer_norm_eps", 1e-5)),
+        norm_type="layernorm",
+        mlp_gated=False,
+        mlp_bias=False,
+        mlp_act=_hf_act(hf.get("hidden_act", "gelu")),
+        qkv_bias=False,
+        o_proj_bias=True,  # last layer only; others zero-filled on load
+        rope_theta=float(hf.get("rotary_emb_base", 10000.0)),
+        rope_partial_factor=(
+            pct if (pct := float(hf.get("rotary_pct", 1.0))) < 1.0 else None
+        ),
+        tie_embeddings=bool(hf.get("tie_word_embeddings", False)),
+        remat=remat,
+        dtype=dtype,
+    )
+
+
 class Attention(nn.Module):
     q_proj: nn.Linear
     k_proj: nn.Linear
@@ -2025,6 +2365,8 @@ class Attention(nn.Module):
     k_norm: Optional[nn.RMSNorm] = None
     # gpt_oss: learned per-head sink logit joining the softmax denominator
     sinks: Optional[jax.Array] = None
+    # bitnet: RMSNorm over the merged attention output before o_proj
+    attn_sub_norm: Optional[nn.RMSNorm] = None
     qk_norm_flat: bool = nn.static_field(default=False)
     n_heads: int = nn.static_field(default=8)
     n_kv_heads: int = nn.static_field(default=8)
@@ -2128,7 +2470,10 @@ class Attention(nn.Module):
                 causal=True,
                 sm_scale=scale,
             ).transpose(0, 2, 1, 3)
-            return self.o_proj(out.reshape(b, s, -1), ctx)
+            merged = out.reshape(b, s, -1)
+            if self.attn_sub_norm is not None:
+                merged = self.attn_sub_norm(merged, ctx)
+            return self.o_proj(merged, ctx)
         logits = jnp.einsum(
             "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
         ) * scale
@@ -2164,7 +2509,10 @@ class Attention(nn.Module):
         else:
             probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
-        return self.o_proj(out.reshape(b, s, -1), ctx)
+        merged = out.reshape(b, s, -1)
+        if self.attn_sub_norm is not None:  # bitnet
+            merged = self.attn_sub_norm(merged, ctx)
+        return self.o_proj(merged, ctx)
 
     @staticmethod
     def create(
@@ -2233,6 +2581,11 @@ class Attention(nn.Module):
             use_alibi=cfg.use_alibi,
             clip_qkv=cfg.clip_qkv,
             sliding_window=cfg.sliding_window if is_sliding else None,
+            attn_sub_norm=(
+                nn.RMSNorm.create(cfg.n_heads * hd, cfg.norm_eps, cfg.dtype)
+                if cfg.sub_norms
+                else None
+            ),
         )
 
 
@@ -2405,6 +2758,8 @@ class MLP(nn.Module):
     # (pre-softplus) checkpoint values; beta/eps fixed bf16 buffers
     act_alpha_p: Optional[jax.Array] = None
     act_alpha_n: Optional[jax.Array] = None
+    # bitnet: RMSNorm over the activation product before down_proj
+    ffn_sub_norm: Optional[nn.RMSNorm] = None
 
     def _apply_act(self, h: jax.Array) -> jax.Array:
         if self.act == "gelu_tanh":
@@ -2441,14 +2796,16 @@ class MLP(nn.Module):
 
     def __call__(self, x: jax.Array, ctx: Optional[nn.Ctx] = None) -> jax.Array:
         if self.gate_proj is None:
-            return self.down_proj(self._apply_act(self.up_proj(x, ctx)), ctx)
-        g = self.gate_proj(x, ctx)
-        if self.act == "gptoss_glu":
+            h = self._apply_act(self.up_proj(x, ctx))
+        elif self.act == "gptoss_glu":
+            g = jnp.minimum(self.gate_proj(x, ctx), self.clamp_limit)
             u = jnp.clip(self.up_proj(x, ctx), -self.clamp_limit, self.clamp_limit)
-            g = jnp.minimum(g, self.clamp_limit)
-            glu = g * jax.nn.sigmoid(1.702 * g)
-            return self.down_proj((u + 1.0) * glu, ctx)
-        return self.down_proj(self._apply_act(g) * self.up_proj(x, ctx), ctx)
+            h = (u + 1.0) * (g * jax.nn.sigmoid(1.702 * g))
+        else:
+            h = self._apply_act(self.gate_proj(x, ctx)) * self.up_proj(x, ctx)
+        if self.ffn_sub_norm is not None:  # bitnet
+            h = self.ffn_sub_norm(h, ctx)
+        return self.down_proj(h, ctx)
 
     @staticmethod
     def create(key: jax.Array, cfg: TransformerConfig) -> "MLP":
@@ -2480,6 +2837,11 @@ class MLP(nn.Module):
                 jnp.log(jnp.expm1(jnp.asarray([0.3], jnp.bfloat16)))
                 .astype(jnp.float32)
                 if act == "xielu"
+                else None
+            ),
+            ffn_sub_norm=(
+                nn.RMSNorm.create(cfg.hidden_dim, cfg.norm_eps, cfg.dtype)
+                if cfg.sub_norms
                 else None
             ),
         )
@@ -2551,6 +2913,8 @@ class MoEMLP(nn.Module):
     routed_scaling: float = nn.static_field(default=1.0)
     # gpt_oss: top-k on the raw router logits, softmax over just those k
     softmax_after_topk: bool = nn.static_field(default=False)
+    # ernie4_5_moe: clamp the renormalization denominator below at this
+    norm_min: float = nn.static_field(default=0.0)
 
     def _experts_are_pristine(self) -> bool:
         """Static (trace-time) check: grouped dispatch requires every
@@ -2563,6 +2927,8 @@ class MoEMLP(nn.Module):
         for e in self.experts:
             if type(e) is not MLP:
                 return False
+            if e.ffn_sub_norm is not None:
+                return False  # grouped path has no sub-norm hook
             projs = (e.gate_proj, e.up_proj, e.down_proj)
             if any(type(p) is not nn.Linear for p in projs):
                 return False
@@ -2620,6 +2986,8 @@ class MoEMLP(nn.Module):
             denom = jnp.sum(top_vals, axis=-1, keepdims=True)
             if self.score_func == "sigmoid":
                 denom = denom + 1e-20  # HF v3 epsilon
+            if self.norm_min > 0.0:  # ernie4_5_moe clamp
+                denom = jnp.maximum(denom, self.norm_min)
             top_vals = top_vals / denom
         if self.routed_scaling != 1.0:
             top_vals = top_vals * jnp.float32(self.routed_scaling)
@@ -2795,6 +3163,7 @@ class MoEMLP(nn.Module):
             group_top2_sum=cfg.router_group_top2_sum,
             routed_scaling=cfg.routed_scaling_factor,
             softmax_after_topk=cfg.router_softmax_after_topk,
+            norm_min=cfg.router_norm_min,
         )
 
 
@@ -2903,6 +3272,23 @@ class Block(nn.Module):
         )
 
 
+def _sinusoidal_positions(positions: jax.Array, dim: int) -> jax.Array:
+    """fairseq/tensor2tensor sinusoidal table (XGLMSinusoidalPositional
+    Embedding.get_embedding): exponent scale log(1e4)/(half-1) — NOT the
+    rope half-denominator — with sin and cos CONCATENATED (not
+    interleaved).  Computed on the fly; callers add the fairseq +2 index
+    offset themselves."""
+    half = dim // 2
+    if dim % 2:
+        raise ValueError("sinusoidal positions require an even dim")
+    freqs = jnp.exp(
+        jnp.arange(half, dtype=jnp.float32)
+        * -(jnp.log(jnp.float32(10000.0)) / (half - 1))
+    )
+    ang = positions.astype(jnp.float32)[..., None] * freqs
+    return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
+
+
 class Decoder(nn.Module):
     embed_tokens: nn.Embedding
     layers: tuple
@@ -2912,6 +3298,8 @@ class Decoder(nn.Module):
     # bloom word_embeddings_layernorm
     embed_norm: Optional[nn.Module] = None
     remat: bool = nn.static_field(default=False)
+    # xglm: deterministic fairseq sinusoidal positions (+2 offset)
+    sinusoidal_pos: bool = nn.static_field(default=False)
     # gemma: hidden states scaled by sqrt(dim) after embedding (HF
     # GemmaModel.forward normalizer, applied in the activation dtype)
     scale_embeddings: bool = nn.static_field(default=False)
@@ -2935,6 +3323,10 @@ class Decoder(nn.Module):
         positions = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s))
         if self.pos_embed is not None:
             x = x + self.pos_embed(positions)
+        if self.sinusoidal_pos:
+            x = x + _sinusoidal_positions(
+                positions + 2, x.shape[-1]
+            ).astype(x.dtype)
         if self.embed_norm is not None:
             x = self.embed_norm(x, ctx)
         use_remat = self.remat and not (ctx is not None and ctx.no_remat)
@@ -3012,6 +3404,7 @@ class CausalLM(nn.Module):
                 else None
             ),
             remat=cfg.remat,
+            sinusoidal_pos=cfg.sinusoidal_pos,
             scale_embeddings=cfg.scale_embeddings,
             embedding_multiplier=cfg.embedding_multiplier,
         )

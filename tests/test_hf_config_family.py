@@ -1582,3 +1582,174 @@ def test_biogpt_logits_match_hf():
     assert ncfg.scale_embeddings and ncfg.learned_pos == 64
     # sqrt(dim) embedding scale amplifies f32 roundoff ~3x vs unscaled
     _compare(hf, native, 128, atol=5e-4)
+
+
+def test_bitnet_logits_match_hf():
+    """BitNet: llama graph + attn_sub_norm (pre-o_proj) and ffn_sub_norm
+    (pre-down_proj) RMSNorms with a relu^2 gated MLP (54th family)."""
+    if not hasattr(transformers, "BitNetForCausalLM"):
+        pytest.skip("transformers without bitnet")
+    cfg = transformers.BitNetConfig(**_tiny())
+    hf = transformers.BitNetForCausalLM(cfg).eval()
+    # randomize the sub-norm scales so a dropped sub-norm cannot hide
+    with torch.no_grad():
+        for n, p in hf.named_parameters():
+            if "sub_norm" in n:
+                p.copy_(torch.rand_like(p) + 0.5)
+    native, ncfg = _hf_to_native(hf, cfg.to_dict())
+    assert ncfg.sub_norms and ncfg.mlp_act == "relu2"
+    _compare(hf, native, 128, atol=2e-4)
+
+
+def test_hunyuan_moe_logits_match_hf():
+    """HunYuan-MoE: hunyuan per-head qk norms + mixtral routing + an
+    always-on ungated shared MLP; fp32 router at mlp.gate.wg (55th
+    family)."""
+    if not hasattr(transformers, "HunYuanMoEV1ForCausalLM"):
+        pytest.skip("transformers without hunyuan_v1_moe")
+    cfg = transformers.HunYuanMoEV1Config(
+        **_tiny(num_experts=4, moe_topk=2, head_dim=8)
+    )
+    hf = transformers.HunYuanMoEV1ForCausalLM(cfg).eval()
+    native, ncfg = _hf_to_native_translated(hf, cfg.to_dict())
+    assert ncfg.n_experts == 4 and ncfg.qk_norm
+    assert ncfg.shared_expert_hidden_dim == 64
+    assert not ncfg.shared_expert_gated
+    _compare(hf, native, 128, atol=2e-4)
+
+
+def test_ernie4_5_moe_logits_match_hf():
+    """Ernie-4.5-MoE: softmax routing with a SELECTION-only correction
+    bias and a norm_min-clamped renormalization, interval-selected MoE
+    layers, ungated shared experts (56th family)."""
+    if not hasattr(transformers, "Ernie4_5_MoeForCausalLM"):
+        pytest.skip("transformers without ernie4_5_moe")
+    cfg = transformers.Ernie4_5_MoeConfig(
+        **_tiny(
+            num_hidden_layers=3,
+            use_bias=True,
+            moe_num_experts=4,
+            moe_k=2,
+            moe_intermediate_size=32,
+            moe_num_shared_experts=2,
+            moe_layer_start_index=1,
+            moe_layer_interval=1,
+        )
+    )
+    hf = transformers.Ernie4_5_MoeForCausalLM(cfg).eval()
+    # a nonzero correction bias must CHANGE selection without changing
+    # combine weights — zero bias would hide a wrong implementation
+    with torch.no_grad():
+        for n, p in hf.named_parameters():
+            if "e_score_correction_bias" in n:
+                p.copy_(torch.randn_like(p))
+    native, ncfg = _hf_to_native_translated(hf, cfg.to_dict())
+    assert ncfg.mlp_only_layers == (0,)
+    assert ncfg.router_correction_bias and ncfg.router_norm_min > 0
+    assert ncfg.shared_expert_hidden_dim == 64
+    _compare(hf, native, 128, atol=2e-4)
+
+
+def test_aria_text_logits_match_hf():
+    """Aria: llama graph + topk-then-softmax routing over fused
+    grouped-GEMM expert tensors ((in, out) orientation, (projection,
+    gate) fc1 order) + ungated shared experts (57th family)."""
+    if not hasattr(transformers, "AriaTextForCausalLM"):
+        pytest.skip("transformers without aria")
+    cfg = transformers.AriaTextConfig(
+        **_tiny(moe_num_experts=4, moe_topk=2, moe_num_shared_experts=2)
+    )
+    hf = transformers.AriaTextForCausalLM(cfg).eval()
+    native, ncfg = _hf_to_native_translated(hf, cfg.to_dict())
+    assert ncfg.n_experts == 4 and ncfg.router_softmax_after_topk
+    assert ncfg.shared_expert_hidden_dim == 128
+    _compare(hf, native, 128, atol=2e-4)
+
+
+def test_xglm_logits_match_hf():
+    """XGLM: deterministic fairseq sinusoidal positions (+2 offset),
+    sqrt(d) embedding scale, biased pre-LN blocks, exact gelu (58th
+    family)."""
+    if not hasattr(transformers, "XGLMForCausalLM"):
+        pytest.skip("transformers without xglm")
+    cfg = transformers.XGLMConfig(
+        vocab_size=128,
+        d_model=32,
+        num_layers=2,
+        attention_heads=4,
+        ffn_dim=64,
+        max_position_embeddings=64,
+        dropout=0.0,
+        attention_dropout=0.0,
+        activation_dropout=0.0,
+    )
+    hf = transformers.XGLMForCausalLM(cfg).eval()
+    native, ncfg = _hf_to_native_translated(hf, cfg.to_dict())
+    assert ncfg.sinusoidal_pos and ncfg.scale_embeddings
+    assert ncfg.norm_type == "layernorm" and ncfg.mlp_bias
+    _compare(hf, native, 128, atol=5e-4)
+
+
+def test_codegen_logits_match_hf():
+    """CodeGen: gptj graph with the mp_num=4-sharded fused qkv in
+    (q, value, key) per-shard order, pair-interleaved partial rotary,
+    biased lm_head (59th family)."""
+    if not hasattr(transformers, "CodeGenForCausalLM"):
+        pytest.skip("transformers without codegen")
+    cfg = transformers.CodeGenConfig(
+        vocab_size=128,
+        n_embd=32,
+        n_layer=2,
+        n_head=4,
+        rotary_dim=4,
+        n_positions=64,
+    )
+    hf = transformers.CodeGenForCausalLM(cfg).eval()
+    native, ncfg = _hf_to_native_translated(hf, cfg.to_dict())
+    assert ncfg.parallel_residual == "one_norm"
+    assert ncfg.rope_interleaved and ncfg.rope_partial_factor == 0.5
+    assert ncfg.lm_head_bias
+    _compare(hf, native, 128, atol=2e-4)
+
+
+def test_gpt_neox_japanese_logits_match_hf():
+    """GPTNeoXJapanese: SEQUENTIAL-residual neox blocks, per-head fused
+    bias-free qkv, partial split-half rotary, and an o_proj bias on the
+    LAST layer only (zero-filled elsewhere) (60th family)."""
+    from transformers.models.auto.configuration_auto import CONFIG_MAPPING
+
+    cfg = CONFIG_MAPPING["gpt_neox_japanese"](
+        vocab_size=128,
+        hidden_size=32,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        intermediate_multiple_size=2,
+        rotary_pct=0.5,
+        max_position_embeddings=64,
+    )
+    hf = transformers.AutoModelForCausalLM.from_config(cfg).eval()
+    # the last layer's dense_bias must be nonzero to pin the mapping
+    with torch.no_grad():
+        for n, p in hf.named_parameters():
+            if n.endswith("dense_bias"):
+                p.copy_(torch.randn_like(p))
+    native, ncfg = _hf_to_native_translated(hf, cfg.to_dict())
+    assert ncfg.o_proj_bias and not ncfg.qkv_bias
+    assert ncfg.rope_partial_factor == 0.5 and ncfg.hidden_dim == 64
+    _compare(hf, native, 128, atol=2e-4)
+
+
+def test_emu3_text_logits_match_hf():
+    """Emu3: the causal LM runs entirely on text_config — a llama graph
+    over the multimodal vocabulary (61st family).  from_hf_config
+    unwraps the composite config."""
+    if not hasattr(transformers, "Emu3ForCausalLM"):
+        pytest.skip("transformers without emu3")
+    tcfg = transformers.Emu3TextConfig(
+        **_tiny(rope_theta=1e6, pad_token_id=0, bos_token_id=1, eos_token_id=2)
+    )
+    hf = transformers.Emu3ForCausalLM(tcfg).eval()
+    composite = {"model_type": "emu3", "text_config": tcfg.to_dict()}
+    native, ncfg = _hf_to_native(hf, composite)
+    assert ncfg.mlp_act == "silu" and not ncfg.qkv_bias
+    _compare(hf, native, 128, atol=2e-4)
