@@ -983,6 +983,70 @@ def make_gpt_neox_japanese_translator(hf_cfg: dict[str, Any]):
     return translate
 
 
+def make_modernbert_decoder_translator(hf_cfg: dict[str, Any]):
+    """HF ModernBertDecoder: embeddings.tok_embeddings/norm ->
+    embed_tokens/embed_norm, attn.Wo -> o_proj, the fused gated Wi
+    ((input, gate) halves where the act applies to the FIRST — our
+    gate_proj) split on load, mlp_norm -> post_attention_layernorm,
+    attn_norm -> input_layernorm (absent on layer 0), final_norm ->
+    model.norm, the lm_head dense/norm prediction head ->
+    head_transform.*, and the decoder output Linear: weight dropped when
+    tied, its bias -> tied_head_bias."""
+    tied = bool(hf_cfg.get("tie_word_embeddings", True))
+
+    def translate(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        out: dict[str, np.ndarray] = {}
+        for k, v in sd.items():
+            k = k.replace(
+                "model.embeddings.tok_embeddings.", "model.embed_tokens."
+            )
+            k = k.replace("model.embeddings.norm.", "model.embed_norm.")
+            k = k.replace("model.final_norm.", "model.norm.")
+            if k.startswith("decoder."):
+                leaf = k.split(".", 1)[1]
+                if leaf.startswith("bias"):
+                    out["tied_head_bias" if tied else "lm_head.bias"] = v
+                elif not tied:
+                    out["lm_head.weight"] = v
+                continue  # tied decoder.weight duplicates embed_tokens
+            k = k.replace("lm_head.dense.", "head_transform.dense.")
+            k = k.replace("lm_head.norm.", "head_transform.norm.")
+            if ".mlp.Wi." in k:
+                stem, leaf = k.split(".mlp.Wi.")
+                h = v.shape[0] // 2
+                out[f"{stem}.mlp.gate_proj.{leaf}"] = np.ascontiguousarray(
+                    v[:h]
+                )
+                out[f"{stem}.mlp.up_proj.{leaf}"] = np.ascontiguousarray(
+                    v[h:]
+                )
+                continue
+            k = k.replace(".mlp.Wo.", ".mlp.down_proj.")
+            k = k.replace(".mlp_norm.", ".post_attention_layernorm.")
+            k = k.replace(".attn_norm.", ".input_layernorm.")
+            k = k.replace(".attn.Wo.", ".self_attn.o_proj.")
+            k = k.replace(".attn.", ".self_attn.")
+            out[k] = v
+        return out
+
+    return translate
+
+
+def translate_doge_state_dict(
+    sd: dict[str, np.ndarray],
+) -> dict[str, np.ndarray]:
+    """HF Doge: the dynamic-mask parameter ``self_attn.A`` -> our
+    ``self_attn.dyn_mask_A`` leaf; everything else (dt_proj, q/k norms,
+    input_residual / post_attention_residual) matches field-for-field."""
+    out: dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        if k.endswith(".self_attn.A"):
+            out[k.replace(".self_attn.A", ".self_attn.dyn_mask_A")] = v
+        else:
+            out[k] = v
+    return out
+
+
 def translate_gpt_neo_state_dict(
     sd: dict[str, np.ndarray],
 ) -> dict[str, np.ndarray]:
@@ -1042,8 +1106,13 @@ def translator_for(hf_cfg: dict[str, Any]):
     field.  phi3 is NOT handled here (its split needs head counts AND the
     fused names collide with glm4's — the builder wires it explicitly)."""
     mt = hf_cfg.get("model_type")
-    if mt == "mixtral":
+    if mt in ("mixtral", "phimoe"):
+        # phimoe reuses mixtral's block_sparse_moe / w1-w3-w2 layout
         return translate_mixtral_state_dict
+    if mt == "modernbert-decoder":
+        return make_modernbert_decoder_translator(hf_cfg)
+    if mt == "doge":
+        return translate_doge_state_dict
     if mt == "glm4":
         return translate_glm4_state_dict
     if mt == "glm":

@@ -195,6 +195,28 @@ class TransformerConfig:
     # embedding (cat(sin, cos) halves, +2 index offset) added to the
     # scaled token embedding — no checkpoint weight
     sinusoidal_pos: bool = False
+    # diffllama: differential attention — the head pool splits into two
+    # softmax groups subtracted with a learned, layer-indexed lambda over
+    # paired 2*head_dim values (HF DiffLlamaAttention)
+    diff_attention: bool = False
+    # phimoe: eval-deterministic sparsemixer routing (sequential top-2
+    # with per-step locally-masked softmax weights, no joint renorm)
+    router_sparsemixer: bool = False
+    router_jitter_eps: float = 0.01
+    # doge: value-derived per-kv-head additive key bias exp(A*softplus(
+    # dt_proj(v))); exact for seqlen <= keep_window_size (the top-k
+    # dynamic masking beyond that is refused at trace time)
+    dyn_mask_keep_window: Optional[int] = None
+    # doge: learned per-channel vectors scaling the residual stream
+    residual_scales: bool = False
+    # modernbert-decoder: layer 0 carries no attention input norm
+    first_layer_no_attn_norm: bool = False
+    # modernbert-decoder: dense+act+norm prediction head before the
+    # output projection (HF ModernBertPredictionHead); with
+    # tie_embeddings + lm_head_bias a separate bias rides the tied matmul
+    head_transform: bool = False
+    head_transform_act: str = "gelu_exact"
+    head_transform_bias: bool = False
     # rematerialize each block's activations during backward passes
     # (jax.checkpoint) — the HBM/flops trade for large-model calibration
     # and fine-tuning (the reference toggles HF gradient checkpointing,
@@ -266,6 +288,10 @@ class TransformerConfig:
             "xglm": _hf_xglm,
             "codegen": _hf_codegen,
             "gpt_neox_japanese": _hf_gpt_neox_japanese,
+            "diffllama": _hf_diffllama,
+            "phimoe": _hf_phimoe,
+            "modernbert-decoder": _hf_modernbert_decoder,
+            "doge": _hf_doge,
         }
         if mt in beyond_llama:
             return beyond_llama[mt](hf, dtype, remat)
@@ -2354,6 +2380,190 @@ def _hf_gpt_neox_japanese(
     )
 
 
+def _hf_diffllama(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
+    """HF DiffLlamaConfig -> native.  The llama graph with DIFFERENTIAL
+    attention (see DiffAttention): per-layer lambda_init
+    0.8 - 0.6*exp(-0.3*i), learned lambda q/k vector pairs, affine-free
+    RMS groupnorm over paired 2*head_dim values, (1 - lambda_init) output
+    scale.  attention_bias covers all four projections."""
+    if hf.get("rope_scaling") is not None:
+        raise ValueError(
+            "diffllama rope_scaling is not implemented; use a custom builder"
+        )
+    n_heads = int(hf["num_attention_heads"])
+    if n_heads % 2:
+        raise ValueError("differential attention needs an even head count")
+    dim = int(hf["hidden_size"])
+    head_dim = hf.get("head_dim")
+    bias = bool(hf.get("attention_bias", False))
+    return TransformerConfig(
+        vocab_size=int(hf["vocab_size"]),
+        dim=dim,
+        n_layers=int(hf["num_hidden_layers"]),
+        n_heads=n_heads,
+        n_kv_heads=int(hf.get("num_key_value_heads") or n_heads),
+        hidden_dim=int(hf["intermediate_size"]),
+        norm_eps=float(hf.get("rms_norm_eps", 1e-5)),
+        head_dim_override=(
+            int(head_dim)
+            if head_dim is not None and int(head_dim) * n_heads != dim
+            else None
+        ),
+        diff_attention=True,
+        mlp_act=_hf_act(hf.get("hidden_act", "silu")),
+        qkv_bias=bias,
+        o_proj_bias=bias,
+        rope_theta=float(hf.get("rope_theta", 10000.0)),
+        tie_embeddings=bool(hf.get("tie_word_embeddings", False)),
+        remat=remat,
+        dtype=dtype,
+    )
+
+
+def _hf_phimoe(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
+    """HF PhimoeConfig -> native.  Mixtral's expert layout under
+    LAYERNORM block norms, routed by the eval-deterministic sparsemixer
+    (sequential top-2, per-pick locally-masked softmax weights — HF
+    sparsemixer()'s inference path), attention_bias covering all four
+    projections and an optional lm_head bias."""
+    if hf.get("rope_scaling") is not None:
+        raise ValueError(
+            "phimoe longrope rope_scaling is not implemented; use a "
+            "custom builder"
+        )
+    bias = bool(hf.get("attention_bias", False))
+    return TransformerConfig(
+        vocab_size=int(hf["vocab_size"]),
+        dim=int(hf["hidden_size"]),
+        n_layers=int(hf["num_hidden_layers"]),
+        n_heads=int(hf["num_attention_heads"]),
+        n_kv_heads=int(
+            hf.get("num_key_value_heads") or hf["num_attention_heads"]
+        ),
+        hidden_dim=int(hf["intermediate_size"]),
+        norm_eps=float(hf.get("rms_norm_eps", 1e-5)),
+        norm_type="layernorm",
+        mlp_act=_hf_act(hf.get("hidden_act", "silu")),
+        qkv_bias=bias,
+        o_proj_bias=bias,
+        rope_theta=float(hf.get("rope_theta", 10000.0)),
+        n_experts=int(hf["num_local_experts"]),
+        n_experts_per_tok=int(hf.get("num_experts_per_tok", 2)),
+        router_sparsemixer=True,
+        router_jitter_eps=float(hf.get("router_jitter_noise", 0.01)),
+        lm_head_bias=bool(hf.get("lm_head_bias", False)),
+        tie_embeddings=bool(hf.get("tie_word_embeddings", False)),
+        remat=remat,
+        dtype=dtype,
+    )
+
+
+def _hf_modernbert_decoder(
+    hf: dict, dtype: Any, remat: bool
+) -> "TransformerConfig":
+    """HF ModernBertDecoderConfig -> native.  Pre-LN blocks where LAYER 0
+    HAS NO ATTENTION NORM (nn.Identity), a LayerNorm over the token
+    embedding, alternating global/sliding layers with PER-TYPE rope
+    thetas (global_rope_theta / local_rope_theta), a fused-Wi gated GLU
+    (act applies to the FIRST chunk — split on load), and a
+    dense+act+norm prediction head whose tied output matmul carries a
+    separate decoder bias."""
+    layer_types = tuple(hf.get("layer_types") or ())
+    if not layer_types:
+        every = int(hf.get("global_attn_every_n_layers", 3))
+        layer_types = tuple(
+            "full_attention" if i % every == 0 else "sliding_attention"
+            for i in range(int(hf["num_hidden_layers"]))
+        )
+    return TransformerConfig(
+        vocab_size=int(hf["vocab_size"]),
+        dim=int(hf["hidden_size"]),
+        n_layers=int(hf["num_hidden_layers"]),
+        n_heads=int(hf["num_attention_heads"]),
+        n_kv_heads=int(hf["num_attention_heads"]),
+        hidden_dim=int(hf["intermediate_size"]),
+        norm_eps=float(hf.get("norm_eps", 1e-5)),
+        norm_type="layernorm",
+        norm_bias=bool(hf.get("norm_bias", False)),
+        mlp_act=_hf_act(hf.get("hidden_activation", "gelu")),
+        mlp_bias=bool(hf.get("mlp_bias", False)),
+        qkv_bias=bool(hf.get("attention_bias", False)),
+        o_proj_bias=bool(hf.get("attention_bias", False)),
+        rope_theta=float(hf.get("global_rope_theta", 160000.0)),
+        rope_local_theta=float(hf.get("local_rope_theta", 160000.0)),
+        sliding_window=(
+            int(hf["sliding_window"])
+            if hf.get("sliding_window") is not None
+            else None
+        ),
+        layer_types=layer_types,
+        first_layer_no_attn_norm=True,
+        embed_norm=True,
+        head_transform=True,
+        head_transform_act=_hf_act(
+            hf.get("classifier_activation", "gelu")
+        ),
+        head_transform_bias=bool(hf.get("classifier_bias", False)),
+        lm_head_bias=bool(hf.get("decoder_bias", True)),
+        tie_embeddings=bool(hf.get("tie_word_embeddings", True)),
+        remat=remat,
+        dtype=dtype,
+    )
+
+
+def _hf_doge(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
+    """HF DogeConfig -> native.  The llama graph with per-head q/k
+    RMSNorms, DYNAMIC-MASK attention (per-kv-head additive key bias
+    exp(A*softplus(dt_proj(v))); exact for seqlen <= keep_window_size —
+    the top-k masking beyond is refused at trace time), and learned
+    per-channel residual scales (input_residual /
+    post_attention_residual).  The CDMoE variant (is_moe) is not
+    implemented."""
+    if hf.get("is_moe"):
+        raise ValueError(
+            "doge CDMoE (is_moe=True) is not implemented; use a custom "
+            "builder"
+        )
+    rs = hf.get("rope_scaling")
+    if rs is not None and rs.get("rope_type", rs.get("type")) not in (
+        None,
+        "default",
+    ):
+        raise ValueError(
+            f"doge rope_scaling {rs!r} is not implemented; use a custom "
+            "builder"
+        )
+    n_heads = int(hf["num_attention_heads"])
+    dim = int(hf["hidden_size"])
+    head_dim = hf.get("head_dim")
+    bias = bool(hf.get("attention_bias", False))
+    return TransformerConfig(
+        vocab_size=int(hf["vocab_size"]),
+        dim=dim,
+        n_layers=int(hf["num_hidden_layers"]),
+        n_heads=n_heads,
+        n_kv_heads=int(hf.get("num_key_value_heads") or n_heads),
+        hidden_dim=int(hf["intermediate_size"]),
+        norm_eps=float(hf.get("rms_norm_eps", 1e-6)),
+        head_dim_override=(
+            int(head_dim)
+            if head_dim is not None and int(head_dim) * n_heads != dim
+            else None
+        ),
+        qk_norm=True,
+        dyn_mask_keep_window=int(hf.get("keep_window_size", 2048)),
+        residual_scales=True,
+        mlp_act=_hf_act(hf.get("hidden_act", "silu")),
+        mlp_bias=bool(hf.get("mlp_bias", False)),
+        qkv_bias=bias,
+        o_proj_bias=bias,
+        rope_theta=float(hf.get("rope_theta", 10000.0)),
+        tie_embeddings=bool(hf.get("tie_word_embeddings", True)),
+        remat=remat,
+        dtype=dtype,
+    )
+
+
 class Attention(nn.Module):
     q_proj: nn.Linear
     k_proj: nn.Linear
@@ -2367,6 +2577,11 @@ class Attention(nn.Module):
     sinks: Optional[jax.Array] = None
     # bitnet: RMSNorm over the merged attention output before o_proj
     attn_sub_norm: Optional[nn.RMSNorm] = None
+    # doge dynamic-mask attention: additive per-kv-head key bias
+    # exp(A * softplus(dt_proj(v_merged))) on the scaled logits
+    dyn_mask_A: Optional[jax.Array] = None
+    dt_proj: Optional[nn.Linear] = None
+    dyn_mask_keep_window: Optional[int] = nn.static_field(default=None)
     qk_norm_flat: bool = nn.static_field(default=False)
     n_heads: int = nn.static_field(default=8)
     n_kv_heads: int = nn.static_field(default=8)
@@ -2417,6 +2632,22 @@ class Attention(nn.Module):
         if self.q_norm is not None and not self.qk_norm_flat:
             q = self.q_norm(q, ctx)  # qwen3: per head
             k = self.k_norm(k, ctx)
+        dyn_bias = None
+        if self.dt_proj is not None:  # doge dynamic-mask attention
+            if (
+                self.dyn_mask_keep_window is not None
+                and s > self.dyn_mask_keep_window
+            ):
+                raise ValueError(
+                    f"doge top-k dynamic masking (seqlen {s} > "
+                    f"keep_window_size {self.dyn_mask_keep_window}) is not "
+                    "implemented; keep calibration seqlen within the window"
+                )
+            dt = self.dt_proj(v.reshape(b, s, -1), ctx)  # (b, s_k, n_kv)
+            dyn_bias = jnp.exp(
+                self.dyn_mask_A.astype(jnp.float32)
+                * jax.nn.softplus(dt.astype(jnp.float32))
+            ).transpose(0, 2, 1)[:, :, None, :]  # (b, n_kv, 1, s_k)
 
         if positions is None:
             positions = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s))
@@ -2449,6 +2680,7 @@ class Attention(nn.Module):
             and self.sinks is None
             and self.sliding_window is None
             and not self.use_alibi
+            and dyn_bias is None
             and attn_mask is None
             and s % 128 == 0
             and (hd <= 128 or hd % 128 == 0)
@@ -2477,6 +2709,10 @@ class Attention(nn.Module):
         logits = jnp.einsum(
             "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
         ) * scale
+        if dyn_bias is not None:
+            logits = logits + jnp.repeat(
+                dyn_bias, self.n_heads // self.n_kv_heads, axis=1
+            )
         if self.use_alibi:
             slopes = jnp.asarray(alibi_slopes(self.n_heads))
             logits = logits + (
@@ -2586,6 +2822,140 @@ class Attention(nn.Module):
                 if cfg.sub_norms
                 else None
             ),
+            dyn_mask_A=(
+                jnp.zeros((cfg.n_kv_heads,), cfg.dtype)
+                if cfg.dyn_mask_keep_window is not None
+                else None
+            ),
+            dt_proj=(
+                nn.Linear.create(
+                    jax.random.fold_in(key, 7),
+                    cfg.n_kv_heads * hd,
+                    cfg.n_kv_heads,
+                    cfg.qkv_bias,
+                    cfg.dtype,
+                )
+                if cfg.dyn_mask_keep_window is not None
+                else None
+            ),
+            dyn_mask_keep_window=cfg.dyn_mask_keep_window,
+        )
+
+
+class DiffAttention(nn.Module):
+    """DiffLlama differential attention (HF DiffLlamaAttention): the head
+    pool runs ONE softmax over all n_heads, then splits into two halves
+    whose value-weighted outputs are SUBTRACTED with a learned lambda —
+    lambda = exp(lq1.lk1) - exp(lq2.lk2) + lambda_init, lambda_init
+    layer-indexed as 0.8 - 0.6*exp(-0.3*layer_idx).  Values are paired
+    feature-wise to 2*head_dim (half as many value groups), the
+    difference is RMS-normalized (no affine) per group and scaled by
+    (1 - lambda_init) before o_proj."""
+
+    q_proj: nn.Linear
+    k_proj: nn.Linear
+    v_proj: nn.Linear
+    o_proj: nn.Linear
+    lambda_q1: jax.Array
+    lambda_k1: jax.Array
+    lambda_q2: jax.Array
+    lambda_k2: jax.Array
+    n_heads: int = nn.static_field(default=8)
+    n_kv_heads: int = nn.static_field(default=8)
+    rope_theta: float = nn.static_field(default=10000.0)
+    lambda_init: float = nn.static_field(default=0.8)
+    norm_eps: float = nn.static_field(default=1e-6)
+
+    def __call__(
+        self,
+        x: jax.Array,
+        ctx: Optional[nn.Ctx] = None,
+        *,
+        positions: Optional[jax.Array] = None,
+        attn_mask: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        b, s, _ = x.shape
+        q = self.q_proj(x, ctx)
+        hd = q.shape[-1] // self.n_heads
+        k = self.k_proj(x, ctx)
+        v = self.v_proj(x, ctx)
+        q = q.reshape(b, s, self.n_heads, hd)
+        k = k.reshape(b, s, self.n_kv_heads, hd)
+        v = v.reshape(b, s, self.n_kv_heads, hd)
+        if positions is None:
+            positions = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s))
+        q = _rope(q, positions, self.rope_theta, None, None, False, None)
+        k = _rope(k, positions, self.rope_theta, None, None, False, None)
+        rep = self.n_heads // self.n_kv_heads
+        if rep > 1:
+            k = jnp.repeat(k, rep, axis=2)
+            v = jnp.repeat(v, rep, axis=2)
+        half = self.n_heads // 2
+        # values pair feature-wise: (b, s, half, 2*hd)
+        vp = jnp.concatenate([v[:, :, :half], v[:, :, half:]], axis=-1)
+        logits = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) * (hd**-0.5)
+        causal = jnp.tril(jnp.ones((s, s), bool))[None, None]
+        if attn_mask is not None:
+            causal = causal & attn_mask[:, None, None, :].astype(bool)
+        logits = jnp.where(causal, logits, jnp.finfo(jnp.float32).min)
+        probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+        o1 = jnp.einsum("bhqk,bkhd->bqhd", probs[:, :half], vp)
+        o2 = jnp.einsum("bhqk,bkhd->bqhd", probs[:, half:], vp)
+        lam1 = jnp.exp(
+            jnp.sum(
+                self.lambda_q1.astype(jnp.float32)
+                * self.lambda_k1.astype(jnp.float32)
+            )
+        )
+        lam2 = jnp.exp(
+            jnp.sum(
+                self.lambda_q2.astype(jnp.float32)
+                * self.lambda_k2.astype(jnp.float32)
+            )
+        )
+        lam = (lam1 - lam2 + self.lambda_init).astype(x.dtype)
+        out = o1 - lam * o2
+        # groupnorm: affine-free RMSNorm over the paired 2*hd features
+        of = out.astype(jnp.float32)
+        rms = jax.lax.rsqrt(
+            jnp.mean(jnp.square(of), axis=-1, keepdims=True) + self.norm_eps
+        )
+        out = ((of * rms) * (1.0 - self.lambda_init)).astype(x.dtype)
+        return self.o_proj(out.reshape(b, s, -1), ctx)
+
+    @staticmethod
+    def create(
+        key: jax.Array, cfg: TransformerConfig, layer_idx: int = 0
+    ) -> "DiffAttention":
+        import math
+
+        ks = jax.random.split(key, 8)
+        hd = cfg.head_dim
+        std = 0.1  # config lambda_std_dev default
+        return DiffAttention(
+            q_proj=nn.Linear.create(
+                ks[0], cfg.dim, cfg.n_heads * hd, cfg.qkv_bias, cfg.dtype
+            ),
+            k_proj=nn.Linear.create(
+                ks[1], cfg.dim, cfg.n_kv_heads * hd, cfg.qkv_bias, cfg.dtype
+            ),
+            v_proj=nn.Linear.create(
+                ks[2], cfg.dim, cfg.n_kv_heads * hd, cfg.qkv_bias, cfg.dtype
+            ),
+            o_proj=nn.Linear.create(
+                ks[3], cfg.n_heads * hd, cfg.dim, cfg.o_proj_bias, cfg.dtype
+            ),
+            lambda_q1=std * jax.random.normal(ks[4], (hd,), cfg.dtype),
+            lambda_k1=std * jax.random.normal(ks[5], (hd,), cfg.dtype),
+            lambda_q2=std * jax.random.normal(ks[6], (hd,), cfg.dtype),
+            lambda_k2=std * jax.random.normal(ks[7], (hd,), cfg.dtype),
+            n_heads=cfg.n_heads,
+            n_kv_heads=cfg.n_kv_heads,
+            rope_theta=cfg.rope_theta,
+            lambda_init=0.8 - 0.6 * math.exp(-0.3 * layer_idx),
+            norm_eps=cfg.norm_eps,
         )
 
 
@@ -2915,6 +3285,10 @@ class MoEMLP(nn.Module):
     softmax_after_topk: bool = nn.static_field(default=False)
     # ernie4_5_moe: clamp the renormalization denominator below at this
     norm_min: float = nn.static_field(default=0.0)
+    # phimoe: eval-deterministic sparsemixer (sequential top-2; each
+    # pick's weight comes from a LOCALLY masked softmax, no joint renorm)
+    sparsemixer: bool = nn.static_field(default=False)
+    jitter_eps: float = nn.static_field(default=0.01)
 
     def _experts_are_pristine(self) -> bool:
         """Static (trace-time) check: grouped dispatch requires every
@@ -2955,6 +3329,32 @@ class MoEMLP(nn.Module):
         selected indices, scaled by routed_scaling."""
         n_experts = len(self.experts)
         logits = self.gate(x, ctx).astype(jnp.float32)
+        if self.sparsemixer:  # phimoe, eval path of HF sparsemixer()
+            neg = jnp.finfo(jnp.float32).min
+
+            def pick(scores, base):
+                # mask experts whose relative gap to the max exceeds
+                # 2*jitter_eps, softmax the REMAINING base scores, and
+                # take the max element's weight
+                m = jnp.max(scores, axis=-1, keepdims=True)
+                idx = jnp.argmax(scores, axis=-1)
+                factor = jnp.maximum(jnp.abs(logits), m)
+                drop = (m - logits) / factor > 2 * self.jitter_eps
+                gates = jax.nn.softmax(
+                    jnp.where(drop, neg, base), axis=-1
+                )
+                w = jnp.take_along_axis(gates, idx[..., None], axis=-1)
+                return w[..., 0], idx
+
+            w1, idx1 = pick(logits, logits)
+            masked = jnp.where(
+                jax.nn.one_hot(idx1, n_experts, dtype=bool), neg, logits
+            )
+            w2, idx2 = pick(masked, masked)
+            return (
+                jnp.stack([w1, w2], axis=-1),
+                jnp.stack([idx1, idx2], axis=-1),
+            )
         if self.softmax_after_topk:  # gpt_oss GptOssTopKRouter
             top_logits, top_idx = jax.lax.top_k(logits, self.top_k)
             return jax.nn.softmax(top_logits, axis=-1), top_idx
@@ -3164,6 +3564,8 @@ class MoEMLP(nn.Module):
             routed_scaling=cfg.routed_scaling_factor,
             softmax_after_topk=cfg.router_softmax_after_topk,
             norm_min=cfg.router_norm_min,
+            sparsemixer=cfg.router_sparsemixer,
+            jitter_eps=cfg.router_jitter_eps,
         )
 
 
@@ -3207,6 +3609,10 @@ class Block(nn.Module):
     parallel_residual: str = nn.static_field(default="none")
     # granite: residual adds scaled by this factor
     residual_multiplier: Optional[float] = nn.static_field(default=None)
+    # doge: learned per-channel vectors scaling the RESIDUAL term of each
+    # add (ones-initialized; HF input_residual / post_attention_residual)
+    input_residual: Optional[jax.Array] = None
+    post_attention_residual: Optional[jax.Array] = None
 
     def __call__(
         self,
@@ -3238,6 +3644,11 @@ class Block(nn.Module):
             mult = jnp.asarray(self.residual_multiplier, x.dtype)
             h = x + mult * attn_out
             return h + mult * self.mlp(self.post_attention_layernorm(h), ctx)
+        if self.input_residual is not None:  # doge residual scaling
+            h = self.input_residual * x + attn_out
+            return self.post_attention_residual * h + self.mlp(
+                self.post_attention_layernorm(h), ctx
+            )
         h = x + attn_out
         return h + self.mlp(self.post_attention_layernorm(h), ctx)
 
@@ -3249,10 +3660,18 @@ class Block(nn.Module):
             return _make_block_norm(cfg)
 
         return Block(
-            input_layernorm=None if cfg.post_norm_only else norm(),
+            input_layernorm=(
+                nn.Identity()
+                if cfg.first_layer_no_attn_norm and layer_idx == 0
+                else None
+                if cfg.post_norm_only
+                else norm()
+            ),
             self_attn=(
                 MLAttention.create(k1, cfg)
                 if cfg.kv_lora_rank is not None
+                else DiffAttention.create(k1, cfg, layer_idx)
+                if cfg.diff_attention
                 else Attention.create(k1, cfg, layer_idx)
             ),
             post_attention_layernorm=(
@@ -3269,6 +3688,16 @@ class Block(nn.Module):
             else None,
             parallel_residual=cfg.parallel_residual,
             residual_multiplier=cfg.residual_multiplier,
+            input_residual=(
+                jnp.ones((cfg.dim,), cfg.dtype)
+                if cfg.residual_scales
+                else None
+            ),
+            post_attention_residual=(
+                jnp.ones((cfg.dim,), cfg.dtype)
+                if cfg.residual_scales
+                else None
+            ),
         )
 
 
@@ -3347,6 +3776,28 @@ class Decoder(nn.Module):
         return self.norm(x)
 
 
+class PredictionHeadTransform(nn.Module):
+    """ModernBERT-style prediction head (HF ModernBertPredictionHead):
+    dense -> activation -> norm applied to the final hidden states before
+    the output projection / tied matmul."""
+
+    dense: nn.Linear
+    norm: nn.Module
+    act: str = nn.static_field(default="gelu_exact")
+
+    def __call__(self, x: jax.Array, ctx: Optional[nn.Ctx] = None) -> jax.Array:
+        h = self.dense(x, ctx)
+        if self.act == "gelu_exact":
+            h = jax.nn.gelu(h, approximate=False)
+        elif self.act == "gelu_tanh":
+            h = jax.nn.gelu(h, approximate=True)
+        elif self.act == "relu":
+            h = jax.nn.relu(h)
+        elif self.act != "identity":
+            raise ValueError(f"unsupported head activation {self.act!r}")
+        return self.norm(h, ctx)
+
+
 class CausalLM(nn.Module):
     """Callable with a batch dict {"input_ids", optional "attention_mask"}
     returning logits — the dict-in/logits-out convention the reference's
@@ -3355,6 +3806,10 @@ class CausalLM(nn.Module):
 
     model: Decoder
     lm_head: Optional[nn.Linear]
+    # modernbert-decoder: dense+act+norm before the output projection,
+    # and an untied bias on the TIED output matmul (HF 'decoder.bias')
+    head_transform: Optional[PredictionHeadTransform] = None
+    tied_head_bias: Optional[jax.Array] = None
     tie_embeddings: bool = nn.static_field(default=False)
     # gemma2: tanh softcap on the final logits
     final_logit_softcap: Optional[float] = nn.static_field(default=None)
@@ -3368,8 +3823,12 @@ class CausalLM(nn.Module):
         else:
             input_ids, attn_mask = batch, None
         h = self.model(input_ids, ctx, attn_mask=attn_mask)
+        if self.head_transform is not None:
+            h = self.head_transform(h, ctx)
         if self.tie_embeddings:
             logits = jnp.dot(h, self.model.embed_tokens.table.T)
+            if self.tied_head_bias is not None:
+                logits = logits + self.tied_head_bias.astype(logits.dtype)
         else:
             logits = self.lm_head(h, ctx)
         if self.logit_scale is not None:
@@ -3399,7 +3858,9 @@ class CausalLM(nn.Module):
                 else None
             ),
             embed_norm=(
-                nn.LayerNorm.create(cfg.dim, True, cfg.norm_eps, cfg.dtype)
+                nn.LayerNorm.create(
+                    cfg.dim, cfg.norm_bias, cfg.norm_eps, cfg.dtype
+                )
                 if cfg.embed_norm
                 else None
             ),
@@ -3418,6 +3879,26 @@ class CausalLM(nn.Module):
         return CausalLM(
             model=decoder,
             lm_head=lm_head,
+            head_transform=(
+                PredictionHeadTransform(
+                    dense=nn.Linear.create(
+                        jax.random.fold_in(keys[-1], 1),
+                        cfg.dim,
+                        cfg.dim,
+                        cfg.head_transform_bias,
+                        cfg.dtype,
+                    ),
+                    norm=_make_block_norm(cfg),
+                    act=cfg.head_transform_act,
+                )
+                if cfg.head_transform
+                else None
+            ),
+            tied_head_bias=(
+                jnp.zeros((cfg.vocab_size,), cfg.dtype)
+                if cfg.tie_embeddings and cfg.lm_head_bias
+                else None
+            ),
             tie_embeddings=cfg.tie_embeddings,
             final_logit_softcap=cfg.final_logit_softcap,
             logit_scale=cfg.logit_scale,

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from .module import Ctx, Module, static_field
 
 __all__ = [
+    "Identity",
     "Linear",
     "Conv2d",
     "Sequential",
@@ -39,6 +40,16 @@ __all__ = [
     "linear_from_kernel",
     "conv1x1_from_kernel",
 ]
+
+
+class Identity(Module):
+    """Parameter-free pass-through (torch nn.Identity analogue) — used
+    where an HF graph makes a norm slot conditional (e.g. ModernBERT
+    decoder layer 0 has no attention norm) so the Block wiring stays
+    uniform."""
+
+    def __call__(self, x: jax.Array, ctx: Optional[Ctx] = None) -> jax.Array:
+        return x
 
 
 def _call_child(child: Module, x: jax.Array, ctx: Optional[Ctx]) -> jax.Array:

@@ -1753,3 +1753,105 @@ def test_emu3_text_logits_match_hf():
     native, ncfg = _hf_to_native(hf, composite)
     assert ncfg.mlp_act == "silu" and not ncfg.qkv_bias
     _compare(hf, native, 128, atol=2e-4)
+
+
+def test_diffllama_logits_match_hf():
+    """DiffLlama: differential attention — one softmax over all heads,
+    halves subtracted with lambda = exp(lq1.lk1) - exp(lq2.lk2) +
+    lambda_init(layer), affine-free RMS groupnorm over paired 2*head_dim
+    values, (1-lambda_init) scale (62nd family)."""
+    if not hasattr(transformers, "DiffLlamaForCausalLM"):
+        pytest.skip("transformers without diffllama")
+    cfg = transformers.DiffLlamaConfig(**_tiny(lambda_std_dev=0.4))
+    hf = transformers.DiffLlamaForCausalLM(cfg).eval()
+    native, ncfg = _hf_to_native(hf, cfg.to_dict())
+    assert ncfg.diff_attention
+    lam0 = native.model.layers[0].self_attn.lambda_init
+    lam1 = native.model.layers[1].self_attn.lambda_init
+    assert abs(lam0 - 0.2) < 1e-6 and lam1 > lam0
+    _compare(hf, native, 128, atol=3e-4)
+
+
+def test_phimoe_logits_match_hf():
+    """PhiMoE: mixtral expert layout under LayerNorm block norms, routed
+    by the eval-deterministic sparsemixer — sequential top-2 whose
+    weights come from per-pick LOCALLY masked softmaxes, no joint
+    renormalization (63rd family)."""
+    if not hasattr(transformers, "PhimoeForCausalLM"):
+        pytest.skip("transformers without phimoe")
+    cfg = transformers.PhimoeConfig(
+        **_tiny(
+            num_local_experts=4,
+            num_experts_per_tok=2,
+            attention_bias=True,
+            lm_head_bias=True,
+        )
+    )
+    hf = transformers.PhimoeForCausalLM(cfg).eval()
+    native, ncfg = _hf_to_native_translated(hf, cfg.to_dict())
+    assert ncfg.router_sparsemixer and ncfg.norm_type == "layernorm"
+    assert ncfg.qkv_bias and ncfg.o_proj_bias and ncfg.lm_head_bias
+    _compare(hf, native, 128, atol=2e-4)
+
+
+def test_modernbert_decoder_logits_match_hf():
+    """ModernBERT-decoder: layer 0 without an attention norm, token
+    embedding LayerNorm, per-type rope thetas on global/sliding layers,
+    fused gated Wi split on load, dense+act+norm prediction head with a
+    decoder bias on the tied output matmul (64th family)."""
+    if not hasattr(transformers, "ModernBertDecoderForCausalLM"):
+        pytest.skip("transformers without modernbert-decoder")
+    from transformers.models.auto.configuration_auto import CONFIG_MAPPING
+
+    cfg = CONFIG_MAPPING["modernbert-decoder"](
+        vocab_size=128,
+        hidden_size=32,
+        num_hidden_layers=3,
+        num_attention_heads=4,
+        intermediate_size=48,
+        global_attn_every_n_layers=2,
+        sliding_window=4,
+        local_rope_theta=10000.0,
+        global_rope_theta=160000.0,
+        max_position_embeddings=64,
+        pad_token_id=0,
+        bos_token_id=1,
+        eos_token_id=2,
+        cls_token_id=3,
+        sep_token_id=4,
+    )
+    hf = transformers.AutoModelForCausalLM.from_config(cfg).eval()
+    # the decoder bias must be nonzero to pin the tied-bias mapping
+    with torch.no_grad():
+        hf.decoder.bias.copy_(torch.randn_like(hf.decoder.bias))
+    native, ncfg = _hf_to_native_translated(hf, cfg.to_dict())
+    assert ncfg.first_layer_no_attn_norm and ncfg.head_transform
+    assert ncfg.embed_norm and ncfg.tie_embeddings and ncfg.lm_head_bias
+    assert ncfg.layer_types[1] == "sliding_attention"
+    _compare(hf, native, 128, atol=3e-4)
+
+
+def test_doge_logits_match_hf():
+    """Doge: dynamic-mask attention (per-kv-head additive key bias
+    exp(A*softplus(dt_proj(v))), exact below keep_window_size), per-head
+    qk RMSNorms, learned per-channel residual scales (65th family)."""
+    if not hasattr(transformers, "DogeForCausalLM"):
+        pytest.skip("transformers without doge")
+    cfg = transformers.DogeConfig(**_tiny(keep_window_size=64))
+    hf = transformers.DogeForCausalLM(cfg).eval()
+    # upstream bug (verified here, transformers 4.57): Doge's sdpa path
+    # replaces the (None) causal mask with the dynamic bias, so sdpa
+    # runs NON-causal — future tokens leak (0.04 logit delta when a
+    # future token changes).  The eager path masks correctly; pin
+    # against it.
+    hf.set_attn_implementation("eager")
+    # nonzero A and non-unit residual scales so either mapping cannot
+    # silently drop
+    with torch.no_grad():
+        for n, p in hf.named_parameters():
+            if n.endswith(".A") or "residual" in n:
+                p.copy_(torch.rand_like(p) + 0.5)
+    native, ncfg = _hf_to_native_translated(hf, cfg.to_dict())
+    assert ncfg.dyn_mask_keep_window == 64 and ncfg.residual_scales
+    assert ncfg.qk_norm
+    _compare(hf, native, 128, atol=3e-4)
