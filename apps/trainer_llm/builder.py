@@ -137,6 +137,11 @@ def make_model_and_tokenizer(
             model = models.PhiCausalLM.create(jax.random.PRNGKey(seed), pcfg)
             if enable_gradient_checkpointing:
                 model = model.replace(model=model.model.replace(remat=True))
+        elif hf_cfg.get("model_type") in ("mamba", "falcon_mamba", "mamba2"):
+            cfg = models.MambaConfig.from_hf_config(
+                hf_cfg, dtype=jdtype, remat=enable_gradient_checkpointing
+            )
+            model = models.MambaLM.create(jax.random.PRNGKey(seed), cfg)
         else:
             cfg = models.TransformerConfig.from_hf_config(
                 hf_cfg, dtype=jdtype, remat=enable_gradient_checkpointing

@@ -10,6 +10,13 @@ from .regnet import RegNet, regnet_y_tiny
 from .phi import PhiCausalLM, PhiConfig
 from .swin import SwinV2, swinv2_small, swinv2_tiny
 from .vit import ViT, vit_base, vit_small, vit_tiny, deit_small, dinov2_small
+from .ssm import (
+    Mamba1Mixer,
+    Mamba2Mixer,
+    MambaBlock,
+    MambaConfig,
+    MambaLM,
+)
 from .transformer import (
     Attention,
     MLAttention,
@@ -51,6 +58,11 @@ __all__ = [
     "vit_tiny",
     "deit_small",
     "dinov2_small",
+    "Mamba1Mixer",
+    "Mamba2Mixer",
+    "MambaBlock",
+    "MambaConfig",
+    "MambaLM",
     "Attention",
     "MLAttention",
     "Block",

@@ -1047,6 +1047,26 @@ def translate_doge_state_dict(
     return out
 
 
+def make_mamba_translator(hf_cfg: dict[str, Any]):
+    """HF mamba / falcon_mamba / mamba2: squeeze the depthwise conv's
+    singleton group dim ((ch, 1, k) -> (ch, k)) and drop the tied
+    lm_head copy.  All other leaves (A_log, D, dt_bias, norms, the
+    in/x/dt/out projections) match the native tree field-for-field."""
+    tied = bool(hf_cfg.get("tie_word_embeddings", True))
+
+    def translate(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        out: dict[str, np.ndarray] = {}
+        for k, v in sd.items():
+            if tied and k == "lm_head.weight":
+                continue
+            if k.endswith(".conv1d.weight") and v.ndim == 3:
+                v = np.ascontiguousarray(v[:, 0, :])
+            out[k] = v
+        return out
+
+    return translate
+
+
 def translate_gpt_neo_state_dict(
     sd: dict[str, np.ndarray],
 ) -> dict[str, np.ndarray]:
@@ -1169,4 +1189,6 @@ def translator_for(hf_cfg: dict[str, Any]):
         return translate_gpt_neo_state_dict
     if mt == "biogpt":
         return translate_biogpt_state_dict
+    if mt in ("mamba", "falcon_mamba", "mamba2"):
+        return make_mamba_translator(hf_cfg)
     return None

@@ -1,0 +1,507 @@
+"""TPU-native state-space (Mamba) language models.
+
+Covers the HF ``mamba`` / ``falcon_mamba`` (selective-scan, S6) and
+``mamba2`` (state-space duality, SSD) causal LMs — the model families the
+reference compresses via ``AutoModelForCausalLM``
+(/root/reference/examples/trainer_llm/builder.py:97-107) whose compute
+graph is NOT a transformer.  The numerics mirror transformers'
+reference implementations (``MambaMixer.slow_forward``,
+``Mamba2Mixer.torch_forward``, ``FalconMambaMixer.slow_forward``) and are
+pinned by logits-parity tests on shared weights.
+
+TPU-first choices:
+
+* **mamba1** runs the first-order recurrence h_t = dA_t h_{t-1} + dBu_t
+  through ``jax.lax.associative_scan`` — log-depth over the sequence
+  instead of the reference's per-step Python loop, in f32.
+* **mamba2** uses the chunked SSD formulation in which every heavy
+  contraction is an einsum (MXU-tileable): the intra-chunk "attention"
+  C·Bᵀ with an exp-segment-sum decay mask, per-chunk state accumulation,
+  a tiny inter-chunk scan materialized as one (c+1)² decay matmul, and
+  the state→output conversion.  The segment sum mirrors HF's
+  masked-cumsum construction (not a cumsum difference) so the two
+  implementations agree bit-for-bit in f32.
+* The in/x/dt/out projections are plain ``nn.Linear`` pytree leaves, so
+  the dwain/falor engines see them as decomposable sites with no extra
+  plumbing; the depthwise conv is a dedicated parameter-holding module.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .. import nn
+
+__all__ = [
+    "MambaConfig",
+    "Mamba1Mixer",
+    "Mamba2Mixer",
+    "MambaBlock",
+    "MambaBackbone",
+    "MambaLM",
+]
+
+
+@dataclasses.dataclass(frozen=True)
+class MambaConfig:
+    vocab_size: int = 256
+    dim: int = 64
+    n_layers: int = 2
+    d_inner: int = 128
+    d_state: int = 16
+    d_conv: int = 4
+    version: int = 1  # 1 = mamba / falcon_mamba, 2 = mamba2
+    # mamba1
+    dt_rank: int = 4
+    # falcon_mamba: affine-free RMS over dt/B/C after x_proj
+    mixer_rms_eps: Optional[float] = None
+    # mamba2
+    n_heads: int = 4
+    head_dim: int = 32
+    n_groups: int = 1
+    chunk_size: int = 256
+    time_step_limit: tuple = (0.0, float("inf"))
+    conv_bias: bool = True
+    proj_bias: bool = False
+    norm_eps: float = 1e-5
+    tie_embeddings: bool = True
+    remat: bool = False
+    dtype: Any = jnp.float32
+
+    @staticmethod
+    def from_hf_config(
+        hf: dict[str, Any], dtype: Any = jnp.bfloat16, remat: bool = False
+    ) -> "MambaConfig":
+        """HF MambaConfig / FalconMambaConfig / Mamba2Config -> native."""
+        mt = hf.get("model_type", "mamba")
+        if mt not in ("mamba", "falcon_mamba", "mamba2"):
+            raise ValueError(f"not a mamba-family config: {mt!r}")
+        dim = int(hf["hidden_size"])
+        inner = int(hf.get("intermediate_size") or int(hf.get("expand", 2)) * dim)
+        act = hf.get("hidden_act", "silu")
+        if act != "silu":
+            raise ValueError(f"mamba hidden_act={act!r} is not implemented")
+        common = dict(
+            vocab_size=int(hf["vocab_size"]),
+            dim=dim,
+            n_layers=int(hf["num_hidden_layers"]),
+            d_inner=inner,
+            d_state=int(hf.get("state_size", 16)),
+            d_conv=int(hf.get("conv_kernel", 4)),
+            conv_bias=bool(hf.get("use_conv_bias", True)),
+            proj_bias=bool(hf.get("use_bias", False)),
+            norm_eps=float(hf.get("layer_norm_epsilon", 1e-5)),
+            tie_embeddings=bool(hf.get("tie_word_embeddings", True)),
+            remat=remat,
+            dtype=dtype,
+        )
+        if mt == "mamba2":
+            tsl = hf.get("time_step_limit") or (0.0, float("inf"))
+            return MambaConfig(
+                version=2,
+                n_heads=int(hf["num_heads"]),
+                head_dim=int(hf.get("head_dim", 64)),
+                n_groups=int(hf.get("n_groups", 1)),
+                chunk_size=int(hf.get("chunk_size", 256)),
+                time_step_limit=(float(tsl[0]), float(tsl[1])),
+                **common,
+            )
+        tr = hf.get("time_step_rank", "auto")
+        dt_rank = (dim + 15) // 16 if tr in (None, "auto") else int(tr)
+        rms_eps = (
+            float(hf.get("mixer_rms_eps", 1e-6))
+            if mt == "falcon_mamba"
+            else None
+        )
+        return MambaConfig(
+            version=1, dt_rank=dt_rank, mixer_rms_eps=rms_eps, **common
+        )
+
+
+class DepthwiseConv1d(nn.Module):
+    """Causal depthwise 1D convolution over the sequence axis (torch
+    ``nn.Conv1d(ch, ch, k, groups=ch, padding=k-1)`` truncated to seq_len).
+    ``weight`` keeps the torch ``(ch, k)`` layout (the singleton group dim
+    squeezed by the checkpoint translator)."""
+
+    weight: jax.Array  # (ch, k)
+    bias: Optional[jax.Array] = None
+
+    def __call__(self, x: jax.Array, ctx: Optional[nn.Ctx] = None) -> jax.Array:
+        # x: (b, s, ch).  k is tiny (4): an unrolled shift-multiply-add
+        # fuses into elementwise ops instead of a grouped conv dispatch.
+        k = self.weight.shape[1]
+        out = x * self.weight[:, k - 1]
+        for i in range(1, k):
+            shifted = jnp.pad(x[:, :-i], ((0, 0), (i, 0), (0, 0)))
+            out = out + shifted * self.weight[:, k - 1 - i]
+        if self.bias is not None:
+            out = out + self.bias
+        return out
+
+    @staticmethod
+    def create(
+        key: jax.Array, ch: int, k: int, bias: bool, dtype: Any
+    ) -> "DepthwiseConv1d":
+        scale = (1.0 / k) ** 0.5
+        return DepthwiseConv1d(
+            weight=jax.random.uniform(
+                key, (ch, k), dtype, minval=-scale, maxval=scale
+            ),
+            bias=jnp.zeros((ch,), dtype) if bias else None,
+        )
+
+
+def _rms_no_affine(x: jax.Array, eps: float) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+
+
+class Mamba1Mixer(nn.Module):
+    """Selective-scan S6 mixer (HF MambaMixer.slow_forward semantics;
+    FalconMambaMixer when ``mixer_rms_eps`` is set — affine-free RMS over
+    the dt/B/C selection streams).  The recurrence runs as a log-depth
+    ``jax.lax.associative_scan`` in f32."""
+
+    in_proj: nn.Linear  # dim -> 2*d_inner
+    conv1d: DepthwiseConv1d
+    x_proj: nn.Linear  # d_inner -> dt_rank + 2*d_state
+    dt_proj: nn.Linear  # dt_rank -> d_inner
+    A_log: jax.Array  # (d_inner, d_state)
+    D: jax.Array  # (d_inner,)
+    out_proj: nn.Linear  # d_inner -> dim
+    d_inner: int = nn.static_field(default=128)
+    d_state: int = nn.static_field(default=16)
+    dt_rank: int = nn.static_field(default=4)
+    mixer_rms_eps: Optional[float] = nn.static_field(default=None)
+
+    def __call__(
+        self,
+        x: jax.Array,
+        ctx: Optional[nn.Ctx] = None,
+        *,
+        positions: Optional[jax.Array] = None,
+        attn_mask: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        b, s, _ = x.shape
+        proj = self.in_proj(x, ctx)  # (b, s, 2*d_inner)
+        h, gate = jnp.split(proj, 2, axis=-1)
+        if attn_mask is not None:
+            h = h * attn_mask[..., None].astype(h.dtype)
+        h = jax.nn.silu(self.conv1d(h, ctx))
+        if attn_mask is not None:
+            h = h * attn_mask[..., None].astype(h.dtype)
+        sel = self.x_proj(h, ctx)
+        dt, B, C = jnp.split(
+            sel, [self.dt_rank, self.dt_rank + self.d_state], axis=-1
+        )
+        if self.mixer_rms_eps is not None:  # falcon_mamba
+            dt = _rms_no_affine(dt, self.mixer_rms_eps)
+            B = _rms_no_affine(B, self.mixer_rms_eps)
+            C = _rms_no_affine(C, self.mixer_rms_eps)
+        dt = jax.nn.softplus(self.dt_proj(dt, ctx))  # (b, s, d_inner)
+        A = -jnp.exp(self.A_log.astype(jnp.float32))  # (d_inner, d_state)
+        dtf = dt.astype(jnp.float32)
+        dA = jnp.exp(dtf[..., None] * A[None, None])  # (b, s, di, n)
+        dBu = (
+            dtf[..., None]
+            * B.astype(jnp.float32)[:, :, None, :]
+            * h.astype(jnp.float32)[..., None]
+        )
+
+        def comb(left, right):
+            aL, bL = left
+            aR, bR = right
+            return aL * aR, bL * aR + bR
+
+        _, hs = jax.lax.associative_scan(comb, (dA, dBu), axis=1)
+        y = jnp.einsum(
+            "bsdn,bsn->bsd", hs.astype(x.dtype), C
+        ) + h * self.D[None, None]
+        y = y * jax.nn.silu(gate)
+        return self.out_proj(y, ctx)
+
+    @staticmethod
+    def create(key: jax.Array, cfg: MambaConfig) -> "Mamba1Mixer":
+        ks = jax.random.split(key, 5)
+        A = jnp.broadcast_to(
+            jnp.arange(1, cfg.d_state + 1, dtype=jnp.float32)[None, :],
+            (cfg.d_inner, cfg.d_state),
+        )
+        return Mamba1Mixer(
+            in_proj=nn.Linear.create(
+                ks[0], cfg.dim, 2 * cfg.d_inner, cfg.proj_bias, cfg.dtype
+            ),
+            conv1d=DepthwiseConv1d.create(
+                ks[1], cfg.d_inner, cfg.d_conv, cfg.conv_bias, cfg.dtype
+            ),
+            x_proj=nn.Linear.create(
+                ks[2],
+                cfg.d_inner,
+                cfg.dt_rank + 2 * cfg.d_state,
+                False,
+                cfg.dtype,
+            ),
+            dt_proj=nn.Linear.create(
+                ks[3], cfg.dt_rank, cfg.d_inner, True, cfg.dtype
+            ),
+            A_log=jnp.log(A),
+            D=jnp.ones((cfg.d_inner,), cfg.dtype),
+            out_proj=nn.Linear.create(
+                ks[4], cfg.d_inner, cfg.dim, cfg.proj_bias, cfg.dtype
+            ),
+            d_inner=cfg.d_inner,
+            d_state=cfg.d_state,
+            dt_rank=cfg.dt_rank,
+            mixer_rms_eps=cfg.mixer_rms_eps,
+        )
+
+
+def _segsum(a: jax.Array) -> jax.Array:
+    """HF Mamba2 segment_sum: out[..., i, j] = sum_{k=j+1..i} a_k for
+    i >= j, -inf otherwise — built by masked cumsum (NOT a difference of
+    cumsums) so the f32 numerics match transformers exactly."""
+    cs = a.shape[-1]
+    i = jnp.arange(cs)
+    keep = i[:, None] > i[None, :]
+    x = jnp.where(keep, a[..., :, None], 0.0)
+    s = jnp.cumsum(x, axis=-2)
+    return jnp.where(i[:, None] >= i[None, :], s, -jnp.inf)
+
+
+class Mamba2Mixer(nn.Module):
+    """SSD mixer (HF Mamba2Mixer.torch_forward semantics): fused in_proj
+    split into (gate, conv stream, dt), depthwise conv over the
+    (x, B, C) stream, scalar-per-head A, chunked state-space duality in
+    f32 einsums, gated RMSNorm before out_proj."""
+
+    in_proj: nn.Linear  # dim -> 2*d_inner + 2*G*n + H
+    conv1d: DepthwiseConv1d  # over d_inner + 2*G*n channels
+    dt_bias: jax.Array  # (H,)
+    A_log: jax.Array  # (H,)
+    D: jax.Array  # (H,)
+    norm: nn.RMSNorm  # gated: applied to y * silu(gate)
+    out_proj: nn.Linear
+    d_inner: int = nn.static_field(default=128)
+    d_state: int = nn.static_field(default=16)
+    n_heads: int = nn.static_field(default=4)
+    head_dim: int = nn.static_field(default=32)
+    n_groups: int = nn.static_field(default=1)
+    chunk_size: int = nn.static_field(default=256)
+    time_step_limit: tuple = nn.static_field(default=(0.0, float("inf")))
+
+    def __call__(
+        self,
+        x: jax.Array,
+        ctx: Optional[nn.Ctx] = None,
+        *,
+        positions: Optional[jax.Array] = None,
+        attn_mask: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        b, s, _ = x.shape
+        H, P, G, N = self.n_heads, self.head_dim, self.n_groups, self.d_state
+        if attn_mask is not None:
+            x = x * attn_mask[..., None].astype(x.dtype)
+        proj = self.in_proj(x, ctx)
+        conv_dim = self.d_inner + 2 * G * N
+        gate, hBC, dt = jnp.split(
+            proj, [self.d_inner, self.d_inner + conv_dim], axis=-1
+        )
+        hBC = jax.nn.silu(self.conv1d(hBC, ctx))
+        if attn_mask is not None:
+            hBC = hBC * attn_mask[..., None].astype(hBC.dtype)
+        h, B, C = jnp.split(
+            hBC, [self.d_inner, self.d_inner + G * N], axis=-1
+        )
+        dtf = jax.nn.softplus(
+            dt.astype(jnp.float32) + self.dt_bias.astype(jnp.float32)
+        )
+        lo, hi = self.time_step_limit
+        if lo != 0.0 or hi != float("inf"):
+            dtf = jnp.clip(dtf, lo, hi)
+        A = -jnp.exp(self.A_log.astype(jnp.float32))  # (H,)
+        hf = h.astype(jnp.float32).reshape(b, s, H, P)
+        rep = H // G
+        Bf = jnp.repeat(
+            B.astype(jnp.float32).reshape(b, s, G, N), rep, axis=2
+        )
+        Cf = jnp.repeat(
+            C.astype(jnp.float32).reshape(b, s, G, N), rep, axis=2
+        )
+        cs = self.chunk_size
+        pad = (-s) % cs
+        D_residual = self.D.astype(jnp.float32)[:, None] * jnp.pad(
+            hf, ((0, 0), (0, pad), (0, 0), (0, 0))
+        )
+        xdt = hf * dtf[..., None]  # discretized values
+        a = A[None, None, :] * dtf  # (b, s, H)
+
+        def chunks(t):
+            t = jnp.pad(
+                t, [(0, 0), (0, pad)] + [(0, 0)] * (t.ndim - 2)
+            )
+            return t.reshape(b, -1, cs, *t.shape[2:])
+
+        xc, ac, Bc, Cc = chunks(xdt), chunks(a), chunks(Bf), chunks(Cf)
+        ac = ac.transpose(0, 3, 1, 2)  # (b, H, c, l)
+        a_cs = jnp.cumsum(ac, axis=-1)
+        L = jnp.exp(_segsum(ac))  # (b, H, c, l, l)
+        # intra-chunk: the "attention" path, all MXU einsums
+        Y_diag = jnp.einsum(
+            "bclhn,bcshn,bhcls,bcshp->bclhp", Cc, Bc, L, xc
+        )
+        decay_states = jnp.exp(a_cs[..., -1:] - a_cs)  # (b, H, c, l)
+        states = jnp.einsum(
+            "bclhn,bhcl,bclhp->bchpn", Bc, decay_states, xc
+        )
+        a_last = jnp.pad(a_cs[..., -1], ((0, 0), (0, 0), (1, 0)))
+        decay_chunk = jnp.exp(_segsum(a_last))  # (b, H, c+1, c+1)
+        states = jnp.concatenate(
+            [jnp.zeros_like(states[:, :1]), states], axis=1
+        )  # (b, c+1, H, P, N)
+        new_states = jnp.einsum("bhij,bjhpn->bihpn", decay_chunk, states)
+        prev_states = new_states[:, :-1]  # state entering each chunk
+        state_decay_out = jnp.exp(a_cs)  # (b, H, c, l)
+        Y_off = jnp.einsum(
+            "bclhn,bchpn,bhcl->bclhp", Cc, prev_states, state_decay_out
+        )
+        y = (Y_diag + Y_off).reshape(b, -1, H, P) + D_residual
+        if pad:
+            y = y[:, :s]
+        y = y.reshape(b, s, H * P).astype(x.dtype)
+        y = self.norm(y * jax.nn.silu(gate), ctx)
+        return self.out_proj(y, ctx)
+
+    @staticmethod
+    def create(key: jax.Array, cfg: MambaConfig) -> "Mamba2Mixer":
+        ks = jax.random.split(key, 3)
+        conv_dim = cfg.d_inner + 2 * cfg.n_groups * cfg.d_state
+        return Mamba2Mixer(
+            in_proj=nn.Linear.create(
+                ks[0],
+                cfg.dim,
+                2 * cfg.d_inner + 2 * cfg.n_groups * cfg.d_state + cfg.n_heads,
+                cfg.proj_bias,
+                cfg.dtype,
+            ),
+            conv1d=DepthwiseConv1d.create(
+                ks[1], conv_dim, cfg.d_conv, cfg.conv_bias, cfg.dtype
+            ),
+            dt_bias=jnp.ones((cfg.n_heads,), cfg.dtype),
+            A_log=jnp.log(
+                jnp.arange(1, cfg.n_heads + 1, dtype=jnp.float32)
+            ),
+            D=jnp.ones((cfg.n_heads,), cfg.dtype),
+            norm=nn.RMSNorm.create(cfg.d_inner, cfg.norm_eps, cfg.dtype),
+            out_proj=nn.Linear.create(
+                ks[2], cfg.d_inner, cfg.dim, cfg.proj_bias, cfg.dtype
+            ),
+            d_inner=cfg.d_inner,
+            d_state=cfg.d_state,
+            n_heads=cfg.n_heads,
+            head_dim=cfg.head_dim,
+            n_groups=cfg.n_groups,
+            chunk_size=cfg.chunk_size,
+            time_step_limit=cfg.time_step_limit,
+        )
+
+
+class MambaBlock(nn.Module):
+    """norm -> mixer -> residual (HF MambaBlock / Mamba2Block)."""
+
+    norm: nn.RMSNorm
+    mixer: nn.Module
+
+    def __call__(
+        self,
+        x: jax.Array,
+        ctx: Optional[nn.Ctx] = None,
+        *,
+        positions: Optional[jax.Array] = None,
+        attn_mask: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        return x + self.mixer(
+            self.norm(x), ctx, positions=positions, attn_mask=attn_mask
+        )
+
+
+class MambaBackbone(nn.Module):
+    embeddings: nn.Embedding
+    layers: tuple
+    norm_f: nn.RMSNorm
+    remat: bool = nn.static_field(default=False)
+
+    def __call__(
+        self,
+        input_ids: jax.Array,
+        ctx: Optional[nn.Ctx] = None,
+        *,
+        attn_mask: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        x = self.embeddings(input_ids)
+        use_remat = self.remat and not (ctx is not None and ctx.no_remat)
+        for layer in self.layers:
+            if use_remat:
+                x = jax.checkpoint(
+                    lambda lyr, h: lyr(h, ctx, attn_mask=attn_mask)
+                )(layer, x)
+            else:
+                x = layer(x, ctx, attn_mask=attn_mask)
+        return self.norm_f(x)
+
+
+class MambaLM(nn.Module):
+    """Dict-in/logits-out causal LM over a Mamba backbone — same calling
+    convention as models.CausalLM, so the trainer apps, dwain/falor
+    engines, and metrics run unchanged on SSM checkpoints."""
+
+    backbone: MambaBackbone
+    lm_head: Optional[nn.Linear]
+    tie_embeddings: bool = nn.static_field(default=True)
+
+    def __call__(self, batch: Any, ctx: Optional[nn.Ctx] = None) -> jax.Array:
+        if isinstance(batch, dict):
+            input_ids = batch["input_ids"]
+            attn_mask = batch.get("attention_mask")
+        else:
+            input_ids, attn_mask = batch, None
+        h = self.backbone(input_ids, ctx, attn_mask=attn_mask)
+        if self.tie_embeddings:
+            return jnp.dot(h, self.backbone.embeddings.table.T)
+        return self.lm_head(h, ctx)
+
+    @staticmethod
+    def create(key: jax.Array, cfg: MambaConfig) -> "MambaLM":
+        keys = jax.random.split(key, cfg.n_layers + 2)
+        mixer_cls = Mamba2Mixer if cfg.version == 2 else Mamba1Mixer
+        backbone = MambaBackbone(
+            embeddings=nn.Embedding.create(
+                keys[0], cfg.vocab_size, cfg.dim, cfg.dtype
+            ),
+            layers=tuple(
+                MambaBlock(
+                    norm=nn.RMSNorm.create(cfg.dim, cfg.norm_eps, cfg.dtype),
+                    mixer=mixer_cls.create(keys[1 + i], cfg),
+                )
+                for i in range(cfg.n_layers)
+            ),
+            norm_f=nn.RMSNorm.create(cfg.dim, cfg.norm_eps, cfg.dtype),
+            remat=cfg.remat,
+        )
+        lm_head = (
+            None
+            if cfg.tie_embeddings
+            else nn.Linear.create(
+                keys[-1], cfg.dim, cfg.vocab_size, False, cfg.dtype
+            )
+        )
+        return MambaLM(
+            backbone=backbone,
+            lm_head=lm_head,
+            tie_embeddings=cfg.tie_embeddings,
+        )

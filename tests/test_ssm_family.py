@@ -1,0 +1,227 @@
+"""Mamba-family parity: the TPU-native selective-scan (mamba1) and
+chunked-SSD (mamba2) mixers must reproduce transformers' reference
+implementations (MambaMixer.slow_forward / Mamba2Mixer.torch_forward /
+FalconMambaMixer.slow_forward) on shared weights.  Reference coverage
+analogue: AutoModelForCausalLM (trainer_llm/builder.py:97-107) — these
+are the non-transformer compute graphs of that coverage."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from ptdeco_tpu import models, utils
+from ptdeco_tpu.models import hf_loader
+
+torch.set_num_threads(1)
+
+
+def _to_native(hf_model, hf_cfg_dict):
+    sd = {
+        k: v.detach().to(torch.float32).numpy()
+        for k, v in hf_model.state_dict().items()
+    }
+    sd = hf_loader.make_mamba_translator(hf_cfg_dict)(sd)
+    cfg = models.MambaConfig.from_hf_config(hf_cfg_dict, dtype=jnp.float32)
+    native = models.MambaLM.create(jax.random.PRNGKey(0), cfg)
+    return utils.load_state_dict(native, sd, strict=False), cfg
+
+
+def _compare(hf_model, native, vocab, atol, seqlen=12):
+    rng = np.random.RandomState(0)
+    ids = rng.randint(0, vocab, (2, seqlen))
+    with torch.no_grad():
+        ref = hf_model(torch.from_numpy(ids)).logits.to(torch.float32).numpy()
+    out = np.asarray(native({"input_ids": jnp.asarray(ids)}), np.float32)
+    assert np.allclose(out, ref, atol=atol), np.abs(out - ref).max()
+
+
+def test_mamba_logits_match_hf():
+    """mamba1: selective scan via jax.lax.associative_scan vs the HF
+    per-step loop (66th family)."""
+    cfg = transformers.MambaConfig(
+        vocab_size=128,
+        hidden_size=32,
+        num_hidden_layers=2,
+        state_size=8,
+        conv_kernel=4,
+        expand=2,
+        time_step_rank=4,
+        use_conv_bias=True,
+        use_bias=False,
+    )
+    hf = transformers.MambaForCausalLM(cfg).eval()
+    native, ncfg = _to_native(hf, cfg.to_dict())
+    assert ncfg.version == 1 and ncfg.d_inner == 64 and ncfg.dt_rank == 4
+    _compare(hf, native, 128, atol=3e-5)
+
+
+def test_mamba_untied_and_biases_match_hf():
+    """mamba1 with untied head and use_bias on the in/out projections."""
+    cfg = transformers.MambaConfig(
+        vocab_size=128,
+        hidden_size=32,
+        num_hidden_layers=1,
+        state_size=8,
+        time_step_rank=4,
+        use_bias=True,
+        tie_word_embeddings=False,
+    )
+    hf = transformers.MambaForCausalLM(cfg).eval()
+    native, ncfg = _to_native(hf, cfg.to_dict())
+    assert not ncfg.tie_embeddings and ncfg.proj_bias
+    _compare(hf, native, 128, atol=3e-5)
+
+
+def test_falcon_mamba_logits_match_hf():
+    """falcon_mamba: mamba1 plus affine-free RMS over the dt/B/C
+    selection streams (67th family)."""
+    cfg = transformers.FalconMambaConfig(
+        vocab_size=128,
+        hidden_size=32,
+        num_hidden_layers=2,
+        state_size=8,
+        time_step_rank=4,
+        mixer_rms_eps=1e-6,
+    )
+    hf = transformers.FalconMambaForCausalLM(cfg).eval()
+    native, ncfg = _to_native(hf, cfg.to_dict())
+    assert ncfg.mixer_rms_eps == 1e-6
+    _compare(hf, native, 128, atol=3e-5)
+
+
+def test_mamba2_logits_match_hf():
+    """mamba2: chunked SSD in f32 einsums vs HF torch_forward, with a
+    seqlen that is NOT a chunk multiple so the padding path runs (68th
+    family)."""
+    cfg = transformers.Mamba2Config(
+        vocab_size=128,
+        hidden_size=32,
+        num_hidden_layers=2,
+        state_size=8,
+        num_heads=4,
+        head_dim=16,
+        n_groups=2,
+        expand=2,
+        chunk_size=8,
+        conv_kernel=4,
+    )
+    hf = transformers.Mamba2ForCausalLM(cfg).eval()
+    native, ncfg = _to_native(hf, cfg.to_dict())
+    assert ncfg.version == 2 and ncfg.n_heads == 4 and ncfg.n_groups == 2
+    assert ncfg.d_inner == 64
+    # 12 % chunk_size(8) != 0 -> exercises chunk padding; 20 spans 3 chunks
+    _compare(hf, native, 128, atol=3e-5, seqlen=12)
+    _compare(hf, native, 128, atol=3e-5, seqlen=20)
+
+
+def test_mamba2_multichunk_state_carry():
+    """The inter-chunk recurrence must carry states across >2 chunks:
+    a long constant prefix then a distinctive token — last-position
+    logits must match HF exactly."""
+    cfg = transformers.Mamba2Config(
+        vocab_size=64,
+        hidden_size=16,
+        num_hidden_layers=1,
+        state_size=4,
+        num_heads=2,
+        head_dim=16,
+        n_groups=1,
+        chunk_size=4,
+    )
+    hf = transformers.Mamba2ForCausalLM(cfg).eval()
+    native, _ = _to_native(hf, cfg.to_dict())
+    ids = np.full((1, 19), 7, np.int64)
+    ids[0, -1] = 33
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(ids)).logits.float().numpy()
+    out = np.asarray(native({"input_ids": jnp.asarray(ids)}), np.float32)
+    assert np.allclose(out, ref, atol=3e-5), np.abs(out - ref).max()
+
+
+def test_builder_generic_mamba_snapshot(tmp_path):
+    """A mamba2 HF snapshot dir builds + loads through the generic
+    trainer builder path (the AutoModelForCausalLM analogue for SSMs)."""
+    import safetensors.numpy
+
+    from apps.trainer_llm import builder
+
+    cfg = transformers.Mamba2Config(
+        vocab_size=128,
+        hidden_size=32,
+        num_hidden_layers=1,
+        state_size=8,
+        num_heads=4,
+        head_dim=16,
+        n_groups=1,
+        chunk_size=8,
+    )
+    hf = transformers.Mamba2ForCausalLM(cfg).eval()
+    (tmp_path / "config.json").write_text(cfg.to_json_string())
+    sd = {
+        k: v.detach().to(torch.float32).numpy().copy()
+        for k, v in hf.state_dict().items()
+    }
+    safetensors.numpy.save_file(sd, tmp_path / "model.safetensors")
+    model, tokenizer = builder.make_model_and_tokenizer(
+        model_name="someorg/a-novel-mamba2",
+        dtype="float32",
+        checkpoint_path=str(tmp_path),
+    )
+    _compare(hf, model, 128, atol=3e-5)
+
+
+def test_mamba_decompose_and_roundtrip():
+    """dwain surgery + modconfig round-trip on the SSM graph: the
+    in/x/dt/out projections are ordinary decomposable sites."""
+    from ptdeco_tpu import dwain, engine
+
+    cfg = models.MambaConfig(
+        vocab_size=64,
+        dim=32,
+        n_layers=2,
+        d_inner=64,
+        d_state=8,
+        dt_rank=4,
+        dtype=jnp.float32,
+    )
+    model = models.MambaLM.create(jax.random.PRNGKey(0), cfg)
+
+    def batches(seed):
+        key = jax.random.PRNGKey(seed)
+        while True:
+            key, sub = jax.random.split(key)
+            yield {"input_ids": jax.random.randint(sub, (2, 12), 0, 64)}
+
+    names = engine.get_decomposeable_submodule_names(model)
+    keep = {
+        "backbone.layers.0.mixer.in_proj",
+        "backbone.layers.1.mixer.out_proj",
+    }
+    assert keep <= set(names)
+    model2, deco_cfg = dwain.decompose(
+        module=model,
+        data_iterator=batches(1),
+        loss_fn=models.ce_loss,
+        num_data_steps=2,
+        metric_iterator=batches(2),
+        num_metric_steps=1,
+        nsr_final_threshold=1e9,
+        blacklisted_module_names=[n for n in names if n not in keep],
+        min_rank=2,
+        trade_off_factor=1e9,
+        max_accepted_ppl_diff=1e9,
+    )
+    assert set(deco_cfg.keys()) == keep
+
+    fresh = models.MambaLM.create(jax.random.PRNGKey(9), cfg)
+    fresh = utils.apply_decompose_config(fresh, deco_cfg)
+    fresh = utils.load_state_dict(fresh, utils.state_dict(model2))
+    b = next(batches(3))
+    np.testing.assert_allclose(
+        np.asarray(model2(b)), np.asarray(fresh(b)), atol=2e-5
+    )
