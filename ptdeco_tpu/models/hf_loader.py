@@ -1047,6 +1047,63 @@ def translate_doge_state_dict(
     return out
 
 
+def translate_bamba_state_dict(
+    sd: dict[str, np.ndarray],
+) -> dict[str, np.ndarray]:
+    """HF Bamba hybrid: the per-layer mixer lives at ``mamba`` (-> the
+    native Block's self_attn slot), the MLP at ``feed_forward`` and its
+    norm at ``pre_ff_layernorm``; the depthwise conv squeezes its group
+    dim; ``final_layernorm`` -> model.norm."""
+    out: dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        k = k.replace("model.final_layernorm.", "model.norm.")
+        k = k.replace(".mamba.", ".self_attn.")
+        k = k.replace(".feed_forward.", ".mlp.")
+        k = k.replace(".pre_ff_layernorm.", ".post_attention_layernorm.")
+        if k.endswith(".conv1d.weight") and v.ndim == 3:
+            v = np.ascontiguousarray(v[:, 0, :])
+        out[k] = v
+    return out
+
+
+def make_granitemoehybrid_translator(hf_cfg: dict[str, Any]):
+    """GraniteMoeHybrid = the granitemoe fused-expert splits plus the
+    bamba-style mamba -> self_attn rename and conv group-dim squeeze."""
+    base = make_granitemoe_translator(hf_cfg)
+
+    def translate(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        out: dict[str, np.ndarray] = {}
+        for k, v in sd.items():
+            k = k.replace(".mamba.", ".self_attn.")
+            if k.endswith(".conv1d.weight") and v.ndim == 3:
+                v = np.ascontiguousarray(v[:, 0, :])
+            out[k] = v
+        return base(out)
+
+    return translate
+
+
+def translate_jamba_state_dict(
+    sd: dict[str, np.ndarray],
+) -> dict[str, np.ndarray]:
+    """HF Jamba hybrid: per-layer mixer at ``mamba`` -> self_attn slot
+    (incl. the affine dt/b/c stream norms), ``feed_forward`` is either a
+    dense MLP or a sparse block whose ``router`` -> mlp.gate,
+    ``pre_ff_layernorm`` -> post_attention_layernorm, ``final_layernorm``
+    -> model.norm, conv group dim squeezed."""
+    out: dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        k = k.replace("model.final_layernorm.", "model.norm.")
+        k = k.replace(".mamba.", ".self_attn.")
+        k = k.replace(".feed_forward.router.", ".mlp.gate.")
+        k = k.replace(".feed_forward.", ".mlp.")
+        k = k.replace(".pre_ff_layernorm.", ".post_attention_layernorm.")
+        if k.endswith(".conv1d.weight") and v.ndim == 3:
+            v = np.ascontiguousarray(v[:, 0, :])
+        out[k] = v
+    return out
+
+
 def make_mamba_translator(hf_cfg: dict[str, Any]):
     """HF mamba / falcon_mamba / mamba2: squeeze the depthwise conv's
     singleton group dim ((ch, 1, k) -> (ch, k)) and drop the tied
@@ -1191,4 +1248,10 @@ def translator_for(hf_cfg: dict[str, Any]):
         return translate_biogpt_state_dict
     if mt in ("mamba", "falcon_mamba", "mamba2"):
         return make_mamba_translator(hf_cfg)
+    if mt == "bamba":
+        return translate_bamba_state_dict
+    if mt == "granitemoehybrid":
+        return make_granitemoehybrid_translator(hf_cfg)
+    if mt == "jamba":
+        return translate_jamba_state_dict
     return None

@@ -59,6 +59,9 @@ class MambaConfig:
     dt_rank: int = 4
     # falcon_mamba: affine-free RMS over dt/B/C after x_proj
     mixer_rms_eps: Optional[float] = None
+    # jamba: AFFINE RMSNorms over the dt/B/C selection streams
+    # (dt_layernorm / b_layernorm / c_layernorm, eps = rms_norm_eps)
+    stream_norms: bool = False
     # mamba2
     n_heads: int = 4
     head_dim: int = 32
@@ -175,6 +178,10 @@ class Mamba1Mixer(nn.Module):
     A_log: jax.Array  # (d_inner, d_state)
     D: jax.Array  # (d_inner,)
     out_proj: nn.Linear  # d_inner -> dim
+    # jamba: affine RMSNorms over the selection streams
+    dt_layernorm: Optional[nn.RMSNorm] = None
+    b_layernorm: Optional[nn.RMSNorm] = None
+    c_layernorm: Optional[nn.RMSNorm] = None
     d_inner: int = nn.static_field(default=128)
     d_state: int = nn.static_field(default=16)
     dt_rank: int = nn.static_field(default=4)
@@ -204,6 +211,10 @@ class Mamba1Mixer(nn.Module):
             dt = _rms_no_affine(dt, self.mixer_rms_eps)
             B = _rms_no_affine(B, self.mixer_rms_eps)
             C = _rms_no_affine(C, self.mixer_rms_eps)
+        if self.dt_layernorm is not None:  # jamba
+            dt = self.dt_layernorm(dt, ctx)
+            B = self.b_layernorm(B, ctx)
+            C = self.c_layernorm(C, ctx)
         dt = jax.nn.softplus(self.dt_proj(dt, ctx))  # (b, s, d_inner)
         A = -jnp.exp(self.A_log.astype(jnp.float32))  # (d_inner, d_state)
         dtf = dt.astype(jnp.float32)
@@ -254,6 +265,21 @@ class Mamba1Mixer(nn.Module):
             D=jnp.ones((cfg.d_inner,), cfg.dtype),
             out_proj=nn.Linear.create(
                 ks[4], cfg.d_inner, cfg.dim, cfg.proj_bias, cfg.dtype
+            ),
+            dt_layernorm=(
+                nn.RMSNorm.create(cfg.dt_rank, cfg.norm_eps, cfg.dtype)
+                if cfg.stream_norms
+                else None
+            ),
+            b_layernorm=(
+                nn.RMSNorm.create(cfg.d_state, cfg.norm_eps, cfg.dtype)
+                if cfg.stream_norms
+                else None
+            ),
+            c_layernorm=(
+                nn.RMSNorm.create(cfg.d_state, cfg.norm_eps, cfg.dtype)
+                if cfg.stream_norms
+                else None
             ),
             d_inner=cfg.d_inner,
             d_state=cfg.d_state,

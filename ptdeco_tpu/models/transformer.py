@@ -217,6 +217,11 @@ class TransformerConfig:
     head_transform: bool = False
     head_transform_act: str = "gelu_exact"
     head_transform_bias: bool = False
+    # hybrid SSM decoders (bamba / granitemoehybrid / jamba): layer_types
+    # entries "mamba" put a Mamba mixer (sized by this ssm.MambaConfig)
+    # in the attention slot; the rest of the block (norms, MLP/MoE,
+    # residuals) is shared with the attention layers
+    mamba: Optional[Any] = None
     # rematerialize each block's activations during backward passes
     # (jax.checkpoint) — the HBM/flops trade for large-model calibration
     # and fine-tuning (the reference toggles HF gradient checkpointing,
@@ -292,6 +297,9 @@ class TransformerConfig:
             "phimoe": _hf_phimoe,
             "modernbert-decoder": _hf_modernbert_decoder,
             "doge": _hf_doge,
+            "bamba": _hf_bamba,
+            "granitemoehybrid": _hf_granitemoehybrid,
+            "jamba": _hf_jamba,
         }
         if mt in beyond_llama:
             return beyond_llama[mt](hf, dtype, remat)
@@ -2564,6 +2572,186 @@ def _hf_doge(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
     )
 
 
+def _hf_bamba(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
+    """HF BambaConfig -> native.  A hybrid decoder: layers_block_type
+    selects per layer between a Mamba2 (SSD) mixer and partial-rotary
+    GQA attention; every layer keeps the llama MLP with the pre_ff
+    norm (renamed post_attention_layernorm on load).  The mixer params
+    match Mamba2Mixer field-for-field (renamed mamba -> self_attn)."""
+    from . import ssm
+
+    if hf.get("rope_scaling") is not None:
+        raise ValueError(
+            "bamba rope_scaling is not implemented; use a custom builder"
+        )
+    n_heads = int(hf["num_attention_heads"])
+    dim = int(hf["hidden_size"])
+    n_layers = int(hf["num_hidden_layers"])
+    # layers_block_type is a derived property (not serialized): attention
+    # layers are the attn_layer_indices, everything else is mamba
+    lbt = hf.get("layers_block_type")
+    if lbt:
+        layer_types = tuple(str(t) for t in lbt)
+    else:
+        attn_idx = set(int(i) for i in (hf.get("attn_layer_indices") or ()))
+        layer_types = tuple(
+            "attention" if i in attn_idx else "mamba"
+            for i in range(n_layers)
+        )
+    pct = float(hf.get("partial_rotary_factor", 0.5))
+    mamba_cfg = ssm.MambaConfig(
+        version=2,
+        vocab_size=int(hf["vocab_size"]),
+        dim=dim,
+        n_layers=n_layers,
+        d_inner=int(hf.get("mamba_expand", 2)) * dim,
+        d_state=int(hf.get("mamba_d_state", 128)),
+        d_conv=int(hf.get("mamba_d_conv", 4)),
+        n_heads=int(hf["mamba_n_heads"]),
+        head_dim=int(hf.get("mamba_d_head") or 64),
+        n_groups=int(hf.get("mamba_n_groups", 1)),
+        chunk_size=int(hf.get("mamba_chunk_size", 256)),
+        conv_bias=bool(hf.get("mamba_conv_bias", True)),
+        proj_bias=bool(hf.get("mamba_proj_bias", False)),
+        norm_eps=float(hf.get("rms_norm_eps", 1e-5)),
+        dtype=dtype,
+    )
+    bias = bool(hf.get("attention_bias", False))
+    return TransformerConfig(
+        vocab_size=int(hf["vocab_size"]),
+        dim=dim,
+        n_layers=n_layers,
+        n_heads=n_heads,
+        n_kv_heads=int(hf.get("num_key_value_heads") or n_heads),
+        hidden_dim=int(hf["intermediate_size"]),
+        norm_eps=float(hf.get("rms_norm_eps", 1e-5)),
+        mlp_act=_hf_act(hf.get("hidden_act", "silu")),
+        mlp_bias=bool(hf.get("mlp_bias", False)),
+        qkv_bias=bias,
+        o_proj_bias=bias,
+        rope_theta=float(hf.get("rope_theta", 10000.0)),
+        rope_partial_factor=pct if pct < 1.0 else None,
+        layer_types=layer_types,
+        mamba=mamba_cfg,
+        tie_embeddings=bool(hf.get("tie_word_embeddings", False)),
+        remat=remat,
+        dtype=dtype,
+    )
+
+
+def _hf_granitemoehybrid(
+    hf: dict, dtype: Any, remat: bool
+) -> "TransformerConfig":
+    """HF GraniteMoeHybridConfig -> native.  The granitemoeshared graph
+    (scalar multipliers, topk-then-softmax router, fused shared MLP)
+    where layer_types selects per layer between a Mamba2 mixer and GQA
+    attention; attention layers rotate ONLY when position_embedding_type
+    == 'rope' (the released checkpoints are NoPE)."""
+    from . import ssm
+
+    base = _hf_granitemoe(hf, dtype, remat)
+    dim = base.dim
+    n_layers = base.n_layers
+    layer_types = tuple(
+        str(t) for t in (hf.get("layer_types") or ["mamba"] * n_layers)
+    )
+    mamba_cfg = ssm.MambaConfig(
+        version=2,
+        vocab_size=base.vocab_size,
+        dim=dim,
+        n_layers=n_layers,
+        d_inner=int(hf.get("mamba_expand", 2)) * dim,
+        d_state=int(hf.get("mamba_d_state", 128)),
+        d_conv=int(hf.get("mamba_d_conv", 4)),
+        n_heads=int(hf["mamba_n_heads"]),
+        head_dim=int(hf.get("mamba_d_head") or 64),
+        n_groups=int(hf.get("mamba_n_groups", 1)),
+        chunk_size=int(hf.get("mamba_chunk_size", 256)),
+        conv_bias=bool(hf.get("mamba_conv_bias", True)),
+        proj_bias=bool(hf.get("mamba_proj_bias", False)),
+        norm_eps=base.norm_eps,
+        dtype=dtype,
+    )
+    return dataclasses.replace(
+        base,
+        layer_types=layer_types,
+        mamba=mamba_cfg,
+        use_rope=hf.get("position_embedding_type") == "rope",
+    )
+
+
+def _hf_jamba(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
+    """HF JambaConfig -> native.  A NoPE hybrid: layers are mamba1
+    mixers (with AFFINE dt/b/c stream RMSNorms — JambaMambaMixer) except
+    every attn_layer_period-th (offset attn_layer_offset) which is plain
+    GQA attention; the MLP is a mixtral-style MoE (softmax -> top-k, NO
+    renormalization) on every expert_layer_period-th layer (offset
+    expert_layer_offset) when num_experts > 1, a dense llama MLP
+    elsewhere."""
+    from . import ssm
+
+    dim = int(hf["hidden_size"])
+    n_layers = int(hf["num_hidden_layers"])
+    n_heads = int(hf["num_attention_heads"])
+    lbt = hf.get("layers_block_type")
+    if lbt:
+        layer_types = tuple(str(t) for t in lbt)
+    else:
+        ap = int(hf.get("attn_layer_period", 8))
+        ao = int(hf.get("attn_layer_offset", 4))
+        layer_types = tuple(
+            "attention" if ap and i % ap == ao else "mamba"
+            for i in range(n_layers)
+        )
+    n_experts = int(hf.get("num_experts", 1))
+    if n_experts > 1:
+        ep = int(hf.get("expert_layer_period", 2))
+        eo = int(hf.get("expert_layer_offset", 1))
+        mlp_only = tuple(
+            i for i in range(n_layers) if not (ep and i % ep == eo)
+        )
+    else:
+        mlp_only = ()
+        n_experts = 0
+    tr = hf.get("mamba_dt_rank", "auto")
+    mamba_cfg = ssm.MambaConfig(
+        version=1,
+        vocab_size=int(hf["vocab_size"]),
+        dim=dim,
+        n_layers=n_layers,
+        d_inner=int(hf.get("mamba_expand", 2)) * dim,
+        d_state=int(hf.get("mamba_d_state", 16)),
+        d_conv=int(hf.get("mamba_d_conv", 4)),
+        dt_rank=(dim + 15) // 16 if tr in (None, "auto") else int(tr),
+        stream_norms=True,
+        conv_bias=bool(hf.get("mamba_conv_bias", True)),
+        proj_bias=bool(hf.get("mamba_proj_bias", False)),
+        norm_eps=float(hf.get("rms_norm_eps", 1e-6)),
+        dtype=dtype,
+    )
+    return TransformerConfig(
+        vocab_size=int(hf["vocab_size"]),
+        dim=dim,
+        n_layers=n_layers,
+        n_heads=n_heads,
+        n_kv_heads=int(hf.get("num_key_value_heads") or n_heads),
+        hidden_dim=int(hf["intermediate_size"]),
+        norm_eps=float(hf.get("rms_norm_eps", 1e-6)),
+        mlp_act=_hf_act(hf.get("hidden_act", "silu")),
+        qkv_bias=False,
+        use_rope=False,
+        layer_types=layer_types,
+        mamba=mamba_cfg,
+        n_experts=n_experts,
+        n_experts_per_tok=int(hf.get("num_experts_per_tok", 2)),
+        norm_topk_prob=False,
+        mlp_only_layers=mlp_only,
+        tie_embeddings=bool(hf.get("tie_word_embeddings", False)),
+        remat=remat,
+        dtype=dtype,
+    )
+
+
 class Attention(nn.Module):
     q_proj: nn.Linear
     k_proj: nn.Linear
@@ -3578,6 +3766,14 @@ def _layer_is_sparse(cfg: TransformerConfig, layer_idx: int) -> bool:
     )
 
 
+def _make_mamba_mixer(key: jax.Array, cfg: TransformerConfig):
+    from . import ssm
+
+    mc = cfg.mamba
+    cls = ssm.Mamba2Mixer if mc.version == 2 else ssm.Mamba1Mixer
+    return cls.create(key, mc)
+
+
 def _make_block_norm(cfg: TransformerConfig):
     if cfg.norm_type == "layernorm":
         return nn.LayerNorm.create(
@@ -3668,7 +3864,14 @@ class Block(nn.Module):
                 else norm()
             ),
             self_attn=(
-                MLAttention.create(k1, cfg)
+                _make_mamba_mixer(k1, cfg)
+                if (
+                    cfg.mamba is not None
+                    and cfg.layer_types
+                    and layer_idx < len(cfg.layer_types)
+                    and cfg.layer_types[layer_idx] == "mamba"
+                )
+                else MLAttention.create(k1, cfg)
                 if cfg.kv_lora_rank is not None
                 else DiffAttention.create(k1, cfg, layer_idx)
                 if cfg.diff_attention

@@ -225,3 +225,124 @@ def test_mamba_decompose_and_roundtrip():
     np.testing.assert_allclose(
         np.asarray(model2(b)), np.asarray(fresh(b)), atol=2e-5
     )
+
+
+def _compare_t(hf_model, native, vocab, atol, seqlen=12):
+    _compare(hf_model, native, vocab, atol, seqlen)
+
+
+def _to_native_transformer(hf_model, hf_cfg_dict):
+    sd = {
+        k: v.detach().to(torch.float32).numpy()
+        for k, v in hf_model.state_dict().items()
+        if not k.endswith("rotary_emb.inv_freq")
+    }
+    tr = hf_loader.translator_for(hf_cfg_dict)
+    if tr is not None:
+        sd = tr(sd)
+    cfg = models.TransformerConfig.from_hf_config(
+        hf_cfg_dict, dtype=jnp.float32
+    )
+    native = models.CausalLM.create(jax.random.PRNGKey(0), cfg)
+    return utils.load_state_dict(native, sd, strict=False), cfg
+
+
+def test_bamba_hybrid_logits_match_hf():
+    """bamba: hybrid mamba2/attention layers sharing the llama MLP —
+    the first hybrid family (69th).  Seqlen crosses chunk boundaries and
+    the attention layer uses partial rotary."""
+    if not hasattr(transformers, "BambaForCausalLM"):
+        pytest.skip("transformers without bamba")
+    cfg = transformers.BambaConfig(
+        vocab_size=128,
+        hidden_size=32,
+        num_hidden_layers=3,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        intermediate_size=48,
+        mamba_n_heads=4,
+        mamba_d_state=8,
+        mamba_d_head=16,
+        mamba_chunk_size=8,
+        attn_layer_indices=[1],
+        pad_token_id=0,
+    )
+    hf = transformers.BambaForCausalLM(cfg).eval()
+    native, ncfg = _to_native_transformer(hf, cfg.to_dict())
+    assert ncfg.layer_types == ("mamba", "attention", "mamba")
+    assert ncfg.mamba is not None and ncfg.mamba.version == 2
+    assert ncfg.rope_partial_factor == 0.5
+    _compare_t(hf, native, 128, atol=3e-5, seqlen=12)
+
+
+def test_granitemoehybrid_logits_match_hf():
+    """granitemoehybrid: granitemoeshared's fused MoE + scalar
+    multipliers with per-layer mamba2/NoPE-attention selection (70th
+    family)."""
+    if not hasattr(transformers, "GraniteMoeHybridForCausalLM"):
+        pytest.skip("transformers without granitemoehybrid")
+    cfg = transformers.GraniteMoeHybridConfig(
+        vocab_size=128,
+        hidden_size=32,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        intermediate_size=48,
+        num_local_experts=4,
+        num_experts_per_tok=2,
+        shared_intermediate_size=48,
+        mamba_n_heads=4,
+        mamba_d_state=8,
+        mamba_d_head=16,
+        mamba_chunk_size=8,
+        layer_types=["mamba", "attention"],
+        embedding_multiplier=3.0,
+        residual_multiplier=0.5,
+        attention_multiplier=0.25,
+        logits_scaling=2.0,
+        pad_token_id=0,
+    )
+    hf = transformers.GraniteMoeHybridForCausalLM(cfg).eval()
+    native, ncfg = _to_native_transformer(hf, cfg.to_dict())
+    assert ncfg.layer_types == ("mamba", "attention")
+    assert not ncfg.use_rope  # NoPE unless position_embedding_type=rope
+    assert ncfg.mamba is not None and ncfg.mamba.version == 2
+    _compare_t(hf, native, 128, atol=3e-5, seqlen=12)
+
+
+def test_jamba_logits_match_hf():
+    """jamba: mamba1 mixers with AFFINE dt/b/c stream norms, periodic
+    NoPE attention, periodic mixtral-routing MoE without top-k
+    renormalization (71st family)."""
+    if not hasattr(transformers, "JambaForCausalLM"):
+        pytest.skip("transformers without jamba")
+    cfg = transformers.JambaConfig(
+        vocab_size=128,
+        hidden_size=32,
+        num_hidden_layers=4,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        intermediate_size=48,
+        num_experts=4,
+        num_experts_per_tok=2,
+        expert_layer_period=2,
+        expert_layer_offset=1,
+        attn_layer_period=4,
+        attn_layer_offset=2,
+        mamba_d_state=8,
+        mamba_dt_rank=4,
+        use_mamba_kernels=False,
+        pad_token_id=0,
+    )
+    hf = transformers.JambaForCausalLM(cfg).eval()
+    # the stream norms must be non-unit so a dropped norm cannot hide
+    with torch.no_grad():
+        for n, p in hf.named_parameters():
+            if "layernorm" in n and ("dt_" in n or "b_" in n or "c_" in n):
+                p.copy_(torch.rand_like(p) + 0.5)
+    native, ncfg = _to_native_transformer(hf, cfg.to_dict())
+    assert ncfg.layer_types == ("mamba", "mamba", "attention", "mamba")
+    assert ncfg.mlp_only_layers == (0, 2)
+    assert ncfg.mamba is not None and ncfg.mamba.version == 1
+    assert ncfg.mamba.stream_norms and not ncfg.norm_topk_prob
+    _compare_t(hf, native, 128, atol=3e-5, seqlen=12)
