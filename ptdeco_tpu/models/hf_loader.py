@@ -1104,6 +1104,89 @@ def translate_jamba_state_dict(
     return out
 
 
+def make_falcon_h1_translator(hf_cfg: dict[str, Any]):
+    """FalconH1: fold the seven per-module mup multipliers into the
+    checkpoint weights (exact — each scales a linear map's input or
+    output):
+
+    * attention_in_multiplier scales the attention INPUT -> q/k/v
+      weights (not biases); key_multiplier scales the projected keys ->
+      k_proj weight AND bias; attention_out_multiplier scales the
+      attention output -> o_proj weight and bias.
+    * mlp_multipliers = (gate, down): act(gate(x)*g) folds g into
+      gate_proj; y=down(.)*d folds d into down_proj weight and bias.
+    * ssm_in_multiplier scales the mixer input -> in_proj weight;
+      the 5-way ssm_multipliers (z, x, B, C, dt slices of the in_proj
+      OUTPUT) scale the matching in_proj rows and bias rows;
+      ssm_out_multiplier scales the mixer output -> out_proj weight+bias.
+
+    Plus bamba-style renames (mamba stays 'mamba' — the parallel slot —
+    but pre_ff_layernorm -> post_attention_layernorm, final_layernorm ->
+    model.norm) and the conv group-dim squeeze."""
+    dim = int(hf_cfg["hidden_size"])
+    d_ssm = int(
+        hf_cfg.get("mamba_d_ssm")
+        or int(hf_cfg.get("mamba_expand", 2)) * dim
+    )
+    gn = int(hf_cfg.get("mamba_n_groups", 1)) * int(
+        hf_cfg.get("mamba_d_state", 128)
+    )
+    n_heads_m = int(hf_cfg["mamba_n_heads"])
+    aim = float(hf_cfg.get("attention_in_multiplier", 1.0))
+    aom = float(hf_cfg.get("attention_out_multiplier", 1.0))
+    km = float(hf_cfg.get("key_multiplier", 1.0))
+    gm, dm = (
+        float(v) for v in (hf_cfg.get("mlp_multipliers") or (1.0, 1.0))
+    )
+    sim = float(hf_cfg.get("ssm_in_multiplier", 1.0))
+    smul = [
+        float(v)
+        for v in (hf_cfg.get("ssm_multipliers") or (1.0,) * 5)
+    ]
+    # in_proj output rows: [z (d_ssm), x (d_ssm), B (gn), C (gn), dt (H)]
+    row_scale = np.concatenate(
+        [
+            np.full(d_ssm, smul[0]),
+            np.full(d_ssm, smul[1]),
+            np.full(gn, smul[2]),
+            np.full(gn, smul[3]),
+            np.full(n_heads_m, smul[4]),
+        ]
+    ).astype(np.float32)
+
+    def translate(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        out: dict[str, np.ndarray] = {}
+        for k, v in sd.items():
+            k = k.replace("model.final_layernorm.", "model.norm.")
+            k = k.replace(".pre_ff_layernorm.", ".post_attention_layernorm.")
+            k = k.replace(".feed_forward.", ".mlp.")
+            if k.endswith(".conv1d.weight") and v.ndim == 3:
+                v = np.ascontiguousarray(v[:, 0, :])
+            if ".self_attn." in k:
+                if ".q_proj.weight" in k or ".v_proj.weight" in k:
+                    v = v * aim
+                elif ".k_proj.weight" in k:
+                    v = v * (aim * km)
+                elif ".k_proj.bias" in k:
+                    v = v * km
+                elif ".o_proj." in k:
+                    v = v * aom
+            elif ".mlp.gate_proj." in k:
+                v = v * gm
+            elif ".mlp.down_proj." in k:
+                v = v * dm
+            elif ".mamba.in_proj.weight" in k:
+                v = v * (row_scale[:, None] * sim)
+            elif ".mamba.in_proj.bias" in k:
+                v = v * row_scale
+            elif ".mamba.out_proj." in k:
+                v = v * float(hf_cfg.get("ssm_out_multiplier", 1.0))
+            out[k] = v.astype(np.float32) if v.dtype == np.float64 else v
+        return out
+
+    return translate
+
+
 def make_mamba_translator(hf_cfg: dict[str, Any]):
     """HF mamba / falcon_mamba / mamba2: squeeze the depthwise conv's
     singleton group dim ((ch, 1, k) -> (ch, k)) and drop the tied
@@ -1254,4 +1337,6 @@ def translator_for(hf_cfg: dict[str, Any]):
         return make_granitemoehybrid_translator(hf_cfg)
     if mt == "jamba":
         return translate_jamba_state_dict
+    if mt == "falcon_h1":
+        return make_falcon_h1_translator(hf_cfg)
     return None

@@ -68,6 +68,9 @@ class MambaConfig:
     n_groups: int = 1
     chunk_size: int = 256
     time_step_limit: tuple = (0.0, float("inf"))
+    # falcon_h1 (mamba_rms_norm=False): skip the gated RMSNorm — the
+    # scan output is just y * silu(gate) before out_proj
+    gated_norm: bool = True
     conv_bias: bool = True
     proj_bias: bool = False
     norm_eps: float = 1e-5
@@ -311,7 +314,9 @@ class Mamba2Mixer(nn.Module):
     dt_bias: jax.Array  # (H,)
     A_log: jax.Array  # (H,)
     D: jax.Array  # (H,)
-    norm: nn.RMSNorm  # gated: applied to y * silu(gate)
+    # gated RMSNorm applied to y * silu(gate); None for falcon_h1's
+    # mamba_rms_norm=False flavor
+    norm: Optional[nn.RMSNorm]
     out_proj: nn.Linear
     d_inner: int = nn.static_field(default=128)
     d_state: int = nn.static_field(default=16)
@@ -400,7 +405,9 @@ class Mamba2Mixer(nn.Module):
         if pad:
             y = y[:, :s]
         y = y.reshape(b, s, H * P).astype(x.dtype)
-        y = self.norm(y * jax.nn.silu(gate), ctx)
+        y = y * jax.nn.silu(gate)
+        if self.norm is not None:
+            y = self.norm(y, ctx)
         return self.out_proj(y, ctx)
 
     @staticmethod
@@ -423,7 +430,11 @@ class Mamba2Mixer(nn.Module):
                 jnp.arange(1, cfg.n_heads + 1, dtype=jnp.float32)
             ),
             D=jnp.ones((cfg.n_heads,), cfg.dtype),
-            norm=nn.RMSNorm.create(cfg.d_inner, cfg.norm_eps, cfg.dtype),
+            norm=(
+                nn.RMSNorm.create(cfg.d_inner, cfg.norm_eps, cfg.dtype)
+                if cfg.gated_norm
+                else None
+            ),
             out_proj=nn.Linear.create(
                 ks[2], cfg.d_inner, cfg.dim, cfg.proj_bias, cfg.dtype
             ),

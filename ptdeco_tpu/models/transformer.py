@@ -222,6 +222,9 @@ class TransformerConfig:
     # in the attention slot; the rest of the block (norms, MLP/MoE,
     # residuals) is shared with the attention layers
     mamba: Optional[Any] = None
+    # falcon_h1: EVERY layer runs a Mamba2 mixer in parallel with
+    # attention (outputs summed into the residual)
+    parallel_ssm: bool = False
     # rematerialize each block's activations during backward passes
     # (jax.checkpoint) — the HBM/flops trade for large-model calibration
     # and fine-tuning (the reference toggles HF gradient checkpointing,
@@ -300,6 +303,7 @@ class TransformerConfig:
             "bamba": _hf_bamba,
             "granitemoehybrid": _hf_granitemoehybrid,
             "jamba": _hf_jamba,
+            "falcon_h1": _hf_falcon_h1,
         }
         if mt in beyond_llama:
             return beyond_llama[mt](hf, dtype, remat)
@@ -2752,6 +2756,80 @@ def _hf_jamba(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
     )
 
 
+def _hf_falcon_h1(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
+    """HF FalconH1Config -> native.  EVERY layer runs a Mamba2 mixer IN
+    PARALLEL with rotary GQA attention (one input norm feeds both,
+    outputs sum into the residual), over a llama MLP.  The nine mup
+    multipliers are handled without graph changes: embedding_multiplier
+    and lm_head_multiplier map onto existing knobs, and the seven others
+    (attention in/out, key, mlp gate/down, ssm in/out + the 5-way
+    zxbcdt mup vector) FOLD INTO THE WEIGHTS on load
+    (hf_loader.make_falcon_h1_translator) — exact because each scales a
+    linear map's input or output."""
+    from . import ssm
+
+    if hf.get("rope_scaling") is not None:
+        raise ValueError(
+            "falcon_h1 rope_scaling is not implemented; use a custom "
+            "builder"
+        )
+    dim = int(hf["hidden_size"])
+    n_layers = int(hf["num_hidden_layers"])
+    n_heads = int(hf["num_attention_heads"])
+    head_dim = hf.get("head_dim")
+    d_ssm = hf.get("mamba_d_ssm") or int(hf.get("mamba_expand", 2)) * dim
+    bias = bool(hf.get("attention_bias", False))
+    lm_mult = float(hf.get("lm_head_multiplier", 1.0))
+    mamba_cfg = ssm.MambaConfig(
+        version=2,
+        vocab_size=int(hf["vocab_size"]),
+        dim=dim,
+        n_layers=n_layers,
+        d_inner=int(d_ssm),
+        d_state=int(hf.get("mamba_d_state", 128)),
+        d_conv=int(hf.get("mamba_d_conv", 4)),
+        n_heads=int(hf["mamba_n_heads"]),
+        head_dim=int(hf.get("mamba_d_head") or int(d_ssm) // int(hf["mamba_n_heads"])),
+        n_groups=int(hf.get("mamba_n_groups", 1)),
+        chunk_size=int(hf.get("mamba_chunk_size", 256)),
+        conv_bias=bool(hf.get("mamba_conv_bias", True)),
+        proj_bias=bool(hf.get("projectors_bias", False)),
+        gated_norm=bool(hf.get("mamba_rms_norm", False)),
+        norm_eps=float(hf.get("rms_norm_eps", 1e-5)),
+        dtype=dtype,
+    )
+    return TransformerConfig(
+        vocab_size=int(hf["vocab_size"]),
+        dim=dim,
+        n_layers=n_layers,
+        n_heads=n_heads,
+        n_kv_heads=int(hf.get("num_key_value_heads") or n_heads),
+        hidden_dim=int(hf["intermediate_size"]),
+        norm_eps=float(hf.get("rms_norm_eps", 1e-5)),
+        head_dim_override=(
+            int(head_dim)
+            if head_dim is not None and int(head_dim) * n_heads != dim
+            else None
+        ),
+        mlp_act=_hf_act(hf.get("hidden_act", "silu")),
+        mlp_bias=bool(hf.get("mlp_bias", False)),
+        qkv_bias=bias,
+        o_proj_bias=bias,
+        rope_theta=float(hf.get("rope_theta", 100000.0)),
+        parallel_ssm=True,
+        mamba=mamba_cfg,
+        embedding_multiplier=(
+            float(hf["embedding_multiplier"])
+            if float(hf.get("embedding_multiplier", 1.0)) != 1.0
+            else None
+        ),
+        logit_scale=lm_mult if lm_mult != 1.0 else None,
+        tie_embeddings=bool(hf.get("tie_word_embeddings", False)),
+        remat=remat,
+        dtype=dtype,
+    )
+
+
 class Attention(nn.Module):
     q_proj: nn.Linear
     k_proj: nn.Linear
@@ -3809,6 +3887,11 @@ class Block(nn.Module):
     # add (ones-initialized; HF input_residual / post_attention_residual)
     input_residual: Optional[jax.Array] = None
     post_attention_residual: Optional[jax.Array] = None
+    # falcon_h1: a Mamba2 mixer running IN PARALLEL with attention — both
+    # read the input norm's output and their outputs sum into the
+    # residual (the mup multipliers are folded into the checkpoint
+    # weights on load, hf_loader.make_falcon_h1_translator)
+    mamba: Optional[nn.Module] = None
 
     def __call__(
         self,
@@ -3822,6 +3905,11 @@ class Block(nn.Module):
         attn_out = self.self_attn(
             xin, ctx, positions=positions, attn_mask=attn_mask
         )
+        if self.mamba is not None:  # falcon_h1 parallel hybrid
+            h = x + attn_out + self.mamba(
+                xin, ctx, positions=positions, attn_mask=attn_mask
+            )
+            return h + self.mlp(self.post_attention_layernorm(h), ctx)
         if self.parallel_residual != "none":
             mlp_in = (
                 xin
@@ -3899,6 +3987,11 @@ class Block(nn.Module):
             post_attention_residual=(
                 jnp.ones((cfg.dim,), cfg.dtype)
                 if cfg.residual_scales
+                else None
+            ),
+            mamba=(
+                _make_mamba_mixer(jax.random.fold_in(key, 5), cfg)
+                if cfg.parallel_ssm
                 else None
             ),
         )

@@ -346,3 +346,41 @@ def test_jamba_logits_match_hf():
     assert ncfg.mamba is not None and ncfg.mamba.version == 1
     assert ncfg.mamba.stream_norms and not ncfg.norm_topk_prob
     _compare_t(hf, native, 128, atol=3e-5, seqlen=12)
+
+
+def test_falcon_h1_logits_match_hf():
+    """falcon_h1: EVERY layer runs mamba2 IN PARALLEL with rotary GQA
+    attention; all nine mup multipliers set to distinctive non-unit
+    values and folded into weights / existing knobs on load (72nd
+    family)."""
+    if not hasattr(transformers, "FalconH1ForCausalLM"):
+        pytest.skip("transformers without falcon_h1")
+    cfg = transformers.FalconH1Config(
+        vocab_size=128,
+        hidden_size=32,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        intermediate_size=48,
+        mamba_n_heads=4,
+        mamba_d_state=8,
+        mamba_d_head="auto",
+        mamba_expand=2,
+        mamba_chunk_size=8,
+        embedding_multiplier=2.0,
+        lm_head_multiplier=0.5,
+        attention_in_multiplier=1.5,
+        attention_out_multiplier=0.75,
+        key_multiplier=1.25,
+        mlp_multipliers=[1.3, 0.7],
+        ssm_multipliers=[1.1, 0.9, 1.2, 0.8, 1.4],
+        ssm_in_multiplier=0.6,
+        ssm_out_multiplier=1.7,
+        pad_token_id=0,
+    )
+    hf = transformers.FalconH1ForCausalLM(cfg).eval()
+    native, ncfg = _to_native_transformer(hf, cfg.to_dict())
+    assert ncfg.parallel_ssm and ncfg.mamba is not None
+    assert not ncfg.mamba.gated_norm  # mamba_rms_norm defaults False
+    assert ncfg.embedding_multiplier == 2.0 and ncfg.logit_scale == 0.5
+    _compare_t(hf, native, 128, atol=5e-5, seqlen=12)
