@@ -1187,6 +1187,45 @@ def make_falcon_h1_translator(hf_cfg: dict[str, Any]):
     return translate
 
 
+def translate_llama4_state_dict(
+    sd: dict[str, np.ndarray],
+) -> dict[str, np.ndarray]:
+    """HF Llama4 text: ``feed_forward`` -> ``mlp``; the MoE's fused
+    (in, out)-oriented expert tensors split per expert —
+    ``experts.gate_up_proj`` (E, d, 2h) chunks into (gate, up) and
+    ``experts.down_proj`` (E, h, d) — each slice transposed back to the
+    torch (out, in) exchange layout; ``router`` -> ``gate``; the
+    language_model prefix (multimodal checkpoints) is stripped."""
+    out: dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        if k.startswith("language_model."):
+            k = k[len("language_model."):]
+        elif k.split(".", 1)[0] in ("vision_model", "multi_modal_projector"):
+            continue
+        k = k.replace(".feed_forward.", ".mlp.")
+        if k.endswith(".mlp.experts.gate_up_proj"):
+            stem = k[: -len("experts.gate_up_proj")]
+            h = v.shape[2] // 2
+            for e in range(v.shape[0]):
+                out[f"{stem}experts.{e}.gate_proj.weight"] = (
+                    np.ascontiguousarray(v[e, :, :h].T)
+                )
+                out[f"{stem}experts.{e}.up_proj.weight"] = (
+                    np.ascontiguousarray(v[e, :, h:].T)
+                )
+            continue
+        if k.endswith(".mlp.experts.down_proj"):
+            stem = k[: -len("experts.down_proj")]
+            for e in range(v.shape[0]):
+                out[f"{stem}experts.{e}.down_proj.weight"] = (
+                    np.ascontiguousarray(v[e].T)
+                )
+            continue
+        k = k.replace(".mlp.router.", ".mlp.gate.")
+        out[k] = v
+    return out
+
+
 def make_mamba_translator(hf_cfg: dict[str, Any]):
     """HF mamba / falcon_mamba / mamba2: squeeze the depthwise conv's
     singleton group dim ((ch, 1, k) -> (ch, k)) and drop the tied
@@ -1339,4 +1378,6 @@ def translator_for(hf_cfg: dict[str, Any]):
         return translate_jamba_state_dict
     if mt == "falcon_h1":
         return make_falcon_h1_translator(hf_cfg)
+    if mt in ("llama4", "llama4_text"):
+        return translate_llama4_state_dict
     return None

@@ -225,6 +225,15 @@ class TransformerConfig:
     # falcon_h1: EVERY layer runs a Mamba2 mixer in parallel with
     # attention (outputs summed into the residual)
     parallel_ssm: bool = False
+    # llama4: affine-free per-head RMS on q/k after rope (rope layers
+    # only), temperature tuning on NoPE layers ((attn_scale,
+    # floor_scale)), block-diagonal chunked attention, and a router
+    # whose sigmoid(top-k logit) weights scale the expert INPUTS
+    qk_l2norm: bool = False
+    attn_temperature_tuning: Optional[tuple] = None
+    attention_chunk_size: Optional[int] = None
+    router_topk_then_sigmoid: bool = False
+    moe_scale_expert_input: bool = False
     # rematerialize each block's activations during backward passes
     # (jax.checkpoint) — the HBM/flops trade for large-model calibration
     # and fine-tuning (the reference toggles HF gradient checkpointing,
@@ -250,6 +259,9 @@ class TransformerConfig:
         Raises ValueError (naming the offending field) for architectures
         whose compute graph this decoder does not express."""
         mt = hf.get("model_type", "llama")
+        if mt == "llama4":
+            hf = dict(hf["text_config"])
+            mt = hf.get("model_type", "llama4_text")
         if mt == "emu3":
             # Emu3ForCausalLM runs entirely on its text_config (a llama
             # graph over the multimodal token vocabulary)
@@ -304,6 +316,7 @@ class TransformerConfig:
             "granitemoehybrid": _hf_granitemoehybrid,
             "jamba": _hf_jamba,
             "falcon_h1": _hf_falcon_h1,
+            "llama4_text": _hf_llama4,
         }
         if mt in beyond_llama:
             return beyond_llama[mt](hf, dtype, remat)
@@ -2830,6 +2843,98 @@ def _hf_falcon_h1(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
     )
 
 
+def _hf_llama4(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
+    """HF Llama4TextConfig -> native.  Interleaved-rope llama graph with:
+    NoPE layers (no_rope_layers, 1 = rope) carrying attention
+    temperature tuning (log1p(floor((pos+1)/floor_scale)) * attn_scale
+    + 1 on the queries), affine-free per-head L2 qk norm AFTER rope on
+    rope layers, block-diagonal chunked attention on 'chunked_attention'
+    layers, and a MoE (moe_layers / interleave_moe_layer_step) whose
+    router takes sigmoid(top-k logits) as weights scaling the expert
+    INPUTS, with an always-on ungated shared expert; dense layers use
+    intermediate_size_mlp while experts/shared use intermediate_size."""
+    n_heads = int(hf["num_attention_heads"])
+    dim = int(hf["hidden_size"])
+    n_layers = int(hf["num_hidden_layers"])
+    head_dim = hf.get("head_dim")
+    bias = bool(hf.get("attention_bias", False))
+    rope_layers = tuple(int(v) for v in (hf.get("no_rope_layers") or ()))
+    moe_layers = hf.get("moe_layers")
+    if moe_layers is None:
+        step = int(hf.get("interleave_moe_layer_step", 1))
+        moe_layers = (
+            [i for i in range(n_layers) if (i + 1) % step == 0]
+            if step
+            else []
+        )
+    mlp_only = tuple(i for i in range(n_layers) if i not in set(moe_layers))
+    rs = hf.get("rope_scaling")
+    rope_llama3 = None
+    if rs is not None:
+        rtype = rs.get("rope_type", rs.get("type"))
+        if rtype == "llama3":
+            rope_llama3 = (
+                float(rs["factor"]),
+                float(rs.get("low_freq_factor", 1.0)),
+                float(rs.get("high_freq_factor", 4.0)),
+                int(rs.get("original_max_position_embeddings", 8192)),
+            )
+        elif rtype not in (None, "default"):
+            raise ValueError(
+                f"llama4 rope_scaling type {rtype!r} is not implemented"
+            )
+    return TransformerConfig(
+        vocab_size=int(hf["vocab_size"]),
+        dim=dim,
+        n_layers=n_layers,
+        n_heads=n_heads,
+        n_kv_heads=int(hf.get("num_key_value_heads") or n_heads),
+        hidden_dim=int(
+            hf.get("intermediate_size_mlp") or 4 * int(hf["intermediate_size"])
+        ),
+        norm_eps=float(hf.get("rms_norm_eps", 1e-5)),
+        head_dim_override=(
+            int(head_dim)
+            if head_dim is not None and int(head_dim) * n_heads != dim
+            else None
+        ),
+        mlp_act=_hf_act(hf.get("hidden_act", "silu")),
+        qkv_bias=bias,
+        o_proj_bias=bias,
+        rope_theta=float(hf.get("rope_theta", 500000.0)),
+        rope_interleaved=True,
+        rope_llama3_scaling=rope_llama3,
+        rope_layers=rope_layers,
+        layer_types=tuple(hf.get("layer_types") or ()),
+        attention_chunk_size=(
+            int(hf["attention_chunk_size"])
+            if hf.get("attention_chunk_size")
+            else None
+        ),
+        qk_l2norm=bool(hf.get("use_qk_norm", True)),
+        attn_temperature_tuning=(
+            (
+                float(hf.get("attn_scale", 0.1)),
+                float(hf.get("floor_scale", 8192)),
+            )
+            if hf.get("attn_temperature_tuning", True)
+            else None
+        ),
+        n_experts=int(hf.get("num_local_experts", 16)),
+        n_experts_per_tok=int(hf.get("num_experts_per_tok", 1)),
+        norm_topk_prob=False,
+        router_topk_then_sigmoid=True,
+        moe_scale_expert_input=True,
+        moe_hidden_dim=int(hf["intermediate_size"]),
+        mlp_only_layers=mlp_only,
+        shared_expert_hidden_dim=int(hf["intermediate_size"]),
+        shared_expert_gated=False,
+        tie_embeddings=bool(hf.get("tie_word_embeddings", False)),
+        remat=remat,
+        dtype=dtype,
+    )
+
+
 class Attention(nn.Module):
     q_proj: nn.Linear
     k_proj: nn.Linear
@@ -2872,6 +2977,15 @@ class Attention(nn.Module):
     use_alibi: bool = nn.static_field(default=False)
     # olmo/dbrx: clamp q/k/v projection outputs to ±clip_qkv
     clip_qkv: Optional[float] = nn.static_field(default=None)
+    # llama4: affine-free per-head RMS (L2 norm) on q/k AFTER rope
+    qk_l2norm: bool = nn.static_field(default=False)
+    qk_l2norm_eps: float = nn.static_field(default=1e-6)
+    # llama4 NoPE layers: q scaled by
+    # log1p(floor((pos+1)/floor_scale)) * attn_scale + 1
+    attn_temperature: Optional[tuple] = nn.static_field(default=None)
+    # llama4 chunked_attention layers: attend only within the same
+    # attention_chunk_size block (block-diagonal causal)
+    chunk_size: Optional[int] = nn.static_field(default=None)
 
     def __call__(
         self,
@@ -2929,6 +3043,29 @@ class Attention(nn.Module):
                 self.rope_yarn,
             )
 
+        if self.qk_l2norm:  # llama4: post-rope, affine-free, per head
+            def _l2(t):
+                tf = t.astype(jnp.float32)
+                return (
+                    tf
+                    * jax.lax.rsqrt(
+                        jnp.mean(jnp.square(tf), axis=-1, keepdims=True)
+                        + self.qk_l2norm_eps
+                    )
+                ).astype(t.dtype)
+
+            q, k = _l2(q), _l2(k)
+        if self.attn_temperature is not None and not self.use_rope:
+            a_scale, floor_scale = self.attn_temperature
+            scales = (
+                jnp.log1p(
+                    jnp.floor((positions.astype(jnp.float32) + 1.0) / floor_scale)
+                )
+                * a_scale
+                + 1.0
+            )
+            q = (q * scales[..., None, None]).astype(q.dtype)
+
         rep = self.n_heads // self.n_kv_heads
         if rep > 1:
             k = jnp.repeat(k, rep, axis=2)
@@ -2947,6 +3084,7 @@ class Attention(nn.Module):
             and self.sliding_window is None
             and not self.use_alibi
             and dyn_bias is None
+            and (self.chunk_size is None or s <= self.chunk_size)
             and attn_mask is None
             and s % 128 == 0
             and (hd <= 128 or hd % 128 == 0)
@@ -2994,6 +3132,12 @@ class Attention(nn.Module):
             # (HF sliding_window_overlay convention, self included)
             idx = jnp.arange(s)
             causal = causal & (idx[:, None] - idx[None, :] < self.sliding_window)
+        if self.chunk_size is not None:  # llama4 block-diagonal causal
+            idx = jnp.arange(s)
+            causal = causal & (
+                idx[:, None] // self.chunk_size
+                == idx[None, :] // self.chunk_size
+            )
         mask = causal[None, None, :, :]
         if attn_mask is not None:
             mask = mask & attn_mask[:, None, None, :].astype(bool)
@@ -3029,6 +3173,11 @@ class Attention(nn.Module):
             cfg.layer_types
             and layer_idx < len(cfg.layer_types)
             and cfg.layer_types[layer_idx] == "sliding_attention"
+        )
+        is_chunked = (
+            cfg.layer_types
+            and layer_idx < len(cfg.layer_types)
+            and cfg.layer_types[layer_idx] == "chunked_attention"
         )
         # gemma3: sliding layers rotate at the unscaled local theta; only
         # full-attention layers get rope_theta + the rope_yarn scaling
@@ -3105,6 +3254,12 @@ class Attention(nn.Module):
                 else None
             ),
             dyn_mask_keep_window=cfg.dyn_mask_keep_window,
+            qk_l2norm=cfg.qk_l2norm and use_rope,
+            qk_l2norm_eps=cfg.norm_eps,
+            attn_temperature=cfg.attn_temperature_tuning,
+            chunk_size=(
+                cfg.attention_chunk_size if is_chunked else None
+            ),
         )
 
 
@@ -3555,6 +3710,10 @@ class MoEMLP(nn.Module):
     # pick's weight comes from a LOCALLY masked softmax, no joint renorm)
     sparsemixer: bool = nn.static_field(default=False)
     jitter_eps: float = nn.static_field(default=0.01)
+    # llama4: weights = sigmoid(top-k raw logits), and they scale the
+    # expert INPUTS (not outputs) — different through the gated nonlinearity
+    topk_then_sigmoid: bool = nn.static_field(default=False)
+    scale_expert_input: bool = nn.static_field(default=False)
 
     def _experts_are_pristine(self) -> bool:
         """Static (trace-time) check: grouped dispatch requires every
@@ -3621,6 +3780,9 @@ class MoEMLP(nn.Module):
                 jnp.stack([w1, w2], axis=-1),
                 jnp.stack([idx1, idx2], axis=-1),
             )
+        if self.topk_then_sigmoid:  # llama4 Llama4Router
+            top_logits, top_idx = jax.lax.top_k(logits, self.top_k)
+            return jax.nn.sigmoid(top_logits), top_idx
         if self.softmax_after_topk:  # gpt_oss GptOssTopKRouter
             top_logits, top_idx = jax.lax.top_k(logits, self.top_k)
             return jax.nn.softmax(top_logits, axis=-1), top_idx
@@ -3671,6 +3833,9 @@ class MoEMLP(nn.Module):
         tok_sorted = token_ids[order]
         group_sizes = jnp.bincount(expert_ids, length=n_experts).astype(jnp.int32)
         xg = xf[tok_sorted]
+        w_sorted = top_vals.reshape(-1)[order].astype(x.dtype)
+        if self.scale_expert_input:  # llama4: weight scales expert input
+            xg = xg * w_sorted[:, None]
         eid_sorted = expert_ids[order]
         use_gmm = (
             jax.default_backend() == "tpu"
@@ -3759,8 +3924,9 @@ class MoEMLP(nn.Module):
             y = y + b_down
         if pad:
             y = y[:m_rows]
-        w = top_vals.reshape(-1)[order].astype(x.dtype)
-        out = jnp.zeros((n_tok, d), x.dtype).at[tok_sorted].add(y * w[:, None])
+        if not self.scale_expert_input:
+            y = y * w_sorted[:, None]
+        out = jnp.zeros((n_tok, d), x.dtype).at[tok_sorted].add(y)
         return out.reshape(b, s, d)
 
     def _dense_masked(self, x: jax.Array, ctx: Optional[nn.Ctx]) -> jax.Array:
@@ -3772,8 +3938,11 @@ class MoEMLP(nn.Module):
         out = jnp.zeros_like(x)
         for e, expert in enumerate(self.experts):
             w_e = w[..., e : e + 1]
-            x_e = jnp.where(w_e > 0, x, jnp.zeros_like(x))
-            out = out + expert(x_e, ctx) * w_e
+            if self.scale_expert_input:  # llama4: weight INSIDE the expert
+                out = out + expert(x * w_e, ctx)
+            else:
+                x_e = jnp.where(w_e > 0, x, jnp.zeros_like(x))
+                out = out + expert(x_e, ctx) * w_e
         return out
 
     def __call__(self, x: jax.Array, ctx: Optional[nn.Ctx] = None) -> jax.Array:
@@ -3832,6 +4001,8 @@ class MoEMLP(nn.Module):
             norm_min=cfg.router_norm_min,
             sparsemixer=cfg.router_sparsemixer,
             jitter_eps=cfg.router_jitter_eps,
+            topk_then_sigmoid=cfg.router_topk_then_sigmoid,
+            scale_expert_input=cfg.moe_scale_expert_input,
         )
 
 

@@ -1855,3 +1855,37 @@ def test_doge_logits_match_hf():
     assert ncfg.dyn_mask_keep_window == 64 and ncfg.residual_scales
     assert ncfg.qk_norm
     _compare(hf, native, 128, atol=3e-4)
+
+
+def test_llama4_text_logits_match_hf():
+    """Llama4: interleaved rope with NoPE layers carrying attention
+    temperature tuning, post-rope L2 qk norm, chunked attention, and a
+    sigmoid(top-k)-input-scaled MoE with shared expert (73rd family).
+    Chunk size 4 < seqlen 12 so the block-diagonal mask really masks."""
+    if not hasattr(transformers, "Llama4ForCausalLM"):
+        pytest.skip("transformers without llama4")
+    cfg = transformers.Llama4TextConfig(
+        vocab_size=128,
+        hidden_size=32,
+        num_hidden_layers=4,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        intermediate_size=48,
+        intermediate_size_mlp=64,
+        num_local_experts=4,
+        num_experts_per_tok=2,
+        interleave_moe_layer_step=2,
+        attention_chunk_size=4,
+        attn_temperature_tuning=True,
+        floor_scale=2,
+        attn_scale=0.1,
+        use_qk_norm=True,
+        pad_token_id=0,
+    )
+    hf = transformers.Llama4ForCausalLM(cfg).eval()
+    native, ncfg = _hf_to_native_translated(hf, cfg.to_dict())
+    assert ncfg.mlp_only_layers == (0, 2)
+    assert ncfg.attention_chunk_size == 4 and ncfg.qk_l2norm
+    assert ncfg.router_topk_then_sigmoid and ncfg.moe_scale_expert_input
+    assert ncfg.hidden_dim == 64 and ncfg.moe_hidden_dim == 48
+    _compare(hf, native, 128, atol=3e-4)
