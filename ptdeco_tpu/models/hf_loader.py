@@ -1226,6 +1226,36 @@ def translate_llama4_state_dict(
     return out
 
 
+def translate_lfm2_state_dict(
+    sd: dict[str, np.ndarray],
+) -> dict[str, np.ndarray]:
+    """HF LFM2: operator_norm -> input_layernorm, ffn_norm ->
+    post_attention_layernorm, the decoder-level embedding_norm (the
+    FINAL norm, despite its name) -> model.norm, feed_forward w1/w3/w2
+    -> gate/up/down, attention out_proj + q/k_layernorm renames, conv
+    mixer at ``conv`` -> the self_attn slot with the group dim
+    squeezed."""
+    out: dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        k = k.replace("model.embedding_norm.", "model.norm.")
+        k = k.replace(".operator_norm.", ".input_layernorm.")
+        k = k.replace(".ffn_norm.", ".post_attention_layernorm.")
+        k = k.replace(".feed_forward.w1.", ".mlp.gate_proj.")
+        k = k.replace(".feed_forward.w3.", ".mlp.up_proj.")
+        k = k.replace(".feed_forward.w2.", ".mlp.down_proj.")
+        k = k.replace(".self_attn.out_proj.", ".self_attn.o_proj.")
+        k = k.replace(".self_attn.q_layernorm.", ".self_attn.q_norm.")
+        k = k.replace(".self_attn.k_layernorm.", ".self_attn.k_norm.")
+        if ".conv.conv." in k:
+            if k.endswith("weight") and v.ndim == 3:
+                v = np.ascontiguousarray(v[:, 0, :])
+            k = k.replace(".conv.", ".self_attn.", 1)
+        elif ".conv." in k:  # in_proj / out_proj of the conv mixer
+            k = k.replace(".conv.", ".self_attn.", 1)
+        out[k] = v
+    return out
+
+
 def make_mamba_translator(hf_cfg: dict[str, Any]):
     """HF mamba / falcon_mamba / mamba2: squeeze the depthwise conv's
     singleton group dim ((ch, 1, k) -> (ch, k)) and drop the tied
@@ -1305,8 +1335,10 @@ def translator_for(hf_cfg: dict[str, Any]):
     field.  phi3 is NOT handled here (its split needs head counts AND the
     fused names collide with glm4's — the builder wires it explicitly)."""
     mt = hf_cfg.get("model_type")
-    if mt in ("mixtral", "phimoe"):
-        # phimoe reuses mixtral's block_sparse_moe / w1-w3-w2 layout
+    if mt in ("mixtral", "phimoe", "minimax"):
+        # phimoe/minimax reuse mixtral's block_sparse_moe / w1-w3-w2
+        # layout (minimax's lightning buffers are recomputed, and its
+        # mixer field names match natively under the self_attn slot)
         return translate_mixtral_state_dict
     if mt == "modernbert-decoder":
         return make_modernbert_decoder_translator(hf_cfg)
@@ -1380,4 +1412,6 @@ def translator_for(hf_cfg: dict[str, Any]):
         return make_falcon_h1_translator(hf_cfg)
     if mt in ("llama4", "llama4_text"):
         return translate_llama4_state_dict
+    if mt == "lfm2":
+        return translate_lfm2_state_dict
     return None

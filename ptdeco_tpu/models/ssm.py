@@ -43,6 +43,7 @@ __all__ = [
     "MambaBlock",
     "MambaBackbone",
     "MambaLM",
+    "ShortConvMixer",
 ]
 
 
@@ -445,6 +446,43 @@ class Mamba2Mixer(nn.Module):
             n_groups=cfg.n_groups,
             chunk_size=cfg.chunk_size,
             time_step_limit=cfg.time_step_limit,
+        )
+
+
+class ShortConvMixer(nn.Module):
+    """LFM2 gated short convolution (HF Lfm2ShortConv.slow_forward):
+    in_proj -> (B, C, x) thirds, a causal depthwise conv over B*x, gated
+    by C, then out_proj.  The conv kernel is tiny (conv_L_cache, e.g. 3)
+    so the unrolled shift form fuses into elementwise ops."""
+
+    in_proj: nn.Linear  # dim -> 3*dim
+    conv: DepthwiseConv1d
+    out_proj: nn.Linear
+
+    def __call__(
+        self,
+        x: jax.Array,
+        ctx: Optional[nn.Ctx] = None,
+        *,
+        positions: Optional[jax.Array] = None,
+        attn_mask: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        if attn_mask is not None:
+            x = x * attn_mask[..., None].astype(x.dtype)
+        bcx = self.in_proj(x, ctx)
+        B, C, xs = jnp.split(bcx, 3, axis=-1)
+        y = C * self.conv(B * xs, ctx)
+        return self.out_proj(y, ctx)
+
+    @staticmethod
+    def create(
+        key: jax.Array, dim: int, L: int, bias: bool, dtype: Any
+    ) -> "ShortConvMixer":
+        ks = jax.random.split(key, 3)
+        return ShortConvMixer(
+            in_proj=nn.Linear.create(ks[0], dim, 3 * dim, bias, dtype),
+            conv=DepthwiseConv1d.create(ks[1], dim, L, bias, dtype),
+            out_proj=nn.Linear.create(ks[2], dim, dim, bias, dtype),
         )
 
 

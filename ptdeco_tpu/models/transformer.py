@@ -234,6 +234,15 @@ class TransformerConfig:
     attention_chunk_size: Optional[int] = None
     router_topk_then_sigmoid: bool = False
     moe_scale_expert_input: bool = False
+    # lfm2: layer_types "conv" layers run a gated short-conv mixer
+    # ((kernel_length, bias) — ssm.ShortConvMixer) in the attention slot
+    conv_mixer: Optional[tuple] = None
+    # minimax: layer_types "linear_attention" layers run lightning
+    # attention at this block size, and every layer uses the NORM-FIRST
+    # scaled-residual wiring h = norm(x)*alpha + mixer(norm(x))*beta with
+    # per-type (full_a, full_b, linear_a, linear_b, mlp_a, mlp_b)
+    lightning_block_size: int = 256
+    minimax_residual_factors: Optional[tuple] = None
     # rematerialize each block's activations during backward passes
     # (jax.checkpoint) — the HBM/flops trade for large-model calibration
     # and fine-tuning (the reference toggles HF gradient checkpointing,
@@ -317,6 +326,8 @@ class TransformerConfig:
             "jamba": _hf_jamba,
             "falcon_h1": _hf_falcon_h1,
             "llama4_text": _hf_llama4,
+            "lfm2": _hf_lfm2,
+            "minimax": _hf_minimax,
         }
         if mt in beyond_llama:
             return beyond_llama[mt](hf, dtype, remat)
@@ -2935,6 +2946,98 @@ def _hf_llama4(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
     )
 
 
+def _hf_lfm2(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
+    """HF Lfm2Config -> native.  Hybrid of gated short-conv mixers
+    (layer_types 'conv': in_proj thirds (B, C, x), causal depthwise conv
+    over B*x gated by C) and bias-free GQA attention with per-head qk
+    RMSNorms; llama MLP under the w1/w3/w2 naming; the FINAL norm is the
+    checkpoint's 'embedding_norm' (renamed on load)."""
+    n_heads = int(hf["num_attention_heads"])
+    dim = int(hf["hidden_size"])
+    n_layers = int(hf["num_hidden_layers"])
+    lt = hf.get("layer_types")
+    if not lt:
+        full = set(int(i) for i in (hf.get("full_attn_idxs") or ()))
+        lt = [
+            "full_attention" if i in full else "conv"
+            for i in range(n_layers)
+        ]
+    return TransformerConfig(
+        vocab_size=int(hf["vocab_size"]),
+        dim=dim,
+        n_layers=n_layers,
+        n_heads=n_heads,
+        n_kv_heads=int(hf.get("num_key_value_heads") or n_heads),
+        hidden_dim=int(
+            hf.get("intermediate_size") or hf.get("block_ff_dim") or 4 * dim
+        ),
+        norm_eps=float(hf.get("norm_eps", 1e-5)),
+        qk_norm=True,
+        mlp_act=_hf_act(hf.get("hidden_act", "silu")),
+        rope_theta=float(hf.get("rope_theta", 1e6)),
+        layer_types=tuple(str(t) for t in lt),
+        conv_mixer=(
+            int(hf.get("conv_L_cache", 3)),
+            bool(hf.get("conv_bias", False)),
+        ),
+        tie_embeddings=bool(hf.get("tie_word_embeddings", True)),
+        remat=remat,
+        dtype=dtype,
+    )
+
+
+def _hf_minimax(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
+    """HF MiniMaxConfig -> native.  Hybrid of lightning (linear)
+    attention layers and rotary full-attention layers over a mixtral
+    MoE, with the NORM-FIRST scaled-residual wiring (residual = the
+    normed stream, scaled by per-type alpha/beta factors)."""
+    n_heads = int(hf["num_attention_heads"])
+    dim = int(hf["hidden_size"])
+    n_layers = int(hf["num_hidden_layers"])
+    head_dim = hf.get("head_dim")
+    layer_types = tuple(
+        str(t)
+        for t in (
+            hf.get("layer_types")
+            or [
+                "full_attention" if i % 2 == 0 else "linear_attention"
+                for i in range(n_layers)
+            ]
+        )
+    )
+    return TransformerConfig(
+        vocab_size=int(hf["vocab_size"]),
+        dim=dim,
+        n_layers=n_layers,
+        n_heads=n_heads,
+        n_kv_heads=int(hf.get("num_key_value_heads") or n_heads),
+        hidden_dim=int(hf["intermediate_size"]),
+        norm_eps=float(hf.get("rms_norm_eps", 1e-5)),
+        head_dim_override=(
+            int(head_dim)
+            if head_dim is not None and int(head_dim) * n_heads != dim
+            else None
+        ),
+        mlp_act=_hf_act(hf.get("hidden_act", "silu")),
+        rope_theta=float(hf.get("rope_theta", 10000.0)),
+        layer_types=layer_types,
+        lightning_block_size=int(hf.get("block_size", 256)),
+        minimax_residual_factors=(
+            float(hf.get("full_attn_alpha_factor", 1.0)),
+            float(hf.get("full_attn_beta_factor", 1.0)),
+            float(hf.get("linear_attn_alpha_factor", 1.0)),
+            float(hf.get("linear_attn_beta_factor", 1.0)),
+            float(hf.get("mlp_alpha_factor", 1.0)),
+            float(hf.get("mlp_beta_factor", 1.0)),
+        ),
+        n_experts=int(hf["num_local_experts"]),
+        n_experts_per_tok=int(hf.get("num_experts_per_tok", 2)),
+        tie_embeddings=bool(hf.get("tie_word_embeddings", False)),
+        remat=remat,
+        dtype=dtype,
+    )
+
+
 class Attention(nn.Module):
     q_proj: nn.Linear
     k_proj: nn.Linear
@@ -3377,6 +3480,132 @@ class DiffAttention(nn.Module):
             rope_theta=cfg.rope_theta,
             lambda_init=0.8 - 0.6 * math.exp(-0.3 * layer_idx),
             norm_eps=cfg.norm_eps,
+        )
+
+
+class LightningAttention(nn.Module):
+    """MiniMax lightning (linear) attention (HF MiniMaxLightningAttention):
+    silu(qkv_proj(x)) split per head, processed in blocks — intra-block
+    (Q Kᵀ ⊙ exp(-slope·(i-j)) ) V plus inter-block Q·S with the running
+    Kᵀ V state decayed by exp(-slope·block) between blocks — then an RMS
+    norm over the merged heads, a sigmoid output gate from the BLOCK
+    INPUT, and out_proj.  The per-head slope is ALiBi-style
+    (1/2^(8/H))^(h+1) scaled by (1 - l/(L-1+1e-5) + 1e-5).  The
+    inter-block recurrence runs as a log-depth associative scan; every
+    heavy contraction is an einsum."""
+
+    qkv_proj: nn.Linear  # dim -> 3*H*hd
+    out_proj: nn.Linear
+    output_gate: nn.Linear  # dim -> H*hd
+    norm: nn.RMSNorm  # over H*hd
+    n_heads: int = nn.static_field(default=8)
+    block_size: int = nn.static_field(default=256)
+    layer_idx: int = nn.static_field(default=0)
+    n_layers: int = nn.static_field(default=1)
+
+    def _slope(self) -> jax.Array:
+        base = 1.0 / (2.0 ** (8.0 / self.n_heads))
+        exponent = jnp.arange(1, self.n_heads + 1, dtype=jnp.float32)
+        factor = 1.0 - self.layer_idx / (self.n_layers - 1 + 1e-5) + 1e-5
+        return (base**exponent) * factor  # (H,)
+
+    def __call__(
+        self,
+        x: jax.Array,
+        ctx: Optional[nn.Ctx] = None,
+        *,
+        positions: Optional[jax.Array] = None,
+        attn_mask: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        b, s, _ = x.shape
+        H = self.n_heads
+        qkv = jax.nn.silu(self.qkv_proj(x, ctx))
+        hd = qkv.shape[-1] // (3 * H)
+        qkv = qkv.reshape(b, s, H, 3 * hd)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        if attn_mask is not None:
+            v = v * attn_mask[..., None, None].astype(v.dtype)
+        bs = self.block_size
+        pad = (-s) % bs
+        nb = (s + pad) // bs
+
+        def chunks(t):  # (b, s, H, hd) -> (b, nb, bs, H, hd)
+            t = jnp.pad(t, ((0, 0), (0, pad), (0, 0), (0, 0)))
+            return t.reshape(b, nb, bs, H, hd)
+
+        qc, kc, vc = chunks(q), chunks(k), chunks(v)
+        slope = self._slope()  # (H,)
+        idx = jnp.arange(bs, dtype=jnp.float32)
+        # decay within a block: exp(-slope (i - j)) for i >= j
+        diag = idx[:, None] - idx[None, :]
+        diag_decay = jnp.where(
+            diag >= 0, jnp.exp(-slope[:, None, None] * diag), 0.0
+        )  # (H, bs, bs)
+        q_decay = jnp.exp(-slope[None, :] * (idx[:, None] + 1.0))  # (bs, H)
+        k_decay = jnp.exp(-slope[None, :] * (bs - (idx[:, None] + 1.0)))
+        block_decay = jnp.exp(-slope * bs)  # (H,)
+        # intra-block: all blocks in parallel
+        w = jnp.einsum(
+            "bnihd,bnjhd->bnhij", qc, kc, preferred_element_type=jnp.float32
+        )
+        intra = jnp.einsum(
+            "bnhij,bnjhd->bnihd", w * diag_decay[None, None], vc.astype(jnp.float32)
+        )
+        # per-block Kᵀ V states and the decayed running sum across blocks
+        states = jnp.einsum(
+            "bnjhd,bnjhe->bnhde",
+            kc.astype(jnp.float32) * k_decay[None, None, :, :, None],
+            vc.astype(jnp.float32),
+        )  # (b, nb, H, hd, hd)
+        bd = jnp.broadcast_to(
+            block_decay[None, None, :, None, None], states.shape
+        )
+
+        def comb(left, right):
+            aL, sL = left
+            aR, sR = right
+            return aL * aR, sL * aR + sR
+
+        _, cum = jax.lax.associative_scan(comb, (bd, states), axis=1)
+        # state entering block n = cumulative sum through block n-1
+        prev = jnp.concatenate(
+            [jnp.zeros_like(cum[:, :1]), cum[:, :-1]], axis=1
+        )
+        inter = jnp.einsum(
+            "bnihd,bnhde->bnihe",
+            qc.astype(jnp.float32) * q_decay[None, None, :, :, None],
+            prev,
+        )
+        out = (intra + inter).astype(x.dtype).reshape(b, nb * bs, H * hd)
+        if pad:
+            out = out[:, :s]
+        out = self.norm(out, ctx)
+        out = jax.nn.sigmoid(self.output_gate(x, ctx)) * out
+        return self.out_proj(out, ctx)
+
+    @staticmethod
+    def create(
+        key: jax.Array, cfg: "TransformerConfig", layer_idx: int
+    ) -> "LightningAttention":
+        ks = jax.random.split(key, 3)
+        hd = cfg.head_dim
+        return LightningAttention(
+            qkv_proj=nn.Linear.create(
+                ks[0], cfg.dim, 3 * cfg.n_heads * hd, False, cfg.dtype
+            ),
+            out_proj=nn.Linear.create(
+                ks[1], cfg.n_heads * hd, cfg.dim, False, cfg.dtype
+            ),
+            output_gate=nn.Linear.create(
+                ks[2], cfg.dim, cfg.n_heads * hd, False, cfg.dtype
+            ),
+            # HF instantiates this norm WITHOUT passing the config eps,
+            # so it keeps MiniMaxRMSNorm's default 1e-6
+            norm=nn.RMSNorm.create(cfg.n_heads * hd, 1e-6, cfg.dtype),
+            n_heads=cfg.n_heads,
+            block_size=cfg.lightning_block_size,
+            layer_idx=layer_idx,
+            n_layers=cfg.n_layers,
         )
 
 
@@ -4023,6 +4252,13 @@ def _make_mamba_mixer(key: jax.Array, cfg: TransformerConfig):
     return cls.create(key, mc)
 
 
+def _make_conv_mixer(key: jax.Array, cfg: TransformerConfig):
+    from . import ssm
+
+    L, bias = cfg.conv_mixer
+    return ssm.ShortConvMixer.create(key, cfg.dim, int(L), bool(bias), cfg.dtype)
+
+
 def _make_block_norm(cfg: TransformerConfig):
     if cfg.norm_type == "layernorm":
         return nn.LayerNorm.create(
@@ -4063,6 +4299,10 @@ class Block(nn.Module):
     # residual (the mup multipliers are folded into the checkpoint
     # weights on load, hf_loader.make_falcon_h1_translator)
     mamba: Optional[nn.Module] = None
+    # minimax: NORM-FIRST scaled residuals — the residual stream itself
+    # is the NORMED value: h = norm(x)*a1 + attn(norm(x))*b1, then
+    # norm2(h)*a2 + mlp(norm2(h))*b2.  (a1, b1, a2, b2) per layer type.
+    residual_factors: Optional[tuple] = nn.static_field(default=None)
 
     def __call__(
         self,
@@ -4081,6 +4321,11 @@ class Block(nn.Module):
                 xin, ctx, positions=positions, attn_mask=attn_mask
             )
             return h + self.mlp(self.post_attention_layernorm(h), ctx)
+        if self.residual_factors is not None:  # minimax norm-first wiring
+            a1, b1, a2, b2 = self.residual_factors
+            h = xin * a1 + attn_out * b1
+            h2 = self.post_attention_layernorm(h)
+            return h2 * a2 + self.mlp(h2, ctx) * b2
         if self.parallel_residual != "none":
             mlp_in = (
                 xin
@@ -4130,6 +4375,19 @@ class Block(nn.Module):
                     and layer_idx < len(cfg.layer_types)
                     and cfg.layer_types[layer_idx] == "mamba"
                 )
+                else _make_conv_mixer(k1, cfg)
+                if (
+                    cfg.conv_mixer is not None
+                    and cfg.layer_types
+                    and layer_idx < len(cfg.layer_types)
+                    and cfg.layer_types[layer_idx] == "conv"
+                )
+                else LightningAttention.create(k1, cfg, layer_idx)
+                if (
+                    cfg.layer_types
+                    and layer_idx < len(cfg.layer_types)
+                    and cfg.layer_types[layer_idx] == "linear_attention"
+                )
                 else MLAttention.create(k1, cfg)
                 if cfg.kv_lora_rank is not None
                 else DiffAttention.create(k1, cfg, layer_idx)
@@ -4163,6 +4421,19 @@ class Block(nn.Module):
             mamba=(
                 _make_mamba_mixer(jax.random.fold_in(key, 5), cfg)
                 if cfg.parallel_ssm
+                else None
+            ),
+            residual_factors=(
+                (
+                    (mf[2], mf[3], mf[4], mf[5])
+                    if (
+                        cfg.layer_types
+                        and layer_idx < len(cfg.layer_types)
+                        and cfg.layer_types[layer_idx] == "linear_attention"
+                    )
+                    else (mf[0], mf[1], mf[4], mf[5])
+                )
+                if (mf := cfg.minimax_residual_factors) is not None
                 else None
             ),
         )

@@ -384,3 +384,62 @@ def test_falcon_h1_logits_match_hf():
     assert not ncfg.mamba.gated_norm  # mamba_rms_norm defaults False
     assert ncfg.embedding_multiplier == 2.0 and ncfg.logit_scale == 0.5
     _compare_t(hf, native, 128, atol=5e-5, seqlen=12)
+
+
+def test_lfm2_logits_match_hf():
+    """lfm2: gated short-conv mixers hybridized with per-head-qk-norm
+    GQA attention; final norm is the checkpoint's 'embedding_norm'
+    (74th family)."""
+    if not hasattr(transformers, "Lfm2ForCausalLM"):
+        pytest.skip("transformers without lfm2")
+    cfg = transformers.Lfm2Config(
+        vocab_size=128,
+        hidden_size=32,
+        num_hidden_layers=3,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        intermediate_size=48,
+        conv_L_cache=3,
+        layer_types=["conv", "full_attention", "conv"],
+        pad_token_id=0,
+    )
+    hf = transformers.Lfm2ForCausalLM(cfg).eval()
+    native, ncfg = _to_native_transformer(hf, cfg.to_dict())
+    assert ncfg.layer_types == ("conv", "full_attention", "conv")
+    assert ncfg.conv_mixer == (3, False) and ncfg.qk_norm
+    _compare_t(hf, native, 128, atol=3e-5, seqlen=12)
+
+
+def test_minimax_logits_match_hf():
+    """minimax: lightning linear attention (block-decayed KᵀV scan)
+    hybridized with rotary full attention over a mixtral MoE, using the
+    norm-first scaled-residual wiring with non-unit factors (75th
+    family).  block_size 4 < seqlen 12 exercises the inter-block
+    recurrence."""
+    if not hasattr(transformers, "MiniMaxForCausalLM"):
+        pytest.skip("transformers without minimax")
+    cfg = transformers.MiniMaxConfig(
+        vocab_size=128,
+        hidden_size=32,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        intermediate_size=48,
+        num_local_experts=4,
+        num_experts_per_tok=2,
+        layer_types=["linear_attention", "full_attention"],
+        block_size=4,
+        full_attn_alpha_factor=0.9,
+        full_attn_beta_factor=1.1,
+        linear_attn_alpha_factor=1.2,
+        linear_attn_beta_factor=0.8,
+        mlp_alpha_factor=1.05,
+        mlp_beta_factor=0.95,
+        pad_token_id=0,
+    )
+    hf = transformers.MiniMaxForCausalLM(cfg).eval()
+    native, ncfg = _to_native_transformer(hf, cfg.to_dict())
+    assert ncfg.layer_types == ("linear_attention", "full_attention")
+    assert ncfg.minimax_residual_factors == (0.9, 1.1, 1.2, 0.8, 1.05, 0.95)
+    assert ncfg.lightning_block_size == 4
+    _compare_t(hf, native, 128, atol=3e-5, seqlen=12)
