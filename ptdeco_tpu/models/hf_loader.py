@@ -1256,6 +1256,42 @@ def translate_lfm2_state_dict(
     return out
 
 
+def make_longcat_translator(hf_cfg: dict[str, Any]):
+    """LongcatFlash: router ``classifier`` -> ``gate`` and its
+    ``e_score_correction_bias`` buffer -> the flat gate_correction_bias
+    leaf; the MLA lora output scales (q_b x sqrt(dim/q_lora_rank), the
+    k_nope rows of kv_b x sqrt(dim/kv_lora_rank) — HF mla_scale_q_lora /
+    mla_scale_kv_lora) FOLD INTO THE WEIGHTS (exact: each scales a
+    linear map's output rows; the v rows stay unscaled)."""
+    dim = int(hf_cfg["hidden_size"])
+    q_rank = hf_cfg.get("q_lora_rank")
+    kv_rank = int(hf_cfg["kv_lora_rank"])
+    scale_q = (dim / q_rank) ** 0.5 if q_rank else 1.0
+    # mla_scale_kv_lora multiplies the normed LATENT before kv_b_proj —
+    # an input scale, so the WHOLE kv_b weight folds (k_nope and v alike)
+    scale_kv = (dim / kv_rank) ** 0.5
+
+    def translate(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        out: dict[str, np.ndarray] = {}
+        for k, v in sd.items():
+            if k.endswith(".mlp.router.classifier.weight"):
+                k = k.replace(".mlp.router.classifier.", ".mlp.gate.")
+            elif k.endswith(".mlp.router.e_score_correction_bias"):
+                k = k.replace(
+                    ".mlp.router.e_score_correction_bias",
+                    ".mlp.gate_correction_bias",
+                )
+                v = v.reshape(-1)
+            elif ".q_b_proj.weight" in k:
+                v = v * np.float32(scale_q)
+            elif ".kv_b_proj.weight" in k:
+                v = v * np.float32(scale_kv)
+            out[k] = v
+        return out
+
+    return translate
+
+
 def make_mamba_translator(hf_cfg: dict[str, Any]):
     """HF mamba / falcon_mamba / mamba2: squeeze the depthwise conv's
     singleton group dim ((ch, 1, k) -> (ch, k)) and drop the tied
@@ -1414,4 +1450,6 @@ def translator_for(hf_cfg: dict[str, Any]):
         return translate_llama4_state_dict
     if mt == "lfm2":
         return translate_lfm2_state_dict
+    if mt == "longcat_flash":
+        return make_longcat_translator(hf_cfg)
     return None

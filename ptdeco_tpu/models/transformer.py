@@ -243,6 +243,11 @@ class TransformerConfig:
     # per-type (full_a, full_b, linear_a, linear_b, mlp_a, mlp_b)
     lightning_block_size: int = 256
     minimax_residual_factors: Optional[tuple] = None
+    # longcat_flash: dual-sublayer blocks (two MLA attentions + two dense
+    # MLPs per logical layer) with a shortcut MoE whose router also
+    # scores n_zero_experts identity experts
+    longcat_dual: bool = False
+    n_zero_experts: int = 0
     # rematerialize each block's activations during backward passes
     # (jax.checkpoint) — the HBM/flops trade for large-model calibration
     # and fine-tuning (the reference toggles HF gradient checkpointing,
@@ -328,6 +333,7 @@ class TransformerConfig:
             "llama4_text": _hf_llama4,
             "lfm2": _hf_lfm2,
             "minimax": _hf_minimax,
+            "longcat_flash": _hf_longcat,
         }
         if mt in beyond_llama:
             return beyond_llama[mt](hf, dtype, remat)
@@ -3038,6 +3044,58 @@ def _hf_minimax(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
     )
 
 
+def _hf_longcat(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
+    """HF LongcatFlashConfig -> native.  Dual-sublayer blocks (two MLA
+    attentions + two dense MLPs per logical layer) with a shortcut MoE
+    added after the second sublayer; the router softmaxes in fp32,
+    selects with a correction bias over n_routed + zero_expert_num
+    IDENTITY experts (whose weight passes the token through), takes raw
+    softmax scores as weights and scales by routed_scaling_factor.  The
+    MLA q/kv lora output scales (sqrt(dim/rank)) fold into the
+    checkpoint weights on load (hf_loader.make_longcat_translator)."""
+    if hf.get("rope_scaling") is not None:
+        raise ValueError(
+            "longcat rope_scaling is not implemented; use a custom builder"
+        )
+    dim = int(hf["hidden_size"])
+    return TransformerConfig(
+        vocab_size=int(hf["vocab_size"]),
+        dim=dim,
+        n_layers=int(hf.get("num_layers") or hf["num_hidden_layers"]),
+        n_heads=int(hf["num_attention_heads"]),
+        n_kv_heads=int(
+            hf.get("num_key_value_heads") or hf["num_attention_heads"]
+        ),
+        hidden_dim=int(hf["ffn_hidden_size"]),
+        norm_eps=float(hf.get("rms_norm_eps", 1e-5)),
+        mlp_act=_hf_act(hf.get("hidden_act", "silu")),
+        rope_theta=float(hf.get("rope_theta", 10000000.0)),
+        longcat_dual=True,
+        q_lora_rank=(
+            int(hf["q_lora_rank"])
+            if hf.get("q_lora_rank") is not None
+            else None
+        ),
+        kv_lora_rank=int(hf["kv_lora_rank"]),
+        qk_rope_head_dim=int(hf.get("qk_rope_head_dim", 64)),
+        qk_nope_head_dim=int(hf.get("qk_nope_head_dim", 128)),
+        v_head_dim=int(hf.get("v_head_dim", 128)),
+        # LongcatFlashMLA uses apply_rotary_pos_emb_interleave
+        rope_interleaved=True,
+        n_experts=int(hf["n_routed_experts"]),
+        n_zero_experts=int(hf.get("zero_expert_num") or 0),
+        n_experts_per_tok=int(hf.get("moe_topk", 2)),
+        norm_topk_prob=False,
+        router_correction_bias=True,
+        router_bias=bool(hf.get("router_bias", False)),
+        routed_scaling_factor=float(hf.get("routed_scaling_factor", 1.0)),
+        moe_hidden_dim=int(hf["expert_ffn_hidden_size"]),
+        tie_embeddings=bool(hf.get("tie_word_embeddings", False)),
+        remat=remat,
+        dtype=dtype,
+    )
+
+
 class Attention(nn.Module):
     q_proj: nn.Linear
     k_proj: nn.Linear
@@ -3714,8 +3772,11 @@ class MLAttention(nn.Module):
                 q_a_proj=nn.Linear.create(
                     ks[0], cfg.dim, cfg.q_lora_rank, False, cfg.dtype
                 ),
+                # HF (deepseek AND longcat) constructs the lora norms
+                # WITHOUT passing the config eps — they keep the RMSNorm
+                # class default 1e-6 regardless of rms_norm_eps
                 q_a_layernorm=nn.RMSNorm.create(
-                    cfg.q_lora_rank, cfg.norm_eps, cfg.dtype
+                    cfg.q_lora_rank, 1e-6, cfg.dtype
                 ),
                 q_b_proj=nn.Linear.create(
                     ks[1], cfg.q_lora_rank, cfg.n_heads * qk_head, False,
@@ -3734,7 +3795,7 @@ class MLAttention(nn.Module):
                 False, cfg.dtype,
             ),
             kv_a_layernorm=nn.RMSNorm.create(
-                cfg.kv_lora_rank, cfg.norm_eps, cfg.dtype
+                cfg.kv_lora_rank, 1e-6, cfg.dtype
             ),
             kv_b_proj=nn.Linear.create(
                 ks[3], cfg.kv_lora_rank,
@@ -3943,6 +4004,9 @@ class MoEMLP(nn.Module):
     # expert INPUTS (not outputs) — different through the gated nonlinearity
     topk_then_sigmoid: bool = nn.static_field(default=False)
     scale_expert_input: bool = nn.static_field(default=False)
+    # longcat_flash: the router ALSO scores this many "zero" experts —
+    # identity passthroughs whose selection contributes weight * x
+    n_zero_experts: int = nn.static_field(default=0)
 
     def _experts_are_pristine(self) -> bool:
         """Static (trace-time) check: grouped dispatch requires every
@@ -3981,7 +4045,7 @@ class MoEMLP(nn.Module):
         member for v2's group_limited_greedy, the top-2 sum for v3's
         noaux_tc); combine weights always come from the RAW scores at the
         selected indices, scaled by routed_scaling."""
-        n_experts = len(self.experts)
+        n_experts = len(self.experts) + self.n_zero_experts
         logits = self.gate(x, ctx).astype(jnp.float32)
         if self.sparsemixer:  # phimoe, eval path of HF sparsemixer()
             neg = jnp.finfo(jnp.float32).min
@@ -4159,7 +4223,7 @@ class MoEMLP(nn.Module):
         return out.reshape(b, s, d)
 
     def _dense_masked(self, x: jax.Array, ctx: Optional[nn.Ctx]) -> jax.Array:
-        n_experts = len(self.experts)
+        n_experts = len(self.experts) + self.n_zero_experts
         top_vals, top_idx = self._routing(x, ctx)
         # combine weights per expert: (..., E); zero where not selected
         onehot = jax.nn.one_hot(top_idx, n_experts, dtype=jnp.float32)
@@ -4172,10 +4236,17 @@ class MoEMLP(nn.Module):
             else:
                 x_e = jnp.where(w_e > 0, x, jnp.zeros_like(x))
                 out = out + expert(x_e, ctx) * w_e
+        if self.n_zero_experts:
+            # longcat zero experts: nn.Identity passthroughs — their
+            # selected weight multiplies the token itself
+            w_zero = jnp.sum(
+                w[..., len(self.experts):], axis=-1, keepdims=True
+            )
+            out = out + x * w_zero
         return out
 
     def __call__(self, x: jax.Array, ctx: Optional[nn.Ctx] = None) -> jax.Array:
-        if self._experts_are_pristine():
+        if self.n_zero_experts == 0 and self._experts_are_pristine():
             out = self._grouped(x, ctx)
         else:
             out = self._dense_masked(x, ctx)
@@ -4207,7 +4278,11 @@ class MoEMLP(nn.Module):
                 )
         return MoEMLP(
             gate=nn.Linear.create(
-                ks[0], cfg.dim, cfg.n_experts, cfg.router_bias, cfg.dtype
+                ks[0],
+                cfg.dim,
+                cfg.n_experts + cfg.n_zero_experts,
+                cfg.router_bias,
+                cfg.dtype,
             ),
             experts=tuple(
                 MLP.create(ks[1 + e], expert_cfg) for e in range(cfg.n_experts)
@@ -4215,7 +4290,9 @@ class MoEMLP(nn.Module):
             shared_expert=shared,
             shared_expert_gate=shared_gate,
             gate_correction_bias=(
-                jnp.zeros((cfg.n_experts,), jnp.float32)
+                jnp.zeros(
+                    (cfg.n_experts + cfg.n_zero_experts,), jnp.float32
+                )
                 if cfg.router_correction_bias
                 else None
             ),
@@ -4232,6 +4309,7 @@ class MoEMLP(nn.Module):
             jitter_eps=cfg.router_jitter_eps,
             topk_then_sigmoid=cfg.router_topk_then_sigmoid,
             scale_expert_input=cfg.moe_scale_expert_input,
+            n_zero_experts=cfg.n_zero_experts,
         )
 
 
@@ -4456,6 +4534,60 @@ def _sinusoidal_positions(positions: jax.Array, dim: int) -> jax.Array:
     return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
 
 
+class LongcatBlock(nn.Module):
+    """LongcatFlash dual-sublayer block (HF LongcatFlashDecoderLayer):
+    two sequential MLA-attention + dense-MLP sublayers, with a shortcut
+    MoE computed from the FIRST sublayer's post-attention norm output
+    and added after the SECOND sublayer's MLP."""
+
+    input_layernorm: tuple  # 2 norms
+    self_attn: tuple  # 2 MLAttention
+    post_attention_layernorm: tuple
+    mlps: tuple  # 2 dense MLP
+    mlp: "MoEMLP"  # the shortcut expert block
+
+    def __call__(
+        self,
+        x: jax.Array,
+        ctx: Optional[nn.Ctx] = None,
+        *,
+        positions: Optional[jax.Array] = None,
+        attn_mask: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        h = x + self.self_attn[0](
+            self.input_layernorm[0](x), ctx,
+            positions=positions, attn_mask=attn_mask,
+        )
+        p0 = self.post_attention_layernorm[0](h)
+        shortcut = self.mlp(p0, ctx)
+        h = h + self.mlps[0](p0, ctx)
+        h = h + self.self_attn[1](
+            self.input_layernorm[1](h), ctx,
+            positions=positions, attn_mask=attn_mask,
+        )
+        p1 = self.post_attention_layernorm[1](h)
+        return h + self.mlps[1](p1, ctx) + shortcut
+
+    @staticmethod
+    def create(
+        key: jax.Array, cfg: TransformerConfig, layer_idx: int = 0
+    ) -> "LongcatBlock":
+        ks = jax.random.split(key, 5)
+        return LongcatBlock(
+            input_layernorm=(_make_block_norm(cfg), _make_block_norm(cfg)),
+            self_attn=(
+                MLAttention.create(ks[0], cfg),
+                MLAttention.create(ks[1], cfg),
+            ),
+            post_attention_layernorm=(
+                _make_block_norm(cfg),
+                _make_block_norm(cfg),
+            ),
+            mlps=(MLP.create(ks[2], cfg), MLP.create(ks[3], cfg)),
+            mlp=MoEMLP.create(ks[4], cfg),
+        )
+
+
 class Decoder(nn.Module):
     embed_tokens: nn.Embedding
     layers: tuple
@@ -4584,7 +4716,9 @@ class CausalLM(nn.Module):
                 keys[0], cfg.vocab_size, cfg.dim, cfg.dtype
             ),
             layers=tuple(
-                Block.create(keys[1 + i], cfg, layer_idx=i)
+                (LongcatBlock if cfg.longcat_dual else Block).create(
+                    keys[1 + i], cfg, layer_idx=i
+                )
                 for i in range(cfg.n_layers)
             ),
             norm=_make_block_norm(cfg),

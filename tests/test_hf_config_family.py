@@ -1889,3 +1889,42 @@ def test_llama4_text_logits_match_hf():
     assert ncfg.router_topk_then_sigmoid and ncfg.moe_scale_expert_input
     assert ncfg.hidden_dim == 64 and ncfg.moe_hidden_dim == 48
     _compare(hf, native, 128, atol=3e-4)
+
+
+def test_longcat_flash_logits_match_hf():
+    """longcat_flash: dual-sublayer MLA blocks with a shortcut MoE over
+    zero (identity) experts, correction-biased softmax routing, and MLA
+    lora output scales folded into weights (76th family)."""
+    if not hasattr(transformers, "LongcatFlashForCausalLM"):
+        pytest.skip("transformers without longcat_flash")
+    cfg = transformers.LongcatFlashConfig(
+        vocab_size=128,
+        hidden_size=32,
+        num_layers=2,
+        num_attention_heads=4,
+        ffn_hidden_size=48,
+        expert_ffn_hidden_size=32,
+        n_routed_experts=3,
+        zero_expert_num=2,
+        moe_topk=2,
+        q_lora_rank=16,
+        kv_lora_rank=16,
+        qk_nope_head_dim=8,
+        qk_rope_head_dim=4,
+        v_head_dim=8,
+        # the rotary table is sized by head_dim: must equal the rope dim
+        head_dim=4,
+        routed_scaling_factor=1.5,
+        pad_token_id=0,
+    )
+    hf = transformers.LongcatFlashForCausalLM(cfg).eval()
+    # nonzero correction bias must CHANGE selection without changing
+    # weights; zero-expert selection must pass tokens through
+    with torch.no_grad():
+        for n, b in hf.named_buffers():
+            if "e_score_correction_bias" in n:
+                b.copy_(torch.randn_like(b))
+    native, ncfg = _hf_to_native_translated(hf, cfg.to_dict())
+    assert ncfg.longcat_dual and ncfg.n_zero_experts == 2
+    assert ncfg.router_correction_bias and ncfg.routed_scaling_factor == 1.5
+    _compare(hf, native, 128, atol=3e-4)
