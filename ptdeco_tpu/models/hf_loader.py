@@ -1292,6 +1292,23 @@ def make_longcat_translator(hf_cfg: dict[str, Any]):
     return translate
 
 
+def translate_qwen3_next_state_dict(
+    sd: dict[str, np.ndarray],
+) -> dict[str, np.ndarray]:
+    """HF Qwen3Next: the gated-DeltaNet mixer lives at ``linear_attn``
+    (-> the native Block's self_attn slot; its fused qkvz/ba projections
+    and per-v-head gated norm match field-for-field) with the depthwise
+    conv group dim squeezed; everything else (gated q_proj, qwen3-MoE
+    naming) already matches."""
+    out: dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        k = k.replace(".linear_attn.", ".self_attn.")
+        if k.endswith(".conv1d.weight") and v.ndim == 3:
+            v = np.ascontiguousarray(v[:, 0, :])
+        out[k] = v
+    return out
+
+
 def make_mamba_translator(hf_cfg: dict[str, Any]):
     """HF mamba / falcon_mamba / mamba2: squeeze the depthwise conv's
     singleton group dim ((ch, 1, k) -> (ch, k)) and drop the tied
@@ -1452,4 +1469,6 @@ def translator_for(hf_cfg: dict[str, Any]):
         return translate_lfm2_state_dict
     if mt == "longcat_flash":
         return make_longcat_translator(hf_cfg)
+    if mt == "qwen3_next":
+        return translate_qwen3_next_state_dict
     return None

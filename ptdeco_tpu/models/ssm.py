@@ -44,6 +44,7 @@ __all__ = [
     "MambaBackbone",
     "MambaLM",
     "ShortConvMixer",
+    "GatedDeltaNet",
 ]
 
 
@@ -446,6 +447,213 @@ class Mamba2Mixer(nn.Module):
             n_groups=cfg.n_groups,
             chunk_size=cfg.chunk_size,
             time_step_limit=cfg.time_step_limit,
+        )
+
+
+def _l2norm(x: jax.Array, eps: float = 1e-6) -> jax.Array:
+    # FLA l2norm: sum (not mean) of squares
+    return x * jax.lax.rsqrt(
+        jnp.sum(jnp.square(x), axis=-1, keepdims=True) + eps
+    )
+
+
+def _gated_delta_rule(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    g: jax.Array,
+    beta: jax.Array,
+    chunk_size: int = 64,
+) -> jax.Array:
+    """Chunked gated delta rule (HF torch_chunk_gated_delta_rule
+    semantics, qk-L2-normalized): per-chunk the strictly-lower
+    "attention" system (I - T)^{-1} is solved as a unit-lower triangular
+    solve instead of the reference's Python forward-substitution loop,
+    and the inter-chunk matrix-state recurrence runs under lax.scan with
+    chunk-level matmuls.  All math f32.
+
+    q/k: (b, s, H, dk); v: (b, s, H, dv); g/beta: (b, s, H)."""
+    b, s, H, dk = q.shape
+    dv = v.shape[-1]
+    q = _l2norm(q.astype(jnp.float32))
+    k = _l2norm(k.astype(jnp.float32))
+    v = v.astype(jnp.float32)
+    g = g.astype(jnp.float32)
+    beta = beta.astype(jnp.float32)
+    cs = chunk_size
+    pad = (-s) % cs
+    nc = (s + pad) // cs
+
+    def chunks(t):
+        t = jnp.pad(t, [(0, 0), (0, pad)] + [(0, 0)] * (t.ndim - 2))
+        # to (b, H, nc, cs, ...)
+        t = t.reshape(b, nc, cs, *t.shape[2:])
+        return jnp.moveaxis(t, 3, 1) if t.ndim == 5 else t.transpose(0, 3, 1, 2)
+
+    q = chunks(q * (dk**-0.5))  # (b, H, nc, cs, dk)
+    kc = chunks(k)
+    vb = chunks(v * beta[..., None])
+    kb = chunks(k * beta[..., None])
+    gc = jnp.cumsum(chunks(g), axis=-1)  # (b, H, nc, cs)
+    i = jnp.arange(cs)
+    lower = i[:, None] >= i[None, :]
+    strict = i[:, None] > i[None, :]
+    decay = jnp.where(
+        lower, jnp.exp(gc[..., :, None] - gc[..., None, :]), 0.0
+    )  # (b, H, nc, cs, cs)
+    T = jnp.where(
+        strict,
+        -jnp.einsum("bhnid,bhnjd->bhnij", kb, kc) * decay,
+        0.0,
+    )
+    eye = jnp.eye(cs, dtype=jnp.float32)
+    # M = (I - T)^{-1}, unit lower triangular — the reference's row loop
+    # IS forward substitution for exactly this system
+    M = jax.scipy.linalg.solve_triangular(
+        eye - T, jnp.broadcast_to(eye, T.shape), lower=True,
+        unit_diagonal=True,
+    )
+    v_star = jnp.einsum("bhnij,bhnjd->bhnid", M, vb)
+    k_cumdecay = jnp.einsum(
+        "bhnij,bhnjd->bhnid", M, kb * jnp.exp(gc)[..., None]
+    )
+    g_last = gc[..., -1]  # (b, H, nc)
+
+    def step(S, xs):
+        q_i, k_i, vs_i, kcd_i, gc_i, gl_i, dec_i = xs
+        attn = jnp.where(
+            lower, jnp.einsum("bhid,bhjd->bhij", q_i, k_i) * dec_i, 0.0
+        )
+        v_new = vs_i - jnp.einsum("bhid,bhde->bhie", kcd_i, S)
+        out_i = (
+            jnp.einsum("bhid,bhde->bhie", q_i * jnp.exp(gc_i)[..., None], S)
+            + jnp.einsum("bhij,bhjd->bhid", attn, v_new)
+        )
+        S = S * jnp.exp(gl_i)[..., None, None] + jnp.einsum(
+            "bhjd,bhje->bhde",
+            k_i * jnp.exp(gl_i[..., None] - gc_i)[..., None],
+            v_new,
+        )
+        return S, out_i
+
+    xs = tuple(
+        jnp.moveaxis(t, 2, 0)
+        for t in (q, kc, v_star, k_cumdecay, gc, g_last, decay)
+    )
+    S0 = jnp.zeros((b, H, dk, dv), jnp.float32)
+    _, outs = jax.lax.scan(step, S0, xs)
+    out = jnp.moveaxis(outs, 0, 2)  # (b, H, nc, cs, dv)
+    out = out.reshape(b, H, nc * cs, dv)[:, :, :s]
+    return out.transpose(0, 2, 1, 3)  # (b, s, H, dv)
+
+
+class GatedDeltaNet(nn.Module):
+    """Qwen3Next gated DeltaNet mixer (HF Qwen3NextGatedDeltaNet with the
+    torch chunked kernel's semantics): fused qkvz projection in the
+    per-key-head interleaved layout, a silu'd causal depthwise conv over
+    (q, k, v), beta = sigmoid(b), per-head decay g = -exp(A_log) *
+    softplus(a + dt_bias), the chunked gated delta rule, and a per-v-head
+    gated RMSNorm (norm THEN weight THEN silu(z))."""
+
+    in_proj_qkvz: nn.Linear
+    in_proj_ba: nn.Linear
+    conv1d: DepthwiseConv1d
+    dt_bias: jax.Array  # (n_v_heads,)
+    A_log: jax.Array  # (n_v_heads,)
+    norm: nn.RMSNorm  # per v head (head_v_dim)
+    out_proj: nn.Linear
+    n_k_heads: int = nn.static_field(default=4)
+    n_v_heads: int = nn.static_field(default=8)
+    head_k_dim: int = nn.static_field(default=32)
+    head_v_dim: int = nn.static_field(default=32)
+    chunk_size: int = nn.static_field(default=64)
+
+    def __call__(
+        self,
+        x: jax.Array,
+        ctx: Optional[nn.Ctx] = None,
+        *,
+        positions: Optional[jax.Array] = None,
+        attn_mask: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        b, s, _ = x.shape
+        nk, nv = self.n_k_heads, self.n_v_heads
+        hk, hv = self.head_k_dim, self.head_v_dim
+        r = nv // nk
+        if attn_mask is not None:
+            x = x * attn_mask[..., None].astype(x.dtype)
+        qkvz = self.in_proj_qkvz(x, ctx).reshape(
+            b, s, nk, 2 * hk + 2 * r * hv
+        )
+        ba = self.in_proj_ba(x, ctx).reshape(b, s, nk, 2 * r)
+        q, k, vz = (
+            qkvz[..., :hk],
+            qkvz[..., hk : 2 * hk],
+            qkvz[..., 2 * hk :],
+        )
+        v = vz[..., : r * hv].reshape(b, s, nv, hv)
+        z = vz[..., r * hv :].reshape(b, s, nv, hv)
+        b_, a = ba[..., :r].reshape(b, s, nv), ba[..., r:].reshape(b, s, nv)
+        mixed = jnp.concatenate(
+            [q.reshape(b, s, -1), k.reshape(b, s, -1), v.reshape(b, s, -1)],
+            axis=-1,
+        )
+        mixed = jax.nn.silu(self.conv1d(mixed, ctx))
+        q, k, v = jnp.split(mixed, [nk * hk, 2 * nk * hk], axis=-1)
+        q = q.reshape(b, s, nk, hk)
+        k = k.reshape(b, s, nk, hk)
+        v = v.reshape(b, s, nv, hv)
+        beta = jax.nn.sigmoid(b_.astype(jnp.float32))
+        g = -jnp.exp(self.A_log.astype(jnp.float32)) * jax.nn.softplus(
+            a.astype(jnp.float32) + self.dt_bias.astype(jnp.float32)
+        )
+        if r > 1:
+            q = jnp.repeat(q, r, axis=2)
+            k = jnp.repeat(k, r, axis=2)
+        core = _gated_delta_rule(
+            q, k, v, g, beta, self.chunk_size
+        ).astype(x.dtype)
+        # gated per-head RMSNorm: norm -> weight -> * silu(z)
+        y = self.norm(core, ctx) * jax.nn.silu(
+            z.astype(jnp.float32)
+        ).astype(x.dtype)
+        return self.out_proj(y.reshape(b, s, nv * hv), ctx)
+
+    @staticmethod
+    def create(
+        key: jax.Array,
+        dim: int,
+        n_k_heads: int,
+        n_v_heads: int,
+        head_k_dim: int,
+        head_v_dim: int,
+        conv_kernel: int,
+        norm_eps: float,
+        dtype: Any,
+    ) -> "GatedDeltaNet":
+        ks = jax.random.split(key, 4)
+        key_dim = n_k_heads * head_k_dim
+        value_dim = n_v_heads * head_v_dim
+        return GatedDeltaNet(
+            in_proj_qkvz=nn.Linear.create(
+                ks[0], dim, 2 * key_dim + 2 * value_dim, False, dtype
+            ),
+            in_proj_ba=nn.Linear.create(
+                ks[1], dim, 2 * n_v_heads, False, dtype
+            ),
+            conv1d=DepthwiseConv1d.create(
+                ks[2], 2 * key_dim + value_dim, conv_kernel, False, dtype
+            ),
+            dt_bias=jnp.ones((n_v_heads,), dtype),
+            A_log=jnp.log(
+                jnp.linspace(1.0, 15.0, n_v_heads, dtype=jnp.float32)
+            ),
+            norm=nn.RMSNorm.create(head_v_dim, norm_eps, dtype),
+            out_proj=nn.Linear.create(ks[3], value_dim, dim, False, dtype),
+            n_k_heads=n_k_heads,
+            n_v_heads=n_v_heads,
+            head_k_dim=head_k_dim,
+            head_v_dim=head_v_dim,
         )
 
 

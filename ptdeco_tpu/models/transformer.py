@@ -248,6 +248,12 @@ class TransformerConfig:
     # scores n_zero_experts identity experts
     longcat_dual: bool = False
     n_zero_experts: int = 0
+    # qwen3_next: layer_types "linear_attention" layers run the gated
+    # DeltaNet ((n_k_heads, n_v_heads, head_k_dim, head_v_dim,
+    # conv_kernel) — ssm.GatedDeltaNet); full-attention layers carry a
+    # fused sigmoid output gate inside q_proj (attn_gate)
+    gdn: Optional[tuple] = None
+    attn_gate: bool = False
     # rematerialize each block's activations during backward passes
     # (jax.checkpoint) — the HBM/flops trade for large-model calibration
     # and fine-tuning (the reference toggles HF gradient checkpointing,
@@ -334,6 +340,7 @@ class TransformerConfig:
             "lfm2": _hf_lfm2,
             "minimax": _hf_minimax,
             "longcat_flash": _hf_longcat,
+            "qwen3_next": _hf_qwen3_next,
         }
         if mt in beyond_llama:
             return beyond_llama[mt](hf, dtype, remat)
@@ -3096,6 +3103,70 @@ def _hf_longcat(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
     )
 
 
+def _hf_qwen3_next(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
+    """HF Qwen3NextConfig -> native.  Hybrid of gated-DeltaNet linear
+    attention (chunked delta rule, qk L2 norm in kernel, silu'd conv,
+    per-v-head gated RMSNorm) and full attention carrying a fused
+    sigmoid output gate in q_proj, per-head q/k RMSNorms, and partial
+    split-half rotary; MLPs are the qwen3-MoE layout (norm_topk_prob,
+    moe_intermediate_size, gated shared expert)."""
+    if hf.get("rope_scaling") is not None:
+        raise ValueError(
+            "qwen3_next rope_scaling is not implemented; use a custom "
+            "builder"
+        )
+    n_heads = int(hf["num_attention_heads"])
+    dim = int(hf["hidden_size"])
+    n_layers = int(hf["num_hidden_layers"])
+    head_dim = hf.get("head_dim")
+    n_experts = int(hf.get("num_experts") or 0)
+    shared = int(hf.get("shared_expert_intermediate_size") or 0)
+    return TransformerConfig(
+        vocab_size=int(hf["vocab_size"]),
+        dim=dim,
+        n_layers=n_layers,
+        n_heads=n_heads,
+        n_kv_heads=int(hf.get("num_key_value_heads") or n_heads),
+        hidden_dim=int(hf["intermediate_size"]),
+        norm_eps=float(hf.get("rms_norm_eps", 1e-6)),
+        head_dim_override=(
+            int(head_dim)
+            if head_dim is not None and int(head_dim) * n_heads != dim
+            else None
+        ),
+        qk_norm=True,
+        attn_gate=True,
+        norm_plus_one=True,  # Qwen3NextRMSNorm is the (1+w) flavor
+        mlp_act=_hf_act(hf.get("hidden_act", "silu")),
+        rope_theta=float(hf.get("rope_theta", 10000.0)),
+        rope_partial_factor=(
+            pct
+            if (pct := float(hf.get("partial_rotary_factor", 0.25))) < 1.0
+            else None
+        ),
+        layer_types=tuple(str(t) for t in (hf.get("layer_types") or ())),
+        gdn=(
+            int(hf["linear_num_key_heads"]),
+            int(hf["linear_num_value_heads"]),
+            int(hf["linear_key_head_dim"]),
+            int(hf["linear_value_head_dim"]),
+            int(hf.get("linear_conv_kernel_dim", 4)),
+        ),
+        n_experts=n_experts,
+        n_experts_per_tok=int(hf.get("num_experts_per_tok", 8)),
+        norm_topk_prob=bool(hf.get("norm_topk_prob", True)),
+        moe_hidden_dim=(
+            int(hf["moe_intermediate_size"]) if n_experts else None
+        ),
+        mlp_only_layers=tuple(hf.get("mlp_only_layers") or ()),
+        decoder_sparse_step=int(hf.get("decoder_sparse_step", 1)),
+        shared_expert_hidden_dim=shared if shared > 0 else None,
+        tie_embeddings=bool(hf.get("tie_word_embeddings", False)),
+        remat=remat,
+        dtype=dtype,
+    )
+
+
 class Attention(nn.Module):
     q_proj: nn.Linear
     k_proj: nn.Linear
@@ -3147,6 +3218,9 @@ class Attention(nn.Module):
     # llama4 chunked_attention layers: attend only within the same
     # attention_chunk_size block (block-diagonal causal)
     chunk_size: Optional[int] = nn.static_field(default=None)
+    # qwen3_next: q_proj is fused (q | gate) per head; the attention
+    # output is multiplied by sigmoid(gate) before o_proj
+    gated: bool = nn.static_field(default=False)
 
     def __call__(
         self,
@@ -3158,6 +3232,13 @@ class Attention(nn.Module):
     ) -> jax.Array:
         b, s, d = x.shape
         q = self.q_proj(x, ctx)
+        out_gate = None
+        if self.gated:  # qwen3_next fused (q | gate) per head
+            hd2 = q.shape[-1] // self.n_heads
+            qg = q.reshape(b, s, self.n_heads, hd2)
+            q, out_gate = qg[..., : hd2 // 2], qg[..., hd2 // 2 :]
+            out_gate = out_gate.reshape(b, s, -1)
+            q = q.reshape(b, s, -1)
         hd = q.shape[-1] // self.n_heads  # robust to decomposed projections
         k = self.k_proj(x, ctx)
         v = self.v_proj(x, ctx)
@@ -3270,6 +3351,8 @@ class Attention(nn.Module):
             merged = out.reshape(b, s, -1)
             if self.attn_sub_norm is not None:
                 merged = self.attn_sub_norm(merged, ctx)
+            if out_gate is not None:
+                merged = merged * jax.nn.sigmoid(out_gate)
             return self.o_proj(merged, ctx)
         logits = jnp.einsum(
             "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
@@ -3319,6 +3402,8 @@ class Attention(nn.Module):
         merged = out.reshape(b, s, -1)
         if self.attn_sub_norm is not None:  # bitnet
             merged = self.attn_sub_norm(merged, ctx)
+        if out_gate is not None:  # qwen3_next
+            merged = merged * jax.nn.sigmoid(out_gate)
         return self.o_proj(merged, ctx)
 
     @staticmethod
@@ -3345,8 +3430,13 @@ class Attention(nn.Module):
         local_rope = is_sliding and cfg.rope_local_theta is not None
         return Attention(
             q_proj=nn.Linear.create(
-                ks[0], cfg.dim, cfg.n_heads * hd, cfg.qkv_bias, cfg.dtype
+                ks[0],
+                cfg.dim,
+                cfg.n_heads * hd * (2 if cfg.attn_gate else 1),
+                cfg.qkv_bias,
+                cfg.dtype,
             ),
+            gated=cfg.attn_gate,
             k_proj=nn.Linear.create(
                 ks[1], cfg.dim, cfg.n_kv_heads * hd, cfg.qkv_bias, cfg.dtype
             ),
@@ -4337,6 +4427,15 @@ def _make_conv_mixer(key: jax.Array, cfg: TransformerConfig):
     return ssm.ShortConvMixer.create(key, cfg.dim, int(L), bool(bias), cfg.dtype)
 
 
+def _make_gdn_mixer(key: jax.Array, cfg: TransformerConfig):
+    from . import ssm
+
+    nk, nv, hk, hv, ck = cfg.gdn
+    return ssm.GatedDeltaNet.create(
+        key, cfg.dim, nk, nv, hk, hv, ck, cfg.norm_eps, cfg.dtype
+    )
+
+
 def _make_block_norm(cfg: TransformerConfig):
     if cfg.norm_type == "layernorm":
         return nn.LayerNorm.create(
@@ -4459,6 +4558,13 @@ class Block(nn.Module):
                     and cfg.layer_types
                     and layer_idx < len(cfg.layer_types)
                     and cfg.layer_types[layer_idx] == "conv"
+                )
+                else _make_gdn_mixer(k1, cfg)
+                if (
+                    cfg.gdn is not None
+                    and cfg.layer_types
+                    and layer_idx < len(cfg.layer_types)
+                    and cfg.layer_types[layer_idx] == "linear_attention"
                 )
                 else LightningAttention.create(k1, cfg, layer_idx)
                 if (

@@ -443,3 +443,46 @@ def test_minimax_logits_match_hf():
     assert ncfg.minimax_residual_factors == (0.9, 1.1, 1.2, 0.8, 1.05, 0.95)
     assert ncfg.lightning_block_size == 4
     _compare_t(hf, native, 128, atol=3e-5, seqlen=12)
+
+
+def test_qwen3_next_logits_match_hf():
+    """qwen3_next: gated-DeltaNet linear attention (chunked delta rule
+    via a unit-triangular solve + lax.scan over chunks) hybridized with
+    gated full attention (fused sigmoid output gate in q_proj, per-head
+    (1+w) qk norms, partial split-half rotary) over a qwen3 MoE with a
+    gated shared expert (77th family).  chunk crossing: seqlen 12 with
+    delta-rule chunk size 64 uses one padded chunk; a second compare at
+    seqlen 20 exercises nothing new there but crosses the conv window."""
+    if not hasattr(transformers, "Qwen3NextForCausalLM"):
+        pytest.skip("transformers without qwen3_next")
+    cfg = transformers.Qwen3NextConfig(
+        vocab_size=128,
+        hidden_size=32,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        head_dim=8,
+        intermediate_size=48,
+        num_experts=4,
+        num_experts_per_tok=2,
+        moe_intermediate_size=32,
+        shared_expert_intermediate_size=32,
+        decoder_sparse_step=1,
+        linear_num_key_heads=2,
+        linear_num_value_heads=4,
+        linear_key_head_dim=8,
+        linear_value_head_dim=8,
+        linear_conv_kernel_dim=3,
+        layer_types=["linear_attention", "full_attention"],
+        partial_rotary_factor=0.25,
+        pad_token_id=0,
+    )
+    hf = transformers.Qwen3NextForCausalLM(cfg).eval()
+    native, ncfg = _to_native_transformer(hf, cfg.to_dict())
+    assert ncfg.gdn == (2, 4, 8, 8, 3) and ncfg.attn_gate
+    assert ncfg.norm_plus_one and ncfg.rope_partial_factor == 0.25
+    assert ncfg.shared_expert_hidden_dim == 32
+    _compare_t(hf, native, 128, atol=5e-5, seqlen=12)
+    # the delta-rule chunk size is fixed at 64 on both sides: seqlen 80
+    # crosses a chunk boundary, exercising the inter-chunk state scan
+    _compare_t(hf, native, 128, atol=1e-4, seqlen=80)
