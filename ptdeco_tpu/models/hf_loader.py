@@ -1309,6 +1309,28 @@ def translate_qwen3_next_state_dict(
     return out
 
 
+def translate_recurrent_gemma_state_dict(
+    sd: dict[str, np.ndarray],
+) -> dict[str, np.ndarray]:
+    """HF RecurrentGemma (Griffin): temporal_pre_norm/channel_pre_norm ->
+    input/post_attention_layernorm, temporal_block -> the self_attn slot
+    (attention layers' q/k/v/o names then match; recurrent layers keep
+    their linear_y/linear_x/linear_out/conv_1d/rg_lru names),
+    mlp_block -> mlp, final_norm -> model.norm, conv group dim
+    squeezed."""
+    out: dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        k = k.replace("model.final_norm.", "model.norm.")
+        k = k.replace(".temporal_pre_norm.", ".input_layernorm.")
+        k = k.replace(".channel_pre_norm.", ".post_attention_layernorm.")
+        k = k.replace(".temporal_block.", ".self_attn.")
+        k = k.replace(".mlp_block.", ".mlp.")
+        if k.endswith(".conv_1d.weight") and v.ndim == 3:
+            v = np.ascontiguousarray(v[:, 0, :])
+        out[k] = v
+    return out
+
+
 def make_mamba_translator(hf_cfg: dict[str, Any]):
     """HF mamba / falcon_mamba / mamba2: squeeze the depthwise conv's
     singleton group dim ((ch, 1, k) -> (ch, k)) and drop the tied
@@ -1471,4 +1493,6 @@ def translator_for(hf_cfg: dict[str, Any]):
         return make_longcat_translator(hf_cfg)
     if mt == "qwen3_next":
         return translate_qwen3_next_state_dict
+    if mt == "recurrent_gemma":
+        return translate_recurrent_gemma_state_dict
     return None

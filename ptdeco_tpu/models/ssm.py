@@ -45,6 +45,8 @@ __all__ = [
     "MambaLM",
     "ShortConvMixer",
     "GatedDeltaNet",
+    "RGLRU",
+    "RecurrentBlock",
 ]
 
 
@@ -654,6 +656,113 @@ class GatedDeltaNet(nn.Module):
             n_v_heads=n_v_heads,
             head_k_dim=head_k_dim,
             head_v_dim=head_v_dim,
+        )
+
+
+class RGLRU(nn.Module):
+    """RecurrentGemma's real-gated linear recurrent unit (HF
+    RecurrentGemmaRglru): per-head BLOCK-DIAGONAL sigmoid input/
+    recurrence gates, a = exp(-8 * gate * softplus(c)), inputs scaled by
+    sqrt(1 - a^2) (1 at position 0), and the diagonal recurrence
+    h_t = a_t h_{t-1} + x_t as a log-depth associative scan in f32."""
+
+    recurrent_param: jax.Array  # (lru_width,)
+    input_gate_weight: jax.Array  # (H, bw, bw)
+    input_gate_bias: jax.Array  # (H, bw)
+    recurrent_gate_weight: jax.Array
+    recurrent_gate_bias: jax.Array
+    n_heads: int = nn.static_field(default=4)
+
+    def __call__(
+        self, x: jax.Array, positions: jax.Array
+    ) -> jax.Array:
+        b, s, lru = x.shape
+        H = self.n_heads
+        bw = lru // H
+        xh = x.reshape(b, s, H, bw)
+        ig = jax.nn.sigmoid(
+            jnp.einsum("bshw,hwv->bshv", xh, self.input_gate_weight)
+            + self.input_gate_bias
+        ).reshape(b, s, lru)
+        rg = jax.nn.sigmoid(
+            jnp.einsum("bshw,hwv->bshv", xh, self.recurrent_gate_weight)
+            + self.recurrent_gate_bias
+        ).reshape(b, s, lru)
+        log_a = (
+            -8.0
+            * rg.astype(jnp.float32)
+            * jax.nn.softplus(self.recurrent_param.astype(jnp.float32))
+        )
+        a = jnp.exp(log_a)
+        reset = (positions == 0)[..., None]  # (b, s, 1)
+        mult = jnp.where(reset, 1.0, jnp.sqrt(1.0 - jnp.exp(2.0 * log_a)))
+        xn = (x * ig).astype(jnp.float32) * mult
+        a = jnp.where(reset, 0.0, a)
+
+        def comb(left, right):
+            aL, hL = left
+            aR, hR = right
+            return aL * aR, hL * aR + hR
+
+        _, h = jax.lax.associative_scan(comb, (a, xn), axis=1)
+        return h.astype(x.dtype)
+
+
+class RecurrentBlock(nn.Module):
+    """Griffin temporal block (HF RecurrentGemmaRecurrentBlock):
+    linear_y -> act gate; linear_x -> causal depthwise conv -> RG-LRU;
+    product -> linear_out.  All three Linears carry biases."""
+
+    linear_y: nn.Linear
+    linear_x: nn.Linear
+    linear_out: nn.Linear
+    conv_1d: DepthwiseConv1d
+    rg_lru: RGLRU
+
+    def __call__(
+        self,
+        x: jax.Array,
+        ctx: Optional[nn.Ctx] = None,
+        *,
+        positions: Optional[jax.Array] = None,
+        attn_mask: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        b, s, _ = x.shape
+        y = jax.nn.gelu(self.linear_y(x, ctx), approximate=True)
+        h = self.conv_1d(self.linear_x(x, ctx), ctx)
+        if positions is None:
+            positions = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s))
+        h = self.rg_lru(h, positions)
+        return self.linear_out(h * y, ctx)
+
+    @staticmethod
+    def create(
+        key: jax.Array,
+        dim: int,
+        lru_width: int,
+        conv_width: int,
+        n_heads: int,
+        dtype: Any,
+    ) -> "RecurrentBlock":
+        ks = jax.random.split(key, 6)
+        bw = lru_width // n_heads
+        return RecurrentBlock(
+            linear_y=nn.Linear.create(ks[0], dim, lru_width, True, dtype),
+            linear_x=nn.Linear.create(ks[1], dim, lru_width, True, dtype),
+            linear_out=nn.Linear.create(ks[2], lru_width, dim, True, dtype),
+            conv_1d=DepthwiseConv1d.create(
+                ks[3], lru_width, conv_width, True, dtype
+            ),
+            rg_lru=RGLRU(
+                recurrent_param=jnp.full((lru_width,), 1.0, dtype),
+                input_gate_weight=0.01
+                * jax.random.normal(ks[4], (n_heads, bw, bw), dtype),
+                input_gate_bias=jnp.zeros((n_heads, bw), dtype),
+                recurrent_gate_weight=0.01
+                * jax.random.normal(ks[5], (n_heads, bw, bw), dtype),
+                recurrent_gate_bias=jnp.zeros((n_heads, bw), dtype),
+                n_heads=n_heads,
+            ),
         )
 
 

@@ -254,6 +254,10 @@ class TransformerConfig:
     # fused sigmoid output gate inside q_proj (attn_gate)
     gdn: Optional[tuple] = None
     attn_gate: bool = False
+    # recurrent_gemma (griffin): layer_types "recurrent" layers run the
+    # RG-LRU temporal block ((lru_width, conv1d_width, n_lru_heads))
+    rglru: Optional[tuple] = None
+    scale_embeddings_bf16: bool = False
     # rematerialize each block's activations during backward passes
     # (jax.checkpoint) — the HBM/flops trade for large-model calibration
     # and fine-tuning (the reference toggles HF gradient checkpointing,
@@ -341,6 +345,7 @@ class TransformerConfig:
             "minimax": _hf_minimax,
             "longcat_flash": _hf_longcat,
             "qwen3_next": _hf_qwen3_next,
+            "recurrent_gemma": _hf_recurrent_gemma,
         }
         if mt in beyond_llama:
             return beyond_llama[mt](hf, dtype, remat)
@@ -3167,6 +3172,73 @@ def _hf_qwen3_next(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
     )
 
 
+def _hf_recurrent_gemma(
+    hf: dict, dtype: Any, remat: bool
+) -> "TransformerConfig":
+    """HF RecurrentGemmaConfig (Griffin) -> native.  block_types cycles
+    'recurrent' (RG-LRU temporal blocks) and 'attention' (sliding-window
+    MQA/GQA with partial split-half rotary and a BIASED o_proj); the MLP
+    is gated gelu-tanh at intermediate_size//2 with biases everywhere;
+    gemma-style sqrt(dim) embedding scale, (1+w) RMSNorms, and a final
+    logits soft cap."""
+    n_layers = int(hf["num_hidden_layers"])
+    pattern = [str(t) for t in (hf.get("block_types") or ["recurrent"])]
+    lbt = hf.get("layers_block_type") or [
+        pattern[i % len(pattern)] for i in range(n_layers)
+    ]
+    # NOTE: HF's prefill mask is PLAIN CAUSAL — attention_window_size
+    # only bounds the decode-time KV cache (_update_causal_mask builds
+    # triu(-1) * (j > i) = causal, no window clip).  The calibration
+    # forward therefore runs full attention, matching HF exactly.
+    layer_types = tuple(
+        "full_attention" if t == "attention" else "recurrent" for t in lbt
+    )
+    n_heads = int(hf["num_attention_heads"])
+    dim = int(hf["hidden_size"])
+    head_dim = hf.get("head_dim")
+    lru = int(hf.get("lru_width") or dim)
+    cap = hf.get("logits_soft_cap")
+    return TransformerConfig(
+        vocab_size=int(hf["vocab_size"]),
+        dim=dim,
+        n_layers=n_layers,
+        n_heads=n_heads,
+        n_kv_heads=int(hf.get("num_key_value_heads") or n_heads),
+        hidden_dim=int(hf["intermediate_size"]) // 2,
+        norm_eps=float(hf.get("rms_norm_eps", 1e-6)),
+        head_dim_override=(
+            int(head_dim)
+            if head_dim is not None and int(head_dim) * n_heads != dim
+            else None
+        ),
+        norm_plus_one=True,
+        scale_embeddings=True,
+        scale_embeddings_bf16=True,
+        mlp_act=_hf_act(
+            hf.get("hidden_activation", "gelu_pytorch_tanh")
+        ),
+        mlp_bias=True,
+        qkv_bias=bool(hf.get("attention_bias", False)),
+        o_proj_bias=True,  # RecurrentGemmaSdpaAttention hardcodes it
+        rope_theta=float(hf.get("rope_theta", 10000.0)),
+        rope_partial_factor=(
+            pct
+            if (pct := float(hf.get("partial_rotary_factor", 0.5))) < 1.0
+            else None
+        ),
+        layer_types=layer_types,
+        rglru=(
+            lru,
+            int(hf.get("conv1d_width", 4)),
+            n_heads,
+        ),
+        final_logit_softcap=float(cap) if cap else None,
+        tie_embeddings=bool(hf.get("tie_word_embeddings", True)),
+        remat=remat,
+        dtype=dtype,
+    )
+
+
 class Attention(nn.Module):
     q_proj: nn.Linear
     k_proj: nn.Linear
@@ -4436,6 +4508,15 @@ def _make_gdn_mixer(key: jax.Array, cfg: TransformerConfig):
     )
 
 
+def _make_rglru_mixer(key: jax.Array, cfg: TransformerConfig):
+    from . import ssm
+
+    lru_width, conv_width, n_heads = cfg.rglru
+    return ssm.RecurrentBlock.create(
+        key, cfg.dim, lru_width, conv_width, n_heads, cfg.dtype
+    )
+
+
 def _make_block_norm(cfg: TransformerConfig):
     if cfg.norm_type == "layernorm":
         return nn.LayerNorm.create(
@@ -4558,6 +4639,13 @@ class Block(nn.Module):
                     and cfg.layer_types
                     and layer_idx < len(cfg.layer_types)
                     and cfg.layer_types[layer_idx] == "conv"
+                )
+                else _make_rglru_mixer(k1, cfg)
+                if (
+                    cfg.rglru is not None
+                    and cfg.layer_types
+                    and layer_idx < len(cfg.layer_types)
+                    and cfg.layer_types[layer_idx] == "recurrent"
                 )
                 else _make_gdn_mixer(k1, cfg)
                 if (
@@ -4708,6 +4796,9 @@ class Decoder(nn.Module):
     # gemma: hidden states scaled by sqrt(dim) after embedding (HF
     # GemmaModel.forward normalizer, applied in the activation dtype)
     scale_embeddings: bool = nn.static_field(default=False)
+    # recurrent_gemma registers its normalizer buffer as BF16 — the
+    # rounded value is what every checkpoint was trained with
+    scale_embeddings_bf16: bool = nn.static_field(default=False)
     # granite embedding_multiplier (an arbitrary scalar, unlike gemma's
     # sqrt(dim))
     embedding_multiplier: Optional[float] = nn.static_field(default=None)
@@ -4721,7 +4812,10 @@ class Decoder(nn.Module):
     ) -> jax.Array:
         x = self.embed_tokens(input_ids)
         if self.scale_embeddings:
-            x = x * jnp.asarray(x.shape[-1] ** 0.5, x.dtype)
+            norm = jnp.asarray(x.shape[-1] ** 0.5, jnp.float32)
+            if self.scale_embeddings_bf16:  # recurrent_gemma rounding
+                norm = norm.astype(jnp.bfloat16)
+            x = x * norm.astype(x.dtype)
         if self.embedding_multiplier is not None:
             x = x * jnp.asarray(self.embedding_multiplier, x.dtype)
         b, s = input_ids.shape
@@ -4845,6 +4939,7 @@ class CausalLM(nn.Module):
             remat=cfg.remat,
             sinusoidal_pos=cfg.sinusoidal_pos,
             scale_embeddings=cfg.scale_embeddings,
+            scale_embeddings_bf16=cfg.scale_embeddings_bf16,
             embedding_multiplier=cfg.embedding_multiplier,
         )
         lm_head = (

@@ -486,3 +486,42 @@ def test_qwen3_next_logits_match_hf():
     # the delta-rule chunk size is fixed at 64 on both sides: seqlen 80
     # crosses a chunk boundary, exercising the inter-chunk state scan
     _compare_t(hf, native, 128, atol=1e-4, seqlen=80)
+
+
+def test_recurrent_gemma_logits_match_hf():
+    """recurrent_gemma (Griffin): RG-LRU temporal blocks (block-diagonal
+    sigmoid gates, sqrt(1-a^2) input scaling, associative-scan
+    recurrence) cycling with sliding-window attention (biased o_proj,
+    partial split-half rotary), gemma-style scaling/norms/soft cap
+    (78th family).  HF enforces the attention window only on the decode cache — prefill is plain causal, matched here."""
+    if not hasattr(transformers, "RecurrentGemmaForCausalLM"):
+        pytest.skip("transformers without recurrent_gemma")
+    cfg = transformers.RecurrentGemmaConfig(
+        vocab_size=128,
+        hidden_size=32,
+        num_hidden_layers=3,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        head_dim=8,
+        intermediate_size=96,
+        lru_width=32,
+        conv1d_width=3,
+        attention_window_size=4,
+        block_types=["recurrent", "attention"],
+        logits_soft_cap=30.0,
+        pad_token_id=0,
+        # HF's cached prefill slices keys to the last `window` while the
+        # mask keeps its first columns — early queries get misaligned
+        # masks (verified here).  use_cache=False is the coherent
+        # training/eval forward: plain causal, which we match.
+        use_cache=False,
+    )
+    hf = transformers.RecurrentGemmaForCausalLM(cfg).eval()
+    native, ncfg = _to_native_transformer(hf, cfg.to_dict())
+    assert ncfg.layer_types == (
+        "recurrent", "full_attention", "recurrent",
+    )
+    assert ncfg.rglru == (32, 3, 4) and ncfg.hidden_dim == 48
+    assert ncfg.o_proj_bias and ncfg.mlp_bias and ncfg.norm_plus_one
+    assert ncfg.final_logit_softcap == 30.0 and ncfg.scale_embeddings
+    _compare_t(hf, native, 128, atol=5e-5, seqlen=12)
