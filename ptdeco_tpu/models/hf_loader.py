@@ -1331,6 +1331,65 @@ def translate_recurrent_gemma_state_dict(
     return out
 
 
+def make_jetmoe_translator(hf_cfg: dict[str, Any]):
+    """HF JetMoE: both sublayers hold STACKED per-expert tensors
+    (JetMoeParallelExperts, (E, out, in) torch orientation) — the MoA's
+    input/output_linear split onto self_attn.{input,output}_experts.E,
+    the glu MoE's input_linear (E, 2*ffn, d) chunks into [act-side gate
+    | up] halves, output_linear -> down_proj; routers at router.layer ->
+    gate; the learned output biases land on self_attn.bias /
+    mlp.output_bias."""
+    ffn = int(hf_cfg["intermediate_size"])
+
+    def translate(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        out: dict[str, np.ndarray] = {}
+        for k, v in sd.items():
+            k = k.replace(".self_attention.", ".self_attn.")
+            if k.endswith(".self_attn.experts.input_linear.weight"):
+                stem = k[: -len("experts.input_linear.weight")]
+                for e in range(v.shape[0]):
+                    out[f"{stem}input_experts.{e}.weight"] = (
+                        np.ascontiguousarray(v[e])
+                    )
+                continue
+            if k.endswith(".self_attn.experts.output_linear.weight"):
+                stem = k[: -len("experts.output_linear.weight")]
+                for e in range(v.shape[0]):
+                    out[f"{stem}output_experts.{e}.weight"] = (
+                        np.ascontiguousarray(v[e])
+                    )
+                continue
+            if k.endswith(".self_attn.experts.bias"):
+                out[k.replace(".experts.bias", ".bias")] = v
+                continue
+            if k.endswith(".mlp.input_linear.weight"):
+                stem = k[: -len("input_linear.weight")]
+                for e in range(v.shape[0]):
+                    out[f"{stem}experts.{e}.gate_proj.weight"] = (
+                        np.ascontiguousarray(v[e, :ffn])
+                    )
+                    out[f"{stem}experts.{e}.up_proj.weight"] = (
+                        np.ascontiguousarray(v[e, ffn:])
+                    )
+                continue
+            if k.endswith(".mlp.output_linear.weight"):
+                stem = k[: -len("output_linear.weight")]
+                for e in range(v.shape[0]):
+                    out[f"{stem}experts.{e}.down_proj.weight"] = (
+                        np.ascontiguousarray(v[e])
+                    )
+                continue
+            if k.endswith(".mlp.bias"):
+                out[k.replace(".mlp.bias", ".mlp.output_bias")] = v
+                continue
+            k = k.replace(".experts.router.layer.", ".gate.")
+            k = k.replace(".router.layer.", ".gate.")
+            out[k] = v
+        return out
+
+    return translate
+
+
 def make_mamba_translator(hf_cfg: dict[str, Any]):
     """HF mamba / falcon_mamba / mamba2: squeeze the depthwise conv's
     singleton group dim ((ch, 1, k) -> (ch, k)) and drop the tied
@@ -1495,4 +1554,6 @@ def translator_for(hf_cfg: dict[str, Any]):
         return translate_qwen3_next_state_dict
     if mt == "recurrent_gemma":
         return translate_recurrent_gemma_state_dict
+    if mt == "jetmoe":
+        return make_jetmoe_translator(hf_cfg)
     return None

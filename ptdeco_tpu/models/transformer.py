@@ -258,6 +258,10 @@ class TransformerConfig:
     # RG-LRU temporal block ((lru_width, conv1d_width, n_lru_heads))
     rglru: Optional[tuple] = None
     scale_embeddings_bf16: bool = False
+    # jetmoe: mixture-of-attention-heads (per-expert q/out projections
+    # around a shared kv) and a learned bias on the MoE output
+    moa: bool = False
+    moe_output_bias: bool = False
     # rematerialize each block's activations during backward passes
     # (jax.checkpoint) — the HBM/flops trade for large-model calibration
     # and fine-tuning (the reference toggles HF gradient checkpointing,
@@ -346,6 +350,7 @@ class TransformerConfig:
             "longcat_flash": _hf_longcat,
             "qwen3_next": _hf_qwen3_next,
             "recurrent_gemma": _hf_recurrent_gemma,
+            "jetmoe": _hf_jetmoe,
         }
         if mt in beyond_llama:
             return beyond_llama[mt](hf, dtype, remat)
@@ -3239,6 +3244,39 @@ def _hf_recurrent_gemma(
     )
 
 
+def _hf_jetmoe(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
+    """HF JetMoeConfig -> native.  BOTH sublayers are sparse: attention
+    is a mixture of attention heads (per-expert q/output projections
+    around a shared kv, softmax-over-top-k gates, learned output bias —
+    see MoAttention) and the MLP is a glu MoE with the same router
+    flavor and output bias; experts' fused stacked tensors split on
+    load (hf_loader.translate_jetmoe_state_dict)."""
+    n_kv = int(hf["num_key_value_heads"])
+    top_k = int(hf.get("num_experts_per_tok", 2))
+    return TransformerConfig(
+        vocab_size=int(hf["vocab_size"]),
+        dim=int(hf["hidden_size"]),
+        n_layers=int(hf["num_hidden_layers"]),
+        # num_attention_heads must equal top_k * n_kv (JetMoeAttention)
+        n_heads=top_k * n_kv,
+        n_kv_heads=n_kv,
+        head_dim_override=int(hf.get("kv_channels", 128)),
+        hidden_dim=int(hf["intermediate_size"]),
+        norm_eps=float(hf.get("rms_norm_eps", 1e-6)),
+        moa=True,
+        mlp_act=_hf_act(hf.get("activation_function", "silu")),
+        rope_theta=float(hf.get("rope_theta", 10000.0)),
+        n_experts=int(hf.get("num_local_experts", 8)),
+        n_experts_per_tok=top_k,
+        router_softmax_after_topk=True,
+        moe_hidden_dim=int(hf["intermediate_size"]),
+        moe_output_bias=True,
+        tie_embeddings=bool(hf.get("tie_word_embeddings", True)),
+        remat=remat,
+        dtype=dtype,
+    )
+
+
 class Attention(nn.Module):
     q_proj: nn.Linear
     k_proj: nn.Linear
@@ -3829,6 +3867,106 @@ class LightningAttention(nn.Module):
         )
 
 
+class MoAttention(nn.Module):
+    """JetMoE mixture of attention heads (HF JetMoeAttention + JetMoeMoA):
+    each token routes to top_k attention experts — per-expert query and
+    output projections around a SHARED kv projection.  Slot j of a token
+    runs the j-th picked expert's q_proj; all slots attend with the
+    shared (repeated) keys/values; slot outputs go through their
+    expert's output projection, weighted by softmax-over-top-k gates,
+    summed, plus a learned output bias.  Experts run zero-masked dense
+    (FLOPs ∝ n_experts) so each expert projection stays a plain
+    decomposable Linear and taps capture the routed token sets."""
+
+    kv_proj: nn.Linear  # dim -> 2 * n_kv_heads * head_dim
+    gate: nn.Linear  # router
+    input_experts: tuple  # of nn.Linear (dim -> kv_size)
+    output_experts: tuple  # of nn.Linear (kv_size -> dim)
+    bias: jax.Array  # (dim,)
+    top_k: int = nn.static_field(default=2)
+    n_kv_heads: int = nn.static_field(default=8)
+    rope_theta: float = nn.static_field(default=10000.0)
+
+    def __call__(
+        self,
+        x: jax.Array,
+        ctx: Optional[nn.Ctx] = None,
+        *,
+        positions: Optional[jax.Array] = None,
+        attn_mask: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        b, s, d = x.shape
+        n_exp = len(self.input_experts)
+        logits = self.gate(x, ctx).astype(jnp.float32)
+        top_logits, top_idx = jax.lax.top_k(logits, self.top_k)
+        gates = jax.nn.softmax(top_logits, axis=-1).astype(x.dtype)
+        kv = self.kv_proj(x, ctx)
+        kv_size = kv.shape[-1] // 2
+        hd = kv_size // self.n_kv_heads
+        k, v = kv[..., :kv_size], kv[..., kv_size:]
+        # per-slot expert queries, zero-masked dense over experts
+        q_slots = jnp.zeros((b, s, self.top_k, kv_size), x.dtype)
+        for e, expert in enumerate(self.input_experts):
+            sel = (top_idx == e).astype(x.dtype)  # (b, s, k)
+            any_e = jnp.max(sel, axis=-1, keepdims=True)
+            q_e = expert(x * any_e, ctx)  # zero rows for unrouted tokens
+            q_slots = q_slots + sel[..., None] * q_e[:, :, None, :]
+        q = q_slots.reshape(b, s, self.top_k * self.n_kv_heads, hd)
+        k = k.reshape(b, s, self.n_kv_heads, hd)
+        v = v.reshape(b, s, self.n_kv_heads, hd)
+        if positions is None:
+            positions = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s))
+        q = _rope(q, positions, self.rope_theta, None, None, False, None)
+        k = _rope(k, positions, self.rope_theta, None, None, False, None)
+        k = jnp.tile(k, (1, 1, self.top_k, 1))
+        v = jnp.tile(v, (1, 1, self.top_k, 1))
+        logits_a = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) * (hd**-0.5)
+        causal = jnp.tril(jnp.ones((s, s), bool))[None, None]
+        if attn_mask is not None:
+            causal = causal & attn_mask[:, None, None, :].astype(bool)
+        logits_a = jnp.where(causal, logits_a, jnp.finfo(jnp.float32).min)
+        probs = jax.nn.softmax(logits_a, axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+        out = out.reshape(b, s, self.top_k, kv_size)
+        y = jnp.zeros((b, s, d), x.dtype)
+        for e, expert in enumerate(self.output_experts):
+            sel = (top_idx == e).astype(x.dtype)  # (b, s, k)
+            o_in = jnp.einsum("bsk,bskh->bsh", sel, out)
+            w_e = jnp.sum(sel * gates, axis=-1, keepdims=True)
+            y = y + expert(o_in, ctx) * w_e
+        return y + self.bias.astype(x.dtype)
+
+    @staticmethod
+    def create(key: jax.Array, cfg: TransformerConfig) -> "MoAttention":
+        ks = jax.random.split(key, 2 * cfg.n_experts + 2)
+        kv_size = cfg.n_kv_heads * cfg.head_dim
+        return MoAttention(
+            kv_proj=nn.Linear.create(
+                ks[0], cfg.dim, 2 * kv_size, False, cfg.dtype
+            ),
+            gate=nn.Linear.create(
+                ks[1], cfg.dim, cfg.n_experts, False, cfg.dtype
+            ),
+            input_experts=tuple(
+                nn.Linear.create(ks[2 + e], cfg.dim, kv_size, False, cfg.dtype)
+                for e in range(cfg.n_experts)
+            ),
+            output_experts=tuple(
+                nn.Linear.create(
+                    ks[2 + cfg.n_experts + e], kv_size, cfg.dim, False,
+                    cfg.dtype,
+                )
+                for e in range(cfg.n_experts)
+            ),
+            bias=jnp.zeros((cfg.dim,), cfg.dtype),
+            top_k=cfg.n_experts_per_tok,
+            n_kv_heads=cfg.n_kv_heads,
+            rope_theta=cfg.rope_theta,
+        )
+
+
 class MLAttention(nn.Module):
     """Deepseek V2/V3 multi-head latent attention (HF DeepseekV2Attention /
     DeepseekV3Attention; field names match the checkpoint layout).
@@ -4169,6 +4307,8 @@ class MoEMLP(nn.Module):
     # longcat_flash: the router ALSO scores this many "zero" experts —
     # identity passthroughs whose selection contributes weight * x
     n_zero_experts: int = nn.static_field(default=0)
+    # jetmoe: learned bias added to the combined routed output
+    output_bias: Optional[jax.Array] = None
 
     def _experts_are_pristine(self) -> bool:
         """Static (trace-time) check: grouped dispatch requires every
@@ -4420,6 +4560,8 @@ class MoEMLP(nn.Module):
                 ).astype(x.dtype)
                 shared = shared * gate
             out = out + shared  # deepseek: ungated always-on
+        if self.output_bias is not None:  # jetmoe
+            out = out + self.output_bias.astype(out.dtype)
         return out
 
     @staticmethod
@@ -4472,6 +4614,11 @@ class MoEMLP(nn.Module):
             topk_then_sigmoid=cfg.router_topk_then_sigmoid,
             scale_expert_input=cfg.moe_scale_expert_input,
             n_zero_experts=cfg.n_zero_experts,
+            output_bias=(
+                jnp.zeros((cfg.dim,), cfg.dtype)
+                if cfg.moe_output_bias
+                else None
+            ),
         )
 
 
@@ -4660,6 +4807,8 @@ class Block(nn.Module):
                     and layer_idx < len(cfg.layer_types)
                     and cfg.layer_types[layer_idx] == "linear_attention"
                 )
+                else MoAttention.create(k1, cfg)
+                if cfg.moa
                 else MLAttention.create(k1, cfg)
                 if cfg.kv_lora_rank is not None
                 else DiffAttention.create(k1, cfg, layer_idx)

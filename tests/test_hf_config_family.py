@@ -1928,3 +1928,35 @@ def test_longcat_flash_logits_match_hf():
     assert ncfg.longcat_dual and ncfg.n_zero_experts == 2
     assert ncfg.router_correction_bias and ncfg.routed_scaling_factor == 1.5
     _compare(hf, native, 128, atol=3e-4)
+
+
+def test_jetmoe_logits_match_hf():
+    """jetmoe: mixture of attention heads — per-expert q/output
+    projections around a shared kv with softmax-over-top-k gates and a
+    learned output bias — plus a glu MoE MLP with the same router flavor
+    (79th family)."""
+    if not hasattr(transformers, "JetMoeForCausalLM"):
+        pytest.skip("transformers without jetmoe")
+    cfg = transformers.JetMoeConfig(
+        vocab_size=128,
+        hidden_size=32,
+        num_hidden_layers=2,
+        num_key_value_heads=2,
+        num_attention_heads=4,  # top_k * n_kv
+        kv_channels=8,
+        intermediate_size=48,
+        num_local_experts=4,
+        num_experts_per_tok=2,
+        pad_token_id=0,
+    )
+    hf = transformers.JetMoeForCausalLM(cfg).eval()
+    # the learned output biases must be nonzero to pin their mapping
+    with torch.no_grad():
+        for n, p in hf.named_parameters():
+            if n.endswith("experts.bias") or n.endswith("mlp.bias"):
+                p.copy_(torch.randn_like(p) * 0.1)
+    native, ncfg = _hf_to_native_translated(hf, cfg.to_dict())
+    assert ncfg.moa and ncfg.moe_output_bias
+    assert ncfg.n_experts == 4 and ncfg.router_softmax_after_topk
+    assert ncfg.head_dim == 8 and ncfg.n_heads == 4
+    _compare(hf, native, 128, atol=3e-4)
