@@ -1390,6 +1390,75 @@ def make_jetmoe_translator(hf_cfg: dict[str, Any]):
     return translate
 
 
+def make_bert_decoder_translator(hf_cfg: dict[str, Any]):
+    """HF BERT/RoBERTa(-clone) causal decoders: strip the body prefix
+    (bert./roberta.), map the post-LN layer names (attention.self.query
+    -> self_attn.q_proj, attention.output.LayerNorm -> input_layernorm
+    — in post-LN it norms AFTER the attention residual — output.dense ->
+    mlp.down_proj, output.LayerNorm -> post_attention_layernorm), the
+    embedding pieces (token_type row 0, roberta's pad+1 position offset
+    rows dropped), and the prediction head (transform.dense/LayerNorm ->
+    head_transform, decoder.weight dropped when tied, its bias ->
+    tied_head_bias)."""
+    mt = hf_cfg.get("model_type", "bert")
+    roberta_like = mt in ("roberta", "camembert", "xlm-roberta")
+    prefix = "roberta." if roberta_like else "bert."
+    pad = int(hf_cfg.get("pad_token_id") or 0)
+    offset = pad + 1 if roberta_like else 0
+
+    def translate(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        out: dict[str, np.ndarray] = {}
+        for k, v in sd.items():
+            if k.startswith(prefix):
+                k = "model." + k[len(prefix):]
+            if k == "model.embeddings.word_embeddings.weight":
+                out["model.embed_tokens.weight"] = v
+                continue
+            if k == "model.embeddings.position_embeddings.weight":
+                out["model.pos_embed.weight"] = v[offset:]
+                continue
+            if k == "model.embeddings.token_type_embeddings.weight":
+                out["model.token_type_embed"] = v[0]
+                continue
+            k = k.replace("model.embeddings.LayerNorm.", "model.embed_norm.")
+            k = k.replace("model.encoder.layer.", "model.layers.")
+            k = k.replace(".attention.self.query.", ".self_attn.q_proj.")
+            k = k.replace(".attention.self.key.", ".self_attn.k_proj.")
+            k = k.replace(".attention.self.value.", ".self_attn.v_proj.")
+            k = k.replace(".attention.output.dense.", ".self_attn.o_proj.")
+            k = k.replace(".attention.output.LayerNorm.", ".input_layernorm.")
+            k = k.replace(".intermediate.dense.", ".mlp.up_proj.")
+            k = k.replace(".output.dense.", ".mlp.down_proj.")
+            k = k.replace(".output.LayerNorm.", ".post_attention_layernorm.")
+            # heads: bert cls.predictions.* / roberta lm_head.*
+            k = k.replace(
+                "cls.predictions.transform.dense.", "head_transform.dense."
+            )
+            k = k.replace(
+                "cls.predictions.transform.LayerNorm.",
+                "head_transform.norm.",
+            )
+            k = k.replace("lm_head.dense.", "head_transform.dense.")
+            k = k.replace("lm_head.layer_norm.", "head_transform.norm.")
+            if k in (
+                "cls.predictions.decoder.weight",
+                "lm_head.decoder.weight",
+            ):
+                continue  # tied to embed_tokens
+            if k in (
+                "cls.predictions.decoder.bias",
+                "cls.predictions.bias",
+                "lm_head.decoder.bias",
+                "lm_head.bias",
+            ):
+                out["tied_head_bias"] = v
+                continue
+            out[k] = v
+        return out
+
+    return translate
+
+
 def make_mamba_translator(hf_cfg: dict[str, Any]):
     """HF mamba / falcon_mamba / mamba2: squeeze the depthwise conv's
     singleton group dim ((ch, 1, k) -> (ch, k)) and drop the tied
@@ -1556,4 +1625,6 @@ def translator_for(hf_cfg: dict[str, Any]):
         return translate_recurrent_gemma_state_dict
     if mt == "jetmoe":
         return make_jetmoe_translator(hf_cfg)
+    if mt in ("bert", "roberta", "camembert", "xlm-roberta"):
+        return make_bert_decoder_translator(hf_cfg)
     return None

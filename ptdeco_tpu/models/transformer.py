@@ -262,6 +262,12 @@ class TransformerConfig:
     # around a shared kv) and a learned bias on the MoE output
     moa: bool = False
     moe_output_bias: bool = False
+    # bert-as-decoder: true post-LN blocks (norms AFTER residual adds)
+    # and a constant token-type-0 embedding row added to every position;
+    # post-LN graphs carry NO final decoder norm
+    post_ln: bool = False
+    token_type_zero: bool = False
+    final_norm: bool = True
     # rematerialize each block's activations during backward passes
     # (jax.checkpoint) — the HBM/flops trade for large-model calibration
     # and fine-tuning (the reference toggles HF gradient checkpointing,
@@ -351,6 +357,10 @@ class TransformerConfig:
             "qwen3_next": _hf_qwen3_next,
             "recurrent_gemma": _hf_recurrent_gemma,
             "jetmoe": _hf_jetmoe,
+            "bert": _hf_bert_decoder,
+            "roberta": _hf_bert_decoder,
+            "camembert": _hf_bert_decoder,
+            "xlm-roberta": _hf_bert_decoder,
         }
         if mt in beyond_llama:
             return beyond_llama[mt](hf, dtype, remat)
@@ -3277,6 +3287,56 @@ def _hf_jetmoe(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
     )
 
 
+def _hf_bert_decoder(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
+    """HF BertLMHeadModel / RobertaForCausalLM (+ camembert /
+    xlm-roberta clones) used as causal decoders (is_decoder=True) ->
+    native.  TRUE post-LN blocks (norms after each residual add),
+    learned absolute positions (roberta's legacy +pad_token_id+1 offset
+    rows are dropped on load), a constant token-type-0 embedding,
+    embedding LayerNorm, biased exact-gelu MLP, and the
+    dense+act+LayerNorm prediction head with a bias on the tied output
+    matmul."""
+    if hf.get("position_embedding_type", "absolute") != "absolute":
+        raise ValueError(
+            "only absolute position_embedding_type is implemented; use a "
+            "custom builder"
+        )
+    mt = hf.get("model_type", "bert")
+    roberta_like = mt in ("roberta", "camembert", "xlm-roberta")
+    max_pos = int(hf["max_position_embeddings"])
+    pad = int(hf.get("pad_token_id") or 0)
+    return TransformerConfig(
+        vocab_size=int(hf["vocab_size"]),
+        dim=int(hf["hidden_size"]),
+        n_layers=int(hf["num_hidden_layers"]),
+        n_heads=int(hf["num_attention_heads"]),
+        n_kv_heads=int(hf["num_attention_heads"]),
+        hidden_dim=int(hf["intermediate_size"]),
+        norm_eps=float(hf.get("layer_norm_eps", 1e-12)),
+        norm_type="layernorm",
+        post_ln=True,
+        mlp_gated=False,
+        mlp_bias=True,
+        mlp_act=_hf_act(hf.get("hidden_act", "gelu")),
+        qkv_bias=True,
+        o_proj_bias=True,
+        use_rope=False,
+        # roberta's position table starts at pad+1; the offset rows are
+        # dropped by the translator so arange indexes the same vectors
+        learned_pos=max_pos - (pad + 1 if roberta_like else 0),
+        token_type_zero=True,
+        embed_norm=True,
+        head_transform=True,
+        head_transform_act=_hf_act(hf.get("hidden_act", "gelu")),
+        head_transform_bias=True,
+        lm_head_bias=True,
+        final_norm=False,  # post-LN: the last block's norm IS the final
+        tie_embeddings=bool(hf.get("tie_word_embeddings", True)),
+        remat=remat,
+        dtype=dtype,
+    )
+
+
 class Attention(nn.Module):
     q_proj: nn.Linear
     k_proj: nn.Linear
@@ -4708,6 +4768,9 @@ class Block(nn.Module):
     # is the NORMED value: h = norm(x)*a1 + attn(norm(x))*b1, then
     # norm2(h)*a2 + mlp(norm2(h))*b2.  (a1, b1, a2, b2) per layer type.
     residual_factors: Optional[tuple] = nn.static_field(default=None)
+    # bert-as-decoder: TRUE post-LN — attention reads the RAW stream,
+    # norms apply AFTER each residual add
+    post_ln: bool = nn.static_field(default=False)
 
     def __call__(
         self,
@@ -4717,10 +4780,17 @@ class Block(nn.Module):
         positions: Optional[jax.Array] = None,
         attn_mask: Optional[jax.Array] = None,
     ) -> jax.Array:
-        xin = x if self.input_layernorm is None else self.input_layernorm(x)
+        xin = (
+            x
+            if self.input_layernorm is None or self.post_ln
+            else self.input_layernorm(x)
+        )
         attn_out = self.self_attn(
             xin, ctx, positions=positions, attn_mask=attn_mask
         )
+        if self.post_ln:  # bert-as-decoder
+            h = self.input_layernorm(x + attn_out)
+            return self.post_attention_layernorm(h + self.mlp(h, ctx))
         if self.mamba is not None:  # falcon_h1 parallel hybrid
             h = x + attn_out + self.mamba(
                 xin, ctx, positions=positions, attn_mask=attn_mask
@@ -4857,6 +4927,7 @@ class Block(nn.Module):
                 if (mf := cfg.minimax_residual_factors) is not None
                 else None
             ),
+            post_ln=cfg.post_ln,
         )
 
 
@@ -4937,6 +5008,9 @@ class Decoder(nn.Module):
     norm: nn.Module
     # gpt2 wpe: learned absolute position table added to the embedding
     pos_embed: Optional[nn.Embedding] = None
+    # bert: the token-type-0 embedding row (decoder-only inputs are all
+    # segment 0, so it degenerates to one constant vector)
+    token_type_embed: Optional[jax.Array] = None
     # bloom word_embeddings_layernorm
     embed_norm: Optional[nn.Module] = None
     remat: bool = nn.static_field(default=False)
@@ -4975,6 +5049,8 @@ class Decoder(nn.Module):
             x = x + _sinusoidal_positions(
                 positions + 2, x.shape[-1]
             ).astype(x.dtype)
+        if self.token_type_embed is not None:  # bert segment 0
+            x = x + self.token_type_embed.astype(x.dtype)
         if self.embed_norm is not None:
             x = self.embed_norm(x, ctx)
         use_remat = self.remat and not (ctx is not None and ctx.no_remat)
@@ -5070,12 +5146,17 @@ class CausalLM(nn.Module):
                 )
                 for i in range(cfg.n_layers)
             ),
-            norm=_make_block_norm(cfg),
+            norm=_make_block_norm(cfg) if cfg.final_norm else nn.Identity(),
             pos_embed=(
                 nn.Embedding.create(
                     keys[-2], cfg.learned_pos, cfg.dim, cfg.dtype
                 )
                 if cfg.learned_pos is not None
+                else None
+            ),
+            token_type_embed=(
+                jnp.zeros((cfg.dim,), cfg.dtype)
+                if cfg.token_type_zero
                 else None
             ),
             embed_norm=(

@@ -1960,3 +1960,71 @@ def test_jetmoe_logits_match_hf():
     assert ncfg.n_experts == 4 and ncfg.router_softmax_after_topk
     assert ncfg.head_dim == 8 and ncfg.n_heads == 4
     _compare(hf, native, 128, atol=3e-4)
+
+
+def test_bert_decoder_logits_match_hf():
+    """bert as a causal decoder (is_decoder=True): true post-LN blocks,
+    learned positions + constant token-type-0 embedding + embedding
+    LayerNorm, NO final decoder norm, prediction head with bias on the
+    tied matmul (80th family)."""
+    cfg = transformers.BertConfig(
+        vocab_size=128,
+        hidden_size=32,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        intermediate_size=64,
+        max_position_embeddings=64,
+        is_decoder=True,
+        pad_token_id=0,
+    )
+    hf = transformers.BertLMHeadModel(cfg).eval()
+    with torch.no_grad():  # pin token-type + head-bias mappings
+        hf.bert.embeddings.token_type_embeddings.weight.copy_(
+            torch.randn_like(hf.bert.embeddings.token_type_embeddings.weight)
+        )
+        hf.cls.predictions.bias.copy_(
+            torch.randn_like(hf.cls.predictions.bias)
+        )
+    native, ncfg = _hf_to_native_translated(hf, cfg.to_dict())
+    assert ncfg.post_ln and not ncfg.final_norm and ncfg.token_type_zero
+    assert ncfg.head_transform and ncfg.lm_head_bias
+    _compare(hf, native, 128, atol=3e-4)
+
+
+def test_roberta_decoder_logits_match_hf():
+    """roberta as a causal decoder: the bert graph with pad+1-offset
+    learned positions (offset rows dropped on load) and the lm_head
+    naming (81st family; camembert/xlm-roberta are key-identical
+    clones)."""
+    cfg = transformers.RobertaConfig(
+        vocab_size=128,
+        hidden_size=32,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        intermediate_size=64,
+        max_position_embeddings=66,
+        is_decoder=True,
+        pad_token_id=1,
+    )
+    hf = transformers.RobertaForCausalLM(cfg).eval()
+    native, ncfg = _hf_to_native_translated(hf, cfg.to_dict())
+    assert ncfg.learned_pos == 64  # 66 - (pad 1 + 1)
+    _compare(hf, native, 128, atol=3e-4)
+
+
+def test_xlm_roberta_decoder_logits_match_hf():
+    """xlm-roberta as a causal decoder — confirms the roberta-clone
+    claim on the actual class (82nd family; camembert is identical)."""
+    cfg = transformers.XLMRobertaConfig(
+        vocab_size=128,
+        hidden_size=32,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        intermediate_size=64,
+        max_position_embeddings=66,
+        is_decoder=True,
+        pad_token_id=1,
+    )
+    hf = transformers.XLMRobertaForCausalLM(cfg).eval()
+    native, _ = _hf_to_native_translated(hf, cfg.to_dict())
+    _compare(hf, native, 128, atol=3e-4)
