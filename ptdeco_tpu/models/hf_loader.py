@@ -1401,8 +1401,13 @@ def make_bert_decoder_translator(hf_cfg: dict[str, Any]):
     head_transform, decoder.weight dropped when tied, its bias ->
     tied_head_bias)."""
     mt = hf_cfg.get("model_type", "bert")
-    roberta_like = mt in ("roberta", "camembert", "xlm-roberta")
-    prefix = "roberta." if roberta_like else "bert."
+    roberta_like = mt in (
+        "roberta", "camembert", "xlm-roberta", "data2vec-text",
+    )
+    prefix = {
+        "data2vec-text": "data2vec_text.",
+        "ernie": "ernie.",
+    }.get(mt, "roberta." if roberta_like else "bert.")
     pad = int(hf_cfg.get("pad_token_id") or 0)
     offset = pad + 1 if roberta_like else 0
 
@@ -1625,6 +1630,14 @@ def translator_for(hf_cfg: dict[str, Any]):
         return translate_recurrent_gemma_state_dict
     if mt == "jetmoe":
         return make_jetmoe_translator(hf_cfg)
-    if mt in ("bert", "roberta", "camembert", "xlm-roberta"):
+    if mt in (
+        "bert",
+        "roberta",
+        "camembert",
+        "xlm-roberta",
+        "data2vec-text",
+        "ernie",
+        "bert-generation",
+    ):
         return make_bert_decoder_translator(hf_cfg)
     return None

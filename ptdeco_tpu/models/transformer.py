@@ -361,6 +361,9 @@ class TransformerConfig:
             "roberta": _hf_bert_decoder,
             "camembert": _hf_bert_decoder,
             "xlm-roberta": _hf_bert_decoder,
+            "data2vec-text": _hf_bert_decoder,
+            "ernie": _hf_bert_decoder,
+            "bert-generation": _hf_bert_decoder,
         }
         if mt in beyond_llama:
             return beyond_llama[mt](hf, dtype, remat)
@@ -3302,7 +3305,16 @@ def _hf_bert_decoder(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
             "custom builder"
         )
     mt = hf.get("model_type", "bert")
-    roberta_like = mt in ("roberta", "camembert", "xlm-roberta")
+    if mt == "ernie" and hf.get("use_task_id"):
+        raise ValueError(
+            "ernie use_task_id=True (task-type embeddings) is not "
+            "implemented; use a custom builder"
+        )
+    roberta_like = mt in (
+        "roberta", "camembert", "xlm-roberta", "data2vec-text",
+    )
+    # bert-generation has no token-type table and a transform-less head
+    bare = mt == "bert-generation"
     max_pos = int(hf["max_position_embeddings"])
     pad = int(hf.get("pad_token_id") or 0)
     return TransformerConfig(
@@ -3324,9 +3336,9 @@ def _hf_bert_decoder(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
         # roberta's position table starts at pad+1; the offset rows are
         # dropped by the translator so arange indexes the same vectors
         learned_pos=max_pos - (pad + 1 if roberta_like else 0),
-        token_type_zero=True,
+        token_type_zero=not bare,
         embed_norm=True,
-        head_transform=True,
+        head_transform=not bare,
         head_transform_act=_hf_act(hf.get("hidden_act", "gelu")),
         head_transform_bias=True,
         lm_head_bias=True,

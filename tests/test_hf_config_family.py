@@ -2028,3 +2028,64 @@ def test_xlm_roberta_decoder_logits_match_hf():
     hf = transformers.XLMRobertaForCausalLM(cfg).eval()
     native, _ = _hf_to_native_translated(hf, cfg.to_dict())
     _compare(hf, native, 128, atol=3e-4)
+
+
+def test_data2vec_text_decoder_logits_match_hf():
+    """data2vec-text as a causal decoder — roberta clone under the
+    data2vec_text prefix (83rd family)."""
+    cfg = transformers.Data2VecTextConfig(
+        vocab_size=128,
+        hidden_size=32,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        intermediate_size=64,
+        max_position_embeddings=66,
+        is_decoder=True,
+        pad_token_id=1,
+    )
+    hf = transformers.Data2VecTextForCausalLM(cfg).eval()
+    native, _ = _hf_to_native_translated(hf, cfg.to_dict())
+    _compare(hf, native, 128, atol=3e-4)
+
+
+def test_ernie_decoder_logits_match_hf():
+    """ernie (the bert-era one) as a causal decoder — bert graph under
+    the ernie prefix; use_task_id refused (84th family)."""
+    cfg = transformers.ErnieConfig(
+        vocab_size=128,
+        hidden_size=32,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        intermediate_size=64,
+        max_position_embeddings=64,
+        is_decoder=True,
+        pad_token_id=0,
+    )
+    hf = transformers.ErnieForCausalLM(cfg).eval()
+    native, _ = _hf_to_native_translated(hf, cfg.to_dict())
+    _compare(hf, native, 128, atol=3e-4)
+    with pytest.raises(ValueError, match="use_task_id"):
+        models.TransformerConfig.from_hf_config(
+            {**cfg.to_dict(), "use_task_id": True}
+        )
+
+
+def test_bert_generation_decoder_logits_match_hf():
+    """bert-generation: the bert graph WITHOUT token-type embeddings and
+    with a transform-less lm_head (85th family)."""
+    cfg = transformers.BertGenerationConfig(
+        vocab_size=128,
+        hidden_size=32,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        intermediate_size=64,
+        max_position_embeddings=64,
+        is_decoder=True,
+        pad_token_id=0,
+    )
+    hf = transformers.BertGenerationDecoder(cfg).eval()
+    with torch.no_grad():
+        hf.lm_head.bias.copy_(torch.randn_like(hf.lm_head.bias))
+    native, ncfg = _hf_to_native_translated(hf, cfg.to_dict())
+    assert not ncfg.head_transform and not ncfg.token_type_zero
+    _compare(hf, native, 128, atol=3e-4)
