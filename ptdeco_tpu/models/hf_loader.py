@@ -1407,6 +1407,7 @@ def make_bert_decoder_translator(hf_cfg: dict[str, Any]):
     prefix = {
         "data2vec-text": "data2vec_text.",
         "ernie": "ernie.",
+        "electra": "electra.",
     }.get(mt, "roberta." if roberta_like else "bert.")
     pad = int(hf_cfg.get("pad_token_id") or 0)
     offset = pad + 1 if roberta_like else 0
@@ -1426,6 +1427,7 @@ def make_bert_decoder_translator(hf_cfg: dict[str, Any]):
                 out["model.token_type_embed"] = v[0]
                 continue
             k = k.replace("model.embeddings.LayerNorm.", "model.embed_norm.")
+            k = k.replace("model.embeddings_project.", "model.embed_proj.")
             k = k.replace("model.encoder.layer.", "model.layers.")
             k = k.replace(".attention.self.query.", ".self_attn.q_proj.")
             k = k.replace(".attention.self.key.", ".self_attn.k_proj.")
@@ -1445,9 +1447,16 @@ def make_bert_decoder_translator(hf_cfg: dict[str, Any]):
             )
             k = k.replace("lm_head.dense.", "head_transform.dense.")
             k = k.replace("lm_head.layer_norm.", "head_transform.norm.")
+            k = k.replace(
+                "generator_predictions.dense.", "head_transform.dense."
+            )
+            k = k.replace(
+                "generator_predictions.LayerNorm.", "head_transform.norm."
+            )
             if k in (
                 "cls.predictions.decoder.weight",
                 "lm_head.decoder.weight",
+                "generator_lm_head.weight",
             ):
                 continue  # tied to embed_tokens
             if k in (
@@ -1455,6 +1464,7 @@ def make_bert_decoder_translator(hf_cfg: dict[str, Any]):
                 "cls.predictions.bias",
                 "lm_head.decoder.bias",
                 "lm_head.bias",
+                "generator_lm_head.bias",
             ):
                 out["tied_head_bias"] = v
                 continue
@@ -1638,6 +1648,7 @@ def translator_for(hf_cfg: dict[str, Any]):
         "data2vec-text",
         "ernie",
         "bert-generation",
+        "electra",
     ):
         return make_bert_decoder_translator(hf_cfg)
     return None

@@ -268,6 +268,10 @@ class TransformerConfig:
     post_ln: bool = False
     token_type_zero: bool = False
     final_norm: bool = True
+    # electra: embeddings (word/pos/token-type/LN) live in a SMALLER
+    # embedding_size and are projected to dim; the prediction head
+    # projects back to embedding_size before the tied matmul
+    embed_dim: Optional[int] = None
     # rematerialize each block's activations during backward passes
     # (jax.checkpoint) — the HBM/flops trade for large-model calibration
     # and fine-tuning (the reference toggles HF gradient checkpointing,
@@ -364,6 +368,7 @@ class TransformerConfig:
             "data2vec-text": _hf_bert_decoder,
             "ernie": _hf_bert_decoder,
             "bert-generation": _hf_bert_decoder,
+            "electra": _hf_bert_decoder,
         }
         if mt in beyond_llama:
             return beyond_llama[mt](hf, dtype, remat)
@@ -3315,6 +3320,8 @@ def _hf_bert_decoder(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
     )
     # bert-generation has no token-type table and a transform-less head
     bare = mt == "bert-generation"
+    # electra: embeddings live in embedding_size, projected to hidden
+    ed = int(hf.get("embedding_size") or 0) if mt == "electra" else 0
     max_pos = int(hf["max_position_embeddings"])
     pad = int(hf.get("pad_token_id") or 0)
     return TransformerConfig(
@@ -3339,8 +3346,14 @@ def _hf_bert_decoder(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
         token_type_zero=not bare,
         embed_norm=True,
         head_transform=not bare,
-        head_transform_act=_hf_act(hf.get("hidden_act", "gelu")),
+        # electra's generator head hardcodes exact gelu
+        head_transform_act=(
+            "gelu_exact"
+            if mt == "electra"
+            else _hf_act(hf.get("hidden_act", "gelu"))
+        ),
         head_transform_bias=True,
+        embed_dim=ed if ed and ed != int(hf["hidden_size"]) else None,
         lm_head_bias=True,
         final_norm=False,  # post-LN: the last block's norm IS the final
         tie_embeddings=bool(hf.get("tie_word_embeddings", True)),
@@ -5025,6 +5038,8 @@ class Decoder(nn.Module):
     token_type_embed: Optional[jax.Array] = None
     # bloom word_embeddings_layernorm
     embed_norm: Optional[nn.Module] = None
+    # electra embeddings_project: embedding_size -> hidden projection
+    embed_proj: Optional[nn.Linear] = None
     remat: bool = nn.static_field(default=False)
     # xglm: deterministic fairseq sinusoidal positions (+2 offset)
     sinusoidal_pos: bool = nn.static_field(default=False)
@@ -5065,6 +5080,8 @@ class Decoder(nn.Module):
             x = x + self.token_type_embed.astype(x.dtype)
         if self.embed_norm is not None:
             x = self.embed_norm(x, ctx)
+        if self.embed_proj is not None:  # electra
+            x = self.embed_proj(x, ctx)
         use_remat = self.remat and not (ctx is not None and ctx.no_remat)
         for layer in self.layers:
             if use_remat:
@@ -5148,9 +5165,10 @@ class CausalLM(nn.Module):
     @staticmethod
     def create(key: jax.Array, cfg: TransformerConfig) -> "CausalLM":
         keys = jax.random.split(key, cfg.n_layers + 3)
+        ed = cfg.embed_dim or cfg.dim  # electra: embeddings live smaller
         decoder = Decoder(
             embed_tokens=nn.Embedding.create(
-                keys[0], cfg.vocab_size, cfg.dim, cfg.dtype
+                keys[0], cfg.vocab_size, ed, cfg.dtype
             ),
             layers=tuple(
                 (LongcatBlock if cfg.longcat_dual else Block).create(
@@ -5161,21 +5179,29 @@ class CausalLM(nn.Module):
             norm=_make_block_norm(cfg) if cfg.final_norm else nn.Identity(),
             pos_embed=(
                 nn.Embedding.create(
-                    keys[-2], cfg.learned_pos, cfg.dim, cfg.dtype
+                    keys[-2], cfg.learned_pos, ed, cfg.dtype
                 )
                 if cfg.learned_pos is not None
                 else None
             ),
             token_type_embed=(
-                jnp.zeros((cfg.dim,), cfg.dtype)
+                jnp.zeros((ed,), cfg.dtype)
                 if cfg.token_type_zero
                 else None
             ),
             embed_norm=(
                 nn.LayerNorm.create(
-                    cfg.dim, cfg.norm_bias, cfg.norm_eps, cfg.dtype
+                    ed, cfg.norm_bias, cfg.norm_eps, cfg.dtype
                 )
                 if cfg.embed_norm
+                else None
+            ),
+            embed_proj=(
+                nn.Linear.create(
+                    jax.random.fold_in(keys[0], 3), ed, cfg.dim, True,
+                    cfg.dtype,
+                )
+                if ed != cfg.dim
                 else None
             ),
             remat=cfg.remat,
@@ -5199,11 +5225,17 @@ class CausalLM(nn.Module):
                     dense=nn.Linear.create(
                         jax.random.fold_in(keys[-1], 1),
                         cfg.dim,
-                        cfg.dim,
+                        ed,
                         cfg.head_transform_bias,
                         cfg.dtype,
                     ),
-                    norm=_make_block_norm(cfg),
+                    norm=(
+                        nn.LayerNorm.create(
+                            ed, cfg.norm_bias, cfg.norm_eps, cfg.dtype
+                        )
+                        if cfg.norm_type == "layernorm"
+                        else nn.RMSNorm.create(ed, cfg.norm_eps, cfg.dtype)
+                    ),
                     act=cfg.head_transform_act,
                 )
                 if cfg.head_transform

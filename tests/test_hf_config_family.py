@@ -2089,3 +2089,25 @@ def test_bert_generation_decoder_logits_match_hf():
     native, ncfg = _hf_to_native_translated(hf, cfg.to_dict())
     assert not ncfg.head_transform and not ncfg.token_type_zero
     _compare(hf, native, 128, atol=3e-4)
+
+
+def test_electra_decoder_logits_match_hf():
+    """electra as a causal decoder: the bert graph with SMALLER
+    embedding_size — embeddings project up to hidden on entry, the
+    generator head projects back down before the tied matmul (86th
+    family)."""
+    cfg = transformers.ElectraConfig(
+        vocab_size=128,
+        hidden_size=32,
+        embedding_size=16,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        intermediate_size=64,
+        max_position_embeddings=64,
+        is_decoder=True,
+        pad_token_id=0,
+    )
+    hf = transformers.ElectraForCausalLM(cfg).eval()
+    native, ncfg = _hf_to_native_translated(hf, cfg.to_dict())
+    assert ncfg.embed_dim == 16
+    _compare(hf, native, 128, atol=3e-4)
