@@ -1403,11 +1403,17 @@ def make_bert_decoder_translator(hf_cfg: dict[str, Any]):
     mt = hf_cfg.get("model_type", "bert")
     roberta_like = mt in (
         "roberta", "camembert", "xlm-roberta", "data2vec-text",
+        "roberta-prelayernorm", "xlm-roberta-xl",
     )
     prefix = {
         "data2vec-text": "data2vec_text.",
         "ernie": "ernie.",
         "electra": "electra.",
+        "megatron-bert": "bert.",
+        "big_bird": "bert.",
+        "rembert": "rembert.",
+        "roberta-prelayernorm": "roberta_prelayernorm.",
+        "roformer": "roformer.",
     }.get(mt, "roberta." if roberta_like else "bert.")
     pad = int(hf_cfg.get("pad_token_id") or 0)
     offset = pad + 1 if roberta_like else 0
@@ -1417,6 +1423,10 @@ def make_bert_decoder_translator(hf_cfg: dict[str, Any]):
         for k, v in sd.items():
             if k.startswith(prefix):
                 k = "model." + k[len(prefix):]
+            if ".pooler." in k:
+                continue  # big_bird ships a pooler the LM head never runs
+            if "embed_positions" in k:
+                continue  # roformer's sinusoid table: computed as rotary
             if k == "model.embeddings.word_embeddings.weight":
                 out["model.embed_tokens.weight"] = v
                 continue
@@ -1428,7 +1438,41 @@ def make_bert_decoder_translator(hf_cfg: dict[str, Any]):
                 continue
             k = k.replace("model.embeddings.LayerNorm.", "model.embed_norm.")
             k = k.replace("model.embeddings_project.", "model.embed_proj.")
+            # rembert's input_embedding_size -> hidden projection
+            k = k.replace(
+                "model.encoder.embedding_hidden_mapping_in.",
+                "model.embed_proj.",
+            )
+            # pre-LN members: megatron-bert's attention.ln / layer.ln
+            # feed the sublayers; xlm-roberta-xl / roberta-prelayernorm
+            # name them self_attn_layer_norm / layer.LayerNorm /
+            # attention.LayerNorm / intermediate.LayerNorm, with a final
+            # encoder-level norm
+            k = k.replace("model.encoder.ln.", "model.norm.")
+            k = k.replace("model.encoder.LayerNorm.", "model.norm.")
+            k = k.replace("model.LayerNorm.", "model.norm.")
             k = k.replace("model.encoder.layer.", "model.layers.")
+            k = k.replace(".attention.ln.", ".input_layernorm.")
+            k = k.replace(
+                ".attention.self_attn_layer_norm.", ".input_layernorm."
+            )
+            k = k.replace(".attention.LayerNorm.", ".input_layernorm.")
+            k = k.replace(
+                ".intermediate.LayerNorm.", ".post_attention_layernorm."
+            )
+            if mt == "megatron-bert":
+                k = k.replace(".ln.", ".post_attention_layernorm.")
+            if mt == "xlm-roberta-xl":
+                # the layer-level LayerNorm (pre-MLP): layers.N.LayerNorm
+                parts = k.split(".")
+                if (
+                    len(parts) >= 4
+                    and parts[1] == "layers"
+                    and parts[3] == "LayerNorm"
+                ):
+                    k = ".".join(
+                        parts[:3] + ["post_attention_layernorm"] + parts[4:]
+                    )
             k = k.replace(".attention.self.query.", ".self_attn.q_proj.")
             k = k.replace(".attention.self.key.", ".self_attn.k_proj.")
             k = k.replace(".attention.self.value.", ".self_attn.v_proj.")
@@ -1447,12 +1491,25 @@ def make_bert_decoder_translator(hf_cfg: dict[str, Any]):
             )
             k = k.replace("lm_head.dense.", "head_transform.dense.")
             k = k.replace("lm_head.layer_norm.", "head_transform.norm.")
+            # rembert's head holds dense/LayerNorm directly (no transform.)
+            k = k.replace("cls.predictions.dense.", "head_transform.dense.")
+            k = k.replace(
+                "cls.predictions.LayerNorm.", "head_transform.norm."
+            )
             k = k.replace(
                 "generator_predictions.dense.", "head_transform.dense."
             )
             k = k.replace(
                 "generator_predictions.LayerNorm.", "head_transform.norm."
             )
+            if k in (
+                "cls.predictions.decoder.weight",
+                "cls.predictions.decoder.bias",
+            ) and mt == "rembert":
+                # rembert's decoder is genuinely untied (output width
+                # differs from the input embedding width)
+                out[k.replace("cls.predictions.decoder.", "lm_head.")] = v
+                continue
             if k in (
                 "cls.predictions.decoder.weight",
                 "lm_head.decoder.weight",
@@ -1545,6 +1602,85 @@ def translate_biogpt_state_dict(
         k = k.replace(".fc2.", ".mlp.down_proj.")
         out[k] = v
     return out
+
+
+def marian_sinusoid_table(n_pos: int, dim: int) -> np.ndarray:
+    """The Marian/Pegasus deterministic position table
+    (MarianSinusoidalPositionalEmbedding._init_weight): tensor2tensor
+    angles pos / 10000^(2*(j//2)/dim) with the sin features in the first
+    half of the vector and cos in the second (NOT interleaved).  Stored
+    as an ordinary embedding weight in the torch modules; synthesized
+    here when a checkpoint omits it (both families list embed_positions
+    under _keys_to_ignore_on_save)."""
+    j = np.arange(dim)
+    enc = np.arange(n_pos)[:, None] / np.power(10000.0, 2 * (j // 2) / dim)
+    sentinel = dim // 2 if dim % 2 == 0 else dim // 2 + 1
+    out = np.empty((n_pos, dim), np.float32)
+    out[:, :sentinel] = np.sin(enc[:, 0::2])
+    out[:, sentinel:] = np.cos(enc[:, 1::2])
+    return out
+
+
+def make_bart_decoder_translator(hf_cfg: dict[str, Any]):
+    """HF bart-lineage ``*ForCausalLM`` layouts (bart / mbart / marian /
+    pegasus / blenderbot / blenderbot-small / mvp / plbart / trocr /
+    whisper / speech_to_text_2 / bigbird_pegasus): strip the
+    ``model.decoder.`` wrapper, drop the unused cross-attention modules
+    (encoder_attn / encoder_attn_layer_norm — the causal-LM forward never
+    runs them), drop the legacy +2 position-offset rows where the family
+    has them, map self_attn_layer_norm/final_layer_norm onto the
+    input/post_attention slots (the SAME key map serves post-LN and
+    pre-LN variants), fc1/fc2 onto up/down_proj, layernorm_embedding ->
+    embed_norm, the decoder-level layer_norm -> model.norm, and
+    synthesize the marian/pegasus sinusoid table when absent."""
+    mt = hf_cfg["model_type"]
+    offset2 = mt in ("bart", "mbart", "mvp", "plbart", "trocr")
+    stored_sinusoid = mt in ("marian", "pegasus")
+    computed = mt == "speech_to_text_2" or (
+        mt == "trocr"
+        and not hf_cfg.get("use_learned_position_embeddings", True)
+    )
+    tied = bool(hf_cfg.get("tie_word_embeddings", True))
+
+    def translate(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        out: dict[str, np.ndarray] = {}
+        for k, v in sd.items():
+            if k in ("lm_head.weight", "proj_out.weight"):
+                if tied:
+                    continue
+                out["lm_head.weight"] = v
+                continue
+            if ".encoder_attn" in k:
+                continue  # cross-attention: unused in causal-LM mode
+            k = k.replace("model.decoder.", "model.")
+            if "embed_positions" in k:
+                if computed:
+                    continue  # deterministic, computed natively
+                out["model.pos_embed.weight"] = v[2:] if offset2 else v
+                continue
+            # bigbird_pegasus's decoder-level `layernorm_embedding` runs
+            # AFTER the last layer — it is the final norm, not an
+            # embedding norm
+            k = k.replace(
+                "model.layernorm_embedding.",
+                "model.norm." if mt == "bigbird_pegasus"
+                else "model.embed_norm.",
+            )
+            k = k.replace("model.layer_norm.", "model.norm.")
+            k = k.replace(".self_attn.out_proj.", ".self_attn.o_proj.")
+            k = k.replace(".self_attn_layer_norm.", ".input_layernorm.")
+            k = k.replace(".final_layer_norm.", ".post_attention_layernorm.")
+            k = k.replace(".fc1.", ".mlp.up_proj.")
+            k = k.replace(".fc2.", ".mlp.down_proj.")
+            out[k] = v
+        if stored_sinusoid and "model.pos_embed.weight" not in out:
+            dim = int(hf_cfg.get("d_model") or hf_cfg["hidden_size"])
+            out["model.pos_embed.weight"] = marian_sinusoid_table(
+                int(hf_cfg["max_position_embeddings"]), dim
+            )
+        return out
+
+    return translate
 
 
 def translator_for(hf_cfg: dict[str, Any]):
@@ -1649,6 +1785,27 @@ def translator_for(hf_cfg: dict[str, Any]):
         "ernie",
         "bert-generation",
         "electra",
+        "megatron-bert",
+        "rembert",
+        "roberta-prelayernorm",
+        "xlm-roberta-xl",
+        "roformer",
+        "big_bird",
     ):
         return make_bert_decoder_translator(hf_cfg)
+    if mt in (
+        "bart",
+        "mbart",
+        "marian",
+        "pegasus",
+        "blenderbot",
+        "blenderbot-small",
+        "mvp",
+        "plbart",
+        "trocr",
+        "whisper",
+        "speech_to_text_2",
+        "bigbird_pegasus",
+    ):
+        return make_bart_decoder_translator(hf_cfg)
     return None

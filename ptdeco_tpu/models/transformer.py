@@ -184,6 +184,10 @@ class TransformerConfig:
     use_alibi: bool = False
     # bloom: LayerNorm over the token embedding before the first block
     embed_norm: bool = False
+    # blenderbot-small: its DECODER applies layernorm_embedding to the
+    # token embedding BEFORE the position embedding is added (unlike
+    # bart and its own encoder)
+    embed_norm_pre_pos: bool = False
     # bitnet: RMSNorms over the attention output (pre-o_proj, named
     # attn_sub_norm) and the MLP activation product (pre-down_proj,
     # ffn_sub_norm) — HF BitNetAttention/BitNetMLP
@@ -193,8 +197,11 @@ class TransformerConfig:
     router_norm_min: float = 0.0
     # xglm: deterministic fairseq/tensor2tensor sinusoidal position
     # embedding (cat(sin, cos) halves, +2 index offset) added to the
-    # scaled token embedding — no checkpoint weight
+    # scaled token embedding — no checkpoint weight.  speech_to_text_2
+    # indexes at padding_idx+1 instead of the fixed 2 (fairseq
+    # create_position_ids_from_input_ids with an all-ones mask)
     sinusoidal_pos: bool = False
+    sinusoidal_offset: int = 2
     # diffllama: differential attention — the head pool splits into two
     # softmax groups subtracted with a learned, layer-indexed lambda over
     # paired 2*head_dim values (HF DiffLlamaAttention)
@@ -272,6 +279,10 @@ class TransformerConfig:
     # embedding_size and are projected to dim; the prediction head
     # projects back to embedding_size before the tied matmul
     embed_dim: Optional[int] = None
+    # rembert: the prediction head projects to output_embedding_size
+    # (decoupled from BOTH dim and the input embedding width) and the
+    # UNTIED decoder maps that width to the vocabulary
+    head_out_dim: Optional[int] = None
     # rematerialize each block's activations during backward passes
     # (jax.checkpoint) — the HBM/flops trade for large-model calibration
     # and fine-tuning (the reference toggles HF gradient checkpointing,
@@ -369,6 +380,13 @@ class TransformerConfig:
             "ernie": _hf_bert_decoder,
             "bert-generation": _hf_bert_decoder,
             "electra": _hf_bert_decoder,
+            "megatron-bert": _hf_bert_decoder,
+            "rembert": _hf_bert_decoder,
+            "roberta-prelayernorm": _hf_bert_decoder,
+            "xlm-roberta-xl": _hf_bert_decoder,
+            "roformer": _hf_bert_decoder,
+            "big_bird": _hf_bert_decoder,
+            **{k: _hf_bart_decoder for k in _BART_LINEAGE},
         }
         if mt in beyond_llama:
             return beyond_llama[mt](hf, dtype, remat)
@@ -3304,26 +3322,51 @@ def _hf_bert_decoder(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
     embedding LayerNorm, biased exact-gelu MLP, and the
     dense+act+LayerNorm prediction head with a bias on the tied output
     matmul."""
-    if hf.get("position_embedding_type", "absolute") != "absolute":
+    mt = hf.get("model_type", "bert")
+    if mt != "roformer" and (
+        hf.get("position_embedding_type", "absolute") != "absolute"
+    ):
         raise ValueError(
             "only absolute position_embedding_type is implemented; use a "
             "custom builder"
         )
-    mt = hf.get("model_type", "bert")
     if mt == "ernie" and hf.get("use_task_id"):
         raise ValueError(
             "ernie use_task_id=True (task-type embeddings) is not "
             "implemented; use a custom builder"
         )
+    if mt == "roformer" and hf.get("rotary_value"):
+        raise ValueError(
+            "roformer rotary_value=True (rotary on the value vectors) is "
+            "not implemented; use a custom builder"
+        )
     roberta_like = mt in (
         "roberta", "camembert", "xlm-roberta", "data2vec-text",
+        "roberta-prelayernorm", "xlm-roberta-xl",
     )
     # bert-generation has no token-type table and a transform-less head
     bare = mt == "bert-generation"
-    # electra: embeddings live in embedding_size, projected to hidden
-    ed = int(hf.get("embedding_size") or 0) if mt == "electra" else 0
+    # pre-LN members: megatron-bert (attention.ln / layer.ln feeding the
+    # sublayers, final encoder.ln), roberta-prelayernorm, xlm-roberta-xl
+    # (which also drops the embedding LayerNorm)
+    pre_ln = mt in (
+        "megatron-bert", "roberta-prelayernorm", "xlm-roberta-xl",
+    )
+    # electra/roformer: embeddings live in embedding_size, projected to
+    # hidden; rembert calls the same width input_embedding_size
+    ed = (
+        int(hf.get("embedding_size") or 0)
+        if mt in ("electra", "roformer")
+        else int(hf.get("input_embedding_size") or 0)
+        if mt == "rembert"
+        else 0
+    )
     max_pos = int(hf["max_position_embeddings"])
     pad = int(hf.get("pad_token_id") or 0)
+    # roformer replaces absolute positions with standard interleaved
+    # rotary at theta 10000 over the full head dim (its marian-layout
+    # sinusoid table chunked to (sin, cos) IS the rope inv_freq ladder)
+    rope = mt == "roformer"
     return TransformerConfig(
         vocab_size=int(hf["vocab_size"]),
         dim=int(hf["hidden_size"]),
@@ -3333,19 +3376,32 @@ def _hf_bert_decoder(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
         hidden_dim=int(hf["intermediate_size"]),
         norm_eps=float(hf.get("layer_norm_eps", 1e-12)),
         norm_type="layernorm",
-        post_ln=True,
+        post_ln=not pre_ln,
+        final_norm=pre_ln,
         mlp_gated=False,
         mlp_bias=True,
         mlp_act=_hf_act(hf.get("hidden_act", "gelu")),
         qkv_bias=True,
         o_proj_bias=True,
-        use_rope=False,
+        use_rope=rope,
+        rope_theta=10000.0,
+        rope_interleaved=rope,
+        # big_bird rescale_embeddings: sqrt(hidden) on the word embedding
+        # before the positional/token-type adds (matches scale_embeddings)
+        scale_embeddings=bool(hf.get("rescale_embeddings", False)),
         # roberta's position table starts at pad+1; the offset rows are
         # dropped by the translator so arange indexes the same vectors
-        learned_pos=max_pos - (pad + 1 if roberta_like else 0),
+        learned_pos=(
+            None
+            if rope
+            else max_pos - (pad + 1 if roberta_like else 0)
+        ),
         token_type_zero=not bare,
-        embed_norm=True,
+        embed_norm=mt not in ("megatron-bert", "xlm-roberta-xl"),
         head_transform=not bare,
+        head_out_dim=(
+            int(hf["output_embedding_size"]) if mt == "rembert" else None
+        ),
         # electra's generator head hardcodes exact gelu
         head_transform_act=(
             "gelu_exact"
@@ -3355,7 +3411,101 @@ def _hf_bert_decoder(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
         head_transform_bias=True,
         embed_dim=ed if ed and ed != int(hf["hidden_size"]) else None,
         lm_head_bias=True,
-        final_norm=False,  # post-LN: the last block's norm IS the final
+        # rembert's decoder is genuinely untied (input/output embedding
+        # widths differ); all other members tie by default
+        tie_embeddings=(
+            False
+            if mt == "rembert"
+            else bool(hf.get("tie_word_embeddings", True))
+        ),
+        remat=remat,
+        dtype=dtype,
+    )
+
+
+# (model_type -> (positions, post_ln, embed_norm, final_norm)) for the
+# bart decoder lineage.  positions: "learned2" = BartLearnedPositional
+# Embedding's +2 index offset (the translator drops the two offset rows),
+# "learned" = plain arange lookup, "weight" = a deterministic sinusoid
+# STORED as an embedding weight (marian/pegasus — copied through, or
+# synthesized by the translator when a checkpoint omits it),
+# "computed" = the fairseq sinusoid computed on the fly (speech_to_text_2).
+_BART_LINEAGE: dict[str, tuple] = {
+    "bart": ("learned2", True, True, False),
+    "mvp": ("learned2", True, True, False),
+    "plbart": ("learned2", True, True, False),
+    "trocr": ("learned2", True, True, False),  # embed_norm from config
+    "mbart": ("learned2", False, True, True),
+    "marian": ("weight", True, False, False),
+    "pegasus": ("weight", False, False, True),
+    "blenderbot": ("learned", False, False, True),
+    "blenderbot-small": ("learned", True, True, False),
+    "whisper": ("learned", False, False, True),
+    "speech_to_text_2": ("computed", True, False, False),
+    # bigbird_pegasus's decoder applies its `layernorm_embedding` AFTER
+    # the last layer — it is the final decoder norm under a misleading
+    # checkpoint name (the translator maps it onto model.norm)
+    "bigbird_pegasus": ("learned", False, False, True),
+}
+
+
+def _hf_bart_decoder(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
+    """HF bart-lineage ``*ForCausalLM`` decoders (bart / mbart / marian /
+    pegasus / blenderbot / blenderbot-small / mvp / plbart / trocr /
+    whisper / speech_to_text_2 / bigbird_pegasus) -> native.  One shared
+    seq2seq-decoder graph family: LayerNorm blocks (post-LN for the
+    original bart generation, pre-LN with a final decoder norm for the
+    mbart/pegasus/blenderbot/whisper generation), biased non-gated MLPs
+    (fc1/fc2), biased attention projections, optional sqrt(d_model)
+    embedding scale, optional embedding LayerNorm, and the per-family
+    position flavors in ``_BART_LINEAGE``.  Cross-attention modules in the
+    checkpoints are unused by the causal-LM forward and dropped on load."""
+    mt = hf["model_type"]
+    pos_kind, post_ln, embed_norm, final_norm = _BART_LINEAGE[mt]
+    if mt == "mvp" and hf.get("use_prompt"):
+        raise ValueError(
+            "mvp use_prompt=True (prompt tuning tensors) is not "
+            "implemented; use a custom builder"
+        )
+    if mt == "trocr":
+        if not hf.get("use_learned_position_embeddings", True):
+            pos_kind = "computed"  # TrOCRSinusoidalPositionalEmbedding
+        embed_norm = bool(hf.get("layernorm_embedding", True))
+    dim = int(hf.get("d_model") or hf["hidden_size"])
+    # whisper and speech_to_text_2 size the decoder by max_target_positions
+    max_pos = int(
+        hf.get("max_target_positions")
+        if mt in ("whisper", "speech_to_text_2")
+        else hf["max_position_embeddings"]
+    )
+    return TransformerConfig(
+        vocab_size=int(hf["vocab_size"]),
+        dim=dim,
+        n_layers=int(hf["decoder_layers"]),
+        n_heads=int(hf["decoder_attention_heads"]),
+        n_kv_heads=int(hf["decoder_attention_heads"]),
+        hidden_dim=int(hf["decoder_ffn_dim"]),
+        norm_eps=1e-5,
+        norm_type="layernorm",
+        post_ln=post_ln,
+        final_norm=final_norm,
+        embed_norm=embed_norm,
+        mlp_gated=False,
+        mlp_bias=True,
+        mlp_act=_hf_act(hf.get("activation_function", "gelu")),
+        qkv_bias=bool(hf.get("use_bias", True)),  # bigbird_pegasus knob
+        o_proj_bias=bool(hf.get("use_bias", True)),
+        use_rope=False,
+        learned_pos=(
+            max_pos if pos_kind in ("learned", "learned2", "weight") else None
+        ),
+        sinusoidal_pos=pos_kind == "computed",
+        # fairseq position ids start at padding_idx+1 (speech_to_text_2 /
+        # trocr's sinusoidal fallback); xglm's fixed 2 is the same value
+        # at the default pad_token_id=1
+        sinusoidal_offset=int(hf.get("pad_token_id") or 1) + 1,
+        scale_embeddings=bool(hf.get("scale_embedding", False)),
+        embed_norm_pre_pos=mt == "blenderbot-small",
         tie_embeddings=bool(hf.get("tie_word_embeddings", True)),
         remat=remat,
         dtype=dtype,
@@ -5043,6 +5193,9 @@ class Decoder(nn.Module):
     remat: bool = nn.static_field(default=False)
     # xglm: deterministic fairseq sinusoidal positions (+2 offset)
     sinusoidal_pos: bool = nn.static_field(default=False)
+    sinusoidal_offset: int = nn.static_field(default=2)
+    # blenderbot-small: embed_norm BEFORE the position add
+    embed_norm_pre_pos: bool = nn.static_field(default=False)
     # gemma: hidden states scaled by sqrt(dim) after embedding (HF
     # GemmaModel.forward normalizer, applied in the activation dtype)
     scale_embeddings: bool = nn.static_field(default=False)
@@ -5070,15 +5223,17 @@ class Decoder(nn.Module):
             x = x * jnp.asarray(self.embedding_multiplier, x.dtype)
         b, s = input_ids.shape
         positions = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s))
+        if self.embed_norm is not None and self.embed_norm_pre_pos:
+            x = self.embed_norm(x, ctx)
         if self.pos_embed is not None:
             x = x + self.pos_embed(positions)
         if self.sinusoidal_pos:
             x = x + _sinusoidal_positions(
-                positions + 2, x.shape[-1]
+                positions + self.sinusoidal_offset, x.shape[-1]
             ).astype(x.dtype)
         if self.token_type_embed is not None:  # bert segment 0
             x = x + self.token_type_embed.astype(x.dtype)
-        if self.embed_norm is not None:
+        if self.embed_norm is not None and not self.embed_norm_pre_pos:
             x = self.embed_norm(x, ctx)
         if self.embed_proj is not None:  # electra
             x = self.embed_proj(x, ctx)
@@ -5206,15 +5361,25 @@ class CausalLM(nn.Module):
             ),
             remat=cfg.remat,
             sinusoidal_pos=cfg.sinusoidal_pos,
+            sinusoidal_offset=cfg.sinusoidal_offset,
+            embed_norm_pre_pos=cfg.embed_norm_pre_pos,
             scale_embeddings=cfg.scale_embeddings,
             scale_embeddings_bf16=cfg.scale_embeddings_bf16,
             embedding_multiplier=cfg.embedding_multiplier,
         )
+        # width of the prediction-head transform output: rembert decouples
+        # it from both dim and the input embedding width (head_out_dim);
+        # electra's tied head projects back to the embedding width
+        hw = cfg.head_out_dim or ed
         lm_head = (
             None
             if cfg.tie_embeddings
             else nn.Linear.create(
-                keys[-1], cfg.dim, cfg.vocab_size, cfg.lm_head_bias, cfg.dtype
+                keys[-1],
+                hw if cfg.head_transform else cfg.dim,
+                cfg.vocab_size,
+                cfg.lm_head_bias,
+                cfg.dtype,
             )
         )
         return CausalLM(
@@ -5225,16 +5390,16 @@ class CausalLM(nn.Module):
                     dense=nn.Linear.create(
                         jax.random.fold_in(keys[-1], 1),
                         cfg.dim,
-                        ed,
+                        hw,
                         cfg.head_transform_bias,
                         cfg.dtype,
                     ),
                     norm=(
                         nn.LayerNorm.create(
-                            ed, cfg.norm_bias, cfg.norm_eps, cfg.dtype
+                            hw, cfg.norm_bias, cfg.norm_eps, cfg.dtype
                         )
                         if cfg.norm_type == "layernorm"
-                        else nn.RMSNorm.create(ed, cfg.norm_eps, cfg.dtype)
+                        else nn.RMSNorm.create(hw, cfg.norm_eps, cfg.dtype)
                     ),
                     act=cfg.head_transform_act,
                 )

@@ -2111,3 +2111,326 @@ def test_electra_decoder_logits_match_hf():
     native, ncfg = _hf_to_native_translated(hf, cfg.to_dict())
     assert ncfg.embed_dim == 16
     _compare(hf, native, 128, atol=3e-4)
+
+
+# --------------------------------------------------------------------------
+# bart decoder lineage: one shared seq2seq-decoder graph family
+# (_hf_bart_decoder) — post-LN vs pre-LN, four position flavors, optional
+# embedding LayerNorm / sqrt(d) scale.  Cross-attention weights exist in
+# every checkpoint and must be DROPPED (the causal-LM forward never runs
+# them), so each pin also exercises that path.
+# --------------------------------------------------------------------------
+
+
+def _bart_kw(**kw):
+    base = dict(
+        vocab_size=128,
+        d_model=32,
+        decoder_layers=2,
+        decoder_attention_heads=4,
+        decoder_ffn_dim=64,
+        max_position_embeddings=64,
+        pad_token_id=1,
+    )
+    base.update(kw)
+    return base
+
+
+def test_bart_decoder_logits_match_hf():
+    """bart as a causal decoder (87th family): post-LN blocks, learned
+    positions with the legacy +2 offset rows, embedding LayerNorm, no
+    final decoder norm."""
+    cfg = transformers.BartConfig(**_bart_kw(activation_function="gelu"))
+    hf = transformers.BartForCausalLM(cfg).eval()
+    native, ncfg = _hf_to_native_translated(hf, cfg.to_dict())
+    assert ncfg.post_ln and ncfg.embed_norm and not ncfg.final_norm
+    assert ncfg.learned_pos == 64 and not ncfg.use_rope
+    _compare(hf, native, 128, atol=3e-4)
+
+
+def test_mbart_decoder_logits_match_hf():
+    """mbart (88th): the bart layout gone pre-LN, with BOTH the embedding
+    LayerNorm and a final decoder layer_norm."""
+    cfg = transformers.MBartConfig(**_bart_kw(scale_embedding=True))
+    hf = transformers.MBartForCausalLM(cfg).eval()
+    native, ncfg = _hf_to_native_translated(hf, cfg.to_dict())
+    assert not ncfg.post_ln and ncfg.embed_norm and ncfg.final_norm
+    assert ncfg.scale_embeddings
+    _compare(hf, native, 128, atol=3e-4)
+
+
+def test_marian_decoder_logits_match_hf():
+    """marian (89th): post-LN, no embedding norm, and the deterministic
+    sinusoid STORED as the position table.  The checkpoint omits it on
+    save (_keys_to_ignore_on_save), so the translator's synthesized
+    table is what actually gets exercised against torch's _init_weight."""
+    cfg = transformers.MarianConfig(
+        **_bart_kw(scale_embedding=True, decoder_start_token_id=1)
+    )
+    hf = transformers.MarianForCausalLM(cfg).eval()
+    sd_keys = set(hf.state_dict().keys())
+    native, ncfg = _hf_to_native_translated(hf, cfg.to_dict())
+    assert ncfg.post_ln and not ncfg.embed_norm and not ncfg.final_norm
+    _compare(hf, native, 128, atol=3e-4)
+    # and the synthesized-table fallback path bit-matches the stored one
+    from ptdeco_tpu.models import hf_loader
+
+    if "model.decoder.embed_positions.weight" in sd_keys:
+        stored = hf.state_dict()["model.decoder.embed_positions.weight"]
+        synth = hf_loader.marian_sinusoid_table(64, 32)
+        assert np.allclose(stored.numpy(), synth, atol=1e-6)
+
+
+def test_pegasus_decoder_logits_match_hf():
+    """pegasus (90th): pre-LN + final norm with the marian sinusoid
+    table and no embedding norm."""
+    cfg = transformers.PegasusConfig(**_bart_kw(scale_embedding=True))
+    hf = transformers.PegasusForCausalLM(cfg).eval()
+    native, ncfg = _hf_to_native_translated(hf, cfg.to_dict())
+    assert not ncfg.post_ln and not ncfg.embed_norm and ncfg.final_norm
+    _compare(hf, native, 128, atol=3e-4)
+
+
+def test_blenderbot_decoder_logits_match_hf():
+    """blenderbot (91st): pre-LN + final norm, learned positions WITHOUT
+    the bart +2 offset."""
+    cfg = transformers.BlenderbotConfig(**_bart_kw())
+    hf = transformers.BlenderbotForCausalLM(cfg).eval()
+    native, ncfg = _hf_to_native_translated(hf, cfg.to_dict())
+    assert ncfg.learned_pos == 64 and not ncfg.embed_norm
+    _compare(hf, native, 128, atol=3e-4)
+
+
+def test_blenderbot_small_decoder_logits_match_hf():
+    """blenderbot-small (92nd): post-LN + embedding norm, offset-free
+    learned positions."""
+    cfg = transformers.BlenderbotSmallConfig(**_bart_kw())
+    hf = transformers.BlenderbotSmallForCausalLM(cfg).eval()
+    native, ncfg = _hf_to_native_translated(hf, cfg.to_dict())
+    assert ncfg.post_ln and ncfg.embed_norm and not ncfg.final_norm
+    _compare(hf, native, 128, atol=3e-4)
+
+
+def test_mvp_decoder_logits_match_hf():
+    """mvp (93rd): the bart graph (prompt tuning off); use_prompt=True is
+    refused loudly."""
+    cfg = transformers.MvpConfig(**_bart_kw())
+    hf = transformers.MvpForCausalLM(cfg).eval()
+    native, ncfg = _hf_to_native_translated(hf, cfg.to_dict())
+    _compare(hf, native, 128, atol=3e-4)
+    with pytest.raises(ValueError, match="use_prompt"):
+        models.TransformerConfig.from_hf_config(
+            dict(cfg.to_dict(), use_prompt=True)
+        )
+
+
+def test_plbart_decoder_logits_match_hf():
+    """plbart (94th): bart + sqrt(d_model) embedding scale."""
+    cfg = transformers.PLBartConfig(**_bart_kw(scale_embedding=True))
+    hf = transformers.PLBartForCausalLM(cfg).eval()
+    native, ncfg = _hf_to_native_translated(hf, cfg.to_dict())
+    assert ncfg.scale_embeddings
+    _compare(hf, native, 128, atol=3e-4)
+
+
+def test_trocr_decoder_logits_match_hf():
+    """trocr (95th): already decoder-only upstream — bart post-LN layout
+    with config-gated embedding LayerNorm and learned +2-offset
+    positions."""
+    cfg = transformers.TrOCRConfig(
+        **_bart_kw(layernorm_embedding=True, activation_function="gelu")
+    )
+    hf = transformers.TrOCRForCausalLM(cfg).eval()
+    native, ncfg = _hf_to_native_translated(hf, cfg.to_dict())
+    assert ncfg.post_ln and ncfg.embed_norm
+    _compare(hf, native, 128, atol=3e-4)
+
+
+def test_whisper_decoder_logits_match_hf():
+    """whisper text decoder (96th): pre-LN + final norm, offset-free
+    learned positions sized by max_target_positions, tied proj_out."""
+    cfg = transformers.WhisperConfig(
+        vocab_size=128,
+        d_model=32,
+        decoder_layers=2,
+        decoder_attention_heads=4,
+        decoder_ffn_dim=64,
+        encoder_layers=2,
+        encoder_attention_heads=4,
+        encoder_ffn_dim=64,
+        max_target_positions=64,
+        pad_token_id=0,
+    )
+    hf = transformers.WhisperForCausalLM(cfg).eval()
+    native, ncfg = _hf_to_native_translated(hf, cfg.to_dict())
+    assert ncfg.learned_pos == 64 and not ncfg.post_ln and ncfg.final_norm
+    _compare(hf, native, 128, atol=3e-4)
+
+
+def test_speech_to_text_2_decoder_logits_match_hf():
+    """speech_to_text_2 (97th): post-LN with COMPUTED fairseq sinusoidal
+    positions indexed from padding_idx+1 (the sinusoidal_offset knob)."""
+    cfg = transformers.Speech2Text2Config(
+        vocab_size=128,
+        d_model=32,
+        decoder_layers=2,
+        decoder_attention_heads=4,
+        decoder_ffn_dim=64,
+        max_position_embeddings=64,
+        pad_token_id=1,
+    )
+    # UPSTREAM BUG (transformers 4.57, deprecated model): _init_weights
+    # references embed_positions.weight but the module only defines a
+    # LAZY `weights` created in forward — construction crashes.  Repair
+    # construction only (alias weight <-> weights, materialized eagerly);
+    # the sinusoid math below is upstream's own get_embedding.
+    from transformers.models.deprecated.speech_to_text_2 import (
+        modeling_speech_to_text_2 as s2t2_mod,
+    )
+
+    sin_cls = s2t2_mod.Speech2Text2SinusoidalPositionalEmbedding
+    pre_cls = s2t2_mod.Speech2Text2PreTrainedModel
+    orig_init_weights = pre_cls._init_weights
+
+    def patched_init_weights(self, module):
+        if isinstance(module, sin_cls):
+            module.make_weights(
+                module.padding_idx + 1 + cfg.max_target_positions
+                + module.offset,
+                module.embedding_dim,
+                module.padding_idx,
+            )
+            return
+        orig_init_weights(self, module)
+
+    pre_cls._init_weights = patched_init_weights
+    try:
+        hf = transformers.Speech2Text2ForCausalLM(cfg).eval()
+    finally:
+        pre_cls._init_weights = orig_init_weights
+    native, ncfg = _hf_to_native_translated(hf, cfg.to_dict())
+    assert ncfg.sinusoidal_pos and ncfg.sinusoidal_offset == 2
+    assert ncfg.learned_pos is None
+    # fairseq position ids are CONTENT-dependent (pad tokens freeze and
+    # shift them); the native arange+offset is exact for the un-padded
+    # streams the calibration loaders produce, so the pin samples ids
+    # that avoid pad_token_id=1
+    rng = np.random.RandomState(0)
+    ids = rng.randint(2, 128, (2, 12))
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(ids)).logits.to(torch.float32).numpy()
+    out = np.asarray(native({"input_ids": jnp.asarray(ids)}), np.float32)
+    assert np.allclose(out, ref, atol=3e-4), np.abs(out - ref).max()
+
+
+def test_bigbird_pegasus_decoder_logits_match_hf():
+    """bigbird_pegasus (98th): the decoder always runs full attention —
+    pre-LN blocks, offset-free learned positions, and a decoder-level
+    `layernorm_embedding` that actually runs AFTER the last layer (the
+    final norm under a misleading checkpoint name)."""
+    cfg = transformers.BigBirdPegasusConfig(
+        **_bart_kw(activation_function="gelu_new", use_bias=True)
+    )
+    hf = transformers.BigBirdPegasusForCausalLM(cfg).eval()
+    native, ncfg = _hf_to_native_translated(hf, cfg.to_dict())
+    assert not ncfg.post_ln and not ncfg.embed_norm and ncfg.final_norm
+    _compare(hf, native, 128, atol=3e-4)
+
+
+# --------------------------------------------------------------------------
+# bert-lineage extensions: pre-LN members (megatron-bert /
+# roberta-prelayernorm / xlm-roberta-xl), decoupled-width heads (rembert),
+# rotary bert (roformer), and big_bird's full-attention decoder.
+# --------------------------------------------------------------------------
+
+
+def _bert_kw(**kw):
+    base = dict(
+        vocab_size=128,
+        hidden_size=32,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        intermediate_size=64,
+        max_position_embeddings=64,
+        is_decoder=True,
+        pad_token_id=0,
+    )
+    base.update(kw)
+    return base
+
+
+def test_megatron_bert_decoder_logits_match_hf():
+    """megatron-bert (99th family): PRE-LN bert — attention.ln / layer.ln
+    feed the sublayers, a final encoder.ln, and NO embedding LayerNorm."""
+    cfg = transformers.MegatronBertConfig(**_bert_kw())
+    hf = transformers.MegatronBertForCausalLM(cfg).eval()
+    native, ncfg = _hf_to_native_translated(hf, cfg.to_dict())
+    assert not ncfg.post_ln and ncfg.final_norm and not ncfg.embed_norm
+    _compare(hf, native, 128, atol=3e-4)
+
+
+def test_rembert_decoder_logits_match_hf():
+    """rembert (100th): small input_embedding_size projected up on entry
+    (embedding_hidden_mapping_in), a prediction head projecting to a
+    THIRD width (output_embedding_size), and a genuinely untied decoder."""
+    cfg = transformers.RemBertConfig(
+        **_bert_kw(input_embedding_size=16, output_embedding_size=24)
+    )
+    hf = transformers.RemBertForCausalLM(cfg).eval()
+    native, ncfg = _hf_to_native_translated(hf, cfg.to_dict())
+    assert ncfg.embed_dim == 16 and ncfg.head_out_dim == 24
+    assert not ncfg.tie_embeddings
+    _compare(hf, native, 128, atol=3e-4)
+
+
+def test_roberta_prelayernorm_decoder_logits_match_hf():
+    """roberta-prelayernorm (101st): the roberta graph gone pre-LN
+    (attention.LayerNorm / intermediate.LayerNorm) with a final body
+    LayerNorm and the roberta pad+1 position offset."""
+    cfg = transformers.RobertaPreLayerNormConfig(**_bert_kw(pad_token_id=1))
+    hf = transformers.RobertaPreLayerNormForCausalLM(cfg).eval()
+    native, ncfg = _hf_to_native_translated(hf, cfg.to_dict())
+    assert not ncfg.post_ln and ncfg.final_norm and ncfg.embed_norm
+    assert ncfg.learned_pos == 62
+    _compare(hf, native, 128, atol=3e-4)
+
+
+def test_xlm_roberta_xl_decoder_logits_match_hf():
+    """xlm-roberta-xl (102nd): pre-LN roberta that DROPS the embedding
+    LayerNorm (self_attn_layer_norm / layer.LayerNorm / encoder.LayerNorm)."""
+    cfg = transformers.XLMRobertaXLConfig(**_bert_kw(pad_token_id=1))
+    hf = transformers.XLMRobertaXLForCausalLM(cfg).eval()
+    native, ncfg = _hf_to_native_translated(hf, cfg.to_dict())
+    assert not ncfg.post_ln and ncfg.final_norm and not ncfg.embed_norm
+    _compare(hf, native, 128, atol=3e-4)
+
+
+def test_roformer_decoder_logits_match_hf():
+    """roformer (103rd): the post-LN bert graph with NO absolute
+    positions — its marian-layout sinusoid table applied with
+    rotate-every-two IS standard interleaved rotary at theta 10000."""
+    cfg = transformers.RoFormerConfig(
+        **_bert_kw(embedding_size=32, rotary_value=False)
+    )
+    hf = transformers.RoFormerForCausalLM(cfg).eval()
+    native, ncfg = _hf_to_native_translated(hf, cfg.to_dict())
+    assert ncfg.use_rope and ncfg.rope_interleaved
+    assert ncfg.learned_pos is None and ncfg.post_ln
+    _compare(hf, native, 128, atol=3e-4)
+    with pytest.raises(ValueError, match="rotary_value"):
+        models.TransformerConfig.from_hf_config(
+            dict(cfg.to_dict(), rotary_value=True)
+        )
+
+
+def test_big_bird_decoder_logits_match_hf():
+    """big_bird (104th): as a causal decoder HF runs original_full
+    attention — the bert graph with gelu_new and the optional
+    sqrt(hidden) embedding rescale."""
+    cfg = transformers.BigBirdConfig(
+        **_bert_kw(attention_type="original_full", rescale_embeddings=True)
+    )
+    hf = transformers.BigBirdForCausalLM(cfg).eval()
+    native, ncfg = _hf_to_native_translated(hf, cfg.to_dict())
+    assert ncfg.scale_embeddings and ncfg.post_ln
+    _compare(hf, native, 128, atol=3e-4)
