@@ -270,6 +270,9 @@ def translate_gpt2_state_dict(
             continue  # tied to wte
         k = k.replace("transformer.wte.", "model.embed_tokens.")
         k = k.replace("transformer.wpe.", "model.pos_embed.")
+        # openai-gpt (GPT-1) spells the same tables differently
+        k = k.replace("transformer.tokens_embed.", "model.embed_tokens.")
+        k = k.replace("transformer.positions_embed.", "model.pos_embed.")
         k = k.replace("transformer.ln_f.", "model.norm.")
         k = k.replace("transformer.h.", "model.layers.")
         k = k.replace(".ln_1.", ".input_layernorm.")
@@ -1604,6 +1607,80 @@ def translate_biogpt_state_dict(
     return out
 
 
+def translate_ctrl_state_dict(
+    sd: dict[str, np.ndarray],
+) -> dict[str, np.ndarray]:
+    """HF CTRL: transformer.w -> embed_tokens, h.N.multi_head_attention
+    .{Wq,Wk,Wv,dense} -> self_attn.{q,k,v,o}_proj, the ffn Sequential's
+    .0/.2 -> mlp.up/down_proj, layernorm1/2 -> input/post slots, the
+    final transformer.layernorm -> model.norm; positions are computed
+    (t2t sinusoid, no weight) and the tied lm_head keeps only its bias."""
+    out: dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        if k == "lm_head.weight":
+            continue  # tied to transformer.w
+        if k == "lm_head.bias":
+            out["tied_head_bias"] = v
+            continue
+        k = k.replace("transformer.w.", "model.embed_tokens.")
+        k = k.replace("transformer.layernorm.", "model.norm.")
+        k = k.replace("transformer.h.", "model.layers.")
+        k = k.replace(".multi_head_attention.Wq.", ".self_attn.q_proj.")
+        k = k.replace(".multi_head_attention.Wk.", ".self_attn.k_proj.")
+        k = k.replace(".multi_head_attention.Wv.", ".self_attn.v_proj.")
+        k = k.replace(".multi_head_attention.dense.", ".self_attn.o_proj.")
+        k = k.replace(".layernorm1.", ".input_layernorm.")
+        k = k.replace(".layernorm2.", ".post_attention_layernorm.")
+        k = k.replace(".ffn.0.", ".mlp.up_proj.")
+        k = k.replace(".ffn.2.", ".mlp.down_proj.")
+        out[k] = v
+    return out
+
+
+def translate_xlm_state_dict_clm(
+    sd: dict[str, np.ndarray],
+) -> dict[str, np.ndarray]:
+    """HF XLM (causal=True): embeddings/position_embeddings/
+    layer_norm_emb onto embed_tokens/pos_embed/embed_norm, the per-layer
+    ModuleLists (attentions.N.{q,k,v,out}_lin, layer_norm1/2.N,
+    ffns.N.lin1/lin2) onto the layer tree, pred_layer.proj's bias onto
+    the tied matmul.  Language embeddings are dropped — the causal-LM
+    forward never passes a ``langs`` tensor."""
+    out: dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        if k.startswith("transformer.lang_embeddings."):
+            continue
+        if k == "pred_layer.proj.weight":
+            continue  # tied to embeddings
+        if k == "pred_layer.proj.bias":
+            out["tied_head_bias"] = v
+            continue
+        k = k.replace("transformer.embeddings.", "model.embed_tokens.")
+        k = k.replace(
+            "transformer.position_embeddings.", "model.pos_embed."
+        )
+        k = k.replace("transformer.layer_norm_emb.", "model.embed_norm.")
+        for src, dst in (
+            ("attentions", "self_attn"),
+            ("layer_norm1", "input_layernorm"),
+            ("layer_norm2", "post_attention_layernorm"),
+            ("ffns", "mlp"),
+        ):
+            pre = f"transformer.{src}."
+            if k.startswith(pre):
+                layer, rest = k[len(pre):].split(".", 1)
+                k = f"model.layers.{layer}.{dst}.{rest}"
+                break
+        k = k.replace(".self_attn.q_lin.", ".self_attn.q_proj.")
+        k = k.replace(".self_attn.k_lin.", ".self_attn.k_proj.")
+        k = k.replace(".self_attn.v_lin.", ".self_attn.v_proj.")
+        k = k.replace(".self_attn.out_lin.", ".self_attn.o_proj.")
+        k = k.replace(".mlp.lin1.", ".mlp.up_proj.")
+        k = k.replace(".mlp.lin2.", ".mlp.down_proj.")
+        out[k] = v
+    return out
+
+
 def marian_sinusoid_table(n_pos: int, dim: int) -> np.ndarray:
     """The Marian/Pegasus deterministic position table
     (MarianSinusoidalPositionalEmbedding._init_weight): tensor2tensor
@@ -1708,8 +1785,12 @@ def translator_for(hf_cfg: dict[str, Any]):
         return translate_deepseek_state_dict
     if mt == "gpt_oss":
         return translate_gpt_oss_state_dict
-    if mt == "gpt2":
+    if mt in ("gpt2", "openai-gpt"):
         return translate_gpt2_state_dict
+    if mt == "ctrl":
+        return translate_ctrl_state_dict
+    if mt == "xlm":
+        return translate_xlm_state_dict_clm
     if mt == "gpt_neox":
         return make_gpt_neox_translator(hf_cfg)
     if mt == "falcon":

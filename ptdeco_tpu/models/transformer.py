@@ -202,6 +202,9 @@ class TransformerConfig:
     # create_position_ids_from_input_ids with an all-ones mask)
     sinusoidal_pos: bool = False
     sinusoidal_offset: int = 2
+    # ctrl computes the tensor2tensor flavor instead (angle exponent
+    # 2*(i)/dim rather than fairseq's half-1 denominator)
+    sinusoidal_kind: str = "fairseq"  # | "t2t"
     # diffllama: differential attention — the head pool splits into two
     # softmax groups subtracted with a learned, layer-indexed lambda over
     # paired 2*head_dim values (HF DiffLlamaAttention)
@@ -386,6 +389,9 @@ class TransformerConfig:
             "xlm-roberta-xl": _hf_bert_decoder,
             "roformer": _hf_bert_decoder,
             "big_bird": _hf_bert_decoder,
+            "openai-gpt": _hf_openai_gpt,
+            "ctrl": _hf_ctrl,
+            "xlm": _hf_xlm,
             **{k: _hf_bart_decoder for k in _BART_LINEAGE},
         }
         if mt in beyond_llama:
@@ -3512,6 +3518,116 @@ def _hf_bart_decoder(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
     )
 
 
+def _hf_openai_gpt(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
+    """HF OpenAIGPTLMHeadModel (GPT-1) -> native: the gpt2 Conv1D layout
+    WITHOUT final ln_f, with TRUE post-LN blocks (ln_1/ln_2 after each
+    residual add) and learned positions.  Its "gelu" afn is the tanh
+    approximation (ACT_FNS maps gelu -> gelu_new)."""
+    afn = hf.get("afn", "gelu")
+    act = {"gelu": "gelu_tanh", "relu": "relu", "silu": "silu",
+           "swish": "silu"}.get(afn)
+    if act is None:
+        raise ValueError(f"openai-gpt afn {afn!r} is not implemented")
+    dim = int(hf["n_embd"])
+    return TransformerConfig(
+        vocab_size=int(hf["vocab_size"]),
+        dim=dim,
+        n_layers=int(hf["n_layer"]),
+        n_heads=int(hf["n_head"]),
+        n_kv_heads=int(hf["n_head"]),
+        hidden_dim=4 * dim,
+        norm_eps=float(hf.get("layer_norm_epsilon", 1e-5)),
+        norm_type="layernorm",
+        post_ln=True,
+        final_norm=False,
+        mlp_gated=False,
+        mlp_bias=True,
+        mlp_act=act,
+        qkv_bias=True,
+        o_proj_bias=True,
+        use_rope=False,
+        learned_pos=int(hf["n_positions"]),
+        tie_embeddings=True,
+        remat=remat,
+        dtype=dtype,
+    )
+
+
+def _hf_ctrl(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
+    """HF CTRLLMHeadModel -> native: pre-LN blocks at the HARDCODED
+    eps 1e-6, biased relu MLP, sqrt(d) embedding scale, COMPUTED
+    tensor2tensor sinusoidal positions (no checkpoint weight), a final
+    layernorm, and a tied lm_head that carries its own bias."""
+    return TransformerConfig(
+        vocab_size=int(hf["vocab_size"]),
+        dim=int(hf["n_embd"]),
+        n_layers=int(hf["n_layer"]),
+        n_heads=int(hf["n_head"]),
+        n_kv_heads=int(hf["n_head"]),
+        hidden_dim=int(hf["dff"]),
+        norm_eps=1e-6,  # EncoderLayer hardcodes eps=1e-6
+        norm_type="layernorm",
+        mlp_gated=False,
+        mlp_bias=True,
+        mlp_act="relu",
+        qkv_bias=True,
+        o_proj_bias=True,
+        use_rope=False,
+        sinusoidal_pos=True,
+        sinusoidal_offset=0,
+        sinusoidal_kind="t2t",
+        scale_embeddings=True,
+        tie_embeddings=True,
+        lm_head_bias=True,  # tied weight + separate bias
+        remat=remat,
+        dtype=dtype,
+    )
+
+
+def _hf_xlm(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
+    """HF XLMWithLMHeadModel -> native.  Requires causal=True — XLM's
+    default is a BIDIRECTIONAL encoder and this decoder is causal.
+    Post-LN blocks (layer_norm1/2 after the residual adds), learned
+    positions, embedding LayerNorm, exact-gelu (or relu) MLP, and the
+    tied-with-bias pred_layer.  Language embeddings are never added when
+    no ``langs`` tensor is passed — the causal-LM calling convention —
+    so checkpoints with them load fine (the table is dropped)."""
+    if not hf.get("causal"):
+        raise ValueError(
+            "xlm with causal=False is a bidirectional encoder, not a "
+            "causal decoder; set causal=true in config.json"
+        )
+    if hf.get("asm"):
+        raise ValueError(
+            "xlm asm=True (adaptive softmax head) is not implemented"
+        )
+    dim = int(hf["emb_dim"])
+    return TransformerConfig(
+        vocab_size=int(hf["n_words" if "n_words" in hf else "vocab_size"]),
+        dim=dim,
+        n_layers=int(hf["n_layers"]),
+        n_heads=int(hf["n_heads"]),
+        n_kv_heads=int(hf["n_heads"]),
+        hidden_dim=4 * dim,
+        norm_eps=float(hf.get("layer_norm_eps", 1e-12)),
+        norm_type="layernorm",
+        post_ln=True,
+        final_norm=False,
+        mlp_gated=False,
+        mlp_bias=True,
+        mlp_act="gelu_exact" if hf.get("gelu_activation", True) else "relu",
+        qkv_bias=True,
+        o_proj_bias=True,
+        use_rope=False,
+        learned_pos=int(hf.get("max_position_embeddings", 512)),
+        embed_norm=True,
+        tie_embeddings=True,
+        lm_head_bias=True,  # pred_layer.proj bias rides the tied matmul
+        remat=remat,
+        dtype=dtype,
+    )
+
+
 class Attention(nn.Module):
     q_proj: nn.Linear
     k_proj: nn.Linear
@@ -5123,6 +5239,21 @@ def _sinusoidal_positions(positions: jax.Array, dim: int) -> jax.Array:
     return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
 
 
+def _t2t_sinusoidal_positions(positions: jax.Array, dim: int) -> jax.Array:
+    """tensor2tensor sinusoidal table (CTRL's positional_encoding /
+    Marian's _init_weight): angle exponent 2i/dim — rope's inv_freq
+    ladder — with sin and cos concatenated halves."""
+    half = dim // 2
+    if dim % 2:
+        raise ValueError("sinusoidal positions require an even dim")
+    freqs = jnp.exp(
+        jnp.arange(half, dtype=jnp.float32)
+        * -(jnp.log(jnp.float32(10000.0)) * 2.0 / dim)
+    )
+    ang = positions.astype(jnp.float32)[..., None] * freqs
+    return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
+
+
 class LongcatBlock(nn.Module):
     """LongcatFlash dual-sublayer block (HF LongcatFlashDecoderLayer):
     two sequential MLA-attention + dense-MLP sublayers, with a shortcut
@@ -5194,6 +5325,7 @@ class Decoder(nn.Module):
     # xglm: deterministic fairseq sinusoidal positions (+2 offset)
     sinusoidal_pos: bool = nn.static_field(default=False)
     sinusoidal_offset: int = nn.static_field(default=2)
+    sinusoidal_kind: str = nn.static_field(default="fairseq")
     # blenderbot-small: embed_norm BEFORE the position add
     embed_norm_pre_pos: bool = nn.static_field(default=False)
     # gemma: hidden states scaled by sqrt(dim) after embedding (HF
@@ -5228,7 +5360,12 @@ class Decoder(nn.Module):
         if self.pos_embed is not None:
             x = x + self.pos_embed(positions)
         if self.sinusoidal_pos:
-            x = x + _sinusoidal_positions(
+            sin_fn = (
+                _t2t_sinusoidal_positions
+                if self.sinusoidal_kind == "t2t"
+                else _sinusoidal_positions
+            )
+            x = x + sin_fn(
                 positions + self.sinusoidal_offset, x.shape[-1]
             ).astype(x.dtype)
         if self.token_type_embed is not None:  # bert segment 0
@@ -5362,6 +5499,7 @@ class CausalLM(nn.Module):
             remat=cfg.remat,
             sinusoidal_pos=cfg.sinusoidal_pos,
             sinusoidal_offset=cfg.sinusoidal_offset,
+            sinusoidal_kind=cfg.sinusoidal_kind,
             embed_norm_pre_pos=cfg.embed_norm_pre_pos,
             scale_embeddings=cfg.scale_embeddings,
             scale_embeddings_bf16=cfg.scale_embeddings_bf16,

@@ -2434,3 +2434,59 @@ def test_big_bird_decoder_logits_match_hf():
     native, ncfg = _hf_to_native_translated(hf, cfg.to_dict())
     assert ncfg.scale_embeddings and ncfg.post_ln
     _compare(hf, native, 128, atol=3e-4)
+
+
+def test_openai_gpt_logits_match_hf():
+    """openai-gpt / GPT-1 (105th family): the gpt2 Conv1D layout with
+    TRUE post-LN blocks, no final ln_f, and the tanh-approx gelu that
+    its ACT_FNS maps "gelu" onto."""
+    cfg = transformers.OpenAIGPTConfig(
+        vocab_size=128, n_embd=32, n_layer=2, n_head=4, n_positions=64
+    )
+    hf = transformers.OpenAIGPTLMHeadModel(cfg).eval()
+    native, ncfg = _hf_to_native_translated(hf, cfg.to_dict())
+    assert ncfg.post_ln and not ncfg.final_norm and ncfg.mlp_act == "gelu_tanh"
+    _compare(hf, native, 128, atol=3e-4)
+
+
+def test_ctrl_logits_match_hf():
+    """ctrl (106th): pre-LN at hardcoded eps 1e-6, relu MLP, sqrt(d)
+    embed scale, computed t2t sinusoidal positions, tied lm_head WITH
+    its own bias."""
+    cfg = transformers.CTRLConfig(
+        vocab_size=128, n_embd=32, n_layer=2, n_head=4, n_positions=64,
+        dff=64,
+    )
+    hf = transformers.CTRLLMHeadModel(cfg).eval()
+    with torch.no_grad():  # random bias so the tied-bias path is load-bearing
+        hf.lm_head.bias.copy_(torch.randn_like(hf.lm_head.bias))
+    native, ncfg = _hf_to_native_translated(hf, cfg.to_dict())
+    assert ncfg.sinusoidal_pos and ncfg.sinusoidal_kind == "t2t"
+    assert ncfg.sinusoidal_offset == 0 and ncfg.scale_embeddings
+    _compare(hf, native, 128, atol=3e-4)
+
+
+def test_xlm_clm_logits_match_hf():
+    """xlm with causal=True (107th): post-LN blocks, learned positions,
+    embedding LayerNorm, exact gelu, tied pred_layer with bias; the
+    bidirectional default (causal=False) is refused loudly."""
+    cfg = transformers.XLMConfig(
+        vocab_size=128, emb_dim=32, n_layers=2, n_heads=4, causal=True,
+        gelu_activation=True, max_position_embeddings=64,
+    )
+    hf = transformers.XLMWithLMHeadModel(cfg).eval()
+    native, ncfg = _hf_to_native_translated(hf, cfg.to_dict())
+    assert ncfg.post_ln and ncfg.embed_norm and ncfg.lm_head_bias
+    _compare(hf, native, 128, atol=3e-4)
+    with pytest.raises(ValueError, match="causal"):
+        models.TransformerConfig.from_hf_config(
+            dict(cfg.to_dict(), causal=False)
+        )
+
+
+def test_code_llama_and_gpt_sw3_alias_coverage():
+    """code_llama and gpt-sw3 registry rows resolve to LlamaConfig /
+    GPT2Config — their config.json model_types ("llama", "gpt2") are
+    already covered, so ANY such checkpoint loads generically."""
+    assert transformers.CONFIG_MAPPING["code_llama"]().model_type == "llama"
+    assert transformers.CONFIG_MAPPING["gpt-sw3"]().model_type == "gpt2"
