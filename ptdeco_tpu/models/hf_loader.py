@@ -1607,6 +1607,61 @@ def translate_biogpt_state_dict(
     return out
 
 
+def translate_open_llama_state_dict(
+    sd: dict[str, np.ndarray],
+) -> dict[str, np.ndarray]:
+    """HF (deprecated) open-llama: llama names plus the stable-embedding
+    LayerNorm (embed_layer_norm -> embed_norm); the shared input/output
+    embedding means no lm_head leaf."""
+    out: dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        if k == "lm_head.weight":
+            continue  # shared_input_output_embedding
+        k = k.replace("model.embed_layer_norm.", "model.embed_norm.")
+        out[k] = v
+    return out
+
+
+def make_multimodal_text_translator(hf_cfg: dict[str, Any]):
+    """Multimodal wrappers whose language model is a covered family
+    (gemma3 / got_ocr2 / fuyu): strip the ``model.language_model.`` (or
+    fuyu's ``language_model.``) wrapper prefix, drop the vision tower /
+    projector / patch-embedding weights the text path never runs, then
+    apply the INNER family's layout translator (fuyu -> persimmon;
+    gemma3_text / qwen2 need none)."""
+    mt = hf_cfg["model_type"]
+    inner_cfg = dict(hf_cfg.get("text_config") or {})
+    inner_cfg.setdefault(
+        "model_type",
+        {"gemma3": "gemma3_text", "got_ocr2": "qwen2",
+         "fuyu": "persimmon"}[mt],
+    )
+    inner = translator_for(inner_cfg)
+    tied = bool(inner_cfg.get("tie_word_embeddings", mt == "gemma3"))
+    drop = (
+        "model.vision_tower.",
+        "model.multi_modal_projector.",
+        "model.vision_embed_tokens.",
+        "vision_embed_tokens.",
+    )
+
+    def translate(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        out: dict[str, np.ndarray] = {}
+        for k, v in sd.items():
+            if any(k.startswith(d) for d in drop):
+                continue
+            if k == "lm_head.weight" and tied:
+                continue
+            k = k.replace("model.language_model.", "model.")
+            # fuyu nests the persimmon model one level shallower
+            if k.startswith("language_model."):
+                k = k[len("language_model."):]
+            out[k] = v
+        return inner(out) if inner is not None else out
+
+    return translate
+
+
 def translate_ctrl_state_dict(
     sd: dict[str, np.ndarray],
 ) -> dict[str, np.ndarray]:
@@ -1791,6 +1846,10 @@ def translator_for(hf_cfg: dict[str, Any]):
         return translate_ctrl_state_dict
     if mt == "xlm":
         return translate_xlm_state_dict_clm
+    if mt == "open-llama":
+        return translate_open_llama_state_dict
+    if mt in ("gemma3", "got_ocr2", "fuyu"):
+        return make_multimodal_text_translator(hf_cfg)
     if mt == "gpt_neox":
         return make_gpt_neox_translator(hf_cfg)
     if mt == "falcon":

@@ -319,6 +319,18 @@ class TransformerConfig:
             # graph over the multimodal token vocabulary)
             hf = dict(hf["text_config"])
             mt = hf.get("model_type", "emu3_text_model")
+        if mt in ("gemma3", "got_ocr2", "fuyu"):
+            # multimodal wrappers whose language model is a covered
+            # family: gemma3 -> gemma3_text, got_ocr2 -> qwen2, fuyu ->
+            # persimmon.  The text path builds from text_config; the
+            # vision tower/projector weights are dropped on load.
+            inner = dict(hf["text_config"])
+            inner.setdefault(
+                "model_type",
+                {"gemma3": "gemma3_text", "got_ocr2": "qwen2",
+                 "fuyu": "persimmon"}[mt],
+            )
+            hf, mt = inner, inner["model_type"]
         # families whose graph differs from the llama decoder (LayerNorm,
         # non-gated MLPs, learned positions, parallel residual) build
         # through dedicated constructors below
@@ -392,6 +404,8 @@ class TransformerConfig:
             "openai-gpt": _hf_openai_gpt,
             "ctrl": _hf_ctrl,
             "xlm": _hf_xlm,
+            "helium": _hf_helium,
+            "open-llama": _hf_open_llama,
             **{k: _hf_bart_decoder for k in _BART_LINEAGE},
         }
         if mt in beyond_llama:
@@ -3513,6 +3527,67 @@ def _hf_bart_decoder(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
         scale_embeddings=bool(hf.get("scale_embedding", False)),
         embed_norm_pre_pos=mt == "blenderbot-small",
         tie_embeddings=bool(hf.get("tie_word_embeddings", True)),
+        remat=remat,
+        dtype=dtype,
+    )
+
+
+def _hf_helium(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
+    """HF HeliumForCausalLM -> native: the llama graph with INTERLEAVED
+    rotary — helium slices cos/sin back to the inv_freq half and
+    repeat_interleaves, pairing dims (2i, 2i+1) at angle theta^(-2i/d),
+    i.e. the gptj convention — plus explicit head_dim, config-gated
+    qkv/mlp biases (o_proj always bias-free), and rms eps 1e-8."""
+    if _hf_act(hf.get("hidden_act", "silu")) != "silu":
+        raise ValueError(
+            f"helium hidden_act {hf.get('hidden_act')!r} is not implemented"
+        )
+    return TransformerConfig(
+        vocab_size=int(hf["vocab_size"]),
+        dim=int(hf["hidden_size"]),
+        n_layers=int(hf["num_hidden_layers"]),
+        n_heads=int(hf["num_attention_heads"]),
+        n_kv_heads=int(
+            hf.get("num_key_value_heads") or hf["num_attention_heads"]
+        ),
+        hidden_dim=int(hf["intermediate_size"]),
+        head_dim_override=(
+            int(hf["head_dim"]) if hf.get("head_dim") else None
+        ),
+        norm_eps=float(hf.get("rms_norm_eps", 1e-8)),
+        rope_theta=float(hf.get("rope_theta", 100000.0)),
+        rope_interleaved=True,
+        qkv_bias=bool(hf.get("attention_bias", False)),
+        mlp_bias=bool(hf.get("mlp_bias", False)),
+        tie_embeddings=bool(hf.get("tie_word_embeddings", False)),
+        remat=remat,
+        dtype=dtype,
+    )
+
+
+def _hf_open_llama(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
+    """HF (deprecated) OpenLlamaForCausalLM -> native: the llama graph
+    plus use_stable_embedding's LayerNorm over the token embedding and
+    shared_input_output_embedding tying.  use_memory_efficient_attention
+    is math-identical attention.  Tiny documented divergence: the embed
+    LayerNorm runs at rms_norm_eps instead of torch's default 1e-5 (the
+    difference is below f32 noise for non-degenerate activations)."""
+    if _hf_act(hf.get("hidden_act", "silu")) != "silu":
+        raise ValueError(
+            f"open-llama hidden_act {hf.get('hidden_act')!r} is not "
+            "implemented"
+        )
+    return TransformerConfig(
+        vocab_size=int(hf["vocab_size"]),
+        dim=int(hf["hidden_size"]),
+        n_layers=int(hf["num_hidden_layers"]),
+        n_heads=int(hf["num_attention_heads"]),
+        n_kv_heads=int(hf["num_attention_heads"]),
+        hidden_dim=int(hf["intermediate_size"]),
+        norm_eps=float(hf.get("rms_norm_eps", 1e-6)),
+        rope_theta=float(hf.get("rope_theta", 10000.0)),
+        embed_norm=bool(hf.get("use_stable_embedding", True)),
+        tie_embeddings=bool(hf.get("shared_input_output_embedding", True)),
         remat=remat,
         dtype=dtype,
     )

@@ -2490,3 +2490,90 @@ def test_code_llama_and_gpt_sw3_alias_coverage():
     already covered, so ANY such checkpoint loads generically."""
     assert transformers.CONFIG_MAPPING["code_llama"]().model_type == "llama"
     assert transformers.CONFIG_MAPPING["gpt-sw3"]().model_type == "gpt2"
+
+
+def test_helium_logits_match_hf():
+    """helium (108th family): the llama graph with INTERLEAVED rotary —
+    cos/sin sliced back to the inv_freq half and repeat_interleaved,
+    i.e. the gptj convention — explicit head_dim and rms eps 1e-8."""
+    cfg = transformers.HeliumConfig(
+        **_tiny(head_dim=8, rope_theta=100000.0, attention_bias=False)
+    )
+    hf = transformers.HeliumForCausalLM(cfg).eval()
+    native, ncfg = _hf_to_native_translated(hf, cfg.to_dict())
+    assert ncfg.rope_interleaved and ncfg.head_dim_override == 8
+    _compare(hf, native, 128, atol=2e-4)
+
+
+def test_open_llama_logits_match_hf():
+    """open-llama (109th, deprecated upstream): llama plus the
+    stable-embedding LayerNorm and shared input/output embedding."""
+    cfg = transformers.OpenLlamaConfig(
+        **_tiny(
+            use_stable_embedding=True,
+            shared_input_output_embedding=True,
+            use_memory_efficient_attention=False,
+        )
+    )
+    del cfg.num_key_value_heads  # open-llama predates GQA
+    hf = transformers.OpenLlamaForCausalLM(cfg).eval()
+    native, ncfg = _hf_to_native_translated(hf, cfg.to_dict())
+    assert ncfg.embed_norm and ncfg.tie_embeddings
+    _compare(hf, native, 128, atol=3e-4)
+
+
+def _text_cfg_for_wrappers():
+    return dict(
+        vocab_size=128,
+        hidden_size=32,
+        intermediate_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=64,
+    )
+
+
+def test_gemma3_wrapper_text_path_matches_hf():
+    """gemma3 multimodal wrapper (110th registry row): the text path of
+    Gemma3ForConditionalGeneration builds via text_config unwrapping and
+    the language_model-prefix translator (vision tower dropped)."""
+    cfg = transformers.Gemma3Config(
+        text_config=dict(**_text_cfg_for_wrappers(), head_dim=8),
+        vision_config=dict(
+            hidden_size=16, intermediate_size=32, num_hidden_layers=1,
+            num_attention_heads=2, image_size=28, patch_size=14,
+        ),
+    )
+    hf = transformers.Gemma3ForConditionalGeneration(cfg).eval()
+    native, ncfg = _hf_to_native_translated(hf, cfg.to_dict())
+    assert ncfg.scale_embeddings  # the gemma wiring came through
+    _compare(hf, native, 128, atol=3e-4)
+
+
+def test_got_ocr2_wrapper_text_path_matches_hf():
+    """got_ocr2 (111th registry row): qwen2 under a vision wrapper."""
+    cfg = transformers.GotOcr2Config(
+        text_config=dict(model_type="qwen2", **_text_cfg_for_wrappers())
+    )
+    hf = transformers.GotOcr2ForConditionalGeneration(cfg).eval()
+    native, ncfg = _hf_to_native_translated(hf, cfg.to_dict())
+    assert ncfg.qkv_bias  # qwen2 graph
+    _compare(hf, native, 128, atol=3e-4)
+
+
+def test_fuyu_wrapper_text_path_matches_hf():
+    """fuyu (112th registry row): persimmon under the patch-embedding
+    wrapper — text-only forward, vision_embed_tokens dropped on load."""
+    tc = _text_cfg_for_wrappers()
+    tc.pop("num_key_value_heads")
+    cfg = transformers.FuyuConfig(
+        text_config=dict(model_type="persimmon", **tc),
+        **tc,
+        patch_size=4,
+        num_channels=3,
+    )
+    hf = transformers.FuyuForCausalLM(cfg).eval()
+    native, ncfg = _hf_to_native_translated(hf, cfg.to_dict())
+    assert ncfg.qk_norm and ncfg.qk_norm_type == "layernorm"  # persimmon
+    _compare(hf, native, 128, atol=3e-4)
