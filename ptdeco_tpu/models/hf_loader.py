@@ -1406,7 +1406,7 @@ def make_bert_decoder_translator(hf_cfg: dict[str, Any]):
     mt = hf_cfg.get("model_type", "bert")
     roberta_like = mt in (
         "roberta", "camembert", "xlm-roberta", "data2vec-text",
-        "roberta-prelayernorm", "xlm-roberta-xl",
+        "roberta-prelayernorm", "xlm-roberta-xl", "xmod",
     )
     prefix = {
         "data2vec-text": "data2vec_text.",
@@ -1417,15 +1417,44 @@ def make_bert_decoder_translator(hf_cfg: dict[str, Any]):
         "rembert": "rembert.",
         "roberta-prelayernorm": "roberta_prelayernorm.",
         "roformer": "roformer.",
+        "roc_bert": "roc_bert.",
+        "git": "git.",
     }.get(mt, "roberta." if roberta_like else "bert.")
     pad = int(hf_cfg.get("pad_token_id") or 0)
     offset = pad + 1 if roberta_like else 0
+    # xmod: keep exactly one language's adapter (default_language if set)
+    langs = [str(x) for x in (hf_cfg.get("languages") or [])]
+    keep_lang = str(hf_cfg.get("default_language") or (langs[0] if langs else ""))
+    roc_fused = mt == "roc_bert" and bool(hf_cfg.get("concat_input", True))
 
     def translate(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
         out: dict[str, np.ndarray] = {}
+        roc: dict[str, np.ndarray] = {}
         for k, v in sd.items():
             if k.startswith(prefix):
                 k = "model." + k[len(prefix):]
+            if k.startswith(("model.image_encoder.", "model.visual_projection.")):
+                continue  # git vision tower: text-only path
+            if ".adapter_modules." in k:
+                lang = k.split(".adapter_modules.")[1].split(".")[0]
+                if lang != keep_lang:
+                    continue
+                k = k.replace(
+                    f".output.adapter_modules.{lang}.", ".ffn_adapter."
+                )
+            if mt == "roc_bert" and (
+                ".map_inputs_layer." in k
+                or ".shape_embed." in k
+                or ".pronunciation_embed." in k
+            ):
+                roc[k.split(".")[-2] + "." + k.split(".")[-1]] = v
+                continue
+            if k == "output.weight":  # git's untied head
+                out["lm_head.weight"] = v
+                continue
+            if k == "output.bias":
+                out["lm_head.bias"] = v
+                continue
             if ".pooler." in k:
                 continue  # big_bird ships a pooler the LM head never runs
             if "embed_positions" in k:
@@ -1529,6 +1558,27 @@ def make_bert_decoder_translator(hf_cfg: dict[str, Any]):
                 out["tied_head_bias"] = v
                 continue
             out[k] = v
+        if roc_fused and "map_inputs_layer.weight" in roc:
+            # fold the fused map: out = W @ cat(word, shape0, pron0) + b
+            # = (W_word @ word) + const — embed_proj.weight is the word
+            # slice, its bias absorbs the zero-id shape/pronunciation
+            # rows (text-only inputs always index row 0)
+            W = roc["map_inputs_layer.weight"]
+            d = W.shape[0]
+            bias = np.array(
+                roc.get("map_inputs_layer.bias", np.zeros(d, W.dtype))
+            )
+            col = d
+            if bool(hf_cfg.get("enable_shape", True)):
+                s0 = roc["shape_embed.weight"][0]
+                bias = bias + W[:, col : col + s0.shape[0]] @ s0
+                col += s0.shape[0]
+            if bool(hf_cfg.get("enable_pronunciation", True)):
+                p0 = roc["pronunciation_embed.weight"][0]
+                bias = bias + W[:, col : col + p0.shape[0]] @ p0
+                col += p0.shape[0]
+            out["model.embed_proj.weight"] = np.ascontiguousarray(W[:, :d])
+            out["model.embed_proj.bias"] = bias
         return out
 
     return translate
@@ -1658,6 +1708,36 @@ def make_multimodal_text_translator(hf_cfg: dict[str, Any]):
                 k = k[len("language_model."):]
             out[k] = v
         return inner(out) if inner is not None else out
+
+    return translate
+
+
+def make_mllama_translator(hf_cfg: dict[str, Any]):
+    """HF mllama text model: strip the multimodal wrapper prefix when
+    present (full mllama snapshots), drop the vision tower / projector
+    and EVERY weight of the cross-attention layers (text-only mode skips
+    those layers outright — SkipBlock placeholders keep the numbering)."""
+    inner = dict(hf_cfg.get("text_config") or hf_cfg)
+    cross = set(int(i) for i in (inner.get("cross_attention_layers") or ()))
+
+    def translate(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        out: dict[str, np.ndarray] = {}
+        for k, v in sd.items():
+            if k.startswith(("vision_model.", "multi_modal_projector.")):
+                continue
+            k = k.replace("model.language_model.", "model.")
+            if k.startswith("language_model."):
+                k = k[len("language_model."):]
+            parts = k.split(".")
+            if (
+                len(parts) > 2
+                and parts[0] == "model"
+                and parts[1] == "layers"
+                and int(parts[2]) in cross
+            ):
+                continue  # cross-attention layer: skipped in text mode
+            out[k] = v
+        return out
 
     return translate
 
@@ -1850,6 +1930,8 @@ def translator_for(hf_cfg: dict[str, Any]):
         return translate_open_llama_state_dict
     if mt in ("gemma3", "got_ocr2", "fuyu"):
         return make_multimodal_text_translator(hf_cfg)
+    if mt in ("mllama", "mllama_text_model"):
+        return make_mllama_translator(hf_cfg)
     if mt == "gpt_neox":
         return make_gpt_neox_translator(hf_cfg)
     if mt == "falcon":
@@ -1931,6 +2013,9 @@ def translator_for(hf_cfg: dict[str, Any]):
         "xlm-roberta-xl",
         "roformer",
         "big_bird",
+        "xmod",
+        "roc_bert",
+        "git",
     ):
         return make_bert_decoder_translator(hf_cfg)
     if mt in (

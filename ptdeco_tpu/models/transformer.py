@@ -286,6 +286,17 @@ class TransformerConfig:
     # (decoupled from BOTH dim and the input embedding width) and the
     # UNTIED decoder maps that width to the vocabulary
     head_out_dim: Optional[int] = None
+    # mllama: the embedding table holds vocab_size+8 rows (the <image>
+    # special tokens) while the untied lm_head outputs vocab_size
+    embed_vocab_size: Optional[int] = None
+    # xmod: a bottleneck adapter (dense1 -> act -> dense2, residual)
+    # applied to each post-LN block's OUTPUT — the single-language
+    # degenerate form of its per-language adapter stack
+    ffn_adapter_dim: Optional[int] = None
+    # roc_bert: the embedding projection applies BEFORE the position/
+    # token-type adds (its fused map_inputs_layer runs first); electra's
+    # default applies it after the embedding LayerNorm
+    embed_proj_pre_pos: bool = False
     # rematerialize each block's activations during backward passes
     # (jax.checkpoint) — the HBM/flops trade for large-model calibration
     # and fine-tuning (the reference toggles HF gradient checkpointing,
@@ -401,11 +412,16 @@ class TransformerConfig:
             "xlm-roberta-xl": _hf_bert_decoder,
             "roformer": _hf_bert_decoder,
             "big_bird": _hf_bert_decoder,
+            "xmod": _hf_bert_decoder,
+            "roc_bert": _hf_bert_decoder,
+            "git": _hf_bert_decoder,
             "openai-gpt": _hf_openai_gpt,
             "ctrl": _hf_ctrl,
             "xlm": _hf_xlm,
             "helium": _hf_helium,
             "open-llama": _hf_open_llama,
+            "mllama": _hf_mllama,
+            "mllama_text_model": _hf_mllama,
             **{k: _hf_bart_decoder for k in _BART_LINEAGE},
         }
         if mt in beyond_llama:
@@ -3360,9 +3376,25 @@ def _hf_bert_decoder(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
             "roformer rotary_value=True (rotary on the value vectors) is "
             "not implemented; use a custom builder"
         )
+    if mt == "xmod":
+        # only the default adapter wiring is implemented: the post-FFN
+        # LayerNorm feeds a residual bottleneck (ln_before_adapter with
+        # the reused block LayerNorm, no separate adapter norm, post-LN)
+        if hf.get("pre_norm") or hf.get("adapter_layer_norm"):
+            raise ValueError(
+                "xmod pre_norm / adapter_layer_norm variants are not "
+                "implemented; use a custom builder"
+            )
+        if not hf.get("adapter_reuse_layer_norm", True) or not hf.get(
+            "ln_before_adapter", True
+        ):
+            raise ValueError(
+                "xmod without ln_before_adapter+adapter_reuse_layer_norm "
+                "is not implemented; use a custom builder"
+            )
     roberta_like = mt in (
         "roberta", "camembert", "xlm-roberta", "data2vec-text",
-        "roberta-prelayernorm", "xlm-roberta-xl",
+        "roberta-prelayernorm", "xlm-roberta-xl", "xmod",
     )
     # bert-generation has no token-type table and a transform-less head
     bare = mt == "bert-generation"
@@ -3381,6 +3413,15 @@ def _hf_bert_decoder(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
         if mt == "rembert"
         else 0
     )
+    # roc_bert concat_input: word/shape0/pron0 run through the fused
+    # map_inputs_layer — a LINEAR map of the hidden-width word embedding
+    # plus constants, folded on load into an embed_proj (weight = the
+    # word slice, bias = bias + shape/pron zero-row contributions)
+    # applied BEFORE the position/token-type adds.  Text-only inputs use
+    # all-zero shape/pronunciation ids (HF RoCBertEmbeddings defaults),
+    # so the fold is exact.  concat_input=False text-only degenerates to
+    # plain bert (None ids are skipped, denominator 1).
+    roc_fused = mt == "roc_bert" and bool(hf.get("concat_input", True))
     max_pos = int(hf["max_position_embeddings"])
     pad = int(hf.get("pad_token_id") or 0)
     # roformer replaces absolute positions with standard interleaved
@@ -3416,9 +3457,16 @@ def _hf_bert_decoder(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
             if rope
             else max_pos - (pad + 1 if roberta_like else 0)
         ),
-        token_type_zero=not bare,
+        token_type_zero=not bare and mt != "git",
         embed_norm=mt not in ("megatron-bert", "xlm-roberta-xl"),
-        head_transform=not bare,
+        head_transform=not bare and mt != "git",
+        embed_proj_pre_pos=roc_fused,
+        ffn_adapter_dim=(
+            int(hf["hidden_size"])
+            // int(hf.get("adapter_reduction_factor") or 2)
+            if mt == "xmod"
+            else None
+        ),
         head_out_dim=(
             int(hf["output_embedding_size"]) if mt == "rembert" else None
         ),
@@ -3432,10 +3480,10 @@ def _hf_bert_decoder(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
         embed_dim=ed if ed and ed != int(hf["hidden_size"]) else None,
         lm_head_bias=True,
         # rembert's decoder is genuinely untied (input/output embedding
-        # widths differ); all other members tie by default
+        # widths differ); git's plain `output` head likewise
         tie_embeddings=(
             False
-            if mt == "rembert"
+            if mt in ("rembert", "git")
             else bool(hf.get("tie_word_embeddings", True))
         ),
         remat=remat,
@@ -3588,6 +3636,62 @@ def _hf_open_llama(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
         rope_theta=float(hf.get("rope_theta", 10000.0)),
         embed_norm=bool(hf.get("use_stable_embedding", True)),
         tie_embeddings=bool(hf.get("shared_input_output_embedding", True)),
+        remat=remat,
+        dtype=dtype,
+    )
+
+
+def _hf_mllama(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
+    """HF MllamaForCausalLM (the llama-3.2-vision text model) -> native.
+    The self-attention layers are the plain llama graph (GQA, llama3
+    rope scaling, untied head); the cross_attention_layers indices are
+    SKIPPED outright in text-only mode (MllamaTextModel.forward
+    `continue`s them when no vision states exist) and build as
+    SkipBlock placeholders so HF layer numbering is preserved; their
+    weights are dropped on load."""
+    if hf.get("model_type") == "mllama":
+        hf = dict(hf["text_config"])
+    if _hf_act(hf.get("hidden_act", "silu")) != "silu":
+        raise ValueError(
+            f"mllama hidden_act {hf.get('hidden_act')!r} is not implemented"
+        )
+    n_layers = int(hf["num_hidden_layers"])
+    cross = set(int(i) for i in (hf.get("cross_attention_layers") or ()))
+    rope_llama3 = None
+    rs = hf.get("rope_scaling")
+    if rs is not None:
+        rtype = rs.get("rope_type", rs.get("type"))
+        if rtype == "llama3":
+            rope_llama3 = (
+                float(rs["factor"]),
+                float(rs.get("low_freq_factor", 1.0)),
+                float(rs.get("high_freq_factor", 4.0)),
+                int(rs.get("original_max_position_embeddings", 8192)),
+            )
+        elif rtype not in (None, "default"):
+            raise ValueError(
+                f"mllama rope_type {rtype!r} is not implemented"
+            )
+    return TransformerConfig(
+        vocab_size=int(hf["vocab_size"]),
+        dim=int(hf["hidden_size"]),
+        n_layers=n_layers,
+        n_heads=int(hf["num_attention_heads"]),
+        n_kv_heads=int(
+            hf.get("num_key_value_heads") or hf["num_attention_heads"]
+        ),
+        hidden_dim=int(hf["intermediate_size"]),
+        norm_eps=float(hf.get("rms_norm_eps", 1e-5)),
+        rope_theta=float(hf.get("rope_theta", 500000.0)),
+        rope_llama3_scaling=rope_llama3,
+        layer_types=tuple(
+            "skip" if i in cross else "full_attention"
+            for i in range(n_layers)
+        ),
+        # the embedding holds 8 extra rows for the <image> special
+        # tokens; the untied lm_head outputs plain vocab_size
+        embed_vocab_size=int(hf["vocab_size"]) + 8,
+        tie_embeddings=bool(hf.get("tie_word_embeddings", False)),
         remat=remat,
         dtype=dtype,
     )
@@ -5101,6 +5205,29 @@ def _make_block_norm(cfg: TransformerConfig):
     )
 
 
+class BottleneckAdapter(nn.Module):
+    """xmod per-language adapter in its single-language degenerate form
+    (HF XmodAdapter): dense1 -> act -> dense2, added residually to the
+    post-LN block output by Block.__call__.  Both projections are plain
+    nn.Linear sites, so they decompose like any other."""
+
+    dense1: nn.Linear
+    dense2: nn.Linear
+    act: str = nn.static_field(default="gelu_exact")
+
+    def __call__(self, x: jax.Array, ctx: Optional[nn.Ctx] = None) -> jax.Array:
+        h = self.dense1(x, ctx)
+        if self.act == "gelu_tanh":
+            h = jax.nn.gelu(h, approximate=True)
+        elif self.act == "gelu_exact":
+            h = jax.nn.gelu(h, approximate=False)
+        elif self.act == "relu":
+            h = jax.nn.relu(h)
+        else:
+            h = jax.nn.silu(h)
+        return self.dense2(h, ctx)
+
+
 class Block(nn.Module):
     # input_layernorm is None for olmo2's post-norm-only blocks.  Norms
     # are RMSNorm or LayerNorm per TransformerConfig.norm_type.
@@ -5134,6 +5261,8 @@ class Block(nn.Module):
     # is the NORMED value: h = norm(x)*a1 + attn(norm(x))*b1, then
     # norm2(h)*a2 + mlp(norm2(h))*b2.  (a1, b1, a2, b2) per layer type.
     residual_factors: Optional[tuple] = nn.static_field(default=None)
+    # xmod: bottleneck adapter on the post-LN block output
+    ffn_adapter: Optional[nn.Module] = None
     # bert-as-decoder: TRUE post-LN — attention reads the RAW stream,
     # norms apply AFTER each residual add
     post_ln: bool = nn.static_field(default=False)
@@ -5156,7 +5285,15 @@ class Block(nn.Module):
         )
         if self.post_ln:  # bert-as-decoder
             h = self.input_layernorm(x + attn_out)
-            return self.post_attention_layernorm(h + self.mlp(h, ctx))
+            out = self.post_attention_layernorm(h + self.mlp(h, ctx))
+            if self.ffn_adapter is not None:
+                # xmod language adapter: the SAME post-FFN LayerNorm runs
+                # twice — once inside lang_adapter (adapter_reuse_layer_
+                # norm) and once on the layer output (XmodLayer:497-498)
+                out = self.post_attention_layernorm(
+                    out + self.ffn_adapter(out, ctx)
+                )
+            return out
         if self.mamba is not None:  # falcon_h1 parallel hybrid
             h = x + attn_out + self.mamba(
                 xin, ctx, positions=positions, attn_mask=attn_mask
@@ -5293,6 +5430,21 @@ class Block(nn.Module):
                 if (mf := cfg.minimax_residual_factors) is not None
                 else None
             ),
+            ffn_adapter=(
+                BottleneckAdapter(
+                    dense1=nn.Linear.create(
+                        jax.random.fold_in(key, 6), cfg.dim,
+                        cfg.ffn_adapter_dim, True, cfg.dtype,
+                    ),
+                    dense2=nn.Linear.create(
+                        jax.random.fold_in(key, 7), cfg.ffn_adapter_dim,
+                        cfg.dim, True, cfg.dtype,
+                    ),
+                    act=cfg.mlp_act,
+                )
+                if cfg.ffn_adapter_dim
+                else None
+            ),
             post_ln=cfg.post_ln,
         )
 
@@ -5403,6 +5555,9 @@ class Decoder(nn.Module):
     sinusoidal_kind: str = nn.static_field(default="fairseq")
     # blenderbot-small: embed_norm BEFORE the position add
     embed_norm_pre_pos: bool = nn.static_field(default=False)
+    # roc_bert: embed_proj (the folded fusion map) BEFORE the position/
+    # token-type adds; electra's default runs it after the embed norm
+    embed_proj_pre_pos: bool = nn.static_field(default=False)
     # gemma: hidden states scaled by sqrt(dim) after embedding (HF
     # GemmaModel.forward normalizer, applied in the activation dtype)
     scale_embeddings: bool = nn.static_field(default=False)
@@ -5432,6 +5587,8 @@ class Decoder(nn.Module):
         positions = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s))
         if self.embed_norm is not None and self.embed_norm_pre_pos:
             x = self.embed_norm(x, ctx)
+        if self.embed_proj is not None and self.embed_proj_pre_pos:
+            x = self.embed_proj(x, ctx)  # roc_bert fused map
         if self.pos_embed is not None:
             x = x + self.pos_embed(positions)
         if self.sinusoidal_pos:
@@ -5447,7 +5604,7 @@ class Decoder(nn.Module):
             x = x + self.token_type_embed.astype(x.dtype)
         if self.embed_norm is not None and not self.embed_norm_pre_pos:
             x = self.embed_norm(x, ctx)
-        if self.embed_proj is not None:  # electra
+        if self.embed_proj is not None and not self.embed_proj_pre_pos:
             x = self.embed_proj(x, ctx)
         use_remat = self.remat and not (ctx is not None and ctx.no_remat)
         for layer in self.layers:
@@ -5533,12 +5690,18 @@ class CausalLM(nn.Module):
     def create(key: jax.Array, cfg: TransformerConfig) -> "CausalLM":
         keys = jax.random.split(key, cfg.n_layers + 3)
         ed = cfg.embed_dim or cfg.dim  # electra: embeddings live smaller
+        # with embed_proj_pre_pos (roc_bert) only the token table lives in
+        # ed — positions/token-type/embed-norm sit after the projection
+        pd = cfg.dim if cfg.embed_proj_pre_pos else ed
         decoder = Decoder(
             embed_tokens=nn.Embedding.create(
-                keys[0], cfg.vocab_size, ed, cfg.dtype
+                keys[0], cfg.embed_vocab_size or cfg.vocab_size, ed,
+                cfg.dtype,
             ),
             layers=tuple(
-                (LongcatBlock if cfg.longcat_dual else Block).create(
+                SkipBlock()
+                if cfg.layer_types and cfg.layer_types[i] == "skip"
+                else (LongcatBlock if cfg.longcat_dual else Block).create(
                     keys[1 + i], cfg, layer_idx=i
                 )
                 for i in range(cfg.n_layers)
@@ -5546,19 +5709,19 @@ class CausalLM(nn.Module):
             norm=_make_block_norm(cfg) if cfg.final_norm else nn.Identity(),
             pos_embed=(
                 nn.Embedding.create(
-                    keys[-2], cfg.learned_pos, ed, cfg.dtype
+                    keys[-2], cfg.learned_pos, pd, cfg.dtype
                 )
                 if cfg.learned_pos is not None
                 else None
             ),
             token_type_embed=(
-                jnp.zeros((ed,), cfg.dtype)
+                jnp.zeros((pd,), cfg.dtype)
                 if cfg.token_type_zero
                 else None
             ),
             embed_norm=(
                 nn.LayerNorm.create(
-                    ed, cfg.norm_bias, cfg.norm_eps, cfg.dtype
+                    pd, cfg.norm_bias, cfg.norm_eps, cfg.dtype
                 )
                 if cfg.embed_norm
                 else None
@@ -5568,10 +5731,11 @@ class CausalLM(nn.Module):
                     jax.random.fold_in(keys[0], 3), ed, cfg.dim, True,
                     cfg.dtype,
                 )
-                if ed != cfg.dim
+                if ed != cfg.dim or cfg.embed_proj_pre_pos
                 else None
             ),
             remat=cfg.remat,
+            embed_proj_pre_pos=cfg.embed_proj_pre_pos,
             sinusoidal_pos=cfg.sinusoidal_pos,
             sinusoidal_offset=cfg.sinusoidal_offset,
             sinusoidal_kind=cfg.sinusoidal_kind,
@@ -5649,6 +5813,17 @@ def ce_loss(batch: dict[str, jax.Array], logits: jax.Array) -> jax.Array:
         m = mask[:, 1:].astype(jnp.float32)
         return -jnp.sum(ll * m) / jnp.maximum(jnp.sum(m), 1.0)
     return -jnp.mean(ll)
+
+
+class SkipBlock(nn.Module):
+    """Identity stand-in for a whole decoder layer the causal-LM forward
+    never runs: mllama's cross-attention layers are SKIPPED outright in
+    text-only mode (HF MllamaTextModel.forward `continue`s them when no
+    vision states exist).  Keeping a placeholder preserves the HF layer
+    numbering, so decompose_config module names line up."""
+
+    def __call__(self, x: jax.Array, ctx: Optional[nn.Ctx] = None, **_: Any):
+        return x
 
 
 class PrunedSublayer(nn.Module):

@@ -2577,3 +2577,98 @@ def test_fuyu_wrapper_text_path_matches_hf():
     native, ncfg = _hf_to_native_translated(hf, cfg.to_dict())
     assert ncfg.qk_norm and ncfg.qk_norm_type == "layernorm"  # persimmon
     _compare(hf, native, 128, atol=3e-4)
+
+
+def test_mllama_text_logits_match_hf():
+    """mllama text model (113th registry row): plain llama layers with
+    cross-attention layers SKIPPED in text-only mode (SkipBlock keeps HF
+    numbering; cross weights dropped on load).  llama3 rope scaling."""
+    tcfg = transformers.models.mllama.configuration_mllama.MllamaTextConfig(
+        vocab_size=128,
+        pad_token_id=0,
+        hidden_size=32,
+        intermediate_size=64,
+        num_hidden_layers=4,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        cross_attention_layers=[1, 3],
+        max_position_embeddings=64,
+        rope_theta=10000.0,
+        rope_scaling=dict(
+            rope_type="llama3", factor=2.0, low_freq_factor=1.0,
+            high_freq_factor=4.0, original_max_position_embeddings=32,
+        ),
+    )
+    hf = transformers.MllamaForCausalLM(tcfg).eval()
+    native, ncfg = _hf_to_native_translated(hf, tcfg.to_dict())
+    assert ncfg.layer_types == (
+        "full_attention", "skip", "full_attention", "skip"
+    )
+    assert ncfg.rope_llama3_scaling is not None
+    _compare(hf, native, 128, atol=3e-4)
+
+
+def test_xmod_decoder_logits_match_hf():
+    """xmod (114th family): roberta post-LN plus a per-language
+    bottleneck adapter on each block output — single-language degenerate
+    form (ffn_adapter), non-default adapters kept out by the translator."""
+    cfg = transformers.XmodConfig(
+        **_bert_kw(pad_token_id=1),
+        languages=["en_XX", "fr_XX"],
+        default_language="en_XX",
+        adapter_reduction_factor=2,
+    )
+    hf = transformers.XmodForCausalLM(cfg).eval()
+    native, ncfg = _hf_to_native_translated(hf, cfg.to_dict())
+    assert ncfg.ffn_adapter_dim == 16
+    rng = np.random.RandomState(0)
+    ids = rng.randint(0, 128, (2, 12))
+    with torch.no_grad():
+        ref = hf(
+            torch.from_numpy(ids),
+            lang_ids=torch.zeros(2, dtype=torch.long),
+        ).logits.to(torch.float32).numpy()
+    out = np.asarray(native({"input_ids": jnp.asarray(ids)}), np.float32)
+    assert np.allclose(out, ref, atol=3e-4), np.abs(out - ref).max()
+
+
+def test_roc_bert_decoder_logits_match_hf():
+    """roc_bert (115th): the fused map_inputs_layer over word/shape/
+    pronunciation embeddings FOLDS exactly into an embed_proj applied
+    before the position/token-type adds (text-only inputs index the
+    zero rows), leaving a plain bert graph."""
+    cfg = transformers.RoCBertConfig(
+        **_bert_kw(),
+        shape_vocab_size=20,
+        pronunciation_vocab_size=20,
+        shape_embed_dim=12,
+        pronunciation_embed_dim=16,
+        concat_input=True,
+    )
+    hf = transformers.RoCBertForCausalLM(cfg).eval()
+    native, ncfg = _hf_to_native_translated(hf, cfg.to_dict())
+    assert ncfg.embed_proj_pre_pos
+    _compare(hf, native, 128, atol=3e-4)
+
+
+def test_git_text_logits_match_hf():
+    """git (116th): text-only forward of the bert-style decoder under
+    the vision wrapper — no token types, untied biased `output` head,
+    image encoder dropped on load."""
+    cfg = transformers.GitConfig(
+        vocab_size=128,
+        hidden_size=32,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        intermediate_size=64,
+        max_position_embeddings=64,
+        vision_config=dict(
+            hidden_size=16, intermediate_size=32, num_hidden_layers=1,
+            num_attention_heads=2, image_size=28, patch_size=14,
+        ),
+    )
+    hf = transformers.GitForCausalLM(cfg).eval()
+    native, ncfg = _hf_to_native_translated(hf, cfg.to_dict())
+    assert not ncfg.token_type_zero and not ncfg.tie_embeddings
+    assert ncfg.lm_head_bias
+    _compare(hf, native, 128, atol=3e-4)
