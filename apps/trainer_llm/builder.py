@@ -142,6 +142,11 @@ def make_model_and_tokenizer(
                 hf_cfg, dtype=jdtype, remat=enable_gradient_checkpointing
             )
             model = models.MambaLM.create(jax.random.PRNGKey(seed), cfg)
+        elif hf_cfg.get("model_type") == "rwkv":
+            cfg = models.RwkvConfig.from_hf_config(
+                hf_cfg, dtype=jdtype, remat=enable_gradient_checkpointing
+            )
+            model = models.RwkvLM.create(jax.random.PRNGKey(seed), cfg)
         else:
             cfg = models.TransformerConfig.from_hf_config(
                 hf_cfg, dtype=jdtype, remat=enable_gradient_checkpointing

@@ -16,6 +16,8 @@ from .ssm import (
     MambaBlock,
     MambaConfig,
     MambaLM,
+    RwkvConfig,
+    RwkvLM,
 )
 from .transformer import (
     Attention,
@@ -63,6 +65,8 @@ __all__ = [
     "MambaBlock",
     "MambaConfig",
     "MambaLM",
+    "RwkvConfig",
+    "RwkvLM",
     "Attention",
     "MLAttention",
     "Block",

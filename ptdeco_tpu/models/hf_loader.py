@@ -1604,6 +1604,25 @@ def make_mamba_translator(hf_cfg: dict[str, Any]):
     return translate
 
 
+def make_rwkv_translator(hf_cfg: dict[str, Any]):
+    """HF RwkvForCausalLM: strip the ``rwkv.`` body prefix (embeddings /
+    blocks.N / ln_out match the native tree field-for-field) and drop
+    the tied head copy."""
+    tied = bool(hf_cfg.get("tie_word_embeddings", True))
+
+    def translate(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        out: dict[str, np.ndarray] = {}
+        for k, v in sd.items():
+            if k == "head.weight" and tied:
+                continue
+            if k.startswith("rwkv."):
+                k = k[len("rwkv."):]
+            out[k] = v
+        return out
+
+    return translate
+
+
 def translate_gpt_neo_state_dict(
     sd: dict[str, np.ndarray],
 ) -> dict[str, np.ndarray]:
@@ -1710,6 +1729,37 @@ def make_multimodal_text_translator(hf_cfg: dict[str, Any]):
         return inner(out) if inner is not None else out
 
     return translate
+
+
+def translate_moshi_state_dict(
+    sd: dict[str, np.ndarray],
+) -> dict[str, np.ndarray]:
+    """HF MoshiForCausalLM: unwrap the MoshiFlexibleLinear-compatible
+    ``.linear`` nesting on the attention projections, split the fused
+    gating fc1 into [gate | up] halves, fc2 -> down_proj; the depth
+    decoder / audio encoder of full Moshi checkpoints are dropped."""
+    out: dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        if k.startswith(("depth_decoder.", "audio_encoder.")):
+            continue
+        k = k.replace(".self_attn.q_proj.linear.", ".self_attn.q_proj.")
+        k = k.replace(".self_attn.k_proj.linear.", ".self_attn.k_proj.")
+        k = k.replace(".self_attn.v_proj.linear.", ".self_attn.v_proj.")
+        k = k.replace(".self_attn.o_proj.linear.", ".self_attn.o_proj.")
+        if ".mlp.fc1." in k:
+            half = v.shape[0] // 2
+            stem = k.split(".mlp.fc1.")[0]
+            leaf = k.rsplit(".", 1)[1]
+            out[f"{stem}.mlp.gate_proj.{leaf}"] = np.ascontiguousarray(
+                v[:half]
+            )
+            out[f"{stem}.mlp.up_proj.{leaf}"] = np.ascontiguousarray(
+                v[half:]
+            )
+            continue
+        k = k.replace(".mlp.fc2.", ".mlp.down_proj.")
+        out[k] = v
+    return out
 
 
 def make_mllama_translator(hf_cfg: dict[str, Any]):
@@ -1932,6 +1982,8 @@ def translator_for(hf_cfg: dict[str, Any]):
         return make_multimodal_text_translator(hf_cfg)
     if mt in ("mllama", "mllama_text_model"):
         return make_mllama_translator(hf_cfg)
+    if mt == "moshi":
+        return translate_moshi_state_dict
     if mt == "gpt_neox":
         return make_gpt_neox_translator(hf_cfg)
     if mt == "falcon":
@@ -1978,6 +2030,8 @@ def translator_for(hf_cfg: dict[str, Any]):
         return translate_biogpt_state_dict
     if mt in ("mamba", "falcon_mamba", "mamba2"):
         return make_mamba_translator(hf_cfg)
+    if mt == "rwkv":
+        return make_rwkv_translator(hf_cfg)
     if mt == "bamba":
         return translate_bamba_state_dict
     if mt == "granitemoehybrid":

@@ -897,3 +897,259 @@ class MambaLM(nn.Module):
             lm_head=lm_head,
             tie_embeddings=cfg.tie_embeddings,
         )
+
+
+# ---------------------------------------------------------------------------
+# RWKV (v4): receptance-weighted key-value linear attention
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class RwkvConfig:
+    """HF RwkvConfig subset (transformers models/rwkv).  The rescale_every
+    half-precision inference trick is irrelevant here — the recurrence
+    runs in f32."""
+
+    vocab_size: int = 256
+    dim: int = 64
+    n_layers: int = 2
+    hidden_dim: int = 256  # intermediate_size, default 4*dim
+    attn_dim: int = 64  # attention_hidden_size, default dim
+    norm_eps: float = 1e-5
+    tie_embeddings: bool = True
+    remat: bool = False
+    dtype: Any = jnp.float32
+
+    @staticmethod
+    def from_hf_config(
+        hf: dict[str, Any], dtype: Any = jnp.bfloat16, remat: bool = False
+    ) -> "RwkvConfig":
+        if hf.get("model_type") != "rwkv":
+            raise ValueError("not an rwkv config")
+        dim = int(hf["hidden_size"])
+        return RwkvConfig(
+            vocab_size=int(hf["vocab_size"]),
+            dim=dim,
+            n_layers=int(hf["num_hidden_layers"]),
+            hidden_dim=int(hf.get("intermediate_size") or 4 * dim),
+            attn_dim=int(hf.get("attention_hidden_size") or dim),
+            norm_eps=float(hf.get("layer_norm_epsilon", 1e-5)),
+            tie_embeddings=bool(hf.get("tie_word_embeddings", True)),
+            remat=remat,
+            dtype=dtype,
+        )
+
+
+def _time_shift(x: jax.Array) -> jax.Array:
+    """HF's ZeroPad2d((0,0,1,-1)): each position sees the PREVIOUS one
+    (zeros at t=0)."""
+    return jnp.pad(x, ((0, 0), (1, 0), (0, 0)))[:, :-1]
+
+
+def _wkv_scan(
+    time_decay: jax.Array,
+    time_first: jax.Array,
+    key: jax.Array,
+    value: jax.Array,
+) -> jax.Array:
+    """The WKV recurrence with max-state stabilization, bit-matching HF's
+    rwkv_linear_attention_cpu in f32.  TPU note: the per-step body is
+    pure elementwise math over a (b, d) carry — the MXU-heavy
+    projections all happen OUTSIDE as whole-sequence matmuls, so a
+    lax.scan (one fused loop, tiny state in registers/VMEM) is the right
+    mapping; the log-depth associative form is numerically unsafe here
+    because the decay-compensated partial sums overflow e^{-w·t}."""
+    w = -jnp.exp(time_decay.astype(jnp.float32))  # (d,)
+    u = time_first.astype(jnp.float32)
+    k = key.astype(jnp.float32)
+    v = value.astype(jnp.float32)
+    b, s, d = k.shape
+    init = (
+        jnp.zeros((b, d), jnp.float32),
+        jnp.zeros((b, d), jnp.float32),
+        jnp.full((b, d), -1e38, jnp.float32),
+    )
+
+    def step(carry, kv):
+        num, den, mx = carry
+        ck, cv = kv
+        m_out = jnp.maximum(mx, ck + u)
+        e1 = jnp.exp(mx - m_out)
+        e2 = jnp.exp(ck + u - m_out)
+        out = (e1 * num + e2 * cv) / (e1 * den + e2)
+        m_st = jnp.maximum(mx + w, ck)
+        e1s = jnp.exp(mx + w - m_st)
+        e2s = jnp.exp(ck - m_st)
+        return (e1s * num + e2s * cv, e1s * den + e2s, m_st), out
+
+    _, out = jax.lax.scan(
+        step, init, (jnp.swapaxes(k, 0, 1), jnp.swapaxes(v, 0, 1))
+    )
+    return jnp.swapaxes(out, 0, 1).astype(value.dtype)
+
+
+class RwkvTimeMix(nn.Module):
+    """HF RwkvSelfAttention: previous-token interpolation (time_mix_*)
+    feeds bias-free r/k/v projections; the WKV recurrence output is
+    gated by sigmoid(receptance) and projected back."""
+
+    time_decay: jax.Array
+    time_first: jax.Array
+    time_mix_key: jax.Array
+    time_mix_value: jax.Array
+    time_mix_receptance: jax.Array
+    key: nn.Linear
+    value: nn.Linear
+    receptance: nn.Linear
+    output: nn.Linear
+
+    def __call__(self, x: jax.Array, ctx: Optional[nn.Ctx] = None) -> jax.Array:
+        shifted = _time_shift(x)
+        xk = x * self.time_mix_key + shifted * (1 - self.time_mix_key)
+        xv = x * self.time_mix_value + shifted * (1 - self.time_mix_value)
+        xr = x * self.time_mix_receptance + shifted * (
+            1 - self.time_mix_receptance
+        )
+        r = jax.nn.sigmoid(self.receptance(xr, ctx))
+        wkv = _wkv_scan(
+            self.time_decay, self.time_first,
+            self.key(xk, ctx), self.value(xv, ctx),
+        )
+        return self.output(r * wkv, ctx)
+
+    @staticmethod
+    def create(key: jax.Array, cfg: RwkvConfig) -> "RwkvTimeMix":
+        ks = jax.random.split(key, 4)
+        d, a = cfg.dim, cfg.attn_dim
+        return RwkvTimeMix(
+            time_decay=jnp.zeros((a,), cfg.dtype),
+            time_first=jnp.zeros((a,), cfg.dtype),
+            time_mix_key=jnp.full((1, 1, d), 0.5, cfg.dtype),
+            time_mix_value=jnp.full((1, 1, d), 0.5, cfg.dtype),
+            time_mix_receptance=jnp.full((1, 1, d), 0.5, cfg.dtype),
+            key=nn.Linear.create(ks[0], d, a, False, cfg.dtype),
+            value=nn.Linear.create(ks[1], d, a, False, cfg.dtype),
+            receptance=nn.Linear.create(ks[2], d, a, False, cfg.dtype),
+            output=nn.Linear.create(ks[3], a, d, False, cfg.dtype),
+        )
+
+
+class RwkvChannelMix(nn.Module):
+    """HF RwkvFeedForward: squared-relu key path gated by
+    sigmoid(receptance) of the shifted mix."""
+
+    time_mix_key: jax.Array
+    time_mix_receptance: jax.Array
+    key: nn.Linear
+    receptance: nn.Linear
+    value: nn.Linear
+
+    def __call__(self, x: jax.Array, ctx: Optional[nn.Ctx] = None) -> jax.Array:
+        shifted = _time_shift(x)
+        xk = x * self.time_mix_key + shifted * (1 - self.time_mix_key)
+        xr = x * self.time_mix_receptance + shifted * (
+            1 - self.time_mix_receptance
+        )
+        k = jnp.square(jax.nn.relu(self.key(xk, ctx)))
+        return jax.nn.sigmoid(self.receptance(xr, ctx)) * self.value(k, ctx)
+
+    @staticmethod
+    def create(key: jax.Array, cfg: RwkvConfig) -> "RwkvChannelMix":
+        ks = jax.random.split(key, 3)
+        d, h = cfg.dim, cfg.hidden_dim
+        return RwkvChannelMix(
+            time_mix_key=jnp.full((1, 1, d), 0.5, cfg.dtype),
+            time_mix_receptance=jnp.full((1, 1, d), 0.5, cfg.dtype),
+            key=nn.Linear.create(ks[0], d, h, False, cfg.dtype),
+            receptance=nn.Linear.create(ks[1], d, d, False, cfg.dtype),
+            value=nn.Linear.create(ks[2], h, d, False, cfg.dtype),
+        )
+
+
+class RwkvLayer(nn.Module):
+    """HF RwkvBlock: x + attn(ln1 x), then x + ffn(ln2 x); block 0
+    additionally LayerNorms the raw embedding first (pre_ln)."""
+
+    ln1: nn.LayerNorm
+    ln2: nn.LayerNorm
+    attention: RwkvTimeMix
+    feed_forward: RwkvChannelMix
+    pre_ln: Optional[nn.LayerNorm] = None
+
+    def __call__(
+        self,
+        x: jax.Array,
+        ctx: Optional[nn.Ctx] = None,
+        *,
+        positions: Optional[jax.Array] = None,
+        attn_mask: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        if self.pre_ln is not None:
+            x = self.pre_ln(x)
+        x = x + self.attention(self.ln1(x), ctx)
+        return x + self.feed_forward(self.ln2(x), ctx)
+
+
+class RwkvLM(nn.Module):
+    """Dict-in/logits-out RWKV causal LM (HF RwkvForCausalLM layout:
+    rwkv.embeddings / rwkv.blocks.N / rwkv.ln_out / tied head).  Same
+    calling convention as CausalLM, so the trainer apps and the dwain/
+    falor engines run unchanged."""
+
+    embeddings: nn.Embedding
+    blocks: tuple
+    ln_out: nn.LayerNorm
+    head: Optional[nn.Linear]
+    tie_embeddings: bool = nn.static_field(default=True)
+    remat: bool = nn.static_field(default=False)
+
+    def __call__(self, batch: Any, ctx: Optional[nn.Ctx] = None) -> jax.Array:
+        input_ids = batch["input_ids"] if isinstance(batch, dict) else batch
+        x = self.embeddings(input_ids)
+        use_remat = self.remat and not (ctx is not None and ctx.no_remat)
+        for blk in self.blocks:
+            if use_remat:
+                x = jax.checkpoint(lambda b_, h: b_(h, ctx))(blk, x)
+            else:
+                x = blk(x, ctx)
+        x = self.ln_out(x)
+        if self.tie_embeddings:
+            return jnp.dot(x, self.embeddings.table.T)
+        return self.head(x, ctx)
+
+    @staticmethod
+    def create(key: jax.Array, cfg: RwkvConfig) -> "RwkvLM":
+        keys = jax.random.split(key, cfg.n_layers + 2)
+
+        def ln():
+            return nn.LayerNorm.create(cfg.dim, True, cfg.norm_eps, cfg.dtype)
+
+        return RwkvLM(
+            embeddings=nn.Embedding.create(
+                keys[0], cfg.vocab_size, cfg.dim, cfg.dtype
+            ),
+            blocks=tuple(
+                RwkvLayer(
+                    ln1=ln(),
+                    ln2=ln(),
+                    attention=RwkvTimeMix.create(
+                        jax.random.fold_in(keys[1 + i], 0), cfg
+                    ),
+                    feed_forward=RwkvChannelMix.create(
+                        jax.random.fold_in(keys[1 + i], 1), cfg
+                    ),
+                    pre_ln=ln() if i == 0 else None,
+                )
+                for i in range(cfg.n_layers)
+            ),
+            ln_out=ln(),
+            head=(
+                None
+                if cfg.tie_embeddings
+                else nn.Linear.create(
+                    keys[-1], cfg.dim, cfg.vocab_size, False, cfg.dtype
+                )
+            ),
+            tie_embeddings=cfg.tie_embeddings,
+            remat=cfg.remat,
+        )

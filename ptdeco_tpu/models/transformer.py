@@ -422,6 +422,7 @@ class TransformerConfig:
             "open-llama": _hf_open_llama,
             "mllama": _hf_mllama,
             "mllama_text_model": _hf_mllama,
+            "moshi": _hf_moshi,
             **{k: _hf_bart_decoder for k in _BART_LINEAGE},
         }
         if mt in beyond_llama:
@@ -3636,6 +3637,48 @@ def _hf_open_llama(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
         rope_theta=float(hf.get("rope_theta", 10000.0)),
         embed_norm=bool(hf.get("use_stable_embedding", True)),
         tie_embeddings=bool(hf.get("shared_input_output_embedding", True)),
+        remat=remat,
+        dtype=dtype,
+    )
+
+
+def _hf_moshi(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
+    """HF MoshiForCausalLM (the temporal transformer; the audio depth
+    decoder is a separate model) -> native.  The llama graph with a
+    FUSED gating MLP — fc1 emits [gate | up] halves, out = fc2(act(g)*u),
+    split on load — one extra embedding row (vocab+1 audio pad), rms eps
+    1e-8, and an always-on 3000-token sliding window (full causal
+    attention is exact below it; the loaders cap max_seqlen)."""
+    if _hf_act(hf.get("hidden_act", "silu")) != "silu":
+        raise ValueError(
+            f"moshi hidden_act {hf.get('hidden_act')!r} is not implemented"
+        )
+    dim = int(hf["hidden_size"])
+    sliding = hf.get("sliding_window")
+    if sliding:
+        logger.info(
+            "moshi sliding_window=%s: full causal attention is used; keep "
+            "calibration max_seqlen <= window for exactness", sliding,
+        )
+    return TransformerConfig(
+        vocab_size=int(hf["vocab_size"]),
+        dim=dim,
+        n_layers=int(hf["num_hidden_layers"]),
+        n_heads=int(hf["num_attention_heads"]),
+        n_kv_heads=int(
+            hf.get("num_key_value_heads") or hf["num_attention_heads"]
+        ),
+        hidden_dim=int(hf["ffn_dim"]) // 2,  # fc1 fuses [gate | up]
+        head_dim_override=(
+            int(hf["head_dim"])
+            if hf.get("head_dim")
+            and int(hf["head_dim"]) != dim // int(hf["num_attention_heads"])
+            else None
+        ),
+        norm_eps=float(hf.get("rms_norm_eps", 1e-8)),
+        rope_theta=float(hf.get("rope_theta", 10000.0)),
+        embed_vocab_size=int(hf["vocab_size"]) + 1,
+        tie_embeddings=bool(hf.get("tie_word_embeddings", False)),
         remat=remat,
         dtype=dtype,
     )

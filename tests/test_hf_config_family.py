@@ -2672,3 +2672,25 @@ def test_git_text_logits_match_hf():
     assert not ncfg.token_type_zero and not ncfg.tie_embeddings
     assert ncfg.lm_head_bias
     _compare(hf, native, 128, atol=3e-4)
+
+
+def test_moshi_logits_match_hf():
+    """moshi temporal transformer (118th family): llama graph with a
+    FUSED gating MLP (fc1 = [gate | up], split on load), one extra
+    audio-pad embedding row, rms eps 1e-8, untied head."""
+    cfg = transformers.MoshiConfig(
+        vocab_size=128,
+        hidden_size=32,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=4,
+        ffn_dim=128,
+        max_position_embeddings=64,
+        audio_vocab_size=40,
+        head_dim=8,
+    )
+    hf = transformers.MoshiForCausalLM(cfg).eval()
+    native, ncfg = _hf_to_native_translated(hf, cfg.to_dict())
+    assert ncfg.hidden_dim == 64 and ncfg.embed_vocab_size == 129
+    assert not ncfg.tie_embeddings
+    _compare(hf, native, 128, atol=3e-4)

@@ -525,3 +525,51 @@ def test_recurrent_gemma_logits_match_hf():
     assert ncfg.o_proj_bias and ncfg.mlp_bias and ncfg.norm_plus_one
     assert ncfg.final_logit_softcap == 30.0 and ncfg.scale_embeddings
     _compare_t(hf, native, 128, atol=5e-5, seqlen=12)
+
+
+def test_rwkv_logits_match_hf():
+    """rwkv v4 (117th family): the WKV max-stabilized recurrence as a
+    lax.scan (elementwise carry; all projections are whole-sequence
+    matmuls) vs HF's rwkv_linear_attention_cpu per-step loop."""
+    cfg = transformers.RwkvConfig(
+        vocab_size=128,
+        hidden_size=32,
+        num_hidden_layers=2,
+        attention_hidden_size=32,
+        intermediate_size=112,
+        context_length=64,
+    )
+    hf = transformers.RwkvForCausalLM(cfg).eval()
+    sd = {
+        k: v.detach().to(torch.float32).numpy()
+        for k, v in hf.state_dict().items()
+    }
+    sd = hf_loader.make_rwkv_translator(cfg.to_dict())(sd)
+    ncfg = models.RwkvConfig.from_hf_config(cfg.to_dict(), dtype=jnp.float32)
+    assert ncfg.hidden_dim == 112 and ncfg.attn_dim == 32
+    native = models.RwkvLM.create(jax.random.PRNGKey(0), ncfg)
+    native = utils.load_state_dict(native, sd, strict=False)
+    rng = np.random.RandomState(0)
+    ids = rng.randint(0, 128, (2, 12))
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(ids)).logits.to(torch.float32).numpy()
+    out = np.asarray(native({"input_ids": jnp.asarray(ids)}), np.float32)
+    assert np.allclose(out, ref, atol=3e-4), np.abs(out - ref).max()
+
+
+def test_rwkv_decomposes():
+    """rwkv's projections are plain nn.Linear sites — a dwain round-trip
+    on the channel-mix key/value works like any transformer MLP."""
+    ncfg = models.RwkvConfig(
+        vocab_size=64, dim=16, n_layers=1, hidden_dim=64, attn_dim=16,
+    )
+    native = models.RwkvLM.create(jax.random.PRNGKey(0), ncfg)
+    ids = jnp.asarray(np.random.RandomState(0).randint(0, 64, (2, 10)))
+    logits = native({"input_ids": ids})
+    assert np.isfinite(np.asarray(logits)).all()
+    from ptdeco_tpu import nn
+
+    names = [
+        n for n, m in nn.named_modules(native) if isinstance(m, nn.Linear)
+    ]
+    assert "blocks.0.feed_forward.key" in names
