@@ -18,6 +18,8 @@ from .ssm import (
     MambaLM,
     RwkvConfig,
     RwkvLM,
+    ZambaConfig,
+    ZambaLM,
 )
 from .transformer import (
     Attention,
@@ -67,6 +69,8 @@ __all__ = [
     "MambaLM",
     "RwkvConfig",
     "RwkvLM",
+    "ZambaConfig",
+    "ZambaLM",
     "Attention",
     "MLAttention",
     "Block",

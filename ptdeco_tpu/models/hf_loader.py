@@ -1604,6 +1604,86 @@ def make_mamba_translator(hf_cfg: dict[str, Any]):
     return translate
 
 
+def make_zamba_translator(hf_cfg: dict[str, Any]):
+    """HF Zamba / Zamba2 ForCausalLM: strip the ``model.`` prefix,
+    flatten the hybrid layers' ``mamba_decoder`` nesting onto the layer
+    itself, squeeze the depthwise conv's singleton group dim, drop the
+    tied head.  The shared transformer block's tensors appear under
+    every hybrid layer (upstream ties them; torch state_dict repeats
+    them), so each native copy loads the same values.  Zamba2's
+    PER-HYBRID-LAYER LoRA adapters on the shared gate_up (and q/k/v when
+    use_shared_attention_adapter) are FOLDED into dense per-layer
+    weights: W_eff(layer) = W_shared + B_p @ A_p with p the layer's
+    position among hybrid layers — exact, since the adapter reads the
+    same input as the base projection."""
+    tied = bool(hf_cfg.get("tie_word_embeddings", True))
+    v2 = hf_cfg.get("model_type") == "zamba2"
+    lbt = [str(t) for t in (hf_cfg.get("layers_block_type") or ())]
+    hybrid_pos = {
+        layer: pos
+        for pos, layer in enumerate(
+            i for i, t in enumerate(lbt) if t == "hybrid"
+        )
+    }
+
+    def translate(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        out: dict[str, np.ndarray] = {}
+        adapters: dict[str, np.ndarray] = {}
+        for k, v in sd.items():
+            if k == "lm_head.weight" and tied:
+                continue
+            if k.startswith("model."):
+                k = k[len("model."):]
+            k = k.replace(".mamba_decoder.mamba.", ".mamba.")
+            k = k.replace(
+                ".mamba_decoder.input_layernorm.", ".input_layernorm."
+            )
+            k = k.replace(".shared_transformer.", ".shared_transf.")
+            if "_adapter_list." in k:
+                adapters[k] = v
+                continue
+            if k.endswith(".conv1d.weight") and v.ndim == 3:
+                v = np.ascontiguousarray(v[:, 0, :])
+            out[k] = v
+        if v2:
+            # fold adapters, then split the fused gate_up into halves
+            for layer, pos in hybrid_pos.items():
+                stem = f"layers.{layer}.shared_transf."
+                gu = out.pop(stem + "feed_forward.gate_up_proj.weight")
+                a = adapters.get(
+                    stem
+                    + f"feed_forward.gate_up_proj_adapter_list.{pos}.0.weight"
+                )
+                b = adapters.get(
+                    stem
+                    + f"feed_forward.gate_up_proj_adapter_list.{pos}.1.weight"
+                )
+                if a is not None and b is not None:
+                    gu = gu + b @ a
+                half = gu.shape[0] // 2
+                out[stem + "feed_forward.gate_proj.weight"] = (
+                    np.ascontiguousarray(gu[:half])
+                )
+                out[stem + "feed_forward.up_proj.weight"] = (
+                    np.ascontiguousarray(gu[half:])
+                )
+                for name in ("q", "k", "v"):
+                    a = adapters.get(
+                        stem
+                        + f"self_attn.linear_{name}_adapter_list.{pos}.0.weight"
+                    )
+                    b = adapters.get(
+                        stem
+                        + f"self_attn.linear_{name}_adapter_list.{pos}.1.weight"
+                    )
+                    if a is not None and b is not None:
+                        wk = stem + f"self_attn.{name}_proj.weight"
+                        out[wk] = out[wk] + b @ a
+        return out
+
+    return translate
+
+
 def make_rwkv_translator(hf_cfg: dict[str, Any]):
     """HF RwkvForCausalLM: strip the ``rwkv.`` body prefix (embeddings /
     blocks.N / ln_out match the native tree field-for-field) and drop
@@ -2032,6 +2112,8 @@ def translator_for(hf_cfg: dict[str, Any]):
         return make_mamba_translator(hf_cfg)
     if mt == "rwkv":
         return make_rwkv_translator(hf_cfg)
+    if mt in ("zamba", "zamba2"):
+        return make_zamba_translator(hf_cfg)
     if mt == "bamba":
         return translate_bamba_state_dict
     if mt == "granitemoehybrid":

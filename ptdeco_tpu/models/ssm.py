@@ -1153,3 +1153,472 @@ class RwkvLM(nn.Module):
             tie_embeddings=cfg.tie_embeddings,
             remat=cfg.remat,
         )
+
+
+# ---------------------------------------------------------------------------
+# Zamba: mamba backbone with a SHARED concat-input transformer block
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class ZambaConfig:
+    """HF ZambaConfig subset (Zyphra Zamba v1): a multi-head mamba1
+    backbone where every `attn_layer_period`-th layer also runs a
+    transformer block over cat(hidden, embedding) — the block's weights
+    are SHARED across those layers upstream; each native hybrid layer
+    carries its own copy (identical values on load), which decomposes
+    independently like the reference's AutoModel consumption would."""
+
+    vocab_size: int = 64
+    dim: int = 32
+    n_layers: int = 4
+    layers_block_type: tuple = ("mamba", "mamba", "hybrid", "mamba")
+    # shared transformer block (input width 2*dim)
+    attention_hidden_size: int = 64
+    n_attn_heads: int = 4
+    attention_head_dim: int = 16
+    intermediate_size: int = 64
+    # multi-head mamba
+    d_inner: int = 64
+    d_state: int = 16
+    d_conv: int = 4
+    n_mamba_heads: int = 2
+    dt_rank: int = 4
+    conv_bias: bool = True
+    proj_bias: bool = False
+    norm_eps: float = 1e-5
+    tie_embeddings: bool = True
+    # zamba2: mamba2 mixers, rotary on the shared attention, and LoRA
+    # adapters on the shared projections (folded into dense per-layer
+    # weights on load)
+    version: int = 1
+    mamba_headdim: int = 8
+    n_groups: int = 1
+    chunk_size: int = 256
+    use_mem_rope: bool = False
+    rope_theta: float = 10000.0
+    remat: bool = False
+    dtype: Any = jnp.float32
+
+    @staticmethod
+    def from_hf_config(
+        hf: dict[str, Any], dtype: Any = jnp.bfloat16, remat: bool = False
+    ) -> "ZambaConfig":
+        if hf.get("model_type") == "zamba2":
+            return ZambaConfig._from_hf_zamba2(hf, dtype, remat)
+        if hf.get("model_type") != "zamba":
+            raise ValueError("not a zamba config")
+        if _hf_act_name(hf.get("hidden_act", "gelu")) != "gelu" or (
+            hf.get("hidden_mamba_act", "silu") != "silu"
+        ):
+            # HF ZambaMLP uses hidden_act (default gelu); the mixer silu
+            raise ValueError(
+                "zamba with non-default activations is not implemented"
+            )
+        dim = int(hf["hidden_size"])
+        n_layers = int(hf["num_hidden_layers"])
+        lbt = tuple(
+            str(t)
+            for t in (
+                hf.get("layers_block_type")
+                or ZambaConfig._derive_block_types(
+                    n_layers,
+                    int(hf.get("attn_layer_period") or 6),
+                    int(hf.get("attn_layer_offset") or 4),
+                )
+            )
+        )
+        d_inner = int(hf.get("mamba_expand", 2)) * dim
+        n_mh = int(hf.get("n_mamba_heads", 2))
+        dt_rank = hf.get("mamba_dt_rank")
+        return ZambaConfig(
+            vocab_size=int(hf["vocab_size"]),
+            dim=dim,
+            n_layers=n_layers,
+            layers_block_type=lbt,
+            attention_hidden_size=int(
+                hf.get("attention_hidden_size") or 2 * dim
+            ),
+            n_attn_heads=int(hf["num_attention_heads"]),
+            attention_head_dim=int(
+                hf.get("attention_head_dim")
+                or (2 * dim) // int(hf["num_attention_heads"])
+            ),
+            intermediate_size=int(hf["intermediate_size"]),
+            d_inner=d_inner,
+            d_state=int(hf.get("mamba_d_state", 16)),
+            d_conv=int(hf.get("mamba_d_conv", 4)),
+            n_mamba_heads=n_mh,
+            dt_rank=(
+                int(dt_rank)
+                if dt_rank and dt_rank != "auto"
+                else -(-dim // 16)  # HF "auto": ceil(hidden/16)
+            ),
+            conv_bias=bool(hf.get("mamba_conv_bias", True)),
+            proj_bias=bool(hf.get("mamba_proj_bias", False)),
+            norm_eps=float(hf.get("rms_norm_eps", 1e-5)),
+            tie_embeddings=bool(hf.get("tie_word_embeddings", True)),
+            remat=remat,
+            dtype=dtype,
+        )
+
+    @staticmethod
+    def _derive_block_types(n_layers, period, offset):
+        return [
+            "hybrid" if i % period == offset else "mamba"
+            for i in range(n_layers)
+        ]
+
+    @staticmethod
+    def _from_hf_zamba2(
+        hf: dict[str, Any], dtype: Any, remat: bool
+    ) -> "ZambaConfig":
+        """HF Zamba2Config -> native.  The per-hybrid-layer LoRA adapters
+        on the shared projections are folded into dense per-layer weights
+        by the translator, so the native model needs no adapter fields."""
+        if _hf_act_name(hf.get("hidden_act", "gelu")) != "gelu" or (
+            hf.get("mamba_hidden_act", "silu") != "silu"
+        ):
+            raise ValueError(
+                "zamba2 with non-default activations is not implemented"
+            )
+        if hf.get("add_bias_linear"):
+            raise ValueError(
+                "zamba2 add_bias_linear=True is not implemented"
+            )
+        dim = int(hf["hidden_size"])
+        n_layers = int(hf["num_hidden_layers"])
+        d_inner = int(hf.get("mamba_expand", 2)) * dim
+        return ZambaConfig(
+            vocab_size=int(hf["vocab_size"]),
+            dim=dim,
+            n_layers=n_layers,
+            layers_block_type=tuple(
+                str(t) for t in hf["layers_block_type"]
+            ),
+            attention_hidden_size=int(
+                hf.get("attention_hidden_size") or 2 * dim
+            ),
+            n_attn_heads=int(hf["num_attention_heads"]),
+            attention_head_dim=int(
+                hf.get("attention_head_dim")
+                or (2 * dim) // int(hf["num_attention_heads"])
+            ),
+            intermediate_size=int(hf["intermediate_size"]),
+            d_inner=d_inner,
+            d_state=int(hf.get("mamba_d_state", 64)),
+            d_conv=int(hf.get("mamba_d_conv", 4)),
+            n_mamba_heads=int(
+                hf.get("n_mamba_heads")
+                or d_inner // int(hf.get("mamba_headdim", 64))
+            ),
+            conv_bias=bool(hf.get("use_conv_bias", True)),
+            norm_eps=float(hf.get("rms_norm_eps", 1e-5)),
+            tie_embeddings=bool(hf.get("tie_word_embeddings", True)),
+            version=2,
+            mamba_headdim=int(hf.get("mamba_headdim", 64)),
+            n_groups=int(hf.get("mamba_ngroups", 1)),
+            chunk_size=int(hf.get("chunk_size", 256)),
+            use_mem_rope=bool(hf.get("use_mem_rope", False)),
+            rope_theta=float(hf.get("rope_theta", 10000.0)),
+            remat=remat,
+            dtype=dtype,
+        )
+
+
+def _hf_act_name(act: str) -> str:
+    return {"gelu_pytorch_tanh": "gelu_tanh"}.get(act, act)
+
+
+class ZambaMixer(nn.Module):
+    """Zamba's multi-head mamba1 (HF ZambaMambaMixer.slow_forward): the
+    in_proj emits INTERLEAVED (x, gate) channel pairs, and the
+    x_proj/dt_proj selections are block-diagonal over n_mamba_heads —
+    each head owns mamba_head_dim channels with its own B/C streams.
+    Expanding the per-head B/C to per-channel reduces it to the same
+    associative-scan recurrence as Mamba1Mixer."""
+
+    in_proj: nn.Linear  # dim -> 2*d_inner, (x, z) interleaved
+    conv1d: DepthwiseConv1d
+    x_proj_weight: jax.Array  # (h, dt_rank + 2*d_state, head_dim)
+    dt_proj_weight: jax.Array  # (h, head_dim, dt_rank)
+    dt_proj_bias: jax.Array  # (h, head_dim)
+    A_log: jax.Array  # (h, head_dim, d_state)
+    D: jax.Array  # (h, head_dim)
+    out_proj: nn.Linear  # d_inner -> dim
+    n_heads: int = nn.static_field(default=2)
+    d_state: int = nn.static_field(default=16)
+    dt_rank: int = nn.static_field(default=4)
+
+    def __call__(
+        self,
+        x: jax.Array,
+        ctx: Optional[nn.Ctx] = None,
+        *,
+        positions: Optional[jax.Array] = None,
+        attn_mask: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        b, s, _ = x.shape
+        proj = self.in_proj(x, ctx)  # (b, s, 2*d_inner) interleaved pairs
+        pairs = proj.reshape(b, s, -1, 2)
+        h, gate = pairs[..., 0], pairs[..., 1]  # (b, s, d_inner)
+        if attn_mask is not None:
+            h = h * attn_mask[..., None].astype(h.dtype)
+        h = jax.nn.silu(self.conv1d(h, ctx))
+        if attn_mask is not None:
+            h = h * attn_mask[..., None].astype(h.dtype)
+        nh, hd = self.n_heads, h.shape[-1] // self.n_heads
+        hh = h.reshape(b, s, nh, hd)
+        # per-head selection: (h, r, hd) @ (b, s, h, hd) -> (b, s, h, r)
+        sel = jnp.einsum("hrd,bshd->bshr", self.x_proj_weight, hh)
+        dt, B, C = (
+            sel[..., : self.dt_rank],
+            sel[..., self.dt_rank : self.dt_rank + self.d_state],
+            sel[..., self.dt_rank + self.d_state :],
+        )
+        dt = jnp.einsum("hdr,bshr->bshd", self.dt_proj_weight, dt)
+        dt = jax.nn.softplus(dt + self.dt_proj_bias[None, None])
+        A = -jnp.exp(self.A_log.astype(jnp.float32))  # (h, hd, n)
+        dtf = dt.astype(jnp.float32)
+        dA = jnp.exp(dtf[..., None] * A[None, None])  # (b, s, h, hd, n)
+        dBu = (
+            dtf[..., None]
+            * B.astype(jnp.float32)[:, :, :, None, :]
+            * hh.astype(jnp.float32)[..., None]
+        )
+
+        def comb(left, right):
+            aL, bL = left
+            aR, bR = right
+            return aL * aR, bL * aR + bR
+
+        _, hs = jax.lax.associative_scan(comb, (dA, dBu), axis=1)
+        y = jnp.einsum("bshdn,bshn->bshd", hs.astype(x.dtype), C)
+        y = y + hh * self.D[None, None]
+        y = y.reshape(b, s, -1) * jax.nn.silu(gate)
+        return self.out_proj(y, ctx)
+
+    @staticmethod
+    def create(key: jax.Array, cfg: ZambaConfig) -> "ZambaMixer":
+        ks = jax.random.split(key, 3)
+        nh = cfg.n_mamba_heads
+        hd = cfg.d_inner // nh
+        A = jnp.broadcast_to(
+            jnp.arange(1, cfg.d_state + 1, dtype=jnp.float32)[None, None],
+            (nh, hd, cfg.d_state),
+        )
+        return ZambaMixer(
+            in_proj=nn.Linear.create(
+                ks[0], cfg.dim, 2 * cfg.d_inner, cfg.proj_bias, cfg.dtype
+            ),
+            conv1d=DepthwiseConv1d.create(
+                ks[1], cfg.d_inner, cfg.d_conv, cfg.conv_bias, cfg.dtype
+            ),
+            x_proj_weight=jnp.zeros(
+                (nh, cfg.dt_rank + 2 * cfg.d_state, hd), cfg.dtype
+            ),
+            dt_proj_weight=jnp.zeros((nh, hd, cfg.dt_rank), cfg.dtype),
+            dt_proj_bias=jnp.zeros((nh, hd), cfg.dtype),
+            A_log=jnp.log(A),
+            D=jnp.ones((nh, hd), cfg.dtype),
+            out_proj=nn.Linear.create(
+                ks[2], cfg.d_inner, cfg.dim, cfg.proj_bias, cfg.dtype
+            ),
+            n_heads=nh,
+            d_state=cfg.d_state,
+            dt_rank=cfg.dt_rank,
+        )
+
+
+class ZambaSharedBlock(nn.Module):
+    """The shared transformer block (HF ZambaAttentionDecoderLayer): NO
+    internal residuals — rms(cat(h, emb)) -> rope-free attention at
+    scale (head_dim/2)^-0.5 -> rms -> gated-gelu MLP."""
+
+    input_layernorm: nn.RMSNorm  # over 2*dim
+    self_attn: Any  # transformer.Attention (2*dim in, dim out)
+    pre_ff_layernorm: nn.RMSNorm  # over dim
+    feed_forward: Any  # transformer.MLP
+
+    def __call__(
+        self,
+        x2: jax.Array,
+        ctx: Optional[nn.Ctx] = None,
+        *,
+        positions: Optional[jax.Array] = None,
+        attn_mask: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        h = self.self_attn(
+            self.input_layernorm(x2), ctx,
+            positions=positions, attn_mask=attn_mask,
+        )
+        return self.feed_forward(self.pre_ff_layernorm(h), ctx)
+
+
+class ZambaHybridLayer(nn.Module):
+    """norm+mamba residual layer, optionally fed by the shared block:
+    x = x + mamba(rms(x + linear(shared(cat(x, emb0)))))."""
+
+    input_layernorm: nn.RMSNorm
+    mamba: ZambaMixer
+    shared_transf: Optional[ZambaSharedBlock] = None
+    linear: Optional[nn.Linear] = None
+
+    def __call__(
+        self,
+        x: jax.Array,
+        x0: jax.Array,
+        ctx: Optional[nn.Ctx] = None,
+        *,
+        attn_mask: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        h = x
+        if self.shared_transf is not None:
+            t = self.shared_transf(
+                jnp.concatenate([x, x0], axis=-1), ctx, attn_mask=attn_mask
+            )
+            h = x + self.linear(t, ctx)
+        return x + self.mamba(
+            self.input_layernorm(h), ctx, attn_mask=attn_mask
+        )
+
+
+class ZambaLM(nn.Module):
+    """Dict-in/logits-out Zamba causal LM (HF ZambaForCausalLM layout)."""
+
+    embed_tokens: nn.Embedding
+    layers: tuple
+    final_layernorm: nn.RMSNorm
+    lm_head: Optional[nn.Linear]
+    tie_embeddings: bool = nn.static_field(default=True)
+    remat: bool = nn.static_field(default=False)
+
+    def __call__(self, batch: Any, ctx: Optional[nn.Ctx] = None) -> jax.Array:
+        if isinstance(batch, dict):
+            input_ids = batch["input_ids"]
+            attn_mask = batch.get("attention_mask")
+        else:
+            input_ids, attn_mask = batch, None
+        x = self.embed_tokens(input_ids)
+        x0 = x  # the shared block always re-reads the raw embedding
+        use_remat = self.remat and not (ctx is not None and ctx.no_remat)
+        for layer in self.layers:
+            if use_remat:
+                x = jax.checkpoint(
+                    lambda lyr, h, e: lyr(h, e, ctx, attn_mask=attn_mask)
+                )(layer, x, x0)
+            else:
+                x = layer(x, x0, ctx, attn_mask=attn_mask)
+        x = self.final_layernorm(x)
+        if self.tie_embeddings:
+            return jnp.dot(x, self.embed_tokens.table.T)
+        return self.lm_head(x, ctx)
+
+    @staticmethod
+    def create(key: jax.Array, cfg: ZambaConfig) -> "ZambaLM":
+        from .transformer import MLP, Attention, TransformerConfig
+
+        keys = jax.random.split(key, cfg.n_layers + 2)
+        # the shared attention block sized on a synthetic TransformerConfig
+        shared_cfg = TransformerConfig(
+            vocab_size=cfg.vocab_size,
+            dim=2 * cfg.dim,
+            n_layers=1,
+            n_heads=cfg.n_attn_heads,
+            n_kv_heads=cfg.n_attn_heads,
+            hidden_dim=cfg.intermediate_size,
+            head_dim_override=cfg.attention_head_dim,
+            norm_eps=cfg.norm_eps,
+            mlp_act="gelu_exact",
+            use_rope=cfg.use_mem_rope,  # zamba2's mem-block rotary
+            rope_theta=cfg.rope_theta,
+            query_scale_override=(cfg.attention_head_dim / 2) ** -0.5,
+            dtype=cfg.dtype,
+        )
+        mamba_cfg = MambaConfig(
+            vocab_size=cfg.vocab_size,
+            dim=cfg.dim,
+            n_layers=1,
+            d_inner=cfg.d_inner,
+            d_state=cfg.d_state,
+            d_conv=cfg.d_conv,
+            version=2,
+            n_heads=cfg.n_mamba_heads,
+            head_dim=cfg.mamba_headdim,
+            n_groups=cfg.n_groups,
+            chunk_size=cfg.chunk_size,
+            conv_bias=cfg.conv_bias,
+            norm_eps=cfg.norm_eps,
+            dtype=cfg.dtype,
+        )
+
+        def make_layer(i: int, t: str) -> ZambaHybridLayer:
+            k = keys[1 + i]
+            if t == "hybrid":
+                attn = Attention.create(jax.random.fold_in(k, 0), shared_cfg)
+                # o_proj maps back to dim (not 2*dim)
+                attn = attn.replace(
+                    o_proj=nn.Linear.create(
+                        jax.random.fold_in(k, 4),
+                        cfg.n_attn_heads * cfg.attention_head_dim,
+                        cfg.dim,
+                        False,
+                        cfg.dtype,
+                    )
+                )
+                mlp_cfg = dataclasses.replace(
+                    shared_cfg, dim=cfg.dim, hidden_dim=cfg.intermediate_size
+                )
+                shared = ZambaSharedBlock(
+                    input_layernorm=nn.RMSNorm.create(
+                        2 * cfg.dim, cfg.norm_eps, cfg.dtype
+                    ),
+                    self_attn=attn,
+                    pre_ff_layernorm=nn.RMSNorm.create(
+                        cfg.dim, cfg.norm_eps, cfg.dtype
+                    ),
+                    feed_forward=MLP.create(
+                        jax.random.fold_in(k, 1), mlp_cfg
+                    ),
+                )
+                linear = nn.Linear.create(
+                    jax.random.fold_in(k, 2), cfg.dim, cfg.dim, False,
+                    cfg.dtype,
+                )
+            else:
+                shared, linear = None, None
+            return ZambaHybridLayer(
+                input_layernorm=nn.RMSNorm.create(
+                    cfg.dim, cfg.norm_eps, cfg.dtype
+                ),
+                mamba=(
+                    Mamba2Mixer.create(jax.random.fold_in(k, 3), mamba_cfg)
+                    if cfg.version == 2
+                    else ZambaMixer.create(jax.random.fold_in(k, 3), cfg)
+                ),
+                shared_transf=shared,
+                linear=linear,
+            )
+
+        lm_head = (
+            None
+            if cfg.tie_embeddings
+            else nn.Linear.create(
+                keys[-1], cfg.dim, cfg.vocab_size, False, cfg.dtype
+            )
+        )
+        return ZambaLM(
+            embed_tokens=nn.Embedding.create(
+                keys[0], cfg.vocab_size, cfg.dim, cfg.dtype
+            ),
+            layers=tuple(
+                make_layer(i, t)
+                for i, t in enumerate(cfg.layers_block_type)
+            ),
+            final_layernorm=nn.RMSNorm.create(
+                cfg.dim, cfg.norm_eps, cfg.dtype
+            ),
+            lm_head=lm_head,
+            tie_embeddings=cfg.tie_embeddings,
+            remat=cfg.remat,
+        )

@@ -573,3 +573,94 @@ def test_rwkv_decomposes():
         n for n, m in nn.named_modules(native) if isinstance(m, nn.Linear)
     ]
     assert "blocks.0.feed_forward.key" in names
+
+
+def test_zamba_logits_match_hf():
+    """zamba v1 (119th family): multi-head mamba1 backbone (interleaved
+    (x, gate) in_proj pairs, block-diagonal per-head B/C selections) with
+    the SHARED concat-input transformer block — rope-free attention at
+    scale (head_dim/2)^-0.5, no internal residuals, linear-projected into
+    the mamba stream."""
+    cfg = transformers.ZambaConfig(
+        vocab_size=128,
+        hidden_size=32,
+        intermediate_size=64,
+        num_hidden_layers=8,
+        num_attention_heads=4,
+        num_key_value_heads=4,
+        attention_head_dim=16,
+        mamba_expand=2,
+        mamba_d_state=4,
+        mamba_d_conv=4,
+        mamba_dt_rank=2,
+        n_mamba_heads=2,
+        attn_layer_period=3,
+        attn_layer_offset=2,
+        max_position_embeddings=64,
+        use_mamba_kernels=False,
+    )
+    hf = transformers.ZambaForCausalLM(cfg).eval()
+    sd = {
+        k: v.detach().to(torch.float32).numpy()
+        for k, v in hf.state_dict().items()
+    }
+    sd = hf_loader.make_zamba_translator(cfg.to_dict())(sd)
+    ncfg = models.ZambaConfig.from_hf_config(cfg.to_dict(), dtype=jnp.float32)
+    assert ncfg.layers_block_type.count("hybrid") == 2
+    native = models.ZambaLM.create(jax.random.PRNGKey(0), ncfg)
+    native = utils.load_state_dict(native, sd, strict=False)
+    rng = np.random.RandomState(0)
+    ids = rng.randint(0, 128, (2, 12))
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(ids)).logits.to(torch.float32).numpy()
+    out = np.asarray(native({"input_ids": jnp.asarray(ids)}), np.float32)
+    assert np.allclose(out, ref, atol=3e-4), np.abs(out - ref).max()
+
+
+def test_zamba2_logits_match_hf():
+    """zamba2 (120th family): mamba2 (SSD) mixers, rotary on the shared
+    concat-input attention (use_mem_rope), and per-hybrid-layer LoRA
+    adapters on the shared gate_up / q/k/v projections FOLDED exactly
+    into dense per-layer weights on load."""
+    cfg = transformers.Zamba2Config(
+        vocab_size=128,
+        hidden_size=32,
+        intermediate_size=64,
+        num_hidden_layers=8,
+        num_attention_heads=4,
+        num_key_value_heads=4,
+        attention_head_dim=16,
+        mamba_expand=2,
+        mamba_d_state=4,
+        mamba_d_conv=4,
+        mamba_ngroups=1,
+        mamba_headdim=8,
+        n_mamba_heads=8,
+        layers_block_type=[
+            "mamba", "mamba", "hybrid", "mamba",
+            "mamba", "hybrid", "mamba", "mamba",
+        ],
+        max_position_embeddings=64,
+        use_mem_rope=True,
+        use_shared_attention_adapter=True,
+        adapter_rank=8,
+        chunk_size=4,
+    )
+    hf = transformers.Zamba2ForCausalLM(cfg).eval()
+    sd = {
+        k: v.detach().to(torch.float32).numpy()
+        for k, v in hf.state_dict().items()
+    }
+    sd = hf_loader.make_zamba_translator(cfg.to_dict())(sd)
+    ncfg = models.ZambaConfig.from_hf_config(cfg.to_dict(), dtype=jnp.float32)
+    assert ncfg.version == 2 and ncfg.use_mem_rope
+    native = models.ZambaLM.create(jax.random.PRNGKey(0), ncfg)
+    native = utils.load_state_dict(native, sd, strict=False)
+    rng = np.random.RandomState(0)
+    ids = rng.randint(0, 128, (2, 12))
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(ids)).logits.to(torch.float32).numpy()
+    out = np.asarray(native({"input_ids": jnp.asarray(ids)}), np.float32)
+    # 8 stacked chunked-SSD mixers accumulate f32 reduction-order noise
+    # (max |diff| ~4e-4); structural breaks show up at ~0.1+
+    assert np.allclose(out, ref, atol=1e-3), np.abs(out - ref).max()
