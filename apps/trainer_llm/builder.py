@@ -152,6 +152,14 @@ def make_model_and_tokenizer(
                 hf_cfg, dtype=jdtype, remat=enable_gradient_checkpointing
             )
             model = models.ZambaLM.create(jax.random.PRNGKey(seed), cfg)
+        elif hf_cfg.get("model_type") in (
+            "musicgen", "musicgen_melody",
+            "musicgen_decoder", "musicgen_melody_decoder",
+        ):
+            cfg = models.MusicgenConfig.from_hf_config(
+                hf_cfg, dtype=jdtype, remat=enable_gradient_checkpointing
+            )
+            model = models.MusicgenLM.create(jax.random.PRNGKey(seed), cfg)
         else:
             cfg = models.TransformerConfig.from_hf_config(
                 hf_cfg, dtype=jdtype, remat=enable_gradient_checkpointing

@@ -1842,6 +1842,33 @@ def translate_moshi_state_dict(
     return out
 
 
+def translate_musicgen_state_dict(
+    sd: dict[str, np.ndarray],
+) -> dict[str, np.ndarray]:
+    """HF MusicgenForCausalLM / MusicgenMelodyForCausalLM: strip the
+    ``model.decoder.`` wrapper (per-codebook embed_tokens.K and
+    lm_heads.K keep their indices), map the bart-style layer names, drop
+    the unused cross-attention and any text/audio encoder parts of full
+    composite checkpoints."""
+    out: dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        if ".encoder_attn" in k or k.startswith(
+            ("text_encoder.", "audio_encoder.", "enc_to_dec_proj.")
+        ):
+            continue
+        if "embed_positions" in k:
+            continue  # computed sinusoid
+        k = k.replace("model.decoder.", "")
+        k = k.replace("decoder.model.decoder.", "")
+        k = k.replace(".self_attn.out_proj.", ".self_attn.o_proj.")
+        k = k.replace(".self_attn_layer_norm.", ".input_layernorm.")
+        k = k.replace(".final_layer_norm.", ".post_attention_layernorm.")
+        k = k.replace(".fc1.", ".mlp.up_proj.")
+        k = k.replace(".fc2.", ".mlp.down_proj.")
+        out[k] = v
+    return out
+
+
 def make_mllama_translator(hf_cfg: dict[str, Any]):
     """HF mllama text model: strip the multimodal wrapper prefix when
     present (full mllama snapshots), drop the vision tower / projector
@@ -2064,6 +2091,28 @@ def translator_for(hf_cfg: dict[str, Any]):
         return make_mllama_translator(hf_cfg)
     if mt == "moshi":
         return translate_moshi_state_dict
+    if mt in (
+        "musicgen",
+        "musicgen_melody",
+        "musicgen_decoder",
+        "musicgen_melody_decoder",
+    ):
+        return translate_musicgen_state_dict
+    if mt == "phi4_multimodal":
+        # phi3 text layout + vision/audio towers to drop
+        n_heads = int(hf_cfg["num_attention_heads"])
+        n_kv = int(hf_cfg.get("num_key_value_heads") or n_heads)
+        hd = int(hf_cfg["hidden_size"]) // n_heads
+
+        def translate_phi4mm(sd):
+            sd = {
+                k: v
+                for k, v in sd.items()
+                if not k.startswith("model.embed_tokens_extend.")
+            }
+            return split_phi3_fused_projections(sd, n_heads, n_kv, hd)
+
+        return translate_phi4mm
     if mt == "gpt_neox":
         return make_gpt_neox_translator(hf_cfg)
     if mt == "falcon":

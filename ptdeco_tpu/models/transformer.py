@@ -36,7 +36,7 @@ _FLASH_ENABLED = True
 
 __all__ = [
     "TransformerConfig", "CausalLM", "Attention", "MLP", "MoEMLP", "Block",
-    "PrunedSublayer", "prune_blocks",
+    "PrunedSublayer", "prune_blocks", "MusicgenConfig", "MusicgenLM",
 ]
 
 
@@ -330,6 +330,11 @@ class TransformerConfig:
             # graph over the multimodal token vocabulary)
             hf = dict(hf["text_config"])
             mt = hf.get("model_type", "emu3_text_model")
+        if mt == "phi4_multimodal":
+            # the text decoder IS the phi3 graph (fused qkv/gate_up,
+            # longrope); vision/audio towers live under
+            # embed_tokens_extend and are dropped on load
+            mt = "phi3"
         if mt in ("gemma3", "got_ocr2", "fuyu"):
             # multimodal wrappers whose language model is a covered
             # family: gemma3 -> gemma3_text, got_ocr2 -> qwen2, fuyu ->
@@ -5856,6 +5861,151 @@ def ce_loss(batch: dict[str, jax.Array], logits: jax.Array) -> jax.Array:
         m = mask[:, 1:].astype(jnp.float32)
         return -jnp.sum(ll * m) / jnp.maximum(jnp.sum(m), 1.0)
     return -jnp.mean(ll)
+
+
+@dataclasses.dataclass(frozen=True)
+class MusicgenConfig:
+    """HF MusicgenDecoderConfig subset (musicgen / musicgen_melody used
+    as ``*ForCausalLM`` audio decoders): K codebook embedding tables
+    summed on entry, a pre-LN bias-free-projection decoder with biased
+    LayerNorms, computed cos|sin sinusoidal positions, and K untied
+    bias-free lm_heads stacked on the codebook axis."""
+
+    vocab_size: int = 60
+    dim: int = 32
+    n_layers: int = 2
+    n_heads: int = 4
+    hidden_dim: int = 64
+    num_codebooks: int = 2
+    mlp_act: str = "gelu_exact"
+    norm_eps: float = 1e-5
+    scale_embeddings: bool = False
+    remat: bool = False
+    dtype: Any = jnp.float32
+
+    @staticmethod
+    def from_hf_config(
+        hf: dict[str, Any], dtype: Any = jnp.bfloat16, remat: bool = False
+    ) -> "MusicgenConfig":
+        mt = hf.get("model_type", "")
+        if mt in ("musicgen", "musicgen_melody"):
+            hf = dict(hf["decoder"])
+            mt = hf.get("model_type", mt + "_decoder")
+        if mt not in ("musicgen_decoder", "musicgen_melody_decoder"):
+            raise ValueError(f"not a musicgen decoder config: {mt!r}")
+        return MusicgenConfig(
+            vocab_size=int(hf["vocab_size"]),
+            dim=int(hf["hidden_size"]),
+            n_layers=int(hf["num_hidden_layers"]),
+            n_heads=int(hf["num_attention_heads"]),
+            hidden_dim=int(hf["ffn_dim"]),
+            num_codebooks=int(hf.get("num_codebooks", 4)),
+            mlp_act=_hf_act(hf.get("activation_function", "gelu")),
+            scale_embeddings=bool(hf.get("scale_embedding", False)),
+            remat=remat,
+            dtype=dtype,
+        )
+
+
+def _musicgen_sinusoid(positions: jax.Array, dim: int) -> jax.Array:
+    """Musicgen's sinusoid: fairseq denominator (half-1) with COS in the
+    first half and SIN in the second (MusicgenSinusoidalPositional
+    Embedding.get_embedding cats cos before sin)."""
+    half = dim // 2
+    freqs = jnp.exp(
+        jnp.arange(half, dtype=jnp.float32)
+        * -(jnp.log(jnp.float32(10000.0)) / (half - 1))
+    )
+    ang = positions.astype(jnp.float32)[..., None] * freqs
+    return jnp.concatenate([jnp.cos(ang), jnp.sin(ang)], axis=-1)
+
+
+class MusicgenLM(nn.Module):
+    """Dict-in/logits-out musicgen audio decoder.  Input ``input_ids`` is
+    HF's (batch*num_codebooks, seq) layout; logits come back
+    (batch*num_codebooks, seq, vocab) on the same axis order, matching
+    MusicgenForCausalLM's stacked lm_heads."""
+
+    embed_tokens: tuple  # K embeddings (vocab+1 rows: the audio pad)
+    layers: tuple
+    layer_norm: nn.LayerNorm
+    lm_heads: tuple  # K bias-free Linears
+    num_codebooks: int = nn.static_field(default=2)
+    scale_embeddings: bool = nn.static_field(default=False)
+    remat: bool = nn.static_field(default=False)
+
+    def __call__(self, batch: Any, ctx: Optional[nn.Ctx] = None) -> jax.Array:
+        ids = batch["input_ids"] if isinstance(batch, dict) else batch
+        bk, s = ids.shape
+        k = self.num_codebooks
+        ids = ids.reshape(bk // k, k, s)
+        x = sum(
+            emb(ids[:, i]) for i, emb in enumerate(self.embed_tokens)
+        )
+        if self.scale_embeddings:
+            x = x * jnp.asarray(x.shape[-1] ** 0.5, x.dtype)
+        positions = jnp.broadcast_to(
+            jnp.arange(s)[None, :], (bk // k, s)
+        )
+        x = x + _musicgen_sinusoid(positions, x.shape[-1]).astype(x.dtype)
+        use_remat = self.remat and not (ctx is not None and ctx.no_remat)
+        for layer in self.layers:
+            if use_remat:
+                x = jax.checkpoint(
+                    lambda lyr, h: lyr(h, ctx, positions=positions)
+                )(layer, x)
+            else:
+                x = layer(x, ctx, positions=positions)
+        x = self.layer_norm(x)
+        logits = jnp.stack(
+            [head(x, ctx) for head in self.lm_heads], axis=1
+        )  # (b, k, s, v)
+        return logits.reshape(bk, s, -1)
+
+    @staticmethod
+    def create(key: jax.Array, cfg: MusicgenConfig) -> "MusicgenLM":
+        body = TransformerConfig(
+            vocab_size=cfg.vocab_size,
+            dim=cfg.dim,
+            n_layers=cfg.n_layers,
+            n_heads=cfg.n_heads,
+            n_kv_heads=cfg.n_heads,
+            hidden_dim=cfg.hidden_dim,
+            norm_eps=cfg.norm_eps,
+            norm_type="layernorm",
+            mlp_gated=False,
+            mlp_bias=False,
+            mlp_act=cfg.mlp_act,
+            qkv_bias=False,
+            o_proj_bias=False,
+            use_rope=False,
+            dtype=cfg.dtype,
+        )
+        keys = jax.random.split(key, cfg.n_layers + 2 * cfg.num_codebooks)
+        return MusicgenLM(
+            embed_tokens=tuple(
+                nn.Embedding.create(
+                    keys[i], cfg.vocab_size + 1, cfg.dim, cfg.dtype
+                )
+                for i in range(cfg.num_codebooks)
+            ),
+            layers=tuple(
+                Block.create(keys[cfg.num_codebooks + i], body, layer_idx=i)
+                for i in range(cfg.n_layers)
+            ),
+            layer_norm=nn.LayerNorm.create(
+                cfg.dim, True, cfg.norm_eps, cfg.dtype
+            ),
+            lm_heads=tuple(
+                nn.Linear.create(
+                    keys[-1 - i], cfg.dim, cfg.vocab_size, False, cfg.dtype
+                )
+                for i in range(cfg.num_codebooks)
+            ),
+            num_codebooks=cfg.num_codebooks,
+            scale_embeddings=cfg.scale_embeddings,
+            remat=cfg.remat,
+        )
 
 
 class SkipBlock(nn.Module):

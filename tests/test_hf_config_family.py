@@ -2694,3 +2694,69 @@ def test_moshi_logits_match_hf():
     assert ncfg.hidden_dim == 64 and ncfg.embed_vocab_size == 129
     assert not ncfg.tie_embeddings
     _compare(hf, native, 128, atol=3e-4)
+
+
+def test_phi4_multimodal_text_logits_match_hf():
+    """phi4_multimodal (119th registry row): the text decoder IS the
+    phi3 graph (fused qkv/gate_up split on load); the vision/audio
+    towers under embed_tokens_extend are dropped."""
+    cfg = transformers.Phi4MultimodalConfig(
+        vocab_size=128,
+        hidden_size=32,
+        intermediate_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=64,
+        pad_token_id=0,
+        vision_config=dict(
+            hidden_size=16, intermediate_size=32, num_hidden_layers=1,
+            num_attention_heads=2, image_size=28, patch_size=14,
+        ),
+        audio_config=dict(
+            hidden_size=16, intermediate_size=32, num_blocks=1,
+            num_attention_heads=2,
+        ),
+    )
+    hf = transformers.Phi4MultimodalForCausalLM(cfg).eval()
+    native, ncfg = _hf_to_native_translated(hf, cfg.to_dict())
+    _compare(hf, native, 128, atol=3e-4)
+
+
+def test_musicgen_decoder_logits_match_hf():
+    """musicgen audio decoder (120th registry row; musicgen_melody's
+    decoder is key-identical): K codebook embeddings summed on entry,
+    pre-LN bias-free projections, computed cos|sin sinusoid, K untied
+    lm_heads stacked on the codebook axis."""
+    cfg = transformers.MusicgenDecoderConfig(
+        vocab_size=120,
+        hidden_size=32,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        ffn_dim=64,
+        num_codebooks=2,
+        max_position_embeddings=64,
+        activation_function="gelu",
+    )
+    hf = transformers.MusicgenForCausalLM(cfg).eval()
+    sd = {
+        k: v.detach().to(torch.float32).numpy()
+        for k, v in hf.state_dict().items()
+    }
+    from ptdeco_tpu.models import hf_loader
+
+    sd = hf_loader.translate_musicgen_state_dict(sd)
+    ncfg = models.MusicgenConfig.from_hf_config(
+        cfg.to_dict(), dtype=jnp.float32
+    )
+    native = models.MusicgenLM.create(jax.random.PRNGKey(0), ncfg)
+    native = utils.load_state_dict(native, sd, strict=False)
+    rng = np.random.RandomState(0)
+    ids = rng.randint(0, 120, (4, 12))  # (batch*num_codebooks, seq)
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(ids)).logits.to(torch.float32).numpy()
+    out = np.asarray(native({"input_ids": jnp.asarray(ids)}), np.float32)
+    assert out.shape == ref.reshape(out.shape).shape
+    assert np.allclose(
+        out, ref.reshape(out.shape), atol=3e-4
+    ), np.abs(out - ref.reshape(out.shape)).max()
