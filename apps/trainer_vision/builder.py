@@ -21,8 +21,17 @@ from ptdeco_tpu.models import convnext as convnext_zoo
 from ptdeco_tpu.models import efficientformer as ef_zoo
 from ptdeco_tpu.models import regnet as regnet_zoo
 from ptdeco_tpu.models import resnet as resnet_zoo
+from ptdeco_tpu.models import mobilenet as mobilenet_zoo
 from ptdeco_tpu.models import swin as swin_zoo
 from ptdeco_tpu.models import vit as vit_zoo
+
+
+def _mobilenet_v2_full(key, num_classes=1000):
+    return mobilenet_zoo.MobileNetV2.create(key, num_classes=num_classes)
+
+
+def _mobilenet_v2_tiny(key, num_classes=10):
+    return mobilenet_zoo.mobilenet_v2_tiny(key, num_classes=num_classes)
 
 logger = logging.getLogger(__name__)
 
@@ -32,6 +41,8 @@ _ZOO = {
     "resnet50": resnet_zoo.resnet50,
     "resnet101": resnet_zoo.resnet101,
     "regnety_004": regnet_zoo.regnet_y_tiny,
+    "mobilenetv2_100": _mobilenet_v2_full,
+    "mobilenetv2_tiny": _mobilenet_v2_tiny,
     "convnext_tiny": convnext_zoo.convnext_tiny,
     "convnext_small": convnext_zoo.convnext_small,
     "convnextv2_tiny": convnext_zoo.convnextv2_tiny,
@@ -43,6 +54,7 @@ _ZOO = {
     # windowed-attention family (the reference's swinv2 dwain target,
     # examples_config/decompose_dwain_swinv2_tiny.yaml); timm-style aliases
     "swinv2_tiny_patch4_window7_224": swin_zoo.swinv2_tiny,
+    "swin_tiny_patch4_window7_224": swin_zoo.swin_tiny,
     "swinv2_cr_tiny_ns_224": swin_zoo.swinv2_tiny,
     "swinv2_small_patch4_window7_224": swin_zoo.swinv2_small,
     # hybrid conv/attention family (the reference's lockd/wrap/config test
@@ -202,11 +214,11 @@ def build_from_hf_snapshot(
             sd = convnext_zoo.translate_hf_convnextv2_state_dict(sd)
         else:
             sd = convnext_zoo.translate_hf_convnext_state_dict(sd)
-    elif mt == "swinv2":
+    elif mt in ("swinv2", "swin"):
         if float(cfg.get("mlp_ratio", 4.0)) != 4.0:
-            raise ValueError("swinv2 mlp_ratio != 4 unsupported")
+            raise ValueError("swin mlp_ratio != 4 unsupported")
         if cfg.get("use_absolute_embeddings"):
-            raise ValueError("swinv2 use_absolute_embeddings unsupported")
+            raise ValueError("swin use_absolute_embeddings unsupported")
         depths = tuple(cfg["depths"])
         model = swin_zoo.SwinV2.create(
             key,
@@ -217,8 +229,13 @@ def build_from_hf_snapshot(
             n_heads=tuple(cfg["num_heads"])[: len(depths)],
             window=int(cfg.get("window_size", 7)),
             num_classes=num_labels,
+            v1=(mt == "swin"),
         )
-        sd = swin_zoo.translate_hf_swinv2_state_dict(sd)
+        sd = (
+            swin_zoo.translate_hf_swin_state_dict(sd)
+            if mt == "swin"
+            else swin_zoo.translate_hf_swinv2_state_dict(sd)
+        )
         strict = False  # native CPB/index buffers rebuild from static shapes
     elif mt == "regnet":
         model = regnet_zoo.RegNet.create(
@@ -256,6 +273,28 @@ def build_from_hf_snapshot(
             num_classes=num_labels,
         )
         sd = resnet_zoo.translate_hf_resnet_state_dict(sd)
+    elif mt == "mobilenet_v2":
+        if cfg.get("hidden_act", "relu6") != "relu6":
+            raise ValueError("mobilenet_v2 hidden_act != relu6 unsupported")
+        if not cfg.get("tf_padding", True):
+            raise ValueError(
+                "mobilenet_v2 tf_padding=False unsupported (jax 'same' "
+                "padding is the TF rule)"
+            )
+        model = mobilenet_zoo.MobileNetV2.create(
+            key,
+            num_classes=num_labels,
+            depth_multiplier=float(cfg.get("depth_multiplier", 1.0)),
+            depth_divisible_by=int(cfg.get("depth_divisible_by", 8)),
+            min_depth=int(cfg.get("min_depth", 8)),
+            expand_ratio=float(cfg.get("expand_ratio", 6.0)),
+            first_layer_is_expansion=bool(
+                cfg.get("first_layer_is_expansion", True)
+            ),
+            finegrained_output=bool(cfg.get("finegrained_output", True)),
+            bn_eps=float(cfg.get("layer_norm_eps", 1e-3)),
+        )
+        sd = mobilenet_zoo.translate_hf_mobilenet_v2_state_dict(sd)
     else:
         raise ValueError(
             f"model_type={mt!r} is outside the supported HF vision families "

@@ -95,11 +95,14 @@ class WindowAttention(nn.Module):
 
     qkv: nn.Linear
     proj: nn.Linear
-    logit_scale: jax.Array  # (n_heads, 1, 1)
-    cpb_fc1: nn.Linear  # 2 -> cpb_hidden
-    cpb_fc2: nn.Linear  # cpb_hidden -> n_heads (no bias)
-    rel_coords: jax.Array  # ((2w-1)², 2), constant buffer
+    logit_scale: Optional[jax.Array]  # (n_heads, 1, 1); None for V1
+    cpb_fc1: Optional[nn.Linear]  # 2 -> cpb_hidden; None for V1
+    cpb_fc2: Optional[nn.Linear]  # cpb_hidden -> n_heads (no bias)
+    rel_coords: Optional[jax.Array]  # ((2w-1)², 2), constant buffer
     rel_index: jax.Array  # (w², w²) int32, constant buffer
+    # Swin V1: a LEARNED relative-position-bias table replaces the CPB
+    # MLP, and attention is plain scaled dot product (q·k / sqrt(hd))
+    rel_bias_table: Optional[jax.Array] = None  # ((2w-1)², n_heads)
     n_heads: int = nn.static_field(default=3)
     _buffer_fields = ("rel_coords", "rel_index")
 
@@ -118,20 +121,36 @@ class WindowAttention(nn.Module):
         k = k.reshape(bw, n, self.n_heads, hd).transpose(0, 2, 1, 3)
         v = v.reshape(bw, n, self.n_heads, hd).transpose(0, 2, 1, 3)
 
-        q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-6)
-        k = k / jnp.maximum(jnp.linalg.norm(k, axis=-1, keepdims=True), 1e-6)
-        scale = jnp.exp(
-            jnp.minimum(self.logit_scale, jnp.log(jnp.float32(100.0)))
-        ).astype(jnp.float32)
-        attn = (
-            jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
-            * scale
-        )
-
-        bias = self.cpb_fc2(jax.nn.relu(self.cpb_fc1(self.rel_coords, ctx)), ctx)
-        bias = 16.0 * jax.nn.sigmoid(bias.astype(jnp.float32))
-        bias = bias[self.rel_index]  # (w², w², H)
-        attn = attn + bias.transpose(2, 0, 1)[None]
+        if self.rel_bias_table is not None:  # Swin V1
+            attn = jnp.einsum(
+                "bhqd,bhkd->bhqk", q, k,
+                preferred_element_type=jnp.float32,
+            ) * jnp.float32(hd) ** -0.5
+            bias = self.rel_bias_table[self.rel_index]  # (w², w², H)
+            attn = attn + bias.astype(jnp.float32).transpose(2, 0, 1)[None]
+        else:
+            q = q / jnp.maximum(
+                jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-6
+            )
+            k = k / jnp.maximum(
+                jnp.linalg.norm(k, axis=-1, keepdims=True), 1e-6
+            )
+            scale = jnp.exp(
+                jnp.minimum(self.logit_scale, jnp.log(jnp.float32(100.0)))
+            ).astype(jnp.float32)
+            attn = (
+                jnp.einsum(
+                    "bhqd,bhkd->bhqk", q, k,
+                    preferred_element_type=jnp.float32,
+                )
+                * scale
+            )
+            bias = self.cpb_fc2(
+                jax.nn.relu(self.cpb_fc1(self.rel_coords, ctx)), ctx
+            )
+            bias = 16.0 * jax.nn.sigmoid(bias.astype(jnp.float32))
+            bias = bias[self.rel_index]  # (w², w², H)
+            attn = attn + bias.transpose(2, 0, 1)[None]
 
         if mask is not None:
             n_win = mask.shape[0]
@@ -144,8 +163,22 @@ class WindowAttention(nn.Module):
         return self.proj(out, ctx)
 
     @staticmethod
-    def create(key, dim, n_heads, window, cpb_hidden=512):
+    def create(key, dim, n_heads, window, cpb_hidden=512, v1=False):
         ks = jax.random.split(key, 4)
+        if v1:
+            return WindowAttention(
+                qkv=nn.Linear.create(ks[0], dim, 3 * dim),
+                proj=nn.Linear.create(ks[1], dim, dim),
+                logit_scale=None,
+                cpb_fc1=None,
+                cpb_fc2=None,
+                rel_coords=None,
+                rel_index=jnp.asarray(_relative_index(window)),
+                rel_bias_table=jnp.zeros(
+                    ((2 * window - 1) ** 2, n_heads), jnp.float32
+                ),
+                n_heads=n_heads,
+            )
         return WindowAttention(
             qkv=nn.Linear.create(ks[0], dim, 3 * dim),
             proj=nn.Linear.create(ks[1], dim, dim),
@@ -168,6 +201,8 @@ class SwinBlock(nn.Module):
     _buffer_fields = ("attn_mask",)
     window: int = nn.static_field(default=7)
     shift: int = nn.static_field(default=0)
+    # Swin V1 PRE-norms (x + attn(norm(x))); V2 post-norms the residual
+    pre_norm: bool = nn.static_field(default=False)
 
     def __call__(self, x: jax.Array, ctx: Optional[nn.Ctx] = None) -> jax.Array:
         h, w = self.resolution
@@ -175,6 +210,8 @@ class SwinBlock(nn.Module):
         shortcut = x
         # SwinV2 residual POST-norm: x + norm(attn(x)) — the defining V2
         # change alongside cosine attention and the CPB MLP (V1 pre-norms)
+        if self.pre_norm:
+            x = self.norm1(x, ctx)
         x = x.reshape(b, h, w, c)
         if self.shift > 0:
             x = jnp.roll(x, (-self.shift, -self.shift), axis=(1, 2))
@@ -183,11 +220,16 @@ class SwinBlock(nn.Module):
         x = _window_reverse(xw, self.window, h, w)
         if self.shift > 0:
             x = jnp.roll(x, (self.shift, self.shift), axis=(1, 2))
-        x = shortcut + self.norm1(x.reshape(b, n, c), ctx)
+        x = x.reshape(b, n, c)
+        if self.pre_norm:
+            x = shortcut + x
+            return x + self.mlp(self.norm2(x, ctx), ctx)
+        x = shortcut + self.norm1(x, ctx)
         return x + self.norm2(self.mlp(x, ctx), ctx)
 
     @staticmethod
-    def create(key, dim, n_heads, resolution, window, shift, mlp_ratio=4.0):
+    def create(key, dim, n_heads, resolution, window, shift, mlp_ratio=4.0,
+               v1=False):
         ks = jax.random.split(key, 3)
         window = min(window, min(resolution))
         shift = 0 if window >= min(resolution) else shift
@@ -203,7 +245,7 @@ class SwinBlock(nn.Module):
         )
         return SwinBlock(
             norm1=nn.LayerNorm.create(dim, eps=1e-5),
-            attn=WindowAttention.create(ks[0], dim, n_heads, window),
+            attn=WindowAttention.create(ks[0], dim, n_heads, window, v1=v1),
             norm2=nn.LayerNorm.create(dim, eps=1e-5),
             mlp=SwinMLP(
                 fc1=nn.Linear.create(ks[1], dim, int(dim * mlp_ratio)),
@@ -213,6 +255,7 @@ class SwinBlock(nn.Module):
             resolution=tuple(resolution),
             window=window,
             shift=shift,
+            pre_norm=v1,
         )
 
 
@@ -230,6 +273,8 @@ class PatchMerging(nn.Module):
     reduction: nn.Linear
     norm: nn.LayerNorm
     resolution: tuple = nn.static_field(default=(56, 56))
+    # Swin V1 norms the 4C concat BEFORE the reduction; V2 norms after
+    norm_first: bool = nn.static_field(default=False)
 
     def __call__(self, x: jax.Array, ctx: Optional[nn.Ctx] = None) -> jax.Array:
         h, w = self.resolution
@@ -242,15 +287,18 @@ class PatchMerging(nn.Module):
         # Swinv2PatchMerging matches; pinned by tests/test_vision_hf_parity)
         x = x.transpose(0, 1, 3, 4, 2, 5).reshape(b, (h // 2) * (w // 2), 4 * c)
         # V2 order: linear reduction first, norm after (V1 norms first)
+        if self.norm_first:
+            return self.reduction(self.norm(x, ctx), ctx)
         return self.norm(self.reduction(x, ctx), ctx)
 
     @staticmethod
-    def create(key, dim, resolution):
+    def create(key, dim, resolution, v1=False):
         return PatchMerging(
             reduction=nn.Linear.create(key, 4 * dim, 2 * dim, use_bias=False),
             # V2: norm sits after the reduction, over its 2*dim output
-            norm=nn.LayerNorm.create(2 * dim, eps=1e-5),
+            norm=nn.LayerNorm.create(4 * dim if v1 else 2 * dim, eps=1e-5),
             resolution=tuple(resolution),
+            norm_first=v1,
         )
 
 
@@ -291,6 +339,7 @@ class SwinV2(nn.Module):
         n_heads: tuple = (3, 6, 12, 24),
         window: int = 7,
         num_classes: int = 1000,
+        v1: bool = False,
     ) -> "SwinV2":
         n_stage = len(depths)
         keys = jax.random.split(key, 3 + sum(depths) + n_stage)
@@ -309,11 +358,14 @@ class SwinV2(nn.Module):
                         (res, res),
                         window,
                         shift=0 if b % 2 == 0 else window // 2,
+                        v1=v1,
                     )
                 )
             down = None
             if s < n_stage - 1:
-                down = PatchMerging.create(keys[next(ki)], dim, (res, res))
+                down = PatchMerging.create(
+                    keys[next(ki)], dim, (res, res), v1=v1
+                )
                 dim *= 2
                 res //= 2
             stages.append(
@@ -451,3 +503,55 @@ def translate_hf_swinv2_state_dict(sd: dict) -> dict:
             )
     # HF logit_scale is (n_heads, 1, 1) like ours; nothing else remains
     return out
+
+
+def translate_hf_swin_state_dict(sd: dict) -> dict:
+    """Translate the HF ``SwinForImageClassification`` (V1) layout into
+    this module's naming: the learned relative_position_bias_table maps
+    onto ``attn.rel_bias_table``, query/key/value fuse into ``attn.qkv``
+    (V1 keys DO carry biases, unlike V2's zero-pinned k), and the
+    pre-norm layernorm_before/after land on norm1/norm2 with their V1
+    meaning.  Precomputed buffers are dropped (rebuilt from shapes)."""
+    import numpy as np
+
+    out: dict = {}
+    qkv: dict = {}
+    for k, v in sd.items():
+        if k.endswith(("relative_position_index", "attn_mask")):
+            continue
+        name = k
+        name = name.replace(
+            "swin.embeddings.patch_embeddings.projection.", "patch_embed."
+        )
+        name = name.replace("swin.embeddings.norm.", "patch_norm.")
+        name = name.replace("swin.encoder.layers.", "stages.")
+        name = name.replace("swin.layernorm.", "norm.")
+        name = name.replace("classifier.", "head.")
+        name = name.replace(".layernorm_before.", ".norm1.")
+        name = name.replace(".layernorm_after.", ".norm2.")
+        name = name.replace(
+            ".attention.self.relative_position_bias_table",
+            ".attn.rel_bias_table",
+        )
+        name = name.replace(".attention.output.dense.", ".attn.proj.")
+        name = name.replace(".intermediate.dense.", ".mlp.fc1.")
+        name = name.replace(".output.dense.", ".mlp.fc2.")
+        if ".attention.self." in name:
+            stem, rest = name.split(".attention.self.")
+            which, leaf = rest.split(".")
+            qkv.setdefault((stem, leaf), {})[which] = v
+            continue
+        out[name] = v
+    for (stem, leaf), parts in qkv.items():
+        out[f"{stem}.attn.qkv.{leaf}"] = np.concatenate(
+            [parts["query"], parts["key"], parts["value"]], axis=0
+        )
+    return out
+
+
+def swin_tiny(key, num_classes=1000, image_size=224):
+    """Swin V1 tiny (timm swin_tiny_patch4_window7_224 shape class)."""
+    return SwinV2.create(
+        key, image_size, 4, 96, (2, 2, 6, 2), (3, 6, 12, 24), 7,
+        num_classes, v1=True,
+    )

@@ -335,3 +335,61 @@ def test_regnet_x_logits_match_hf():
     sd = regnet_mod.translate_hf_regnet_state_dict(_hf_sd(hf))
     native = utils.load_state_dict(native, sd, strict=True)
     _compare_images(hf, native, 32, atol=3e-4)
+
+
+def test_mobilenet_v2_logits_match_hf():
+    """MobileNetV2 (HF MobileNetV2ForImageClassification): inverted
+    residuals with relu6, TF-SAME padding (jax "same" IS the TF rule
+    incl. the asymmetric odd pad), make_divisible channel scaling, and
+    the finegrained 1280-wide head at multiplier < 1."""
+    import ptdeco_tpu.models.mobilenet as mobilenet_mod
+
+    cfg = transformers.MobileNetV2Config(
+        image_size=32, depth_multiplier=0.25, num_labels=10,
+    )
+    hf = transformers.MobileNetV2ForImageClassification(cfg).eval()
+    native = models.MobileNetV2.create(
+        jax.random.PRNGKey(0), num_classes=10, depth_multiplier=0.25,
+    )
+    sd = mobilenet_mod.translate_hf_mobilenet_v2_state_dict(_hf_sd(hf))
+    native = utils.load_state_dict(native, sd, strict=True)
+    _compare_images(hf, native, 32, atol=3e-4)
+
+
+def test_swin_v1_logits_match_hf():
+    """Swin V1 (HF SwinForImageClassification): PRE-norm blocks, plain
+    scaled dot-product window attention with the LEARNED relative
+    position bias table (randomized so translation bugs can't hide),
+    and PatchMerging that norms the 4C concat BEFORE the reduction."""
+    import ptdeco_tpu.models.swin as swin_mod
+
+    cfg = transformers.SwinConfig(
+        image_size=32,
+        patch_size=4,
+        embed_dim=16,
+        depths=[1, 2],
+        num_heads=[2, 4],
+        window_size=4,
+        num_labels=10,
+    )
+    hf = transformers.SwinForImageClassification(cfg).eval()
+    with torch.no_grad():  # zero-init bias table would hide bugs
+        for name, p in hf.named_parameters():
+            if "relative_position_bias_table" in name:
+                p.copy_(torch.randn_like(p))
+    native = swin_mod.SwinV2.create(
+        jax.random.PRNGKey(0),
+        image_size=32,
+        patch_size=4,
+        embed_dim=16,
+        depths=(1, 2),
+        n_heads=(2, 4),
+        window=4,
+        num_classes=10,
+        v1=True,
+    )
+    sd = swin_mod.translate_hf_swin_state_dict(_hf_sd(hf))
+    # strict=False like the V2 pin: the constant window buffers
+    # (rel_index / attn_mask) are rebuilt from static shapes, not loaded
+    native = utils.load_state_dict(native, sd, strict=False)
+    _compare_images(hf, native, 32, atol=3e-4)
