@@ -273,6 +273,55 @@ def build_from_hf_snapshot(
             num_classes=num_labels,
         )
         sd = resnet_zoo.translate_hf_resnet_state_dict(sd)
+    elif mt == "beit":
+        if not cfg.get("use_relative_position_bias", False) and not cfg.get(
+            "use_absolute_position_embeddings", False
+        ):
+            # beit still runs (attention with neither bias term), but
+            # classification checkpoints always pick one; accept both
+            pass
+        if cfg.get("use_shared_relative_position_bias"):
+            raise ValueError(
+                "beit use_shared_relative_position_bias unsupported"
+            )
+        model = vit_zoo.ViT.create(
+            key,
+            image_size=image_size,
+            patch_size=int(cfg.get("patch_size", 16)),
+            dim=int(cfg["hidden_size"]),
+            depth=int(cfg["num_hidden_layers"]),
+            n_heads=int(cfg["num_attention_heads"]),
+            num_classes=num_labels,
+            layerscale_init=(
+                float(cfg["layer_scale_init_value"])
+                if cfg.get("layer_scale_init_value")
+                else None
+            ),
+            pool="mean_norm" if cfg.get("use_mean_pooling", True) else "cls",
+            use_rel_bias=bool(cfg.get("use_relative_position_bias", False)),
+            use_abs_pos=bool(
+                cfg.get("use_absolute_position_embeddings", False)
+            ),
+            norm_eps=float(cfg.get("layer_norm_eps", 1e-12)),
+        )
+        sd = vit_zoo.translate_hf_beit_state_dict(sd)
+        strict = False  # rel-index buffers rebuild from static shapes
+    elif mt == "poolformer":
+        from ptdeco_tpu.models import poolformer as pf_zoo
+
+        model = pf_zoo.PoolFormer.create(
+            key,
+            hidden_sizes=tuple(cfg["hidden_sizes"]),
+            depths=tuple(cfg["depths"]),
+            patch_sizes=tuple(cfg.get("patch_sizes", (7, 3, 3, 3))),
+            strides=tuple(cfg.get("strides", (4, 2, 2, 2))),
+            paddings=tuple(cfg.get("padding", (2, 1, 1, 1))),
+            pool_size=int(cfg.get("pool_size", 3)),
+            mlp_ratio=float(cfg.get("mlp_ratio", 4.0)),
+            layer_scale_init=float(cfg.get("layer_scale_init_value", 1e-5)),
+            num_classes=num_labels,
+        )
+        sd = pf_zoo.translate_hf_poolformer_state_dict(sd)
     elif mt == "mobilenet_v2":
         if cfg.get("hidden_act", "relu6") != "relu6":
             raise ValueError("mobilenet_v2 hidden_act != relu6 unsupported")

@@ -8,6 +8,7 @@ from .efficientformer import (
 from .resnet import ResNet, resnet18, resnet34, resnet50, resnet101
 from .regnet import RegNet, regnet_y_tiny
 from .mobilenet import MobileNetV2, mobilenet_v2_tiny
+from .poolformer import PoolFormer, poolformer_s12
 from .phi import PhiCausalLM, PhiConfig
 from .swin import SwinV2, swinv2_small, swinv2_tiny
 from .vit import ViT, vit_base, vit_small, vit_tiny, deit_small, dinov2_small
@@ -56,6 +57,8 @@ __all__ = [
     "regnet_y_tiny",
     "MobileNetV2",
     "mobilenet_v2_tiny",
+    "PoolFormer",
+    "poolformer_s12",
     "PhiCausalLM",
     "PhiConfig",
     "ViT",

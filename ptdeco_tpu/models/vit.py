@@ -14,6 +14,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .. import nn
 
@@ -27,10 +28,38 @@ __all__ = [
 ]
 
 
+def _beit_relative_index(wh: int, ww: int) -> np.ndarray:
+    """BEiT's (1+wh*ww)² index into the ((2wh-1)(2ww-1)+3)-row bias table:
+    pairwise patch offsets plus the 3 special cls buckets (cls->token,
+    token->cls, cls->cls) — HF BeitRelativePositionBias.generate_...
+    verbatim."""
+    nrd = (2 * wh - 1) * (2 * ww - 1) + 3
+    coords = np.stack(
+        np.meshgrid(np.arange(wh), np.arange(ww), indexing="ij")
+    ).reshape(2, -1)
+    rel = coords[:, :, None] - coords[:, None, :]
+    rel = rel.transpose(1, 2, 0).astype(np.int64)
+    rel[:, :, 0] += wh - 1
+    rel[:, :, 1] += ww - 1
+    rel[:, :, 0] *= 2 * ww - 1
+    n = wh * ww
+    idx = np.zeros((n + 1, n + 1), np.int32)
+    idx[1:, 1:] = rel.sum(-1)
+    idx[0, 0:] = nrd - 3
+    idx[0:, 0] = nrd - 2
+    idx[0, 0] = nrd - 1
+    return idx
+
+
 class ViTAttention(nn.Module):
     qkv: nn.Linear  # fused, decomposeable
     proj: nn.Linear
+    # beit: learned relative-position-bias table (incl. 3 cls buckets)
+    # added to the logits; no absolute positions in that family
+    rel_bias_table: Optional[jax.Array] = None
+    rel_index: Optional[jax.Array] = None
     n_heads: int = nn.static_field(default=8)
+    _buffer_fields = ("rel_index",)
 
     def __call__(self, x: jax.Array, ctx: Optional[nn.Ctx] = None) -> jax.Array:
         b, s, d = x.shape
@@ -45,6 +74,9 @@ class ViTAttention(nn.Module):
             jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
             * hd**-0.5
         )
+        if self.rel_bias_table is not None:  # beit
+            bias = self.rel_bias_table[self.rel_index]  # (s, s, H)
+            logits = logits + bias.astype(jnp.float32).transpose(2, 0, 1)[None]
         probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, s, inner)
         return self.proj(out, ctx)
@@ -76,7 +108,7 @@ class ViTBlock(nn.Module):
     @staticmethod
     def create(
         key, dim, n_heads, mlp_ratio=4.0, layerscale_init=None,
-        norm_eps=1e-6,
+        norm_eps=1e-6, rel_bias_window=None,
     ):
         ks = jax.random.split(key, 4)
         ls = (
@@ -89,6 +121,24 @@ class ViTBlock(nn.Module):
             attn=ViTAttention(
                 qkv=nn.Linear.create(ks[0], dim, 3 * dim),
                 proj=nn.Linear.create(ks[1], dim, dim),
+                rel_bias_table=(
+                    jnp.zeros(
+                        (
+                            (2 * rel_bias_window - 1) ** 2 + 3,
+                            n_heads,
+                        ),
+                        jnp.float32,
+                    )
+                    if rel_bias_window
+                    else None
+                ),
+                rel_index=(
+                    jnp.asarray(
+                        _beit_relative_index(rel_bias_window, rel_bias_window)
+                    )
+                    if rel_bias_window
+                    else None
+                ),
                 n_heads=n_heads,
             ),
             norm2=nn.LayerNorm.create(dim, eps=norm_eps),
@@ -113,8 +163,12 @@ class ViT(nn.Module):
     # DeiTForImageClassificationWithTeacher)
     dist_token: Optional[jax.Array] = None
     head_dist: Optional[nn.Linear] = None
+    # beit use_mean_pooling: the final norm is Identity and a pooler
+    # LayerNorm runs over the MEAN of the patch tokens
+    pooler_norm: Optional[nn.LayerNorm] = None
     # "cls" = classify the CLS token; "cls_avg" = dinov2's
-    # cat(cls, mean(patch tokens)) into a 2*dim classifier
+    # cat(cls, mean(patch tokens)) into a 2*dim classifier; "mean_norm"
+    # = beit's pooler-LayerNorm over the patch-token mean
     pool: str = nn.static_field(default="cls")
 
     def __call__(self, x: jax.Array, ctx: Optional[nn.Ctx] = None) -> jax.Array:
@@ -124,7 +178,9 @@ class ViT(nn.Module):
         toks = [jnp.broadcast_to(self.cls_token, (b, 1, p.shape[-1]))]
         if self.dist_token is not None:
             toks.append(jnp.broadcast_to(self.dist_token, (b, 1, p.shape[-1])))
-        h = jnp.concatenate(toks + [p], axis=1) + self.pos_embed
+        h = jnp.concatenate(toks + [p], axis=1)
+        if self.pos_embed is not None:
+            h = h + self.pos_embed
         h = self.blocks(h, ctx)
         h = self.norm(h, ctx)
         if self.head_dist is not None:
@@ -134,6 +190,10 @@ class ViT(nn.Module):
                 [h[:, 0], jnp.mean(h[:, 1:], axis=1)], axis=-1
             )
             return self.head(feats, ctx)
+        if self.pool == "mean_norm":  # beit
+            return self.head(
+                self.pooler_norm(jnp.mean(h[:, 1:], axis=1), ctx), ctx
+            )
         return self.head(h[:, 0], ctx)
 
     @staticmethod
@@ -149,19 +209,26 @@ class ViT(nn.Module):
         layerscale_init: Optional[float] = None,
         pool: str = "cls",
         norm_eps: float = 1e-6,
+        use_rel_bias: bool = False,
+        use_abs_pos: bool = True,
     ) -> "ViT":
         keys = jax.random.split(key, depth + 4)
         n_patches = (image_size // patch_size) ** 2
         n_prefix = 2 if distilled else 1
+        window = image_size // patch_size
         return ViT(
             patch_embed=nn.Conv2d.create(
                 keys[0], 3, dim, patch_size, stride=patch_size
             ),
             cls_token=jnp.zeros((1, 1, dim), jnp.float32),
             dist_token=jnp.zeros((1, 1, dim), jnp.float32) if distilled else None,
-            pos_embed=0.02
-            * jax.random.normal(
-                keys[1], (1, n_patches + n_prefix, dim), jnp.float32
+            pos_embed=(
+                0.02
+                * jax.random.normal(
+                    keys[1], (1, n_patches + n_prefix, dim), jnp.float32
+                )
+                if use_abs_pos
+                else None
             ),
             blocks=nn.Sequential(
                 layers=tuple(
@@ -169,11 +236,21 @@ class ViT(nn.Module):
                         keys[2 + i], dim, n_heads,
                         layerscale_init=layerscale_init,
                         norm_eps=norm_eps,
+                        rel_bias_window=window if use_rel_bias else None,
                     )
                     for i in range(depth)
                 )
             ),
-            norm=nn.LayerNorm.create(dim, eps=norm_eps),
+            norm=(
+                nn.Identity()
+                if pool == "mean_norm"
+                else nn.LayerNorm.create(dim, eps=norm_eps)
+            ),
+            pooler_norm=(
+                nn.LayerNorm.create(dim, eps=norm_eps)
+                if pool == "mean_norm"
+                else None
+            ),
             head=nn.Linear.create(
                 keys[-1],
                 2 * dim if pool == "cls_avg" else dim,
@@ -351,3 +428,65 @@ def translate_hf_dinov2_state_dict(sd):
             [parts["query"], parts["key"], parts["value"]], axis=0
         )
     return out
+
+
+def translate_hf_beit_state_dict(sd: dict) -> dict:
+    """HF ``BeitForImageClassification`` -> native: fuse query/key/value
+    into ``attn.qkv`` (BEiT's key carries NO bias — zeros are packed),
+    relative_position_bias_table -> ``attn.rel_bias_table``, lambda_1/2
+    -> ls1/ls2, pooler.layernorm -> pooler_norm; the rel-index buffers
+    rebuild from static shapes."""
+    out: dict = {}
+    qkv: dict = {}
+    for k, v in sd.items():
+        if k.endswith("relative_position_index"):
+            continue
+        name = k
+        name = name.replace(
+            "beit.embeddings.patch_embeddings.projection.", "patch_embed."
+        )
+        name = name.replace("beit.embeddings.cls_token", "cls_token")
+        name = name.replace(
+            "beit.embeddings.position_embeddings", "pos_embed"
+        )
+        name = name.replace("beit.encoder.layer.", "blocks.")
+        name = name.replace("beit.pooler.layernorm.", "pooler_norm.")
+        name = name.replace("beit.layernorm.", "norm.")
+        name = name.replace("classifier.", "head.")
+        name = name.replace(".layernorm_before.", ".norm1.")
+        name = name.replace(".layernorm_after.", ".norm2.")
+        name = name.replace(".lambda_1", ".ls1")
+        name = name.replace(".lambda_2", ".ls2")
+        name = name.replace(
+            ".attention.attention.relative_position_bias."
+            "relative_position_bias_table",
+            ".attn.rel_bias_table",
+        )
+        name = name.replace(".attention.output.dense.", ".attn.proj.")
+        name = name.replace(".intermediate.dense.", ".mlp.fc1.")
+        name = name.replace(".output.dense.", ".mlp.fc2.")
+        if ".attention.attention." in name:
+            stem, rest = name.split(".attention.attention.")
+            which, leaf = rest.split(".")
+            qkv.setdefault((stem, leaf), {})[which] = v
+            continue
+        out[name] = v
+    for (stem, leaf), parts in qkv.items():
+        if leaf == "bias":
+            q = np.asarray(parts["query"])
+            out[f"{stem}.attn.qkv.bias"] = np.concatenate(
+                [q, np.zeros_like(q), np.asarray(parts["value"])]
+            )
+        else:
+            out[f"{stem}.attn.qkv.weight"] = np.concatenate(
+                [parts["query"], parts["key"], parts["value"]], axis=0
+            )
+    return out
+
+
+def beit_base(key, num_classes=1000, image_size=224):
+    return ViT.create(
+        key, image_size, 16, 768, 12, 12, num_classes,
+        layerscale_init=0.1, pool="mean_norm", use_rel_bias=True,
+        use_abs_pos=False, norm_eps=1e-12,
+    )

@@ -393,3 +393,74 @@ def test_swin_v1_logits_match_hf():
     # (rel_index / attn_mask) are rebuilt from static shapes, not loaded
     native = utils.load_state_dict(native, sd, strict=False)
     _compare_images(hf, native, 32, atol=3e-4)
+
+
+def test_poolformer_logits_match_hf():
+    """PoolFormer (HF PoolFormerForImageClassification): GroupNorm(1)
+    metaformer blocks whose token mixer is avgpool(3, count_include_pad
+    =False) minus identity, layer-scaled residuals, conv1x1 channel MLP,
+    GroupNorm + mean head."""
+    import ptdeco_tpu.models.poolformer as pf_mod
+
+    cfg = transformers.PoolFormerConfig(
+        num_labels=10,
+        hidden_sizes=[8, 16, 24, 32],
+        depths=[1, 1, 2, 1],
+        image_size=32,
+    )
+    hf = transformers.PoolFormerForImageClassification(cfg).eval()
+    with torch.no_grad():  # near-zero layer scales would hide bugs
+        for name, p in hf.named_parameters():
+            if "layer_scale" in name:
+                p.copy_(torch.randn_like(p))
+    native = models.PoolFormer.create(
+        jax.random.PRNGKey(0),
+        hidden_sizes=(8, 16, 24, 32),
+        depths=(1, 1, 2, 1),
+        num_classes=10,
+    )
+    sd = pf_mod.translate_hf_poolformer_state_dict(_hf_sd(hf))
+    native = utils.load_state_dict(native, sd, strict=True)
+    _compare_images(hf, native, 32, atol=3e-4)
+
+
+def test_beit_logits_match_hf():
+    """BEiT (HF BeitForImageClassification): no absolute positions —
+    per-layer LEARNED relative position bias with the 3 cls buckets
+    (randomized in the pin), bias-free key, layer scale, and the
+    use_mean_pooling head (pooler LayerNorm over the patch-token mean)."""
+    cfg = transformers.BeitConfig(
+        hidden_size=32,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        intermediate_size=64,
+        image_size=32,
+        patch_size=16,
+        num_labels=10,
+        use_relative_position_bias=True,
+        use_mean_pooling=True,
+        layer_scale_init_value=0.1,
+        drop_path_rate=0.0,
+    )
+    hf = transformers.BeitForImageClassification(cfg).eval()
+    with torch.no_grad():
+        for name, p in hf.named_parameters():
+            if "relative_position_bias_table" in name:
+                p.copy_(torch.randn_like(p))
+    native = models.ViT.create(
+        jax.random.PRNGKey(0),
+        image_size=32,
+        patch_size=16,
+        dim=32,
+        depth=2,
+        n_heads=4,
+        num_classes=10,
+        layerscale_init=0.1,
+        pool="mean_norm",
+        use_rel_bias=True,
+        use_abs_pos=False,
+        norm_eps=1e-12,
+    )
+    sd = vit_mod.translate_hf_beit_state_dict(_hf_sd(hf))
+    native = utils.load_state_dict(native, sd, strict=False)
+    _compare_images(hf, native, 32, atol=3e-4)
