@@ -33,6 +33,12 @@ def _mobilenet_v2_full(key, num_classes=1000):
 def _mobilenet_v2_tiny(key, num_classes=10):
     return mobilenet_zoo.mobilenet_v2_tiny(key, num_classes=num_classes)
 
+
+def _efficientnet_b0(key, num_classes=1000):
+    from ptdeco_tpu.models import efficientnet as effnet_zoo
+
+    return effnet_zoo.efficientnet_b0(key, num_classes=num_classes)
+
 logger = logging.getLogger(__name__)
 
 _ZOO = {
@@ -43,6 +49,7 @@ _ZOO = {
     "regnety_004": regnet_zoo.regnet_y_tiny,
     "mobilenetv2_100": _mobilenet_v2_full,
     "mobilenetv2_tiny": _mobilenet_v2_tiny,
+    "efficientnet_b0": _efficientnet_b0,
     "convnext_tiny": convnext_zoo.convnext_tiny,
     "convnext_small": convnext_zoo.convnext_small,
     "convnextv2_tiny": convnext_zoo.convnextv2_tiny,
@@ -344,11 +351,55 @@ def build_from_hf_snapshot(
             bn_eps=float(cfg.get("layer_norm_eps", 1e-3)),
         )
         sd = mobilenet_zoo.translate_hf_mobilenet_v2_state_dict(sd)
+    elif mt == "efficientnet":
+        from ptdeco_tpu.models import efficientnet as effnet_zoo
+
+        if cfg.get("hidden_act", "swish") not in ("swish", "silu"):
+            raise ValueError("efficientnet hidden_act != swish unsupported")
+        if cfg.get("pooling_type", "mean") != "mean":
+            raise ValueError("efficientnet pooling_type != mean unsupported")
+        width = float(cfg.get("width_coefficient", 1.0))
+        divisor = int(cfg.get("depth_divisor", 8))
+        top_dim = effnet_zoo.round_filters(width, divisor, 1280)
+        if int(cfg.get("hidden_dim", top_dim)) != top_dim:
+            # HF's top_bn/classifier read config.hidden_dim while top_conv
+            # emits round_filters(1280) — a mismatched pair is broken in
+            # the upstream model too; refuse loudly.
+            raise ValueError(
+                f"efficientnet hidden_dim={cfg.get('hidden_dim')} != "
+                f"round_filters(1280)={top_dim}: inconsistent checkpoint"
+            )
+        model = effnet_zoo.EfficientNet.create(
+            key,
+            width_coefficient=width,
+            depth_coefficient=float(cfg.get("depth_coefficient", 1.0)),
+            depth_divisor=divisor,
+            kernel_sizes=tuple(cfg.get("kernel_sizes", (3, 3, 5, 3, 5, 5, 3))),
+            in_channels=tuple(
+                cfg.get("in_channels", (32, 16, 24, 40, 80, 112, 192))
+            ),
+            out_channels=tuple(
+                cfg.get("out_channels", (16, 24, 40, 80, 112, 192, 320))
+            ),
+            strides=tuple(cfg.get("strides", (1, 2, 2, 2, 1, 2, 1))),
+            num_block_repeats=tuple(
+                cfg.get("num_block_repeats", (1, 2, 2, 3, 3, 4, 1))
+            ),
+            expand_ratios=tuple(cfg.get("expand_ratios", (1, 6, 6, 6, 6, 6, 6))),
+            squeeze_expansion_ratio=float(
+                cfg.get("squeeze_expansion_ratio", 0.25)
+            ),
+            depthwise_padding=tuple(cfg.get("depthwise_padding", ())),
+            bn_eps=float(cfg.get("batch_norm_eps", 1e-3)),
+            num_classes=num_labels,
+        )
+        sd = effnet_zoo.translate_hf_efficientnet_state_dict(sd)
     else:
         raise ValueError(
             f"model_type={mt!r} is outside the supported HF vision families "
-            "(vit/deit/dinov2/convnext/convnextv2/swinv2/resnet/regnet); use a "
-            "entry or register_model"
+            "(vit/deit/dinov2/beit/convnext/convnextv2/swin/swinv2/resnet/"
+            "regnet/mobilenet_v2/efficientnet/poolformer); use a zoo entry "
+            "or register_model"
         )
     log_state_dict_keys_stats("build_from_hf_snapshot:", model, sd)
     model = utils.load_state_dict(model, sd, strict=strict)
@@ -414,9 +465,22 @@ def _module_macs(m: nn.Module, in_shape: tuple) -> float:
         n, h, w, _ = in_shape
         kh, kw = m.kernel_size
         sh, sw = m.stride if isinstance(m.stride, tuple) else (m.stride,) * 2
-        ph, pw = m.padding if isinstance(m.padding, tuple) else (m.padding,) * 2
-        oh = (h + 2 * ph - kh) // sh + 1
-        ow = (w + 2 * pw - kw) // sw + 1
+        if isinstance(m.padding, str):
+            if m.padding.lower() == "same":
+                # lax SAME: output = ceil(in / stride), pad as needed
+                oh = -(-h // sh)
+                ow = -(-w // sw)
+            else:  # "valid"
+                oh = (h - kh) // sh + 1
+                ow = (w - kw) // sw + 1
+        else:
+            ph, pw = (
+                m.padding
+                if isinstance(m.padding, tuple)
+                else (m.padding,) * 2
+            )
+            oh = (h + 2 * ph - kh) // sh + 1
+            ow = (w + 2 * pw - kw) // sw + 1
         return (
             n * oh * ow * m.out_channels * m.in_channels * kh * kw / m.groups
         )

@@ -5,6 +5,7 @@ from .efficientformer import (
     efficientformerv2_s0,
     efficientformerv2_s1,
 )
+from .efficientnet import EfficientNet, efficientnet_b0
 from .resnet import ResNet, resnet18, resnet34, resnet50, resnet101
 from .regnet import RegNet, regnet_y_tiny
 from .mobilenet import MobileNetV2, mobilenet_v2_tiny
@@ -48,6 +49,8 @@ __all__ = [
     "EfficientFormerV2",
     "efficientformerv2_s0",
     "efficientformerv2_s1",
+    "EfficientNet",
+    "efficientnet_b0",
     "ResNet",
     "resnet18",
     "resnet34",

@@ -464,3 +464,45 @@ def test_beit_logits_match_hf():
     sd = vit_mod.translate_hf_beit_state_dict(_hf_sd(hf))
     native = utils.load_state_dict(native, sd, strict=False)
     _compare_images(hf, native, 32, atol=3e-4)
+
+
+def test_efficientnet_logits_match_hf():
+    """EfficientNet (HF EfficientNetForImageClassification): TF-style
+    asymmetric stem pad + VALID conv, MBConv with correct_pad'd stride-2
+    depthwise (``depthwise_padding`` indices select the NON-adjusted
+    symmetric variant — block 2 here), squeeze-excite width computed on
+    the UNEXPANDED input, residual only past a stage's first block, and
+    the round_filters(1280)==hidden_dim mean-pool head."""
+    import ptdeco_tpu.models.efficientnet as effnet_mod
+
+    cfg = transformers.EfficientNetConfig(
+        width_coefficient=0.25,
+        depth_coefficient=0.5,
+        kernel_sizes=[3, 3, 5],
+        in_channels=[32, 16, 24],
+        out_channels=[16, 24, 40],
+        strides=[1, 2, 2],
+        num_block_repeats=[1, 2, 2],
+        expand_ratios=[1, 6, 6],
+        depthwise_padding=[2],
+        hidden_dim=320,
+        image_size=32,
+        num_labels=10,
+    )
+    hf = transformers.EfficientNetForImageClassification(cfg).eval()
+    native = models.EfficientNet.create(
+        jax.random.PRNGKey(0),
+        width_coefficient=0.25,
+        depth_coefficient=0.5,
+        kernel_sizes=(3, 3, 5),
+        in_channels=(32, 16, 24),
+        out_channels=(16, 24, 40),
+        strides=(1, 2, 2),
+        num_block_repeats=(1, 2, 2),
+        expand_ratios=(1, 6, 6),
+        depthwise_padding=(2,),
+        num_classes=10,
+    )
+    sd = effnet_mod.translate_hf_efficientnet_state_dict(_hf_sd(hf))
+    native = utils.load_state_dict(native, sd, strict=True)
+    _compare_images(hf, native, 32, atol=3e-4)
