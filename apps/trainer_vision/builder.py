@@ -209,6 +209,61 @@ def build_from_hf_snapshot(
             norm_eps=float(cfg.get("layer_norm_eps", 1e-6)),
         )
         sd = vit_zoo.translate_hf_dinov2_state_dict(sd)
+    elif mt == "dinov2_with_registers":
+        if cfg.get("use_swiglu_ffn"):
+            raise ValueError(
+                "dinov2_with_registers use_swiglu_ffn is unsupported"
+            )
+        model = vit_zoo.ViT.create(
+            key,
+            image_size=image_size,
+            patch_size=int(cfg.get("patch_size", 14)),
+            dim=int(cfg["hidden_size"]),
+            depth=int(cfg["num_hidden_layers"]),
+            n_heads=int(cfg["num_attention_heads"]),
+            num_classes=num_labels,
+            layerscale_init=float(cfg.get("layerscale_value", 1.0)),
+            pool="cls_avg",
+            num_registers=int(cfg.get("num_register_tokens", 4)),
+            norm_eps=float(cfg.get("layer_norm_eps", 1e-6)),
+        )
+        sd = vit_zoo.translate_hf_dinov2_with_registers_state_dict(sd)
+    elif mt == "vit_msn":
+        dim = int(cfg["hidden_size"])
+        if int(cfg["intermediate_size"]) != 4 * dim:
+            raise ValueError(
+                "vit_msn intermediate_size != 4*hidden_size unsupported"
+            )
+        model = vit_zoo.ViT.create(
+            key,
+            image_size=image_size,
+            patch_size=int(cfg.get("patch_size", 16)),
+            dim=dim,
+            depth=int(cfg["num_hidden_layers"]),
+            n_heads=int(cfg["num_attention_heads"]),
+            num_classes=num_labels,
+            norm_eps=float(cfg.get("layer_norm_eps", 1e-6)),
+        )
+        sd = vit_zoo.translate_hf_vit_msn_state_dict(sd)
+    elif mt == "ijepa":
+        dim = int(cfg["hidden_size"])
+        if int(cfg["intermediate_size"]) != 4 * dim:
+            raise ValueError(
+                "ijepa intermediate_size != 4*hidden_size unsupported"
+            )
+        model = vit_zoo.ViT.create(
+            key,
+            image_size=image_size,
+            patch_size=int(cfg.get("patch_size", 16)),
+            dim=dim,
+            depth=int(cfg["num_hidden_layers"]),
+            n_heads=int(cfg["num_attention_heads"]),
+            num_classes=num_labels,
+            use_cls=False,
+            pool="mean",
+            norm_eps=float(cfg.get("layer_norm_eps", 1e-6)),
+        )
+        sd = vit_zoo.translate_hf_ijepa_state_dict(sd)
     elif mt in ("convnext", "convnextv2"):
         model = convnext_zoo.ConvNeXt.create(
             key,
@@ -312,6 +367,35 @@ def build_from_hf_snapshot(
             norm_eps=float(cfg.get("layer_norm_eps", 1e-12)),
         )
         sd = vit_zoo.translate_hf_beit_state_dict(sd)
+        strict = False  # rel-index buffers rebuild from static shapes
+    elif mt == "data2vec-vision":
+        # BEiT clone (HF modeling is '# Copied from ...beit' throughout)
+        if cfg.get("use_shared_relative_position_bias"):
+            raise ValueError(
+                "data2vec-vision use_shared_relative_position_bias "
+                "unsupported"
+            )
+        model = vit_zoo.ViT.create(
+            key,
+            image_size=image_size,
+            patch_size=int(cfg.get("patch_size", 16)),
+            dim=int(cfg["hidden_size"]),
+            depth=int(cfg["num_hidden_layers"]),
+            n_heads=int(cfg["num_attention_heads"]),
+            num_classes=num_labels,
+            layerscale_init=(
+                float(cfg["layer_scale_init_value"])
+                if cfg.get("layer_scale_init_value")
+                else None
+            ),
+            pool="mean_norm" if cfg.get("use_mean_pooling", True) else "cls",
+            use_rel_bias=bool(cfg.get("use_relative_position_bias", False)),
+            use_abs_pos=bool(
+                cfg.get("use_absolute_position_embeddings", False)
+            ),
+            norm_eps=float(cfg.get("layer_norm_eps", 1e-12)),
+        )
+        sd = vit_zoo.translate_hf_data2vec_vision_state_dict(sd)
         strict = False  # rel-index buffers rebuild from static shapes
     elif mt == "poolformer":
         from ptdeco_tpu.models import poolformer as pf_zoo

@@ -153,7 +153,7 @@ class ViTBlock(nn.Module):
 
 class ViT(nn.Module):
     patch_embed: nn.Conv2d
-    cls_token: jax.Array  # (1, 1, dim)
+    cls_token: Optional[jax.Array]  # (1, 1, dim); None = ijepa (no CLS)
     pos_embed: jax.Array  # (1, n_prefix + n_patches, dim)
     blocks: nn.Sequential
     norm: nn.LayerNorm
@@ -166,34 +166,50 @@ class ViT(nn.Module):
     # beit use_mean_pooling: the final norm is Identity and a pooler
     # LayerNorm runs over the MEAN of the patch tokens
     pooler_norm: Optional[nn.LayerNorm] = None
+    # dinov2_with_registers: (1, R, dim) register tokens inserted AFTER
+    # the CLS token, AFTER positions were added (registers carry no
+    # position), and EXCLUDED from the cls_avg patch mean
+    reg_tokens: Optional[jax.Array] = None
     # "cls" = classify the CLS token; "cls_avg" = dinov2's
     # cat(cls, mean(patch tokens)) into a 2*dim classifier; "mean_norm"
-    # = beit's pooler-LayerNorm over the patch-token mean
+    # = beit's pooler-LayerNorm over the patch-token mean; "mean" =
+    # ijepa's plain mean over all tokens after the final norm
     pool: str = nn.static_field(default="cls")
 
     def __call__(self, x: jax.Array, ctx: Optional[nn.Ctx] = None) -> jax.Array:
         b = x.shape[0]
         p = self.patch_embed(x, ctx)  # (b, h', w', d)
         p = p.reshape(b, -1, p.shape[-1])
-        toks = [jnp.broadcast_to(self.cls_token, (b, 1, p.shape[-1]))]
+        toks = []
+        if self.cls_token is not None:
+            toks.append(jnp.broadcast_to(self.cls_token, (b, 1, p.shape[-1])))
         if self.dist_token is not None:
             toks.append(jnp.broadcast_to(self.dist_token, (b, 1, p.shape[-1])))
-        h = jnp.concatenate(toks + [p], axis=1)
+        h = jnp.concatenate(toks + [p], axis=1) if toks else p
         if self.pos_embed is not None:
             h = h + self.pos_embed
+        n_reg = 0
+        if self.reg_tokens is not None:  # position-free, after pos-add
+            n_reg = self.reg_tokens.shape[1]
+            reg = jnp.broadcast_to(
+                self.reg_tokens, (b, n_reg, h.shape[-1])
+            )
+            h = jnp.concatenate([h[:, :1], reg, h[:, 1:]], axis=1)
         h = self.blocks(h, ctx)
         h = self.norm(h, ctx)
         if self.head_dist is not None:
             return (self.head(h[:, 0], ctx) + self.head_dist(h[:, 1], ctx)) / 2
         if self.pool == "cls_avg":
             feats = jnp.concatenate(
-                [h[:, 0], jnp.mean(h[:, 1:], axis=1)], axis=-1
+                [h[:, 0], jnp.mean(h[:, 1 + n_reg:], axis=1)], axis=-1
             )
             return self.head(feats, ctx)
         if self.pool == "mean_norm":  # beit
             return self.head(
                 self.pooler_norm(jnp.mean(h[:, 1:], axis=1), ctx), ctx
             )
+        if self.pool == "mean":  # ijepa
+            return self.head(jnp.mean(h, axis=1), ctx)
         return self.head(h[:, 0], ctx)
 
     @staticmethod
@@ -211,17 +227,24 @@ class ViT(nn.Module):
         norm_eps: float = 1e-6,
         use_rel_bias: bool = False,
         use_abs_pos: bool = True,
+        use_cls: bool = True,
+        num_registers: int = 0,
     ) -> "ViT":
         keys = jax.random.split(key, depth + 4)
         n_patches = (image_size // patch_size) ** 2
-        n_prefix = 2 if distilled else 1
+        n_prefix = (2 if distilled else 1) if use_cls else 0
         window = image_size // patch_size
         return ViT(
             patch_embed=nn.Conv2d.create(
                 keys[0], 3, dim, patch_size, stride=patch_size
             ),
-            cls_token=jnp.zeros((1, 1, dim), jnp.float32),
+            cls_token=jnp.zeros((1, 1, dim), jnp.float32) if use_cls else None,
             dist_token=jnp.zeros((1, 1, dim), jnp.float32) if distilled else None,
+            reg_tokens=(
+                jnp.zeros((1, num_registers, dim), jnp.float32)
+                if num_registers
+                else None
+            ),
             pos_embed=(
                 0.02
                 * jax.random.normal(
@@ -490,3 +513,47 @@ def beit_base(key, num_classes=1000, image_size=224):
         layerscale_init=0.1, pool="mean_norm", use_rel_bias=True,
         use_abs_pos=False, norm_eps=1e-12,
     )
+
+
+def translate_hf_vit_msn_state_dict(sd):
+    """ViTMSNForImageClassification layout (facebook/vit-msn-*): the plain
+    ViT graph under the same ``vit.`` attribute name — the standard ViT
+    translator applies verbatim (MSN differs only in pretraining)."""
+    return translate_hf_vit_state_dict(sd)
+
+
+def translate_hf_ijepa_state_dict(sd):
+    """IJepaForImageClassification layout (facebook/ijepa_*): the ViT
+    layout under an ``ijepa.`` prefix, with NO cls token (positions run
+    over patches only) and the classifier reading the MEAN over all
+    tokens (pool="mean")."""
+    return translate_hf_vit_state_dict(
+        {k.replace("ijepa.", "vit.", 1): v for k, v in sd.items()}
+    )
+
+
+def translate_hf_data2vec_vision_state_dict(sd):
+    """Data2VecVisionForImageClassification layout: a BEiT clone under a
+    ``data2vec_vision.`` prefix (HF modeling is '# Copied from ...beit'
+    throughout); the BEiT translator applies after the rename."""
+    return translate_hf_beit_state_dict(
+        {k.replace("data2vec_vision.", "beit.", 1): v for k, v in sd.items()}
+    )
+
+
+def translate_hf_dinov2_with_registers_state_dict(sd):
+    """Dinov2WithRegistersForImageClassification layout: the dinov2
+    layout under a ``dinov2_with_registers.`` prefix plus the
+    ``register_tokens`` parameter -> ``reg_tokens`` (inserted after CLS,
+    position-free, excluded from the cls_avg patch mean)."""
+    out = {}
+    reg = None
+    for k, v in sd.items():
+        if k.endswith("embeddings.register_tokens"):
+            reg = v
+            continue
+        out[k.replace("dinov2_with_registers.", "dinov2.", 1)] = v
+    out = translate_hf_dinov2_state_dict(out)
+    if reg is not None:
+        out["reg_tokens"] = reg
+    return out

@@ -506,3 +506,141 @@ def test_efficientnet_logits_match_hf():
     sd = effnet_mod.translate_hf_efficientnet_state_dict(_hf_sd(hf))
     native = utils.load_state_dict(native, sd, strict=True)
     _compare_images(hf, native, 32, atol=3e-4)
+
+
+def test_vit_msn_logits_match_hf():
+    """ViT-MSN (HF ViTMSNForImageClassification): the plain ViT graph
+    (MSN differs only in pretraining objective) — same translator, cls
+    head."""
+    cfg = transformers.ViTMSNConfig(
+        hidden_size=32,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        intermediate_size=128,
+        image_size=32,
+        patch_size=16,
+        num_labels=10,
+    )
+    hf = transformers.ViTMSNForImageClassification(cfg).eval()
+    native = models.ViT.create(
+        jax.random.PRNGKey(0),
+        image_size=32,
+        patch_size=16,
+        dim=32,
+        depth=2,
+        n_heads=4,
+        num_classes=10,
+        norm_eps=1e-6,  # ViTMSNConfig default differs from ViT's 1e-12
+    )
+    sd = vit_mod.translate_hf_vit_msn_state_dict(_hf_sd(hf))
+    native = utils.load_state_dict(native, sd, strict=True)
+    _compare_images(hf, native, 32, atol=2e-4)
+
+
+def test_ijepa_logits_match_hf():
+    """I-JEPA (HF IJepaForImageClassification): NO cls token (positions
+    run over patches only), classifier on the MEAN over all tokens after
+    the final LayerNorm."""
+    cfg = transformers.IJepaConfig(
+        hidden_size=32,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        intermediate_size=128,
+        image_size=32,
+        patch_size=16,
+        num_labels=10,
+    )
+    hf = transformers.IJepaForImageClassification(cfg).eval()
+    native = models.ViT.create(
+        jax.random.PRNGKey(0),
+        image_size=32,
+        patch_size=16,
+        dim=32,
+        depth=2,
+        n_heads=4,
+        num_classes=10,
+        use_cls=False,
+        pool="mean",
+        norm_eps=1e-12,
+    )
+    sd = vit_mod.translate_hf_ijepa_state_dict(_hf_sd(hf))
+    native = utils.load_state_dict(native, sd, strict=True)
+    _compare_images(hf, native, 32, atol=2e-4)
+
+
+def test_data2vec_vision_logits_match_hf():
+    """data2vec-vision (HF Data2VecVisionForImageClassification): a BEiT
+    clone — relative position bias, bias-free key, mean-pool head —
+    under a data2vec_vision. prefix."""
+    cfg = transformers.Data2VecVisionConfig(
+        hidden_size=32,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        intermediate_size=64,
+        image_size=32,
+        patch_size=16,
+        num_labels=10,
+        use_relative_position_bias=True,
+        use_mean_pooling=True,
+        layer_scale_init_value=0.1,
+        drop_path_rate=0.0,
+    )
+    hf = transformers.Data2VecVisionForImageClassification(cfg).eval()
+    with torch.no_grad():
+        for name, p in hf.named_parameters():
+            if "relative_position_bias_table" in name:
+                p.copy_(torch.randn_like(p))
+    native = models.ViT.create(
+        jax.random.PRNGKey(0),
+        image_size=32,
+        patch_size=16,
+        dim=32,
+        depth=2,
+        n_heads=4,
+        num_classes=10,
+        layerscale_init=0.1,
+        pool="mean_norm",
+        use_rel_bias=True,
+        use_abs_pos=False,
+        norm_eps=1e-12,
+    )
+    sd = vit_mod.translate_hf_data2vec_vision_state_dict(_hf_sd(hf))
+    native = utils.load_state_dict(native, sd, strict=False)
+    _compare_images(hf, native, 32, atol=3e-4)
+
+
+def test_dinov2_with_registers_logits_match_hf():
+    """dinov2_with_registers: register tokens inserted AFTER cls, AFTER
+    positions were added (registers are position-free), EXCLUDED from
+    the cls_avg patch mean.  Registers and layer scales randomized so
+    the insertion layout is actually exercised."""
+    cfg = transformers.Dinov2WithRegistersConfig(
+        hidden_size=32,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        intermediate_size=128,
+        image_size=32,
+        patch_size=8,
+        num_register_tokens=3,
+        num_labels=10,
+    )
+    hf = transformers.Dinov2WithRegistersForImageClassification(cfg).eval()
+    with torch.no_grad():
+        for name, p in hf.named_parameters():
+            if "lambda1" in name or "register_tokens" in name:
+                p.copy_(torch.randn_like(p))
+    native = models.ViT.create(
+        jax.random.PRNGKey(0),
+        image_size=32,
+        patch_size=8,
+        dim=32,
+        depth=2,
+        n_heads=4,
+        num_classes=10,
+        layerscale_init=1.0,
+        pool="cls_avg",
+        num_registers=3,
+    )
+    sd = vit_mod.translate_hf_dinov2_with_registers_state_dict(_hf_sd(hf))
+    native = utils.load_state_dict(native, sd, strict=True)
+    _compare_images(hf, native, 32, atol=2e-4)
