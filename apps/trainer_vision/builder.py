@@ -147,9 +147,14 @@ def build_from_hf_snapshot(
     num_labels = len(cfg.get("id2label", {})) or 1000
     if input_h_w is not None and input_h_w[0] != input_h_w[1]:
         raise ValueError(f"HF vision snapshots need square inputs, got {input_h_w}")
-    image_size = (
-        input_h_w[0] if input_h_w is not None else int(cfg.get("image_size", 224))
-    )
+    cfg_size = cfg.get("image_size", 224)
+    if isinstance(cfg_size, (list, tuple)):  # e.g. textnet stores [h, w]
+        if len(set(cfg_size)) != 1:
+            raise ValueError(
+                f"non-square config image_size={cfg_size} unsupported"
+            )
+        cfg_size = cfg_size[0]
+    image_size = input_h_w[0] if input_h_w is not None else int(cfg_size)
     key = jax.random.PRNGKey(seed)
     strict = True
     if mt == "vit":
@@ -435,6 +440,22 @@ def build_from_hf_snapshot(
             bn_eps=float(cfg.get("layer_norm_eps", 1e-3)),
         )
         sd = mobilenet_zoo.translate_hf_mobilenet_v2_state_dict(sd)
+    elif mt == "mobilenet_v1":
+        if cfg.get("hidden_act", "relu6") != "relu6":
+            raise ValueError("mobilenet_v1 hidden_act != relu6 unsupported")
+        if not cfg.get("tf_padding", True):
+            raise ValueError(
+                "mobilenet_v1 tf_padding=False unsupported (jax 'same' "
+                "padding is the TF rule)"
+            )
+        model = mobilenet_zoo.MobileNetV1.create(
+            key,
+            num_classes=num_labels,
+            depth_multiplier=float(cfg.get("depth_multiplier", 1.0)),
+            min_depth=int(cfg.get("min_depth", 8)),
+            bn_eps=float(cfg.get("layer_norm_eps", 1e-3)),
+        )
+        sd = mobilenet_zoo.translate_hf_mobilenet_v1_state_dict(sd)
     elif mt == "efficientnet":
         from ptdeco_tpu.models import efficientnet as effnet_zoo
 
@@ -478,6 +499,71 @@ def build_from_hf_snapshot(
             num_classes=num_labels,
         )
         sd = effnet_zoo.translate_hf_efficientnet_state_dict(sd)
+    elif mt == "textnet":
+        from ptdeco_tpu.models import textnet as textnet_zoo
+
+        if cfg.get("stem_act_func", "relu") != "relu":
+            raise ValueError("textnet stem_act_func != relu unsupported")
+        if int(cfg.get("stem_num_channels", 3)) != 3:
+            raise ValueError("textnet stem_num_channels != 3 unsupported")
+        model = textnet_zoo.TextNet.create(
+            key,
+            stem_kernel_size=int(cfg.get("stem_kernel_size", 3)),
+            stem_stride=int(cfg.get("stem_stride", 2)),
+            stem_out_channels=int(cfg.get("stem_out_channels", 64)),
+            hidden_sizes=tuple(cfg["hidden_sizes"]),
+            conv_layer_kernel_sizes=tuple(
+                tuple(tuple(k) for k in s)
+                for s in cfg["conv_layer_kernel_sizes"]
+            ),
+            conv_layer_strides=tuple(
+                tuple(s) for s in cfg["conv_layer_strides"]
+            ),
+            bn_eps=float(cfg.get("batch_norm_eps", 1e-5)),
+            num_classes=num_labels,
+        )
+        sd = textnet_zoo.translate_hf_textnet_state_dict(sd)
+    elif mt == "hgnet_v2":
+        from ptdeco_tpu.models import hgnet as hgnet_zoo
+
+        if cfg.get("hidden_act", "relu") != "relu":
+            raise ValueError("hgnet_v2 hidden_act != relu unsupported")
+        model = hgnet_zoo.HGNetV2.create(
+            key,
+            stem_channels=tuple(cfg.get("stem_channels", (3, 32, 48))),
+            stage_in_channels=tuple(cfg["stage_in_channels"]),
+            stage_mid_channels=tuple(cfg["stage_mid_channels"]),
+            stage_out_channels=tuple(cfg["stage_out_channels"]),
+            stage_num_blocks=tuple(cfg["stage_num_blocks"]),
+            stage_num_layers=tuple(cfg["stage_numb_of_layers"]),
+            stage_downsample=tuple(cfg["stage_downsample"]),
+            stage_light_block=tuple(cfg["stage_light_block"]),
+            stage_kernel_size=tuple(cfg["stage_kernel_size"]),
+            use_learnable_affine_block=bool(
+                cfg.get("use_learnable_affine_block", False)
+            ),
+            num_classes=num_labels,
+        )
+        sd = hgnet_zoo.translate_hf_hgnet_v2_state_dict(sd)
+    elif mt == "van":
+        from ptdeco_tpu.models import van as van_zoo
+
+        if cfg.get("hidden_act", "gelu") != "gelu":
+            raise ValueError("van hidden_act != gelu unsupported")
+        model = van_zoo.VAN.create(
+            key,
+            patch_sizes=tuple(cfg.get("patch_sizes", (7, 3, 3, 3))),
+            strides=tuple(cfg.get("strides", (4, 2, 2, 2))),
+            hidden_sizes=tuple(cfg["hidden_sizes"]),
+            depths=tuple(cfg["depths"]),
+            mlp_ratios=tuple(cfg.get("mlp_ratios", (8, 8, 4, 4))),
+            layer_scale_init_value=float(
+                cfg.get("layer_scale_init_value", 1e-2)
+            ),
+            layer_norm_eps=float(cfg.get("layer_norm_eps", 1e-6)),
+            num_classes=num_labels,
+        )
+        sd = van_zoo.translate_hf_van_state_dict(sd)
     else:
         raise ValueError(
             f"model_type={mt!r} is outside the supported HF vision families "
@@ -498,6 +584,19 @@ def log_decomposeable_inventory(model: nn.Module) -> None:
     for i, n in enumerate(names, 1):
         msgs.append(f"  {i}. {n}")
     logger.info("\n".join(msgs))
+
+
+def infer_num_classes(model: nn.Module, input_h_w: tuple[int, int]) -> int:
+    """Class count of a built model from its abstract output shape
+    (jax.eval_shape — no compute, no compile).  The reference never needs
+    this (timm models are 1000-class by construction, its pipelines
+    hardcode num_classes=1000, datasets_dali.py:298,323); the generic
+    HF-snapshot path here builds models with arbitrary ``num_labels``, so
+    drivers thread this into the data pipeline's one-hot width."""
+    h, w = input_h_w
+    x = jax.ShapeDtypeStruct((1, h, w, 3), jnp.float32)
+    out = jax.eval_shape(lambda m, x: m(x), model, x)
+    return int(out.shape[-1])
 
 
 def get_model_stats(

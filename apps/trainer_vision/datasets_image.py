@@ -346,10 +346,16 @@ def make_imagenet_pipelines(
     batch_size: int,
     normalization: str,
     input_h_w: tuple[int, int],
+    num_classes: int = 1000,
     seed: int = 42,
     use_rotation: bool = False,
 ) -> tuple[ImageNetPipeline, ImageNetPipeline]:
-    """Train/val pipeline pair (reference make_imagenet_pipelines)."""
+    """Train/val pipeline pair (reference make_imagenet_pipelines).
+
+    ``num_classes`` sets the one-hot width (reference hardcodes 1000,
+    datasets_dali.py:298,323 — here the drivers pass the class count of
+    the actual model so HF-snapshot models with arbitrary ``num_labels``
+    train/eval correctly)."""
     train = ImageNetPipeline(
         imagenet_root_dir,
         trn_imagenet_classes_fname,
@@ -357,6 +363,7 @@ def make_imagenet_pipelines(
         normalization,
         input_h_w,
         training=True,
+        num_classes=num_classes,
         seed=seed,
         use_rotation=use_rotation,
     )
@@ -367,6 +374,7 @@ def make_imagenet_pipelines(
         normalization,
         input_h_w,
         training=False,
+        num_classes=num_classes,
         seed=seed,
     )
     return train, val

@@ -37,6 +37,11 @@ def main(
     config = configurator.DecomposeDWAINConfig(**config_raw)
     output_path.mkdir(exist_ok=True, parents=True)
 
+    raw_model = builder.make_model(
+        config.decompose_model_name,
+        checkpoint_path=config.decompose_model_checkpoint_path,
+        input_h_w=tuple(config.input_h_w),
+    )
     if train_pipeline is None or val_pipeline is None:
         train_pipeline, val_pipeline = datasets_image.make_imagenet_pipelines(
             imagenet_root_dir=config.imagenet_root_dir,
@@ -45,14 +50,11 @@ def main(
             batch_size=config.batch_size,
             normalization=config.normalization,
             input_h_w=config.input_h_w,
+            num_classes=builder.infer_num_classes(
+                raw_model, tuple(config.input_h_w)
+            ),
             use_rotation=config.use_rotation,
         )
-
-    raw_model = builder.make_model(
-        config.decompose_model_name,
-        checkpoint_path=config.decompose_model_checkpoint_path,
-        input_h_w=tuple(config.input_h_w),
-    )
     stats_initial = builder.get_model_stats(raw_model, (1, *config.input_h_w, 3))
     stats_initial.update(
         builder.get_decomposeable_model_stats(raw_model, (1, *config.input_h_w, 3))

@@ -76,6 +76,11 @@ def main(
     config = configurator.FinetuneConfig(**config_raw)
     output_path.mkdir(exist_ok=True, parents=True)
 
+    teacher = builder.make_model(
+        config.decompose_model_name,
+        checkpoint_path=config.decompose_model_checkpoint_path,
+        input_h_w=tuple(config.input_h_w),
+    )
     if train_pipeline is None or val_pipeline is None:
         train_pipeline, val_pipeline = datasets_image.make_imagenet_pipelines(
             imagenet_root_dir=config.imagenet_root_dir,
@@ -84,14 +89,12 @@ def main(
             batch_size=config.batch_size,
             normalization=config.normalization,
             input_h_w=config.input_h_w,
+            num_classes=builder.infer_num_classes(
+                teacher, tuple(config.input_h_w)
+            ),
             use_rotation=config.use_rotation,
         )
 
-    teacher = builder.make_model(
-        config.decompose_model_name,
-        checkpoint_path=config.decompose_model_checkpoint_path,
-        input_h_w=tuple(config.input_h_w),
-    )
     with open(config.decompose_config) as f:
         decompose_config = json.load(f)
     kept = filter_decompose_config(

@@ -6,9 +6,12 @@ from .efficientformer import (
     efficientformerv2_s1,
 )
 from .efficientnet import EfficientNet, efficientnet_b0
+from .hgnet import HGNetV2
+from .textnet import TextNet
+from .van import VAN
 from .resnet import ResNet, resnet18, resnet34, resnet50, resnet101
 from .regnet import RegNet, regnet_y_tiny
-from .mobilenet import MobileNetV2, mobilenet_v2_tiny
+from .mobilenet import MobileNetV1, MobileNetV2, mobilenet_v2_tiny
 from .poolformer import PoolFormer, poolformer_s12
 from .phi import PhiCausalLM, PhiConfig
 from .swin import SwinV2, swinv2_small, swinv2_tiny
@@ -51,6 +54,9 @@ __all__ = [
     "efficientformerv2_s1",
     "EfficientNet",
     "efficientnet_b0",
+    "HGNetV2",
+    "TextNet",
+    "VAN",
     "ResNet",
     "resnet18",
     "resnet34",
@@ -58,6 +64,7 @@ __all__ = [
     "resnet101",
     "RegNet",
     "regnet_y_tiny",
+    "MobileNetV1",
     "MobileNetV2",
     "mobilenet_v2_tiny",
     "PoolFormer",

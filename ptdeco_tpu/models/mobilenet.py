@@ -223,3 +223,83 @@ def mobilenet_v2_tiny(key, num_classes=10):
     return MobileNetV2.create(
         key, num_classes=num_classes, depth_multiplier=0.25
     )
+
+
+_V1_STRIDES = (1, 2, 1, 2, 1, 2, 1, 1, 1, 1, 1, 2, 1)
+
+
+class MobileNetV1(nn.Module):
+    """NHWC MobileNetV1 (HF ``MobileNetV1ForImageClassification``): stem
+    3x3 s2 conv + 13 depthwise-separable pairs (dw 3x3 + BN + relu6,
+    pw 1x1 + BN + relu6), channel depth doubling at every stride-2 (and
+    the first) block via max(int(depth*multiplier), min_depth), global
+    avg pool + Linear.  TF-SAME padding (jax "same" IS the TF rule).
+    Every pointwise 1x1 conv is a decomposable ``nn.Conv2d`` site."""
+
+    conv_stem: ConvBNAct
+    layer: tuple
+    classifier: nn.Linear
+
+    def __call__(self, x: jax.Array, ctx: Optional[nn.Ctx] = None) -> jax.Array:
+        x = self.conv_stem(x, ctx)
+        for blk in self.layer:
+            x = blk(x, ctx)
+        return self.classifier(jnp.mean(x, axis=(1, 2)), ctx)
+
+    @staticmethod
+    def create(
+        key: jax.Array,
+        num_classes: int = 1000,
+        depth_multiplier: float = 1.0,
+        min_depth: int = 8,
+        bn_eps: float = 1e-3,
+        dtype: Any = jnp.float32,
+    ) -> "MobileNetV1":
+        keys = jax.random.split(key, 32)
+        ki = iter(range(32))
+        depth = 32
+        out_ch = max(int(depth * depth_multiplier), min_depth)
+        conv_stem = ConvBNAct.create(
+            keys[next(ki)], 3, out_ch, 3, stride=2, eps=bn_eps, dtype=dtype
+        )
+        layers = []
+        for i in range(13):
+            cin = out_ch
+            if _V1_STRIDES[i] == 2 or i == 0:
+                depth *= 2
+                out_ch = max(int(depth * depth_multiplier), min_depth)
+            layers.append(
+                ConvBNAct.create(
+                    keys[next(ki)], cin, cin, 3, stride=_V1_STRIDES[i],
+                    groups=cin, eps=bn_eps, dtype=dtype,
+                )
+            )
+            layers.append(
+                ConvBNAct.create(
+                    keys[next(ki)], cin, out_ch, 1, eps=bn_eps, dtype=dtype
+                )
+            )
+        return MobileNetV1(
+            conv_stem=conv_stem,
+            layer=tuple(layers),
+            classifier=nn.Linear.create(
+                keys[next(ki)], out_ch, num_classes, True, dtype
+            ),
+        )
+
+
+def translate_hf_mobilenet_v1_state_dict(
+    sd: dict[str, np.ndarray],
+) -> dict[str, np.ndarray]:
+    """HF MobileNetV1ForImageClassification -> native keys: strip the
+    ``mobilenet_v1.`` prefix, convolution/normalization -> conv/bn."""
+    out: dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        if k.endswith("num_batches_tracked"):
+            continue
+        if k.startswith("mobilenet_v1."):
+            k = k[len("mobilenet_v1."):]
+        k = k.replace(".convolution.", ".conv.")
+        k = k.replace(".normalization.", ".bn.")
+        out[k] = v
+    return out

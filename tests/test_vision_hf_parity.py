@@ -644,3 +644,141 @@ def test_dinov2_with_registers_logits_match_hf():
     sd = vit_mod.translate_hf_dinov2_with_registers_state_dict(_hf_sd(hf))
     native = utils.load_state_dict(native, sd, strict=True)
     _compare_images(hf, native, 32, atol=2e-4)
+
+
+def test_mobilenet_v1_logits_match_hf():
+    """MobileNetV1 (HF MobileNetV1ForImageClassification): 13 depthwise-
+    separable pairs with relu6 and TF-SAME padding, channel depth
+    doubling at stride-2 blocks via max(int(depth*mult), min_depth)."""
+    import ptdeco_tpu.models.mobilenet as mobilenet_mod
+
+    cfg = transformers.MobileNetV1Config(
+        image_size=32, depth_multiplier=0.25, num_labels=10,
+    )
+    hf = transformers.MobileNetV1ForImageClassification(cfg).eval()
+    native = models.MobileNetV1.create(
+        jax.random.PRNGKey(0), num_classes=10, depth_multiplier=0.25,
+    )
+    sd = mobilenet_mod.translate_hf_mobilenet_v1_state_dict(_hf_sd(hf))
+    native = utils.load_state_dict(native, sd, strict=True)
+    _compare_images(hf, native, 32, atol=3e-4)
+
+
+def test_textnet_logits_match_hf():
+    """TextNet (HF TextNetForImageClassification): RepVGG-style blocks —
+    main (kh,kw) conv+BN plus vertical (kh,1) / horizontal (1,kw) conv+BN
+    branches and an identity BN (iff in==out, stride 1) summed before one
+    relu; rectangular kernels exercise the asymmetric-branch layout."""
+    import ptdeco_tpu.models.textnet as textnet_mod
+
+    cfg = transformers.TextNetConfig(
+        stem_out_channels=8,
+        hidden_sizes=[8, 8, 16, 24],
+        conv_layer_kernel_sizes=[
+            [[3, 3], [3, 3]],
+            [[3, 3], [1, 3], [3, 1]],
+            [[3, 3], [3, 1]],
+        ],
+        conv_layer_strides=[[1, 2], [2, 1, 1], [2, 1]],
+        image_size=[32, 32],
+        num_labels=10,
+    )
+    hf = transformers.TextNetForImageClassification(cfg).eval()
+    native = textnet_mod.TextNet.create(
+        jax.random.PRNGKey(0),
+        stem_out_channels=8,
+        hidden_sizes=(8, 8, 16, 24),
+        conv_layer_kernel_sizes=(
+            ((3, 3), (3, 3)),
+            ((3, 3), (1, 3), (3, 1)),
+            ((3, 3), (3, 1)),
+        ),
+        conv_layer_strides=((1, 2), (2, 1, 1), (2, 1)),
+        num_classes=10,
+    )
+    sd = textnet_mod.translate_hf_textnet_state_dict(_hf_sd(hf))
+    native = utils.load_state_dict(native, sd, strict=True)
+    _compare_images(hf, native, 32, atol=3e-4)
+
+
+def test_hgnet_v2_logits_match_hf():
+    """HGNetV2 (HF HGNetV2ForImageClassification): forked stem (2x2 conv
+    branch beside a ceil-mode k2 s1 maxpool on the right/bottom-padded
+    map), dense HGBlocks whose layer outputs all concatenate with the
+    input into 1x1 squeeze/excite aggregation, learnable affine blocks
+    (randomized so the lab placement is exercised)."""
+    import ptdeco_tpu.models.hgnet as hgnet_mod
+
+    kw = dict(
+        stem_channels=[3, 8, 8],
+        stage_in_channels=[8, 16],
+        stage_mid_channels=[8, 8],
+        stage_out_channels=[16, 32],
+        stage_num_blocks=[1, 2],
+        stage_numb_of_layers=[2, 2],
+        stage_downsample=[False, True],
+        stage_light_block=[False, True],
+        stage_kernel_size=[3, 5],
+        use_learnable_affine_block=True,
+        hidden_sizes=[16, 32],
+        num_labels=10,
+    )
+    cfg = transformers.HGNetV2Config(**kw)
+    hf = transformers.HGNetV2ForImageClassification(cfg).eval()
+    with torch.no_grad():  # default-(1,0) labs would hide placement bugs
+        for name, p in hf.named_parameters():
+            if ".lab." in name:
+                p.copy_(torch.randn_like(p))
+    native = hgnet_mod.HGNetV2.create(
+        jax.random.PRNGKey(0),
+        stem_channels=(3, 8, 8),
+        stage_in_channels=(8, 16),
+        stage_mid_channels=(8, 8),
+        stage_out_channels=(16, 32),
+        stage_num_blocks=(1, 2),
+        stage_num_layers=(2, 2),
+        stage_downsample=(False, True),
+        stage_light_block=(False, True),
+        stage_kernel_size=(3, 5),
+        use_learnable_affine_block=True,
+        num_classes=10,
+    )
+    sd = hgnet_mod.translate_hf_hgnet_v2_state_dict(_hf_sd(hf))
+    native = utils.load_state_dict(native, sd, strict=True)
+    _compare_images(hf, native, 32, atol=3e-4)
+
+
+def test_van_logits_match_hf():
+    """VAN (HF VanForImageClassification, deprecated namespace): large-
+    kernel attention (dw5 + dw7-dilation3 + pointwise) gating, BN-normed
+    residuals with per-channel layer scaling (randomized), conv-MLP, and
+    the classification path that pools WITHOUT the checkpoint's dead
+    van.layernorm (upstream quirk, dropped by the translator)."""
+    import ptdeco_tpu.models.van as van_mod
+
+    cfg = transformers.VanConfig(
+        patch_sizes=[7, 3],
+        strides=[4, 2],
+        hidden_sizes=[16, 24],
+        depths=[1, 2],
+        mlp_ratios=[2, 2],
+        num_labels=10,
+        image_size=32,
+    )
+    hf = transformers.VanForImageClassification(cfg).eval()
+    with torch.no_grad():
+        for name, p in hf.named_parameters():
+            if "scaling" in name:
+                p.copy_(torch.randn_like(p))
+    native = van_mod.VAN.create(
+        jax.random.PRNGKey(0),
+        patch_sizes=(7, 3),
+        strides=(4, 2),
+        hidden_sizes=(16, 24),
+        depths=(1, 2),
+        mlp_ratios=(2, 2),
+        num_classes=10,
+    )
+    sd = van_mod.translate_hf_van_state_dict(_hf_sd(hf))
+    native = utils.load_state_dict(native, sd, strict=True)
+    _compare_images(hf, native, 32, atol=3e-4)
