@@ -2077,7 +2077,7 @@ def translator_for(hf_cfg: dict[str, Any]):
         return translate_deepseek_state_dict
     if mt == "gpt_oss":
         return translate_gpt_oss_state_dict
-    if mt in ("gpt2", "openai-gpt"):
+    if mt in ("gpt2", "openai-gpt", "gpt-sw3"):
         return translate_gpt2_state_dict
     if mt == "ctrl":
         return translate_ctrl_state_dict

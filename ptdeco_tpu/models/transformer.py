@@ -322,6 +322,14 @@ class TransformerConfig:
         Raises ValueError (naming the offending field) for architectures
         whose compute graph this decoder does not express."""
         mt = hf.get("model_type", "llama")
+        if mt == "code_llama":
+            # CodeLlama has no config class of its own — CONFIG_MAPPING
+            # aliases it to LlamaConfig (rope_theta=1e6 checkpoints);
+            # the graph IS the llama decoder
+            mt = "llama"
+        if mt == "gpt-sw3":
+            # AI-Sweden's GPT-SW3 aliases GPT2Config/GPT2LMHeadModel
+            mt = "gpt2"
         if mt == "llama4":
             hf = dict(hf["text_config"])
             mt = hf.get("model_type", "llama4_text")

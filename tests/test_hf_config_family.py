@@ -2760,3 +2760,30 @@ def test_musicgen_decoder_logits_match_hf():
     assert np.allclose(
         out, ref.reshape(out.shape), atol=3e-4
     ), np.abs(out - ref.reshape(out.shape)).max()
+
+
+def test_code_llama_alias_logits_match_hf():
+    """'code_llama' is a CONFIG_MAPPING alias of LlamaConfig (no config
+    class of its own); a config.json carrying that model_type must build
+    the llama graph."""
+    cfg = transformers.LlamaConfig(**_tiny(rope_theta=1e6))
+    hf = transformers.LlamaForCausalLM(cfg).eval()
+    d = cfg.to_dict()
+    d["model_type"] = "code_llama"
+    native, _ = _hf_to_native(hf, d)
+    _compare(hf, native, 128, atol=2e-4)
+
+
+def test_gpt_sw3_alias_logits_match_hf():
+    """'gpt-sw3' aliases GPT2Config/GPT2LMHeadModel; the alias must hit
+    the gpt2 graph AND the gpt2 checkpoint translator (Conv1D fused
+    c_attn split)."""
+    cfg = transformers.GPT2Config(
+        vocab_size=128, n_embd=32, n_layer=2, n_head=4, n_positions=64
+    )
+    hf = transformers.GPT2LMHeadModel(cfg).eval()
+    d = cfg.to_dict()
+    d["model_type"] = "gpt-sw3"
+    native, ncfg = _hf_to_native_translated(hf, d)
+    assert ncfg.learned_pos == 64 and not ncfg.use_rope
+    _compare(hf, native, 128, atol=2e-4)
