@@ -147,6 +147,11 @@ def make_model_and_tokenizer(
                 hf_cfg, dtype=jdtype, remat=enable_gradient_checkpointing
             )
             model = models.RwkvLM.create(jax.random.PRNGKey(seed), cfg)
+        elif hf_cfg.get("model_type") in ("gemma3n", "gemma3n_text"):
+            cfg = models.Gemma3nConfig.from_hf_config(
+                hf_cfg, dtype=jdtype, remat=enable_gradient_checkpointing
+            )
+            model = models.Gemma3nLM.create(jax.random.PRNGKey(seed), cfg)
         elif hf_cfg.get("model_type") in ("zamba", "zamba2"):
             cfg = models.ZambaConfig.from_hf_config(
                 hf_cfg, dtype=jdtype, remat=enable_gradient_checkpointing

@@ -21,6 +21,7 @@ decompose_config format) match the reference exactly.
 
 from __future__ import annotations
 
+import itertools
 import json
 import logging
 import os
@@ -647,6 +648,21 @@ def decompose(
     modules_to_decompose = engine.get_decomposeable_submodule_names(
         module, blacklisted_module_names
     )
+    # drop sites that never fire on a forward (dead modules — e.g. the
+    # k/v projections of gemma3n's KV-shared layers): they capture no
+    # activations and cannot be calibrated.  The probe batch is pushed
+    # back so the calibration stream is unchanged.
+    probe_batch = next(data_iterator)
+    fired = set(
+        engine.fired_site_names(
+            module, modules_to_decompose, probe_batch, apply_fn
+        )
+    )
+    data_iterator = itertools.chain([probe_batch], data_iterator)
+    for m in modules_to_decompose:
+        if m not in fired:
+            logger.info(f"Skipping {m}: never fires on a forward pass")
+    modules_to_decompose = [m for m in modules_to_decompose if m in fired]
     n = len(modules_to_decompose)
     n_decomposed = 0
 

@@ -176,6 +176,30 @@ def _wrap_taps(root: nn.Module, site_names: list[str], store: dict) -> nn.Module
     return root
 
 
+def fired_site_names(
+    root: nn.Module,
+    site_names: list[str],
+    example_batch: Any,
+    apply_fn: ApplyFn,
+) -> list[str]:
+    """The subset of ``site_names`` whose modules actually FIRE on a
+    forward pass — via ``jax.eval_shape`` (abstract, no compute, no
+    compile).  Modules can be dead at runtime (e.g. the k/v projections
+    of gemma3n's KV-shared layers, or dropped multimodal towers); they
+    capture no activations and cannot be calibrated or decomposed, so
+    the walks must skip them.  The torch reference has no analogue: its
+    hook-based capture (dwain:569-583) would silently produce an empty
+    list and crash later in torch.cat."""
+    store: dict[str, Any] = {}
+    tapped = _wrap_taps(root, list(site_names), store)
+    jax.eval_shape(
+        lambda m, b: apply_fn(m, b, nn.Ctx(no_remat=True)),
+        tapped,
+        example_batch,
+    )
+    return [n for n in site_names if n in store]
+
+
 # ---------------------------------------------------------------------------
 # Gram / covariance accumulation
 # ---------------------------------------------------------------------------

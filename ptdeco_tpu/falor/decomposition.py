@@ -28,6 +28,7 @@ candidate (not the best), matching the reference's observable metadata
 from __future__ import annotations
 
 import collections
+import itertools
 import json
 import logging
 import os
@@ -209,6 +210,20 @@ def decompose(
         blacklisted_module_names = []
 
     decomposable_submodules = engine.get_decomposeable_submodule_names(module)
+    # drop sites that never fire on a forward (dead modules, e.g. the k/v
+    # projections of gemma3n's KV-shared layers) — they capture no
+    # activations; the probe batch is pushed back so the stream is intact
+    probe_batch = next(data_iterator)
+    fired = set(
+        engine.fired_site_names(
+            module, decomposable_submodules, probe_batch, apply_fn
+        )
+    )
+    data_iterator = itertools.chain([probe_batch], data_iterator)
+    for m in decomposable_submodules:
+        if m not in fired:
+            logger.info(f"Skipping {m}: never fires on a forward pass")
+    decomposable_submodules = [m for m in decomposable_submodules if m in fired]
     n = len(decomposable_submodules)
     n_active = len(
         [m for m in decomposable_submodules if m not in blacklisted_module_names]

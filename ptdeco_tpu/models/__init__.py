@@ -27,6 +27,10 @@ from .ssm import (
     ZambaConfig,
     ZambaLM,
 )
+from .gemma3n import (
+    Gemma3nConfig,
+    Gemma3nLM,
+)
 from .transformer import (
     Attention,
     MLAttention,
@@ -89,6 +93,8 @@ __all__ = [
     "RwkvLM",
     "ZambaConfig",
     "ZambaLM",
+    "Gemma3nConfig",
+    "Gemma3nLM",
     "MusicgenConfig",
     "MusicgenLM",
     "Attention",

@@ -2179,6 +2179,23 @@ def translator_for(hf_cfg: dict[str, Any]):
         return make_longcat_translator(hf_cfg)
     if mt == "qwen3_next":
         return translate_qwen3_next_state_dict
+    if mt == "gemma3n":
+        # multimodal wrapper: the text decoder lives under
+        # model.language_model.* (HF _checkpoint_conversion_mapping) with
+        # vision/audio towers alongside — rename in, drop the towers.
+        # A bare gemma3n_text checkpoint needs no translation.
+        def translate_gemma3n_wrapper(sd):
+            out = {}
+            for k, v in sd.items():
+                if k.startswith("model.language_model."):
+                    out["model." + k[len("model.language_model."):]] = v
+                elif k == "lm_head.weight":
+                    out[k] = v
+                # vision_tower / audio_tower / embed_vision / embed_audio
+                # are dropped
+            return out
+
+        return translate_gemma3n_wrapper
     if mt == "recurrent_gemma":
         return translate_recurrent_gemma_state_dict
     if mt == "jetmoe":

@@ -2787,3 +2787,91 @@ def test_gpt_sw3_alias_logits_match_hf():
     native, ncfg = _hf_to_native_translated(hf, d)
     assert ncfg.learned_pos == 64 and not ncfg.use_rope
     _compare(hf, native, 128, atol=2e-4)
+
+
+def test_gemma3n_text_logits_match_hf():
+    """gemma3n_text (HF Gemma3nForCausalLM, 126th registry row): AltUp
+    4-stream residual stack with per-token mixing, laurel low-rank
+    attention bypass, per-layer embedding gates, KV sharing (the last 2
+    layers reuse the roped/normed k/v of the last non-shared layer of
+    their attention type), scale-1.0 attention with q/k/v RMS norms,
+    sliding/global rope split, gaussian-top-k activation sparsity, and
+    the 30.0 final logit softcap."""
+    from ptdeco_tpu.models import gemma3n as g3n
+
+    cfg = transformers.Gemma3nTextConfig(
+        vocab_size=128,
+        vocab_size_per_layer_input=128,
+        hidden_size=32,
+        hidden_size_per_layer_input=8,
+        intermediate_size=[48, 48, 40, 48, 48, 48],
+        num_hidden_layers=6,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        head_dim=8,
+        num_kv_shared_layers=2,
+        laurel_rank=4,
+        sliding_window=8,
+        max_position_embeddings=64,
+        layer_types=[
+            "sliding_attention", "full_attention", "sliding_attention",
+            "sliding_attention", "sliding_attention", "full_attention",
+        ],
+        activation_sparsity_pattern=[0.95, 0.95, 0.0, 0.0, 0.0, 0.0],
+    )
+    hf = transformers.Gemma3nForCausalLM(cfg).eval()
+    sd = {
+        k: v.detach().to(torch.float32).numpy()
+        for k, v in hf.state_dict().items()
+    }
+    ncfg = g3n.Gemma3nConfig.from_hf_config(cfg.to_dict(), dtype=jnp.float32)
+    assert ncfg.num_kv_shared_layers == 2
+    native = models.Gemma3nLM.create(jax.random.PRNGKey(0), ncfg)
+    native = utils.load_state_dict(native, sd, strict=False)
+    # seq len 12 > sliding_window 8 so the sliding mask truncates
+    _compare(hf, native, 128, atol=3e-4)
+
+
+def test_gemma3n_multimodal_wrapper_translator():
+    """The gemma3n wrapper stores the text decoder under
+    model.language_model.* (HF _checkpoint_conversion_mapping) beside
+    vision/audio towers; translator_for must rename the decoder in and
+    drop the towers.  (The real wrapper class needs timm, absent here,
+    so the key layout is simulated from the text model's own sd.)"""
+    from ptdeco_tpu.models import gemma3n as g3n
+    from ptdeco_tpu.models import hf_loader
+
+    cfg = transformers.Gemma3nTextConfig(
+        vocab_size=64, vocab_size_per_layer_input=64, hidden_size=16,
+        hidden_size_per_layer_input=4, intermediate_size=24,
+        num_hidden_layers=2, num_attention_heads=2, num_key_value_heads=1,
+        head_dim=8, num_kv_shared_layers=0, laurel_rank=4, sliding_window=8,
+        max_position_embeddings=32,
+    )
+    hf = transformers.Gemma3nForCausalLM(cfg).eval()
+    text_sd = {
+        k: v.detach().to(torch.float32).numpy()
+        for k, v in hf.state_dict().items()
+    }
+    wrapper_sd = {}
+    for k, v in text_sd.items():
+        if k.startswith("model."):
+            wrapper_sd["model.language_model." + k[len("model."):]] = v
+        else:
+            wrapper_sd[k] = v
+    wrapper_sd["model.vision_tower.timm_model.stem.conv.weight"] = (
+        np.zeros((4, 3, 3, 3), np.float32)
+    )
+    wrapper_sd["model.audio_tower.conformer.0.ffw_layer_start.weight"] = (
+        np.zeros((8, 8), np.float32)
+    )
+    tr = hf_loader.translator_for({"model_type": "gemma3n"})
+    sd = tr(wrapper_sd)
+    assert set(sd.keys()) == set(text_sd.keys())
+    ncfg = g3n.Gemma3nConfig.from_hf_config(
+        {"model_type": "gemma3n", "text_config": cfg.to_dict()},
+        dtype=jnp.float32,
+    )
+    native = models.Gemma3nLM.create(jax.random.PRNGKey(0), ncfg)
+    native = utils.load_state_dict(native, sd, strict=False)
+    _compare(hf, native, 64, atol=3e-4)
