@@ -564,11 +564,81 @@ def build_from_hf_snapshot(
             num_classes=num_labels,
         )
         sd = van_zoo.translate_hf_van_state_dict(sd)
+    elif mt == "bit":
+        from ptdeco_tpu.models import bit as bit_zoo
+
+        if cfg.get("hidden_act", "relu") != "relu":
+            raise ValueError("bit hidden_act != relu unsupported")
+        if int(cfg.get("output_stride", 32)) != 32:
+            raise ValueError("bit output_stride != 32 (dilation) unsupported")
+        model = bit_zoo.BiT.create(
+            key,
+            num_classes=num_labels,
+            embedding_size=int(cfg.get("embedding_size", 64)),
+            hidden_sizes=tuple(cfg["hidden_sizes"]),
+            depths=tuple(cfg["depths"]),
+            layer_type=cfg.get("layer_type", "preactivation"),
+            width_factor=int(cfg.get("width_factor", 1)),
+            num_groups=int(cfg.get("num_groups", 32)),
+            global_padding=cfg.get("global_padding"),
+            embedding_dynamic_padding=bool(
+                cfg.get("embedding_dynamic_padding", False)
+            ),
+        )
+        sd = bit_zoo.translate_hf_bit_state_dict(sd)
+    elif mt == "focalnet":
+        from ptdeco_tpu.models import focalnet as focalnet_zoo
+
+        if cfg.get("hidden_act", "gelu") != "gelu":
+            raise ValueError("focalnet hidden_act != gelu unsupported")
+        model = focalnet_zoo.FocalNet.create(
+            key,
+            num_classes=num_labels,
+            embed_dim=int(cfg.get("embed_dim", 96)),
+            depths=tuple(cfg.get("depths", (2, 2, 6, 2))),
+            focal_levels=tuple(cfg.get("focal_levels", (2, 2, 2, 2))),
+            focal_windows=tuple(cfg.get("focal_windows", (3, 3, 3, 3))),
+            patch_size=int(cfg.get("patch_size", 4)),
+            mlp_ratio=float(cfg.get("mlp_ratio", 4.0)),
+            use_conv_embed=bool(cfg.get("use_conv_embed", False)),
+            use_layerscale=bool(cfg.get("use_layerscale", False)),
+            layerscale_value=float(cfg.get("layerscale_value", 1e-4)),
+            use_post_layernorm=bool(cfg.get("use_post_layernorm", False)),
+            use_post_layernorm_in_modulation=bool(
+                cfg.get("use_post_layernorm_in_modulation", False)
+            ),
+            normalize_modulator=bool(cfg.get("normalize_modulator", False)),
+            layer_norm_eps=float(cfg.get("layer_norm_eps", 1e-5)),
+        )
+        sd = focalnet_zoo.translate_hf_focalnet_state_dict(sd)
+    elif mt == "swiftformer":
+        from ptdeco_tpu.models import swiftformer as swiftformer_zoo
+
+        if cfg.get("hidden_act", "gelu") != "gelu":
+            raise ValueError("swiftformer hidden_act != gelu unsupported")
+        model = swiftformer_zoo.SwiftFormer.create(
+            key,
+            num_classes=num_labels,
+            embed_dims=tuple(cfg["embed_dims"]),
+            depths=tuple(cfg["depths"]),
+            downsamples=tuple(cfg["downsamples"]),
+            mlp_ratio=float(cfg.get("mlp_ratio", 4.0)),
+            down_patch_size=int(cfg.get("down_patch_size", 3)),
+            down_stride=int(cfg.get("down_stride", 2)),
+            down_pad=int(cfg.get("down_pad", 1)),
+            use_layer_scale=bool(cfg.get("use_layer_scale", True)),
+            layer_scale_init_value=float(
+                cfg.get("layer_scale_init_value", 1e-5)
+            ),
+            bn_eps=float(cfg.get("batch_norm_eps", 1e-5)),
+        )
+        sd = swiftformer_zoo.translate_hf_swiftformer_state_dict(sd)
     else:
         raise ValueError(
             f"model_type={mt!r} is outside the supported HF vision families "
             "(vit/deit/dinov2/beit/convnext/convnextv2/swin/swinv2/resnet/"
-            "regnet/mobilenet_v2/efficientnet/poolformer); use a zoo entry "
+            "regnet/mobilenet_v1|v2/efficientnet/poolformer/textnet/"
+            "hgnet_v2/van/bit/focalnet/swiftformer/...); use a zoo entry "
             "or register_model"
         )
     log_state_dict_keys_stats("build_from_hf_snapshot:", model, sd)

@@ -6,6 +6,9 @@ from .efficientformer import (
     efficientformerv2_s1,
 )
 from .efficientnet import EfficientNet, efficientnet_b0
+from .bit import BiT
+from .focalnet import FocalNet
+from .swiftformer import SwiftFormer
 from .hgnet import HGNetV2
 from .textnet import TextNet
 from .van import VAN
@@ -61,6 +64,9 @@ __all__ = [
     "HGNetV2",
     "TextNet",
     "VAN",
+    "BiT",
+    "FocalNet",
+    "SwiftFormer",
     "ResNet",
     "resnet18",
     "resnet34",

@@ -782,3 +782,182 @@ def test_van_logits_match_hf():
     sd = van_mod.translate_hf_van_state_dict(_hf_sd(hf))
     native = utils.load_state_dict(native, sd, strict=True)
     _compare_images(hf, native, 32, atol=3e-4)
+
+
+def test_bit_preactivation_logits_match_hf():
+    """BiT preactivation (google/bit-* layout): weight-standardized
+    convs FOLDED into the kernels by the translator, GN+relu preact
+    bottlenecks (norm1 shared by residual + stage-entry downsample),
+    TF-SAME dynamic padding incl. the zero-padded stem maxpool, final
+    GN before pooling.  Odd spatial size (62) exercises the asymmetric
+    dynamic-SAME split."""
+    import ptdeco_tpu.models.bit as bit_mod
+
+    cfg = transformers.BitConfig(
+        embedding_size=16,
+        hidden_sizes=[32, 64],
+        depths=[1, 2],
+        num_groups=4,
+        layer_type="preactivation",
+        global_padding="SAME",
+        embedding_dynamic_padding=True,
+        num_labels=10,
+    )
+    hf = transformers.BitForImageClassification(cfg).eval()
+    native = bit_mod.BiT.create(
+        jax.random.PRNGKey(0),
+        num_classes=10,
+        embedding_size=16,
+        hidden_sizes=(32, 64),
+        depths=(1, 2),
+        num_groups=4,
+        layer_type="preactivation",
+        global_padding="SAME",
+        embedding_dynamic_padding=True,
+    )
+    sd = bit_mod.translate_hf_bit_state_dict(_hf_sd(hf))
+    native = utils.load_state_dict(native, sd, strict=True)
+    _compare_images(hf, native, 62, atol=3e-4)
+
+
+def test_bit_bottleneck_logits_match_hf():
+    """BiT non-preact v1b bottleneck (the ViT-hybrid backbone type) with
+    global_padding=None: symmetric torch padding, stem GN between conv
+    and pool, downsample carrying an unactivated GN, relu after the
+    residual add."""
+    import ptdeco_tpu.models.bit as bit_mod
+
+    cfg = transformers.BitConfig(
+        embedding_size=16,
+        hidden_sizes=[32, 64],
+        depths=[1, 2],
+        num_groups=4,
+        layer_type="bottleneck",
+        global_padding=None,
+        embedding_dynamic_padding=False,
+        num_labels=10,
+    )
+    hf = transformers.BitForImageClassification(cfg).eval()
+    native = bit_mod.BiT.create(
+        jax.random.PRNGKey(0),
+        num_classes=10,
+        embedding_size=16,
+        hidden_sizes=(32, 64),
+        depths=(1, 2),
+        num_groups=4,
+        layer_type="bottleneck",
+        global_padding=None,
+        embedding_dynamic_padding=False,
+    )
+    sd = bit_mod.translate_hf_bit_state_dict(_hf_sd(hf))
+    native = utils.load_state_dict(native, sd, strict=True)
+    _compare_images(hf, native, 64, atol=3e-4)
+
+
+def test_focalnet_logits_match_hf():
+    """FocalNet pre-LN default: gated multi-level depthwise context
+    aggregation + global mean context, q * modulator, stage-end
+    downsample embeds with LN."""
+    import ptdeco_tpu.models.focalnet as focalnet_mod
+
+    cfg = transformers.FocalNetConfig(
+        image_size=32,
+        patch_size=4,
+        embed_dim=16,
+        depths=[1, 2],
+        focal_levels=[2, 3],
+        focal_windows=[3, 3],
+        num_labels=10,
+    )
+    hf = transformers.FocalNetForImageClassification(cfg).eval()
+    native = focalnet_mod.FocalNet.create(
+        jax.random.PRNGKey(0),
+        num_classes=10,
+        embed_dim=16,
+        depths=(1, 2),
+        focal_levels=(2, 3),
+        focal_windows=(3, 3),
+        patch_size=4,
+    )
+    sd = focalnet_mod.translate_hf_focalnet_state_dict(_hf_sd(hf))
+    native = utils.load_state_dict(native, sd, strict=True)
+    _compare_images(hf, native, 32, atol=3e-4)
+
+
+def test_focalnet_large_flavor_logits_match_hf():
+    """FocalNet 'large'-style knobs: conv embeddings (stem 7/4/2, down
+    3/2/1), post-layernorm blocks, post-LN inside the modulation,
+    normalize_modulator, layerscale (randomized so placement bugs
+    can't hide)."""
+    import ptdeco_tpu.models.focalnet as focalnet_mod
+
+    cfg = transformers.FocalNetConfig(
+        image_size=32,
+        embed_dim=16,
+        depths=[1, 2],
+        focal_levels=[3, 3],
+        focal_windows=[5, 5],
+        use_conv_embed=True,
+        use_layerscale=True,
+        use_post_layernorm=True,
+        use_post_layernorm_in_modulation=True,
+        normalize_modulator=True,
+        num_labels=10,
+    )
+    hf = transformers.FocalNetForImageClassification(cfg).eval()
+    with torch.no_grad():
+        for name, p in hf.named_parameters():
+            if "gamma_" in name:
+                p.copy_(torch.randn_like(p))
+    native = focalnet_mod.FocalNet.create(
+        jax.random.PRNGKey(0),
+        num_classes=10,
+        embed_dim=16,
+        depths=(1, 2),
+        focal_levels=(3, 3),
+        focal_windows=(5, 5),
+        use_conv_embed=True,
+        use_layerscale=True,
+        use_post_layernorm=True,
+        use_post_layernorm_in_modulation=True,
+        normalize_modulator=True,
+    )
+    sd = focalnet_mod.translate_hf_focalnet_state_dict(_hf_sd(hf))
+    native = utils.load_state_dict(native, sd, strict=True)
+    _compare_images(hf, native, 32, atol=3e-4)
+
+
+def test_swiftformer_logits_match_hf():
+    """SwiftFormer: conv stem, ConvEncoder stacks ending in the additive
+    -attention encoder block per stage, BN head with averaged dual
+    classifiers.  BN running stats and layer scales are randomized so
+    translation bugs can't hide; pins HF's singleton-axis softmax quirk
+    (the global query is a plain token sum)."""
+    import ptdeco_tpu.models.swiftformer as swiftformer_mod
+
+    cfg = transformers.SwiftFormerConfig(
+        embed_dims=[16, 24],
+        depths=[2, 2],
+        downsamples=[True, True],
+        num_labels=10,
+    )
+    hf = transformers.SwiftFormerForImageClassification(cfg).eval()
+    with torch.no_grad():
+        for name, b in hf.named_buffers():
+            if name.endswith("running_mean"):
+                b.copy_(0.2 * torch.randn_like(b))
+            elif name.endswith("running_var"):
+                b.copy_((0.5 + torch.rand_like(b)))
+        for name, p in hf.named_parameters():
+            if "layer_scale" in name:
+                p.copy_(torch.randn_like(p))
+    native = swiftformer_mod.SwiftFormer.create(
+        jax.random.PRNGKey(0),
+        num_classes=10,
+        embed_dims=(16, 24),
+        depths=(2, 2),
+        downsamples=(True, True),
+    )
+    sd = swiftformer_mod.translate_hf_swiftformer_state_dict(_hf_sd(hf))
+    native = utils.load_state_dict(native, sd, strict=True)
+    _compare_images(hf, native, 32, atol=3e-4)
