@@ -633,6 +633,47 @@ def build_from_hf_snapshot(
             bn_eps=float(cfg.get("batch_norm_eps", 1e-5)),
         )
         sd = swiftformer_zoo.translate_hf_swiftformer_state_dict(sd)
+    elif mt in ("pvt", "pvt_v2", "segformer"):
+        from ptdeco_tpu.models import pvt as pvt_zoo
+
+        if cfg.get("hidden_act", "gelu") != "gelu":
+            raise ValueError(f"{mt} hidden_act != gelu unsupported")
+        common = dict(
+            num_classes=num_labels,
+            hidden_sizes=tuple(cfg["hidden_sizes"]),
+            depths=tuple(cfg["depths"]),
+            num_attention_heads=tuple(cfg["num_attention_heads"]),
+            patch_sizes=tuple(cfg["patch_sizes"]),
+            strides=tuple(cfg["strides"]),
+            mlp_ratios=tuple(cfg["mlp_ratios"]),
+        )
+        if mt == "pvt":
+            model = pvt_zoo.PVT.create(
+                key,
+                image_size=image_size,
+                sequence_reduction_ratios=tuple(
+                    cfg["sequence_reduction_ratios"]
+                ),
+                qkv_bias=bool(cfg.get("qkv_bias", True)),
+                layer_norm_eps=float(cfg.get("layer_norm_eps", 1e-6)),
+                **common,
+            )
+            sd = pvt_zoo.translate_hf_pvt_state_dict(sd)
+        elif mt == "pvt_v2":
+            model = pvt_zoo.PVTv2.create(
+                key,
+                sr_ratios=tuple(cfg["sr_ratios"]),
+                qkv_bias=bool(cfg.get("qkv_bias", True)),
+                linear_attention=bool(cfg.get("linear_attention", False)),
+                layer_norm_eps=float(cfg.get("layer_norm_eps", 1e-6)),
+                **common,
+            )
+            sd = pvt_zoo.translate_hf_pvt_v2_state_dict(sd)
+        else:
+            model = pvt_zoo.Segformer.create(
+                key, sr_ratios=tuple(cfg["sr_ratios"]), **common
+            )
+            sd = pvt_zoo.translate_hf_segformer_state_dict(sd)
     else:
         raise ValueError(
             f"model_type={mt!r} is outside the supported HF vision families "

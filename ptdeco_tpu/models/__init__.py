@@ -8,6 +8,7 @@ from .efficientformer import (
 from .efficientnet import EfficientNet, efficientnet_b0
 from .bit import BiT
 from .focalnet import FocalNet
+from .pvt import PVT, PVTv2, Segformer
 from .swiftformer import SwiftFormer
 from .hgnet import HGNetV2
 from .textnet import TextNet
@@ -67,6 +68,9 @@ __all__ = [
     "BiT",
     "FocalNet",
     "SwiftFormer",
+    "PVT",
+    "PVTv2",
+    "Segformer",
     "ResNet",
     "resnet18",
     "resnet34",

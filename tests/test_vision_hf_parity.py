@@ -961,3 +961,146 @@ def test_swiftformer_logits_match_hf():
     sd = swiftformer_mod.translate_hf_swiftformer_state_dict(_hf_sd(hf))
     native = utils.load_state_dict(native, sd, strict=True)
     _compare_images(hf, native, 32, atol=3e-4)
+
+
+def test_pvt_logits_match_hf():
+    """PVT v1: spatial-reduction attention, learned per-stage positions
+    (identity 'interpolation' at the config grid), cls token on the
+    last stage, token-0 classifier, and the upstream kernel<->stride
+    arg swap in the patch embed."""
+    import ptdeco_tpu.models.pvt as pvt_mod
+
+    cfg = transformers.PvtConfig(
+        image_size=32,
+        hidden_sizes=[16, 32],
+        depths=[1, 2],
+        num_attention_heads=[1, 2],
+        sequence_reduction_ratios=[4, 1],
+        num_encoder_blocks=2,
+        patch_sizes=[4, 2],
+        strides=[4, 2],
+        mlp_ratios=[2, 2],
+        num_labels=10,
+    )
+    hf = transformers.PvtForImageClassification(cfg).eval()
+    native = pvt_mod.PVT.create(
+        jax.random.PRNGKey(0),
+        num_classes=10,
+        image_size=32,
+        hidden_sizes=(16, 32),
+        depths=(1, 2),
+        num_attention_heads=(1, 2),
+        sequence_reduction_ratios=(4, 1),
+        patch_sizes=(4, 2),
+        strides=(4, 2),
+        mlp_ratios=(2, 2),
+    )
+    sd = pvt_mod.translate_hf_pvt_state_dict(_hf_sd(hf))
+    native = utils.load_state_dict(native, sd, strict=True)
+    _compare_images(hf, native, 32, atol=3e-4)
+
+
+def test_pvt_v2_logits_match_hf():
+    """PVTv2: overlap patch embeds, mix-FFN depthwise positional conv,
+    per-stage trailing LN, mean-pool classifier."""
+    import ptdeco_tpu.models.pvt as pvt_mod
+
+    cfg = transformers.PvtV2Config(
+        image_size=32,
+        hidden_sizes=[16, 32],
+        depths=[1, 2],
+        num_attention_heads=[1, 2],
+        sr_ratios=[4, 1],
+        num_encoder_blocks=2,
+        patch_sizes=[7, 3],
+        strides=[4, 2],
+        mlp_ratios=[2, 2],
+        num_labels=10,
+    )
+    hf = transformers.PvtV2ForImageClassification(cfg).eval()
+    native = pvt_mod.PVTv2.create(
+        jax.random.PRNGKey(0),
+        num_classes=10,
+        hidden_sizes=(16, 32),
+        depths=(1, 2),
+        num_attention_heads=(1, 2),
+        sr_ratios=(4, 1),
+        patch_sizes=(7, 3),
+        strides=(4, 2),
+        mlp_ratios=(2, 2),
+    )
+    sd = pvt_mod.translate_hf_pvt_v2_state_dict(_hf_sd(hf))
+    native = utils.load_state_dict(native, sd, strict=True)
+    _compare_images(hf, native, 32, atol=3e-4)
+
+
+def test_pvt_v2_linear_attention_logits_match_hf():
+    """PVTv2-li: adaptive 7x7 pool + 1x1 conv + LN + GELU replaces the
+    strided reduction, plus the ReLU after dense1 in the FFN — pinned
+    at a non-divisible spatial size so the adaptive pool's uneven
+    windows are exercised."""
+    import ptdeco_tpu.models.pvt as pvt_mod
+
+    cfg = transformers.PvtV2Config(
+        image_size=36,
+        hidden_sizes=[16, 32],
+        depths=[1, 1],
+        num_attention_heads=[1, 2],
+        sr_ratios=[4, 1],
+        num_encoder_blocks=2,
+        patch_sizes=[7, 3],
+        strides=[4, 2],
+        mlp_ratios=[2, 2],
+        linear_attention=True,
+        num_labels=10,
+    )
+    hf = transformers.PvtV2ForImageClassification(cfg).eval()
+    native = pvt_mod.PVTv2.create(
+        jax.random.PRNGKey(0),
+        num_classes=10,
+        hidden_sizes=(16, 32),
+        depths=(1, 1),
+        num_attention_heads=(1, 2),
+        sr_ratios=(4, 1),
+        patch_sizes=(7, 3),
+        strides=(4, 2),
+        mlp_ratios=(2, 2),
+        linear_attention=True,
+    )
+    sd = pvt_mod.translate_hf_pvt_v2_state_dict(_hf_sd(hf))
+    native = utils.load_state_dict(native, sd, strict=True)
+    _compare_images(hf, native, 36, atol=3e-4)
+
+
+def test_segformer_logits_match_hf():
+    """SegFormer: pvt_v2-style graph with the upstream default-eps
+    LayerNorm quirk (config.layer_norm_eps is never threaded through)
+    and the bare per-stage trailing LN list."""
+    import ptdeco_tpu.models.pvt as pvt_mod
+
+    cfg = transformers.SegformerConfig(
+        hidden_sizes=[16, 32],
+        depths=[1, 2],
+        num_attention_heads=[1, 2],
+        sr_ratios=[4, 1],
+        patch_sizes=[7, 3],
+        strides=[4, 2],
+        mlp_ratios=[2, 2],
+        num_encoder_blocks=2,
+        num_labels=10,
+    )
+    hf = transformers.SegformerForImageClassification(cfg).eval()
+    native = pvt_mod.Segformer.create(
+        jax.random.PRNGKey(0),
+        num_classes=10,
+        hidden_sizes=(16, 32),
+        depths=(1, 2),
+        num_attention_heads=(1, 2),
+        sr_ratios=(4, 1),
+        patch_sizes=(7, 3),
+        strides=(4, 2),
+        mlp_ratios=(2, 2),
+    )
+    sd = pvt_mod.translate_hf_segformer_state_dict(_hf_sd(hf))
+    native = utils.load_state_dict(native, sd, strict=True)
+    _compare_images(hf, native, 32, atol=3e-4)
