@@ -281,7 +281,7 @@ def build_from_hf_snapshot(
             sd = convnext_zoo.translate_hf_convnextv2_state_dict(sd)
         else:
             sd = convnext_zoo.translate_hf_convnext_state_dict(sd)
-    elif mt in ("swinv2", "swin"):
+    elif mt in ("swinv2", "swin", "donut-swin"):
         if float(cfg.get("mlp_ratio", 4.0)) != 4.0:
             raise ValueError("swin mlp_ratio != 4 unsupported")
         if cfg.get("use_absolute_embeddings"):
@@ -296,12 +296,23 @@ def build_from_hf_snapshot(
             n_heads=tuple(cfg["num_heads"])[: len(depths)],
             window=int(cfg.get("window_size", 7)),
             num_classes=num_labels,
-            v1=(mt == "swin"),
+            v1=(mt != "swinv2"),
         )
+        if mt == "donut-swin":
+            # DonutSwin IS the Swin V1 graph under the "donut." prefix
+            # (modeling_donut_swin "Copied from" swin throughout) MINUS
+            # the final layernorm ("without final layer norm on top of
+            # the final hidden states", modeling_donut_swin docstring)
+            model = model.replace(norm=nn.Identity())
+            sd = {
+                ("swin." + k[len("donut."):] if k.startswith("donut.")
+                 else k): v
+                for k, v in sd.items()
+            }
         sd = (
-            swin_zoo.translate_hf_swin_state_dict(sd)
-            if mt == "swin"
-            else swin_zoo.translate_hf_swinv2_state_dict(sd)
+            swin_zoo.translate_hf_swinv2_state_dict(sd)
+            if mt == "swinv2"
+            else swin_zoo.translate_hf_swin_state_dict(sd)
         )
         strict = False  # native CPB/index buffers rebuild from static shapes
     elif mt == "regnet":
@@ -674,6 +685,70 @@ def build_from_hf_snapshot(
                 key, sr_ratios=tuple(cfg["sr_ratios"]), **common
             )
             sd = pvt_zoo.translate_hf_segformer_state_dict(sd)
+    elif mt == "mobilevit":
+        from ptdeco_tpu.models import mobilevit as mv_zoo
+
+        if int(cfg.get("output_stride", 32)) != 32:
+            raise ValueError("mobilevit output_stride != 32 unsupported")
+        model = mv_zoo.MobileViT.create(
+            key,
+            num_classes=num_labels,
+            neck_hidden_sizes=tuple(cfg["neck_hidden_sizes"]),
+            hidden_sizes=tuple(cfg["hidden_sizes"]),
+            num_attention_heads=int(cfg.get("num_attention_heads", 4)),
+            mlp_ratio=float(cfg.get("mlp_ratio", 2.0)),
+            expand_ratio=float(cfg.get("expand_ratio", 4.0)),
+            patch_size=int(cfg.get("patch_size", 2)),
+            conv_kernel_size=int(cfg.get("conv_kernel_size", 3)),
+            hidden_act=cfg.get("hidden_act", "silu"),
+            qkv_bias=bool(cfg.get("qkv_bias", True)),
+            layer_norm_eps=float(cfg.get("layer_norm_eps", 1e-5)),
+        )
+        sd = mv_zoo.translate_hf_mobilevit_state_dict(sd)
+    elif mt == "mobilevitv2":
+        from ptdeco_tpu.models import mobilevit as mv_zoo
+
+        if int(cfg.get("output_stride", 32)) != 32:
+            raise ValueError("mobilevitv2 output_stride != 32 unsupported")
+        model = mv_zoo.MobileViTV2.create(
+            key,
+            num_classes=num_labels,
+            width_multiplier=float(cfg.get("width_multiplier", 1.0)),
+            base_attn_unit_dims=tuple(
+                cfg.get("base_attn_unit_dims", (128, 192, 256))
+            ),
+            n_attn_blocks=tuple(cfg.get("n_attn_blocks", (2, 4, 3))),
+            ffn_multiplier=float(cfg.get("ffn_multiplier", 2.0)),
+            expand_ratio=float(cfg.get("expand_ratio", 2.0)),
+            patch_size=int(cfg.get("patch_size", 2)),
+            conv_kernel_size=int(cfg.get("conv_kernel_size", 3)),
+            hidden_act=cfg.get("hidden_act", "swish"),
+            layer_norm_eps=float(cfg.get("layer_norm_eps", 1e-5)),
+        )
+        sd = mv_zoo.translate_hf_mobilevitv2_state_dict(sd)
+    elif mt == "cvt":
+        from ptdeco_tpu.models import cvt as cvt_zoo
+
+        model = cvt_zoo.CvT.create(
+            key,
+            num_classes=num_labels,
+            embed_dim=tuple(cfg["embed_dim"]),
+            depth=tuple(cfg["depth"]),
+            num_heads=tuple(cfg["num_heads"]),
+            patch_sizes=tuple(cfg["patch_sizes"]),
+            patch_stride=tuple(cfg["patch_stride"]),
+            patch_padding=tuple(cfg["patch_padding"]),
+            mlp_ratio=tuple(cfg["mlp_ratio"]),
+            qkv_bias=tuple(cfg["qkv_bias"]),
+            cls_token=tuple(cfg["cls_token"]),
+            qkv_projection_method=tuple(cfg["qkv_projection_method"]),
+            kernel_qkv=tuple(cfg["kernel_qkv"]),
+            padding_q=tuple(cfg["padding_q"]),
+            padding_kv=tuple(cfg["padding_kv"]),
+            stride_q=tuple(cfg["stride_q"]),
+            stride_kv=tuple(cfg["stride_kv"]),
+        )
+        sd = cvt_zoo.translate_hf_cvt_state_dict(sd)
     else:
         raise ValueError(
             f"model_type={mt!r} is outside the supported HF vision families "

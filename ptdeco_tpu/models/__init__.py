@@ -7,6 +7,7 @@ from .efficientformer import (
 )
 from .efficientnet import EfficientNet, efficientnet_b0
 from .bit import BiT
+from .cvt import CvT
 from .focalnet import FocalNet
 from .pvt import PVT, PVTv2, Segformer
 from .swiftformer import SwiftFormer
@@ -16,6 +17,7 @@ from .van import VAN
 from .resnet import ResNet, resnet18, resnet34, resnet50, resnet101
 from .regnet import RegNet, regnet_y_tiny
 from .mobilenet import MobileNetV1, MobileNetV2, mobilenet_v2_tiny
+from .mobilevit import MobileViT, MobileViTV2
 from .poolformer import PoolFormer, poolformer_s12
 from .phi import PhiCausalLM, PhiConfig
 from .swin import SwinV2, swinv2_small, swinv2_tiny
@@ -71,6 +73,9 @@ __all__ = [
     "PVT",
     "PVTv2",
     "Segformer",
+    "MobileViT",
+    "MobileViTV2",
+    "CvT",
     "ResNet",
     "resnet18",
     "resnet34",

@@ -1104,3 +1104,150 @@ def test_segformer_logits_match_hf():
     sd = pvt_mod.translate_hf_segformer_state_dict(_hf_sd(hf))
     native = utils.load_state_dict(native, sd, strict=True)
     _compare_images(hf, native, 32, atol=3e-4)
+
+
+def test_mobilevit_logits_match_hf():
+    """MobileViT v1: inverted-residual stages + ViT blocks over the
+    unfolded (same-offset-across-patches) token layout, fold +
+    projection + fusion conv, silu everywhere, BN running stats
+    randomized."""
+    import ptdeco_tpu.models.mobilevit as mv_mod
+
+    cfg = transformers.MobileViTConfig(
+        image_size=64,
+        neck_hidden_sizes=[8, 8, 16, 16, 24, 24, 32],
+        hidden_sizes=[16, 24, 32],
+        num_attention_heads=2,
+        num_labels=10,
+    )
+    hf = transformers.MobileViTForImageClassification(cfg).eval()
+    with torch.no_grad():
+        for name, b in hf.named_buffers():
+            if name.endswith("running_mean"):
+                b.copy_(0.2 * torch.randn_like(b))
+            elif name.endswith("running_var"):
+                b.copy_(0.5 + torch.rand_like(b))
+    native = mv_mod.MobileViT.create(
+        jax.random.PRNGKey(0),
+        num_classes=10,
+        neck_hidden_sizes=(8, 8, 16, 16, 24, 24, 32),
+        hidden_sizes=(16, 24, 32),
+        num_attention_heads=2,
+    )
+    sd = mv_mod.translate_hf_mobilevit_state_dict(_hf_sd(hf))
+    native = utils.load_state_dict(native, sd, strict=True)
+    _compare_images(hf, native, 64, atol=3e-4)
+
+
+def test_mobilevitv2_logits_match_hf():
+    """MobileViTV2: separable linear attention (scalar query softmaxed
+    over the patch axis), GroupNorm(1) '2D layernorms', conv FFN, the
+    width_multiplier schedule through make_divisible."""
+    import ptdeco_tpu.models.mobilevit as mv_mod
+
+    cfg = transformers.MobileViTV2Config(
+        image_size=64,
+        width_multiplier=0.25,
+        n_attn_blocks=[1, 1, 1],
+        num_labels=10,
+    )
+    hf = transformers.MobileViTV2ForImageClassification(cfg).eval()
+    with torch.no_grad():
+        for name, b in hf.named_buffers():
+            if name.endswith("running_mean"):
+                b.copy_(0.2 * torch.randn_like(b))
+            elif name.endswith("running_var"):
+                b.copy_(0.5 + torch.rand_like(b))
+    native = mv_mod.MobileViTV2.create(
+        jax.random.PRNGKey(0),
+        num_classes=10,
+        width_multiplier=0.25,
+        n_attn_blocks=(1, 1, 1),
+    )
+    sd = mv_mod.translate_hf_mobilevitv2_state_dict(_hf_sd(hf))
+    native = utils.load_state_dict(native, sd, strict=True)
+    _compare_images(hf, native, 64, atol=3e-4)
+
+
+def test_cvt_logits_match_hf():
+    """CvT: depthwise-conv+BN q/k/v projections (stride-2 kv), cls token
+    bypassing the convs on the last stage, plus the two upstream quirks
+    (full-embed-dim attention scale, default-eps LayerNorms).  BN
+    running stats randomized."""
+    import ptdeco_tpu.models.cvt as cvt_mod
+
+    cfg = transformers.CvtConfig(
+        embed_dim=[16, 32],
+        depth=[1, 2],
+        num_heads=[1, 2],
+        patch_sizes=[7, 3],
+        patch_stride=[4, 2],
+        patch_padding=[2, 1],
+        mlp_ratio=[2.0, 2.0],
+        qkv_bias=[True, True],
+        cls_token=[False, True],
+        qkv_projection_method=["dw_bn", "dw_bn"],
+        kernel_qkv=[3, 3],
+        padding_q=[1, 1],
+        padding_kv=[1, 1],
+        stride_q=[1, 1],
+        stride_kv=[2, 2],
+        drop_rate=[0.0, 0.0],
+        attention_drop_rate=[0.0, 0.0],
+        drop_path_rate=[0.0, 0.0],
+        num_labels=10,
+    )
+    hf = transformers.CvtForImageClassification(cfg).eval()
+    with torch.no_grad():
+        for name, b in hf.named_buffers():
+            if name.endswith("running_mean"):
+                b.copy_(0.2 * torch.randn_like(b))
+            elif name.endswith("running_var"):
+                b.copy_(0.5 + torch.rand_like(b))
+    native = cvt_mod.CvT.create(
+        jax.random.PRNGKey(0),
+        num_classes=10,
+        embed_dim=(16, 32),
+        depth=(1, 2),
+        num_heads=(1, 2),
+        patch_sizes=(7, 3),
+        patch_stride=(4, 2),
+        patch_padding=(2, 1),
+        mlp_ratio=(2.0, 2.0),
+        qkv_bias=(True, True),
+        cls_token=(False, True),
+        qkv_projection_method=("dw_bn", "dw_bn"),
+        kernel_qkv=(3, 3),
+        padding_q=(1, 1),
+        padding_kv=(1, 1),
+        stride_q=(1, 1),
+        stride_kv=(2, 2),
+    )
+    sd = cvt_mod.translate_hf_cvt_state_dict(_hf_sd(hf))
+    native = utils.load_state_dict(native, sd, strict=True)
+    _compare_images(hf, native, 32, atol=3e-4)
+
+
+def test_donut_swin_snapshot_logits_match_hf(tmp_path):
+    """DonutSwin is the Swin V1 graph under the ``donut.`` prefix
+    ('Copied from swin' throughout modeling_donut_swin); the builder's
+    snapshot path remaps the prefix and reuses the V1 translator."""
+    from apps.trainer_vision import builder
+
+    cfg = transformers.DonutSwinConfig(
+        image_size=32,
+        patch_size=4,
+        embed_dim=16,
+        depths=[1, 2],
+        num_heads=[2, 4],
+        window_size=4,
+        num_labels=10,
+    )
+    hf = transformers.DonutSwinForImageClassification(cfg).eval()
+    with torch.no_grad():
+        for name, p in hf.named_parameters():
+            if "relative_position_bias_table" in name:
+                p.copy_(torch.randn_like(p))
+    hf.save_pretrained(tmp_path)
+    native = builder.make_model("x", checkpoint_path=str(tmp_path))
+    _compare_images(hf, native, 32, atol=3e-4)
