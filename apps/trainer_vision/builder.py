@@ -749,6 +749,56 @@ def build_from_hf_snapshot(
             stride_kv=tuple(cfg["stride_kv"]),
         )
         sd = cvt_zoo.translate_hf_cvt_state_dict(sd)
+    elif mt == "hiera":
+        from ptdeco_tpu.models import hiera as hiera_zoo
+
+        if cfg.get("hidden_act", "gelu") != "gelu":
+            raise ValueError("hiera hidden_act != gelu unsupported")
+        model = hiera_zoo.Hiera.create(
+            key,
+            num_classes=num_labels,
+            image_size=tuple(cfg.get("image_size", (224, 224))),
+            embed_dim=int(cfg.get("embed_dim", 96)),
+            depths=tuple(cfg.get("depths", (2, 3, 16, 3))),
+            num_heads=tuple(cfg.get("num_heads", (1, 2, 4, 8))),
+            embed_dim_multiplier=float(cfg.get("embed_dim_multiplier", 2.0)),
+            patch_size=tuple(cfg.get("patch_size", (7, 7))),
+            patch_stride=tuple(cfg.get("patch_stride", (4, 4))),
+            patch_padding=tuple(cfg.get("patch_padding", (3, 3))),
+            num_query_pool=int(cfg.get("num_query_pool", 3)),
+            query_stride=tuple(cfg.get("query_stride", (2, 2))),
+            masked_unit_size=tuple(cfg.get("masked_unit_size", (8, 8))),
+            masked_unit_attention=tuple(
+                cfg.get("masked_unit_attention", (True, True, False, False))
+            ),
+            mlp_ratio=float(cfg.get("mlp_ratio", 4.0)),
+            layer_norm_eps=float(cfg.get("layer_norm_eps", 1e-6)),
+        )
+        sd = hiera_zoo.translate_hf_hiera_state_dict(sd)
+    elif mt == "levit":
+        from ptdeco_tpu.models import levit as levit_zoo
+
+        distilled = any(k.startswith("classifier_distill.") for k in sd)
+        model = levit_zoo.LeViT.create(
+            key,
+            num_classes=num_labels,
+            image_size=int(cfg.get("image_size", 224)),
+            patch_size=int(cfg.get("patch_size", 16)),
+            hidden_sizes=tuple(cfg["hidden_sizes"]),
+            num_attention_heads=tuple(cfg["num_attention_heads"]),
+            depths=tuple(cfg["depths"]),
+            key_dim=tuple(cfg["key_dim"]),
+            attention_ratio=tuple(cfg["attention_ratio"]),
+            mlp_ratio=tuple(cfg["mlp_ratio"]),
+            down_ops=tuple(
+                tuple(d) for d in cfg["down_ops"] if d and d[0] == "Subsample"
+            ),
+            kernel_size=int(cfg.get("kernel_size", 3)),
+            stride=int(cfg.get("stride", 2)),
+            padding=int(cfg.get("padding", 1)),
+            distilled=distilled,
+        )
+        sd = levit_zoo.translate_hf_levit_state_dict(sd)
     else:
         raise ValueError(
             f"model_type={mt!r} is outside the supported HF vision families "

@@ -8,6 +8,8 @@ from .efficientformer import (
 from .efficientnet import EfficientNet, efficientnet_b0
 from .bit import BiT
 from .cvt import CvT
+from .hiera import Hiera
+from .levit import LeViT
 from .focalnet import FocalNet
 from .pvt import PVT, PVTv2, Segformer
 from .swiftformer import SwiftFormer
@@ -76,6 +78,8 @@ __all__ = [
     "MobileViT",
     "MobileViTV2",
     "CvT",
+    "Hiera",
+    "LeViT",
     "ResNet",
     "resnet18",
     "resnet34",

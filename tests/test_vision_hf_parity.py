@@ -1251,3 +1251,91 @@ def test_donut_swin_snapshot_logits_match_hf(tmp_path):
     hf.save_pretrained(tmp_path)
     native = builder.make_model("x", checkpoint_path=str(tmp_path))
     _compare_images(hf, native, 32, atol=3e-4)
+
+
+def test_hiera_logits_match_hf():
+    """Hiera: unrolled token order (stride blocks lead the sequence),
+    mask-unit windowed attention with the one-layer lag into the
+    pooling stage, query max-pool + pre-norm residual projection at
+    stage transitions, mean-then-LN pooler.  Position embeddings
+    randomized (HF zero-init would hide unroll-order bugs)."""
+    import ptdeco_tpu.models.hiera as hiera_mod
+
+    cfg = transformers.HieraConfig(
+        image_size=[64, 64],
+        embed_dim=16,
+        depths=[1, 2],
+        num_heads=[1, 2],
+        num_query_pool=1,
+        query_stride=[2, 2],
+        masked_unit_size=[4, 4],
+        masked_unit_attention=[True, False],
+        num_labels=10,
+    )
+    hf = transformers.HieraForImageClassification(cfg).eval()
+    with torch.no_grad():
+        for name, p in hf.named_parameters():
+            if "position_embeddings" in name:
+                p.copy_(0.1 * torch.randn_like(p))
+    native = hiera_mod.Hiera.create(
+        jax.random.PRNGKey(0),
+        num_classes=10,
+        image_size=(64, 64),
+        embed_dim=16,
+        depths=(1, 2),
+        num_heads=(1, 2),
+        num_query_pool=1,
+        query_stride=(2, 2),
+        masked_unit_size=(4, 4),
+        masked_unit_attention=(True, False),
+    )
+    sd = hiera_mod.translate_hf_hiera_state_dict(_hf_sd(hf))
+    native = utils.load_state_dict(native, sd, strict=True)
+    _compare_images(hf, native, 64, atol=3e-4)
+
+
+def test_levit_logits_match_hf():
+    """LeViT (WithTeacher): BN-linear everything, learned relative
+    attention biases over static offset tables (randomized), strided
+    query subsample between stages, averaged dual BN+linear heads.
+    BN running stats randomized."""
+    import ptdeco_tpu.models.levit as levit_mod
+
+    # LevitConfig derives down_ops itself (the kwarg is ignored) --
+    # read the derived schedule back and mirror it natively
+    cfg = transformers.LevitConfig(
+        image_size=64,
+        hidden_sizes=[32, 48, 64],
+        num_attention_heads=[2, 4, 4],
+        depths=[1, 1, 1],
+        key_dim=[8, 8, 8],
+        attention_ratio=[2, 2, 2],
+        mlp_ratio=[2, 2, 2],
+        num_labels=10,
+    )
+    hf = transformers.LevitForImageClassificationWithTeacher(cfg).eval()
+    with torch.no_grad():
+        for name, b in hf.named_buffers():
+            if name.endswith("running_mean"):
+                b.copy_(0.2 * torch.randn_like(b))
+            elif name.endswith("running_var"):
+                b.copy_(0.5 + torch.rand_like(b))
+        for name, p in hf.named_parameters():
+            if "attention_biases" in name:
+                p.copy_(torch.randn_like(p))
+    native = levit_mod.LeViT.create(
+        jax.random.PRNGKey(0),
+        num_classes=10,
+        image_size=64,
+        hidden_sizes=(32, 48, 64),
+        num_attention_heads=(2, 4, 4),
+        depths=(1, 1, 1),
+        key_dim=(8, 8, 8),
+        attention_ratio=(2, 2, 2),
+        mlp_ratio=(2, 2, 2),
+        down_ops=tuple(tuple(d) for d in cfg.down_ops[:2]),
+        distilled=True,
+    )
+    sd = levit_mod.translate_hf_levit_state_dict(_hf_sd(hf))
+    native = utils.load_state_dict(native, sd, strict=True)
+    _compare_images(hf, native, 64, atol=3e-4)
