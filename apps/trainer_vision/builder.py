@@ -799,6 +799,37 @@ def build_from_hf_snapshot(
             distilled=distilled,
         )
         sd = levit_zoo.translate_hf_levit_state_dict(sd)
+    elif mt in ("clip", "metaclip_2", "siglip", "siglip2"):
+        from ptdeco_tpu.models import clip_vit as clip_zoo
+
+        vc = dict(cfg.get("vision_config", {}))
+        common = dict(
+            num_classes=num_labels,
+            image_size=int(vc.get("image_size", 224)),
+            patch_size=int(vc.get("patch_size", 16)),
+            hidden_size=int(vc.get("hidden_size", 768)),
+            intermediate_size=int(vc.get("intermediate_size", 3072)),
+            num_hidden_layers=int(vc.get("num_hidden_layers", 12)),
+            num_attention_heads=int(vc.get("num_attention_heads", 12)),
+            layer_norm_eps=float(vc.get("layer_norm_eps", 1e-6)),
+        )
+        if mt in ("clip", "metaclip_2"):
+            common["patch_size"] = int(vc.get("patch_size", 32))
+            common["layer_norm_eps"] = float(vc.get("layer_norm_eps", 1e-5))
+            model = clip_zoo.ClipClassifier.create(
+                key, hidden_act=vc.get("hidden_act", "quick_gelu"), **common
+            )
+        else:
+            model = clip_zoo.SiglipClassifier.create(
+                key,
+                hidden_act=vc.get("hidden_act", "gelu_pytorch_tanh"),
+                linear_patches=(mt == "siglip2"),
+                num_patches=(
+                    int(vc["num_patches"]) if mt == "siglip2" else None
+                ),
+                **common,
+            )
+        sd = clip_zoo.translate_hf_clip_family_state_dict(sd)
     else:
         raise ValueError(
             f"model_type={mt!r} is outside the supported HF vision families "

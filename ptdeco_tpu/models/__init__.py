@@ -7,6 +7,7 @@ from .efficientformer import (
 )
 from .efficientnet import EfficientNet, efficientnet_b0
 from .bit import BiT
+from .clip_vit import ClipClassifier, SiglipClassifier
 from .cvt import CvT
 from .hiera import Hiera
 from .levit import LeViT
@@ -80,6 +81,8 @@ __all__ = [
     "CvT",
     "Hiera",
     "LeViT",
+    "ClipClassifier",
+    "SiglipClassifier",
     "ResNet",
     "resnet18",
     "resnet34",

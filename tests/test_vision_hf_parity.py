@@ -1339,3 +1339,112 @@ def test_levit_logits_match_hf():
     sd = levit_mod.translate_hf_levit_state_dict(_hf_sd(hf))
     native = utils.load_state_dict(native, sd, strict=True)
     _compare_images(hf, native, 64, atol=3e-4)
+
+
+def test_clip_classifier_logits_match_hf():
+    """CLIPForImageClassification: cls+positions, pre_layrnorm,
+    quick_gelu, mean of the NON-post-normed patch tokens."""
+    import ptdeco_tpu.models.clip_vit as clip_mod
+
+    cfg = transformers.CLIPConfig(
+        vision_config=dict(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=4, image_size=32, patch_size=8,
+        ),
+        num_labels=10,
+    )
+    hf = transformers.CLIPForImageClassification(cfg).eval()
+    native = clip_mod.ClipClassifier.create(
+        jax.random.PRNGKey(0), num_classes=10, image_size=32, patch_size=8,
+        hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=4,
+    )
+    sd = clip_mod.translate_hf_clip_family_state_dict(_hf_sd(hf))
+    native = utils.load_state_dict(native, sd, strict=True)
+    _compare_images(hf, native, 32, atol=3e-4)
+
+
+def test_metaclip2_classifier_logits_match_hf():
+    """MetaClip2ForImageClassification: the CLIP graph (modular clone)."""
+    import ptdeco_tpu.models.clip_vit as clip_mod
+
+    cfg = transformers.MetaClip2Config(
+        vision_config=dict(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=4, image_size=32, patch_size=8,
+        ),
+        num_labels=10,
+    )
+    hf = transformers.MetaClip2ForImageClassification(cfg).eval()
+    native = clip_mod.ClipClassifier.create(
+        jax.random.PRNGKey(0), num_classes=10, image_size=32, patch_size=8,
+        hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=4,
+    )
+    sd = clip_mod.translate_hf_clip_family_state_dict(_hf_sd(hf))
+    native = utils.load_state_dict(native, sd, strict=True)
+    _compare_images(hf, native, 32, atol=3e-4)
+
+
+def test_siglip_classifier_logits_match_hf():
+    """SiglipForImageClassification: no cls, tanh-gelu, post-layernormed
+    sequence, mean over all tokens; the unused attention-pooling head
+    keys are dropped by the translator."""
+    import ptdeco_tpu.models.clip_vit as clip_mod
+
+    cfg = transformers.SiglipConfig(
+        vision_config=dict(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=4, image_size=32, patch_size=8,
+        ),
+        num_labels=10,
+    )
+    hf = transformers.SiglipForImageClassification(cfg).eval()
+    native = clip_mod.SiglipClassifier.create(
+        jax.random.PRNGKey(0), num_classes=10, image_size=32, patch_size=8,
+        hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=4,
+    )
+    sd = clip_mod.translate_hf_clip_family_state_dict(_hf_sd(hf))
+    native = utils.load_state_dict(native, sd, strict=True)
+    _compare_images(hf, native, 32, atol=3e-4)
+
+
+def test_siglip2_classifier_logits_match_hf():
+    """Siglip2ForImageClassification (naflex): LINEAR patch embedding
+    over patchified pixels with the processor's (p_h, p_w, c) feature
+    order; native patchifies the NHWC image itself.  Equal spatial
+    shapes keep upstream's per-image positional resize an identity."""
+    import ptdeco_tpu.models.clip_vit as clip_mod
+
+    p, grid = 8, 4
+    cfg = transformers.Siglip2Config(
+        vision_config=dict(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=4, patch_size=p, num_patches=grid * grid,
+        ),
+        num_labels=10,
+    )
+    hf = transformers.Siglip2ForImageClassification(cfg).eval()
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 3, grid * p, grid * p).astype(np.float32)
+    # patchify exactly like Siglip2ImageProcessor.convert_image_to_patches
+    xt = x.transpose(0, 2, 3, 1)
+    patches = xt.reshape(2, grid, p, grid, p, 3).transpose(0, 1, 3, 2, 4, 5)
+    patches = patches.reshape(2, grid * grid, p * p * 3)
+    with torch.no_grad():
+        ref = hf(
+            pixel_values=torch.from_numpy(patches),
+            pixel_attention_mask=None,
+            spatial_shapes=torch.tensor([[grid, grid]] * 2),
+        ).logits.numpy()
+    native = clip_mod.SiglipClassifier.create(
+        jax.random.PRNGKey(0), num_classes=10, patch_size=p,
+        hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=4, linear_patches=True,
+        num_patches=grid * grid,
+    )
+    sd = clip_mod.translate_hf_clip_family_state_dict(_hf_sd(hf))
+    native = utils.load_state_dict(native, sd, strict=True)
+    out = np.asarray(native(jnp.asarray(xt)), np.float32)
+    assert np.allclose(out, ref, atol=3e-4), np.abs(out - ref).max()
