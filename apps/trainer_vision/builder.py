@@ -830,6 +830,72 @@ def build_from_hf_snapshot(
                 **common,
             )
         sd = clip_zoo.translate_hf_clip_family_state_dict(sd)
+    elif mt == "efficientformer":
+        if cfg.get("hidden_act", "gelu") != "gelu":
+            raise ValueError("efficientformer hidden_act != gelu unsupported")
+        distilled = any(
+            k.startswith("distillation_classifier.") for k in sd
+        )
+        model = ef_zoo.EfficientFormerV1.create(
+            key,
+            num_classes=num_labels,
+            hidden_sizes=tuple(cfg["hidden_sizes"]),
+            depths=tuple(cfg["depths"]),
+            downsamples=tuple(cfg["downsamples"]),
+            num_attention_heads=int(cfg.get("num_attention_heads", 8)),
+            key_dim=int(cfg.get("key_dim", 32)),
+            attention_ratio=int(cfg.get("attention_ratio", 4)),
+            resolution=int(cfg.get("resolution", 7)),
+            num_meta3d_blocks=int(cfg.get("num_meta3d_blocks", 1)),
+            mlp_expansion_ratio=float(cfg.get("mlp_expansion_ratio", 4)),
+            pool_size=int(cfg.get("pool_size", 3)),
+            use_layer_scale=bool(cfg.get("use_layer_scale", True)),
+            layer_scale_init_value=float(
+                cfg.get("layer_scale_init_value", 1e-5)
+            ),
+            downsample_patch_size=int(cfg.get("downsample_patch_size", 3)),
+            downsample_stride=int(cfg.get("downsample_stride", 2)),
+            downsample_pad=int(cfg.get("downsample_pad", 1)),
+            layer_norm_eps=float(cfg.get("layer_norm_eps", 1e-12)),
+            bn_eps=float(cfg.get("batch_norm_eps", 1e-5)),
+            distillation=distilled,
+        )
+        sd = ef_zoo.translate_hf_efficientformer_v1_state_dict(sd)
+    elif mt == "perceiver":
+        from ptdeco_tpu.models import perceiver as perceiver_zoo
+
+        if cfg.get("hidden_act", "gelu") != "gelu":
+            raise ValueError("perceiver hidden_act != gelu unsupported")
+        model = perceiver_zoo.PerceiverImageClassifierLearned.create(
+            key,
+            num_classes=num_labels,
+            image_size=int(cfg.get("image_size", 224)),
+            num_latents=int(cfg.get("num_latents", 256)),
+            d_latents=int(cfg.get("d_latents", 1280)),
+            num_blocks=int(cfg.get("num_blocks", 1)),
+            num_self_attends_per_block=int(
+                cfg.get("num_self_attends_per_block", 26)
+            ),
+            num_self_attention_heads=int(
+                cfg.get("num_self_attention_heads", 8)
+            ),
+            num_cross_attention_heads=int(
+                cfg.get("num_cross_attention_heads", 8)
+            ),
+            qk_channels=cfg.get("qk_channels"),
+            v_channels=cfg.get("v_channels"),
+            cross_attention_shape_for_attention=cfg.get(
+                "cross_attention_shape_for_attention", "kv"
+            ),
+            self_attention_widening_factor=int(
+                cfg.get("self_attention_widening_factor", 1)
+            ),
+            cross_attention_widening_factor=int(
+                cfg.get("cross_attention_widening_factor", 1)
+            ),
+            use_query_residual=bool(cfg.get("use_query_residual", True)),
+        )
+        sd = perceiver_zoo.translate_hf_perceiver_state_dict(sd)
     else:
         raise ValueError(
             f"model_type={mt!r} is outside the supported HF vision families "

@@ -1,6 +1,7 @@
 from .mlp import MLP, make_mlp
 from .convnext import ConvNeXt, convnext_small, convnext_tiny, convnextv2_tiny
 from .efficientformer import (
+    EfficientFormerV1,
     EfficientFormerV2,
     efficientformerv2_s0,
     efficientformerv2_s1,
@@ -21,6 +22,7 @@ from .resnet import ResNet, resnet18, resnet34, resnet50, resnet101
 from .regnet import RegNet, regnet_y_tiny
 from .mobilenet import MobileNetV1, MobileNetV2, mobilenet_v2_tiny
 from .mobilevit import MobileViT, MobileViTV2
+from .perceiver import PerceiverImageClassifierLearned
 from .poolformer import PoolFormer, poolformer_s12
 from .phi import PhiCausalLM, PhiConfig
 from .swin import SwinV2, swinv2_small, swinv2_tiny
@@ -62,6 +64,7 @@ __all__ = [
     "convnext_small",
     "convnext_tiny",
     "convnextv2_tiny",
+    "EfficientFormerV1",
     "EfficientFormerV2",
     "efficientformerv2_s0",
     "efficientformerv2_s1",
@@ -83,6 +86,7 @@ __all__ = [
     "LeViT",
     "ClipClassifier",
     "SiglipClassifier",
+    "PerceiverImageClassifierLearned",
     "ResNet",
     "resnet18",
     "resnet34",

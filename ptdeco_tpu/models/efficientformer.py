@@ -332,3 +332,331 @@ def efficientformerv2_s1(key, num_classes=1000, image_size=224):
         num_vit=2,
         num_classes=num_classes,
     )
+
+
+# ---------------------------------------------------------------------------
+# EfficientFormer V1 (HF EfficientFormerForImageClassification, deprecated
+# namespace in transformers >= 4.40).  PoolFormer-style Meta4D conv stages
+# followed by a single token (Meta3D) stage with LeViT-style learned
+# relative attention biases; mean-pooled LN head, optionally averaged with
+# the distillation head (WithTeacher).
+# ---------------------------------------------------------------------------
+
+
+class V1ConvStem(nn.Module):
+    convolution1: nn.Conv2d
+    batchnorm_before: nn.BatchNorm2d
+    convolution2: nn.Conv2d
+    batchnorm_after: nn.BatchNorm2d
+
+    def __call__(self, x, ctx=None):
+        x = jax.nn.relu(self.batchnorm_before(self.convolution1(x, ctx), ctx))
+        return jax.nn.relu(self.batchnorm_after(self.convolution2(x, ctx), ctx))
+
+
+class V1ConvMlp(nn.Module):
+    convolution1: nn.Conv2d
+    batchnorm_before: nn.BatchNorm2d
+    convolution2: nn.Conv2d
+    batchnorm_after: nn.BatchNorm2d
+
+    def __call__(self, x, ctx=None):
+        h = _gelu(self.batchnorm_before(self.convolution1(x, ctx), ctx))
+        return self.batchnorm_after(self.convolution2(h, ctx), ctx)
+
+
+class V1Meta4D(nn.Module):
+    """avgpool-minus-identity token mixer + conv MLP, layer-scaled."""
+
+    mlp: V1ConvMlp
+    layer_scale_1: Optional[jax.Array] = None
+    layer_scale_2: Optional[jax.Array] = None
+    pool_size: int = nn.static_field(default=3)
+
+    def __call__(self, x, ctx=None):
+        from .poolformer import _avg_pool_nopad
+
+        mix = _avg_pool_nopad(x, self.pool_size) - x
+        if self.layer_scale_1 is not None:
+            x = x + self.layer_scale_1 * mix
+            return x + self.layer_scale_2 * self.mlp(x, ctx)
+        x = x + mix
+        return x + self.mlp(x, ctx)
+
+
+class V1SelfAttention(nn.Module):
+    """LeViT-style fused-qkv attention with learned relative biases
+    (HF EfficientFormerSelfAttention)."""
+
+    qkv: nn.Linear
+    projection: nn.Linear
+    attention_biases: jax.Array
+    bias_idxs: tuple = nn.static_field(default=())
+    n_heads: int = nn.static_field(default=8)
+    key_dim: int = nn.static_field(default=32)
+    attention_ratio: int = nn.static_field(default=4)
+
+    def __call__(self, x, ctx=None):
+        b, n, _ = x.shape
+        kd, nh = self.key_dim, self.n_heads
+        ekd = int(self.attention_ratio * kd)
+        qkv = self.qkv(x, ctx).reshape(b, n, nh, -1)
+        q = qkv[..., :kd].transpose(0, 2, 1, 3)
+        k = qkv[..., kd:2 * kd].transpose(0, 2, 1, 3)
+        v = qkv[..., 2 * kd:].transpose(0, 2, 1, 3)
+        bias = self.attention_biases[:, jnp.asarray(np.array(self.bias_idxs))]
+        attn = jax.nn.softmax(
+            jnp.einsum("bhqd,bhkd->bhqk", q, k) * (kd ** -0.5) + bias,
+            axis=-1,
+        )
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, nh * ekd)
+        return self.projection(out, ctx)
+
+
+class V1DenseMlp(nn.Module):
+    linear_in: nn.Linear
+    linear_out: nn.Linear
+
+    def __call__(self, x, ctx=None):
+        return self.linear_out(_gelu(self.linear_in(x, ctx)), ctx)
+
+
+class V1Meta3D(nn.Module):
+    token_mixer: V1SelfAttention
+    layernorm1: nn.LayerNorm
+    layernorm2: nn.LayerNorm
+    mlp: V1DenseMlp
+    layer_scale_1: Optional[jax.Array] = None
+    layer_scale_2: Optional[jax.Array] = None
+
+    def __call__(self, x, ctx=None):
+        h = self.token_mixer(self.layernorm1(x, ctx), ctx)
+        if self.layer_scale_1 is not None:
+            x = x + self.layer_scale_1 * h
+            return x + self.layer_scale_2 * self.mlp(self.layernorm2(x, ctx), ctx)
+        x = x + h
+        return x + self.mlp(self.layernorm2(x, ctx), ctx)
+
+
+class V1Blocks(nn.Module):
+    blocks: tuple
+
+    def __call__(self, x, ctx=None):
+        for blk in self.blocks:
+            x = blk(x, ctx)
+        return x
+
+
+class V1Downsample(nn.Module):
+    projection: nn.Conv2d
+    norm: nn.BatchNorm2d
+
+    def __call__(self, x, ctx=None):
+        return self.norm(self.projection(x, ctx), ctx)
+
+
+class V1IntermediateStage(nn.Module):
+    meta4D_layers: V1Blocks
+
+    def __call__(self, x, ctx=None):
+        return self.meta4D_layers(x, ctx)
+
+
+class V1LastStage(nn.Module):
+    meta4D_layers: V1Blocks
+    meta3D_layers: V1Blocks
+
+    def __call__(self, x, ctx=None):
+        x = self.meta4D_layers(x, ctx)
+        x = x.reshape(x.shape[0], -1, x.shape[-1])
+        return self.meta3D_layers(x, ctx)
+
+
+class EfficientFormerV1(nn.Module):
+    """NHWC EfficientFormer v1 classifier; input (b, h, w, 3)."""
+
+    patch_embed: V1ConvStem
+    intermediate_stages: tuple
+    last_stage: V1LastStage
+    layernorm: nn.LayerNorm
+    classifier: nn.Linear
+    distillation_classifier: Optional[nn.Linear] = None
+
+    def __call__(self, x, ctx=None):
+        x = self.patch_embed(x, ctx)
+        for stage in self.intermediate_stages:
+            x = stage(x, ctx)
+        t = self.layernorm(self.last_stage(x, ctx), ctx)
+        pooled = t.mean(axis=-2)
+        logits = self.classifier(pooled, ctx)
+        if self.distillation_classifier is not None:
+            logits = (logits + self.distillation_classifier(pooled, ctx)) / 2
+        return logits
+
+    @staticmethod
+    def create(
+        key: jax.Array,
+        num_classes: int = 1000,
+        hidden_sizes: tuple = (48, 96, 224, 448),
+        depths: tuple = (3, 2, 6, 4),
+        downsamples: tuple = (True, True, True, True),
+        num_attention_heads: int = 8,
+        key_dim: int = 32,
+        attention_ratio: int = 4,
+        resolution: int = 7,
+        num_meta3d_blocks: int = 1,
+        mlp_expansion_ratio: float = 4.0,
+        pool_size: int = 3,
+        use_layer_scale: bool = True,
+        layer_scale_init_value: float = 1e-5,
+        downsample_patch_size: int = 3,
+        downsample_stride: int = 2,
+        downsample_pad: int = 1,
+        layer_norm_eps: float = 1e-12,
+        bn_eps: float = 1e-5,
+        distillation: bool = True,
+        dtype=jnp.float32,
+    ) -> "EfficientFormerV1":
+        from .levit import _offset_table
+
+        keys = iter(jax.random.split(key, 8 * sum(depths) + 16))
+
+        def ls(dim):
+            return (
+                layer_scale_init_value * jnp.ones((dim,), dtype)
+                if use_layer_scale else None
+            )
+
+        def meta4d_blocks(dim, n):
+            return V1Blocks(blocks=tuple(
+                V1Meta4D(
+                    mlp=V1ConvMlp(
+                        convolution1=nn.Conv2d.create(
+                            next(keys), dim, int(dim * mlp_expansion_ratio),
+                            (1, 1), dtype=dtype,
+                        ),
+                        batchnorm_before=nn.BatchNorm2d.create(
+                            int(dim * mlp_expansion_ratio), eps=bn_eps
+                        ),
+                        convolution2=nn.Conv2d.create(
+                            next(keys), int(dim * mlp_expansion_ratio), dim,
+                            (1, 1), dtype=dtype,
+                        ),
+                        batchnorm_after=nn.BatchNorm2d.create(dim, eps=bn_eps),
+                    ),
+                    layer_scale_1=ls(dim),
+                    layer_scale_2=ls(dim),
+                    pool_size=pool_size,
+                )
+                for _ in range(n)
+            ))
+
+        n_inter = len(depths) - 1
+        inter = []
+        for i in range(n_inter):
+            inter.append(V1IntermediateStage(
+                meta4D_layers=meta4d_blocks(hidden_sizes[i], depths[i])
+            ))
+            if downsamples[i] or hidden_sizes[i] != hidden_sizes[i + 1]:
+                inter.append(V1Downsample(
+                    projection=nn.Conv2d.create(
+                        next(keys), hidden_sizes[i], hidden_sizes[i + 1],
+                        (downsample_patch_size, downsample_patch_size),
+                        stride=downsample_stride, padding=downsample_pad,
+                        dtype=dtype,
+                    ),
+                    norm=nn.BatchNorm2d.create(hidden_sizes[i + 1],
+                                               eps=bn_eps),
+                ))
+        dim = hidden_sizes[-1]
+        idxs = _offset_table(resolution, resolution, 1)
+        ekd = int(attention_ratio * key_dim)
+        meta3d = tuple(
+            V1Meta3D(
+                token_mixer=V1SelfAttention(
+                    qkv=nn.Linear.create(
+                        next(keys), dim,
+                        (2 * key_dim + ekd) * num_attention_heads, True,
+                        dtype,
+                    ),
+                    projection=nn.Linear.create(
+                        next(keys), ekd * num_attention_heads, dim, True,
+                        dtype,
+                    ),
+                    attention_biases=jnp.zeros(
+                        (num_attention_heads, int(idxs.max()) + 1), dtype
+                    ),
+                    bias_idxs=tuple(map(tuple, idxs.tolist())),
+                    n_heads=num_attention_heads,
+                    key_dim=key_dim,
+                    attention_ratio=attention_ratio,
+                ),
+                layernorm1=nn.LayerNorm.create(dim, eps=layer_norm_eps,
+                                               dtype=dtype),
+                layernorm2=nn.LayerNorm.create(dim, eps=layer_norm_eps,
+                                               dtype=dtype),
+                mlp=V1DenseMlp(
+                    linear_in=nn.Linear.create(
+                        next(keys), dim, int(dim * mlp_expansion_ratio),
+                        True, dtype,
+                    ),
+                    linear_out=nn.Linear.create(
+                        next(keys), int(dim * mlp_expansion_ratio), dim,
+                        True, dtype,
+                    ),
+                ),
+                layer_scale_1=ls(dim),
+                layer_scale_2=ls(dim),
+            )
+            for _ in range(num_meta3d_blocks)
+        )
+        return EfficientFormerV1(
+            patch_embed=V1ConvStem(
+                convolution1=nn.Conv2d.create(
+                    next(keys), 3, hidden_sizes[0] // 2, (3, 3), stride=2,
+                    padding=1, dtype=dtype,
+                ),
+                batchnorm_before=nn.BatchNorm2d.create(hidden_sizes[0] // 2,
+                                                       eps=bn_eps),
+                convolution2=nn.Conv2d.create(
+                    next(keys), hidden_sizes[0] // 2, hidden_sizes[0], (3, 3),
+                    stride=2, padding=1, dtype=dtype,
+                ),
+                batchnorm_after=nn.BatchNorm2d.create(hidden_sizes[0],
+                                                      eps=bn_eps),
+            ),
+            intermediate_stages=tuple(inter),
+            last_stage=V1LastStage(
+                meta4D_layers=meta4d_blocks(
+                    dim, depths[-1] - num_meta3d_blocks
+                ),
+                meta3D_layers=V1Blocks(blocks=meta3d),
+            ),
+            layernorm=nn.LayerNorm.create(dim, eps=layer_norm_eps,
+                                          dtype=dtype),
+            classifier=nn.Linear.create(next(keys), dim, num_classes, True,
+                                        dtype),
+            distillation_classifier=(
+                nn.Linear.create(next(keys), dim, num_classes, True, dtype)
+                if distillation else None
+            ),
+        )
+
+
+def translate_hf_efficientformer_v1_state_dict(sd: dict) -> dict:
+    """HF EfficientFormerForImageClassification(WithTeacher) -> native
+    torch-layout keys: strip ``efficientformer.``/``encoder.``, drop
+    buffers, (dim,1,1)/(1,1,dim) layer scales flatten to (dim,)."""
+    out: dict = {}
+    for k, v in sd.items():
+        if k.endswith(("num_batches_tracked", "attention_bias_idxs")):
+            continue
+        if k.startswith("efficientformer."):
+            k = k[len("efficientformer."):]
+        if k.startswith("encoder."):
+            k = k[len("encoder."):]
+        if "layer_scale" in k and getattr(v, "ndim", 1) > 1:
+            v = v.reshape(-1)
+        out[k] = v
+    return out

@@ -303,6 +303,20 @@ def translate_gpt2_state_dict(
     return out
 
 
+def translate_imagegpt_state_dict(
+    sd: dict[str, np.ndarray],
+) -> dict[str, np.ndarray]:
+    """ImageGPT shares gpt2's Conv1D layout and naming but its lm_head
+    is UNTIED (vocab_size-1 outputs, no SOS row) — keep it where the
+    gpt2 translator would drop it."""
+    head = {k: v for k, v in sd.items() if k.startswith("lm_head.")}
+    out = translate_gpt2_state_dict(
+        {k: v for k, v in sd.items() if not k.startswith("lm_head.")}
+    )
+    out.update(head)
+    return out
+
+
 def make_gpt_neox_translator(hf_cfg: dict[str, Any]):
     """HF GPTNeoX fuses q/k/v PER HEAD: ``query_key_value.weight`` is
     (n_heads*3*head_dim, dim) laid out [head0: q k v][head1: q k v]...
@@ -2079,6 +2093,8 @@ def translator_for(hf_cfg: dict[str, Any]):
         return translate_gpt_oss_state_dict
     if mt in ("gpt2", "openai-gpt", "gpt-sw3"):
         return translate_gpt2_state_dict
+    if mt == "imagegpt":
+        return translate_imagegpt_state_dict
     if mt == "ctrl":
         return translate_ctrl_state_dict
     if mt == "xlm":

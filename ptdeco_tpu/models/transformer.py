@@ -360,6 +360,7 @@ class TransformerConfig:
         # through dedicated constructors below
         beyond_llama = {
             "gpt2": _hf_gpt2,
+            "imagegpt": _hf_imagegpt,
             "gpt_neox": _hf_gpt_neox,
             "falcon": _hf_falcon,
             "starcoder2": _hf_starcoder2,
@@ -892,6 +893,7 @@ def _hf_act(act: str) -> str:
         "relu": "relu",
         "relu2": "relu2",
         "xielu": "xielu",
+        "quick_gelu": "quick_gelu",
     }
     if act not in table:
         raise ValueError(f"Unsupported hidden_act={act!r}")
@@ -932,6 +934,40 @@ def _hf_gpt2(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
         query_scale_override=(
             None if hf.get("scale_attn_weights", True) else 1.0
         ),
+        remat=remat,
+        dtype=dtype,
+    )
+
+
+def _hf_imagegpt(hf: dict, dtype: Any, remat: bool) -> "TransformerConfig":
+    """HF ImageGPTConfig -> native.  The gpt2 graph over color-cluster
+    tokens with three twists: ImageGPTLayerNorm IS RMSNorm (no mean
+    centering, no bias), quick_gelu MLPs, and an UNTIED lm_head of
+    vocab_size-1 outputs (the SOS token row exists only in the
+    embedding; modeling_imagegpt.ImageGPTForCausalImageModeling).  The
+    classification flavor mean-pools the same trunk."""
+    dim = int(hf["n_embd"])
+    n_heads = int(hf["n_head"])
+    inner = hf.get("n_inner")
+    vocab = int(hf["vocab_size"])
+    return TransformerConfig(
+        vocab_size=vocab - 1,
+        embed_vocab_size=vocab,
+        dim=dim,
+        n_layers=int(hf["n_layer"]),
+        n_heads=n_heads,
+        n_kv_heads=n_heads,
+        hidden_dim=int(inner) if inner else 4 * dim,
+        norm_eps=float(hf.get("layer_norm_epsilon", 1e-5)),
+        norm_type="rmsnorm",
+        mlp_gated=False,
+        mlp_bias=True,
+        mlp_act=_hf_act(hf.get("activation_function", "quick_gelu")),
+        qkv_bias=True,
+        o_proj_bias=True,
+        use_rope=False,
+        learned_pos=int(hf["n_positions"]),
+        tie_embeddings=False,
         remat=remat,
         dtype=dtype,
     )
@@ -4737,6 +4773,8 @@ class MLP(nn.Module):
             return jax.nn.relu(h)
         if self.act == "relu2":  # nemotron relu^2
             return jnp.square(jax.nn.relu(h))
+        if self.act == "quick_gelu":  # imagegpt/clip x*sigmoid(1.702x)
+            return h * jax.nn.sigmoid(1.702 * h)
         if self.act == "xielu":
             # HF _xielu_python: x>0 -> alpha_p x^2 + beta x; else
             # (expm1(min(x, eps)) - x) alpha_n + beta x, with

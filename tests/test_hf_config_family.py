@@ -2875,3 +2875,21 @@ def test_gemma3n_multimodal_wrapper_translator():
     native = models.Gemma3nLM.create(jax.random.PRNGKey(0), ncfg)
     native = utils.load_state_dict(native, sd, strict=False)
     _compare(hf, native, 64, atol=3e-4)
+
+
+def test_imagegpt_logits_match_hf():
+    """imagegpt (HF ImageGPTForCausalImageModeling, 128th registry row):
+    the gpt2 graph over color-cluster tokens with ImageGPTLayerNorm
+    being plain RMSNorm (no mean centering, no bias), quick_gelu MLPs,
+    and an UNTIED lm_head of vocab_size-1 outputs (the SOS row lives
+    only in the embedding).  The image-classification flavor mean-pools
+    this same trunk."""
+    cfg = transformers.ImageGPTConfig(
+        vocab_size=65, n_embd=32, n_layer=2, n_head=4, n_positions=64
+    )
+    hf = transformers.ImageGPTForCausalImageModeling(cfg).eval()
+    native, ncfg = _hf_to_native_translated(hf, cfg.to_dict())
+    assert ncfg.norm_type == "rmsnorm" and ncfg.mlp_act == "quick_gelu"
+    assert ncfg.vocab_size == 64 and ncfg.embed_vocab_size == 65
+    assert not ncfg.tie_embeddings
+    _compare(hf, native, 64, atol=4e-4)

@@ -1448,3 +1448,94 @@ def test_siglip2_classifier_logits_match_hf():
     native = utils.load_state_dict(native, sd, strict=True)
     out = np.asarray(native(jnp.asarray(xt)), np.float32)
     assert np.allclose(out, ref, atol=3e-4), np.abs(out - ref).max()
+
+
+def test_efficientformer_v1_logits_match_hf():
+    """EfficientFormer v1 (deprecated HF namespace): PoolFormer-style
+    Meta4D conv stages, one token stage with LeViT-style learned
+    relative attention biases (randomized), BN stats randomized.
+    Pinned against the PLAIN classifier: upstream's WithTeacher variant
+    crashes on a nonexistent config.hidden_size in this transformers
+    version (modeling_efficientformer.py:729)."""
+    from transformers.models.deprecated.efficientformer import (
+        configuration_efficientformer as ef_cfg,
+        modeling_efficientformer as ef_mod,
+    )
+    from ptdeco_tpu.models import efficientformer as native_mod
+
+    cfg = ef_cfg.EfficientFormerConfig(
+        hidden_sizes=[16, 32],
+        depths=[1, 2],
+        downsamples=[True, True],
+        num_attention_heads=2,
+        key_dim=8,
+        attention_ratio=2,
+        resolution=8,
+        num_meta3d_blocks=1,
+        mlp_expansion_ratio=2,
+        image_size=64,
+        num_labels=10,
+        dim=32,
+    )
+    hf = ef_mod.EfficientFormerForImageClassification(cfg).eval()
+    with torch.no_grad():
+        for name, b in hf.named_buffers():
+            if name.endswith("running_mean"):
+                b.copy_(0.2 * torch.randn_like(b))
+            elif name.endswith("running_var"):
+                b.copy_(0.5 + torch.rand_like(b))
+        for name, p in hf.named_parameters():
+            if "attention_biases" in name or "layer_scale" in name:
+                p.copy_(torch.randn_like(p))
+    native = native_mod.EfficientFormerV1.create(
+        jax.random.PRNGKey(0),
+        num_classes=10,
+        hidden_sizes=(16, 32),
+        depths=(1, 2),
+        downsamples=(True, True),
+        num_attention_heads=2,
+        key_dim=8,
+        attention_ratio=2,
+        resolution=8,
+        num_meta3d_blocks=1,
+        mlp_expansion_ratio=2,
+        distillation=False,
+    )
+    sd = native_mod.translate_hf_efficientformer_v1_state_dict(_hf_sd(hf))
+    native = utils.load_state_dict(native, sd, strict=True)
+    _compare_images(hf, native, 64, atol=3e-4)
+
+
+def test_perceiver_learned_logits_match_hf():
+    """PerceiverForImageClassificationLearned: conv1x1 + projected
+    learned positions concatenated, latent cross-attention with the
+    'kv' qk-width rule, weight-shared self-attention blocks
+    (num_blocks=2 exercises the sharing), learned-query classification
+    decoder.  Default-eps LayerNorm quirk kept."""
+    import ptdeco_tpu.models.perceiver as perceiver_mod
+
+    cfg = transformers.PerceiverConfig(
+        num_latents=8,
+        d_latents=32,
+        num_blocks=2,
+        num_self_attends_per_block=2,
+        num_self_attention_heads=4,
+        num_cross_attention_heads=2,
+        image_size=8,
+        num_labels=10,
+    )
+    hf = transformers.PerceiverForImageClassificationLearned(cfg).eval()
+    native = perceiver_mod.PerceiverImageClassifierLearned.create(
+        jax.random.PRNGKey(0),
+        num_classes=10,
+        image_size=8,
+        num_latents=8,
+        d_latents=32,
+        num_blocks=2,
+        num_self_attends_per_block=2,
+        num_self_attention_heads=4,
+        num_cross_attention_heads=2,
+    )
+    sd = perceiver_mod.translate_hf_perceiver_state_dict(_hf_sd(hf))
+    native = utils.load_state_dict(native, sd, strict=True)
+    _compare_images(hf, native, 8, atol=3e-4)
