@@ -157,6 +157,14 @@ def make_model_and_tokenizer(
                 hf_cfg, dtype=jdtype, remat=enable_gradient_checkpointing
             )
             model = models.ZambaLM.create(jax.random.PRNGKey(seed), cfg)
+        elif hf_cfg.get("model_type") == "cpmant":
+            cfg = models.CpmAntConfig.from_hf_config(hf_cfg, dtype=jdtype)
+            model = models.CpmAntLM.create(jax.random.PRNGKey(seed), cfg)
+        elif hf_cfg.get("model_type") in ("prophetnet", "xlm-prophetnet"):
+            cfg = models.ProphetNetConfig.from_hf_config(
+                hf_cfg, dtype=jdtype
+            )
+            model = models.ProphetNetLM.create(jax.random.PRNGKey(seed), cfg)
         elif hf_cfg.get("model_type") in (
             "musicgen", "musicgen_melody",
             "musicgen_decoder", "musicgen_melody_decoder",

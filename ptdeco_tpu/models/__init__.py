@@ -38,6 +38,8 @@ from .ssm import (
     ZambaConfig,
     ZambaLM,
 )
+from .cpmant import CpmAntConfig, CpmAntLM
+from .prophetnet import ProphetNetConfig, ProphetNetLM
 from .gemma3n import (
     Gemma3nConfig,
     Gemma3nLM,
@@ -121,6 +123,10 @@ __all__ = [
     "ZambaLM",
     "Gemma3nConfig",
     "Gemma3nLM",
+    "CpmAntConfig",
+    "CpmAntLM",
+    "ProphetNetConfig",
+    "ProphetNetLM",
     "MusicgenConfig",
     "MusicgenLM",
     "Attention",

@@ -2095,6 +2095,14 @@ def translator_for(hf_cfg: dict[str, Any]):
         return translate_gpt2_state_dict
     if mt == "imagegpt":
         return translate_imagegpt_state_dict
+    if mt == "cpmant":
+        from .cpmant import translate_hf_cpmant_state_dict
+
+        return translate_hf_cpmant_state_dict
+    if mt in ("prophetnet", "xlm-prophetnet"):
+        from .prophetnet import translate_hf_prophetnet_state_dict
+
+        return translate_hf_prophetnet_state_dict
     if mt == "ctrl":
         return translate_ctrl_state_dict
     if mt == "xlm":

@@ -522,7 +522,10 @@ class TransformerConfig:
             # mlp_only_layers), shared experts are ungated at
             # moe_intermediate_size * n_shared_experts
             n_experts = int(hf["n_routed_experts"])
-            top_k = int(hf.get("num_experts_per_tok", 8))
+            # HF's DEFAULT DeepseekV2Config carries num_experts_per_tok=None
+            # (real checkpoints always set it); fall back like upstream's
+            # gate does rather than crashing on int(None)
+            top_k = int(hf.get("num_experts_per_tok") or 8)
             norm_topk = bool(hf.get("norm_topk_prob", False))
             moe_hidden = int(hf["moe_intermediate_size"])
             mlp_only = tuple(range(int(hf.get("first_k_dense_replace", 0))))
