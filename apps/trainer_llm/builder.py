@@ -160,6 +160,12 @@ def make_model_and_tokenizer(
         elif hf_cfg.get("model_type") == "cpmant":
             cfg = models.CpmAntConfig.from_hf_config(hf_cfg, dtype=jdtype)
             model = models.CpmAntLM.create(jax.random.PRNGKey(seed), cfg)
+        elif hf_cfg.get("model_type") == "xlnet":
+            cfg = models.XLNetConfig.from_hf_config(hf_cfg, dtype=jdtype)
+            model = models.XLNetLM.create(jax.random.PRNGKey(seed), cfg)
+        elif hf_cfg.get("model_type") == "transfo-xl":
+            cfg = models.TransfoXLConfig.from_hf_config(hf_cfg, dtype=jdtype)
+            model = models.TransfoXLLM.create(jax.random.PRNGKey(seed), cfg)
         elif hf_cfg.get("model_type") in ("prophetnet", "xlm-prophetnet"):
             cfg = models.ProphetNetConfig.from_hf_config(
                 hf_cfg, dtype=jdtype

@@ -40,6 +40,8 @@ from .ssm import (
 )
 from .cpmant import CpmAntConfig, CpmAntLM
 from .prophetnet import ProphetNetConfig, ProphetNetLM
+from .transfoxl import TransfoXLConfig, TransfoXLLM
+from .xlnet import XLNetConfig, XLNetLM
 from .gemma3n import (
     Gemma3nConfig,
     Gemma3nLM,
@@ -127,6 +129,10 @@ __all__ = [
     "CpmAntLM",
     "ProphetNetConfig",
     "ProphetNetLM",
+    "XLNetConfig",
+    "XLNetLM",
+    "TransfoXLConfig",
+    "TransfoXLLM",
     "MusicgenConfig",
     "MusicgenLM",
     "Attention",

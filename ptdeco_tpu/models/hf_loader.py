@@ -2103,6 +2103,14 @@ def translator_for(hf_cfg: dict[str, Any]):
         from .prophetnet import translate_hf_prophetnet_state_dict
 
         return translate_hf_prophetnet_state_dict
+    if mt == "xlnet":
+        from .xlnet import translate_hf_xlnet_state_dict
+
+        return translate_hf_xlnet_state_dict
+    if mt == "transfo-xl":
+        from .transfoxl import translate_hf_transfo_xl_state_dict
+
+        return translate_hf_transfo_xl_state_dict
     if mt == "ctrl":
         return translate_ctrl_state_dict
     if mt == "xlm":

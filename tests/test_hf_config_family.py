@@ -3000,3 +3000,87 @@ def test_xlm_prophetnet_logits_match_hf():
         ref = ref.to(torch.float32).numpy()
     out = np.asarray(native({"input_ids": jnp.asarray(ids)}), np.float32)
     assert np.allclose(out, ref, atol=8e-4), np.abs(out - ref).max()
+
+
+def test_xlnet_logits_match_hf():
+    """xlnet (HF XLNetLMHeadModel, standard no-perm_mask usage): the
+    two-stream machinery degenerates to the content stream with fully
+    bidirectional Transformer-XL relative attention (rel_shift trick,
+    r_w/r_r biases), post-LN blocks, biased tied head.  The per-head
+    q/k/v/o/r tensors are reshaped into Linear kernels (decomposable
+    sites) by the translator."""
+    cfg = transformers.XLNetConfig(
+        vocab_size=128, d_model=32, n_layer=2, n_head=4, d_head=8,
+        d_inner=64,
+    )
+    hf = transformers.XLNetLMHeadModel(cfg).eval()
+    from ptdeco_tpu.models import xlnet as xlnet_mod
+
+    ncfg = xlnet_mod.XLNetConfig.from_hf_config(
+        cfg.to_dict(), dtype=jnp.float32
+    )
+    native = xlnet_mod.XLNetLM.create(jax.random.PRNGKey(0), ncfg)
+    sd = xlnet_mod.translate_hf_xlnet_state_dict(
+        {k: v.detach().to(torch.float32).numpy()
+         for k, v in hf.state_dict().items()}
+    )
+    native = utils.load_state_dict(native, sd, strict=True)
+    rng = np.random.RandomState(0)
+    ids = rng.randint(0, 128, (2, 12))
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(ids), use_mems=False).logits
+        ref = ref.to(torch.float32).numpy()
+    out = np.asarray(native({"input_ids": jnp.asarray(ids)}), np.float32)
+    assert np.allclose(out, ref, atol=4e-4), np.abs(out - ref).max()
+
+
+def test_transfo_xl_logprobs_match_hf():
+    """transfo-xl (deprecated namespace): mem_len ZERO memories prepended
+    on the first forward (their position terms still shape the
+    softmax), relative partial-learnable attention with the zero-pad
+    rel_shift, adaptive embeddings (div_val clusters) and the projected
+    adaptive log-softmax head - prediction_scores are LOG PROBABILITIES
+    and are compared as such.  same_length masking on.
+
+    Upstream is BROKEN in this transformers version: the forward calls
+    ``.type_as(dtype=...)`` (modeling_transfo_xl.py:941), a TypeError on
+    every run.  The live oracle is repaired with a temporary type_as
+    shim that restores the intended dtype cast (same precedent as the
+    dwain stride-bug repair in the golden generators)."""
+    from transformers.models.deprecated.transfo_xl import (
+        configuration_transfo_xl as tc,
+        modeling_transfo_xl as tm,
+    )
+    cfg = tc.TransfoXLConfig(
+        vocab_size=96, cutoffs=[32, 64], d_model=32, d_embed=32,
+        n_head=4, d_head=8, d_inner=64, div_val=2, n_layer=2,
+        mem_len=4, clamp_len=8, same_length=True,
+    )
+    hf = tm.TransfoXLLMHeadModel(cfg).eval()
+    from ptdeco_tpu.models import transfoxl as txl_mod
+
+    ncfg = txl_mod.TransfoXLConfig.from_hf_config(
+        cfg.to_dict(), dtype=jnp.float32
+    )
+    native = txl_mod.TransfoXLLM.create(jax.random.PRNGKey(0), ncfg)
+    sd = txl_mod.translate_hf_transfo_xl_state_dict(
+        {k: v.detach().to(torch.float32).numpy()
+         for k, v in hf.state_dict().items()}
+    )
+    native = utils.load_state_dict(native, sd, strict=True)
+    rng = np.random.RandomState(0)
+    ids = rng.randint(0, 96, (2, 10))
+    orig_type_as = torch.Tensor.type_as
+    try:
+        def _type_as_shim(self, other=None, dtype=None):
+            return self.to(dtype if other is None else other.dtype)
+
+        torch.Tensor.type_as = _type_as_shim
+        with torch.no_grad():
+            ref = hf(torch.from_numpy(ids)).prediction_scores
+    finally:
+        torch.Tensor.type_as = orig_type_as
+    ref = ref.to(torch.float32).numpy()
+    out = np.asarray(native({"input_ids": jnp.asarray(ids)}), np.float32)
+    assert out.shape == ref.shape, (out.shape, ref.shape)
+    assert np.allclose(out, ref, atol=4e-4), np.abs(out - ref).max()
