@@ -163,6 +163,12 @@ def make_model_and_tokenizer(
         elif hf_cfg.get("model_type") == "xlnet":
             cfg = models.XLNetConfig.from_hf_config(hf_cfg, dtype=jdtype)
             model = models.XLNetLM.create(jax.random.PRNGKey(seed), cfg)
+        elif hf_cfg.get("model_type") == "reformer":
+            cfg = models.ReformerConfig.from_hf_config(hf_cfg, dtype=jdtype)
+            model = models.ReformerLM.create(jax.random.PRNGKey(seed), cfg)
+        elif hf_cfg.get("model_type") == "mega":
+            cfg = models.MegaConfig.from_hf_config(hf_cfg, dtype=jdtype)
+            model = models.MegaLM.create(jax.random.PRNGKey(seed), cfg)
         elif hf_cfg.get("model_type") == "transfo-xl":
             cfg = models.TransfoXLConfig.from_hf_config(hf_cfg, dtype=jdtype)
             model = models.TransfoXLLM.create(jax.random.PRNGKey(seed), cfg)

@@ -40,6 +40,8 @@ from .ssm import (
 )
 from .cpmant import CpmAntConfig, CpmAntLM
 from .prophetnet import ProphetNetConfig, ProphetNetLM
+from .mega import MegaConfig, MegaLM
+from .reformer import ReformerConfig, ReformerLM
 from .transfoxl import TransfoXLConfig, TransfoXLLM
 from .xlnet import XLNetConfig, XLNetLM
 from .gemma3n import (
@@ -133,6 +135,10 @@ __all__ = [
     "XLNetLM",
     "TransfoXLConfig",
     "TransfoXLLM",
+    "MegaConfig",
+    "MegaLM",
+    "ReformerConfig",
+    "ReformerLM",
     "MusicgenConfig",
     "MusicgenLM",
     "Attention",

@@ -2111,6 +2111,14 @@ def translator_for(hf_cfg: dict[str, Any]):
         from .transfoxl import translate_hf_transfo_xl_state_dict
 
         return translate_hf_transfo_xl_state_dict
+    if mt == "mega":
+        from .mega import translate_hf_mega_state_dict
+
+        return translate_hf_mega_state_dict
+    if mt == "reformer":
+        from .reformer import translate_hf_reformer_state_dict
+
+        return translate_hf_reformer_state_dict
     if mt == "ctrl":
         return translate_ctrl_state_dict
     if mt == "xlm":
