@@ -163,6 +163,9 @@ def make_model_and_tokenizer(
         elif hf_cfg.get("model_type") == "xlnet":
             cfg = models.XLNetConfig.from_hf_config(hf_cfg, dtype=jdtype)
             model = models.XLNetLM.create(jax.random.PRNGKey(seed), cfg)
+        elif hf_cfg.get("model_type") == "blt":
+            cfg = models.BltConfig.from_hf_config(hf_cfg, dtype=jdtype)
+            model = models.BltLM.create(jax.random.PRNGKey(seed), cfg)
         elif hf_cfg.get("model_type") == "reformer":
             cfg = models.ReformerConfig.from_hf_config(hf_cfg, dtype=jdtype)
             model = models.ReformerLM.create(jax.random.PRNGKey(seed), cfg)

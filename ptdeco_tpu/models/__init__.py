@@ -40,6 +40,7 @@ from .ssm import (
 )
 from .cpmant import CpmAntConfig, CpmAntLM
 from .prophetnet import ProphetNetConfig, ProphetNetLM
+from .blt import BltConfig, BltLM
 from .mega import MegaConfig, MegaLM
 from .reformer import ReformerConfig, ReformerLM
 from .transfoxl import TransfoXLConfig, TransfoXLLM
@@ -139,6 +140,8 @@ __all__ = [
     "MegaLM",
     "ReformerConfig",
     "ReformerLM",
+    "BltConfig",
+    "BltLM",
     "MusicgenConfig",
     "MusicgenLM",
     "Attention",

@@ -2119,6 +2119,10 @@ def translator_for(hf_cfg: dict[str, Any]):
         from .reformer import translate_hf_reformer_state_dict
 
         return translate_hf_reformer_state_dict
+    if mt == "blt":
+        from .blt import translate_hf_blt_state_dict
+
+        return translate_hf_blt_state_dict
     if mt == "ctrl":
         return translate_ctrl_state_dict
     if mt == "xlm":
