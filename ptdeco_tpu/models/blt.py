@@ -28,7 +28,7 @@ All q/k/v/o/gate/up/down/projection matmuls are decomposable
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Optional
 
 import jax
