@@ -1539,3 +1539,44 @@ def test_perceiver_learned_logits_match_hf():
     sd = perceiver_mod.translate_hf_perceiver_state_dict(_hf_sd(hf))
     native = utils.load_state_dict(native, sd, strict=True)
     _compare_images(hf, native, 8, atol=3e-4)
+
+
+def test_image_classification_mapping_complete_coverage():
+    """EVERY model_type in transformers' MODEL_FOR_IMAGE_CLASSIFICATION
+    mapping is either dispatchable by the snapshot builder or on the
+    documented-exceptions list (absent packages / upstream-broken /
+    out-of-scope multimodal prompt wrappers) — the completeness pin for
+    the reference's any-timm-model coverage
+    (/root/reference/examples/trainer_vision/builder.py:134-144)."""
+    import inspect
+
+    from transformers.models.auto.modeling_auto import (
+        MODEL_FOR_IMAGE_CLASSIFICATION_MAPPING_NAMES as MAPPING,
+    )
+    from apps.trainer_vision import builder
+
+    exceptions = {
+        # require the absent natten package (upstream ImportError)
+        "dinat", "nat",
+        # requires the absent timm package
+        "timm_wrapper",
+        # upstream _init_weights dereferences mask_token.data on None -
+        # the model cannot be instantiated (modeling_vit_hybrid.py:515)
+        "vit_hybrid",
+        # prompt-based multimodal safety wrapper over Gemma3 (yes/no
+        # token logits, processor-assembled prompts) - not an image
+        # pipeline classifier; its gemma3_text trunk and siglip vision
+        # tower graphs are both covered elsewhere in this repo
+        "shieldgemma2",
+        # consumes color-cluster TOKEN ids, not pixels - covered by the
+        # LLM-side generic constructor (test_imagegpt_logits_match_hf);
+        # the classification flavor mean-pools the same trunk
+        "imagegpt",
+    }
+    src = inspect.getsource(builder)
+    uncovered = [
+        mt for mt in sorted(MAPPING)
+        if mt not in exceptions
+        and f'"{mt}"' not in src
+    ]
+    assert not uncovered, uncovered
