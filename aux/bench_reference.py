@@ -99,10 +99,20 @@ def run(precompute: bool) -> float:
 
 
 def main() -> None:
+    import argparse
     import json
 
-    serial = run(precompute=False)
-    pre = run(precompute=True)
+    parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "--repeats",
+        type=int,
+        default=1,
+        help="runs per mode; the reported number is the min (bench.py "
+        "passes 2, mirroring its own min-of-two-hot-runs policy)",
+    )
+    args = parser.parse_args()
+    serial = min(run(precompute=False) for _ in range(args.repeats))
+    pre = min(run(precompute=True) for _ in range(args.repeats))
     print(
         json.dumps(
             {"dwain_mlp_wall_s": round(serial, 2),

@@ -25,9 +25,15 @@ publishes no numbers — BASELINE_MEASURED.md):
     workload, baseline 36.75s), exact host-f64 LAPACK eigh.
 
 vs_baseline = reference_seconds / our_seconds (higher is better), same mode
-on both sides.  We report the second of two hot runs plus the run-to-run
-band; the first run pays XLA compilation (amortized by the persistent
-compilation cache; the reference pays no compile cost).
+on both sides.  The reference is measured LIVE in the same bench invocation
+(subprocess of aux/bench_reference.py, min of 2 runs per mode) so both
+implementations see the same ambient host conditions — on this shared
+single-core host the reference's own wall-clock swings ~2x with load, which
+made ratios against a frozen recorded constant swing identically; the
+recorded BASELINE_MEASURED.json constants remain the fallback when the
+reference tree is absent.  We report the min of two hot runs plus the
+run-to-run band; the first run pays XLA compilation (amortized by the
+persistent compilation cache; the reference pays no compile cost).
 
 Also reported: host->device dispatch counts (the dominant overhead on this
 tunneled transport, ~100ms each) and the calibration-forward MFU.
@@ -35,6 +41,7 @@ tunneled transport, ~100ms each) and the calibration-forward MFU.
 
 import json
 import time
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -153,6 +160,39 @@ def measure_calibration_mfu() -> dict:
     }
 
 
+def _measure_reference_live(timeout_s: float = 1200.0) -> Optional[dict]:
+    """Run the torch reference on this host NOW (aux/bench_reference.py in a
+    subprocess, min of 2 runs per mode — mirroring our min-of-two-hot-runs
+    policy) so vs_baseline compares both implementations under the SAME
+    ambient CPU conditions.  The recorded BASELINE_MEASURED.json constants
+    are weeks old; on this shared single-core host the reference's own
+    wall-clock swings ~2x with load, which made the ratio of a live ours to
+    a frozen baseline swing identically (NOTES_ROUND3.md 'Known limits').
+    Returns None (fall back to the recorded constants) if the reference
+    tree is absent or the run fails."""
+    import pathlib
+    import subprocess
+    import sys
+
+    script = pathlib.Path(__file__).parent / "aux" / "bench_reference.py"
+    if not pathlib.Path("/root/reference/src/ptdeco").exists():
+        return None
+    if not script.exists():
+        return None
+    try:
+        r = subprocess.run(
+            [sys.executable, str(script), "--repeats", "2"],
+            timeout=timeout_s,
+            capture_output=True,
+            text=True,
+        )
+        if r.returncode != 0:
+            return None
+        return json.loads(r.stdout.strip().splitlines()[-1])
+    except Exception:
+        return None
+
+
 def _backend_available(timeout_s: float = 600.0) -> bool:
     """Bounded device-availability probe.  The axon plugin dials the
     tunnel relay inside PJRT init and, when the relay is down, blocks for
@@ -198,18 +238,31 @@ def main() -> None:
 
     enable_compilation_cache()
 
+    # Measure the torch reference LIVE first (before our runs queue device
+    # work), so both sides see the same ambient host conditions; fall back
+    # to the recorded constants when the reference tree is absent.
+    live = _measure_reference_live()
+    baselines = dict(_BASELINES)
+    if live is not None:
+        baselines["serial"] = live["dwain_mlp_wall_s"]
+        baselines["precompute"] = live.get(
+            "dwain_mlp_precompute_wall_s", baselines["precompute"]
+        )
+    baseline_source = "live_same_run" if live is not None else "recorded"
+
     results = {}
     for mode in ("precompute", "serial", "serial-exact-f64"):
         warm, _, _ = run_once(mode)
         hot1, d1, _ = run_once(mode)
         hot2, d2, _ = run_once(mode)
         hot = min(hot1, hot2)
-        base = _BASELINES["precompute" if mode == "precompute" else "serial"]
+        base = baselines["precompute" if mode == "precompute" else "serial"]
         results[mode] = {
             "hot_s": round(hot, 3),
             "runs_s": [round(warm, 3), round(hot1, 3), round(hot2, 3)],
             "dispatches": d2,
             "baseline_reference_torch_cpu_s": base,
+            "baseline_source": baseline_source,
             "vs_baseline": round(base / hot, 2) if base == base else None,
         }
 
