@@ -148,5 +148,11 @@ class FinetuneConfig(_VersionConfig):
 
     mesh_dp: Optional[int] = None
     mesh_tp: int = 1
+    # expert parallelism: stack eligible MoE layers
+    # (models.stack_moe_experts) and shard the expert axis over an ep
+    # mesh axis — each device stores E/ep experts.  Layers whose experts
+    # are decomposed/LoRA'd stay in tuple form (logged) and ep does not
+    # apply to them.
+    mesh_ep: int = 1
 
     model_config = pydantic.ConfigDict(extra="forbid")

@@ -63,6 +63,16 @@ def main(config_raw: dict[str, Any], output_path: pathlib.Path) -> None:
     model = builder.apply_decompose_config_and_state_dict(
         model, config.decompose_config, config.decompose_state_dict
     )
+    stacked_moe = False
+    if config.mesh_ep > 1:
+        # expert parallelism: stack eligible MoE layers so their (E, ...)
+        # tensors shard over the ep mesh axis; decomposed/ineligible
+        # layers stay in tuple form (stack_moe_experts logs each skip).
+        # Must happen BEFORE LoRA attach (stacked layers expose no
+        # per-expert Linear sites) — decomposed factor-pair targets live
+        # in layers that stay unstacked, so the two compose.
+        model = models.stack_moe_experts(model)
+        stacked_moe = True
 
     train_ds = datasets_hf.get_dataset(config.train_data_name)
     train_loader = datasets_hf.prepare_dataloader_v1(
@@ -114,8 +124,14 @@ def main(config_raw: dict[str, Any], output_path: pathlib.Path) -> None:
         )
         lora_names.append(name)
     mesh = None
-    if config.mesh_dp is not None or config.mesh_tp > 1:
-        mesh = parallel.make_mesh(dp=config.mesh_dp, tp=config.mesh_tp)
+    if (
+        config.mesh_dp is not None
+        or config.mesh_tp > 1
+        or config.mesh_ep > 1
+    ):
+        mesh = parallel.make_mesh(
+            dp=config.mesh_dp, tp=config.mesh_tp, ep=config.mesh_ep
+        )
         model = psh.shard_params(model, mesh)
         logger.info(f"Using mesh {dict(mesh.shape)}")
 
@@ -222,6 +238,9 @@ def main(config_raw: dict[str, Any], output_path: pathlib.Path) -> None:
 
     ppl_after = metrics.calc_perplexity(model, ppl_loader.one_epoch())
 
+    if stacked_moe:
+        # back to the tuple-of-expert checkpoint form before export
+        model = models.unstack_moe_experts(model)
     sd = utils.state_dict(model)
     utils.save_state_dict_pt(sd, str(output_path / "finetuned_state_dict.pt"))
 

@@ -1,4 +1,5 @@
 from .mlp import MLP, make_mlp
+from .moe_stack import StackedMoEMLP, stack_moe_experts, unstack_moe_experts
 from .convnext import ConvNeXt, convnext_small, convnext_tiny, convnextv2_tiny
 from .efficientformer import (
     EfficientFormerV1,
@@ -150,6 +151,9 @@ __all__ = [
     "CausalLM",
     "TransformerMLP",
     "MoEMLP",
+    "StackedMoEMLP",
+    "stack_moe_experts",
+    "unstack_moe_experts",
     "TransformerConfig",
     "PrunedSublayer",
     "ce_loss",

@@ -4855,6 +4855,96 @@ class MLP(nn.Module):
         )
 
 
+
+
+def _moe_routing(
+    mod: Any, n_experts: int, x: jax.Array, ctx: Optional["nn.Ctx"]
+) -> tuple[jax.Array, jax.Array]:
+    """Top-k expert ids and combine weights; HF computes the scores
+    in f32 regardless of activation dtype and casts the (optionally
+    renormalized) top-k weights back.
+
+    Shared by ``MoEMLP`` (tuple-of-expert form) and ``StackedMoEMLP``
+    (the ep-shardable stacked serving form, models/moe_stack.py) — ``m``
+    is any module carrying the router Linear (``gate``) and the routing
+    static fields.
+
+    Deepseek extensions on top of the mixtral/qwen softmax-top-k:
+    sigmoid scores (v3), a selection-only correction bias, and
+    group-limited choice (experts partitioned into n_group groups,
+    only the best topk_group groups eligible; group score is the max
+    member for v2's group_limited_greedy, the top-2 sum for v3's
+    noaux_tc); combine weights always come from the RAW scores at the
+    selected indices, scaled by routed_scaling."""
+    logits = mod.gate(x, ctx).astype(jnp.float32)
+    if mod.sparsemixer:  # phimoe, eval path of HF sparsemixer()
+        neg = jnp.finfo(jnp.float32).min
+
+        def pick(scores, base):
+            # mask experts whose relative gap to the max exceeds
+            # 2*jitter_eps, softmax the REMAINING base scores, and
+            # take the max element's weight
+            m = jnp.max(scores, axis=-1, keepdims=True)
+            idx = jnp.argmax(scores, axis=-1)
+            factor = jnp.maximum(jnp.abs(logits), m)
+            drop = (m - logits) / factor > 2 * mod.jitter_eps
+            gates = jax.nn.softmax(
+                jnp.where(drop, neg, base), axis=-1
+            )
+            w = jnp.take_along_axis(gates, idx[..., None], axis=-1)
+            return w[..., 0], idx
+
+        w1, idx1 = pick(logits, logits)
+        masked = jnp.where(
+            jax.nn.one_hot(idx1, n_experts, dtype=bool), neg, logits
+        )
+        w2, idx2 = pick(masked, masked)
+        return (
+            jnp.stack([w1, w2], axis=-1),
+            jnp.stack([idx1, idx2], axis=-1),
+        )
+    if mod.topk_then_sigmoid:  # llama4 Llama4Router
+        top_logits, top_idx = jax.lax.top_k(logits, mod.top_k)
+        return jax.nn.sigmoid(top_logits), top_idx
+    if mod.softmax_after_topk:  # gpt_oss GptOssTopKRouter
+        top_logits, top_idx = jax.lax.top_k(logits, mod.top_k)
+        return jax.nn.softmax(top_logits, axis=-1), top_idx
+    if mod.score_func == "sigmoid":
+        scores = jax.nn.sigmoid(logits)
+    else:
+        scores = jax.nn.softmax(logits, axis=-1)
+    choice = scores
+    if mod.gate_correction_bias is not None:
+        choice = choice + mod.gate_correction_bias.astype(jnp.float32)
+    if mod.n_group > 1:
+        g = choice.reshape(*choice.shape[:-1], mod.n_group, -1)
+        if mod.group_top2_sum:
+            group_scores = jnp.sum(jax.lax.top_k(g, 2)[0], axis=-1)
+        else:
+            group_scores = jnp.max(g, axis=-1)
+        _, group_idx = jax.lax.top_k(group_scores, mod.topk_group)
+        group_mask = jnp.sum(
+            jax.nn.one_hot(group_idx, mod.n_group, dtype=jnp.float32),
+            axis=-2,
+        )  # (..., n_group)
+        expert_mask = jnp.repeat(
+            group_mask, n_experts // mod.n_group, axis=-1
+        )
+        choice = jnp.where(expert_mask > 0, choice, 0.0)
+    _, top_idx = jax.lax.top_k(choice, mod.top_k)
+    top_vals = jnp.take_along_axis(scores, top_idx, axis=-1)
+    if mod.norm_topk:
+        denom = jnp.sum(top_vals, axis=-1, keepdims=True)
+        if mod.score_func == "sigmoid":
+            denom = denom + 1e-20  # HF v3 epsilon
+        if mod.norm_min > 0.0:  # ernie4_5_moe clamp
+            denom = jnp.maximum(denom, mod.norm_min)
+        top_vals = top_vals / denom
+    if mod.routed_scaling != 1.0:
+        top_vals = top_vals * jnp.float32(mod.routed_scaling)
+    return top_vals, top_idx
+
+
 class MoEMLP(nn.Module):
     """Top-k-routed mixture of expert MLPs (Mixtral / Qwen2-MoE / Qwen3-MoE).
 
@@ -4963,85 +5053,9 @@ class MoEMLP(nn.Module):
     def _routing(
         self, x: jax.Array, ctx: Optional[nn.Ctx]
     ) -> tuple[jax.Array, jax.Array]:
-        """Top-k expert ids and combine weights; HF computes the scores
-        in f32 regardless of activation dtype and casts the (optionally
-        renormalized) top-k weights back.
-
-        Deepseek extensions on top of the mixtral/qwen softmax-top-k:
-        sigmoid scores (v3), a selection-only correction bias, and
-        group-limited choice (experts partitioned into n_group groups,
-        only the best topk_group groups eligible; group score is the max
-        member for v2's group_limited_greedy, the top-2 sum for v3's
-        noaux_tc); combine weights always come from the RAW scores at the
-        selected indices, scaled by routed_scaling."""
-        n_experts = len(self.experts) + self.n_zero_experts
-        logits = self.gate(x, ctx).astype(jnp.float32)
-        if self.sparsemixer:  # phimoe, eval path of HF sparsemixer()
-            neg = jnp.finfo(jnp.float32).min
-
-            def pick(scores, base):
-                # mask experts whose relative gap to the max exceeds
-                # 2*jitter_eps, softmax the REMAINING base scores, and
-                # take the max element's weight
-                m = jnp.max(scores, axis=-1, keepdims=True)
-                idx = jnp.argmax(scores, axis=-1)
-                factor = jnp.maximum(jnp.abs(logits), m)
-                drop = (m - logits) / factor > 2 * self.jitter_eps
-                gates = jax.nn.softmax(
-                    jnp.where(drop, neg, base), axis=-1
-                )
-                w = jnp.take_along_axis(gates, idx[..., None], axis=-1)
-                return w[..., 0], idx
-
-            w1, idx1 = pick(logits, logits)
-            masked = jnp.where(
-                jax.nn.one_hot(idx1, n_experts, dtype=bool), neg, logits
-            )
-            w2, idx2 = pick(masked, masked)
-            return (
-                jnp.stack([w1, w2], axis=-1),
-                jnp.stack([idx1, idx2], axis=-1),
-            )
-        if self.topk_then_sigmoid:  # llama4 Llama4Router
-            top_logits, top_idx = jax.lax.top_k(logits, self.top_k)
-            return jax.nn.sigmoid(top_logits), top_idx
-        if self.softmax_after_topk:  # gpt_oss GptOssTopKRouter
-            top_logits, top_idx = jax.lax.top_k(logits, self.top_k)
-            return jax.nn.softmax(top_logits, axis=-1), top_idx
-        if self.score_func == "sigmoid":
-            scores = jax.nn.sigmoid(logits)
-        else:
-            scores = jax.nn.softmax(logits, axis=-1)
-        choice = scores
-        if self.gate_correction_bias is not None:
-            choice = choice + self.gate_correction_bias.astype(jnp.float32)
-        if self.n_group > 1:
-            g = choice.reshape(*choice.shape[:-1], self.n_group, -1)
-            if self.group_top2_sum:
-                group_scores = jnp.sum(jax.lax.top_k(g, 2)[0], axis=-1)
-            else:
-                group_scores = jnp.max(g, axis=-1)
-            _, group_idx = jax.lax.top_k(group_scores, self.topk_group)
-            group_mask = jnp.sum(
-                jax.nn.one_hot(group_idx, self.n_group, dtype=jnp.float32),
-                axis=-2,
-            )  # (..., n_group)
-            expert_mask = jnp.repeat(
-                group_mask, n_experts // self.n_group, axis=-1
-            )
-            choice = jnp.where(expert_mask > 0, choice, 0.0)
-        _, top_idx = jax.lax.top_k(choice, self.top_k)
-        top_vals = jnp.take_along_axis(scores, top_idx, axis=-1)
-        if self.norm_topk:
-            denom = jnp.sum(top_vals, axis=-1, keepdims=True)
-            if self.score_func == "sigmoid":
-                denom = denom + 1e-20  # HF v3 epsilon
-            if self.norm_min > 0.0:  # ernie4_5_moe clamp
-                denom = jnp.maximum(denom, self.norm_min)
-            top_vals = top_vals / denom
-        if self.routed_scaling != 1.0:
-            top_vals = top_vals * jnp.float32(self.routed_scaling)
-        return top_vals, top_idx
+        return _moe_routing(
+            self, len(self.experts) + self.n_zero_experts, x, ctx
+        )
 
     def _grouped(self, x: jax.Array, ctx: Optional[nn.Ctx]) -> jax.Array:
         n_experts = len(self.experts)

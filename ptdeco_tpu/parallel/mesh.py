@@ -33,6 +33,7 @@ __all__ = [
 
 DP_AXIS = "dp"
 SP_AXIS = "sp"
+EP_AXIS = "ep"
 TP_AXIS = "tp"
 
 
@@ -58,36 +59,49 @@ def make_mesh(
     dp: Optional[int] = None,
     tp: int = 1,
     sp: int = 1,
+    ep: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """Create a (dp[, sp], tp) mesh.  With dp=None, use all devices/(tp*sp).
+    """Create a (dp[, sp][, ep], tp) mesh.  With dp=None, use all
+    devices/(tp*sp*ep).
 
     ``sp`` (sequence parallel) adds a mesh axis for sharding the SEQUENCE
     dimension of calibration batches (see ``shard_batch_seq``).  The Gram
     accumulators are sums over flattened (B*S) rows, so sequence sharding
     is exact for calibration, the honest sp story for this workload
-    (SURVEY.md §5 "long-context").  When sp == 1 the mesh stays 2-axis for
-    backward compatibility."""
+    (SURVEY.md §5 "long-context").
+
+    ``ep`` (expert parallel) adds a mesh axis for sharding the leading
+    expert dimension of stacked MoE tensors
+    (``models.stack_moe_experts``; rules in parallel/shardings.py) —
+    each device stores and computes E/ep experts.
+
+    Axes with extent 1 are omitted so existing 2-axis (dp, tp) consumers
+    keep working unchanged."""
     devices = list(devices if devices is not None else jax.devices())
+    model = tp * sp * ep
     if dp is None:
-        dp = len(devices) // (tp * sp)
-    elif dp * tp * sp < len(devices):
+        dp = len(devices) // model
+    elif dp * model < len(devices):
         # an explicit dp requests that many data-parallel groups — use the
-        # first dp*sp*tp devices rather than failing on larger hosts; say
-        # so, or a typo'd dp leaves devices idle with no signal
+        # first dp*sp*ep*tp devices rather than failing on larger hosts;
+        # say so, or a typo'd dp leaves devices idle with no signal
         logging.getLogger(__name__).warning(
-            "make_mesh(dp=%d, sp=%d, tp=%d) uses %d of %d devices "
+            "make_mesh(dp=%d, sp=%d, ep=%d, tp=%d) uses %d of %d devices "
             "(%d left idle)",
-            dp, sp, tp, dp * sp * tp, len(devices),
-            len(devices) - dp * sp * tp,
+            dp, sp, ep, tp, dp * model, len(devices),
+            len(devices) - dp * model,
         )
-        devices = devices[: dp * tp * sp]
-    assert dp * tp * sp == len(devices), (dp, sp, tp, len(devices))
-    if sp == 1:
-        arr = np.asarray(devices).reshape(dp, tp)
-        return Mesh(arr, (DP_AXIS, TP_AXIS))
-    arr = np.asarray(devices).reshape(dp, sp, tp)
-    return Mesh(arr, (DP_AXIS, SP_AXIS, TP_AXIS))
+        devices = devices[: dp * model]
+    assert dp * model == len(devices), (dp, sp, ep, tp, len(devices))
+    dims = [(DP_AXIS, dp)]
+    if sp > 1:
+        dims.append((SP_AXIS, sp))
+    if ep > 1:
+        dims.append((EP_AXIS, ep))
+    dims.append((TP_AXIS, tp))
+    arr = np.asarray(devices).reshape([n for _, n in dims])
+    return Mesh(arr, tuple(a for a, _ in dims))
 
 
 def local_mesh(n: Optional[int] = None) -> Mesh:

@@ -23,13 +23,25 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .. import nn
-from .mesh import TP_AXIS
+from .mesh import EP_AXIS, TP_AXIS
 
 __all__ = ["transformer_tp_rules", "shard_params", "sharding_tree"]
 
 # (regex on dotted param name, PartitionSpec) — first match wins.
 # Kernels are (in, out); embeddings (vocab, dim).
 transformer_tp_rules: list[tuple[str, P]] = [
+    # stacked MoE expert tensors (models.stack_moe_experts): the leading
+    # expert axis shards over ep — true expert parallelism (each device
+    # stores E/ep experts) — and the per-expert layout composes the usual
+    # Megatron column/row TP.  On meshes without an ep (or tp) axis the
+    # missing axis is stripped by sharding_tree, so the same rules serve
+    # ep-only, tp-only and ep x tp meshes.
+    (r".*\.w_gate$", P(EP_AXIS, None, TP_AXIS)),
+    (r".*\.w_up$", P(EP_AXIS, None, TP_AXIS)),
+    (r".*\.w_down$", P(EP_AXIS, TP_AXIS, None)),
+    (r".*\.b_gate$", P(EP_AXIS, TP_AXIS)),
+    (r".*\.b_up$", P(EP_AXIS, TP_AXIS)),
+    (r".*\.b_down$", P(EP_AXIS, None)),
     (r".*(q_proj|k_proj|v_proj|gate_proj|up_proj)\.kernel$", P(None, TP_AXIS)),
     (r".*(q_proj|k_proj|v_proj|gate_proj|up_proj)\.bias$", P(TP_AXIS)),
     (r".*(o_proj|down_proj)\.kernel$", P(TP_AXIS, None)),
@@ -72,7 +84,10 @@ def sharding_tree(
     def assign(leaf):
         name, arr = next(name_iter)
         spec = specs[name]
-        # drop specs that don't divide the dims evenly -> replicate
+        # strip axes the mesh doesn't have (rules mention ep/tp; a pure-dp
+        # or tp-only mesh just replicates along the absent axis) ...
+        spec = P(*(a if a in mesh.shape else None for a in spec))
+        # ... and drop specs that don't divide the dims evenly -> replicate
         for dim, axis in enumerate(spec):
             if axis is None:
                 continue
