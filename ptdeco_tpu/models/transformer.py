@@ -5679,13 +5679,16 @@ class Decoder(nn.Module):
     # sqrt(dim))
     embedding_multiplier: Optional[float] = nn.static_field(default=None)
 
-    def __call__(
+    def embed_inputs(
         self,
         input_ids: jax.Array,
         ctx: Optional[nn.Ctx] = None,
-        *,
-        attn_mask: Optional[jax.Array] = None,
-    ) -> jax.Array:
+    ) -> tuple[jax.Array, jax.Array]:
+        """Everything before the layer stack: token embedding, scaling,
+        positional adds, embedding norms/projections.  Returns
+        ``(hidden, positions)`` — split out so the pipeline-parallel
+        forward (parallel/pipeline.py) can reuse the exact pre-layer
+        computation without duplicating it."""
         x = self.embed_tokens(input_ids)
         if self.scale_embeddings:
             norm = jnp.asarray(x.shape[-1] ** 0.5, jnp.float32)
@@ -5717,6 +5720,16 @@ class Decoder(nn.Module):
             x = self.embed_norm(x, ctx)
         if self.embed_proj is not None and not self.embed_proj_pre_pos:
             x = self.embed_proj(x, ctx)
+        return x, positions
+
+    def __call__(
+        self,
+        input_ids: jax.Array,
+        ctx: Optional[nn.Ctx] = None,
+        *,
+        attn_mask: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        x, positions = self.embed_inputs(input_ids, ctx)
         use_remat = self.remat and not (ctx is not None and ctx.no_remat)
         for layer in self.layers:
             if use_remat:
@@ -5775,13 +5788,11 @@ class CausalLM(nn.Module):
     # cohere logit_scale / granite 1/logits_scaling: multiplies the logits
     logit_scale: Optional[float] = nn.static_field(default=None)
 
-    def __call__(self, batch: Any, ctx: Optional[nn.Ctx] = None) -> jax.Array:
-        if isinstance(batch, dict):
-            input_ids = batch["input_ids"]
-            attn_mask = batch.get("attention_mask")
-        else:
-            input_ids, attn_mask = batch, None
-        h = self.model(input_ids, ctx, attn_mask=attn_mask)
+    def head(self, h: jax.Array, ctx: Optional[nn.Ctx] = None) -> jax.Array:
+        """Final hidden states -> logits (head transform, tied/untied
+        projection, logit scale/softcap).  Split out so the
+        pipeline-parallel forward (parallel/pipeline.py) reuses the exact
+        head computation."""
         if self.head_transform is not None:
             h = self.head_transform(h, ctx)
         if self.tie_embeddings:
@@ -5796,6 +5807,15 @@ class CausalLM(nn.Module):
             cap = jnp.asarray(self.final_logit_softcap, logits.dtype)
             logits = cap * jnp.tanh(logits / cap)
         return logits
+
+    def __call__(self, batch: Any, ctx: Optional[nn.Ctx] = None) -> jax.Array:
+        if isinstance(batch, dict):
+            input_ids = batch["input_ids"]
+            attn_mask = batch.get("attention_mask")
+        else:
+            input_ids, attn_mask = batch, None
+        h = self.model(input_ids, ctx, attn_mask=attn_mask)
+        return self.head(h, ctx)
 
     @staticmethod
     def create(key: jax.Array, cfg: TransformerConfig) -> "CausalLM":

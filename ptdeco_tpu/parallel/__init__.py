@@ -1,5 +1,7 @@
 from .mesh import (
     DP_AXIS,
+    EP_AXIS,
+    PP_AXIS,
     SP_AXIS,
     TP_AXIS,
     batch_sharding,
@@ -17,10 +19,13 @@ from .evd import (
     distributed_topk_eigenvectors,
     finish_distributed_eigh,
 )
+from .pipeline import pipeline_logits, stack_block_params
 
 __all__ = [
     "DP_AXIS",
     "SP_AXIS",
+    "EP_AXIS",
+    "PP_AXIS",
     "TP_AXIS",
     "batch_sharding",
     "local_mesh",
@@ -33,4 +38,6 @@ __all__ = [
     "distributed_sketch_for_eigh",
     "distributed_topk_eigenvectors",
     "finish_distributed_eigh",
+    "pipeline_logits",
+    "stack_block_params",
 ]

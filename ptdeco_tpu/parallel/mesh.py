@@ -34,6 +34,7 @@ __all__ = [
 DP_AXIS = "dp"
 SP_AXIS = "sp"
 EP_AXIS = "ep"
+PP_AXIS = "pp"
 TP_AXIS = "tp"
 
 
@@ -60,10 +61,11 @@ def make_mesh(
     tp: int = 1,
     sp: int = 1,
     ep: int = 1,
+    pp: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """Create a (dp[, sp][, ep], tp) mesh.  With dp=None, use all
-    devices/(tp*sp*ep).
+    """Create a (dp[, sp][, ep][, pp], tp) mesh.  With dp=None, use all
+    devices/(tp*sp*ep*pp).
 
     ``sp`` (sequence parallel) adds a mesh axis for sharding the SEQUENCE
     dimension of calibration batches (see ``shard_batch_seq``).  The Gram
@@ -76,29 +78,36 @@ def make_mesh(
     (``models.stack_moe_experts``; rules in parallel/shardings.py) —
     each device stores and computes E/ep experts.
 
+    ``pp`` (pipeline parallel) adds a mesh axis for sharding the LAYER
+    dimension of a stacked homogeneous block stack
+    (``parallel.pipeline_logits``) — each device stores and runs L/pp
+    layers, with microbatched activations ppermuted between stages.
+
     Axes with extent 1 are omitted so existing 2-axis (dp, tp) consumers
     keep working unchanged."""
     devices = list(devices if devices is not None else jax.devices())
-    model = tp * sp * ep
+    model = tp * sp * ep * pp
     if dp is None:
         dp = len(devices) // model
     elif dp * model < len(devices):
         # an explicit dp requests that many data-parallel groups — use the
-        # first dp*sp*ep*tp devices rather than failing on larger hosts;
-        # say so, or a typo'd dp leaves devices idle with no signal
+        # first dp*sp*ep*pp*tp devices rather than failing on larger
+        # hosts; say so, or a typo'd dp leaves devices idle with no signal
         logging.getLogger(__name__).warning(
-            "make_mesh(dp=%d, sp=%d, ep=%d, tp=%d) uses %d of %d devices "
-            "(%d left idle)",
-            dp, sp, ep, tp, dp * model, len(devices),
+            "make_mesh(dp=%d, sp=%d, ep=%d, pp=%d, tp=%d) uses %d of %d "
+            "devices (%d left idle)",
+            dp, sp, ep, pp, tp, dp * model, len(devices),
             len(devices) - dp * model,
         )
         devices = devices[: dp * model]
-    assert dp * model == len(devices), (dp, sp, ep, tp, len(devices))
+    assert dp * model == len(devices), (dp, sp, ep, pp, tp, len(devices))
     dims = [(DP_AXIS, dp)]
     if sp > 1:
         dims.append((SP_AXIS, sp))
     if ep > 1:
         dims.append((EP_AXIS, ep))
+    if pp > 1:
+        dims.append((PP_AXIS, pp))
     dims.append((TP_AXIS, tp))
     arr = np.asarray(devices).reshape([n for _, n in dims])
     return Mesh(arr, tuple(a for a, _ in dims))
