@@ -267,10 +267,14 @@ def make_gram_scan_step(
         return y, use
 
     def _gram(y, use):
-        from .ops.gram_pallas import syrk_gram
+        from .ops.gram_pallas import syrk_gram_partitioned
 
         if use:
-            return syrk_gram(y)
+            # custom_partitioning-wrapped: under dp/sp-sharded batches the
+            # kernel runs on each device's local rows + psum (the einsum
+            # path's communication pattern); single-device it is the bare
+            # pallas SYRK
+            return syrk_gram_partitioned(y)
         return jnp.einsum(
             "bp,bq->pq",
             y,
@@ -388,18 +392,10 @@ def compute_output_grams(
         # ops.gram_pallas.should_use_syrk); explicit True/False overrides
         use_pallas = "auto"
     elif use_pallas:
+        # the SYRK path is mesh-legal (syrk_gram_partitioned runs the
+        # kernel per shard + psum), so forcing it on a mesh is fine; it
+        # still requires a TPU backend
         use_pallas = jax.default_backend() == "tpu"
-        if use_pallas and jax.device_count() > 1:
-            # pallas_call is opaque to GSPMD: on a multi-device mesh it
-            # all-gathers sharded activations to every device before the
-            # SYRK — a perf cliff the auto mode deliberately avoids
-            # (ops.gram_pallas.should_use_syrk)
-            logger.warning(
-                "use_pallas=True forced with %d devices: the SYRK kernel "
-                "will gather sharded activations (GSPMD-opaque); prefer "
-                "use_pallas=None (auto) on meshes",
-                jax.device_count(),
-            )
     scan_step = make_gram_scan_step(
         tuple(site_names), sites, apply_fn, accumulate_mean, use_pallas
     )

@@ -4054,7 +4054,6 @@ class Attention(nn.Module):
         if (
             _FLASH_ENABLED
             and jax.default_backend() == "tpu"
-            and jax.device_count() == 1  # pallas is opaque to GSPMD
             and q.dtype == jnp.bfloat16
             and self.logit_softcap is None
             and self.sinks is None
@@ -4072,16 +4071,16 @@ class Attention(nn.Module):
             # per layer, which HBM-bounds the forward.  The kernel's
             # causal mask from absolute indices matches the einsum path's
             # tril (positions only affect rope, not masking, on both).
-            from jax.experimental.pallas.ops.tpu.flash_attention import (
-                flash_attention as _tpu_flash,
-            )
+            # ops.flash_attention is custom_partitioning-wrapped, so this
+            # path stays on under dp/tp meshes (batch/heads shard, the
+            # kernel runs per-device) — no device_count gate needed.
+            from ..ops.flash_attention import flash_attention as _flash_op
 
-            out = _tpu_flash(
+            out = _flash_op(
                 q.transpose(0, 2, 1, 3),
                 k.transpose(0, 2, 1, 3),
                 v.transpose(0, 2, 1, 3),
-                causal=True,
-                sm_scale=scale,
+                scale,
             ).transpose(0, 2, 1, 3)
             merged = out.reshape(b, s, -1)
             if self.attn_sub_norm is not None:

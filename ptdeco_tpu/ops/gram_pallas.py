@@ -25,7 +25,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["syrk_gram", "syrk_gram_sharded", "gram_xla", "should_use_syrk"]
+__all__ = [
+    "syrk_gram",
+    "syrk_gram_sharded",
+    "syrk_gram_partitioned",
+    "gram_xla",
+    "should_use_syrk",
+]
 
 TILE = 256  # output tile (TILE, TILE); multiple of MXU 128
 KB = 512  # reduction block over N
@@ -112,16 +118,18 @@ def should_use_syrk(dtype: Any, d: int, backend: Optional[str] = None) -> bool:
     chose for the model.  f32 activations keep the einsum (kernel-vs-kernel
     was a 0.94-1.13x wash, and f32 y is exact there).
 
-    Single-device only: a bare pallas_call is opaque to GSPMD, so with
-    dp/sp-sharded calibration batches it would force an all-gather of the
-    activations instead of the per-shard-einsum + psum the XLA path gets —
-    mesh runs keep the einsum (``syrk_gram_sharded`` provides the
-    shard_map-wrapped per-shard-SYRK + psum form for explicit mesh use)."""
+    Mesh-legal: the engine routes this path through
+    ``syrk_gram_partitioned`` (custom_partitioning), whose per-shard
+    lowering runs the kernel on each device's LOCAL rows and psums the
+    partial Grams over the row-sharding axes — the same communication
+    pattern XLA derives for the einsum path, with the kernel's 2x triangle
+    saving on every shard.  A bare ``syrk_gram`` pallas_call would instead
+    all-gather sharded activations (GSPMD-opaque), which is why earlier
+    revisions gated this on ``device_count() == 1``."""
     if backend is None:
         backend = jax.default_backend()
     return (
         backend == "tpu"
-        and jax.device_count() == 1
         and jnp.dtype(dtype) == jnp.bfloat16
         and d >= 2 * TILE
     )
@@ -143,6 +151,71 @@ def syrk_gram(y: jax.Array, interpret: bool = False) -> jax.Array:
     return g
 
 
+def _row_axes_of(sharding) -> tuple[str, ...]:
+    """Mesh axis names sharding a (n, d) array's ROW dimension."""
+    spec = sharding.spec
+    row = spec[0] if len(spec) else None
+    if row is None:
+        return ()
+    if isinstance(row, str):
+        return (row,)
+    return tuple(row)
+
+
+from jax.experimental.custom_partitioning import (  # noqa: E402
+    custom_partitioning as _custom_partitioning,
+)
+from jax.sharding import NamedSharding as _NamedSharding  # noqa: E402
+from jax.sharding import PartitionSpec as _P  # noqa: E402
+
+
+# y is passed twice because shardy's sharding rules forbid reusing one
+# factor twice in the result of a single operand ('n d -> d d' is
+# rejected); 'n d, n e -> d e' with both operands the same value expresses
+# the Gram exactly and XLA CSEs the duplicate.
+@_custom_partitioning
+def _syrk_partitioned(y, y_again):
+    return syrk_gram(y)
+
+
+def _syrk_partition(mesh, arg_shapes, result_shape):
+    sh = arg_shapes[0].sharding
+    row_axes = _row_axes_of(sh)
+    in_sh = _NamedSharding(sh.mesh, _P(sh.spec[0] if row_axes else None, None))
+    out_sh = _NamedSharding(sh.mesh, _P(None, None))
+
+    def lower_fn(y, y_again):
+        g = syrk_gram(y)
+        if row_axes:
+            g = jax.lax.psum(g, row_axes)
+        return g
+
+    return mesh, lower_fn, out_sh, (in_sh, in_sh)
+
+
+def _syrk_infer(mesh, arg_shapes, result_shape):
+    return _NamedSharding(arg_shapes[0].sharding.mesh, _P(None, None))
+
+
+_syrk_partitioned.def_partition(
+    partition=_syrk_partition,
+    infer_sharding_from_operands=_syrk_infer,
+    sharding_rule="n d, n e -> d e",
+    reduction_factors=("n",),
+    need_replication_factors=("d", "e"),
+)
+
+
+def syrk_gram_partitioned(y: jax.Array) -> jax.Array:
+    """GSPMD-legal SYRK Gram: under a mesh with the rows of ``y`` sharded
+    (dp/sp calibration batches), each device runs the Pallas kernel on its
+    LOCAL rows and the partial Grams psum over the row axes — the einsum
+    path's communication pattern with the kernel's 2x triangle saving per
+    shard.  On a single device this is exactly ``syrk_gram``.  Forward
+    only (calibration Grams are never differentiated)."""
+    return _syrk_partitioned(y, y)
+
+
 def syrk_gram_sharded(
     y: jax.Array,
     mesh: Any,
@@ -158,9 +231,9 @@ def syrk_gram_sharded(
     over the row axes — the same communication pattern XLA derives for the
     einsum path, with the kernel's 2x triangle saving on every shard.
     Returns the full (d, d) f32 Gram, replicated."""
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
+    shard_map = jax.shard_map
     def local(y_local: jax.Array) -> jax.Array:
         g = syrk_gram(y_local, interpret=interpret)
         for ax in row_axes:
@@ -172,5 +245,5 @@ def syrk_gram_sharded(
         mesh=mesh,
         in_specs=P(row_axes),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )(y)

@@ -83,21 +83,17 @@ def test_auto_dispatch_actually_fires_with_bf16_activations():
 
 
 def test_should_use_syrk_auto_rule():
-    """The engine's use_pallas=None auto dispatch: TPU + single device +
-    bf16 + tileable d (measured win on v5e, see should_use_syrk docstring).
-    This 8-virtual-device host is multi-device, so even backend="tpu" is
-    refused — pallas_call is opaque to GSPMD and would gather sharded
-    activations."""
-    assert not ops.should_use_syrk(jnp.bfloat16, 2048, backend="tpu")
-    import unittest.mock as mock
-
-    with mock.patch.object(jax, "device_count", return_value=1):
-        assert ops.should_use_syrk(jnp.bfloat16, 2048, backend="tpu")
-        assert not ops.should_use_syrk(jnp.float32, 2048, backend="tpu")
-        assert not ops.should_use_syrk(jnp.bfloat16, 256, backend="tpu")
-        assert not ops.should_use_syrk(jnp.bfloat16, 2048, backend="cpu")
-        # ambient default on this host is cpu -> off
-        assert not ops.should_use_syrk(jnp.bfloat16, 2048)
+    """The engine's use_pallas=None auto dispatch: TPU + bf16 + tileable d
+    (measured win on v5e, see should_use_syrk docstring).  Device count no
+    longer gates the rule: the engine routes through
+    syrk_gram_partitioned, whose custom_partitioning lowering runs the
+    kernel per shard + psum on meshes."""
+    assert ops.should_use_syrk(jnp.bfloat16, 2048, backend="tpu")
+    assert not ops.should_use_syrk(jnp.float32, 2048, backend="tpu")
+    assert not ops.should_use_syrk(jnp.bfloat16, 256, backend="tpu")
+    assert not ops.should_use_syrk(jnp.bfloat16, 2048, backend="cpu")
+    # ambient default on this host is cpu -> off
+    assert not ops.should_use_syrk(jnp.bfloat16, 2048)
 
 
 def test_syrk_gram_sharded_matches_einsum_on_mesh():
@@ -115,3 +111,41 @@ def test_syrk_gram_sharded_matches_einsum_on_mesh():
     g = syrk_gram_sharded(y_sharded, mesh, row_axes=("dp",), interpret=True)
     ref = gram_xla(y)
     np.testing.assert_allclose(np.asarray(g), np.asarray(ref), atol=1e-4)
+
+
+def test_syrk_gram_partitioned_mesh_exact():
+    """custom_partitioning SYRK under a mesh: rows sharded over dp (and
+    over a ('dp','sp') tuple) produce the exact replicated Gram — each
+    device grams its LOCAL rows and the partials psum, so the engine's
+    auto SYRK path is now mesh-legal (should_use_syrk no longer gates on
+    device_count).  d below the tile threshold so the CPU lowering takes
+    the gram_xla fallback inside the same partitioned op."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ptdeco_tpu import parallel
+    from ptdeco_tpu.ops.gram_pallas import gram_xla, syrk_gram_partitioned
+
+    y = jax.random.normal(jax.random.PRNGKey(0), (64, 96), jnp.float32)
+    ref = gram_xla(y)
+
+    mesh = parallel.local_mesh(8)
+    ys = jax.device_put(y, parallel.batch_sharding(mesh))
+    out = jax.jit(syrk_gram_partitioned)(ys)
+    assert out.sharding.spec == P(), out.sharding.spec
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+    mesh2 = parallel.make_mesh(dp=2, sp=4)
+    ys2 = jax.device_put(y, NamedSharding(mesh2, P(("dp", "sp"))))
+    out2 = jax.jit(syrk_gram_partitioned)(ys2)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref), atol=1e-4)
+
+
+def test_syrk_gram_partitioned_single_device():
+    from ptdeco_tpu.ops.gram_pallas import gram_xla, syrk_gram_partitioned
+
+    y = jax.random.normal(jax.random.PRNGKey(1), (32, 48), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(syrk_gram_partitioned(y)),
+        np.asarray(gram_xla(y)),
+        atol=1e-5,
+    )
