@@ -131,13 +131,22 @@ def pipeline_logits(
         is_first = stage == 0
         is_last = stage == n_stages - 1
 
+        use_remat = bool(getattr(lm.model, "remat", False)) and not (
+            ctx is not None and getattr(ctx, "no_remat", False)
+        )
+
         def apply_stage(h, pos, mask):
+            def blk_apply(blk, carry):
+                return blk(carry, ctx, positions=pos, attn_mask=mask)
+
             def body(carry, leaves):
                 blk = jax.tree_util.tree_unflatten(treedef, leaves)
-                return (
-                    blk(carry, ctx, positions=pos, attn_mask=mask),
-                    None,
-                )
+                if use_remat:
+                    # same semantics as Decoder.__call__'s remat: the
+                    # block pytree crosses the checkpoint boundary so its
+                    # params are differentiable residuals
+                    return jax.checkpoint(blk_apply)(blk, carry), None
+                return blk_apply(blk, carry), None
 
             h, _ = jax.lax.scan(body, h, stacked_local)
             return h

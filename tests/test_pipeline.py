@@ -154,3 +154,31 @@ def test_heterogeneous_stack_refused():
     mesh = parallel.make_mesh(dp=1, pp=4, devices=jax.devices()[:4])
     with pytest.raises(ValueError, match="structure differs"):
         pl.pipeline_logits(lm, _batch(), mesh, n_microbatches=2)
+
+
+def test_grad_parity_with_remat():
+    # the pipeline honors TransformerConfig.remat inside the stage scan
+    # (same jax.checkpoint semantics as Decoder.__call__)
+    lm = _lm(n_layers=2, remat=True)
+    assert lm.model.remat
+    batch = _batch(b=4)
+    mesh = parallel.make_mesh(dp=1, pp=2, devices=jax.devices()[:2])
+
+    def loss_pipe(m):
+        return models.ce_loss(
+            batch, pl.pipeline_logits(m, batch, mesh, n_microbatches=2)
+        )
+
+    def loss_ref(m):
+        return models.ce_loss(batch, m(batch))
+
+    lp, gp = jax.value_and_grad(loss_pipe)(lm)
+    lr, gr = jax.value_and_grad(loss_ref)(lm)
+    _close(lp, lr)
+    gp_leaves = dict(nn.named_parameters(gp))
+    gr_leaves = dict(nn.named_parameters(gr))
+    for k in (
+        "model.layers.0.self_attn.q_proj.kernel",
+        "model.layers.1.mlp.down_proj.kernel",
+    ):
+        _close(gp_leaves[k], gr_leaves[k], atol=1e-5)
