@@ -155,8 +155,24 @@ def _is_array(v: Any) -> bool:
     )
 
 
+_SERVING_FORMS = ("FusedLowRankLinear", "StackedMoEMLP")
+
+
 def state_dict(root: nn.Module, prefix: str = "") -> dict[str, np.ndarray]:
     """Export to a flat torch-format dict {dotted_name: np.ndarray}."""
+    if type(root).__name__ in _SERVING_FORMS:
+        # serving-form modules export raw leaves (w_gate/k1/...), not the
+        # torch checkpoint layout — almost certainly a forgotten
+        # unfuse_factor_pairs / unstack_moe_experts before saving
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "state_dict export of serving-form module %s at %r: convert "
+            "back (nn.unfuse_factor_pairs / models.unstack_moe_experts) "
+            "for a checkpoint-compatible layout",
+            type(root).__name__,
+            prefix,
+        )
     out: dict[str, np.ndarray] = {}
     exporter = _EXPORTERS.get(type(root))
     if exporter is not None:
