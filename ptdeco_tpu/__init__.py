@@ -16,4 +16,5 @@ from . import lockd  # noqa: F401
 from . import engine  # noqa: F401
 from . import finetune  # noqa: F401
 from . import parallel  # noqa: F401
+from . import serving  # noqa: F401
 from ._version import __version__, __version_info__  # noqa: F401

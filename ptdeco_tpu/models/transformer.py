@@ -3957,15 +3957,19 @@ class Attention(nn.Module):
     # output is multiplied by sigmoid(gate) before o_proj
     gated: bool = nn.static_field(default=False)
 
-    def __call__(
+    def project_qkv(
         self,
         x: jax.Array,
         ctx: Optional[nn.Ctx] = None,
-        *,
         positions: Optional[jax.Array] = None,
-        attn_mask: Optional[jax.Array] = None,
-    ) -> jax.Array:
-        b, s, d = x.shape
+    ) -> tuple[jax.Array, jax.Array, jax.Array, Optional[jax.Array]]:
+        """Everything before the attention contraction: projections, q/k
+        norms, clipping, rope, post-rope norms and temperature scaling.
+        Returns ``(q, k, v, out_gate)`` with q ``(b, s, n_heads, hd)`` and
+        k/v ``(b, s, n_kv_heads, hd)`` — BEFORE any GQA head repeat.  Split
+        out so the KV-cache decode path (serving.py) reuses the exact
+        projection pipeline without duplicating it."""
+        b, s, _ = x.shape
         q = self.q_proj(x, ctx)
         out_gate = None
         if self.gated:  # qwen3_next fused (q | gate) per head
@@ -3989,23 +3993,6 @@ class Attention(nn.Module):
         if self.q_norm is not None and not self.qk_norm_flat:
             q = self.q_norm(q, ctx)  # qwen3: per head
             k = self.k_norm(k, ctx)
-        dyn_bias = None
-        if self.dt_proj is not None:  # doge dynamic-mask attention
-            if (
-                self.dyn_mask_keep_window is not None
-                and s > self.dyn_mask_keep_window
-            ):
-                raise ValueError(
-                    f"doge top-k dynamic masking (seqlen {s} > "
-                    f"keep_window_size {self.dyn_mask_keep_window}) is not "
-                    "implemented; keep calibration seqlen within the window"
-                )
-            dt = self.dt_proj(v.reshape(b, s, -1), ctx)  # (b, s_k, n_kv)
-            dyn_bias = jnp.exp(
-                self.dyn_mask_A.astype(jnp.float32)
-                * jax.nn.softplus(dt.astype(jnp.float32))
-            ).transpose(0, 2, 1)[:, :, None, :]  # (b, n_kv, 1, s_k)
-
         if positions is None:
             positions = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s))
         if self.use_rope:
@@ -4042,6 +4029,51 @@ class Attention(nn.Module):
                 + 1.0
             )
             q = (q * scales[..., None, None]).astype(q.dtype)
+        return q, k, v, out_gate
+
+    def finish(
+        self,
+        merged: jax.Array,
+        out_gate: Optional[jax.Array],
+        ctx: Optional[nn.Ctx] = None,
+    ) -> jax.Array:
+        """Post-contraction epilogue shared with the KV-cache decode path:
+        bitnet sub-norm, qwen3_next output gate, output projection."""
+        if self.attn_sub_norm is not None:
+            merged = self.attn_sub_norm(merged, ctx)
+        if out_gate is not None:
+            merged = merged * jax.nn.sigmoid(out_gate)
+        return self.o_proj(merged, ctx)
+
+    def __call__(
+        self,
+        x: jax.Array,
+        ctx: Optional[nn.Ctx] = None,
+        *,
+        positions: Optional[jax.Array] = None,
+        attn_mask: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        b, s, d = x.shape
+        if positions is None:
+            positions = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s))
+        q, k, v, out_gate = self.project_qkv(x, ctx, positions)
+        hd = q.shape[-1]
+        dyn_bias = None
+        if self.dt_proj is not None:  # doge dynamic-mask attention
+            if (
+                self.dyn_mask_keep_window is not None
+                and s > self.dyn_mask_keep_window
+            ):
+                raise ValueError(
+                    f"doge top-k dynamic masking (seqlen {s} > "
+                    f"keep_window_size {self.dyn_mask_keep_window}) is not "
+                    "implemented; keep calibration seqlen within the window"
+                )
+            dt = self.dt_proj(v.reshape(b, s, -1), ctx)  # (b, s_k, n_kv)
+            dyn_bias = jnp.exp(
+                self.dyn_mask_A.astype(jnp.float32)
+                * jax.nn.softplus(dt.astype(jnp.float32))
+            ).transpose(0, 2, 1)[:, :, None, :]  # (b, n_kv, 1, s_k)
 
         rep = self.n_heads // self.n_kv_heads
         if rep > 1:
@@ -4082,12 +4114,7 @@ class Attention(nn.Module):
                 v.transpose(0, 2, 1, 3),
                 scale,
             ).transpose(0, 2, 1, 3)
-            merged = out.reshape(b, s, -1)
-            if self.attn_sub_norm is not None:
-                merged = self.attn_sub_norm(merged, ctx)
-            if out_gate is not None:
-                merged = merged * jax.nn.sigmoid(out_gate)
-            return self.o_proj(merged, ctx)
+            return self.finish(out.reshape(b, s, -1), out_gate, ctx)
         logits = jnp.einsum(
             "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
         ) * scale
@@ -4133,12 +4160,7 @@ class Attention(nn.Module):
         else:
             probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
-        merged = out.reshape(b, s, -1)
-        if self.attn_sub_norm is not None:  # bitnet
-            merged = self.attn_sub_norm(merged, ctx)
-        if out_gate is not None:  # qwen3_next
-            merged = merged * jax.nn.sigmoid(out_gate)
-        return self.o_proj(merged, ctx)
+        return self.finish(out.reshape(b, s, -1), out_gate, ctx)
 
     @staticmethod
     def create(
@@ -5682,12 +5704,15 @@ class Decoder(nn.Module):
         self,
         input_ids: jax.Array,
         ctx: Optional[nn.Ctx] = None,
+        positions: Optional[jax.Array] = None,
     ) -> tuple[jax.Array, jax.Array]:
         """Everything before the layer stack: token embedding, scaling,
         positional adds, embedding norms/projections.  Returns
         ``(hidden, positions)`` — split out so the pipeline-parallel
-        forward (parallel/pipeline.py) can reuse the exact pre-layer
-        computation without duplicating it."""
+        forward (parallel/pipeline.py) and the KV-cache decode path
+        (serving.py, which passes absolute ``positions`` offset by the
+        cache fill) can reuse the exact pre-layer computation without
+        duplicating it."""
         x = self.embed_tokens(input_ids)
         if self.scale_embeddings:
             norm = jnp.asarray(x.shape[-1] ** 0.5, jnp.float32)
@@ -5697,7 +5722,8 @@ class Decoder(nn.Module):
         if self.embedding_multiplier is not None:
             x = x * jnp.asarray(self.embedding_multiplier, x.dtype)
         b, s = input_ids.shape
-        positions = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s))
+        if positions is None:
+            positions = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s))
         if self.embed_norm is not None and self.embed_norm_pre_pos:
             x = self.embed_norm(x, ctx)
         if self.embed_proj is not None and self.embed_proj_pre_pos:

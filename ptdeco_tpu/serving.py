@@ -1,0 +1,368 @@
+"""KV-cache autoregressive decoding — the serving path for (decomposed)
+causal LMs.
+
+The reference has NO generation path: its deployment story ends at
+loglikelihood scoring via lm_eval
+(/root/reference/examples/trainer_llm/metrics.py:81-107).  This module adds
+the capability the compression exists for — serving the compressed model —
+as a TPU-first design:
+
+  * a static-shape KV cache of ``(b, max_len, n_kv_heads, head_dim)`` per
+    attention layer, updated in place (functionally) with
+    ``lax.dynamic_update_slice`` so one compiled program serves every step;
+  * one code path for prefill and decode (a prefill is just a multi-token
+    step at ``cache_pos=0``), so there is exactly one attention-with-cache
+    implementation to keep correct;
+  * the whole generate loop is ONE jitted program (``lax.scan`` over decode
+    steps) — no per-token dispatch, which on a TPU tunnel would cost more
+    than the math;
+  * GQA is contracted in grouped form ``(kv_heads, rep)`` against the
+    un-repeated cache — the K/V cache stores ``n_kv_heads`` and is never
+    materialized at ``n_heads``.
+
+The projection pipeline (q/k/v, norms, rope, clipping, temperature) and
+the output epilogue are REUSED from ``Attention.project_qkv`` /
+``Attention.finish`` — the cache path adds only the cache update and the
+masked contraction, so it cannot drift from the training-time forward.
+
+Works unchanged on dwain/falor/lockd-decomposed models: decomposed
+projections are ``Sequential`` factor pairs with the same call signature,
+and ``project_qkv`` derives the head dim from the projection output shape
+(robust-to-decomposition convention shared with ``Attention.__call__``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from . import nn
+from .models.transformer import Attention, Block, CausalLM, SkipBlock, alibi_slopes
+
+__all__ = [
+    "KVCache",
+    "init_cache",
+    "check_decode_supported",
+    "forward_with_cache",
+    "generate",
+]
+
+# per-layer entry: (k_cache, v_cache) with shape (b, max_len, n_kv, hd),
+# or None for layers without attention (SkipBlock)
+KVCache = tuple
+
+
+class CachedAttention(nn.Module):
+    """Drop-in ``Attention`` stand-in that reads/writes a KV cache.
+
+    Swapped into a ``Block`` (``block.replace(self_attn=...)``) for the
+    duration of one cached forward; the updated cache is returned through
+    ``ctx.sow`` (the same side-channel the engine's capture taps use), so
+    the block wiring — every residual/norm variant in Block.__call__ —
+    runs completely untouched.
+    """
+
+    inner: Attention
+    k_cache: jax.Array  # (b, max_len, n_kv, hd)
+    v_cache: jax.Array
+    cache_pos: jax.Array  # scalar int32: tokens already in the cache
+    kv_mask: Optional[jax.Array] = None  # (b, max_len) bool: valid keys
+    sow_name: str = nn.static_field(default="kv")
+
+    def __call__(
+        self,
+        x: jax.Array,
+        ctx: Optional[nn.Ctx] = None,
+        *,
+        positions: Optional[jax.Array] = None,
+        attn_mask: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        a = self.inner
+        b, s, _ = x.shape
+        max_len = self.k_cache.shape[1]
+        q, k_new, v_new, out_gate = a.project_qkv(x, ctx, positions)
+        hd = q.shape[-1]
+        k_cache = lax.dynamic_update_slice(
+            self.k_cache,
+            k_new.astype(self.k_cache.dtype),
+            (0, self.cache_pos, 0, 0),
+        )
+        v_cache = lax.dynamic_update_slice(
+            self.v_cache,
+            v_new.astype(self.v_cache.dtype),
+            (0, self.cache_pos, 0, 0),
+        )
+        if ctx is not None:
+            ctx.sow(self.sow_name, "kv_cache", (k_cache, v_cache))
+
+        g = a.n_kv_heads
+        rep = a.n_heads // g
+        qg = q.reshape(b, s, g, rep, hd)
+        scale = (
+            a.scale_override if a.scale_override is not None else hd
+        ) ** -0.5
+        # grouped contraction against the un-repeated cache
+        logits = (
+            jnp.einsum(
+                "bqgrd,bkgd->bgrqk",
+                qg,
+                k_cache,
+                preferred_element_type=jnp.float32,
+            )
+            * scale
+        )
+        key_idx = jnp.arange(max_len)
+        if a.use_alibi:
+            # slope * absolute key index, the softmax-shift-invariant form
+            # Attention.__call__ uses (key positions == arange there)
+            slopes = jnp.asarray(alibi_slopes(a.n_heads)).reshape(g, rep)
+            logits = logits + (
+                slopes[None, :, :, None, None]
+                * key_idx.astype(jnp.float32)[None, None, None, None, :]
+            )
+        if a.logit_softcap is not None:
+            cap = jnp.float32(a.logit_softcap)
+            logits = cap * jnp.tanh(logits / cap)
+        if positions is None:
+            positions = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s))
+        q_pos = positions[:, :, None]  # (b, s, 1) absolute query positions
+        valid = key_idx[None, None, :] <= q_pos  # causal vs absolute keys
+        # keys beyond the fill (zeros) are future positions, already masked
+        # by causality for in-order decoding; mask explicitly anyway so a
+        # caller replaying a shorter prefix against a fuller cache is safe
+        valid = valid & (key_idx[None, None, :] < self.cache_pos + s)
+        if a.sliding_window is not None:
+            valid = valid & (q_pos - key_idx[None, None, :] < a.sliding_window)
+        if a.chunk_size is not None:  # llama4 block-diagonal causal
+            valid = valid & (
+                key_idx[None, None, :] // a.chunk_size
+                == q_pos // a.chunk_size
+            )
+        if self.kv_mask is not None:  # left-padded prompts
+            valid = valid & self.kv_mask[:, None, :]
+        logits = jnp.where(
+            valid[:, None, None, :, :], logits, jnp.finfo(jnp.float32).min
+        )
+        if a.sinks is not None:  # gpt_oss learned sink logit
+            sink = jnp.broadcast_to(
+                a.sinks.astype(jnp.float32).reshape(g, rep)[
+                    None, :, :, None, None
+                ],
+                (b, g, rep, s, 1),
+            )
+            probs = jax.nn.softmax(
+                jnp.concatenate([logits, sink], axis=-1), axis=-1
+            )[..., :-1].astype(x.dtype)
+        else:
+            probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+        out = jnp.einsum("bgrqk,bkgd->bqgrd", probs, v_cache)
+        return a.finish(out.reshape(b, s, -1), out_gate, ctx)
+
+
+def _layer_attention(layer: Any, idx: int) -> Optional[Attention]:
+    """The layer's cacheable attention, or None for attention-free layers.
+    Raises for graphs the cache path does not cover."""
+    if isinstance(layer, SkipBlock):
+        return None
+    if not isinstance(layer, Block):
+        raise ValueError(
+            f"KV-cache decoding supports Block layer stacks; layer {idx} "
+            f"is {type(layer).__name__}"
+        )
+    mixer = layer.self_attn
+    if not isinstance(mixer, Attention):
+        raise ValueError(
+            f"KV-cache decoding supports standard Attention mixers; layer "
+            f"{idx} uses {type(mixer).__name__} (SSM/linear-attention/MLA "
+            "state caching is not implemented)"
+        )
+    if mixer.dt_proj is not None:
+        raise ValueError(
+            "doge dynamic-mask attention is not supported by the cache path"
+        )
+    if layer.mamba is not None:
+        raise ValueError(
+            "parallel attention+SSM hybrid layers (falcon_h1) need SSM "
+            "state caching, which is not implemented"
+        )
+    return mixer
+
+
+def check_decode_supported(lm: CausalLM) -> None:
+    """Raise with a clear message if ``lm``'s graph cannot be KV-cached."""
+    for i, layer in enumerate(lm.model.layers):
+        _layer_attention(layer, i)
+
+
+def init_cache(
+    lm: CausalLM,
+    batch_size: int,
+    max_len: int,
+    dtype: Optional[jnp.dtype] = None,
+) -> KVCache:
+    """Zero-filled per-layer KV cache.  Shapes are derived by abstract
+    evaluation of the model's own projection pipeline, so they stay
+    correct for decomposed projections and gated/GQA head layouts."""
+    check_decode_supported(lm)
+    ids = jax.ShapeDtypeStruct((batch_size, 1), jnp.int32)
+    x_struct = jax.eval_shape(
+        lambda m, i: m.embed_inputs(i, None)[0], lm.model, ids
+    )
+    caches = []
+    for i, layer in enumerate(lm.model.layers):
+        attn = _layer_attention(layer, i)
+        if attn is None:
+            caches.append(None)
+            continue
+        k_struct = jax.eval_shape(
+            lambda a, xx: a.project_qkv(xx, None)[1], attn, x_struct
+        )
+        _, _, n_kv, hd = k_struct.shape
+        cdt = dtype if dtype is not None else k_struct.dtype
+        caches.append(
+            (
+                jnp.zeros((batch_size, max_len, n_kv, hd), cdt),
+                jnp.zeros((batch_size, max_len, n_kv, hd), cdt),
+            )
+        )
+    return tuple(caches)
+
+
+def forward_with_cache(
+    lm: CausalLM,
+    input_ids: jax.Array,
+    caches: KVCache,
+    cache_pos: jax.Array,
+    *,
+    kv_mask: Optional[jax.Array] = None,
+) -> tuple[jax.Array, KVCache]:
+    """One cached step: embeds ``input_ids`` at absolute positions
+    ``cache_pos + arange(s)``, runs every block with its attention swapped
+    for ``CachedAttention``, and returns ``(logits, updated_caches)``.
+    Prefill is this with ``cache_pos=0`` and ``s = prompt_len``; decode is
+    ``s = 1``.  ``kv_mask`` (b, max_len) marks valid key slots for
+    left-padded batched prompts."""
+    ctx = nn.Ctx(no_remat=True)
+    b, s = input_ids.shape
+    cache_pos = jnp.asarray(cache_pos, jnp.int32)
+    positions = jnp.broadcast_to(
+        cache_pos + jnp.arange(s, dtype=jnp.int32)[None, :], (b, s)
+    )
+    x, _ = lm.model.embed_inputs(input_ids, ctx, positions=positions)
+    new_caches: list = []
+    for i, (layer, cache) in enumerate(zip(lm.model.layers, caches)):
+        if cache is None:
+            x = layer(x, ctx, positions=positions, attn_mask=None)
+            new_caches.append(None)
+            continue
+        name = f"layers.{i}"
+        swapped = layer.replace(
+            self_attn=CachedAttention(
+                inner=layer.self_attn,
+                k_cache=cache[0],
+                v_cache=cache[1],
+                cache_pos=cache_pos,
+                kv_mask=kv_mask,
+                sow_name=name,
+            )
+        )
+        x = swapped(x, ctx, positions=positions, attn_mask=None)
+        new_caches.append(ctx.sink["kv_cache"][name])
+    x = lm.model.norm(x)
+    logits = lm.head(x, ctx)
+    return logits, tuple(new_caches)
+
+
+def _sample(
+    logits: jax.Array,
+    greedy: bool,
+    temperature: jax.Array,
+    key: jax.Array,
+) -> jax.Array:
+    if greedy:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    scaled = logits.astype(jnp.float32) / jnp.maximum(temperature, 1e-6)
+    return jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_new_tokens", "greedy", "eos_id")
+)
+def _generate_impl(
+    lm: CausalLM,
+    prompt_ids: jax.Array,
+    caches: KVCache,
+    key: jax.Array,
+    temperature: jax.Array,
+    *,
+    max_new_tokens: int,
+    greedy: bool,
+    eos_id: Optional[int],
+) -> jax.Array:
+    b, s_p = prompt_ids.shape
+    logits, caches = forward_with_cache(lm, prompt_ids, caches, 0)
+    tok = _sample(logits[:, -1, :], greedy, temperature, key)
+    done = (
+        jnp.zeros((b,), bool) if eos_id is None else tok == eos_id
+    )
+
+    def step(carry, step_key):
+        caches, pos, tok, done = carry
+        logits, caches = forward_with_cache(lm, tok[:, None], caches, pos)
+        nxt = _sample(logits[:, -1, :], greedy, temperature, step_key)
+        if eos_id is not None:
+            nxt = jnp.where(done, jnp.int32(eos_id), nxt)
+            done = done | (nxt == eos_id)
+        return (caches, pos + 1, nxt, done), nxt
+
+    if max_new_tokens > 1:
+        step_keys = jax.random.split(key, max_new_tokens - 1)
+        (_, _, _, _), rest = lax.scan(
+            step,
+            (caches, jnp.int32(s_p), tok, done),
+            step_keys,
+        )
+        return jnp.concatenate([tok[:, None], rest.T], axis=1)
+    return tok[:, None]
+
+
+def generate(
+    lm: CausalLM,
+    prompt_ids: jax.Array,
+    max_new_tokens: int,
+    *,
+    temperature: float = 0.0,
+    key: Optional[jax.Array] = None,
+    eos_id: Optional[int] = None,
+    max_len: Optional[int] = None,
+) -> jax.Array:
+    """Generate ``max_new_tokens`` continuation tokens for a batch of
+    equal-length prompts ``(b, s_p)`` (int32 token ids).  ``temperature=0``
+    is greedy argmax; otherwise categorical sampling with ``key``.  The
+    entire prefill+decode runs as one jitted program; repeated calls with
+    the same shapes reuse the compiled executable."""
+    prompt_ids = jnp.asarray(prompt_ids, jnp.int32)
+    b, s_p = prompt_ids.shape
+    total = max_len if max_len is not None else s_p + max_new_tokens
+    if total < s_p + max_new_tokens:
+        raise ValueError(
+            f"max_len {total} < prompt {s_p} + max_new_tokens "
+            f"{max_new_tokens}"
+        )
+    caches = init_cache(lm, b, total)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    return _generate_impl(
+        lm,
+        prompt_ids,
+        caches,
+        key,
+        jnp.float32(temperature),
+        max_new_tokens=int(max_new_tokens),
+        greedy=temperature == 0.0,
+        eos_id=eos_id,
+    )

@@ -1,0 +1,225 @@
+"""KV-cache serving path: cached forwards must reproduce the uncached
+model exactly (same einsum semantics, masked cache slots contribute zero
+probability), generate must match a naive re-forward loop, and the path
+must work unchanged on decomposed models.
+
+The reference has no generation path at all (its deployment story ends at
+loglikelihood scoring, /root/reference/examples/trainer_llm/metrics.py:81-107);
+these tests pin the capability added on top."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ptdeco_tpu import dwain, engine, models, serving, utils
+
+
+def make_lm(key=0, **overrides):
+    base = dict(
+        vocab_size=64,
+        dim=32,
+        n_layers=2,
+        n_heads=4,
+        n_kv_heads=2,
+        hidden_dim=48,
+        dtype=jnp.float32,
+    )
+    base.update(overrides)
+    cfg = models.TransformerConfig(**base)
+    return models.CausalLM.create(jax.random.PRNGKey(key), cfg), cfg
+
+
+def naive_greedy(lm, prompt_ids, n_new):
+    """Reference decode loop: full uncached re-forward per token."""
+    ids = jnp.asarray(prompt_ids, jnp.int32)
+    out = []
+    for _ in range(n_new):
+        logits = lm({"input_ids": ids})
+        nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+        out.append(nxt)
+        ids = jnp.concatenate([ids, nxt[:, None]], axis=1)
+    return jnp.stack(out, axis=1)
+
+
+VARIANTS = {
+    "gqa_rope": {},
+    "mha": dict(n_kv_heads=4),
+    "gemma2ish": dict(
+        sandwich_norms=True,
+        attn_logit_softcap=30.0,
+        final_logit_softcap=10.0,
+        query_scale_override=13.0,
+        scale_embeddings=True,
+        tie_embeddings=True,
+    ),
+    "gptossish": dict(
+        attn_sinks=True,
+        sliding_window=4,
+        layer_types=("sliding_attention", "full_attention"),
+        qkv_bias=True,
+        o_proj_bias=True,
+    ),
+    "bloomish": dict(
+        use_alibi=True,
+        use_rope=False,
+        embed_norm=True,
+        norm_type="layernorm",
+        mlp_gated=False,
+        n_kv_heads=4,
+    ),
+    "gpt2ish": dict(
+        learned_pos=64,
+        use_rope=False,
+        norm_type="layernorm",
+        mlp_gated=False,
+        n_kv_heads=4,
+    ),
+    "llama4ish": dict(
+        qk_l2norm=True,
+        attention_chunk_size=4,
+        layer_types=("chunked_attention", "full_attention"),
+    ),
+    "qwen3ish": dict(qk_norm=True),
+}
+
+
+@pytest.mark.parametrize("variant", sorted(VARIANTS))
+def test_prefill_logits_match_full_forward(variant):
+    lm, _ = make_lm(key=1, **VARIANTS[variant])
+    ids = jax.random.randint(jax.random.PRNGKey(2), (2, 7), 0, 64)
+    ref = lm({"input_ids": ids})
+    caches = serving.init_cache(lm, 2, 12)
+    got, caches = serving.forward_with_cache(lm, ids, caches, 0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+    # decode continuation: logits for position s must equal a full forward
+    # over the extended sequence
+    nxt = jnp.argmax(got[:, -1:, :], axis=-1).astype(jnp.int32)
+    ext = jnp.concatenate([ids, nxt], axis=1)
+    ref2 = lm({"input_ids": ext})[:, -1, :]
+    got2, _ = serving.forward_with_cache(lm, nxt, caches, 7)
+    np.testing.assert_allclose(
+        np.asarray(got2[:, 0, :]), np.asarray(ref2), atol=1e-5
+    )
+
+
+@pytest.mark.parametrize("variant", ["gqa_rope", "gemma2ish", "gptossish"])
+def test_greedy_generate_matches_uncached_loop(variant):
+    lm, _ = make_lm(key=3, **VARIANTS[variant])
+    prompt = jax.random.randint(jax.random.PRNGKey(4), (2, 5), 0, 64)
+    want = naive_greedy(lm, prompt, 6)
+    got = serving.generate(lm, prompt, 6)
+    assert got.shape == (2, 6)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_generate_single_token():
+    lm, _ = make_lm(key=5)
+    prompt = jax.random.randint(jax.random.PRNGKey(6), (1, 4), 0, 64)
+    got = serving.generate(lm, prompt, 1)
+    np.testing.assert_array_equal(
+        np.asarray(got), np.asarray(naive_greedy(lm, prompt, 1))
+    )
+
+
+def test_eos_early_stop_fills_with_eos():
+    lm, _ = make_lm(key=7)
+    prompt = jax.random.randint(jax.random.PRNGKey(8), (2, 4), 0, 64)
+    free = serving.generate(lm, prompt, 5)
+    eos = int(np.asarray(free)[0, 1])  # force a stop after 2 new tokens
+    got = np.asarray(serving.generate(lm, prompt, 5, eos_id=eos))
+    row = got[0]
+    hit = int(np.argmax(row == eos))
+    assert row[hit] == eos
+    assert (row[hit:] == eos).all()
+
+
+def test_sampling_smoke_and_determinism():
+    lm, _ = make_lm(key=9)
+    prompt = jax.random.randint(jax.random.PRNGKey(10), (2, 4), 0, 64)
+    key = jax.random.PRNGKey(11)
+    a = serving.generate(lm, prompt, 4, temperature=0.8, key=key)
+    b = serving.generate(lm, prompt, 4, temperature=0.8, key=key)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert a.shape == (2, 4)
+    assert ((np.asarray(a) >= 0) & (np.asarray(a) < 64)).all()
+
+
+def test_kv_mask_left_padded_prompts():
+    """A left-padded batch with kv_mask must match each row scored alone."""
+    lm, _ = make_lm(key=12)
+    short = jax.random.randint(jax.random.PRNGKey(13), (1, 3), 0, 64)
+    # pad 2 junk tokens on the left; mask marks slots 2.. as valid
+    padded = jnp.concatenate(
+        [jnp.full((1, 2), 7, jnp.int32), short], axis=1
+    )
+    caches = serving.init_cache(lm, 1, 8)
+    kv_mask = (jnp.arange(8) >= 2)[None, :]
+    got, _ = serving.forward_with_cache(
+        lm, padded, caches, 0, kv_mask=kv_mask
+    )
+    # positions for the real tokens differ (2,3,4 vs 0,1,2) so rope models
+    # won't match exactly; use a no-rope learned-pos-free variant instead
+    lm2, _ = make_lm(key=12, use_rope=False, n_kv_heads=4)
+    got, _ = serving.forward_with_cache(
+        lm2, padded, serving.init_cache(lm2, 1, 8), 0, kv_mask=kv_mask
+    )
+    ref = lm2({"input_ids": short})
+    np.testing.assert_allclose(
+        np.asarray(got[:, -1, :]), np.asarray(ref[:, -1, :]), atol=1e-5
+    )
+
+
+def test_generate_on_decomposed_model():
+    lm, _ = make_lm(key=14)
+    names = engine.get_decomposeable_submodule_names(lm)
+    keep = {
+        "model.layers.0.self_attn.q_proj",
+        "model.layers.1.mlp.down_proj",
+        "model.layers.1.self_attn.o_proj",
+    }
+    blacklist = [n for n in names if n not in keep]
+
+    def data_iter(key):
+        while True:
+            key, sub = jax.random.split(key)
+            ids = jax.random.randint(sub, (2, 8), 0, 64)
+            yield {"input_ids": ids}
+
+    deco, config = dwain.decompose(
+        module=lm,
+        data_iterator=data_iter(jax.random.PRNGKey(15)),
+        loss_fn=models.ce_loss,
+        num_data_steps=2,
+        metric_iterator=data_iter(jax.random.PRNGKey(16)),
+        num_metric_steps=1,
+        nsr_final_threshold=1e9,
+        blacklisted_module_names=blacklist,
+        min_rank=2,
+        trade_off_factor=1e9,
+        max_accepted_ppl_diff=1e9,
+    )
+    assert set(config.keys()) == keep
+    prompt = jax.random.randint(jax.random.PRNGKey(17), (2, 5), 0, 64)
+    want = naive_greedy(deco, prompt, 5)
+    got = serving.generate(deco, prompt, 5)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_unsupported_graphs_refused():
+    from ptdeco_tpu.models import ssm
+
+    lm, _ = make_lm(
+        key=18,
+        layer_types=("mamba", "full_attention"),
+        mamba=ssm.MambaConfig(dim=32, d_inner=32, d_state=4, d_conv=2),
+    )
+    with pytest.raises(ValueError, match="Attention mixers"):
+        serving.init_cache(lm, 1, 8)
+
+
+def test_max_len_validation():
+    lm, _ = make_lm(key=19)
+    prompt = jnp.zeros((1, 4), jnp.int32)
+    with pytest.raises(ValueError, match="max_len"):
+        serving.generate(lm, prompt, 8, max_len=6)
