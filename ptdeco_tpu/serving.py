@@ -41,7 +41,15 @@ import jax.numpy as jnp
 from jax import lax
 
 from . import nn
-from .models.transformer import Attention, Block, CausalLM, SkipBlock, alibi_slopes
+from .models.transformer import (
+    Attention,
+    Block,
+    CausalLM,
+    MLAttention,
+    SkipBlock,
+    _rope,
+    alibi_slopes,
+)
 
 __all__ = [
     "KVCache",
@@ -51,9 +59,42 @@ __all__ = [
     "generate",
 ]
 
-# per-layer entry: (k_cache, v_cache) with shape (b, max_len, n_kv, hd),
+# per-layer entry: (k_cache, v_cache) with shape (b, max_len, n_kv, hd)
+# for standard attention, (lat_cache, pe_cache) with shapes
+# (b, max_len, kv_lora_rank) / (b, max_len, qk_rope_head_dim) for MLA,
 # or None for layers without attention (SkipBlock)
 KVCache = tuple
+
+
+def _valid_keys(
+    positions: jax.Array,
+    max_len: int,
+    cache_pos: jax.Array,
+    s: int,
+    kv_mask: Optional[jax.Array],
+    sliding_window: Optional[int] = None,
+    chunk_size: Optional[int] = None,
+) -> jax.Array:
+    """(b, s, max_len) bool: which absolute key slots each query may see.
+    Causality against absolute key indices, the cache fill bound, the
+    optional sliding window / llama4 chunk restriction, and the caller's
+    left-padding mask."""
+    key_idx = jnp.arange(max_len)
+    q_pos = positions[:, :, None]  # (b, s, 1) absolute query positions
+    valid = key_idx[None, None, :] <= q_pos  # causal vs absolute keys
+    # keys beyond the fill (zeros) are future positions, already masked
+    # by causality for in-order decoding; mask explicitly anyway so a
+    # caller replaying a shorter prefix against a fuller cache is safe
+    valid = valid & (key_idx[None, None, :] < cache_pos + s)
+    if sliding_window is not None:
+        valid = valid & (q_pos - key_idx[None, None, :] < sliding_window)
+    if chunk_size is not None:  # llama4 block-diagonal causal
+        valid = valid & (
+            key_idx[None, None, :] // chunk_size == q_pos // chunk_size
+        )
+    if kv_mask is not None:  # left-padded prompts
+        valid = valid & kv_mask[:, None, :]
+    return valid
 
 
 class CachedAttention(nn.Module):
@@ -115,35 +156,30 @@ class CachedAttention(nn.Module):
             )
             * scale
         )
-        key_idx = jnp.arange(max_len)
         if a.use_alibi:
             # slope * absolute key index, the softmax-shift-invariant form
             # Attention.__call__ uses (key positions == arange there)
             slopes = jnp.asarray(alibi_slopes(a.n_heads)).reshape(g, rep)
             logits = logits + (
                 slopes[None, :, :, None, None]
-                * key_idx.astype(jnp.float32)[None, None, None, None, :]
+                * jnp.arange(max_len, dtype=jnp.float32)[
+                    None, None, None, None, :
+                ]
             )
         if a.logit_softcap is not None:
             cap = jnp.float32(a.logit_softcap)
             logits = cap * jnp.tanh(logits / cap)
         if positions is None:
             positions = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s))
-        q_pos = positions[:, :, None]  # (b, s, 1) absolute query positions
-        valid = key_idx[None, None, :] <= q_pos  # causal vs absolute keys
-        # keys beyond the fill (zeros) are future positions, already masked
-        # by causality for in-order decoding; mask explicitly anyway so a
-        # caller replaying a shorter prefix against a fuller cache is safe
-        valid = valid & (key_idx[None, None, :] < self.cache_pos + s)
-        if a.sliding_window is not None:
-            valid = valid & (q_pos - key_idx[None, None, :] < a.sliding_window)
-        if a.chunk_size is not None:  # llama4 block-diagonal causal
-            valid = valid & (
-                key_idx[None, None, :] // a.chunk_size
-                == q_pos // a.chunk_size
-            )
-        if self.kv_mask is not None:  # left-padded prompts
-            valid = valid & self.kv_mask[:, None, :]
+        valid = _valid_keys(
+            positions,
+            max_len,
+            self.cache_pos,
+            s,
+            self.kv_mask,
+            a.sliding_window,
+            a.chunk_size,
+        )
         logits = jnp.where(
             valid[:, None, None, :, :], logits, jnp.finfo(jnp.float32).min
         )
@@ -163,6 +199,134 @@ class CachedAttention(nn.Module):
         return a.finish(out.reshape(b, s, -1), out_gate, ctx)
 
 
+def _dense_linear_kernel(m: Any, what: str) -> jax.Array:
+    """Effective bias-free (in, out) kernel of a projection: a plain
+    ``nn.Linear`` or a decomposed two-factor ``nn.Sequential`` (the factor
+    product is materialized ONCE per compiled program — it is a constant
+    during generation).  Needed to absorb ``kv_b_proj`` into the latent
+    attention contraction."""
+    if isinstance(m, nn.Linear):
+        if m.bias is not None:
+            raise ValueError(f"{what}: cannot absorb a biased Linear")
+        return m.kernel
+    if (
+        isinstance(m, nn.Sequential)
+        and len(m.layers) == 2
+        and all(isinstance(l, nn.Linear) for l in m.layers)
+    ):
+        if any(l.bias is not None for l in m.layers):
+            raise ValueError(f"{what}: cannot absorb a biased factor pair")
+        return m.layers[0].kernel @ m.layers[1].kernel
+    raise ValueError(
+        f"{what}: cannot absorb a {type(m).__name__} into the MLA cache "
+        "contraction"
+    )
+
+
+class CachedMLAttention(nn.Module):
+    """Deepseek V2/V3 multi-head latent attention with the ABSORBED-form
+    KV cache — the design MLA exists for: the cache per token is the
+    kv_lora_rank normed latent plus the single shared rope head
+    (e.g. 512 + 64 floats on deepseek-v3 shapes, vs
+    n_heads * (qk_nope + v_head) = 128 * 256 = 32k for materialized K/V).
+
+    ``kv_b_proj``'s key half is folded into the QUERY
+    (q_eff = q_nope @ Wk per head, done once per step for s new tokens)
+    and its value half is applied AFTER the probability-weighted latent
+    sum — so the per-step cost over the cache is two (max_len x lat)
+    contractions and nothing per-head is ever cached.  Scores are
+    mathematically identical to expanding the latent through kv_b_proj
+    (associativity); only f32 rounding order differs.
+
+    Works on decomposed models: ``_dense_linear_kernel`` materializes a
+    factor pair's product once per compiled program, and the q/o/kv_a
+    projections are called as modules (factor pairs run natively)."""
+
+    inner: MLAttention
+    lat_cache: jax.Array  # (b, max_len, kv_lora_rank) — NORMED latent
+    pe_cache: jax.Array  # (b, max_len, qk_rope_head_dim) — roped
+    cache_pos: jax.Array
+    kv_mask: Optional[jax.Array] = None
+    sow_name: str = nn.static_field(default="kv")
+
+    def __call__(
+        self,
+        x: jax.Array,
+        ctx: Optional[nn.Ctx] = None,
+        *,
+        positions: Optional[jax.Array] = None,
+        attn_mask: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        a = self.inner
+        b, s, _ = x.shape
+        max_len = self.lat_cache.shape[1]
+        nope, rope_d = a.qk_nope_head_dim, a.qk_rope_head_dim
+        qk_head = nope + rope_d
+        if a.q_a_proj is not None:
+            q = a.q_b_proj(a.q_a_layernorm(a.q_a_proj(x, ctx)), ctx)
+        else:
+            q = a.q_proj(x, ctx)
+        q = q.reshape(b, s, a.n_heads, qk_head)
+        q_nope, q_pe = q[..., :nope], q[..., nope:]
+
+        ckv = a.kv_a_proj_with_mqa(x, ctx)
+        k_lat = a.kv_a_layernorm(ckv[..., : a.kv_lora_rank])
+        k_pe = ckv[..., a.kv_lora_rank :][:, :, None, :]
+        if positions is None:
+            positions = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s))
+        q_pe = _rope(
+            q_pe, positions, a.rope_theta,
+            interleaved=a.rope_interleaved, yarn=a.rope_yarn,
+        )
+        k_pe = _rope(
+            k_pe, positions, a.rope_theta,
+            interleaved=a.rope_interleaved, yarn=a.rope_yarn,
+        )[:, :, 0, :]
+        lat_cache = lax.dynamic_update_slice(
+            self.lat_cache,
+            k_lat.astype(self.lat_cache.dtype),
+            (0, self.cache_pos, 0),
+        )
+        pe_cache = lax.dynamic_update_slice(
+            self.pe_cache,
+            k_pe.astype(self.pe_cache.dtype),
+            (0, self.cache_pos, 0),
+        )
+        if ctx is not None:
+            ctx.sow(self.sow_name, "kv_cache", (lat_cache, pe_cache))
+
+        W = _dense_linear_kernel(a.kv_b_proj, "kv_b_proj").reshape(
+            a.kv_lora_rank, a.n_heads, nope + a.v_head_dim
+        )
+        w_k, w_v = W[..., :nope], W[..., nope:]
+        q_eff = jnp.einsum("bqhn,lhn->bqhl", q_nope, w_k)
+        scale = qk_head**-0.5 * a.softmax_scale_mult
+        logits = (
+            jnp.einsum(
+                "bqhl,bkl->bhqk",
+                q_eff,
+                lat_cache,
+                preferred_element_type=jnp.float32,
+            )
+            + jnp.einsum(
+                "bqhr,bkr->bhqk",
+                q_pe,
+                pe_cache,
+                preferred_element_type=jnp.float32,
+            )
+        ) * scale
+        valid = _valid_keys(
+            positions, max_len, self.cache_pos, s, self.kv_mask
+        )
+        logits = jnp.where(
+            valid[:, None, :, :], logits, jnp.finfo(jnp.float32).min
+        )
+        probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+        out_lat = jnp.einsum("bhqk,bkl->bqhl", probs, lat_cache)
+        out = jnp.einsum("bqhl,lhv->bqhv", out_lat, w_v)
+        return a.o_proj(out.reshape(b, s, -1), ctx)
+
+
 def _layer_attention(layer: Any, idx: int) -> Optional[Attention]:
     """The layer's cacheable attention, or None for attention-free layers.
     Raises for graphs the cache path does not cover."""
@@ -174,11 +338,15 @@ def _layer_attention(layer: Any, idx: int) -> Optional[Attention]:
             f"is {type(layer).__name__}"
         )
     mixer = layer.self_attn
+    if isinstance(mixer, MLAttention):
+        # raises early (not mid-trace) if kv_b_proj cannot be absorbed
+        _dense_linear_kernel(mixer.kv_b_proj, f"layer {idx} kv_b_proj")
+        return mixer
     if not isinstance(mixer, Attention):
         raise ValueError(
-            f"KV-cache decoding supports standard Attention mixers; layer "
-            f"{idx} uses {type(mixer).__name__} (SSM/linear-attention/MLA "
-            "state caching is not implemented)"
+            f"KV-cache decoding supports standard Attention and MLA "
+            f"mixers; layer {idx} uses {type(mixer).__name__} "
+            "(SSM/linear-attention state caching is not implemented)"
         )
     if mixer.dt_proj is not None:
         raise ValueError(
@@ -217,6 +385,19 @@ def init_cache(
         attn = _layer_attention(layer, i)
         if attn is None:
             caches.append(None)
+            continue
+        if isinstance(attn, MLAttention):
+            cdt = dtype if dtype is not None else x_struct.dtype
+            caches.append(
+                (
+                    jnp.zeros(
+                        (batch_size, max_len, attn.kv_lora_rank), cdt
+                    ),
+                    jnp.zeros(
+                        (batch_size, max_len, attn.qk_rope_head_dim), cdt
+                    ),
+                )
+            )
             continue
         k_struct = jax.eval_shape(
             lambda a, xx: a.project_qkv(xx, None)[1], attn, x_struct
@@ -260,8 +441,17 @@ def forward_with_cache(
             new_caches.append(None)
             continue
         name = f"layers.{i}"
-        swapped = layer.replace(
-            self_attn=CachedAttention(
+        if isinstance(layer.self_attn, MLAttention):
+            cached = CachedMLAttention(
+                inner=layer.self_attn,
+                lat_cache=cache[0],
+                pe_cache=cache[1],
+                cache_pos=cache_pos,
+                kv_mask=kv_mask,
+                sow_name=name,
+            )
+        else:
+            cached = CachedAttention(
                 inner=layer.self_attn,
                 k_cache=cache[0],
                 v_cache=cache[1],
@@ -269,7 +459,7 @@ def forward_with_cache(
                 kv_mask=kv_mask,
                 sow_name=name,
             )
-        )
+        swapped = layer.replace(self_attn=cached)
         x = swapped(x, ctx, positions=positions, attn_mask=None)
         new_caches.append(ctx.sink["kv_cache"][name])
     x = lm.model.norm(x)

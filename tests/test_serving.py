@@ -170,6 +170,84 @@ def test_kv_mask_left_padded_prompts():
     )
 
 
+MLA_CFG = dict(
+    kv_lora_rank=16,
+    q_lora_rank=24,
+    qk_rope_head_dim=4,
+    qk_nope_head_dim=8,
+    v_head_dim=8,
+    n_kv_heads=4,
+)
+
+
+def test_mla_prefill_and_decode_match_full_forward():
+    """Deepseek-style MLA: the absorbed-latent cache path must match the
+    expanded uncached forward (scores are associativity-identical)."""
+    lm, _ = make_lm(key=20, **MLA_CFG)
+    ids = jax.random.randint(jax.random.PRNGKey(21), (2, 6), 0, 64)
+    ref = lm({"input_ids": ids})
+    caches = serving.init_cache(lm, 2, 10)
+    # cache holds the latent + the single rope head, NOT per-head K/V
+    assert caches[0][0].shape == (2, 10, 16)
+    assert caches[0][1].shape == (2, 10, 4)
+    got, caches = serving.forward_with_cache(lm, ids, caches, 0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+    nxt = jnp.argmax(got[:, -1:, :], axis=-1).astype(jnp.int32)
+    ext = jnp.concatenate([ids, nxt], axis=1)
+    ref2 = lm({"input_ids": ext})[:, -1, :]
+    got2, _ = serving.forward_with_cache(lm, nxt, caches, 6)
+    np.testing.assert_allclose(
+        np.asarray(got2[:, 0, :]), np.asarray(ref2), atol=1e-4
+    )
+
+
+def test_mla_v2lite_no_q_bottleneck():
+    cfg = dict(MLA_CFG)
+    cfg.pop("q_lora_rank")
+    lm, _ = make_lm(key=22, **cfg)
+    prompt = jax.random.randint(jax.random.PRNGKey(23), (2, 4), 0, 64)
+    want = naive_greedy(lm, prompt, 4)
+    got = serving.generate(lm, prompt, 4)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_mla_generate_on_decomposed_kv_b_proj():
+    """Decomposing kv_b_proj yields a factor pair; the absorbed cache
+    contraction materializes its product and generation still matches the
+    uncached decomposed model."""
+    lm, _ = make_lm(key=24, **MLA_CFG)
+    names = engine.get_decomposeable_submodule_names(lm)
+    keep = {
+        "model.layers.0.self_attn.kv_b_proj",
+        "model.layers.1.self_attn.q_b_proj",
+    }
+    blacklist = [n for n in names if n not in keep]
+
+    def data_iter(key):
+        while True:
+            key, sub = jax.random.split(key)
+            yield {"input_ids": jax.random.randint(sub, (2, 8), 0, 64)}
+
+    deco, config = dwain.decompose(
+        module=lm,
+        data_iterator=data_iter(jax.random.PRNGKey(25)),
+        loss_fn=models.ce_loss,
+        num_data_steps=2,
+        metric_iterator=data_iter(jax.random.PRNGKey(26)),
+        num_metric_steps=1,
+        nsr_final_threshold=1e9,
+        blacklisted_module_names=blacklist,
+        min_rank=2,
+        trade_off_factor=1e9,
+        max_accepted_ppl_diff=1e9,
+    )
+    assert set(config.keys()) == keep
+    prompt = jax.random.randint(jax.random.PRNGKey(27), (2, 5), 0, 64)
+    want = naive_greedy(deco, prompt, 4)
+    got = serving.generate(deco, prompt, 4)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_generate_on_decomposed_model():
     lm, _ = make_lm(key=14)
     names = engine.get_decomposeable_submodule_names(lm)
@@ -214,7 +292,7 @@ def test_unsupported_graphs_refused():
         layer_types=("mamba", "full_attention"),
         mamba=ssm.MambaConfig(dim=32, d_inner=32, d_state=4, d_conv=2),
     )
-    with pytest.raises(ValueError, match="Attention mixers"):
+    with pytest.raises(ValueError, match="state caching is not implemented"):
         serving.init_cache(lm, 1, 8)
 
 
