@@ -92,6 +92,41 @@ class DecomposeDWAINConfig(_VersionConfig):
     model_config = pydantic.ConfigDict(extra="forbid")
 
 
+class GenerateConfig(_VersionConfig):
+    """Serve a (decomposed) causal LM: batched KV-cache generation from a
+    prompts file.  No reference analogue — the reference's deployment
+    story ends at lm_eval loglikelihood scoring
+    (/root/reference/examples/trainer_llm/metrics.py:81-107)."""
+
+    task: Literal["generate"]
+
+    decomposed_model_name: str
+    decomposed_model_checkpoint_path: Optional[str] = None
+    decomposed_model_revision: str = "main"
+    decomposed_model_custom_builder_path: Optional[str] = None
+    decomposed_model_custom_builder_config: Optional[dict[str, Any]] = None
+    decomposed_model_dtype: Annotated[
+        str, pydantic.StringConstraints(pattern=DTYPES_PATTERN)
+    ]
+    # None = serve the ORIGINAL model (useful as a baseline)
+    decompose_config: Optional[str] = None
+    decompose_state_dict: Optional[str] = None
+
+    # one of: a .jsonl file ({"text": ...} rows), a plain-text file (one
+    # prompt per line), or inline prompts
+    prompts_file: Optional[str] = None
+    prompts: Optional[list[str]] = None
+
+    max_new_tokens: int = 128
+    temperature: float = 0.0
+    batch_size: int = 8
+    max_prompt_length: Optional[int] = None
+    stop_at_eos: bool = True
+    seed: int = 0
+
+    model_config = pydantic.ConfigDict(extra="forbid")
+
+
 class FinetuneConfig(_VersionConfig):
     task: Literal["finetune"]
 

@@ -19,7 +19,7 @@ import yaml
 
 from ptdeco_tpu import _version
 
-from . import run_decompose_dwain, run_finetune
+from . import run_decompose_dwain, run_finetune, run_generate
 
 logger = logging.getLogger(__name__)
 
@@ -127,6 +127,8 @@ def main() -> int:
         run_decompose_dwain.main(config, args.output_path)
     elif task == "finetune":
         run_finetune.main(config, args.output_path)
+    elif task == "generate":
+        run_generate.main(config, args.output_path)
     else:
         raise ValueError(f"Unknown task {task!r}")
     return 0

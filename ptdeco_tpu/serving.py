@@ -85,7 +85,10 @@ def _valid_keys(
     # keys beyond the fill (zeros) are future positions, already masked
     # by causality for in-order decoding; mask explicitly anyway so a
     # caller replaying a shorter prefix against a fuller cache is safe
-    valid = valid & (key_idx[None, None, :] < cache_pos + s)
+    fill = jnp.asarray(cache_pos) + s  # scalar, or (b,) for ragged decode
+    if fill.ndim == 1:
+        fill = fill[:, None, None]
+    valid = valid & (key_idx[None, None, :] < fill)
     if sliding_window is not None:
         valid = valid & (q_pos - key_idx[None, None, :] < sliding_window)
     if chunk_size is not None:  # llama4 block-diagonal causal
@@ -95,6 +98,27 @@ def _valid_keys(
     if kv_mask is not None:  # left-padded prompts
         valid = valid & kv_mask[:, None, :]
     return valid
+
+
+def _cache_write(
+    cache: jax.Array, new: jax.Array, cache_pos: jax.Array
+) -> jax.Array:
+    """Write ``new`` (b, s, ...) into ``cache`` (b, max_len, ...) starting
+    at ``cache_pos``: a scalar start uses one dynamic_update_slice; a
+    per-row (b,) start (ragged decode over right-padded prompts) scatters
+    each of the s tokens with a one-hot slot mask."""
+    new = new.astype(cache.dtype)
+    cache_pos = jnp.asarray(cache_pos, jnp.int32)
+    if cache_pos.ndim == 0:
+        start = (0, cache_pos) + (0,) * (cache.ndim - 2)
+        return lax.dynamic_update_slice(cache, new, start)
+    max_len = cache.shape[1]
+    for i in range(new.shape[1]):  # s is static and small (decode: 1)
+        slot = cache_pos + i  # (b,)
+        oh = jnp.arange(max_len)[None, :] == slot[:, None]  # (b, max_len)
+        oh = oh.reshape(oh.shape + (1,) * (cache.ndim - 2))
+        cache = jnp.where(oh, new[:, i][:, None], cache)
+    return cache
 
 
 class CachedAttention(nn.Module):
@@ -127,16 +151,8 @@ class CachedAttention(nn.Module):
         max_len = self.k_cache.shape[1]
         q, k_new, v_new, out_gate = a.project_qkv(x, ctx, positions)
         hd = q.shape[-1]
-        k_cache = lax.dynamic_update_slice(
-            self.k_cache,
-            k_new.astype(self.k_cache.dtype),
-            (0, self.cache_pos, 0, 0),
-        )
-        v_cache = lax.dynamic_update_slice(
-            self.v_cache,
-            v_new.astype(self.v_cache.dtype),
-            (0, self.cache_pos, 0, 0),
-        )
+        k_cache = _cache_write(self.k_cache, k_new, self.cache_pos)
+        v_cache = _cache_write(self.v_cache, v_new, self.cache_pos)
         if ctx is not None:
             ctx.sow(self.sow_name, "kv_cache", (k_cache, v_cache))
 
@@ -282,16 +298,8 @@ class CachedMLAttention(nn.Module):
             k_pe, positions, a.rope_theta,
             interleaved=a.rope_interleaved, yarn=a.rope_yarn,
         )[:, :, 0, :]
-        lat_cache = lax.dynamic_update_slice(
-            self.lat_cache,
-            k_lat.astype(self.lat_cache.dtype),
-            (0, self.cache_pos, 0),
-        )
-        pe_cache = lax.dynamic_update_slice(
-            self.pe_cache,
-            k_pe.astype(self.pe_cache.dtype),
-            (0, self.cache_pos, 0),
-        )
+        lat_cache = _cache_write(self.lat_cache, k_lat, self.cache_pos)
+        pe_cache = _cache_write(self.pe_cache, k_pe, self.cache_pos)
         if ctx is not None:
             ctx.sow(self.sow_name, "kv_cache", (lat_cache, pe_cache))
 
@@ -425,13 +433,17 @@ def forward_with_cache(
     ``cache_pos + arange(s)``, runs every block with its attention swapped
     for ``CachedAttention``, and returns ``(logits, updated_caches)``.
     Prefill is this with ``cache_pos=0`` and ``s = prompt_len``; decode is
-    ``s = 1``.  ``kv_mask`` (b, max_len) marks valid key slots for
-    left-padded batched prompts."""
+    ``s = 1``.  ``cache_pos`` may be a per-row (b,) vector for ragged
+    decode over right-padded prompts (cache slot == token position per
+    row; junk slots from pad-tail prefill are causally masked and
+    progressively overwritten).  ``kv_mask`` (b, max_len) marks valid key
+    slots for left-padded batched prompts."""
     ctx = nn.Ctx(no_remat=True)
     b, s = input_ids.shape
     cache_pos = jnp.asarray(cache_pos, jnp.int32)
+    start = cache_pos[:, None] if cache_pos.ndim == 1 else cache_pos
     positions = jnp.broadcast_to(
-        cache_pos + jnp.arange(s, dtype=jnp.int32)[None, :], (b, s)
+        start + jnp.arange(s, dtype=jnp.int32)[None, :], (b, s)
     )
     x, _ = lm.model.embed_inputs(input_ids, ctx, positions=positions)
     new_caches: list = []
@@ -480,11 +492,13 @@ def _sample(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_new_tokens", "greedy", "eos_id")
+    jax.jit,
+    static_argnames=("max_new_tokens", "greedy", "eos_id", "ragged"),
 )
 def _generate_impl(
     lm: CausalLM,
     prompt_ids: jax.Array,
+    prompt_lens: jax.Array,  # (b,) int32; == s_p everywhere when uniform
     caches: KVCache,
     key: jax.Array,
     temperature: jax.Array,
@@ -492,10 +506,20 @@ def _generate_impl(
     max_new_tokens: int,
     greedy: bool,
     eos_id: Optional[int],
+    ragged: bool,
 ) -> jax.Array:
     b, s_p = prompt_ids.shape
     logits, caches = forward_with_cache(lm, prompt_ids, caches, 0)
-    tok = _sample(logits[:, -1, :], greedy, temperature, key)
+    if ragged:
+        # per-row: logits of each row's LAST REAL token
+        last = jnp.take_along_axis(
+            logits, (prompt_lens - 1)[:, None, None], axis=1
+        )[:, 0, :]
+        pos0: jax.Array = prompt_lens
+    else:
+        last = logits[:, -1, :]
+        pos0 = jnp.int32(s_p)
+    tok = _sample(last, greedy, temperature, key)
     done = (
         jnp.zeros((b,), bool) if eos_id is None else tok == eos_id
     )
@@ -513,7 +537,7 @@ def _generate_impl(
         step_keys = jax.random.split(key, max_new_tokens - 1)
         (_, _, _, _), rest = lax.scan(
             step,
-            (caches, jnp.int32(s_p), tok, done),
+            (caches, pos0, tok, done),
             step_keys,
         )
         return jnp.concatenate([tok[:, None], rest.T], axis=1)
@@ -529,12 +553,19 @@ def generate(
     key: Optional[jax.Array] = None,
     eos_id: Optional[int] = None,
     max_len: Optional[int] = None,
+    prompt_lens: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """Generate ``max_new_tokens`` continuation tokens for a batch of
-    equal-length prompts ``(b, s_p)`` (int32 token ids).  ``temperature=0``
-    is greedy argmax; otherwise categorical sampling with ``key``.  The
-    entire prefill+decode runs as one jitted program; repeated calls with
-    the same shapes reuse the compiled executable."""
+    """Generate ``max_new_tokens`` continuation tokens for a prompt batch
+    ``(b, s_p)`` (int32 token ids).  ``temperature=0`` is greedy argmax;
+    otherwise categorical sampling with ``key``.  The entire
+    prefill+decode runs as one jitted program; repeated calls with the
+    same shapes reuse the compiled executable.
+
+    Ragged batches: pass RIGHT-padded prompts plus ``prompt_lens`` (b,).
+    Each row's cache slot equals its token position, so pad-tail junk
+    written during prefill is causally invisible and progressively
+    overwritten as the row decodes — exact, with no per-row mask plumbing.
+    Row i's j-th new token is ``out[i, j]`` regardless of prompt length."""
     prompt_ids = jnp.asarray(prompt_ids, jnp.int32)
     b, s_p = prompt_ids.shape
     total = max_len if max_len is not None else s_p + max_new_tokens
@@ -543,16 +574,23 @@ def generate(
             f"max_len {total} < prompt {s_p} + max_new_tokens "
             f"{max_new_tokens}"
         )
+    ragged = prompt_lens is not None
+    if ragged:
+        lens = jnp.asarray(prompt_lens, jnp.int32)
+    else:
+        lens = jnp.full((b,), s_p, jnp.int32)
     caches = init_cache(lm, b, total)
     if key is None:
         key = jax.random.PRNGKey(0)
     return _generate_impl(
         lm,
         prompt_ids,
+        lens,
         caches,
         key,
         jnp.float32(temperature),
         max_new_tokens=int(max_new_tokens),
         greedy=temperature == 0.0,
         eos_id=eos_id,
+        ragged=ragged,
     )
