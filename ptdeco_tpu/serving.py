@@ -57,6 +57,7 @@ __all__ = [
     "check_decode_supported",
     "forward_with_cache",
     "generate",
+    "generate_speculative",
 ]
 
 # per-layer entry: (k_cache, v_cache) with shape (b, max_len, n_kv, hd)
@@ -594,3 +595,207 @@ def generate(
         eos_id=eos_id,
         ragged=ragged,
     )
+
+
+# ---------------------------------------------------------------------------
+# Speculative decoding: the DECOMPOSED model drafts, the original verifies.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_new_tokens", "k", "eos_id", "ragged")
+)
+def _speculative_impl(
+    target: CausalLM,
+    draft: CausalLM,
+    prompt_ids: jax.Array,
+    prompt_lens: jax.Array,
+    t_caches: KVCache,
+    d_caches: KVCache,
+    *,
+    max_new_tokens: int,
+    k: int,
+    eos_id: Optional[int],
+    ragged: bool,
+) -> tuple[jax.Array, dict]:
+    b, _ = prompt_ids.shape
+    pad = jnp.int32(eos_id if eos_id is not None else 0)
+    j_idx = jnp.arange(k + 1)[None, :]
+
+    # prefill both models on the prompt; the first emitted token is the
+    # TARGET's greedy pick (so output == target-only greedy from token 0)
+    logits, t_caches = forward_with_cache(target, prompt_ids, t_caches, 0)
+    if ragged:
+        last = jnp.take_along_axis(
+            logits, (prompt_lens - 1)[:, None, None], axis=1
+        )[:, 0, :]
+    else:
+        last = logits[:, -1, :]
+    _, d_caches = forward_with_cache(draft, prompt_ids, d_caches, 0)
+    cur = jnp.argmax(last, axis=-1).astype(jnp.int32)
+
+    out = jnp.full((b, max_new_tokens), pad, jnp.int32)
+    out = out.at[:, 0].set(cur)
+    n_out = jnp.ones((b,), jnp.int32)
+    done = (
+        (cur == eos_id) if eos_id is not None else jnp.zeros((b,), bool)
+    ) | (n_out >= max_new_tokens)
+    # invariant: ``cur`` is the row's last emitted token, at position
+    # pos-1, NOT yet written to either cache; each round's chunk starts
+    # with cur, so slot pos-1 (and any stale slots beyond, from rejected
+    # drafts of earlier rounds) is rewritten before it is ever read —
+    # the same slot==position argument ragged decode relies on.
+    pos = prompt_lens + 1
+    stats0 = {
+        "rounds": jnp.int32(0),
+        "drafted": jnp.int32(0),
+        "accepted": jnp.int32(0),
+    }
+
+    def cond(carry):
+        return jnp.any(~carry[6])
+
+    def body(carry):
+        t_caches, d_caches, pos, cur, out, n_out, done, stats = carry
+
+        # draft proposes k greedy tokens sequentially from cur.  The scan
+        # runs k+1 steps so the draft's OWN cache also receives d_k: on
+        # full acceptance the next round starts at position pos+k+1 and
+        # the draft must have slot pos+k-1 (d_k) filled — without the
+        # extra step that slot would be a zero-KV hole that silently
+        # degrades every post-full-acceptance draft (output stays exact;
+        # acceptance rate tanks).  The k+1-th proposal is discarded.
+        def dstep(c, _):
+            dc, tok, p = c
+            lg, dc = forward_with_cache(draft, tok[:, None], dc, p)
+            nxt = jnp.argmax(lg[:, -1, :], axis=-1).astype(jnp.int32)
+            return (dc, nxt, p + 1), nxt
+
+        (d_caches, _, _), drafts_all = lax.scan(
+            dstep, (d_caches, cur, pos - 1), None, length=k + 1
+        )
+        drafts = drafts_all.T[:, :k]  # (b, k)
+
+        # ONE target pass verifies all k drafts and yields the bonus token
+        chunk = jnp.concatenate([cur[:, None], drafts], axis=1)  # (b, k+1)
+        lg, t_caches = forward_with_cache(target, chunk, t_caches, pos - 1)
+        t_pred = jnp.argmax(lg, axis=-1).astype(jnp.int32)  # (b, k+1)
+
+        # longest accepted prefix; emit n drafts + the target's pick at
+        # the first divergence (or after all k if none diverged)
+        acc = jnp.cumprod((drafts == t_pred[:, :k]).astype(jnp.int32), 1)
+        n = jnp.sum(acc, axis=1)  # (b,)
+        bonus = jnp.take_along_axis(t_pred, n[:, None], axis=1)[:, 0]
+        drafts_pad = jnp.concatenate(
+            [drafts, jnp.zeros((b, 1), jnp.int32)], axis=1
+        )
+        emit = jnp.where(j_idx < n[:, None], drafts_pad, bonus[:, None])
+
+        m = n + 1
+        if eos_id is not None:  # cut at the first emitted eos
+            is_eos = emit == eos_id
+            hit = is_eos & (j_idx < m[:, None])
+            first = jnp.min(
+                jnp.where(hit, j_idx, k + 1), axis=1
+            )
+            m = jnp.where(jnp.any(hit, axis=1), first + 1, m)
+        m = jnp.minimum(m, max_new_tokens - n_out)
+        m = jnp.where(done, 0, m)
+
+        cols = n_out[:, None] + j_idx  # (b, k+1) output columns
+        write = (j_idx < m[:, None]) & (cols < max_new_tokens)
+        onehot = (
+            cols[:, :, None] == jnp.arange(max_new_tokens)[None, None, :]
+        ) & write[:, :, None]
+        written = jnp.einsum(
+            "bjc,bj->bc", onehot.astype(jnp.int32), emit
+        )
+        out = jnp.where(jnp.any(onehot, axis=1), written, out)
+
+        cur = jnp.where(
+            m > 0,
+            jnp.take_along_axis(
+                emit, jnp.maximum(m - 1, 0)[:, None], axis=1
+            )[:, 0],
+            cur,
+        )
+        pos = pos + m
+        n_out = n_out + m
+        done = done | (n_out >= max_new_tokens)
+        if eos_id is not None:
+            done = done | jnp.any(
+                (emit == eos_id) & (j_idx < m[:, None]), axis=1
+            )
+        live = jnp.sum((m > 0).astype(jnp.int32))
+        stats = {
+            "rounds": stats["rounds"] + 1,
+            "drafted": stats["drafted"] + live * k,
+            "accepted": stats["accepted"] + jnp.sum(jnp.where(m > 0, n, 0)),
+        }
+        return (t_caches, d_caches, pos, cur, out, n_out, done, stats)
+
+    carry = (t_caches, d_caches, pos, cur, out, n_out, done, stats0)
+    carry = lax.while_loop(cond, body, carry)
+    return carry[4], carry[7]
+
+
+def generate_speculative(
+    target: CausalLM,
+    draft: CausalLM,
+    prompt_ids: jax.Array,
+    max_new_tokens: int,
+    *,
+    k: int = 4,
+    eos_id: Optional[int] = None,
+    prompt_lens: Optional[jax.Array] = None,
+    return_stats: bool = False,
+):
+    """Greedy speculative decoding: ``draft`` (typically the DECOMPOSED
+    model — cheaper weight streaming) proposes ``k`` tokens per round;
+    ``target`` (the original) verifies all of them in ONE cached forward
+    and contributes the token at the first divergence.  The output is
+    EXACTLY ``generate(target, ...)``'s greedy continuation — compression
+    becomes a lossless accelerator for serving the original model.
+
+    Decode is weight-streaming-bound, so a round emitting ``n+1`` tokens
+    costs ~``1 + (k+1)*c`` streams (c = draft's parameter proportion) against
+    ``n+1`` target streams for plain decode — at c~0.45, k=4 and high
+    acceptance that is ~1.8x.  The reference has no generation path at
+    all, let alone a use for its own compression artifact at serving time.
+
+    The whole prefill + draft/verify loop is one jitted program
+    (``lax.while_loop``; per-row positions reuse the ragged-decode slot ==
+    position machinery, so rejected-draft cache slots are rewritten
+    before they are ever read).  Ragged prompts via ``prompt_lens`` as in
+    ``generate``.  Returns ``(b, max_new_tokens)`` int32, eos/0-padded;
+    with ``return_stats=True`` also a dict with rounds / drafted /
+    accepted counts (acceptance rate = accepted/drafted).
+    """
+    prompt_ids = jnp.asarray(prompt_ids, jnp.int32)
+    b, s_p = prompt_ids.shape
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    ragged = prompt_lens is not None
+    lens = (
+        jnp.asarray(prompt_lens, jnp.int32)
+        if ragged
+        else jnp.full((b,), s_p, jnp.int32)
+    )
+    total = s_p + max_new_tokens + k + 1  # rounds may overshoot by < k
+    t_caches = init_cache(target, b, total)
+    d_caches = init_cache(draft, b, total)
+    out, stats = _speculative_impl(
+        target,
+        draft,
+        prompt_ids,
+        lens,
+        t_caches,
+        d_caches,
+        max_new_tokens=int(max_new_tokens),
+        k=int(k),
+        eos_id=eos_id,
+        ragged=ragged,
+    )
+    if return_stats:
+        return out, {kk: int(v) for kk, v in jax.device_get(stats).items()}
+    return out

@@ -327,6 +327,104 @@ def test_ragged_mla():
         )
 
 
+def decompose_all(lm, keep, min_rank=2, seed=100):
+    names = engine.get_decomposeable_submodule_names(lm)
+
+    def data_iter(key):
+        while True:
+            key, sub = jax.random.split(key)
+            yield {"input_ids": jax.random.randint(sub, (2, 8), 0, 64)}
+
+    deco, config = dwain.decompose(
+        module=lm,
+        data_iterator=data_iter(jax.random.PRNGKey(seed)),
+        loss_fn=models.ce_loss,
+        num_data_steps=2,
+        metric_iterator=data_iter(jax.random.PRNGKey(seed + 1)),
+        num_metric_steps=1,
+        nsr_final_threshold=1e9,
+        blacklisted_module_names=[n for n in names if n not in keep],
+        min_rank=min_rank,
+        trade_off_factor=1e9,
+        max_accepted_ppl_diff=1e9,
+    )
+    assert set(config.keys()) == set(keep)
+    return deco
+
+
+def test_speculative_exact_vs_target_greedy():
+    """Speculative output must equal the target-only greedy continuation
+    EXACTLY — the draft (a dwain-decomposed copy of the target) only
+    accelerates, never changes, the result."""
+    lm, _ = make_lm(key=40)
+    draft = decompose_all(
+        lm,
+        keep=[
+            "model.layers.0.mlp.up_proj",
+            "model.layers.1.mlp.down_proj",
+            "model.layers.0.self_attn.q_proj",
+        ],
+        min_rank=8,
+    )
+    prompt = jax.random.randint(jax.random.PRNGKey(41), (2, 6), 0, 64)
+    want = serving.generate(lm, prompt, 9)
+    got, stats = serving.generate_speculative(
+        lm, draft, prompt, 9, k=3, return_stats=True
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    assert stats["rounds"] >= 1
+    assert 0 <= stats["accepted"] <= stats["drafted"]
+
+
+def test_speculative_exact_with_unrelated_draft():
+    """Even a draft that never matches (different random weights, fewer
+    layers) must leave the output exact — acceptance just goes to ~0."""
+    lm, _ = make_lm(key=42)
+    draft, _ = make_lm(key=43, n_layers=1)
+    prompt = jax.random.randint(jax.random.PRNGKey(44), (2, 5), 0, 64)
+    want = serving.generate(lm, prompt, 7)
+    got = serving.generate_speculative(lm, draft, prompt, 7, k=2)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_speculative_k1_and_eos():
+    lm, _ = make_lm(key=45)
+    draft = lm  # perfect draft: acceptance must be 100%
+    prompt = jax.random.randint(jax.random.PRNGKey(46), (2, 4), 0, 64)
+    want = serving.generate(lm, prompt, 6)
+    got, stats = serving.generate_speculative(
+        lm, draft, prompt, 6, k=1, return_stats=True
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    assert stats["accepted"] == stats["drafted"]  # identical models
+
+    # eos parity: pick a token the free run emits, require the eos-stopped
+    # outputs to match generate()'s convention (eos-filled after stop)
+    eos = int(np.asarray(want)[0, 2])
+    want_eos = serving.generate(lm, prompt, 6, eos_id=eos)
+    got_eos = serving.generate_speculative(lm, draft, prompt, 6, k=3, eos_id=eos)
+    np.testing.assert_array_equal(np.asarray(got_eos), np.asarray(want_eos))
+
+
+def test_speculative_ragged():
+    lm, _ = make_lm(key=47)
+    draft = decompose_all(lm, keep=["model.layers.1.mlp.up_proj"], seed=120)
+    key = jax.random.PRNGKey(48)
+    rows = [
+        jax.random.randint(jax.random.fold_in(key, i), (1, n), 0, 64)
+        for i, n in enumerate([3, 6])
+    ]
+    padded = jnp.zeros((2, 6), jnp.int32)
+    for i, r in enumerate(rows):
+        padded = padded.at[i, : r.shape[1]].set(r[0])
+    lens = jnp.asarray([3, 6], jnp.int32)
+    want = serving.generate(lm, padded, 5, prompt_lens=lens)
+    got = serving.generate_speculative(
+        lm, draft, padded, 5, k=2, prompt_lens=lens
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_unsupported_graphs_refused():
     from ptdeco_tpu.models import ssm
 
