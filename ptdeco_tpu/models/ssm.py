@@ -153,6 +153,23 @@ class DepthwiseConv1d(nn.Module):
             out = out + self.bias
         return out
 
+    def with_state(
+        self, x: jax.Array, state: jax.Array
+    ) -> tuple[jax.Array, jax.Array]:
+        """Stateful form for KV-cache-style decoding (serving.py): ``state``
+        is the (b, k-1, ch) tail of the true input history (zeros at
+        stream start — then bit-identical to the plain causal call).
+        Returns (outputs for the x positions, new state)."""
+        k = self.weight.shape[1]
+        full = jnp.concatenate([state.astype(x.dtype), x], axis=1)
+        out = full * self.weight[:, k - 1]
+        for i in range(1, k):
+            shifted = jnp.pad(full[:, :-i], ((0, 0), (i, 0), (0, 0)))
+            out = out + shifted * self.weight[:, k - 1 - i]
+        if self.bias is not None:
+            out = out + self.bias
+        return out[:, k - 1 :], full[:, full.shape[1] - (k - 1) :]
+
     @staticmethod
     def create(
         key: jax.Array, ch: int, k: int, bias: bool, dtype: Any
@@ -202,12 +219,34 @@ class Mamba1Mixer(nn.Module):
         positions: Optional[jax.Array] = None,
         attn_mask: Optional[jax.Array] = None,
     ) -> jax.Array:
+        return self.forward_with_state(x, ctx, attn_mask=attn_mask)[0]
+
+    def forward_with_state(
+        self,
+        x: jax.Array,
+        ctx: Optional[nn.Ctx] = None,
+        conv_state: Optional[jax.Array] = None,
+        ssm_state: Optional[jax.Array] = None,
+        attn_mask: Optional[jax.Array] = None,
+    ) -> tuple[jax.Array, jax.Array, jax.Array]:
+        """Stateful forward for KV-cache-style decoding (serving.py):
+        ``conv_state`` (b, d_conv-1, d_inner) is the conv-input tail,
+        ``ssm_state`` (b, d_inner, d_state) f32 the recurrence state.
+        None states mean stream start (zeros) — then the output is
+        bit-identical to the stateless call, which delegates here.  The
+        initial recurrence state folds into the associative scan's
+        cumulative decay (hs_t += (prod dA)_t * s0).  Returns
+        (y, new_conv_state, new_ssm_state)."""
         b, s, _ = x.shape
         proj = self.in_proj(x, ctx)  # (b, s, 2*d_inner)
         h, gate = jnp.split(proj, 2, axis=-1)
         if attn_mask is not None:
             h = h * attn_mask[..., None].astype(h.dtype)
-        h = jax.nn.silu(self.conv1d(h, ctx))
+        k = self.conv1d.weight.shape[1]
+        if conv_state is None:
+            conv_state = jnp.zeros((b, k - 1, self.d_inner), h.dtype)
+        h, new_conv_state = self.conv1d.with_state(h, conv_state)
+        h = jax.nn.silu(h)
         if attn_mask is not None:
             h = h * attn_mask[..., None].astype(h.dtype)
         sel = self.x_proj(h, ctx)
@@ -237,12 +276,15 @@ class Mamba1Mixer(nn.Module):
             aR, bR = right
             return aL * aR, bL * aR + bR
 
-        _, hs = jax.lax.associative_scan(comb, (dA, dBu), axis=1)
+        a_cum, hs = jax.lax.associative_scan(comb, (dA, dBu), axis=1)
+        if ssm_state is not None:
+            hs = hs + a_cum * ssm_state.astype(jnp.float32)[:, None]
+        new_ssm_state = hs[:, -1]
         y = jnp.einsum(
             "bsdn,bsn->bsd", hs.astype(x.dtype), C
         ) + h * self.D[None, None]
         y = y * jax.nn.silu(gate)
-        return self.out_proj(y, ctx)
+        return self.out_proj(y, ctx), new_conv_state, new_ssm_state
 
     @staticmethod
     def create(key: jax.Array, cfg: MambaConfig) -> "Mamba1Mixer":
@@ -338,6 +380,27 @@ class Mamba2Mixer(nn.Module):
         positions: Optional[jax.Array] = None,
         attn_mask: Optional[jax.Array] = None,
     ) -> jax.Array:
+        return self.forward_with_state(x, ctx, attn_mask=attn_mask)[0]
+
+    def forward_with_state(
+        self,
+        x: jax.Array,
+        ctx: Optional[nn.Ctx] = None,
+        conv_state: Optional[jax.Array] = None,
+        ssm_state: Optional[jax.Array] = None,
+        attn_mask: Optional[jax.Array] = None,
+    ) -> tuple[jax.Array, jax.Array, jax.Array]:
+        """Stateful forward for KV-cache-style decoding (serving.py):
+        ``conv_state`` (b, d_conv-1, d_inner + 2*G*N) is the conv-input
+        tail over the fused (x, B, C) stream, ``ssm_state`` (b, H, P, N)
+        f32 the SSD state.  None states mean stream start (zeros) — then
+        the output is bit-identical to the stateless call, which
+        delegates here.  The initial state enters the chunked SSD exactly
+        where the zero block sat in the inter-chunk recurrence (HF's
+        cached torch_forward does the same concat).  Returns
+        (y, new_conv_state, new_ssm_state); tail padding contributes
+        decay exp(0)=1 and zero input, so the final state is the state
+        after the last REAL token."""
         b, s, _ = x.shape
         H, P, G, N = self.n_heads, self.head_dim, self.n_groups, self.d_state
         if attn_mask is not None:
@@ -347,7 +410,12 @@ class Mamba2Mixer(nn.Module):
         gate, hBC, dt = jnp.split(
             proj, [self.d_inner, self.d_inner + conv_dim], axis=-1
         )
-        hBC = jax.nn.silu(self.conv1d(hBC, ctx))
+        if conv_state is None:
+            conv_state = jnp.zeros(
+                (b, self.conv1d.weight.shape[1] - 1, conv_dim), hBC.dtype
+            )
+        hBC, new_conv_state = self.conv1d.with_state(hBC, conv_state)
+        hBC = jax.nn.silu(hBC)
         if attn_mask is not None:
             hBC = hBC * attn_mask[..., None].astype(hBC.dtype)
         h, B, C = jnp.split(
@@ -396,11 +464,15 @@ class Mamba2Mixer(nn.Module):
         )
         a_last = jnp.pad(a_cs[..., -1], ((0, 0), (0, 0), (1, 0)))
         decay_chunk = jnp.exp(_segsum(a_last))  # (b, H, c+1, c+1)
-        states = jnp.concatenate(
-            [jnp.zeros_like(states[:, :1]), states], axis=1
-        )  # (b, c+1, H, P, N)
+        init = (
+            jnp.zeros_like(states[:, :1])
+            if ssm_state is None
+            else ssm_state.astype(jnp.float32)[:, None]
+        )
+        states = jnp.concatenate([init, states], axis=1)  # (b, c+1, H, P, N)
         new_states = jnp.einsum("bhij,bjhpn->bihpn", decay_chunk, states)
         prev_states = new_states[:, :-1]  # state entering each chunk
+        new_ssm_state = new_states[:, -1]  # state after the last token
         state_decay_out = jnp.exp(a_cs)  # (b, H, c, l)
         Y_off = jnp.einsum(
             "bclhn,bchpn,bhcl->bclhp", Cc, prev_states, state_decay_out
@@ -412,7 +484,7 @@ class Mamba2Mixer(nn.Module):
         y = y * jax.nn.silu(gate)
         if self.norm is not None:
             y = self.norm(y, ctx)
-        return self.out_proj(y, ctx)
+        return self.out_proj(y, ctx), new_conv_state, new_ssm_state
 
     @staticmethod
     def create(key: jax.Array, cfg: MambaConfig) -> "Mamba2Mixer":

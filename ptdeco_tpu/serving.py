@@ -41,6 +41,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from . import nn
+from .models.ssm import Mamba1Mixer, Mamba2Mixer, MambaBlock, MambaLM
 from .models.transformer import (
     Attention,
     Block,
@@ -336,11 +337,66 @@ class CachedMLAttention(nn.Module):
         return a.o_proj(out.reshape(b, s, -1), ctx)
 
 
-def _layer_attention(layer: Any, idx: int) -> Optional[Attention]:
-    """The layer's cacheable attention, or None for attention-free layers.
-    Raises for graphs the cache path does not cover."""
+class CachedMamba1(nn.Module):
+    """Drop-in stand-in for a ``Mamba1Mixer`` in a Block's attention slot
+    (bamba/jamba-style hybrids): carries the conv-input tail and the
+    selective-scan recurrence state, delegating the math to the mixer's
+    own ``forward_with_state`` — one body, no drift."""
+
+    inner: Any  # Mamba1Mixer
+    conv_state: jax.Array  # (b, d_conv-1, d_inner)
+    ssm_state: jax.Array  # (b, d_inner, d_state) f32
+    sow_name: str = nn.static_field(default="kv")
+
+    def __call__(
+        self,
+        x: jax.Array,
+        ctx: Optional[nn.Ctx] = None,
+        *,
+        positions: Optional[jax.Array] = None,
+        attn_mask: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        y, cs, ss = self.inner.forward_with_state(
+            x, ctx, self.conv_state, self.ssm_state
+        )
+        if ctx is not None:
+            ctx.sow(self.sow_name, "kv_cache", (cs, ss))
+        return y
+
+
+class CachedMamba2(nn.Module):
+    """As ``CachedMamba1`` for the SSD mixer: conv tail over the fused
+    (x, B, C) stream plus the (b, H, P, N) f32 state."""
+
+    inner: Any  # Mamba2Mixer
+    conv_state: jax.Array
+    ssm_state: jax.Array
+    sow_name: str = nn.static_field(default="kv")
+
+    def __call__(
+        self,
+        x: jax.Array,
+        ctx: Optional[nn.Ctx] = None,
+        *,
+        positions: Optional[jax.Array] = None,
+        attn_mask: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        y, cs, ss = self.inner.forward_with_state(
+            x, ctx, self.conv_state, self.ssm_state
+        )
+        if ctx is not None:
+            ctx.sow(self.sow_name, "kv_cache", (cs, ss))
+        return y
+
+
+def _layer_attention(layer: Any, idx: int) -> Optional[Any]:
+    """The layer's cacheable mixer (Attention, MLA, or a mamba mixer), or
+    None for mixer-free layers.  Raises for graphs the cache path does
+    not cover."""
     if isinstance(layer, SkipBlock):
         return None
+    if isinstance(layer, MambaBlock):  # pure MambaLM stacks
+        return layer.mixer
     if not isinstance(layer, Block):
         raise ValueError(
             f"KV-cache decoding supports Block layer stacks; layer {idx} "
@@ -351,11 +407,13 @@ def _layer_attention(layer: Any, idx: int) -> Optional[Attention]:
         # raises early (not mid-trace) if kv_b_proj cannot be absorbed
         _dense_linear_kernel(mixer.kv_b_proj, f"layer {idx} kv_b_proj")
         return mixer
+    if isinstance(mixer, (Mamba1Mixer, Mamba2Mixer)):
+        return mixer
     if not isinstance(mixer, Attention):
         raise ValueError(
-            f"KV-cache decoding supports standard Attention and MLA "
+            f"KV-cache decoding supports Attention, MLA, and mamba1/2 "
             f"mixers; layer {idx} uses {type(mixer).__name__} "
-            "(SSM/linear-attention state caching is not implemented)"
+            "(its state caching is not implemented)"
         )
     if mixer.dt_proj is not None:
         raise ValueError(
@@ -369,10 +427,24 @@ def _layer_attention(layer: Any, idx: int) -> Optional[Attention]:
     return mixer
 
 
-def check_decode_supported(lm: CausalLM) -> None:
+def _model_layers(lm: Any) -> tuple:
+    return lm.backbone.layers if isinstance(lm, MambaLM) else lm.model.layers
+
+
+def check_decode_supported(lm: Any) -> None:
     """Raise with a clear message if ``lm``'s graph cannot be KV-cached."""
-    for i, layer in enumerate(lm.model.layers):
+    for i, layer in enumerate(_model_layers(lm)):
         _layer_attention(layer, i)
+
+
+def _has_ssm(lm: Any) -> bool:
+    if isinstance(lm, MambaLM):
+        return True
+    return any(
+        isinstance(layer, Block)
+        and isinstance(layer.self_attn, (Mamba1Mixer, Mamba2Mixer))
+        for layer in lm.model.layers
+    )
 
 
 def init_cache(
@@ -386,14 +458,53 @@ def init_cache(
     correct for decomposed projections and gated/GQA head layouts."""
     check_decode_supported(lm)
     ids = jax.ShapeDtypeStruct((batch_size, 1), jnp.int32)
-    x_struct = jax.eval_shape(
-        lambda m, i: m.embed_inputs(i, None)[0], lm.model, ids
-    )
+    if isinstance(lm, MambaLM):
+        x_struct = jax.eval_shape(
+            lambda m, i: m.embeddings(i), lm.backbone, ids
+        )
+    else:
+        x_struct = jax.eval_shape(
+            lambda m, i: m.embed_inputs(i, None)[0], lm.model, ids
+        )
     caches = []
-    for i, layer in enumerate(lm.model.layers):
+    for i, layer in enumerate(_model_layers(lm)):
         attn = _layer_attention(layer, i)
         if attn is None:
             caches.append(None)
+            continue
+        if isinstance(attn, Mamba1Mixer):
+            k = attn.conv1d.weight.shape[1]
+            caches.append(
+                (
+                    jnp.zeros(
+                        (batch_size, k - 1, attn.d_inner), x_struct.dtype
+                    ),
+                    jnp.zeros(
+                        (batch_size, attn.d_inner, attn.d_state),
+                        jnp.float32,
+                    ),
+                )
+            )
+            continue
+        if isinstance(attn, Mamba2Mixer):
+            k = attn.conv1d.weight.shape[1]
+            conv_dim = attn.d_inner + 2 * attn.n_groups * attn.d_state
+            caches.append(
+                (
+                    jnp.zeros(
+                        (batch_size, k - 1, conv_dim), x_struct.dtype
+                    ),
+                    jnp.zeros(
+                        (
+                            batch_size,
+                            attn.n_heads,
+                            attn.head_dim,
+                            attn.d_state,
+                        ),
+                        jnp.float32,
+                    ),
+                )
+            )
             continue
         if isinstance(attn, MLAttention):
             cdt = dtype if dtype is not None else x_struct.dtype
@@ -446,17 +557,40 @@ def forward_with_cache(
     positions = jnp.broadcast_to(
         start + jnp.arange(s, dtype=jnp.int32)[None, :], (b, s)
     )
-    x, _ = lm.model.embed_inputs(input_ids, ctx, positions=positions)
+    mamba_lm = isinstance(lm, MambaLM)
+    if mamba_lm:
+        x = lm.backbone.embeddings(input_ids)
+    else:
+        x, _ = lm.model.embed_inputs(input_ids, ctx, positions=positions)
     new_caches: list = []
-    for i, (layer, cache) in enumerate(zip(lm.model.layers, caches)):
+    for i, (layer, cache) in enumerate(zip(_model_layers(lm), caches)):
         if cache is None:
             x = layer(x, ctx, positions=positions, attn_mask=None)
             new_caches.append(None)
             continue
         name = f"layers.{i}"
-        if isinstance(layer.self_attn, MLAttention):
+        mixer = layer.mixer if isinstance(layer, MambaBlock) else layer.self_attn
+        if isinstance(mixer, (Mamba1Mixer, Mamba2Mixer)):
+            if cache_pos.ndim == 1:
+                raise ValueError(
+                    "ragged decode (per-row cache_pos) is not supported "
+                    "for SSM layers: a recurrent state has no slot == "
+                    "position rewrite — use uniform-length prompt batches"
+                )
+            cls = (
+                CachedMamba1
+                if isinstance(mixer, Mamba1Mixer)
+                else CachedMamba2
+            )
+            cached: nn.Module = cls(
+                inner=mixer,
+                conv_state=cache[0],
+                ssm_state=cache[1],
+                sow_name=name,
+            )
+        elif isinstance(mixer, MLAttention):
             cached = CachedMLAttention(
-                inner=layer.self_attn,
+                inner=mixer,
                 lat_cache=cache[0],
                 pe_cache=cache[1],
                 cache_pos=cache_pos,
@@ -465,18 +599,28 @@ def forward_with_cache(
             )
         else:
             cached = CachedAttention(
-                inner=layer.self_attn,
+                inner=mixer,
                 k_cache=cache[0],
                 v_cache=cache[1],
                 cache_pos=cache_pos,
                 kv_mask=kv_mask,
                 sow_name=name,
             )
-        swapped = layer.replace(self_attn=cached)
+        if isinstance(layer, MambaBlock):
+            swapped = layer.replace(mixer=cached)
+        else:
+            swapped = layer.replace(self_attn=cached)
         x = swapped(x, ctx, positions=positions, attn_mask=None)
         new_caches.append(ctx.sink["kv_cache"][name])
-    x = lm.model.norm(x)
-    logits = lm.head(x, ctx)
+    if mamba_lm:
+        x = lm.backbone.norm_f(x)
+        if lm.tie_embeddings:
+            logits = jnp.dot(x, lm.backbone.embeddings.table.T)
+        else:
+            logits = lm.lm_head(x, ctx)
+    else:
+        x = lm.model.norm(x)
+        logits = lm.head(x, ctx)
     return logits, tuple(new_caches)
 
 
@@ -576,6 +720,12 @@ def generate(
             f"{max_new_tokens}"
         )
     ragged = prompt_lens is not None
+    if ragged and _has_ssm(lm):
+        raise ValueError(
+            "ragged decode (prompt_lens) is not supported for models with "
+            "SSM layers: a recurrent state has no slot == position "
+            "rewrite — batch uniform-length prompts instead"
+        )
     if ragged:
         lens = jnp.asarray(prompt_lens, jnp.int32)
     else:
@@ -775,6 +925,11 @@ def generate_speculative(
     b, s_p = prompt_ids.shape
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    if _has_ssm(target) or _has_ssm(draft):
+        raise ValueError(
+            "speculative decoding is not supported for models with SSM "
+            "layers: rejected drafts require rewinding a recurrent state"
+        )
     ragged = prompt_lens is not None
     lens = (
         jnp.asarray(prompt_lens, jnp.int32)

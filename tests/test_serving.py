@@ -425,13 +425,99 @@ def test_speculative_ragged():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
-def test_unsupported_graphs_refused():
+def make_hybrid(version: int, key=18):
     from ptdeco_tpu.models import ssm
 
+    mamba_cfg = (
+        ssm.MambaConfig(
+            dim=32, d_inner=32, d_state=4, d_conv=3, dt_rank=4, version=1
+        )
+        if version == 1
+        else ssm.MambaConfig(
+            dim=32, d_inner=32, d_state=4, d_conv=3, version=2,
+            n_heads=4, head_dim=8, n_groups=2, chunk_size=4,
+        )
+    )
+    return make_lm(
+        key=key,
+        layer_types=("mamba", "full_attention"),
+        mamba=mamba_cfg,
+    )[0]
+
+
+@pytest.mark.parametrize("version", [1, 2])
+def test_hybrid_mamba_prefill_and_decode(version):
+    """bamba/jamba-style hybrids: the cached forward must reproduce the
+    uncached model — the SSM layers carry conv-tail + recurrence state
+    instead of K/V slots."""
+    lm = make_hybrid(version)
+    ids = jax.random.randint(jax.random.PRNGKey(50), (2, 7), 0, 64)
+    ref = lm({"input_ids": ids})
+    caches = serving.init_cache(lm, 2, 12)
+    # layer 0 is the mamba layer: (conv_state, ssm_state), not slot caches
+    assert caches[0][0].shape[1] == 2  # d_conv - 1
+    got, caches = serving.forward_with_cache(lm, ids, caches, 0)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=2e-4
+    )
+    nxt = jnp.argmax(got[:, -1:, :], axis=-1).astype(jnp.int32)
+    ext = jnp.concatenate([ids, nxt], axis=1)
+    ref2 = lm({"input_ids": ext})[:, -1, :]
+    got2, _ = serving.forward_with_cache(lm, nxt, caches, 7)
+    np.testing.assert_allclose(
+        np.asarray(got2[:, 0, :]), np.asarray(ref2), atol=2e-4
+    )
+
+
+@pytest.mark.parametrize("version", [1, 2])
+def test_hybrid_mamba_generate(version):
+    lm = make_hybrid(version, key=19)
+    prompt = jax.random.randint(jax.random.PRNGKey(51), (2, 5), 0, 64)
+    want = naive_greedy(lm, prompt, 6)
+    got = serving.generate(lm, prompt, 6)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_hybrid_mamba_ragged_and_speculative_refused():
+    lm = make_hybrid(1, key=20)
+    prompt = jnp.zeros((2, 5), jnp.int32)
+    with pytest.raises(ValueError, match="ragged decode"):
+        serving.generate(
+            lm, prompt, 3, prompt_lens=jnp.asarray([3, 5], jnp.int32)
+        )
+    with pytest.raises(ValueError, match="speculative"):
+        serving.generate_speculative(lm, lm, prompt, 3)
+
+
+@pytest.mark.parametrize("version", [1, 2])
+def test_pure_mamba_lm_generate(version):
+    """Pure MambaLM stacks (mamba/mamba2/falcon_mamba checkpoints) decode
+    through the same cache path."""
+    from ptdeco_tpu.models import ssm
+
+    cfg = ssm.MambaConfig(
+        vocab_size=64, dim=32, n_layers=2, d_inner=64, d_state=4,
+        d_conv=3, dt_rank=4, version=version, n_heads=4, head_dim=16,
+        n_groups=2, chunk_size=4,
+    )
+    lm = ssm.MambaLM.create(jax.random.PRNGKey(60), cfg)
+    ids = jax.random.randint(jax.random.PRNGKey(61), (2, 6), 0, 64)
+    ref = lm({"input_ids": ids})
+    got, caches = serving.forward_with_cache(
+        lm, ids, serving.init_cache(lm, 2, 12), 0
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+    prompt = ids[:, :4]
+    want = naive_greedy(lm, prompt, 5)
+    out = serving.generate(lm, prompt, 5)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(want))
+
+
+def test_unsupported_graphs_refused():
     lm, _ = make_lm(
         key=18,
-        layer_types=("mamba", "full_attention"),
-        mamba=ssm.MambaConfig(dim=32, d_inner=32, d_state=4, d_conv=2),
+        layer_types=("conv", "full_attention"),
+        conv_mixer=(3, True),
     )
     with pytest.raises(ValueError, match="state caching is not implemented"):
         serving.init_cache(lm, 1, 8)
