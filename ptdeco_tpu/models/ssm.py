@@ -221,12 +221,25 @@ class Mamba1Mixer(nn.Module):
     ) -> jax.Array:
         return self.forward_with_state(x, ctx, attn_mask=attn_mask)[0]
 
+    def init_state(
+        self, batch_size: int, dtype: Any
+    ) -> tuple[jax.Array, jax.Array]:
+        k = self.conv1d.weight.shape[1]
+        return (
+            jnp.zeros((batch_size, k - 1, self.d_inner), dtype),
+            jnp.zeros(
+                (batch_size, self.d_inner, self.d_state), jnp.float32
+            ),
+        )
+
     def forward_with_state(
         self,
         x: jax.Array,
         ctx: Optional[nn.Ctx] = None,
         conv_state: Optional[jax.Array] = None,
         ssm_state: Optional[jax.Array] = None,
+        *,
+        positions: Optional[jax.Array] = None,
         attn_mask: Optional[jax.Array] = None,
     ) -> tuple[jax.Array, jax.Array, jax.Array]:
         """Stateful forward for KV-cache-style decoding (serving.py):
@@ -382,12 +395,27 @@ class Mamba2Mixer(nn.Module):
     ) -> jax.Array:
         return self.forward_with_state(x, ctx, attn_mask=attn_mask)[0]
 
+    def init_state(
+        self, batch_size: int, dtype: Any
+    ) -> tuple[jax.Array, jax.Array]:
+        k = self.conv1d.weight.shape[1]
+        conv_dim = self.d_inner + 2 * self.n_groups * self.d_state
+        return (
+            jnp.zeros((batch_size, k - 1, conv_dim), dtype),
+            jnp.zeros(
+                (batch_size, self.n_heads, self.head_dim, self.d_state),
+                jnp.float32,
+            ),
+        )
+
     def forward_with_state(
         self,
         x: jax.Array,
         ctx: Optional[nn.Ctx] = None,
         conv_state: Optional[jax.Array] = None,
         ssm_state: Optional[jax.Array] = None,
+        *,
+        positions: Optional[jax.Array] = None,
         attn_mask: Optional[jax.Array] = None,
     ) -> tuple[jax.Array, jax.Array, jax.Array]:
         """Stateful forward for KV-cache-style decoding (serving.py):
@@ -538,7 +566,8 @@ def _gated_delta_rule(
     g: jax.Array,
     beta: jax.Array,
     chunk_size: int = 64,
-) -> jax.Array:
+    init_state: Optional[jax.Array] = None,
+) -> tuple[jax.Array, jax.Array]:
     """Chunked gated delta rule (HF torch_chunk_gated_delta_rule
     semantics, qk-L2-normalized): per-chunk the strictly-lower
     "attention" system (I - T)^{-1} is solved as a unit-lower triangular
@@ -546,7 +575,12 @@ def _gated_delta_rule(
     and the inter-chunk matrix-state recurrence runs under lax.scan with
     chunk-level matmuls.  All math f32.
 
-    q/k: (b, s, H, dk); v: (b, s, H, dv); g/beta: (b, s, H)."""
+    q/k: (b, s, H, dk); v: (b, s, H, dv); g/beta: (b, s, H).
+    ``init_state`` (b, H, dk, dv) f32 enters the inter-chunk scan as the
+    carry's start value (HF's cached initial_state form); tail padding
+    contributes decay exp(0)=1 and zero k/v, so the returned final state
+    is the state after the last REAL token.  Returns (out, final_state).
+    """
     b, s, H, dk = q.shape
     dv = v.shape[-1]
     q = _l2norm(q.astype(jnp.float32))
@@ -614,11 +648,15 @@ def _gated_delta_rule(
         jnp.moveaxis(t, 2, 0)
         for t in (q, kc, v_star, k_cumdecay, gc, g_last, decay)
     )
-    S0 = jnp.zeros((b, H, dk, dv), jnp.float32)
-    _, outs = jax.lax.scan(step, S0, xs)
+    S0 = (
+        jnp.zeros((b, H, dk, dv), jnp.float32)
+        if init_state is None
+        else init_state.astype(jnp.float32)
+    )
+    S_fin, outs = jax.lax.scan(step, S0, xs)
     out = jnp.moveaxis(outs, 0, 2)  # (b, H, nc, cs, dv)
     out = out.reshape(b, H, nc * cs, dv)[:, :, :s]
-    return out.transpose(0, 2, 1, 3)  # (b, s, H, dv)
+    return out.transpose(0, 2, 1, 3), S_fin  # (b, s, H, dv), (b, H, dk, dv)
 
 
 class GatedDeltaNet(nn.Module):
@@ -650,6 +688,41 @@ class GatedDeltaNet(nn.Module):
         positions: Optional[jax.Array] = None,
         attn_mask: Optional[jax.Array] = None,
     ) -> jax.Array:
+        return self.forward_with_state(x, ctx, attn_mask=attn_mask)[0]
+
+    def init_state(
+        self, batch_size: int, dtype: Any
+    ) -> tuple[jax.Array, jax.Array]:
+        key_dim = self.n_k_heads * self.head_k_dim
+        conv_dim = 2 * key_dim + self.n_v_heads * self.head_v_dim
+        k = self.conv1d.weight.shape[1]
+        return (
+            jnp.zeros((batch_size, k - 1, conv_dim), dtype),
+            jnp.zeros(
+                (
+                    batch_size,
+                    self.n_v_heads,
+                    self.head_k_dim,
+                    self.head_v_dim,
+                ),
+                jnp.float32,
+            ),
+        )
+
+    def forward_with_state(
+        self,
+        x: jax.Array,
+        ctx: Optional[nn.Ctx] = None,
+        conv_state: Optional[jax.Array] = None,
+        rec_state: Optional[jax.Array] = None,
+        *,
+        positions: Optional[jax.Array] = None,
+        attn_mask: Optional[jax.Array] = None,
+    ) -> tuple[jax.Array, jax.Array, jax.Array]:
+        """Stateful forward for KV-cache-style decoding: conv tail over
+        the fused (q, k, v) stream + the (b, nv, hk, hv) f32 delta-rule
+        matrix state.  None states = stream start (the stateless call
+        delegates here, bit-identical)."""
         b, s, _ = x.shape
         nk, nv = self.n_k_heads, self.n_v_heads
         hk, hv = self.head_k_dim, self.head_v_dim
@@ -672,7 +745,13 @@ class GatedDeltaNet(nn.Module):
             [q.reshape(b, s, -1), k.reshape(b, s, -1), v.reshape(b, s, -1)],
             axis=-1,
         )
-        mixed = jax.nn.silu(self.conv1d(mixed, ctx))
+        if conv_state is None:
+            conv_state = jnp.zeros(
+                (b, self.conv1d.weight.shape[1] - 1, mixed.shape[-1]),
+                mixed.dtype,
+            )
+        mixed, new_conv_state = self.conv1d.with_state(mixed, conv_state)
+        mixed = jax.nn.silu(mixed)
         q, k, v = jnp.split(mixed, [nk * hk, 2 * nk * hk], axis=-1)
         q = q.reshape(b, s, nk, hk)
         k = k.reshape(b, s, nk, hk)
@@ -684,14 +763,19 @@ class GatedDeltaNet(nn.Module):
         if r > 1:
             q = jnp.repeat(q, r, axis=2)
             k = jnp.repeat(k, r, axis=2)
-        core = _gated_delta_rule(
-            q, k, v, g, beta, self.chunk_size
-        ).astype(x.dtype)
+        core, new_rec_state = _gated_delta_rule(
+            q, k, v, g, beta, self.chunk_size, rec_state
+        )
+        core = core.astype(x.dtype)
         # gated per-head RMSNorm: norm -> weight -> * silu(z)
         y = self.norm(core, ctx) * jax.nn.silu(
             z.astype(jnp.float32)
         ).astype(x.dtype)
-        return self.out_proj(y.reshape(b, s, nv * hv), ctx)
+        return (
+            self.out_proj(y.reshape(b, s, nv * hv), ctx),
+            new_conv_state,
+            new_rec_state,
+        )
 
     @staticmethod
     def create(
@@ -746,8 +830,15 @@ class RGLRU(nn.Module):
     n_heads: int = nn.static_field(default=4)
 
     def __call__(
-        self, x: jax.Array, positions: jax.Array
-    ) -> jax.Array:
+        self,
+        x: jax.Array,
+        positions: jax.Array,
+        h0: Optional[jax.Array] = None,
+    ) -> tuple[jax.Array, jax.Array]:
+        """Returns (hidden states, final f32 state).  ``h0`` (b, lru) f32
+        is the recurrence state entering this chunk — it folds into the
+        scan via the cumulative decay (and a position-0 reset zeroes the
+        decay, so a stream-start chunk ignores it exactly)."""
         b, s, lru = x.shape
         H = self.n_heads
         bw = lru // H
@@ -776,8 +867,10 @@ class RGLRU(nn.Module):
             aR, hR = right
             return aL * aR, hL * aR + hR
 
-        _, h = jax.lax.associative_scan(comb, (a, xn), axis=1)
-        return h.astype(x.dtype)
+        a_cum, h = jax.lax.associative_scan(comb, (a, xn), axis=1)
+        if h0 is not None:
+            h = h + a_cum * h0.astype(jnp.float32)[:, None, :]
+        return h.astype(x.dtype), h[:, -1]
 
 
 class RecurrentBlock(nn.Module):
@@ -799,13 +892,46 @@ class RecurrentBlock(nn.Module):
         positions: Optional[jax.Array] = None,
         attn_mask: Optional[jax.Array] = None,
     ) -> jax.Array:
+        return self.forward_with_state(
+            x, ctx, positions=positions, attn_mask=attn_mask
+        )[0]
+
+    def init_state(
+        self, batch_size: int, dtype: Any
+    ) -> tuple[jax.Array, jax.Array]:
+        lru = self.rg_lru.recurrent_param.shape[0]
+        k = self.conv_1d.weight.shape[1]
+        return (
+            jnp.zeros((batch_size, k - 1, lru), dtype),
+            jnp.zeros((batch_size, lru), jnp.float32),
+        )
+
+    def forward_with_state(
+        self,
+        x: jax.Array,
+        ctx: Optional[nn.Ctx] = None,
+        conv_state: Optional[jax.Array] = None,
+        rec_state: Optional[jax.Array] = None,
+        *,
+        positions: Optional[jax.Array] = None,
+        attn_mask: Optional[jax.Array] = None,
+    ) -> tuple[jax.Array, jax.Array, jax.Array]:
+        """Stateful forward for KV-cache-style decoding: conv tail over
+        the lru stream + the (b, lru) f32 RG-LRU state.  The absolute
+        ``positions`` matter: the RG-LRU resets at position 0 and scales
+        inputs by sqrt(1-a^2) elsewhere.  None states = stream start (the
+        stateless call delegates here, bit-identical)."""
         b, s, _ = x.shape
         y = jax.nn.gelu(self.linear_y(x, ctx), approximate=True)
-        h = self.conv_1d(self.linear_x(x, ctx), ctx)
+        hx = self.linear_x(x, ctx)
+        if conv_state is None:
+            k = self.conv_1d.weight.shape[1]
+            conv_state = jnp.zeros((b, k - 1, hx.shape[-1]), hx.dtype)
+        h, new_conv_state = self.conv_1d.with_state(hx, conv_state)
         if positions is None:
             positions = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s))
-        h = self.rg_lru(h, positions)
-        return self.linear_out(h * y, ctx)
+        h, new_rec_state = self.rg_lru(h, positions, rec_state)
+        return self.linear_out(h * y, ctx), new_conv_state, new_rec_state
 
     @staticmethod
     def create(
@@ -856,12 +982,40 @@ class ShortConvMixer(nn.Module):
         positions: Optional[jax.Array] = None,
         attn_mask: Optional[jax.Array] = None,
     ) -> jax.Array:
+        return self.forward_with_state(x, ctx, attn_mask=attn_mask)[0]
+
+    def init_state(
+        self, batch_size: int, dtype: Any
+    ) -> tuple[jax.Array, None]:
+        ch = self.conv.weight.shape[0]
+        k = self.conv.weight.shape[1]
+        return jnp.zeros((batch_size, k - 1, ch), dtype), None
+
+    def forward_with_state(
+        self,
+        x: jax.Array,
+        ctx: Optional[nn.Ctx] = None,
+        conv_state: Optional[jax.Array] = None,
+        rec_state: None = None,
+        *,
+        positions: Optional[jax.Array] = None,
+        attn_mask: Optional[jax.Array] = None,
+    ) -> tuple[jax.Array, jax.Array, None]:
+        """Stateful forward for KV-cache-style decoding: the only state is
+        the conv-input tail over the gated (B*x) stream."""
         if attn_mask is not None:
             x = x * attn_mask[..., None].astype(x.dtype)
         bcx = self.in_proj(x, ctx)
         B, C, xs = jnp.split(bcx, 3, axis=-1)
-        y = C * self.conv(B * xs, ctx)
-        return self.out_proj(y, ctx)
+        bx = B * xs
+        if conv_state is None:
+            k = self.conv.weight.shape[1]
+            conv_state = jnp.zeros(
+                (x.shape[0], k - 1, bx.shape[-1]), bx.dtype
+            )
+        conv_out, new_conv_state = self.conv.with_state(bx, conv_state)
+        y = C * conv_out
+        return self.out_proj(y, ctx), new_conv_state, None
 
     @staticmethod
     def create(

@@ -41,7 +41,15 @@ import jax.numpy as jnp
 from jax import lax
 
 from . import nn
-from .models.ssm import Mamba1Mixer, Mamba2Mixer, MambaBlock, MambaLM
+from .models.ssm import (
+    GatedDeltaNet,
+    Mamba1Mixer,
+    Mamba2Mixer,
+    MambaBlock,
+    MambaLM,
+    RecurrentBlock,
+    ShortConvMixer,
+)
 from .models.transformer import (
     Attention,
     Block,
@@ -50,6 +58,16 @@ from .models.transformer import (
     SkipBlock,
     _rope,
     alibi_slopes,
+)
+
+# mixers whose decode state is (conv-input tail, recurrence state) served
+# by their own forward_with_state/init_state protocol
+STATEFUL_MIXERS = (
+    Mamba1Mixer,
+    Mamba2Mixer,
+    GatedDeltaNet,
+    RecurrentBlock,
+    ShortConvMixer,
 )
 
 __all__ = [
@@ -337,40 +355,17 @@ class CachedMLAttention(nn.Module):
         return a.o_proj(out.reshape(b, s, -1), ctx)
 
 
-class CachedMamba1(nn.Module):
-    """Drop-in stand-in for a ``Mamba1Mixer`` in a Block's attention slot
-    (bamba/jamba-style hybrids): carries the conv-input tail and the
-    selective-scan recurrence state, delegating the math to the mixer's
-    own ``forward_with_state`` — one body, no drift."""
+class CachedStateMixer(nn.Module):
+    """Drop-in stand-in for any recurrent mixer in a Block's attention
+    slot (mamba1/2, qwen3_next GatedDeltaNet, griffin RecurrentBlock,
+    lfm2 ShortConvMixer): carries the conv-input tail and the recurrence
+    state, delegating the math to the mixer's own ``forward_with_state``
+    — one body, no drift.  ``positions`` pass through (the RG-LRU's
+    position-0 reset and sqrt(1-a^2) input scaling need them)."""
 
-    inner: Any  # Mamba1Mixer
-    conv_state: jax.Array  # (b, d_conv-1, d_inner)
-    ssm_state: jax.Array  # (b, d_inner, d_state) f32
-    sow_name: str = nn.static_field(default="kv")
-
-    def __call__(
-        self,
-        x: jax.Array,
-        ctx: Optional[nn.Ctx] = None,
-        *,
-        positions: Optional[jax.Array] = None,
-        attn_mask: Optional[jax.Array] = None,
-    ) -> jax.Array:
-        y, cs, ss = self.inner.forward_with_state(
-            x, ctx, self.conv_state, self.ssm_state
-        )
-        if ctx is not None:
-            ctx.sow(self.sow_name, "kv_cache", (cs, ss))
-        return y
-
-
-class CachedMamba2(nn.Module):
-    """As ``CachedMamba1`` for the SSD mixer: conv tail over the fused
-    (x, B, C) stream plus the (b, H, P, N) f32 state."""
-
-    inner: Any  # Mamba2Mixer
+    inner: Any
     conv_state: jax.Array
-    ssm_state: jax.Array
+    rec_state: Optional[jax.Array]  # None for conv-only mixers
     sow_name: str = nn.static_field(default="kv")
 
     def __call__(
@@ -382,7 +377,7 @@ class CachedMamba2(nn.Module):
         attn_mask: Optional[jax.Array] = None,
     ) -> jax.Array:
         y, cs, ss = self.inner.forward_with_state(
-            x, ctx, self.conv_state, self.ssm_state
+            x, ctx, self.conv_state, self.rec_state, positions=positions
         )
         if ctx is not None:
             ctx.sow(self.sow_name, "kv_cache", (cs, ss))
@@ -407,13 +402,13 @@ def _layer_attention(layer: Any, idx: int) -> Optional[Any]:
         # raises early (not mid-trace) if kv_b_proj cannot be absorbed
         _dense_linear_kernel(mixer.kv_b_proj, f"layer {idx} kv_b_proj")
         return mixer
-    if isinstance(mixer, (Mamba1Mixer, Mamba2Mixer)):
+    if isinstance(mixer, STATEFUL_MIXERS):
         return mixer
     if not isinstance(mixer, Attention):
         raise ValueError(
-            f"KV-cache decoding supports Attention, MLA, and mamba1/2 "
-            f"mixers; layer {idx} uses {type(mixer).__name__} "
-            "(its state caching is not implemented)"
+            f"KV-cache decoding supports Attention, MLA, mamba1/2, "
+            f"DeltaNet, RG-LRU, and short-conv mixers; layer {idx} uses "
+            f"{type(mixer).__name__} (its state caching is not implemented)"
         )
     if mixer.dt_proj is not None:
         raise ValueError(
@@ -442,7 +437,7 @@ def _has_ssm(lm: Any) -> bool:
         return True
     return any(
         isinstance(layer, Block)
-        and isinstance(layer.self_attn, (Mamba1Mixer, Mamba2Mixer))
+        and isinstance(layer.self_attn, STATEFUL_MIXERS)
         for layer in lm.model.layers
     )
 
@@ -472,39 +467,8 @@ def init_cache(
         if attn is None:
             caches.append(None)
             continue
-        if isinstance(attn, Mamba1Mixer):
-            k = attn.conv1d.weight.shape[1]
-            caches.append(
-                (
-                    jnp.zeros(
-                        (batch_size, k - 1, attn.d_inner), x_struct.dtype
-                    ),
-                    jnp.zeros(
-                        (batch_size, attn.d_inner, attn.d_state),
-                        jnp.float32,
-                    ),
-                )
-            )
-            continue
-        if isinstance(attn, Mamba2Mixer):
-            k = attn.conv1d.weight.shape[1]
-            conv_dim = attn.d_inner + 2 * attn.n_groups * attn.d_state
-            caches.append(
-                (
-                    jnp.zeros(
-                        (batch_size, k - 1, conv_dim), x_struct.dtype
-                    ),
-                    jnp.zeros(
-                        (
-                            batch_size,
-                            attn.n_heads,
-                            attn.head_dim,
-                            attn.d_state,
-                        ),
-                        jnp.float32,
-                    ),
-                )
-            )
+        if isinstance(attn, STATEFUL_MIXERS):
+            caches.append(attn.init_state(batch_size, x_struct.dtype))
             continue
         if isinstance(attn, MLAttention):
             cdt = dtype if dtype is not None else x_struct.dtype
@@ -570,22 +534,17 @@ def forward_with_cache(
             continue
         name = f"layers.{i}"
         mixer = layer.mixer if isinstance(layer, MambaBlock) else layer.self_attn
-        if isinstance(mixer, (Mamba1Mixer, Mamba2Mixer)):
+        if isinstance(mixer, STATEFUL_MIXERS):
             if cache_pos.ndim == 1:
                 raise ValueError(
                     "ragged decode (per-row cache_pos) is not supported "
                     "for SSM layers: a recurrent state has no slot == "
                     "position rewrite — use uniform-length prompt batches"
                 )
-            cls = (
-                CachedMamba1
-                if isinstance(mixer, Mamba1Mixer)
-                else CachedMamba2
-            )
-            cached: nn.Module = cls(
+            cached: nn.Module = CachedStateMixer(
                 inner=mixer,
                 conv_state=cache[0],
-                ssm_state=cache[1],
+                rec_state=cache[1],
                 sow_name=name,
             )
         elif isinstance(mixer, MLAttention):

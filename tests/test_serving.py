@@ -489,6 +489,50 @@ def test_hybrid_mamba_ragged_and_speculative_refused():
         serving.generate_speculative(lm, lm, prompt, 3)
 
 
+LINEAR_MIXER_CFGS = {
+    "gdn": dict(  # qwen3_next gated DeltaNet
+        layer_types=("linear_attention", "full_attention"),
+        gdn=(2, 4, 8, 8, 3),
+    ),
+    "rglru": dict(  # griffin / recurrent_gemma temporal block
+        layer_types=("recurrent", "full_attention"),
+        rglru=(32, 3, 4),
+    ),
+    "conv": dict(  # lfm2 gated short-conv mixer
+        layer_types=("conv", "full_attention"),
+        conv_mixer=(3, True),
+    ),
+}
+
+
+@pytest.mark.parametrize("kind", sorted(LINEAR_MIXER_CFGS))
+def test_linear_mixer_prefill_and_decode(kind):
+    """DeltaNet/RG-LRU/short-conv hybrids decode through the state cache
+    and must reproduce the uncached model."""
+    lm, _ = make_lm(key=70, **LINEAR_MIXER_CFGS[kind])
+    ids = jax.random.randint(jax.random.PRNGKey(71), (2, 7), 0, 64)
+    ref = lm({"input_ids": ids})
+    caches = serving.init_cache(lm, 2, 12)
+    got, caches = serving.forward_with_cache(lm, ids, caches, 0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+    nxt = jnp.argmax(got[:, -1:, :], axis=-1).astype(jnp.int32)
+    ext = jnp.concatenate([ids, nxt], axis=1)
+    ref2 = lm({"input_ids": ext})[:, -1, :]
+    got2, _ = serving.forward_with_cache(lm, nxt, caches, 7)
+    np.testing.assert_allclose(
+        np.asarray(got2[:, 0, :]), np.asarray(ref2), atol=2e-4
+    )
+
+
+@pytest.mark.parametrize("kind", sorted(LINEAR_MIXER_CFGS))
+def test_linear_mixer_generate(kind):
+    lm, _ = make_lm(key=72, **LINEAR_MIXER_CFGS[kind])
+    prompt = jax.random.randint(jax.random.PRNGKey(73), (2, 5), 0, 64)
+    want = naive_greedy(lm, prompt, 6)
+    got = serving.generate(lm, prompt, 6)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 @pytest.mark.parametrize("version", [1, 2])
 def test_pure_mamba_lm_generate(version):
     """Pure MambaLM stacks (mamba/mamba2/falcon_mamba checkpoints) decode
@@ -514,10 +558,10 @@ def test_pure_mamba_lm_generate(version):
 
 
 def test_unsupported_graphs_refused():
+    # minimax lightning attention: blocked-decay state caching not wired
     lm, _ = make_lm(
         key=18,
-        layer_types=("conv", "full_attention"),
-        conv_mixer=(3, True),
+        layer_types=("linear_attention", "full_attention"),
     )
     with pytest.raises(ValueError, match="state caching is not implemented"):
         serving.init_cache(lm, 1, 8)
