@@ -414,10 +414,12 @@ def _layer_attention(layer: Any, idx: int) -> Optional[Any]:
         raise ValueError(
             "doge dynamic-mask attention is not supported by the cache path"
         )
-    if layer.mamba is not None:
+    if layer.mamba is not None and not isinstance(
+        layer.mamba, STATEFUL_MIXERS
+    ):
         raise ValueError(
-            "parallel attention+SSM hybrid layers (falcon_h1) need SSM "
-            "state caching, which is not implemented"
+            f"parallel attention+{type(layer.mamba).__name__} hybrid "
+            f"layers: state caching for that mixer is not implemented"
         )
     return mixer
 
@@ -437,7 +439,10 @@ def _has_ssm(lm: Any) -> bool:
         return True
     return any(
         isinstance(layer, Block)
-        and isinstance(layer.self_attn, STATEFUL_MIXERS)
+        and (
+            isinstance(layer.self_attn, STATEFUL_MIXERS)
+            or layer.mamba is not None
+        )
         for layer in lm.model.layers
     )
 
@@ -470,6 +475,9 @@ def init_cache(
         if isinstance(attn, STATEFUL_MIXERS):
             caches.append(attn.init_state(batch_size, x_struct.dtype))
             continue
+        para_mamba = (
+            isinstance(layer, Block) and layer.mamba is not None
+        )
         if isinstance(attn, MLAttention):
             cdt = dtype if dtype is not None else x_struct.dtype
             caches.append(
@@ -488,12 +496,16 @@ def init_cache(
         )
         _, _, n_kv, hd = k_struct.shape
         cdt = dtype if dtype is not None else k_struct.dtype
-        caches.append(
-            (
-                jnp.zeros((batch_size, max_len, n_kv, hd), cdt),
-                jnp.zeros((batch_size, max_len, n_kv, hd), cdt),
-            )
+        kv = (
+            jnp.zeros((batch_size, max_len, n_kv, hd), cdt),
+            jnp.zeros((batch_size, max_len, n_kv, hd), cdt),
         )
+        if para_mamba:  # falcon_h1: ((k, v), mamba state) per layer
+            caches.append(
+                (kv, layer.mamba.init_state(batch_size, x_struct.dtype))
+            )
+        else:
+            caches.append(kv)
     return tuple(caches)
 
 
@@ -556,6 +568,40 @@ def forward_with_cache(
                 kv_mask=kv_mask,
                 sow_name=name,
             )
+        elif isinstance(layer, Block) and layer.mamba is not None:
+            # falcon_h1 parallel attention+mamba: swap BOTH mixers; the
+            # per-layer cache entry is ((k, v), (conv, state))
+            if cache_pos.ndim == 1:
+                raise ValueError(
+                    "ragged decode (per-row cache_pos) is not supported "
+                    "for SSM layers: a recurrent state has no slot == "
+                    "position rewrite — use uniform-length prompt batches"
+                )
+            kv, mstate = cache
+            swapped = layer.replace(
+                self_attn=CachedAttention(
+                    inner=mixer,
+                    k_cache=kv[0],
+                    v_cache=kv[1],
+                    cache_pos=cache_pos,
+                    kv_mask=kv_mask,
+                    sow_name=f"{name}.attn",
+                ),
+                mamba=CachedStateMixer(
+                    inner=layer.mamba,
+                    conv_state=mstate[0],
+                    rec_state=mstate[1],
+                    sow_name=f"{name}.mamba",
+                ),
+            )
+            x = swapped(x, ctx, positions=positions, attn_mask=None)
+            new_caches.append(
+                (
+                    ctx.sink["kv_cache"][f"{name}.attn"],
+                    ctx.sink["kv_cache"][f"{name}.mamba"],
+                )
+            )
+            continue
         else:
             cached = CachedAttention(
                 inner=mixer,

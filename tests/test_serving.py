@@ -489,6 +489,27 @@ def test_hybrid_mamba_ragged_and_speculative_refused():
         serving.generate_speculative(lm, lm, prompt, 3)
 
 
+def test_moe_generate():
+    """MoE models decode through the cache unchanged (routing is
+    per-token and stateless) — mixtral-style top-2 router."""
+    lm, _ = make_lm(
+        key=80,
+        n_experts=4,
+        n_experts_per_tok=2,
+        moe_hidden_dim=16,
+    )
+    ids = jax.random.randint(jax.random.PRNGKey(81), (2, 6), 0, 64)
+    ref = lm({"input_ids": ids})
+    got, _ = serving.forward_with_cache(
+        lm, ids, serving.init_cache(lm, 2, 10), 0
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+    prompt = ids[:, :4]
+    want = naive_greedy(lm, prompt, 5)
+    out = serving.generate(lm, prompt, 5)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(want))
+
+
 LINEAR_MIXER_CFGS = {
     "gdn": dict(  # qwen3_next gated DeltaNet
         layer_types=("linear_attention", "full_attention"),
@@ -531,6 +552,36 @@ def test_linear_mixer_generate(kind):
     want = naive_greedy(lm, prompt, 6)
     got = serving.generate(lm, prompt, 6)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_falcon_h1_parallel_hybrid_generate():
+    """falcon_h1: EVERY layer runs attention and a mamba2 mixer in
+    parallel — the cache entry is ((k, v), (conv, state)) and both mixers
+    are swapped."""
+    from ptdeco_tpu.models import ssm
+
+    lm, _ = make_lm(
+        key=75,
+        parallel_ssm=True,
+        mamba=ssm.MambaConfig(
+            dim=32, d_inner=32, d_state=4, d_conv=3, version=2,
+            n_heads=4, head_dim=8, n_groups=2, chunk_size=4,
+        ),
+    )
+    ids = jax.random.randint(jax.random.PRNGKey(76), (2, 6), 0, 64)
+    ref = lm({"input_ids": ids})
+    caches = serving.init_cache(lm, 2, 10)
+    assert isinstance(caches[0][0], tuple)  # nested ((k, v), (conv, st))
+    got, caches = serving.forward_with_cache(lm, ids, caches, 0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+    prompt = ids[:, :4]
+    want = naive_greedy(lm, prompt, 5)
+    out = serving.generate(lm, prompt, 5)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(want))
+    with pytest.raises(ValueError, match="ragged"):
+        serving.generate(
+            lm, prompt, 3, prompt_lens=jnp.asarray([2, 4], jnp.int32)
+        )
 
 
 @pytest.mark.parametrize("version", [1, 2])
