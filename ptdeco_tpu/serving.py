@@ -54,6 +54,8 @@ from .models.transformer import (
     Attention,
     Block,
     CausalLM,
+    DiffAttention,
+    LongcatBlock,
     MLAttention,
     SkipBlock,
     _rope,
@@ -384,6 +386,85 @@ class CachedStateMixer(nn.Module):
         return y
 
 
+class CachedDiffAttention(nn.Module):
+    """diffllama differential attention with a KV cache: one softmax over
+    all heads against the cached keys, halves subtracted with the
+    layer-indexed lambda, affine-free RMS groupnorm over paired 2*hd
+    values — mirrors DiffAttention.__call__ with the s x s mask replaced
+    by the absolute-slot validity mask."""
+
+    inner: DiffAttention
+    k_cache: jax.Array  # (b, max_len, n_kv, hd)
+    v_cache: jax.Array
+    cache_pos: jax.Array
+    kv_mask: Optional[jax.Array] = None
+    sow_name: str = nn.static_field(default="kv")
+
+    def __call__(
+        self,
+        x: jax.Array,
+        ctx: Optional[nn.Ctx] = None,
+        *,
+        positions: Optional[jax.Array] = None,
+        attn_mask: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        a = self.inner
+        b, s, _ = x.shape
+        max_len = self.k_cache.shape[1]
+        q = a.q_proj(x, ctx)
+        hd = q.shape[-1] // a.n_heads
+        k = a.k_proj(x, ctx).reshape(b, s, a.n_kv_heads, hd)
+        v = a.v_proj(x, ctx).reshape(b, s, a.n_kv_heads, hd)
+        q = q.reshape(b, s, a.n_heads, hd)
+        if positions is None:
+            positions = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s))
+        q = _rope(q, positions, a.rope_theta, None, None, False, None)
+        k = _rope(k, positions, a.rope_theta, None, None, False, None)
+        k_cache = _cache_write(self.k_cache, k, self.cache_pos)
+        v_cache = _cache_write(self.v_cache, v, self.cache_pos)
+        if ctx is not None:
+            ctx.sow(self.sow_name, "kv_cache", (k_cache, v_cache))
+        rep = a.n_heads // a.n_kv_heads
+        kf, vf = k_cache, v_cache
+        if rep > 1:
+            kf = jnp.repeat(kf, rep, axis=2)
+            vf = jnp.repeat(vf, rep, axis=2)
+        half = a.n_heads // 2
+        vp = jnp.concatenate([vf[:, :, :half], vf[:, :, half:]], axis=-1)
+        logits = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, kf, preferred_element_type=jnp.float32
+        ) * (hd**-0.5)
+        valid = _valid_keys(
+            positions, max_len, self.cache_pos, s, self.kv_mask
+        )
+        logits = jnp.where(
+            valid[:, None, :, :], logits, jnp.finfo(jnp.float32).min
+        )
+        probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+        o1 = jnp.einsum("bhqk,bkhd->bqhd", probs[:, :half], vp)
+        o2 = jnp.einsum("bhqk,bkhd->bqhd", probs[:, half:], vp)
+        lam1 = jnp.exp(
+            jnp.sum(
+                a.lambda_q1.astype(jnp.float32)
+                * a.lambda_k1.astype(jnp.float32)
+            )
+        )
+        lam2 = jnp.exp(
+            jnp.sum(
+                a.lambda_q2.astype(jnp.float32)
+                * a.lambda_k2.astype(jnp.float32)
+            )
+        )
+        lam = (lam1 - lam2 + a.lambda_init).astype(x.dtype)
+        out = o1 - lam * o2
+        of = out.astype(jnp.float32)
+        rms = jax.lax.rsqrt(
+            jnp.mean(jnp.square(of), axis=-1, keepdims=True) + a.norm_eps
+        )
+        out = ((of * rms) * (1.0 - a.lambda_init)).astype(x.dtype)
+        return a.o_proj(out.reshape(b, s, -1), ctx)
+
+
 def _layer_attention(layer: Any, idx: int) -> Optional[Any]:
     """The layer's cacheable mixer (Attention, MLA, or a mamba mixer), or
     None for mixer-free layers.  Raises for graphs the cache path does
@@ -392,6 +473,12 @@ def _layer_attention(layer: Any, idx: int) -> Optional[Any]:
         return None
     if isinstance(layer, MambaBlock):  # pure MambaLM stacks
         return layer.mixer
+    if isinstance(layer, LongcatBlock):  # dual-MLA sublayers
+        for j, a in enumerate(layer.self_attn):
+            _dense_linear_kernel(
+                a.kv_b_proj, f"layer {idx}.{j} kv_b_proj"
+            )
+        return layer.self_attn[0]
     if not isinstance(layer, Block):
         raise ValueError(
             f"KV-cache decoding supports Block layer stacks; layer {idx} "
@@ -403,6 +490,8 @@ def _layer_attention(layer: Any, idx: int) -> Optional[Any]:
         _dense_linear_kernel(mixer.kv_b_proj, f"layer {idx} kv_b_proj")
         return mixer
     if isinstance(mixer, STATEFUL_MIXERS):
+        return mixer
+    if isinstance(mixer, DiffAttention):
         return mixer
     if not isinstance(mixer, Attention):
         raise ValueError(
@@ -478,6 +567,40 @@ def init_cache(
         para_mamba = (
             isinstance(layer, Block) and layer.mamba is not None
         )
+        if isinstance(layer, LongcatBlock):  # two MLA caches per layer
+            cdt = dtype if dtype is not None else x_struct.dtype
+            caches.append(
+                tuple(
+                    (
+                        jnp.zeros(
+                            (batch_size, max_len, a.kv_lora_rank), cdt
+                        ),
+                        jnp.zeros(
+                            (batch_size, max_len, a.qk_rope_head_dim),
+                            cdt,
+                        ),
+                    )
+                    for a in layer.self_attn
+                )
+            )
+            continue
+        if isinstance(attn, DiffAttention):
+            kd = jax.eval_shape(
+                lambda a, xx: a.k_proj(xx, None), attn, x_struct
+            )
+            hd = kd.shape[-1] // attn.n_kv_heads
+            cdt = dtype if dtype is not None else kd.dtype
+            caches.append(
+                (
+                    jnp.zeros(
+                        (batch_size, max_len, attn.n_kv_heads, hd), cdt
+                    ),
+                    jnp.zeros(
+                        (batch_size, max_len, attn.n_kv_heads, hd), cdt
+                    ),
+                )
+            )
+            continue
         if isinstance(attn, MLAttention):
             cdt = dtype if dtype is not None else x_struct.dtype
             caches.append(
@@ -545,6 +668,28 @@ def forward_with_cache(
             new_caches.append(None)
             continue
         name = f"layers.{i}"
+        if isinstance(layer, LongcatBlock):  # dual-MLA sublayers
+            swapped = layer.replace(
+                self_attn=tuple(
+                    CachedMLAttention(
+                        inner=a,
+                        lat_cache=cache[j][0],
+                        pe_cache=cache[j][1],
+                        cache_pos=cache_pos,
+                        kv_mask=kv_mask,
+                        sow_name=f"{name}.{j}",
+                    )
+                    for j, a in enumerate(layer.self_attn)
+                )
+            )
+            x = swapped(x, ctx, positions=positions, attn_mask=None)
+            new_caches.append(
+                tuple(
+                    ctx.sink["kv_cache"][f"{name}.{j}"]
+                    for j in range(len(layer.self_attn))
+                )
+            )
+            continue
         mixer = layer.mixer if isinstance(layer, MambaBlock) else layer.self_attn
         if isinstance(mixer, STATEFUL_MIXERS):
             if cache_pos.ndim == 1:
@@ -557,6 +702,15 @@ def forward_with_cache(
                 inner=mixer,
                 conv_state=cache[0],
                 rec_state=cache[1],
+                sow_name=name,
+            )
+        elif isinstance(mixer, DiffAttention):
+            cached = CachedDiffAttention(
+                inner=mixer,
+                k_cache=cache[0],
+                v_cache=cache[1],
+                cache_pos=cache_pos,
+                kv_mask=kv_mask,
                 sow_name=name,
             )
         elif isinstance(mixer, MLAttention):

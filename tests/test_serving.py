@@ -554,6 +554,57 @@ def test_linear_mixer_generate(kind):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+def test_diffllama_generate():
+    """diffllama differential attention decodes through its own cached
+    variant (paired-half softmax subtraction against the cache)."""
+    lm, _ = make_lm(key=85, diff_attention=True, n_kv_heads=2)
+    ids = jax.random.randint(jax.random.PRNGKey(86), (2, 6), 0, 64)
+    ref = lm({"input_ids": ids})
+    got, caches = serving.forward_with_cache(
+        lm, ids, serving.init_cache(lm, 2, 10), 0
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+    nxt = jnp.argmax(got[:, -1:, :], axis=-1).astype(jnp.int32)
+    ref2 = lm({"input_ids": jnp.concatenate([ids, nxt], 1)})[:, -1, :]
+    got2, _ = serving.forward_with_cache(lm, nxt, caches, 6)
+    np.testing.assert_allclose(
+        np.asarray(got2[:, 0, :]), np.asarray(ref2), atol=1e-5
+    )
+    prompt = ids[:, :4]
+    want = naive_greedy(lm, prompt, 5)
+    out = serving.generate(lm, prompt, 5)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(want))
+
+
+def test_longcat_dual_mla_generate():
+    """longcat_flash dual-sublayer MLA blocks: two absorbed-latent caches
+    per layer, plus the shortcut MoE (stateless)."""
+    lm, _ = make_lm(
+        key=88,
+        longcat_dual=True,
+        kv_lora_rank=16,
+        q_lora_rank=16,
+        qk_nope_head_dim=8,
+        qk_rope_head_dim=4,
+        v_head_dim=8,
+        n_experts=3,
+        n_zero_experts=2,
+        n_experts_per_tok=2,
+        moe_hidden_dim=16,
+        router_correction_bias=True,
+    )
+    ids = jax.random.randint(jax.random.PRNGKey(89), (2, 6), 0, 64)
+    ref = lm({"input_ids": ids})
+    caches = serving.init_cache(lm, 2, 10)
+    assert len(caches[0]) == 2 and caches[0][0][0].shape == (2, 10, 16)
+    got, caches = serving.forward_with_cache(lm, ids, caches, 0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+    prompt = ids[:, :4]
+    want = naive_greedy(lm, prompt, 5)
+    out = serving.generate(lm, prompt, 5)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(want))
+
+
 def test_falcon_h1_parallel_hybrid_generate():
     """falcon_h1: EVERY layer runs attention and a mamba2 mixer in
     parallel — the cache entry is ((k, v), (conv, state)) and both mixers
