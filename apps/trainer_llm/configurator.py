@@ -119,6 +119,7 @@ class GenerateConfig(_VersionConfig):
 
     max_new_tokens: int = 128
     temperature: float = 0.0
+    top_p: Optional[float] = None  # nucleus sampling (with temperature>0)
     batch_size: int = 8
     max_prompt_length: Optional[int] = None
     stop_at_eos: bool = True

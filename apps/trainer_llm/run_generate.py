@@ -112,6 +112,7 @@ def main(config_raw: dict[str, Any], output_path: pathlib.Path) -> None:
             jnp.asarray(padded),
             config.max_new_tokens,
             temperature=config.temperature,
+            top_p=config.top_p,
             key=sub,
             eos_id=eos_id,
             prompt_lens=lens,

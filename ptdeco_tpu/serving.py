@@ -788,16 +788,31 @@ def _sample(
     greedy: bool,
     temperature: jax.Array,
     key: jax.Array,
+    top_p: Optional[jax.Array] = None,
 ) -> jax.Array:
     if greedy:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     scaled = logits.astype(jnp.float32) / jnp.maximum(temperature, 1e-6)
+    if top_p is not None:
+        # nucleus filtering: keep the smallest prefix of the
+        # probability-sorted vocab whose mass reaches top_p (the top
+        # token always survives), mask the rest to -inf
+        order = jnp.argsort(-scaled, axis=-1)
+        sorted_logits = jnp.take_along_axis(scaled, order, axis=-1)
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        keep_sorted = (cum - probs) < top_p  # mass BEFORE each token
+        inv = jnp.argsort(order, axis=-1)
+        keep = jnp.take_along_axis(keep_sorted, inv, axis=-1)
+        scaled = jnp.where(keep, scaled, -jnp.inf)
     return jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_new_tokens", "greedy", "eos_id", "ragged"),
+    static_argnames=(
+        "max_new_tokens", "greedy", "eos_id", "ragged", "use_top_p"
+    ),
 )
 def _generate_impl(
     lm: CausalLM,
@@ -806,12 +821,15 @@ def _generate_impl(
     caches: KVCache,
     key: jax.Array,
     temperature: jax.Array,
+    top_p: jax.Array,
     *,
     max_new_tokens: int,
     greedy: bool,
     eos_id: Optional[int],
     ragged: bool,
+    use_top_p: bool,
 ) -> jax.Array:
+    tp_arg = top_p if use_top_p else None
     b, s_p = prompt_ids.shape
     logits, caches = forward_with_cache(lm, prompt_ids, caches, 0)
     if ragged:
@@ -823,7 +841,7 @@ def _generate_impl(
     else:
         last = logits[:, -1, :]
         pos0 = jnp.int32(s_p)
-    tok = _sample(last, greedy, temperature, key)
+    tok = _sample(last, greedy, temperature, key, tp_arg)
     done = (
         jnp.zeros((b,), bool) if eos_id is None else tok == eos_id
     )
@@ -831,7 +849,9 @@ def _generate_impl(
     def step(carry, step_key):
         caches, pos, tok, done = carry
         logits, caches = forward_with_cache(lm, tok[:, None], caches, pos)
-        nxt = _sample(logits[:, -1, :], greedy, temperature, step_key)
+        nxt = _sample(
+            logits[:, -1, :], greedy, temperature, step_key, tp_arg
+        )
         if eos_id is not None:
             nxt = jnp.where(done, jnp.int32(eos_id), nxt)
             done = done | (nxt == eos_id)
@@ -858,10 +878,12 @@ def generate(
     eos_id: Optional[int] = None,
     max_len: Optional[int] = None,
     prompt_lens: Optional[jax.Array] = None,
+    top_p: Optional[float] = None,
 ) -> jax.Array:
     """Generate ``max_new_tokens`` continuation tokens for a prompt batch
     ``(b, s_p)`` (int32 token ids).  ``temperature=0`` is greedy argmax;
-    otherwise categorical sampling with ``key``.  The entire
+    otherwise categorical sampling with ``key``, optionally
+    nucleus-filtered to the top ``top_p`` probability mass.  The entire
     prefill+decode runs as one jitted program; repeated calls with the
     same shapes reuse the compiled executable.
 
@@ -899,10 +921,12 @@ def generate(
         caches,
         key,
         jnp.float32(temperature),
+        jnp.float32(1.0 if top_p is None else top_p),
         max_new_tokens=int(max_new_tokens),
         greedy=temperature == 0.0,
         eos_id=eos_id,
         ragged=ragged,
+        use_top_p=top_p is not None,
     )
 
 

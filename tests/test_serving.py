@@ -134,6 +134,33 @@ def test_eos_early_stop_fills_with_eos():
     assert (row[hit:] == eos).all()
 
 
+def test_top_p_tiny_mass_equals_greedy():
+    """A vanishing nucleus keeps only the argmax token — sampling with
+    top_p ~ 0 must reproduce the greedy continuation."""
+    lm, _ = make_lm(key=90)
+    prompt = jax.random.randint(jax.random.PRNGKey(91), (2, 4), 0, 64)
+    want = serving.generate(lm, prompt, 5)
+    got = serving.generate(
+        lm, prompt, 5, temperature=0.7, top_p=1e-9,
+        key=jax.random.PRNGKey(92),
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_top_p_full_mass_equals_plain_sampling():
+    """top_p = 1 keeps every token (the prefix-mass test is strict), so
+    the filtered logits equal the raw ones and the sample must match the
+    unfiltered categorical draw key-for-key."""
+    lm, _ = make_lm(key=93)
+    prompt = jax.random.randint(jax.random.PRNGKey(94), (2, 4), 0, 64)
+    key = jax.random.PRNGKey(95)
+    plain = serving.generate(lm, prompt, 4, temperature=0.9, key=key)
+    nucleus = serving.generate(
+        lm, prompt, 4, temperature=0.9, top_p=1.0, key=key
+    )
+    np.testing.assert_array_equal(np.asarray(nucleus), np.asarray(plain))
+
+
 def test_sampling_smoke_and_determinism():
     lm, _ = make_lm(key=9)
     prompt = jax.random.randint(jax.random.PRNGKey(10), (2, 4), 0, 64)
