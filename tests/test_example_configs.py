@@ -23,6 +23,7 @@ def test_llm_example_configs_validate(path):
     schema = {
         "decompose_dwain": configurator.DecomposeDWAINConfig,
         "finetune": configurator.FinetuneConfig,
+        "generate": configurator.GenerateConfig,
     }[cfg["task"]]
     schema(**cfg)
 
