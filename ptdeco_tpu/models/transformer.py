@@ -4421,6 +4421,35 @@ class LightningAttention(nn.Module):
         positions: Optional[jax.Array] = None,
         attn_mask: Optional[jax.Array] = None,
     ) -> jax.Array:
+        return self.forward_with_state(x, ctx, attn_mask=attn_mask)[0]
+
+    def init_state(self, batch_size: int, dtype: Any):
+        # derive hd from the norm (over H*hd) — robust to decomposed
+        # qkv/out projections, whose factor pairs have no out_features
+        hd = self.norm.scale.shape[0] // self.n_heads
+        return None, jnp.zeros(
+            (batch_size, self.n_heads, hd, hd), jnp.float32
+        )
+
+    def forward_with_state(
+        self,
+        x: jax.Array,
+        ctx: Optional[nn.Ctx] = None,
+        conv_state: None = None,
+        rec_state: Optional[jax.Array] = None,
+        *,
+        positions: Optional[jax.Array] = None,
+        attn_mask: Optional[jax.Array] = None,
+    ) -> tuple[jax.Array, None, jax.Array]:
+        """Stateful forward for KV-cache-style decoding: ``rec_state``
+        (b, H, hd, hd) f32 is the decayed Kᵀ V sum AT THE LAST CONSUMED
+        TOKEN — exactly what the inter-block recurrence passes between
+        blocks, so it enters where the zero block sat (decayed per block
+        by the cumulative block decay) and every query applies its own
+        exp(-slope (i+1)) on top.  The returned state is computed
+        decay-safe on the UNPADDED k/v (pad-block decays never touch it).
+        None = stream start; the stateless call delegates here,
+        bit-identical (the extra state output is dead code there)."""
         b, s, _ = x.shape
         H = self.n_heads
         qkv = jax.nn.silu(self.qkv_proj(x, ctx))
@@ -4470,11 +4499,17 @@ class LightningAttention(nn.Module):
             aR, sR = right
             return aL * aR, sL * aR + sR
 
-        _, cum = jax.lax.associative_scan(comb, (bd, states), axis=1)
+        a_cum, cum = jax.lax.associative_scan(comb, (bd, states), axis=1)
         # state entering block n = cumulative sum through block n-1
         prev = jnp.concatenate(
             [jnp.zeros_like(cum[:, :1]), cum[:, :-1]], axis=1
         )
+        if rec_state is not None:
+            # injected state entering block n decays by block_decay^n
+            pref = jnp.concatenate(
+                [jnp.ones_like(a_cum[:, :1]), a_cum[:, :-1]], axis=1
+            )
+            prev = prev + pref * rec_state.astype(jnp.float32)[:, None]
         inter = jnp.einsum(
             "bnihd,bnhde->bnihe",
             qc.astype(jnp.float32) * q_decay[None, None, :, :, None],
@@ -4485,7 +4520,24 @@ class LightningAttention(nn.Module):
             out = out[:, :s]
         out = self.norm(out, ctx)
         out = jax.nn.sigmoid(self.output_gate(x, ctx)) * out
-        return self.out_proj(out, ctx)
+        # new state at the TRUE last token, on unpadded k/v (no pad-block
+        # decay to divide back out, which would overflow for large pads)
+        w_last = jnp.exp(
+            -slope[None, :]
+            * (s - 1 - jnp.arange(s, dtype=jnp.float32))[:, None]
+        )  # (s, H)
+        new_state = jnp.einsum(
+            "bjhd,jh,bjhe->bhde",
+            k.astype(jnp.float32),
+            w_last,
+            v.astype(jnp.float32),
+        )
+        if rec_state is not None:
+            new_state = new_state + (
+                jnp.exp(-slope * s)[None, :, None, None]
+                * rec_state.astype(jnp.float32)
+            )
+        return self.out_proj(out, ctx), None, new_state
 
     @staticmethod
     def create(

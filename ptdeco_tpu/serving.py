@@ -55,8 +55,10 @@ from .models.transformer import (
     Block,
     CausalLM,
     DiffAttention,
+    LightningAttention,
     LongcatBlock,
     MLAttention,
+    MoAttention,
     SkipBlock,
     _rope,
     alibi_slopes,
@@ -70,6 +72,7 @@ STATEFUL_MIXERS = (
     GatedDeltaNet,
     RecurrentBlock,
     ShortConvMixer,
+    LightningAttention,
 )
 
 __all__ = [
@@ -465,6 +468,77 @@ class CachedDiffAttention(nn.Module):
         return a.o_proj(out.reshape(b, s, -1), ctx)
 
 
+class CachedMoAttention(nn.Module):
+    """jetmoe mixture-of-attention with a KV cache: the cache holds the
+    SHARED k/v (n_kv heads, un-tiled); per-slot expert queries and the
+    gated expert output mixing are per-token and stateless, so they run
+    exactly as in the stateless body."""
+
+    inner: MoAttention
+    k_cache: jax.Array  # (b, max_len, n_kv, hd)
+    v_cache: jax.Array
+    cache_pos: jax.Array
+    kv_mask: Optional[jax.Array] = None
+    sow_name: str = nn.static_field(default="kv")
+
+    def __call__(
+        self,
+        x: jax.Array,
+        ctx: Optional[nn.Ctx] = None,
+        *,
+        positions: Optional[jax.Array] = None,
+        attn_mask: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        a = self.inner
+        b, s, d = x.shape
+        max_len = self.k_cache.shape[1]
+        logits = a.gate(x, ctx).astype(jnp.float32)
+        top_logits, top_idx = lax.top_k(logits, a.top_k)
+        gates = jax.nn.softmax(top_logits, axis=-1).astype(x.dtype)
+        kv = a.kv_proj(x, ctx)
+        kv_size = kv.shape[-1] // 2
+        hd = kv_size // a.n_kv_heads
+        k, v = kv[..., :kv_size], kv[..., kv_size:]
+        q_slots = jnp.zeros((b, s, a.top_k, kv_size), x.dtype)
+        for e, expert in enumerate(a.input_experts):
+            sel = (top_idx == e).astype(x.dtype)
+            any_e = jnp.max(sel, axis=-1, keepdims=True)
+            q_e = expert(x * any_e, ctx)
+            q_slots = q_slots + sel[..., None] * q_e[:, :, None, :]
+        q = q_slots.reshape(b, s, a.top_k * a.n_kv_heads, hd)
+        k = k.reshape(b, s, a.n_kv_heads, hd)
+        v = v.reshape(b, s, a.n_kv_heads, hd)
+        if positions is None:
+            positions = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s))
+        q = _rope(q, positions, a.rope_theta, None, None, False, None)
+        k = _rope(k, positions, a.rope_theta, None, None, False, None)
+        k_cache = _cache_write(self.k_cache, k, self.cache_pos)
+        v_cache = _cache_write(self.v_cache, v, self.cache_pos)
+        if ctx is not None:
+            ctx.sow(self.sow_name, "kv_cache", (k_cache, v_cache))
+        kf = jnp.tile(k_cache, (1, 1, a.top_k, 1))
+        vf = jnp.tile(v_cache, (1, 1, a.top_k, 1))
+        logits_a = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, kf, preferred_element_type=jnp.float32
+        ) * (hd**-0.5)
+        valid = _valid_keys(
+            positions, max_len, self.cache_pos, s, self.kv_mask
+        )
+        logits_a = jnp.where(
+            valid[:, None, :, :], logits_a, jnp.finfo(jnp.float32).min
+        )
+        probs = jax.nn.softmax(logits_a, axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, vf)
+        out = out.reshape(b, s, a.top_k, kv_size)
+        y = jnp.zeros((b, s, d), x.dtype)
+        for e, expert in enumerate(a.output_experts):
+            sel = (top_idx == e).astype(x.dtype)
+            o_in = jnp.einsum("bsk,bskh->bsh", sel, out)
+            w_e = jnp.sum(sel * gates, axis=-1, keepdims=True)
+            y = y + expert(o_in, ctx) * w_e
+        return y + a.bias.astype(x.dtype)
+
+
 def _layer_attention(layer: Any, idx: int) -> Optional[Any]:
     """The layer's cacheable mixer (Attention, MLA, or a mamba mixer), or
     None for mixer-free layers.  Raises for graphs the cache path does
@@ -491,7 +565,7 @@ def _layer_attention(layer: Any, idx: int) -> Optional[Any]:
         return mixer
     if isinstance(mixer, STATEFUL_MIXERS):
         return mixer
-    if isinstance(mixer, DiffAttention):
+    if isinstance(mixer, (DiffAttention, MoAttention)):
         return mixer
     if not isinstance(mixer, Attention):
         raise ValueError(
@@ -581,6 +655,23 @@ def init_cache(
                         ),
                     )
                     for a in layer.self_attn
+                )
+            )
+            continue
+        if isinstance(attn, MoAttention):
+            kvd = jax.eval_shape(
+                lambda a, xx: a.kv_proj(xx, None), attn, x_struct
+            )
+            hd = kvd.shape[-1] // 2 // attn.n_kv_heads
+            cdt = dtype if dtype is not None else kvd.dtype
+            caches.append(
+                (
+                    jnp.zeros(
+                        (batch_size, max_len, attn.n_kv_heads, hd), cdt
+                    ),
+                    jnp.zeros(
+                        (batch_size, max_len, attn.n_kv_heads, hd), cdt
+                    ),
                 )
             )
             continue
@@ -702,6 +793,15 @@ def forward_with_cache(
                 inner=mixer,
                 conv_state=cache[0],
                 rec_state=cache[1],
+                sow_name=name,
+            )
+        elif isinstance(mixer, MoAttention):
+            cached = CachedMoAttention(
+                inner=mixer,
+                k_cache=cache[0],
+                v_cache=cache[1],
+                cache_pos=cache_pos,
+                kv_mask=kv_mask,
                 sow_name=name,
             )
         elif isinstance(mixer, DiffAttention):

@@ -550,6 +550,10 @@ LINEAR_MIXER_CFGS = {
         layer_types=("conv", "full_attention"),
         conv_mixer=(3, True),
     ),
+    "lightning": dict(  # minimax lightning (linear) attention
+        layer_types=("linear_attention", "full_attention"),
+        lightning_block_size=4,
+    ),
 }
 
 
@@ -586,6 +590,35 @@ def test_diffllama_generate():
     variant (paired-half softmax subtraction against the cache)."""
     lm, _ = make_lm(key=85, diff_attention=True, n_kv_heads=2)
     ids = jax.random.randint(jax.random.PRNGKey(86), (2, 6), 0, 64)
+    ref = lm({"input_ids": ids})
+    got, caches = serving.forward_with_cache(
+        lm, ids, serving.init_cache(lm, 2, 10), 0
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+    nxt = jnp.argmax(got[:, -1:, :], axis=-1).astype(jnp.int32)
+    ref2 = lm({"input_ids": jnp.concatenate([ids, nxt], 1)})[:, -1, :]
+    got2, _ = serving.forward_with_cache(lm, nxt, caches, 6)
+    np.testing.assert_allclose(
+        np.asarray(got2[:, 0, :]), np.asarray(ref2), atol=1e-5
+    )
+    prompt = ids[:, :4]
+    want = naive_greedy(lm, prompt, 5)
+    out = serving.generate(lm, prompt, 5)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(want))
+
+
+def test_jetmoe_moa_generate():
+    """jetmoe mixture-of-attention: shared-KV cache + stateless per-token
+    expert routing."""
+    lm, _ = make_lm(
+        key=95,
+        moa=True,
+        n_experts=4,
+        n_experts_per_tok=2,
+        n_kv_heads=2,
+        moe_hidden_dim=16,
+    )
+    ids = jax.random.randint(jax.random.PRNGKey(96), (2, 6), 0, 64)
     ref = lm({"input_ids": ids})
     got, caches = serving.forward_with_cache(
         lm, ids, serving.init_cache(lm, 2, 10), 0
@@ -687,12 +720,10 @@ def test_pure_mamba_lm_generate(version):
 
 
 def test_unsupported_graphs_refused():
-    # minimax lightning attention: blocked-decay state caching not wired
-    lm, _ = make_lm(
-        key=18,
-        layer_types=("linear_attention", "full_attention"),
-    )
-    with pytest.raises(ValueError, match="state caching is not implemented"):
+    # doge dynamic-mask attention: the value-derived key bias would need
+    # its own cache discipline
+    lm, _ = make_lm(key=18, dyn_mask_keep_window=64, residual_scales=True)
+    with pytest.raises(ValueError, match="doge"):
         serving.init_cache(lm, 1, 8)
 
 
