@@ -1177,7 +1177,8 @@ def _wkv_scan(
     time_first: jax.Array,
     key: jax.Array,
     value: jax.Array,
-) -> jax.Array:
+    init: Optional[tuple] = None,
+) -> tuple[jax.Array, tuple]:
     """The WKV recurrence with max-state stabilization, bit-matching HF's
     rwkv_linear_attention_cpu in f32.  TPU note: the per-step body is
     pure elementwise math over a (b, d) carry — the MXU-heavy
@@ -1190,11 +1191,12 @@ def _wkv_scan(
     k = key.astype(jnp.float32)
     v = value.astype(jnp.float32)
     b, s, d = k.shape
-    init = (
-        jnp.zeros((b, d), jnp.float32),
-        jnp.zeros((b, d), jnp.float32),
-        jnp.full((b, d), -1e38, jnp.float32),
-    )
+    if init is None:  # stream start (HF's initial num/den/max state)
+        init = (
+            jnp.zeros((b, d), jnp.float32),
+            jnp.zeros((b, d), jnp.float32),
+            jnp.full((b, d), -1e38, jnp.float32),
+        )
 
     def step(carry, kv):
         num, den, mx = carry
@@ -1208,10 +1210,10 @@ def _wkv_scan(
         e2s = jnp.exp(ck - m_st)
         return (e1s * num + e2s * cv, e1s * den + e2s, m_st), out
 
-    _, out = jax.lax.scan(
+    carry, out = jax.lax.scan(
         step, init, (jnp.swapaxes(k, 0, 1), jnp.swapaxes(v, 0, 1))
     )
-    return jnp.swapaxes(out, 0, 1).astype(value.dtype)
+    return jnp.swapaxes(out, 0, 1).astype(value.dtype), carry
 
 
 class RwkvTimeMix(nn.Module):
@@ -1230,18 +1232,37 @@ class RwkvTimeMix(nn.Module):
     output: nn.Linear
 
     def __call__(self, x: jax.Array, ctx: Optional[nn.Ctx] = None) -> jax.Array:
-        shifted = _time_shift(x)
+        return self.forward_with_state(x, ctx)[0]
+
+    def forward_with_state(
+        self,
+        x: jax.Array,
+        ctx: Optional[nn.Ctx] = None,
+        shift_state: Optional[jax.Array] = None,
+        wkv_state: Optional[tuple] = None,
+    ) -> tuple[jax.Array, jax.Array, tuple]:
+        """Stateful forward for decoding: ``shift_state`` (b, dim) is the
+        previous token's input to this mixer (the time-shift sees it),
+        ``wkv_state`` the (num, den, max) WKV carry.  None = stream start
+        (bit-identical to the stateless call, which delegates here)."""
+        if shift_state is None:
+            shifted = _time_shift(x)
+        else:
+            shifted = jnp.concatenate(
+                [shift_state[:, None].astype(x.dtype), x[:, :-1]], axis=1
+            )
         xk = x * self.time_mix_key + shifted * (1 - self.time_mix_key)
         xv = x * self.time_mix_value + shifted * (1 - self.time_mix_value)
         xr = x * self.time_mix_receptance + shifted * (
             1 - self.time_mix_receptance
         )
         r = jax.nn.sigmoid(self.receptance(xr, ctx))
-        wkv = _wkv_scan(
+        wkv, new_wkv = _wkv_scan(
             self.time_decay, self.time_first,
             self.key(xk, ctx), self.value(xv, ctx),
+            wkv_state,
         )
-        return self.output(r * wkv, ctx)
+        return self.output(r * wkv, ctx), x[:, -1], new_wkv
 
     @staticmethod
     def create(key: jax.Array, cfg: RwkvConfig) -> "RwkvTimeMix":
@@ -1271,13 +1292,29 @@ class RwkvChannelMix(nn.Module):
     value: nn.Linear
 
     def __call__(self, x: jax.Array, ctx: Optional[nn.Ctx] = None) -> jax.Array:
-        shifted = _time_shift(x)
+        return self.forward_with_state(x, ctx)[0]
+
+    def forward_with_state(
+        self,
+        x: jax.Array,
+        ctx: Optional[nn.Ctx] = None,
+        shift_state: Optional[jax.Array] = None,
+    ) -> tuple[jax.Array, jax.Array]:
+        if shift_state is None:
+            shifted = _time_shift(x)
+        else:
+            shifted = jnp.concatenate(
+                [shift_state[:, None].astype(x.dtype), x[:, :-1]], axis=1
+            )
         xk = x * self.time_mix_key + shifted * (1 - self.time_mix_key)
         xr = x * self.time_mix_receptance + shifted * (
             1 - self.time_mix_receptance
         )
         k = jnp.square(jax.nn.relu(self.key(xk, ctx)))
-        return jax.nn.sigmoid(self.receptance(xr, ctx)) * self.value(k, ctx)
+        return (
+            jax.nn.sigmoid(self.receptance(xr, ctx)) * self.value(k, ctx),
+            x[:, -1],
+        )
 
     @staticmethod
     def create(key: jax.Array, cfg: RwkvConfig) -> "RwkvChannelMix":
@@ -1310,10 +1347,43 @@ class RwkvLayer(nn.Module):
         positions: Optional[jax.Array] = None,
         attn_mask: Optional[jax.Array] = None,
     ) -> jax.Array:
+        return self.forward_with_state(x, ctx)[0]
+
+    def init_state(self, batch_size: int, dtype: Any) -> tuple:
+        d = self.ln1.scale.shape[0]
+        a = self.attention.time_decay.shape[0]
+        f32 = jnp.float32
+        return (
+            jnp.zeros((batch_size, d), dtype),
+            (
+                jnp.zeros((batch_size, a), f32),
+                jnp.zeros((batch_size, a), f32),
+                jnp.full((batch_size, a), -1e38, f32),
+            ),
+            jnp.zeros((batch_size, d), dtype),
+        )
+
+    def forward_with_state(
+        self,
+        x: jax.Array,
+        ctx: Optional[nn.Ctx] = None,
+        state: Optional[tuple] = None,
+    ) -> tuple[jax.Array, tuple]:
+        """state = (attn_shift, (num, den, max), ffn_shift); None =
+        stream start (the stateless call delegates here)."""
+        attn_shift, wkv, ffn_shift = state if state is not None else (
+            None, None, None,
+        )
         if self.pre_ln is not None:
             x = self.pre_ln(x)
-        x = x + self.attention(self.ln1(x), ctx)
-        return x + self.feed_forward(self.ln2(x), ctx)
+        a_out, new_attn_shift, new_wkv = self.attention.forward_with_state(
+            self.ln1(x), ctx, attn_shift, wkv
+        )
+        x = x + a_out
+        f_out, new_ffn_shift = self.feed_forward.forward_with_state(
+            self.ln2(x), ctx, ffn_shift
+        )
+        return x + f_out, (new_attn_shift, new_wkv, new_ffn_shift)
 
 
 class RwkvLM(nn.Module):

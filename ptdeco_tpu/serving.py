@@ -48,6 +48,7 @@ from .models.ssm import (
     MambaBlock,
     MambaLM,
     RecurrentBlock,
+    RwkvLM,
     ShortConvMixer,
 )
 from .models.transformer import (
@@ -588,17 +589,23 @@ def _layer_attention(layer: Any, idx: int) -> Optional[Any]:
 
 
 def _model_layers(lm: Any) -> tuple:
-    return lm.backbone.layers if isinstance(lm, MambaLM) else lm.model.layers
+    if isinstance(lm, MambaLM):
+        return lm.backbone.layers
+    if isinstance(lm, RwkvLM):
+        return lm.blocks
+    return lm.model.layers
 
 
 def check_decode_supported(lm: Any) -> None:
     """Raise with a clear message if ``lm``'s graph cannot be KV-cached."""
+    if isinstance(lm, RwkvLM):
+        return  # every RwkvLayer carries shift + WKV state
     for i, layer in enumerate(_model_layers(lm)):
         _layer_attention(layer, i)
 
 
 def _has_ssm(lm: Any) -> bool:
-    if isinstance(lm, MambaLM):
+    if isinstance(lm, (MambaLM, RwkvLM)):
         return True
     return any(
         isinstance(layer, Block)
@@ -621,6 +628,11 @@ def init_cache(
     correct for decomposed projections and gated/GQA head layouts."""
     check_decode_supported(lm)
     ids = jax.ShapeDtypeStruct((batch_size, 1), jnp.int32)
+    if isinstance(lm, RwkvLM):
+        dt = dtype if dtype is not None else lm.embeddings.table.dtype
+        return tuple(
+            blk.init_state(batch_size, dt) for blk in lm.blocks
+        )
     if isinstance(lm, MambaLM):
         x_struct = jax.eval_shape(
             lambda m, i: m.embeddings(i), lm.backbone, ids
@@ -747,6 +759,23 @@ def forward_with_cache(
     positions = jnp.broadcast_to(
         start + jnp.arange(s, dtype=jnp.int32)[None, :], (b, s)
     )
+    if isinstance(lm, RwkvLM):  # shift + WKV state per block, no slots
+        if cache_pos.ndim == 1:
+            raise ValueError(
+                "ragged decode (per-row cache_pos) is not supported for "
+                "RWKV: a recurrent state has no slot == position rewrite"
+            )
+        x = lm.embeddings(input_ids)
+        new_states = []
+        for blk, st in zip(lm.blocks, caches):
+            x, st2 = blk.forward_with_state(x, ctx, st)
+            new_states.append(st2)
+        x = lm.ln_out(x)
+        if lm.tie_embeddings:
+            logits = jnp.dot(x, lm.embeddings.table.T)
+        else:
+            logits = lm.head(x, ctx)
+        return logits, tuple(new_states)
     mamba_lm = isinstance(lm, MambaLM)
     if mamba_lm:
         x = lm.backbone.embeddings(input_ids)

@@ -719,6 +719,35 @@ def test_pure_mamba_lm_generate(version):
     np.testing.assert_array_equal(np.asarray(out), np.asarray(want))
 
 
+def test_rwkv_generate():
+    """RWKV decodes through per-block shift + WKV-carry state."""
+    from ptdeco_tpu.models import ssm
+
+    cfg = ssm.RwkvConfig(
+        vocab_size=64, dim=32, n_layers=2, hidden_dim=64, attn_dim=32,
+    )
+    lm = ssm.RwkvLM.create(jax.random.PRNGKey(100), cfg)
+    ids = jax.random.randint(jax.random.PRNGKey(101), (2, 6), 0, 64)
+    ref = lm({"input_ids": ids})
+    caches = serving.init_cache(lm, 2, 10)
+    got, caches = serving.forward_with_cache(lm, ids, caches, 0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+    nxt = jnp.argmax(got[:, -1:, :], axis=-1).astype(jnp.int32)
+    ref2 = lm({"input_ids": jnp.concatenate([ids, nxt], 1)})[:, -1, :]
+    got2, _ = serving.forward_with_cache(lm, nxt, caches, 6)
+    np.testing.assert_allclose(
+        np.asarray(got2[:, 0, :]), np.asarray(ref2), atol=2e-4
+    )
+    prompt = ids[:, :4]
+    want = naive_greedy(lm, prompt, 5)
+    out = serving.generate(lm, prompt, 5)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(want))
+    with pytest.raises(ValueError, match="ragged|SSM"):
+        serving.generate(
+            lm, prompt, 3, prompt_lens=jnp.asarray([2, 4], jnp.int32)
+        )
+
+
 def test_unsupported_graphs_refused():
     # doge dynamic-mask attention: the value-derived key bias would need
     # its own cache discipline
