@@ -1654,13 +1654,48 @@ class ZambaMixer(nn.Module):
         positions: Optional[jax.Array] = None,
         attn_mask: Optional[jax.Array] = None,
     ) -> jax.Array:
+        return self.forward_with_state(x, ctx, attn_mask=attn_mask)[0]
+
+    def init_state(
+        self, batch_size: int, dtype: Any
+    ) -> tuple[jax.Array, jax.Array]:
+        k = self.conv1d.weight.shape[1]
+        d_inner = self.conv1d.weight.shape[0]
+        hd = d_inner // self.n_heads
+        return (
+            jnp.zeros((batch_size, k - 1, d_inner), dtype),
+            jnp.zeros(
+                (batch_size, self.n_heads, hd, self.d_state), jnp.float32
+            ),
+        )
+
+    def forward_with_state(
+        self,
+        x: jax.Array,
+        ctx: Optional[nn.Ctx] = None,
+        conv_state: Optional[jax.Array] = None,
+        rec_state: Optional[jax.Array] = None,
+        *,
+        positions: Optional[jax.Array] = None,
+        attn_mask: Optional[jax.Array] = None,
+    ) -> tuple[jax.Array, jax.Array, jax.Array]:
+        """Stateful forward for decoding: conv tail over d_inner channels
+        + the per-head (b, nh, hd, d_state) f32 recurrence state (folds
+        into the scan via the cumulative decay, like Mamba1Mixer).  None
+        states = stream start (the stateless call delegates here,
+        bit-identical)."""
         b, s, _ = x.shape
         proj = self.in_proj(x, ctx)  # (b, s, 2*d_inner) interleaved pairs
         pairs = proj.reshape(b, s, -1, 2)
         h, gate = pairs[..., 0], pairs[..., 1]  # (b, s, d_inner)
         if attn_mask is not None:
             h = h * attn_mask[..., None].astype(h.dtype)
-        h = jax.nn.silu(self.conv1d(h, ctx))
+        if conv_state is None:
+            conv_state = jnp.zeros(
+                (b, self.conv1d.weight.shape[1] - 1, h.shape[-1]), h.dtype
+            )
+        h, new_conv_state = self.conv1d.with_state(h, conv_state)
+        h = jax.nn.silu(h)
         if attn_mask is not None:
             h = h * attn_mask[..., None].astype(h.dtype)
         nh, hd = self.n_heads, h.shape[-1] // self.n_heads
@@ -1688,11 +1723,14 @@ class ZambaMixer(nn.Module):
             aR, bR = right
             return aL * aR, bL * aR + bR
 
-        _, hs = jax.lax.associative_scan(comb, (dA, dBu), axis=1)
+        a_cum, hs = jax.lax.associative_scan(comb, (dA, dBu), axis=1)
+        if rec_state is not None:
+            hs = hs + a_cum * rec_state.astype(jnp.float32)[:, None]
+        new_rec_state = hs[:, -1]
         y = jnp.einsum("bshdn,bshn->bshd", hs.astype(x.dtype), C)
         y = y + hh * self.D[None, None]
         y = y.reshape(b, s, -1) * jax.nn.silu(gate)
-        return self.out_proj(y, ctx)
+        return self.out_proj(y, ctx), new_conv_state, new_rec_state
 
     @staticmethod
     def create(key: jax.Array, cfg: ZambaConfig) -> "ZambaMixer":
@@ -1766,16 +1804,19 @@ class ZambaHybridLayer(nn.Module):
         x0: jax.Array,
         ctx: Optional[nn.Ctx] = None,
         *,
+        positions: Optional[jax.Array] = None,
         attn_mask: Optional[jax.Array] = None,
     ) -> jax.Array:
         h = x
         if self.shared_transf is not None:
             t = self.shared_transf(
-                jnp.concatenate([x, x0], axis=-1), ctx, attn_mask=attn_mask
+                jnp.concatenate([x, x0], axis=-1), ctx,
+                positions=positions, attn_mask=attn_mask,
             )
             h = x + self.linear(t, ctx)
         return x + self.mamba(
-            self.input_layernorm(h), ctx, attn_mask=attn_mask
+            self.input_layernorm(h), ctx,
+            positions=positions, attn_mask=attn_mask,
         )
 
 

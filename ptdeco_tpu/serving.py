@@ -50,6 +50,7 @@ from .models.ssm import (
     RecurrentBlock,
     RwkvLM,
     ShortConvMixer,
+    ZambaLM,
 )
 from .models.transformer import (
     Attention,
@@ -593,19 +594,21 @@ def _model_layers(lm: Any) -> tuple:
         return lm.backbone.layers
     if isinstance(lm, RwkvLM):
         return lm.blocks
+    if isinstance(lm, ZambaLM):
+        return lm.layers
     return lm.model.layers
 
 
 def check_decode_supported(lm: Any) -> None:
     """Raise with a clear message if ``lm``'s graph cannot be KV-cached."""
-    if isinstance(lm, RwkvLM):
-        return  # every RwkvLayer carries shift + WKV state
+    if isinstance(lm, (RwkvLM, ZambaLM)):
+        return  # per-layer recurrent/shared-attention state is wired
     for i, layer in enumerate(_model_layers(lm)):
         _layer_attention(layer, i)
 
 
 def _has_ssm(lm: Any) -> bool:
-    if isinstance(lm, (MambaLM, RwkvLM)):
+    if isinstance(lm, (MambaLM, RwkvLM, ZambaLM)):
         return True
     return any(
         isinstance(layer, Block)
@@ -633,6 +636,26 @@ def init_cache(
         return tuple(
             blk.init_state(batch_size, dt) for blk in lm.blocks
         )
+    if isinstance(lm, ZambaLM):
+        dt = dtype if dtype is not None else lm.embed_tokens.table.dtype
+        dim = lm.embed_tokens.table.shape[1]
+        x2 = jax.ShapeDtypeStruct((batch_size, 1, 2 * dim), dt)
+        entries = []
+        for layer in lm.layers:
+            if layer.shared_transf is not None:
+                a = layer.shared_transf.self_attn
+                k_struct = jax.eval_shape(
+                    lambda a, xx: a.project_qkv(xx, None)[1], a, x2
+                )
+                _, _, n_kv, hd = k_struct.shape
+                kv = (
+                    jnp.zeros((batch_size, max_len, n_kv, hd), dt),
+                    jnp.zeros((batch_size, max_len, n_kv, hd), dt),
+                )
+            else:
+                kv = None
+            entries.append((kv, layer.mamba.init_state(batch_size, dt)))
+        return tuple(entries)
     if isinstance(lm, MambaLM):
         x_struct = jax.eval_shape(
             lambda m, i: m.embeddings(i), lm.backbone, ids
@@ -759,6 +782,52 @@ def forward_with_cache(
     positions = jnp.broadcast_to(
         start + jnp.arange(s, dtype=jnp.int32)[None, :], (b, s)
     )
+    if isinstance(lm, ZambaLM):
+        if cache_pos.ndim == 1:
+            raise ValueError(
+                "ragged decode (per-row cache_pos) is not supported for "
+                "zamba: a recurrent state has no slot == position rewrite"
+            )
+        x = lm.embed_tokens(input_ids)
+        x0 = x
+        new_entries: list = []
+        for i, (layer, cache) in enumerate(zip(lm.layers, caches)):
+            name = f"layers.{i}"
+            kv, mstate = cache
+            lyr = layer.replace(
+                mamba=CachedStateMixer(
+                    inner=layer.mamba,
+                    conv_state=mstate[0],
+                    rec_state=mstate[1],
+                    sow_name=f"{name}.mamba",
+                )
+            )
+            if kv is not None:
+                lyr = lyr.replace(
+                    shared_transf=layer.shared_transf.replace(
+                        self_attn=CachedAttention(
+                            inner=layer.shared_transf.self_attn,
+                            k_cache=kv[0],
+                            v_cache=kv[1],
+                            cache_pos=cache_pos,
+                            kv_mask=kv_mask,
+                            sow_name=f"{name}.attn",
+                        )
+                    )
+                )
+            x = lyr(x, x0, ctx, positions=positions, attn_mask=None)
+            new_entries.append(
+                (
+                    ctx.sink["kv_cache"].get(f"{name}.attn"),
+                    ctx.sink["kv_cache"][f"{name}.mamba"],
+                )
+            )
+        x = lm.final_layernorm(x)
+        if lm.tie_embeddings:
+            logits = jnp.dot(x, lm.embed_tokens.table.T)
+        else:
+            logits = lm.lm_head(x, ctx)
+        return logits, tuple(new_entries)
     if isinstance(lm, RwkvLM):  # shift + WKV state per block, no slots
         if cache_pos.ndim == 1:
             raise ValueError(

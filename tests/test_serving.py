@@ -748,6 +748,53 @@ def test_rwkv_generate():
         )
 
 
+@pytest.mark.parametrize("version", [1, 2])
+def test_zamba_generate(version):
+    """Zamba v1/v2: multi-head mamba layers with a shared transformer
+    block on hybrid layers — the cache entry pairs the shared attention's
+    K/V (over cat(hidden, embedding) inputs) with the mamba state."""
+    from ptdeco_tpu.models import ssm
+
+    cfg = ssm.ZambaConfig(
+        vocab_size=64,
+        dim=32,
+        n_layers=4,
+        layers_block_type=("mamba", "hybrid", "mamba", "hybrid"),
+        attention_hidden_size=64,
+        n_attn_heads=4,
+        attention_head_dim=16,
+        intermediate_size=48,
+        d_inner=64,
+        d_state=4,
+        d_conv=3,
+        n_mamba_heads=2,
+        dt_rank=2,
+        version=version,
+        mamba_headdim=32,  # v2: n_mamba_heads * headdim == d_inner
+        n_groups=2,
+        chunk_size=4,
+        use_mem_rope=(version == 2),
+    )
+    lm = ssm.ZambaLM.create(jax.random.PRNGKey(110), cfg)
+    ids = jax.random.randint(jax.random.PRNGKey(111), (2, 6), 0, 64)
+    ref = lm({"input_ids": ids})
+    caches = serving.init_cache(lm, 2, 10)
+    assert caches[0][0] is None  # mamba-only layer: no attention KV
+    assert caches[1][0] is not None  # hybrid layer: shared-attn KV
+    got, caches = serving.forward_with_cache(lm, ids, caches, 0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+    nxt = jnp.argmax(got[:, -1:, :], axis=-1).astype(jnp.int32)
+    ref2 = lm({"input_ids": jnp.concatenate([ids, nxt], 1)})[:, -1, :]
+    got2, _ = serving.forward_with_cache(lm, nxt, caches, 6)
+    np.testing.assert_allclose(
+        np.asarray(got2[:, 0, :]), np.asarray(ref2), atol=2e-4
+    )
+    prompt = ids[:, :4]
+    want = naive_greedy(lm, prompt, 5)
+    out = serving.generate(lm, prompt, 5)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(want))
+
+
 def test_unsupported_graphs_refused():
     # doge dynamic-mask attention: the value-derived key bias would need
     # its own cache discipline
