@@ -163,6 +163,9 @@ class CachedAttention(nn.Module):
     v_cache: jax.Array
     cache_pos: jax.Array  # scalar int32: tokens already in the cache
     kv_mask: Optional[jax.Array] = None  # (b, max_len) bool: valid keys
+    # doge dynamic-mask attention: the additive key bias depends only on
+    # v at that key's position, so it caches alongside k/v
+    dyn_cache: Optional[jax.Array] = None  # (b, max_len, n_kv) f32
     sow_name: str = nn.static_field(default="kv")
 
     def __call__(
@@ -180,8 +183,21 @@ class CachedAttention(nn.Module):
         hd = q.shape[-1]
         k_cache = _cache_write(self.k_cache, k_new, self.cache_pos)
         v_cache = _cache_write(self.v_cache, v_new, self.cache_pos)
+        dyn_cache = None
+        if a.dt_proj is not None:  # doge: per-key bias from the new v's
+            dt = a.dt_proj(v_new.reshape(b, s, -1), ctx)  # (b, s, n_kv)
+            dyn_new = jnp.exp(
+                a.dyn_mask_A.astype(jnp.float32)
+                * jax.nn.softplus(dt.astype(jnp.float32))
+            )
+            dyn_cache = _cache_write(self.dyn_cache, dyn_new, self.cache_pos)
         if ctx is not None:
-            ctx.sow(self.sow_name, "kv_cache", (k_cache, v_cache))
+            entry = (
+                (k_cache, v_cache)
+                if dyn_cache is None
+                else (k_cache, v_cache, dyn_cache)
+            )
+            ctx.sow(self.sow_name, "kv_cache", entry)
 
         g = a.n_kv_heads
         rep = a.n_heads // g
@@ -199,6 +215,10 @@ class CachedAttention(nn.Module):
             )
             * scale
         )
+        if dyn_cache is not None:  # doge additive key bias, per kv head
+            logits = logits + dyn_cache.transpose(0, 2, 1)[
+                :, :, None, None, :
+            ]
         if a.use_alibi:
             # slope * absolute key index, the softmax-shift-invariant form
             # Attention.__call__ uses (key positions == arange there)
@@ -575,10 +595,6 @@ def _layer_attention(layer: Any, idx: int) -> Optional[Any]:
             f"DeltaNet, RG-LRU, and short-conv mixers; layer {idx} uses "
             f"{type(mixer).__name__} (its state caching is not implemented)"
         )
-    if mixer.dt_proj is not None:
-        raise ValueError(
-            "doge dynamic-mask attention is not supported by the cache path"
-        )
     if layer.mamba is not None and not isinstance(
         layer.mamba, STATEFUL_MIXERS
     ):
@@ -749,6 +765,17 @@ def init_cache(
             jnp.zeros((batch_size, max_len, n_kv, hd), cdt),
             jnp.zeros((batch_size, max_len, n_kv, hd), cdt),
         )
+        if getattr(attn, "dt_proj", None) is not None:  # doge
+            win = attn.dyn_mask_keep_window
+            if win is not None and max_len > win:
+                raise ValueError(
+                    f"doge top-k dynamic masking beyond keep_window_size "
+                    f"({win}) is not implemented; cache length {max_len} "
+                    "exceeds it"
+                )
+            kv = kv + (
+                jnp.zeros((batch_size, max_len, n_kv), jnp.float32),
+            )
         if para_mamba:  # falcon_h1: ((k, v), mamba state) per layer
             caches.append(
                 (kv, layer.mamba.init_state(batch_size, x_struct.dtype))
@@ -961,6 +988,7 @@ def forward_with_cache(
                 v_cache=cache[1],
                 cache_pos=cache_pos,
                 kv_mask=kv_mask,
+                dyn_cache=cache[2] if len(cache) == 3 else None,
                 sow_name=name,
             )
         if isinstance(layer, MambaBlock):

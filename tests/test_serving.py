@@ -795,12 +795,30 @@ def test_zamba_generate(version):
     np.testing.assert_array_equal(np.asarray(out), np.asarray(want))
 
 
-def test_unsupported_graphs_refused():
-    # doge dynamic-mask attention: the value-derived key bias would need
-    # its own cache discipline
+def test_doge_generate_and_window_refusal():
+    """doge dynamic-mask attention decodes: the per-key bias depends only
+    on v at that key's position, so it caches alongside k/v.  Cache
+    lengths beyond keep_window_size (where HF's top-k masking would
+    engage) are refused."""
     lm, _ = make_lm(key=18, dyn_mask_keep_window=64, residual_scales=True)
-    with pytest.raises(ValueError, match="doge"):
-        serving.init_cache(lm, 1, 8)
+    ids = jax.random.randint(jax.random.PRNGKey(19), (2, 6), 0, 64)
+    ref = lm({"input_ids": ids})
+    caches = serving.init_cache(lm, 2, 10)
+    assert len(caches[0]) == 3  # (k, v, dyn bias)
+    got, caches = serving.forward_with_cache(lm, ids, caches, 0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+    nxt = jnp.argmax(got[:, -1:, :], axis=-1).astype(jnp.int32)
+    ref2 = lm({"input_ids": jnp.concatenate([ids, nxt], 1)})[:, -1, :]
+    got2, _ = serving.forward_with_cache(lm, nxt, caches, 6)
+    np.testing.assert_allclose(
+        np.asarray(got2[:, 0, :]), np.asarray(ref2), atol=1e-5
+    )
+    prompt = ids[:, :4]
+    want = naive_greedy(lm, prompt, 5)
+    out = serving.generate(lm, prompt, 5)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(want))
+    with pytest.raises(ValueError, match="keep_window"):
+        serving.init_cache(lm, 1, 65)
 
 
 def test_cli_generate_task(tmp_path):
