@@ -120,6 +120,9 @@ class GenerateConfig(_VersionConfig):
     max_new_tokens: int = 128
     temperature: float = 0.0
     top_p: Optional[float] = None  # nucleus sampling (with temperature>0)
+    top_k: Optional[int] = None  # top-k sampling (with temperature>0)
+    num_beams: int = 1  # >1: deterministic beam search (temperature 0)
+    length_penalty: float = 1.0  # beam ranking: score / len**penalty
     batch_size: int = 8
     max_prompt_length: Optional[int] = None
     stop_at_eos: bool = True

@@ -82,6 +82,13 @@ def main(config_raw: dict[str, Any], output_path: pathlib.Path) -> None:
         )
         logger.info(f"Applied decomposed checkpoint {config.decompose_config}")
     serving.check_decode_supported(model)
+    if config.num_beams < 1:
+        raise ValueError(f"num_beams must be >= 1, got {config.num_beams}")
+    if config.num_beams > 1 and config.temperature != 0.0:
+        raise ValueError(
+            "beam search (num_beams > 1) is deterministic; "
+            "set temperature: 0"
+        )
 
     prompts = _read_prompts(config)
     token_lists = [
@@ -107,16 +114,28 @@ def main(config_raw: dict[str, Any], output_path: pathlib.Path) -> None:
             padded[i, : len(t)] = t
         lens = jnp.asarray([len(t) for t in chunk], jnp.int32)
         key, sub = jax.random.split(key)
-        out = serving.generate(
-            model,
-            jnp.asarray(padded),
-            config.max_new_tokens,
-            temperature=config.temperature,
-            top_p=config.top_p,
-            key=sub,
-            eos_id=eos_id,
-            prompt_lens=lens,
-        )
+        if config.num_beams > 1:
+            out = serving.generate_beam(
+                model,
+                jnp.asarray(padded),
+                config.max_new_tokens,
+                num_beams=config.num_beams,
+                length_penalty=config.length_penalty,
+                eos_id=eos_id,
+                prompt_lens=lens,
+            )
+        else:
+            out = serving.generate(
+                model,
+                jnp.asarray(padded),
+                config.max_new_tokens,
+                temperature=config.temperature,
+                top_p=config.top_p,
+                top_k=config.top_k,
+                key=sub,
+                eos_id=eos_id,
+                prompt_lens=lens,
+            )
         out_np = np.asarray(jax.device_get(out))
         for i, t in enumerate(chunk):
             new_ids = out_np[i].tolist()
@@ -141,6 +160,7 @@ def main(config_raw: dict[str, Any], output_path: pathlib.Path) -> None:
         "n_prompts": len(prompts),
         "max_new_tokens": config.max_new_tokens,
         "total_new_tokens": total_new,
+        "num_beams": config.num_beams,
         "generate_wall_s": round(wall_s, 3),
         "tokens_per_s": round(total_new / wall_s, 2) if wall_s > 0 else None,
         "decomposed": config.decompose_config is not None,

@@ -127,6 +127,21 @@ def time_generate(lm, prompt) -> float:
     return min(times)
 
 
+def time_beam(lm, prompt, m: int = 4) -> float:
+    """Seconds for prefill + NEW_TOKENS of beam search at width m (all
+    b*m beams decode as one fused cached batch)."""
+    out = serving.generate_beam(lm, prompt, NEW_TOKENS, num_beams=m)
+    jax.device_get(out)
+    times = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        jax.block_until_ready(
+            serving.generate_beam(lm, prompt, NEW_TOKENS, num_beams=m)
+        )
+        times.append(time.perf_counter() - t0)
+    return min(times)
+
+
 def time_per_token_dispatch(lm, prompt, n_tokens: int = 16) -> float:
     """s/token for the anti-pattern: one dispatch + host sync per decode
     step (what a naive port of an eager-torch generate loop would do)."""
@@ -174,6 +189,10 @@ def main() -> None:
     deco_s = time_generate(lm_deco, prompt)
     deco_tok_s = BATCH * NEW_TOKENS / deco_s
 
+    # beam-4: the fused-batch design means width-4 search costs one
+    # batch-4x decode, not 4 sequential decodes
+    beam_s = time_beam(lm, prompt, m=4)
+
     # speculative: the decomposed model drafts for its own dense twin
     # (function-identical target, full dense streaming cost) — output is
     # exactly the twin's greedy continuation; the twin's dense-only
@@ -217,6 +236,8 @@ def main() -> None:
         "serving_speedup_vs_dense": round(deco_tok_s / dense_tok_s, 3),
         "per_token_dispatch_tok_s": round(per_dispatch_tok_s, 1),
         "scan_program_win": round(dense_tok_s / per_dispatch_tok_s, 2),
+        "beam4_sequences_per_s": round(BATCH * NEW_TOKENS / beam_s, 1),
+        "beam4_cost_vs_greedy": round(beam_s / dense_s, 3),
         "speculative_k": 4,
         "speculative": spec,
         "device": jax.devices()[0].device_kind,

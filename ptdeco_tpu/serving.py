@@ -83,6 +83,7 @@ __all__ = [
     "check_decode_supported",
     "forward_with_cache",
     "generate",
+    "generate_beam",
     "generate_speculative",
 ]
 
@@ -1015,10 +1016,16 @@ def _sample(
     temperature: jax.Array,
     key: jax.Array,
     top_p: Optional[jax.Array] = None,
+    top_k: Optional[int] = None,
 ) -> jax.Array:
     if greedy:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     scaled = logits.astype(jnp.float32) / jnp.maximum(temperature, 1e-6)
+    if top_k is not None and top_k < scaled.shape[-1]:
+        # keep only the k largest logits (exact ties with the k-th value
+        # all survive); applied BEFORE top_p, matching HF's warper order
+        kth = lax.top_k(scaled, top_k)[0][..., -1:]
+        scaled = jnp.where(scaled < kth, -jnp.inf, scaled)
     if top_p is not None:
         # nucleus filtering: keep the smallest prefix of the
         # probability-sorted vocab whose mass reaches top_p (the top
@@ -1037,7 +1044,8 @@ def _sample(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "max_new_tokens", "greedy", "eos_id", "ragged", "use_top_p"
+        "max_new_tokens", "greedy", "eos_id", "ragged", "use_top_p",
+        "top_k",
     ),
 )
 def _generate_impl(
@@ -1054,6 +1062,7 @@ def _generate_impl(
     eos_id: Optional[int],
     ragged: bool,
     use_top_p: bool,
+    top_k: Optional[int] = None,
 ) -> jax.Array:
     tp_arg = top_p if use_top_p else None
     b, s_p = prompt_ids.shape
@@ -1067,7 +1076,7 @@ def _generate_impl(
     else:
         last = logits[:, -1, :]
         pos0 = jnp.int32(s_p)
-    tok = _sample(last, greedy, temperature, key, tp_arg)
+    tok = _sample(last, greedy, temperature, key, tp_arg, top_k)
     done = (
         jnp.zeros((b,), bool) if eos_id is None else tok == eos_id
     )
@@ -1076,7 +1085,7 @@ def _generate_impl(
         caches, pos, tok, done = carry
         logits, caches = forward_with_cache(lm, tok[:, None], caches, pos)
         nxt = _sample(
-            logits[:, -1, :], greedy, temperature, step_key, tp_arg
+            logits[:, -1, :], greedy, temperature, step_key, tp_arg, top_k
         )
         if eos_id is not None:
             nxt = jnp.where(done, jnp.int32(eos_id), nxt)
@@ -1105,10 +1114,12 @@ def generate(
     max_len: Optional[int] = None,
     prompt_lens: Optional[jax.Array] = None,
     top_p: Optional[float] = None,
+    top_k: Optional[int] = None,
 ) -> jax.Array:
     """Generate ``max_new_tokens`` continuation tokens for a prompt batch
     ``(b, s_p)`` (int32 token ids).  ``temperature=0`` is greedy argmax;
-    otherwise categorical sampling with ``key``, optionally
+    otherwise categorical sampling with ``key``, optionally filtered to
+    the ``top_k`` highest-probability tokens and/or
     nucleus-filtered to the top ``top_p`` probability mass.  The entire
     prefill+decode runs as one jitted program; repeated calls with the
     same shapes reuse the compiled executable.
@@ -1137,6 +1148,8 @@ def generate(
         lens = jnp.asarray(prompt_lens, jnp.int32)
     else:
         lens = jnp.full((b,), s_p, jnp.int32)
+    if top_k is not None and top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
     caches = init_cache(lm, b, total)
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -1153,7 +1166,175 @@ def generate(
         eos_id=eos_id,
         ragged=ragged,
         use_top_p=top_p is not None,
+        top_k=None if top_k is None else int(top_k),
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_new_tokens", "num_beams", "eos_id", "ragged"),
+)
+def _beam_impl(
+    lm: CausalLM,
+    prompt_ids: jax.Array,
+    prompt_lens: jax.Array,
+    caches: KVCache,
+    length_penalty: jax.Array,
+    *,
+    max_new_tokens: int,
+    num_beams: int,
+    eos_id: Optional[int],
+    ragged: bool,
+) -> tuple[jax.Array, jax.Array]:
+    b, s_p = prompt_ids.shape
+    m = num_beams
+    logits, caches = forward_with_cache(lm, prompt_ids, caches, 0)
+    if ragged:
+        last = jnp.take_along_axis(
+            logits, (prompt_lens - 1)[:, None, None], axis=1
+        )[:, 0, :]
+        pos0: jax.Array = jnp.repeat(prompt_lens, m)
+    else:
+        last = logits[:, -1, :]
+        pos0 = jnp.int32(s_p)
+    vocab = last.shape[-1]
+    lp0 = jax.nn.log_softmax(last.astype(jnp.float32), axis=-1)
+    scores, tok0 = lax.top_k(lp0, m)  # (b, m): m distinct first tokens
+    tok0 = tok0.astype(jnp.int32)
+    # fan the prefilled caches out over beams, row-major (row i's beams
+    # at rows i*m..i*m+m-1) — a pure batch-axis repeat, so it works for
+    # K/V slot caches and recurrent mixer states alike
+    caches = jax.tree.map(lambda x: jnp.repeat(x, m, axis=0), caches)
+    done = (
+        tok0 == eos_id if eos_id is not None else jnp.zeros((b, m), bool)
+    )
+    hist = jnp.zeros((b, m, max_new_tokens), jnp.int32)
+    hist = hist.at[:, :, 0].set(tok0)
+    row = jnp.arange(b)[:, None]
+
+    def step(carry, t):
+        caches, pos, tok, scores, done, hist = carry
+        logits, caches = forward_with_cache(
+            lm, tok.reshape(b * m, 1), caches, pos
+        )
+        lp = jax.nn.log_softmax(
+            logits[:, -1, :].astype(jnp.float32), axis=-1
+        ).reshape(b, m, vocab)
+        if eos_id is not None:
+            # a finished beam survives with its score frozen: its only
+            # candidate is another eos at +0 logprob
+            frozen = jnp.full((vocab,), -jnp.inf).at[eos_id].set(0.0)
+            lp = jnp.where(done[:, :, None], frozen[None, None, :], lp)
+        cand = (scores[:, :, None] + lp).reshape(b, m * vocab)
+        scores, idx = lax.top_k(cand, m)
+        beam = idx // vocab
+        tok = (idx % vocab).astype(jnp.int32)
+        # reorder every beam-indexed carry to the surviving parents
+        src = (row * m + beam).reshape(-1)
+        caches = jax.tree.map(lambda x: x[src], caches)
+        hist = hist[row, beam]
+        hist = lax.dynamic_update_index_in_dim(hist, tok, t, axis=2)
+        if eos_id is not None:
+            done = done[row, beam] | (tok == eos_id)
+        return (caches, pos + 1, tok, scores, done, hist), None
+
+    if max_new_tokens > 1:
+        (caches, _, _, scores, done, hist), _ = lax.scan(
+            step,
+            (caches, pos0, tok0, scores, done, hist),
+            jnp.arange(1, max_new_tokens),
+        )
+    # rank by length-penalized score: score / len**penalty, len counting
+    # tokens up to and including the first eos (max_new_tokens when none)
+    if eos_id is not None:
+        is_eos = hist == eos_id
+        n_new = jnp.where(
+            is_eos.any(axis=-1),
+            jnp.argmax(is_eos, axis=-1) + 1,
+            max_new_tokens,
+        ).astype(jnp.float32)
+    else:
+        n_new = jnp.full((b, m), float(max_new_tokens), jnp.float32)
+    ranked = scores / n_new**length_penalty
+    best = jnp.argmax(ranked, axis=-1)
+    rows = jnp.arange(b)
+    return hist[rows, best], ranked[rows, best]
+
+
+def generate_beam(
+    lm: CausalLM,
+    prompt_ids: jax.Array,
+    max_new_tokens: int,
+    *,
+    num_beams: int = 4,
+    eos_id: Optional[int] = None,
+    length_penalty: float = 1.0,
+    max_len: Optional[int] = None,
+    prompt_lens: Optional[jax.Array] = None,
+    return_scores: bool = False,
+):
+    """Deterministic beam search: keep the ``num_beams`` highest
+    cumulative-logprob continuations per row, decode them as one fused
+    batch of ``b * num_beams`` rows through the KV cache, and return each
+    row's best beam — ``(b, max_new_tokens)`` int32.  The whole
+    prefill + beam loop is ONE jitted program: each step is a single
+    cached forward, a ``(b, m * vocab)`` top-k, and a batch-axis gather
+    that reorders caches (and recurrent mixer states) to the surviving
+    parent beams.
+
+    A beam that emits ``eos_id`` is finished: its score freezes and it
+    keeps competing at that score while emitting eos padding.  Final
+    ranking divides each beam's cumulative logprob by
+    ``len ** length_penalty`` (len = tokens up to and including the first
+    eos; > 1 favors longer continuations).  With ``return_scores=True``
+    also returns the winning length-penalized scores ``(b,)`` f32.
+
+    Ragged batches via right-padded prompts + ``prompt_lens`` as in
+    :func:`generate` (refused for recurrent models, which have no
+    slot == position rewrite).  The reference has no generation path at
+    all (its deployment story ends at loglikelihood scoring,
+    /root/reference/examples/trainer_llm/metrics.py:81-107)."""
+    prompt_ids = jnp.asarray(prompt_ids, jnp.int32)
+    b, s_p = prompt_ids.shape
+    if num_beams < 1:
+        raise ValueError(f"num_beams must be >= 1, got {num_beams}")
+    if max_new_tokens < 1:
+        raise ValueError(
+            f"max_new_tokens must be >= 1, got {max_new_tokens}"
+        )
+    total = max_len if max_len is not None else s_p + max_new_tokens
+    if total < s_p + max_new_tokens:
+        raise ValueError(
+            f"max_len {total} < prompt {s_p} + max_new_tokens "
+            f"{max_new_tokens}"
+        )
+    ragged = prompt_lens is not None
+    if ragged and _has_ssm(lm):
+        raise ValueError(
+            "ragged decode (prompt_lens) is not supported for models with "
+            "SSM layers: a recurrent state has no slot == position "
+            "rewrite — batch uniform-length prompts instead"
+        )
+    lens = (
+        jnp.asarray(prompt_lens, jnp.int32)
+        if ragged
+        else jnp.full((b,), s_p, jnp.int32)
+    )
+    caches = init_cache(lm, b, total)
+    out, scores = _beam_impl(
+        lm,
+        prompt_ids,
+        lens,
+        caches,
+        jnp.float32(length_penalty),
+        max_new_tokens=int(max_new_tokens),
+        num_beams=int(num_beams),
+        eos_id=eos_id,
+        ragged=ragged,
+    )
+    if return_scores:
+        return out, scores
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -161,6 +161,49 @@ def test_top_p_full_mass_equals_plain_sampling():
     np.testing.assert_array_equal(np.asarray(nucleus), np.asarray(plain))
 
 
+def test_top_k_one_equals_greedy():
+    """top_k = 1 leaves only the argmax token, whatever the key."""
+    lm, _ = make_lm(key=96)
+    prompt = jax.random.randint(jax.random.PRNGKey(97), (2, 4), 0, 64)
+    want = serving.generate(lm, prompt, 5)
+    got = serving.generate(
+        lm, prompt, 5, temperature=0.9, top_k=1,
+        key=jax.random.PRNGKey(98),
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_top_k_full_vocab_equals_plain_sampling():
+    """top_k = vocab keeps everything; the draw must match key-for-key."""
+    lm, _ = make_lm(key=99)
+    prompt = jax.random.randint(jax.random.PRNGKey(100), (2, 4), 0, 64)
+    key = jax.random.PRNGKey(101)
+    plain = serving.generate(lm, prompt, 4, temperature=0.9, key=key)
+    got = serving.generate(
+        lm, prompt, 4, temperature=0.9, top_k=64, key=key
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(plain))
+
+
+def test_top_k_restricts_support():
+    """Every token sampled with top_k = 3 must be one of the 3 largest
+    logits of its own step's distribution (checked against a step-by-step
+    uncached re-forward of the emitted prefix)."""
+    lm, _ = make_lm(key=102)
+    prompt = jax.random.randint(jax.random.PRNGKey(103), (2, 4), 0, 64)
+    out = serving.generate(
+        lm, prompt, 5, temperature=2.0, top_k=3,
+        key=jax.random.PRNGKey(104),
+    )
+    ids = jnp.asarray(prompt, jnp.int32)
+    for t in range(5):
+        logits = lm({"input_ids": ids})[:, -1, :]
+        top3 = np.asarray(jax.lax.top_k(logits, 3)[1])
+        for b in range(2):
+            assert int(out[b, t]) in top3[b].tolist()
+        ids = jnp.concatenate([ids, out[:, t : t + 1]], axis=1)
+
+
 def test_sampling_smoke_and_determinism():
     lm, _ = make_lm(key=9)
     prompt = jax.random.randint(jax.random.PRNGKey(10), (2, 4), 0, 64)
@@ -821,6 +864,124 @@ def test_doge_generate_and_window_refusal():
         serving.init_cache(lm, 1, 65)
 
 
+def naive_beam(lm, prompt_row, n_new, m, eos_id=None, length_penalty=1.0):
+    """Single-row beam-search oracle: full uncached re-forward per beam
+    per step, float64 score bookkeeping, same semantics as
+    serving.generate_beam (finished beams freeze and emit eos; final
+    ranking divides by len**length_penalty with len counting through the
+    first eos).  Taking each beam's own top-m continuations is exhaustive:
+    the global top-m can contain at most m children of any one parent."""
+    seq0 = [int(t) for t in np.asarray(prompt_row)]
+
+    def step_lp(seq):
+        logits = lm({"input_ids": jnp.asarray([seq], jnp.int32)})[0, -1]
+        return np.asarray(jax.nn.log_softmax(logits.astype(jnp.float32)))
+
+    lp = step_lp(seq0)
+    beams = [
+        ([int(t)], float(lp[t]), eos_id is not None and int(t) == eos_id)
+        for t in np.argsort(-lp)[:m]
+    ]
+    for _ in range(n_new - 1):
+        cand = []
+        for new, s, fin in beams:
+            if fin:
+                cand.append((new + [eos_id], s, True))
+                continue
+            lp = step_lp(seq0 + new)
+            for t in np.argsort(-lp)[:m]:
+                cand.append(
+                    (
+                        new + [int(t)],
+                        s + float(lp[t]),
+                        eos_id is not None and int(t) == eos_id,
+                    )
+                )
+        cand.sort(key=lambda c: -c[1])
+        beams = cand[:m]
+
+    def plen(new):
+        if eos_id is not None and eos_id in new:
+            return new.index(eos_id) + 1
+        return len(new)
+
+    best = max(beams, key=lambda c: c[1] / plen(c[0]) ** length_penalty)
+    return best[0], best[1] / plen(best[0]) ** length_penalty
+
+
+def test_beam_matches_naive():
+    lm, _ = make_lm(key=110)
+    prompt = jax.random.randint(jax.random.PRNGKey(111), (2, 4), 0, 64)
+    got, scores = serving.generate_beam(
+        lm, prompt, 6, num_beams=3, return_scores=True
+    )
+    for b in range(2):
+        want, want_score = naive_beam(lm, prompt[b], 6, 3)
+        assert np.asarray(got[b]).tolist() == want
+        np.testing.assert_allclose(
+            float(scores[b]), want_score, atol=2e-4
+        )
+
+
+def test_beam_one_equals_greedy():
+    lm, _ = make_lm(key=112)
+    prompt = jax.random.randint(jax.random.PRNGKey(113), (2, 4), 0, 64)
+    want = serving.generate(lm, prompt, 5)
+    got = serving.generate_beam(lm, prompt, 5, num_beams=1)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_beam_eos_and_length_penalty():
+    """Force a mid-sequence eos (a token the no-eos run actually emits)
+    and a non-trivial length penalty; finished-beam freezing and the
+    length-normalized final ranking must match the oracle."""
+    lm, _ = make_lm(key=114)
+    prompt = jax.random.randint(jax.random.PRNGKey(115), (2, 4), 0, 64)
+    free = serving.generate_beam(lm, prompt, 6, num_beams=3)
+    eos = int(free[0, 2])  # appears mid-sequence -> some beam finishes
+    got, scores = serving.generate_beam(
+        lm, prompt, 6, num_beams=3, eos_id=eos, length_penalty=2.0,
+        return_scores=True,
+    )
+    for b in range(2):
+        want, want_score = naive_beam(
+            lm, prompt[b], 6, 3, eos_id=eos, length_penalty=2.0
+        )
+        assert np.asarray(got[b]).tolist() == want
+        np.testing.assert_allclose(
+            float(scores[b]), want_score, atol=2e-4
+        )
+
+
+def test_beam_ragged():
+    """Right-padded ragged prompts: each row's beam walk must equal the
+    oracle on that row's UNPADDED prompt."""
+    lm, _ = make_lm(key=116)
+    r0 = jax.random.randint(jax.random.PRNGKey(117), (6,), 0, 64)
+    r1 = jax.random.randint(jax.random.PRNGKey(118), (4,), 0, 64)
+    padded = jnp.stack([r0, jnp.concatenate([r1, jnp.zeros(2, r1.dtype)])])
+    got = serving.generate_beam(
+        lm, padded, 5, num_beams=3,
+        prompt_lens=jnp.asarray([6, 4], jnp.int32),
+    )
+    for b, row in enumerate([r0, r1]):
+        want, _ = naive_beam(lm, row, 5, 3)
+        assert np.asarray(got[b]).tolist() == want
+
+
+@pytest.mark.parametrize("version", [1, 2])
+def test_beam_on_hybrid_mamba(version):
+    """Beam search over a mamba-hybrid: the per-step batch-axis gather
+    must reorder the recurrent conv/SSM state to the surviving parents,
+    not just K/V slots."""
+    lm = make_hybrid(version, key=119)
+    prompt = jax.random.randint(jax.random.PRNGKey(120), (2, 5), 0, 64)
+    got = serving.generate_beam(lm, prompt, 5, num_beams=3)
+    for b in range(2):
+        want, _ = naive_beam(lm, prompt[b], 5, 3)
+        assert np.asarray(got[b]).tolist() == want
+
+
 def test_cli_generate_task(tmp_path):
     """The trainer CLI's `generate` task end-to-end: original model and a
     decomposed checkpoint, ragged prompt batch, generations.jsonl +
@@ -910,6 +1071,17 @@ def test_cli_generate_task(tmp_path):
     run_generate.main(cfg2, out2)
     summary2 = json.loads((out2 / "summary.json").read_text())
     assert summary2["decomposed"] is True
+
+    # beam-search path through the CLI (ragged batch, num_beams=2)
+    cfg3 = dict(cfg, num_beams=2)
+    out3 = tmp_path / "out3"
+    run_generate.main(cfg3, out3)
+    summary3 = json.loads((out3 / "summary.json").read_text())
+    assert summary3["num_beams"] == 2 and summary3["tokens_per_s"] > 0
+    with pytest.raises(ValueError, match="temperature"):
+        run_generate.main(
+            dict(cfg, num_beams=2, temperature=0.5), tmp_path / "bad"
+        )
 
 
 def test_max_len_validation():
