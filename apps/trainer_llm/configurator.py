@@ -123,6 +123,7 @@ class GenerateConfig(_VersionConfig):
     top_k: Optional[int] = None  # top-k sampling (with temperature>0)
     num_beams: int = 1  # >1: deterministic beam search (temperature 0)
     length_penalty: float = 1.0  # beam ranking: score / len**penalty
+    quantize_int8: bool = False  # weight-only int8 serving form
     batch_size: int = 8
     max_prompt_length: Optional[int] = None
     stop_at_eos: bool = True

@@ -81,6 +81,11 @@ def main(config_raw: dict[str, Any], output_path: pathlib.Path) -> None:
             model, config.decompose_config, config.decompose_state_dict
         )
         logger.info(f"Applied decomposed checkpoint {config.decompose_config}")
+    if config.quantize_int8:
+        from ptdeco_tpu import quant
+
+        model = quant.quantize_for_serving(model)
+        logger.info("Quantized Linear sites to weight-only int8")
     serving.check_decode_supported(model)
     if config.num_beams < 1:
         raise ValueError(f"num_beams must be >= 1, got {config.num_beams}")

@@ -193,6 +193,13 @@ def main() -> None:
     # batch-4x decode, not 4 sequential decodes
     beam_s = time_beam(lm, prompt, m=4)
 
+    # weight-only int8: halves the bytes streamed per decode step vs bf16
+    from ptdeco_tpu import quant
+
+    qlm = quant.quantize_for_serving(lm)
+    int8_s = time_generate(qlm, prompt)
+    int8_tok_s = BATCH * NEW_TOKENS / int8_s
+
     # speculative: the decomposed model drafts for its own dense twin
     # (function-identical target, full dense streaming cost) — output is
     # exactly the twin's greedy continuation; the twin's dense-only
@@ -238,6 +245,8 @@ def main() -> None:
         "scan_program_win": round(dense_tok_s / per_dispatch_tok_s, 2),
         "beam4_sequences_per_s": round(BATCH * NEW_TOKENS / beam_s, 1),
         "beam4_cost_vs_greedy": round(beam_s / dense_s, 3),
+        "int8_tok_s": round(int8_tok_s, 1),
+        "int8_speedup_vs_dense": round(int8_tok_s / dense_tok_s, 3),
         "speculative_k": 4,
         "speculative": spec,
         "device": jax.devices()[0].device_kind,

@@ -1,0 +1,141 @@
+"""Weight-only int8 serving quantization.
+
+Autoregressive decode at production shapes is bound by streaming weights
+from HBM, not by MXU FLOPs — every decode step reads every parameter
+once to produce one token per row.  Storing ``nn.Linear`` kernels as
+int8 with a per-output-channel f32 scale halves the bytes per matmul vs
+bf16 (quarters vs f32); XLA fuses the dequantization (convert + scale
+multiply) into the matmul's operand read, so there is no materialized
+full-precision copy.  This is a SERVING form, like
+``nn.FusedLowRankLinear`` and ``models.StackedMoEMLP``: convert with
+:func:`quantize_for_serving` after decomposition/finetuning, convert
+back with :func:`dequantize_for_serving` before exporting checkpoints.
+
+Composes with compression: factor-pair projections produced by
+dwain/falor/lockd surgery are plain ``nn.Linear`` modules, so a
+decomposed model quantizes site-for-site like a dense one — low-rank
+(fewer weights) and int8 (fewer bytes per weight) multiply.
+
+No reference analogue: the reference serves nothing and stores
+f32/bf16 torch checkpoints only (its deployment story ends at lm_eval
+loglikelihood scoring, examples/trainer_llm/metrics.py:81-107).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Collection, Optional
+
+import jax
+import jax.numpy as jnp
+
+from . import nn
+
+logger = logging.getLogger(__name__)
+
+__all__ = [
+    "QuantLinear",
+    "quantize_linear",
+    "dequantize_linear",
+    "quantize_for_serving",
+    "dequantize_for_serving",
+]
+
+
+class QuantLinear(nn.Module):
+    """``nn.Linear`` with the kernel held on a symmetric int8 grid.
+
+    ``dequant(kernel) = w_q * scale`` per output channel; the matmul runs
+    in the activation dtype (the convert+multiply fuses into the dot's
+    operand read on TPU, so HBM traffic is the int8 bytes + one scale
+    vector).  Behaves like ``nn.Linear`` everywhere a forward is needed
+    (serving cache, MoE routing, factor pairs); it is NOT a training or
+    checkpoint form — decomposition engines and TP sharding rules ignore
+    it by design.
+    """
+
+    w_q: jax.Array  # (in_features, out_features) int8
+    scale: jax.Array  # (out_features,) f32
+    bias: Optional[jax.Array]  # (out_features,) or None
+    precision: Any = nn.static_field(default=None)
+
+    @property
+    def in_features(self) -> int:
+        return self.w_q.shape[0]
+
+    @property
+    def out_features(self) -> int:
+        return self.w_q.shape[1]
+
+    def __call__(self, x: jax.Array, ctx: Optional[nn.Ctx] = None) -> jax.Array:
+        w = self.w_q.astype(x.dtype) * self.scale.astype(x.dtype)[None, :]
+        y = jnp.dot(x, w, precision=self.precision)
+        if self.bias is not None:
+            y = y + self.bias
+        return y
+
+
+def quantize_linear(lin: nn.Linear) -> QuantLinear:
+    """Symmetric per-output-channel absmax quantization to int8.
+
+    Each channel's scale is ``absmax / 127``, so its largest-magnitude
+    weight lands exactly on ±127 — which makes the mapping IDEMPOTENT:
+    quantizing a dequantized kernel reproduces ``(w_q, scale)`` exactly
+    (pinned by test).  All-zero channels get scale 1.  Bias is kept in
+    its original dtype (it is read once per matmul, not per weight).
+    """
+    w = lin.kernel.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(w), axis=0)
+    scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+    w_q = jnp.clip(jnp.round(w / scale[None, :]), -127, 127).astype(jnp.int8)
+    return QuantLinear(
+        w_q=w_q, scale=scale, bias=lin.bias, precision=lin.precision
+    )
+
+
+def dequantize_linear(q: QuantLinear, dtype: Any = jnp.float32) -> nn.Linear:
+    """Materialize the dequantized kernel as a plain ``nn.Linear``."""
+    kernel = (q.w_q.astype(jnp.float32) * q.scale[None, :]).astype(dtype)
+    return nn.Linear(kernel=kernel, bias=q.bias, precision=q.precision)
+
+
+def quantize_for_serving(
+    root: nn.Module,
+    *,
+    skip_names: Collection[str] = (),
+    min_features: int = 1,
+) -> nn.Module:
+    """Replace every plain ``nn.Linear`` under ``root`` with its
+    :class:`QuantLinear` form (pure — returns a new pytree).
+
+    Only EXACT ``nn.Linear`` instances are touched: LoRA/tap wrappers,
+    norms, embeddings, and already-quantized sites pass through (merge
+    LoRA and drop taps before serving).  ``skip_names`` excludes sites by
+    their dotted path (e.g. a quality-sensitive lm_head);
+    ``min_features`` skips matmuls too small to be weight-bound.
+    """
+    skip = set(skip_names)
+    n = 0
+    for name, m in list(nn.named_modules(root)):
+        if type(m) is not nn.Linear or name in skip:
+            continue
+        if min(m.in_features, m.out_features) < min_features:
+            continue
+        q = quantize_linear(m)
+        root = nn.replace_submodule(root, name, q) if name else q
+        n += 1
+    logger.info("quantized %d Linear sites to int8", n)
+    return root
+
+
+def dequantize_for_serving(
+    root: nn.Module, dtype: Any = jnp.float32
+) -> nn.Module:
+    """Restore every :class:`QuantLinear` to a plain ``nn.Linear`` with
+    the dequantized kernel in ``dtype`` (pure)."""
+    for name, m in list(nn.named_modules(root)):
+        if type(m) is not QuantLinear:
+            continue
+        lin = dequantize_linear(m, dtype)
+        root = nn.replace_submodule(root, name, lin) if name else lin
+    return root

@@ -155,7 +155,7 @@ def _is_array(v: Any) -> bool:
     )
 
 
-_SERVING_FORMS = ("FusedLowRankLinear", "StackedMoEMLP")
+_SERVING_FORMS = ("FusedLowRankLinear", "StackedMoEMLP", "QuantLinear")
 
 
 def state_dict(root: nn.Module, prefix: str = "") -> dict[str, np.ndarray]:

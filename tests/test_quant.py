@@ -1,0 +1,137 @@
+"""Weight-only int8 serving quantization (ptdeco_tpu/quant.py): grid
+error bounds, idempotence, whole-model swap, composition with factor-pair
+decomposition, and serving-cache compatibility.
+
+No reference analogue: the reference stores f32/bf16 torch checkpoints
+and has no serving path (deployment ends at lm_eval loglikelihood
+scoring, /root/reference/examples/trainer_llm/metrics.py:81-107)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ptdeco_tpu import nn, quant, serving, utils
+
+from tests.test_serving import make_lm, naive_greedy
+
+
+def test_quantize_error_bound_and_forward():
+    lin = nn.Linear.create(jax.random.PRNGKey(0), 32, 48)
+    q = quant.quantize_linear(lin)
+    assert q.w_q.dtype == jnp.int8 and q.w_q.shape == (32, 48)
+    deq = np.asarray(q.w_q, np.float32) * np.asarray(q.scale)[None, :]
+    err = np.abs(deq - np.asarray(lin.kernel))
+    # symmetric absmax grid: rounding error <= scale/2 per channel
+    assert (err <= np.asarray(q.scale)[None, :] * 0.5 + 1e-8).all()
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 32))
+    got, want = np.asarray(q(x)), np.asarray(lin(x))
+    assert np.abs(got - want).mean() < 0.05 * np.abs(want).mean() + 1e-3
+
+
+def test_quantization_idempotent_on_grid():
+    """Each channel's absmax weight lands exactly on +-127, so
+    quantize(dequantize(q)) must reproduce (w_q, scale) EXACTLY."""
+    lin = nn.Linear.create(jax.random.PRNGKey(2), 16, 24)
+    q = quant.quantize_linear(lin)
+    q2 = quant.quantize_linear(quant.dequantize_linear(q))
+    np.testing.assert_array_equal(np.asarray(q2.w_q), np.asarray(q.w_q))
+    np.testing.assert_array_equal(np.asarray(q2.scale), np.asarray(q.scale))
+
+
+def test_zero_channel_safe():
+    lin = nn.Linear(kernel=jnp.zeros((8, 4)), bias=None)
+    q = quant.quantize_linear(lin)
+    assert (np.asarray(q.scale) == 1.0).all()
+    np.testing.assert_array_equal(np.asarray(q(jnp.ones((2, 8)))), 0.0)
+
+
+def test_quantize_whole_model_and_restore():
+    lm, _ = make_lm(key=30)
+    n_lin = sum(
+        1 for _, m in nn.named_modules(lm) if type(m) is nn.Linear
+    )
+    qlm = quant.quantize_for_serving(lm)
+    n_q = sum(
+        1 for _, m in nn.named_modules(qlm) if type(m) is quant.QuantLinear
+    )
+    assert n_q == n_lin > 0
+    assert not any(
+        type(m) is nn.Linear for _, m in nn.named_modules(qlm)
+    )
+    ids = jax.random.randint(jax.random.PRNGKey(31), (2, 6), 0, 64)
+    ref = np.asarray(lm({"input_ids": ids}))
+    got = np.asarray(qlm({"input_ids": ids}))
+    # lossy but close: int8 weight grid on a tiny random model
+    assert np.abs(got - ref).mean() < 0.05 * np.abs(ref).mean() + 1e-2
+    # restore: every site back to a plain Linear, kernels on the grid
+    back = quant.dequantize_for_serving(qlm)
+    assert not any(
+        type(m) is quant.QuantLinear for _, m in nn.named_modules(back)
+    )
+    assert set(utils.state_dict(back)) == set(utils.state_dict(lm))
+
+
+def test_quantized_model_decodes_through_cache():
+    """The serving path must treat QuantLinear projections like any
+    Linear: cached generate == naive uncached greedy on the SAME
+    quantized model (bit-exact decisions)."""
+    lm, _ = make_lm(key=32)
+    qlm = quant.quantize_for_serving(lm)
+    prompt = jax.random.randint(jax.random.PRNGKey(33), (2, 4), 0, 64)
+    want = naive_greedy(qlm, prompt, 6)
+    got = serving.generate(qlm, prompt, 6)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_quantize_composes_with_factor_pairs():
+    """Decomposed sites are Sequential pairs of plain Linears — int8
+    quantization hits each factor, multiplying low-rank (fewer weights)
+    with int8 (fewer bytes per weight)."""
+    from ptdeco_tpu import engine
+
+    lm, _ = make_lm(key=34)
+    name = "model.layers.0.mlp.up_proj"
+    site = engine.get_site(lm, name)
+    kern = engine.get_site_kernel2d(lm, site)
+    k1 = (kern[:, :4] * 0.5).astype(kern.dtype)
+    k2 = jnp.ones((4, kern.shape[1]), kern.dtype) * 0.1
+    deco = nn.replace_submodule(
+        lm, name, engine.build_decomposed_module(lm, site, k1, k2)
+    )
+    qlm = quant.quantize_for_serving(deco)
+    pair = nn.get_submodule(qlm, name)
+    assert all(
+        type(layer) is quant.QuantLinear for layer in pair.layers
+    )
+    prompt = jax.random.randint(jax.random.PRNGKey(35), (1, 4), 0, 64)
+    want = naive_greedy(qlm, prompt, 4)
+    got = serving.generate(qlm, prompt, 4)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_skip_names_and_min_features():
+    lm, _ = make_lm(key=36)
+    qlm = quant.quantize_for_serving(
+        lm, skip_names=("lm_head",), min_features=20
+    )
+    assert type(nn.get_submodule(qlm, "lm_head")) is nn.Linear
+    # k_proj is 32 -> 16 (GQA): min dim below 20, left dense
+    assert (
+        type(nn.get_submodule(qlm, "model.layers.0.self_attn.k_proj"))
+        is nn.Linear
+    )
+    # q_proj is 32 -> 32: quantized
+    assert (
+        type(nn.get_submodule(qlm, "model.layers.0.self_attn.q_proj"))
+        is quant.QuantLinear
+    )
+
+
+def test_state_dict_export_warns(caplog):
+    import logging
+
+    lm, _ = make_lm(key=37)
+    qlm = quant.quantize_for_serving(lm)
+    with caplog.at_level(logging.WARNING):
+        utils.state_dict(qlm)
+    assert any("serving-form" in r.getMessage() for r in caplog.records)
