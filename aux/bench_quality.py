@@ -168,6 +168,20 @@ def main() -> None:
     params0 = _utils.get_num_params(model)
     print(f"trained: heldout ppl {ppl0:.2f} (chance 256), tasks {tasks0}")
 
+    # weight-only int8 serving form on the UNCOMPRESSED model: the
+    # quality cost of halving decode HBM traffic, on a genuinely
+    # trained model
+    from ptdeco_tpu import quant
+
+    q0 = quant.quantize_for_serving(model)
+    ppl_q0 = eval_ppl(q0, hb)
+    int8_baseline = {
+        "heldout_ppl": round(ppl_q0, 3),
+        "delta_ppl_vs_fp": round(ppl_q0 - ppl0, 3),
+        "tasks": eval_tasks(q0),
+    }
+    print("int8 baseline", int8_baseline)
+
     results = {}
     for mode in ("no_ft", "with_ft"):
         ft_fn = None
@@ -200,12 +214,16 @@ def main() -> None:
         params1 = _utils.get_num_params(deco)
         ppl1 = eval_ppl(deco, hb)
         tasks1 = eval_tasks(deco)
+        # low-rank x int8: quantize the decomposed factor pairs too
+        ppl_q1 = eval_ppl(quant.quantize_for_serving(deco), hb)
         results[mode] = {
             "n_decomposed": len(deco_cfg),
             "mparams_frac_pct": round(100.0 * params1 / params0, 2),
             "heldout_ppl": round(ppl1, 3),
             "delta_ppl": round(ppl1 - ppl0, 3),
             "tasks": tasks1,
+            "int8_heldout_ppl": round(ppl_q1, 3),
+            "int8_delta_ppl_vs_fp": round(ppl_q1 - ppl1, 3),
         }
         print(mode, results[mode])
 
@@ -231,6 +249,7 @@ def main() -> None:
             "tasks": tasks0,
             "mparams": round(params0 / 1e6, 3),
         },
+        "int8_baseline": int8_baseline,
         "decomposed": results,
         "device": str(jax.devices()[0]),
         "measured_on": time.strftime("%Y-%m-%d"),

@@ -57,6 +57,22 @@ transformer_tp_rules: list[tuple[str, P]] = [
     (r".*(o_proj|down_proj)\.1\.kernel$", P()),
     (r".*lm_head\.kernel$", P(None, TP_AXIS)),
     (r".*embed_tokens\.table$", P(TP_AXIS, None)),
+    # int8 serving form (quant.QuantLinear): w_q is (in, out) like
+    # kernel; the per-output-channel scale follows the out dim, so it
+    # shards with column-parallel sites and replicates with row-parallel
+    # ones (each shard dequantizes its own columns locally — no gathers)
+    (r".*(q_proj|k_proj|v_proj|gate_proj|up_proj)\.w_q$", P(None, TP_AXIS)),
+    (r".*(q_proj|k_proj|v_proj|gate_proj|up_proj)\.scale$", P(TP_AXIS)),
+    (r".*(o_proj|down_proj)\.w_q$", P(TP_AXIS, None)),
+    (r".*(o_proj|down_proj)\.scale$", P()),
+    # quantized factor pairs mirror the factor-pair kernel rules
+    (r".*(q_proj|k_proj|v_proj|gate_proj|up_proj)\.1\.w_q$", P(None, TP_AXIS)),
+    (r".*(q_proj|k_proj|v_proj|gate_proj|up_proj)\.1\.scale$", P(TP_AXIS)),
+    (r".*(q_proj|k_proj|v_proj|gate_proj|up_proj)\.0\.w_q$", P()),
+    (r".*(o_proj|down_proj)\.0\.w_q$", P(TP_AXIS, None)),
+    (r".*(o_proj|down_proj)\.1\.w_q$", P()),
+    (r".*lm_head\.w_q$", P(None, TP_AXIS)),
+    (r".*lm_head\.scale$", P(TP_AXIS)),
     (r".*", P()),  # default: replicate
 ]
 

@@ -127,6 +127,29 @@ def test_skip_names_and_min_features():
     )
 
 
+def test_quantized_generate_with_tp_sharded_params():
+    """int8 TP: w_q shards like kernel, the per-channel scale follows the
+    out dim (column sites shard it, row sites replicate) — each shard
+    dequantizes its own columns locally, and mesh generate must produce
+    EXACTLY the single-device tokens."""
+    from ptdeco_tpu import parallel
+    from ptdeco_tpu.parallel import shardings as sh
+
+    lm, _ = make_lm(key=38)
+    qlm = quant.quantize_for_serving(lm)
+    prompt = jax.random.randint(jax.random.PRNGKey(39), (4, 5), 0, 64)
+    want = serving.generate(qlm, prompt, 5)
+    mesh = parallel.make_mesh(dp=4, tp=2)
+    sharded = sh.shard_params(qlm, mesh)
+    up = nn.get_submodule(sharded, "model.layers.0.mlp.up_proj")
+    assert up.w_q.sharding.spec == jax.sharding.PartitionSpec(None, "tp")
+    assert up.scale.sharding.spec == jax.sharding.PartitionSpec("tp")
+    down = nn.get_submodule(sharded, "model.layers.0.mlp.down_proj")
+    assert down.w_q.sharding.spec == jax.sharding.PartitionSpec("tp", None)
+    got = serving.generate(sharded, prompt, 5)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_state_dict_export_warns(caplog):
     import logging
 
