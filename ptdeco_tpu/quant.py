@@ -35,8 +35,11 @@ logger = logging.getLogger(__name__)
 
 __all__ = [
     "QuantLinear",
+    "QuantConv2d",
     "quantize_linear",
     "dequantize_linear",
+    "quantize_conv2d",
+    "dequantize_conv2d",
     "quantize_for_serving",
     "dequantize_for_serving",
 ]
@@ -75,6 +78,44 @@ class QuantLinear(nn.Module):
         return y
 
 
+class QuantConv2d(nn.Module):
+    """``nn.Conv2d`` (NHWC/HWIO) with the kernel on a symmetric int8
+    grid, per-output-channel scales — the vision-model analogue of
+    :class:`QuantLinear` (convs at inference read their full kernel per
+    call just like decode matmuls read their weights)."""
+
+    w_q: jax.Array  # (kh, kw, in_ch // groups, out_ch) int8
+    scale: jax.Array  # (out_ch,) f32
+    bias: Optional[jax.Array]
+    stride: tuple[int, int] = nn.static_field(default=(1, 1))
+    padding: Any = nn.static_field(default=(0, 0))
+    dilation: tuple[int, int] = nn.static_field(default=(1, 1))
+    groups: int = nn.static_field(default=1)
+    padding_mode: str = nn.static_field(default="zeros")
+    precision: Any = nn.static_field(default=None)
+
+    @property
+    def in_channels(self) -> int:
+        return self.w_q.shape[2] * self.groups
+
+    @property
+    def out_channels(self) -> int:
+        return self.w_q.shape[3]
+
+    def __call__(self, x: jax.Array, ctx: Optional[nn.Ctx] = None) -> jax.Array:
+        w = self.w_q.astype(x.dtype) * self.scale.astype(x.dtype)
+        return nn.Conv2d(
+            kernel=w,
+            bias=self.bias,
+            stride=self.stride,
+            padding=self.padding,
+            dilation=self.dilation,
+            groups=self.groups,
+            padding_mode=self.padding_mode,
+            precision=self.precision,
+        )(x, ctx)
+
+
 def quantize_linear(lin: nn.Linear) -> QuantLinear:
     """Symmetric per-output-channel absmax quantization to int8.
 
@@ -99,6 +140,41 @@ def dequantize_linear(q: QuantLinear, dtype: Any = jnp.float32) -> nn.Linear:
     return nn.Linear(kernel=kernel, bias=q.bias, precision=q.precision)
 
 
+def quantize_conv2d(conv: nn.Conv2d) -> QuantConv2d:
+    """Per-output-channel symmetric absmax int8, like
+    :func:`quantize_linear` (idempotent on grid points)."""
+    w = conv.kernel.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(w), axis=(0, 1, 2))
+    scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+    w_q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    return QuantConv2d(
+        w_q=w_q,
+        scale=scale,
+        bias=conv.bias,
+        stride=conv.stride,
+        padding=conv.padding,
+        dilation=conv.dilation,
+        groups=conv.groups,
+        padding_mode=conv.padding_mode,
+        precision=conv.precision,
+    )
+
+
+def dequantize_conv2d(q: QuantConv2d, dtype: Any = jnp.float32) -> nn.Conv2d:
+    """Materialize the dequantized kernel as a plain ``nn.Conv2d``."""
+    kernel = (q.w_q.astype(jnp.float32) * q.scale).astype(dtype)
+    return nn.Conv2d(
+        kernel=kernel,
+        bias=q.bias,
+        stride=q.stride,
+        padding=q.padding,
+        dilation=q.dilation,
+        groups=q.groups,
+        padding_mode=q.padding_mode,
+        precision=q.precision,
+    )
+
+
 def quantize_for_serving(
     root: nn.Module,
     *,
@@ -117,14 +193,21 @@ def quantize_for_serving(
     skip = set(skip_names)
     n = 0
     for name, m in list(nn.named_modules(root)):
-        if type(m) is not nn.Linear or name in skip:
+        if name in skip:
             continue
-        if min(m.in_features, m.out_features) < min_features:
+        if type(m) is nn.Linear:
+            if min(m.in_features, m.out_features) < min_features:
+                continue
+            q: nn.Module = quantize_linear(m)
+        elif type(m) is nn.Conv2d:
+            if min(m.in_channels, m.out_channels) < min_features:
+                continue
+            q = quantize_conv2d(m)
+        else:
             continue
-        q = quantize_linear(m)
         root = nn.replace_submodule(root, name, q) if name else q
         n += 1
-    logger.info("quantized %d Linear sites to int8", n)
+    logger.info("quantized %d Linear/Conv2d sites to int8", n)
     return root
 
 
@@ -134,8 +217,11 @@ def dequantize_for_serving(
     """Restore every :class:`QuantLinear` to a plain ``nn.Linear`` with
     the dequantized kernel in ``dtype`` (pure)."""
     for name, m in list(nn.named_modules(root)):
-        if type(m) is not QuantLinear:
+        if type(m) is QuantLinear:
+            lin: nn.Module = dequantize_linear(m, dtype)
+        elif type(m) is QuantConv2d:
+            lin = dequantize_conv2d(m, dtype)
+        else:
             continue
-        lin = dequantize_linear(m, dtype)
         root = nn.replace_submodule(root, name, lin) if name else lin
     return root

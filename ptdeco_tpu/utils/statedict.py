@@ -155,7 +155,12 @@ def _is_array(v: Any) -> bool:
     )
 
 
-_SERVING_FORMS = ("FusedLowRankLinear", "StackedMoEMLP", "QuantLinear")
+_SERVING_FORMS = (
+    "FusedLowRankLinear",
+    "StackedMoEMLP",
+    "QuantLinear",
+    "QuantConv2d",
+)
 
 
 def state_dict(root: nn.Module, prefix: str = "") -> dict[str, np.ndarray]:

@@ -127,6 +127,53 @@ def test_skip_names_and_min_features():
     )
 
 
+def test_quantize_conv2d_bound_idempotence_and_groups():
+    conv = nn.Conv2d.create(
+        jax.random.PRNGKey(40), 8, 16, 3, stride=2, padding=1, groups=2
+    )
+    q = quant.quantize_conv2d(conv)
+    assert q.w_q.dtype == jnp.int8 and q.w_q.shape == conv.kernel.shape
+    deq = np.asarray(q.w_q, np.float32) * np.asarray(q.scale)
+    err = np.abs(deq - np.asarray(conv.kernel))
+    assert (err <= np.asarray(q.scale) * 0.5 + 1e-8).all()
+    x = jax.random.normal(jax.random.PRNGKey(41), (2, 8, 8, 8))
+    got, want = np.asarray(q(x)), np.asarray(conv(x))
+    assert np.abs(got - want).mean() < 0.05 * np.abs(want).mean() + 1e-3
+    q2 = quant.quantize_conv2d(quant.dequantize_conv2d(q))
+    np.testing.assert_array_equal(np.asarray(q2.w_q), np.asarray(q.w_q))
+    np.testing.assert_array_equal(np.asarray(q2.scale), np.asarray(q.scale))
+    # statics survive the round trip
+    back = quant.dequantize_conv2d(q)
+    assert back.stride == conv.stride and back.groups == conv.groups
+    assert back.padding == conv.padding
+
+
+def test_quantize_vision_model():
+    """quantize_for_serving covers Conv2d sites: a resnet-style model
+    quantizes whole, forward stays close, restore is exact-typed."""
+    from ptdeco_tpu import models
+
+    model = models.resnet18(jax.random.PRNGKey(42), num_classes=10)
+    n_sites = sum(
+        1
+        for _, m in nn.named_modules(model)
+        if type(m) in (nn.Linear, nn.Conv2d)
+    )
+    qm = quant.quantize_for_serving(model)
+    n_q = sum(
+        1
+        for _, m in nn.named_modules(qm)
+        if type(m) in (quant.QuantLinear, quant.QuantConv2d)
+    )
+    assert n_q == n_sites > 0
+    x = jax.random.normal(jax.random.PRNGKey(43), (2, 32, 32, 3)) * 0.5
+    want = np.asarray(model(x))
+    got = np.asarray(qm(x))
+    assert np.abs(got - want).mean() < 0.1 * np.abs(want).mean() + 5e-2
+    back = quant.dequantize_for_serving(qm)
+    assert set(utils.state_dict(back)) == set(utils.state_dict(model))
+
+
 def test_quantized_generate_with_tp_sharded_params():
     """int8 TP: w_q shards like kernel, the per-channel scale follows the
     out dim (column sites shard it, row sites replicate) — each shard
