@@ -121,6 +121,7 @@ class GenerateConfig(_VersionConfig):
     temperature: float = 0.0
     top_p: Optional[float] = None  # nucleus sampling (with temperature>0)
     top_k: Optional[int] = None  # top-k sampling (with temperature>0)
+    min_p: Optional[float] = None  # drop tokens below min_p * max prob
     num_beams: int = 1  # >1: deterministic beam search (temperature 0)
     length_penalty: float = 1.0  # beam ranking: score / len**penalty
     quantize_int8: bool = False  # weight-only int8 serving form

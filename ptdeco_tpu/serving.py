@@ -1017,6 +1017,7 @@ def _sample(
     key: jax.Array,
     top_p: Optional[jax.Array] = None,
     top_k: Optional[int] = None,
+    min_p: Optional[jax.Array] = None,
 ) -> jax.Array:
     if greedy:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -1038,6 +1039,13 @@ def _sample(
         inv = jnp.argsort(order, axis=-1)
         keep = jnp.take_along_axis(keep_sorted, inv, axis=-1)
         scaled = jnp.where(keep, scaled, -jnp.inf)
+    if min_p is not None:
+        # keep tokens whose probability is >= min_p * max probability
+        # (applied after top_k/top_p, HF warper order; the top token
+        # always survives)
+        probs = jax.nn.softmax(scaled, axis=-1)
+        keep = probs >= min_p * jnp.max(probs, axis=-1, keepdims=True)
+        scaled = jnp.where(keep, scaled, -jnp.inf)
     return jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
 
 
@@ -1045,7 +1053,7 @@ def _sample(
     jax.jit,
     static_argnames=(
         "max_new_tokens", "greedy", "eos_id", "ragged", "use_top_p",
-        "top_k",
+        "top_k", "use_min_p",
     ),
 )
 def _generate_impl(
@@ -1056,6 +1064,7 @@ def _generate_impl(
     key: jax.Array,
     temperature: jax.Array,
     top_p: jax.Array,
+    min_p: jax.Array,
     *,
     max_new_tokens: int,
     greedy: bool,
@@ -1063,8 +1072,10 @@ def _generate_impl(
     ragged: bool,
     use_top_p: bool,
     top_k: Optional[int] = None,
+    use_min_p: bool = False,
 ) -> jax.Array:
     tp_arg = top_p if use_top_p else None
+    mp_arg = min_p if use_min_p else None
     b, s_p = prompt_ids.shape
     logits, caches = forward_with_cache(lm, prompt_ids, caches, 0)
     if ragged:
@@ -1076,7 +1087,7 @@ def _generate_impl(
     else:
         last = logits[:, -1, :]
         pos0 = jnp.int32(s_p)
-    tok = _sample(last, greedy, temperature, key, tp_arg, top_k)
+    tok = _sample(last, greedy, temperature, key, tp_arg, top_k, mp_arg)
     done = (
         jnp.zeros((b,), bool) if eos_id is None else tok == eos_id
     )
@@ -1085,7 +1096,8 @@ def _generate_impl(
         caches, pos, tok, done = carry
         logits, caches = forward_with_cache(lm, tok[:, None], caches, pos)
         nxt = _sample(
-            logits[:, -1, :], greedy, temperature, step_key, tp_arg, top_k
+            logits[:, -1, :], greedy, temperature, step_key, tp_arg,
+            top_k, mp_arg,
         )
         if eos_id is not None:
             nxt = jnp.where(done, jnp.int32(eos_id), nxt)
@@ -1115,12 +1127,14 @@ def generate(
     prompt_lens: Optional[jax.Array] = None,
     top_p: Optional[float] = None,
     top_k: Optional[int] = None,
+    min_p: Optional[float] = None,
 ) -> jax.Array:
     """Generate ``max_new_tokens`` continuation tokens for a prompt batch
     ``(b, s_p)`` (int32 token ids).  ``temperature=0`` is greedy argmax;
     otherwise categorical sampling with ``key``, optionally filtered to
-    the ``top_k`` highest-probability tokens and/or
-    nucleus-filtered to the top ``top_p`` probability mass.  The entire
+    the ``top_k`` highest-probability tokens, nucleus-filtered to the top
+    ``top_p`` probability mass, and/or ``min_p``-filtered (drop tokens
+    below ``min_p`` times the max probability; HF warper order).  The entire
     prefill+decode runs as one jitted program; repeated calls with the
     same shapes reuse the compiled executable.
 
@@ -1150,6 +1164,8 @@ def generate(
         lens = jnp.full((b,), s_p, jnp.int32)
     if top_k is not None and top_k < 1:
         raise ValueError(f"top_k must be >= 1, got {top_k}")
+    if min_p is not None and not 0.0 <= min_p <= 1.0:
+        raise ValueError(f"min_p must be in [0, 1], got {min_p}")
     caches = init_cache(lm, b, total)
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -1161,12 +1177,14 @@ def generate(
         key,
         jnp.float32(temperature),
         jnp.float32(1.0 if top_p is None else top_p),
+        jnp.float32(0.0 if min_p is None else min_p),
         max_new_tokens=int(max_new_tokens),
         greedy=temperature == 0.0,
         eos_id=eos_id,
         ragged=ragged,
         use_top_p=top_p is not None,
         top_k=None if top_k is None else int(top_k),
+        use_min_p=min_p is not None,
     )
 
 

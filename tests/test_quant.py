@@ -197,6 +197,32 @@ def test_quantized_generate_with_tp_sharded_params():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+def test_quantized_moe_decodes_via_dense_path():
+    """Quantized MoE experts fail the grouped path's pristine-Linear
+    check, so the layer falls back to the zero-masked dense path — still
+    exact: cached generate must equal the uncached quantized model, and
+    the expert sites must actually be quantized."""
+    from ptdeco_tpu import models
+
+    cfg = models.TransformerConfig(
+        vocab_size=64, dim=32, n_layers=2, n_heads=4, n_kv_heads=2,
+        hidden_dim=48, n_experts=4, n_experts_per_tok=2,
+        moe_hidden_dim=48,
+    )
+    lm = models.CausalLM.create(jax.random.PRNGKey(44), cfg)
+    qlm = quant.quantize_for_serving(lm)
+    gate = nn.get_submodule(
+        qlm, "model.layers.0.mlp.experts.0.gate_proj"
+    )
+    assert type(gate) is quant.QuantLinear
+    moe = nn.get_submodule(qlm, "model.layers.0.mlp")
+    assert not moe._experts_are_pristine()
+    prompt = jax.random.randint(jax.random.PRNGKey(45), (2, 4), 0, 64)
+    want = naive_greedy(qlm, prompt, 4)
+    got = serving.generate(qlm, prompt, 4)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_state_dict_export_warns(caplog):
     import logging
 

@@ -204,6 +204,30 @@ def test_top_k_restricts_support():
         ids = jnp.concatenate([ids, out[:, t : t + 1]], axis=1)
 
 
+def test_min_p_one_equals_greedy():
+    """min_p = 1 keeps only tokens at the max probability — the draw must
+    reproduce the greedy continuation, whatever the key."""
+    lm, _ = make_lm(key=105)
+    prompt = jax.random.randint(jax.random.PRNGKey(106), (2, 4), 0, 64)
+    want = serving.generate(lm, prompt, 5)
+    got = serving.generate(
+        lm, prompt, 5, temperature=0.9, min_p=1.0,
+        key=jax.random.PRNGKey(107),
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_min_p_zero_equals_plain_sampling():
+    lm, _ = make_lm(key=108)
+    prompt = jax.random.randint(jax.random.PRNGKey(109), (2, 4), 0, 64)
+    key = jax.random.PRNGKey(110)
+    plain = serving.generate(lm, prompt, 4, temperature=0.9, key=key)
+    got = serving.generate(
+        lm, prompt, 4, temperature=0.9, min_p=0.0, key=key
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(plain))
+
+
 def test_sampling_smoke_and_determinism():
     lm, _ = make_lm(key=9)
     prompt = jax.random.randint(jax.random.PRNGKey(10), (2, 4), 0, 64)
