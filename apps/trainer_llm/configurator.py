@@ -122,6 +122,7 @@ class GenerateConfig(_VersionConfig):
     top_p: Optional[float] = None  # nucleus sampling (with temperature>0)
     top_k: Optional[int] = None  # top-k sampling (with temperature>0)
     min_p: Optional[float] = None  # drop tokens below min_p * max prob
+    repetition_penalty: Optional[float] = None  # HF processor semantics
     num_beams: int = 1  # >1: deterministic beam search (temperature 0)
     length_penalty: float = 1.0  # beam ranking: score / len**penalty
     quantize_int8: bool = False  # weight-only int8 serving form

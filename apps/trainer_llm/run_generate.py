@@ -138,6 +138,7 @@ def main(config_raw: dict[str, Any], output_path: pathlib.Path) -> None:
                 top_p=config.top_p,
                 top_k=config.top_k,
                 min_p=config.min_p,
+                repetition_penalty=config.repetition_penalty,
                 key=sub,
                 eos_id=eos_id,
                 prompt_lens=lens,

@@ -1049,11 +1049,22 @@ def _sample(
     return jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
 
 
+def _apply_repetition_penalty(
+    logits: jax.Array, seen: jax.Array, penalty: jax.Array
+) -> jax.Array:
+    """HF RepetitionPenaltyLogitsProcessor semantics on already-seen
+    tokens (prompt + generated): positive scores divide by the penalty,
+    negative scores multiply."""
+    x = logits.astype(jnp.float32)
+    penalized = jnp.where(x > 0, x / penalty, x * penalty)
+    return jnp.where(seen, penalized, x)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "max_new_tokens", "greedy", "eos_id", "ragged", "use_top_p",
-        "top_k", "use_min_p",
+        "top_k", "use_min_p", "use_rep",
     ),
 )
 def _generate_impl(
@@ -1065,6 +1076,7 @@ def _generate_impl(
     temperature: jax.Array,
     top_p: jax.Array,
     min_p: jax.Array,
+    rep_penalty: jax.Array,
     *,
     max_new_tokens: int,
     greedy: bool,
@@ -1073,11 +1085,18 @@ def _generate_impl(
     use_top_p: bool,
     top_k: Optional[int] = None,
     use_min_p: bool = False,
+    use_rep: bool = False,
 ) -> jax.Array:
     tp_arg = top_p if use_top_p else None
     mp_arg = min_p if use_min_p else None
     b, s_p = prompt_ids.shape
     logits, caches = forward_with_cache(lm, prompt_ids, caches, 0)
+    if use_rep:
+        # tokens already consumed, per row (pad-tail excluded for ragged)
+        vocab = logits.shape[-1]
+        row = jnp.arange(b)[:, None]
+        valid = jnp.arange(s_p)[None, :] < prompt_lens[:, None]
+        seen = jnp.zeros((b, vocab), bool).at[row, prompt_ids].max(valid)
     if ragged:
         # per-row: logits of each row's LAST REAL token
         last = jnp.take_along_axis(
@@ -1087,28 +1106,38 @@ def _generate_impl(
     else:
         last = logits[:, -1, :]
         pos0 = jnp.int32(s_p)
+    if use_rep:
+        last = _apply_repetition_penalty(last, seen, rep_penalty)
     tok = _sample(last, greedy, temperature, key, tp_arg, top_k, mp_arg)
+    if use_rep:
+        seen = seen.at[jnp.arange(b), tok].set(True)
+    else:
+        seen = jnp.zeros((b, 1), bool)  # unused placeholder carry
     done = (
         jnp.zeros((b,), bool) if eos_id is None else tok == eos_id
     )
 
     def step(carry, step_key):
-        caches, pos, tok, done = carry
+        caches, pos, tok, done, seen = carry
         logits, caches = forward_with_cache(lm, tok[:, None], caches, pos)
+        last = logits[:, -1, :]
+        if use_rep:
+            last = _apply_repetition_penalty(last, seen, rep_penalty)
         nxt = _sample(
-            logits[:, -1, :], greedy, temperature, step_key, tp_arg,
-            top_k, mp_arg,
+            last, greedy, temperature, step_key, tp_arg, top_k, mp_arg
         )
         if eos_id is not None:
             nxt = jnp.where(done, jnp.int32(eos_id), nxt)
             done = done | (nxt == eos_id)
-        return (caches, pos + 1, nxt, done), nxt
+        if use_rep:
+            seen = seen.at[jnp.arange(seen.shape[0]), nxt].set(True)
+        return (caches, pos + 1, nxt, done, seen), nxt
 
     if max_new_tokens > 1:
         step_keys = jax.random.split(key, max_new_tokens - 1)
-        (_, _, _, _), rest = lax.scan(
+        _, rest = lax.scan(
             step,
-            (caches, pos0, tok, done),
+            (caches, pos0, tok, done, seen),
             step_keys,
         )
         return jnp.concatenate([tok[:, None], rest.T], axis=1)
@@ -1128,13 +1157,17 @@ def generate(
     top_p: Optional[float] = None,
     top_k: Optional[int] = None,
     min_p: Optional[float] = None,
+    repetition_penalty: Optional[float] = None,
 ) -> jax.Array:
     """Generate ``max_new_tokens`` continuation tokens for a prompt batch
     ``(b, s_p)`` (int32 token ids).  ``temperature=0`` is greedy argmax;
     otherwise categorical sampling with ``key``, optionally filtered to
     the ``top_k`` highest-probability tokens, nucleus-filtered to the top
     ``top_p`` probability mass, and/or ``min_p``-filtered (drop tokens
-    below ``min_p`` times the max probability; HF warper order).  The entire
+    below ``min_p`` times the max probability; HF warper order).
+    ``repetition_penalty`` applies HF's processor semantics to every
+    already-consumed token (prompt + generated, pad-tail excluded for
+    ragged rows) before greedy argmax or sampling.  The entire
     prefill+decode runs as one jitted program; repeated calls with the
     same shapes reuse the compiled executable.
 
@@ -1166,6 +1199,13 @@ def generate(
         raise ValueError(f"top_k must be >= 1, got {top_k}")
     if min_p is not None and not 0.0 <= min_p <= 1.0:
         raise ValueError(f"min_p must be in [0, 1], got {min_p}")
+    if repetition_penalty is not None and repetition_penalty <= 0:
+        raise ValueError(
+            f"repetition_penalty must be > 0, got {repetition_penalty}"
+        )
+    use_rep = (
+        repetition_penalty is not None and repetition_penalty != 1.0
+    )
     caches = init_cache(lm, b, total)
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -1178,6 +1218,9 @@ def generate(
         jnp.float32(temperature),
         jnp.float32(1.0 if top_p is None else top_p),
         jnp.float32(0.0 if min_p is None else min_p),
+        jnp.float32(
+            1.0 if repetition_penalty is None else repetition_penalty
+        ),
         max_new_tokens=int(max_new_tokens),
         greedy=temperature == 0.0,
         eos_id=eos_id,
@@ -1185,6 +1228,7 @@ def generate(
         use_top_p=top_p is not None,
         top_k=None if top_k is None else int(top_k),
         use_min_p=min_p is not None,
+        use_rep=use_rep,
     )
 
 

@@ -228,6 +228,63 @@ def test_min_p_zero_equals_plain_sampling():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(plain))
 
 
+def naive_rep_greedy(lm, rows, p, n_new):
+    """Oracle: full re-forward greedy with HF RepetitionPenalty semantics
+    (prompt + generated tokens penalized; per-row unpadded prompts)."""
+    outs = []
+    for r in rows:
+        ids = [int(t) for t in np.asarray(r)]
+        seen = set(ids)
+        new = []
+        for _ in range(n_new):
+            lg = np.array(
+                lm({"input_ids": jnp.asarray([ids], jnp.int32)})[0, -1],
+                np.float32,
+            )
+            for t in seen:
+                lg[t] = lg[t] / p if lg[t] > 0 else lg[t] * p
+            nxt = int(lg.argmax())
+            new.append(nxt)
+            seen.add(nxt)
+            ids.append(nxt)
+        outs.append(new)
+    return np.asarray(outs, np.int32)
+
+
+def test_repetition_penalty_matches_naive():
+    lm, _ = make_lm(key=121)
+    prompt = jax.random.randint(jax.random.PRNGKey(122), (2, 4), 0, 64)
+    want = naive_rep_greedy(lm, [prompt[0], prompt[1]], 1.5, 6)
+    got = serving.generate(lm, prompt, 6, repetition_penalty=1.5)
+    np.testing.assert_array_equal(np.asarray(got), want)
+    # penalty 1.0 is a no-op
+    plain = serving.generate(lm, prompt, 6)
+    same = serving.generate(lm, prompt, 6, repetition_penalty=1.0)
+    np.testing.assert_array_equal(np.asarray(same), np.asarray(plain))
+
+
+def test_repetition_penalty_ragged_excludes_pad_tail():
+    """Right-pad junk must NOT be marked as seen: each ragged row matches
+    the oracle run on its UNPADDED prompt."""
+    lm, _ = make_lm(key=123)
+    r0 = jax.random.randint(jax.random.PRNGKey(124), (5,), 1, 64)
+    r1 = jax.random.randint(jax.random.PRNGKey(125), (3,), 1, 64)
+    padded = jnp.stack(
+        [r0, jnp.concatenate([r1, jnp.zeros(2, r1.dtype)])]
+    )
+    want = np.stack(
+        [
+            naive_rep_greedy(lm, [r0], 1.5, 5)[0],
+            naive_rep_greedy(lm, [r1], 1.5, 5)[0],
+        ]
+    )
+    got = serving.generate(
+        lm, padded, 5, repetition_penalty=1.5,
+        prompt_lens=jnp.asarray([5, 3], jnp.int32),
+    )
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
 def test_sampling_smoke_and_determinism():
     lm, _ = make_lm(key=9)
     prompt = jax.random.randint(jax.random.PRNGKey(10), (2, 4), 0, 64)
