@@ -81,6 +81,12 @@ class StackedMoEMLP(nn.Module):
     b_gate: Optional[jax.Array]  # (E, hidden) or None
     b_up: Optional[jax.Array]
     b_down: Optional[jax.Array]  # (E, dim) or None
+    # weight-only int8 (ptdeco_tpu.quant): when set, the matching w_* is
+    # int8 and dequantizes per expert x output channel at use — the
+    # convert+multiply fuses into the einsum operand read
+    scale_gate: Optional[jax.Array] = None  # (E, hidden) f32
+    scale_up: Optional[jax.Array] = None  # (E, hidden) f32
+    scale_down: Optional[jax.Array] = None  # (E, dim) f32
     shared_expert: Optional[MLP] = None
     shared_expert_gate: Optional[nn.Linear] = None
     gate_correction_bias: Optional[jax.Array] = None
@@ -124,19 +130,32 @@ class StackedMoEMLP(nn.Module):
         onehot = jax.nn.one_hot(top_idx, self.n_experts, dtype=jnp.float32)
         w = jnp.einsum("...ke,...k->...e", onehot, top_vals).astype(x.dtype)
         dot = lambda *a: jnp.einsum(*a, precision=self.precision)  # noqa: E731
+        w_gate, w_up, w_down = self.w_gate, self.w_up, self.w_down
+        if self.scale_gate is not None:  # int8 serving form
+            w_gate = w_gate.astype(x.dtype) * self.scale_gate.astype(
+                x.dtype
+            )[:, None, :]
+        if self.scale_up is not None:
+            w_up = w_up.astype(x.dtype) * self.scale_up.astype(x.dtype)[
+                :, None, :
+            ]
+        if self.scale_down is not None:
+            w_down = w_down.astype(x.dtype) * self.scale_down.astype(
+                x.dtype
+            )[:, None, :]
         if self.scale_expert_input:  # llama4: weight scales expert INPUT
             xin = x[None, ...] * jnp.moveaxis(w, -1, 0)[..., None]
-            g = dot("ebsd,edh->ebsh", xin, self.w_gate)
-            u = dot("ebsd,edh->ebsh", xin, self.w_up)
+            g = dot("ebsd,edh->ebsh", xin, w_gate)
+            u = dot("ebsd,edh->ebsh", xin, w_up)
         else:
-            g = dot("bsd,edh->ebsh", x, self.w_gate)
-            u = dot("bsd,edh->ebsh", x, self.w_up)
+            g = dot("bsd,edh->ebsh", x, w_gate)
+            u = dot("bsd,edh->ebsh", x, w_up)
         if self.b_gate is not None:
             g = g + self.b_gate[:, None, None, :]
         if self.b_up is not None:
             u = u + self.b_up[:, None, None, :]
         h = self._combine(g, u)
-        y = dot("ebsh,ehd->ebsd", h, self.w_down)
+        y = dot("ebsh,ehd->ebsd", h, w_down)
         if self.b_down is not None:
             y = y + self.b_down[:, None, None, :]
         if self.scale_expert_input:
@@ -242,6 +261,12 @@ def unstack_moe_experts(root: nn.Module) -> nn.Module:
     for name, m in list(nn.named_modules(root)):
         if type(m) is not StackedMoEMLP:
             continue
+        if m.scale_gate is not None or m.scale_down is not None:
+            raise ValueError(
+                f"{name or '<root>'} holds int8 expert tensors; run "
+                "quant.dequantize_for_serving before unstack_moe_experts "
+                "(unstacking int8 would silently drop the scales)"
+            )
 
         def lin(kernel, bias):
             return nn.Linear(kernel=kernel, bias=bias, precision=m.precision)

@@ -42,6 +42,11 @@ transformer_tp_rules: list[tuple[str, P]] = [
     (r".*\.b_gate$", P(EP_AXIS, TP_AXIS)),
     (r".*\.b_up$", P(EP_AXIS, TP_AXIS)),
     (r".*\.b_down$", P(EP_AXIS, None)),
+    # int8 stacked-expert scales (quant.quantize_stacked_moe): (E, out)
+    # follows the matching w_* tensor's expert + out-dim layout
+    (r".*\.scale_gate$", P(EP_AXIS, TP_AXIS)),
+    (r".*\.scale_up$", P(EP_AXIS, TP_AXIS)),
+    (r".*\.scale_down$", P(EP_AXIS, None)),
     (r".*(q_proj|k_proj|v_proj|gate_proj|up_proj)\.kernel$", P(None, TP_AXIS)),
     (r".*(q_proj|k_proj|v_proj|gate_proj|up_proj)\.bias$", P(TP_AXIS)),
     (r".*(o_proj|down_proj)\.kernel$", P(TP_AXIS, None)),

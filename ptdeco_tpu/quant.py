@@ -40,6 +40,8 @@ __all__ = [
     "dequantize_linear",
     "quantize_conv2d",
     "dequantize_conv2d",
+    "quantize_stacked_moe",
+    "dequantize_stacked_moe",
     "quantize_for_serving",
     "dequantize_for_serving",
 ]
@@ -175,22 +177,95 @@ def dequantize_conv2d(q: QuantConv2d, dtype: Any = jnp.float32) -> nn.Conv2d:
     )
 
 
+def _quantize_stacked_tensor(
+    w: jax.Array,
+) -> tuple[jax.Array, jax.Array]:
+    """(E, in, out) float -> (int8 grid, (E, out) scales); same symmetric
+    absmax/127 construction as :func:`quantize_linear`, per expert."""
+    wf = w.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(wf), axis=1)  # (E, out)
+    scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+    w_q = jnp.clip(
+        jnp.round(wf / scale[:, None, :]), -127, 127
+    ).astype(jnp.int8)
+    return w_q, scale
+
+
+def quantize_stacked_moe(m: Any) -> Any:
+    """int8 form of ``models.StackedMoEMLP``: the three (E, ., .) expert
+    tensors go to the int8 grid with (E, out) scales held in the module's
+    own ``scale_*`` fields — the expert axis keeps ep-sharding and the
+    per-expert layout keeps its TP sharding (scales follow the out dim).
+    The router ``gate`` and shared expert are left untouched."""
+    if m.scale_gate is not None:
+        return m  # already quantized
+    wg, sg = _quantize_stacked_tensor(m.w_gate)
+    wu, su = _quantize_stacked_tensor(m.w_up)
+    wd, sd = _quantize_stacked_tensor(m.w_down)
+    return m.replace(
+        w_gate=wg, w_up=wu, w_down=wd,
+        scale_gate=sg, scale_up=su, scale_down=sd,
+    )
+
+
+def dequantize_stacked_moe(m: Any, dtype: Any = jnp.float32) -> Any:
+    """Materialize the dequantized expert tensors; drops the scales."""
+    if m.scale_gate is None:
+        return m
+
+    def deq(w_q, scale):
+        return (w_q.astype(jnp.float32) * scale[:, None, :]).astype(dtype)
+
+    return m.replace(
+        w_gate=deq(m.w_gate, m.scale_gate),
+        w_up=deq(m.w_up, m.scale_up),
+        w_down=deq(m.w_down, m.scale_down),
+        scale_gate=None, scale_up=None, scale_down=None,
+    )
+
+
+def _router_gate_names(root: nn.Module) -> set:
+    """Dotted paths of MoE router gates (and shared-expert gates): tiny,
+    routing-decision-critical matmuls that stay full precision — the
+    standard weight-only-int8 practice."""
+    from .models.moe_stack import StackedMoEMLP
+    from .models.transformer import MoEMLP
+
+    out = set()
+    for name, m in nn.named_modules(root):
+        if type(m) in (MoEMLP, StackedMoEMLP):
+            out.add(f"{name}.gate" if name else "gate")
+            if getattr(m, "shared_expert_gate", None) is not None:
+                out.add(
+                    f"{name}.shared_expert_gate"
+                    if name
+                    else "shared_expert_gate"
+                )
+    return out
+
+
 def quantize_for_serving(
     root: nn.Module,
     *,
     skip_names: Collection[str] = (),
     min_features: int = 1,
 ) -> nn.Module:
-    """Replace every plain ``nn.Linear`` under ``root`` with its
-    :class:`QuantLinear` form (pure — returns a new pytree).
+    """Replace every plain ``nn.Linear`` / ``nn.Conv2d`` under ``root``
+    with its int8 form, and stacked MoE expert tensors
+    (``models.StackedMoEMLP``) with their in-place int8 grid (pure —
+    returns a new pytree).
 
-    Only EXACT ``nn.Linear`` instances are touched: LoRA/tap wrappers,
-    norms, embeddings, and already-quantized sites pass through (merge
-    LoRA and drop taps before serving).  ``skip_names`` excludes sites by
-    their dotted path (e.g. a quality-sensitive lm_head);
-    ``min_features`` skips matmuls too small to be weight-bound.
+    Only EXACT types are touched: LoRA/tap wrappers, norms, embeddings,
+    and already-quantized sites pass through (merge LoRA and drop taps
+    before serving).  MoE router gates and shared-expert gates are
+    auto-skipped (tiny, routing-decision-critical).  ``skip_names``
+    excludes sites by their dotted path (e.g. a quality-sensitive
+    lm_head); ``min_features`` skips matmuls too small to be
+    weight-bound.
     """
-    skip = set(skip_names)
+    from .models.moe_stack import StackedMoEMLP
+
+    skip = set(skip_names) | _router_gate_names(root)
     n = 0
     for name, m in list(nn.named_modules(root)):
         if name in skip:
@@ -203,11 +278,15 @@ def quantize_for_serving(
             if min(m.in_channels, m.out_channels) < min_features:
                 continue
             q = quantize_conv2d(m)
+        elif type(m) is StackedMoEMLP and m.scale_gate is None:
+            if min(m.w_gate.shape[1], m.w_gate.shape[2]) < min_features:
+                continue
+            q = quantize_stacked_moe(m)
         else:
             continue
         root = nn.replace_submodule(root, name, q) if name else q
         n += 1
-    logger.info("quantized %d Linear/Conv2d sites to int8", n)
+    logger.info("quantized %d Linear/Conv2d/MoE sites to int8", n)
     return root
 
 
@@ -216,11 +295,15 @@ def dequantize_for_serving(
 ) -> nn.Module:
     """Restore every :class:`QuantLinear` to a plain ``nn.Linear`` with
     the dequantized kernel in ``dtype`` (pure)."""
+    from .models.moe_stack import StackedMoEMLP
+
     for name, m in list(nn.named_modules(root)):
         if type(m) is QuantLinear:
             lin: nn.Module = dequantize_linear(m, dtype)
         elif type(m) is QuantConv2d:
             lin = dequantize_conv2d(m, dtype)
+        elif type(m) is StackedMoEMLP and m.scale_gate is not None:
+            lin = dequantize_stacked_moe(m, dtype)
         else:
             continue
         root = nn.replace_submodule(root, name, lin) if name else lin

@@ -9,6 +9,7 @@ scoring, /root/reference/examples/trainer_llm/metrics.py:81-107)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ptdeco_tpu import nn, quant, serving, utils
 
@@ -221,6 +222,88 @@ def test_quantized_moe_decodes_via_dense_path():
     want = naive_greedy(qlm, prompt, 4)
     got = serving.generate(qlm, prompt, 4)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def _moe_lm(key=46, n_experts=4, dim=32, hidden=64):
+    from ptdeco_tpu import models
+
+    cfg = models.TransformerConfig(
+        vocab_size=64, dim=dim, n_layers=2, n_heads=4, n_kv_heads=2,
+        hidden_dim=hidden, n_experts=n_experts, n_experts_per_tok=2,
+        moe_hidden_dim=hidden,
+    )
+    return models.CausalLM.create(jax.random.PRNGKey(key), cfg)
+
+
+def test_quantize_stacked_moe():
+    """int8 stacked experts: quantize_for_serving fills the scale_*
+    fields in place of new module types, the router gate stays full
+    precision, the fused-dequant forward equals the materialized-dequant
+    forward, and unstacking int8 is refused loudly."""
+    from ptdeco_tpu import models
+
+    lm = _moe_lm()
+    stacked = models.stack_moe_experts(lm)
+    q = quant.quantize_for_serving(stacked)
+    moe = nn.get_submodule(q, "model.layers.0.mlp")
+    assert moe.w_gate.dtype == jnp.int8 and moe.scale_gate is not None
+    assert moe.scale_gate.shape == (4, 64)
+    # router gate auto-skipped (routing-decision-critical)
+    assert type(moe.gate) is nn.Linear
+    batch = {"input_ids": jnp.arange(12, dtype=jnp.int32).reshape(2, 6) % 64}
+    deq = quant.dequantize_for_serving(q)
+    dmoe = nn.get_submodule(deq, "model.layers.0.mlp")
+    assert dmoe.scale_gate is None and dmoe.w_gate.dtype == jnp.float32
+    np.testing.assert_allclose(
+        np.asarray(q(batch)), np.asarray(deq(batch)), atol=1e-5
+    )
+    # int8 error stays small vs the fp stacked model
+    ref = np.asarray(stacked(batch))
+    got = np.asarray(q(batch))
+    assert np.abs(got - ref).mean() < 0.05 * np.abs(ref).mean() + 1e-2
+    with pytest.raises(ValueError, match="dequantize_for_serving"):
+        models.unstack_moe_experts(q)
+    # dequantize first -> unstack round-trips to tuple-of-expert MLPs
+    back = models.unstack_moe_experts(deq)
+    assert type(nn.get_submodule(back, "model.layers.0.mlp")).__name__ == (
+        "MoEMLP"
+    )
+    # idempotent: a second pass leaves the quantized layer alone
+    q2 = quant.quantize_for_serving(q)
+    np.testing.assert_array_equal(
+        np.asarray(nn.get_submodule(q2, "model.layers.0.mlp").w_gate),
+        np.asarray(moe.w_gate),
+    )
+
+
+@pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 virtual devices"
+)
+def test_quantized_stacked_moe_ep_sharding():
+    """The int8 expert tensors keep their ep x tp placement and the
+    (E, out) scales follow (ep on the expert axis, tp on the out dim for
+    gate/up, replicated for down); mesh forward matches single-device."""
+    from ptdeco_tpu import models, parallel
+    from ptdeco_tpu.parallel import shardings as sh
+
+    lm = _moe_lm(key=47, hidden=64)
+    q = quant.quantize_for_serving(models.stack_moe_experts(lm))
+    batch = {"input_ids": jnp.arange(32, dtype=jnp.int32).reshape(4, 8) % 64}
+    ref = np.asarray(q(batch))
+    mesh = parallel.make_mesh(dp=2, ep=2, tp=2)
+    sharded = sh.shard_params(q, mesh)
+    params = dict(nn.named_parameters(sharded))
+    wq = params["model.layers.0.mlp.w_gate"]
+    assert wq.sharding.spec[0] == "ep" and wq.sharding.spec[2] == "tp"
+    assert wq.addressable_shards[0].data.shape[0] == 2  # E/ep experts
+    sg = params["model.layers.0.mlp.scale_gate"]
+    assert sg.sharding.spec == jax.sharding.PartitionSpec("ep", "tp")
+    sd = params["model.layers.0.mlp.scale_down"]
+    assert sd.sharding.spec == jax.sharding.PartitionSpec("ep", None)
+    out = jax.jit(lambda m, b: m(b))(
+        sharded, parallel.shard_batch(batch, mesh)
+    )
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4)
 
 
 def test_state_dict_export_warns(caplog):
