@@ -43,6 +43,20 @@ def test_generate_with_tp_sharded_params():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+def test_beam_with_tp_sharded_params():
+    """Beam search on a TP mesh: the per-step batch-axis gather that
+    reorders caches to surviving parents must compose with head-axis
+    cache sharding — tokens exactly equal the single-device beam walk."""
+    lm = make_lm(key=11)
+    prompt = jax.random.randint(jax.random.PRNGKey(12), (4, 5), 0, 64)
+    want = serving.generate_beam(lm, prompt, 5, num_beams=3)
+
+    mesh = parallel.make_mesh(dp=4, tp=2)
+    sharded = sh.shard_params(lm, mesh)
+    got = serving.generate_beam(sharded, prompt, 5, num_beams=3)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_generate_with_dp_sharded_prompt():
     lm = make_lm(key=3)
     prompt = jax.random.randint(jax.random.PRNGKey(4), (8, 5), 0, 64)
