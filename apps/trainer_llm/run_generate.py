@@ -89,11 +89,22 @@ def main(config_raw: dict[str, Any], output_path: pathlib.Path) -> None:
     serving.check_decode_supported(model)
     if config.num_beams < 1:
         raise ValueError(f"num_beams must be >= 1, got {config.num_beams}")
-    if config.num_beams > 1 and config.temperature != 0.0:
-        raise ValueError(
-            "beam search (num_beams > 1) is deterministic; "
-            "set temperature: 0"
-        )
+    if config.num_beams > 1:
+        if config.temperature != 0.0:
+            raise ValueError(
+                "beam search (num_beams > 1) is deterministic; "
+                "set temperature: 0"
+            )
+        dropped = [
+            k
+            for k in ("top_p", "top_k", "min_p", "repetition_penalty")
+            if getattr(config, k) is not None
+        ]
+        if dropped:
+            raise ValueError(
+                f"beam search does not apply {', '.join(dropped)}; "
+                "remove them or set num_beams: 1"
+            )
 
     prompts = _read_prompts(config)
     token_lists = [

@@ -243,7 +243,10 @@ def main() -> None:
         "serving_speedup_vs_dense": round(deco_tok_s / dense_tok_s, 3),
         "per_token_dispatch_tok_s": round(per_dispatch_tok_s, 1),
         "scan_program_win": round(dense_tok_s / per_dispatch_tok_s, 2),
-        "beam4_sequences_per_s": round(BATCH * NEW_TOKENS / beam_s, 1),
+        # tokens/s of the SELECTED sequences (b * new_tokens / wall);
+        # the interesting number is the cost ratio vs greedy — width-4
+        # search costs one batch-4x decode, not 4 sequential decodes
+        "beam4_tok_s": round(BATCH * NEW_TOKENS / beam_s, 1),
         "beam4_cost_vs_greedy": round(beam_s / dense_s, 3),
         "int8_tok_s": round(int8_tok_s, 1),
         "int8_speedup_vs_dense": round(int8_tok_s / dense_tok_s, 3),

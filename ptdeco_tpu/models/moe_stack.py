@@ -261,7 +261,11 @@ def unstack_moe_experts(root: nn.Module) -> nn.Module:
     for name, m in list(nn.named_modules(root)):
         if type(m) is not StackedMoEMLP:
             continue
-        if m.scale_gate is not None or m.scale_down is not None:
+        if (
+            m.scale_gate is not None
+            or m.scale_up is not None
+            or m.scale_down is not None
+        ):
             raise ValueError(
                 f"{name or '<root>'} holds int8 expert tensors; run "
                 "quant.dequantize_for_serving before unstack_moe_experts "

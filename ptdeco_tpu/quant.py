@@ -197,8 +197,12 @@ def quantize_stacked_moe(m: Any) -> Any:
     own ``scale_*`` fields — the expert axis keeps ep-sharding and the
     per-expert layout keeps its TP sharding (scales follow the out dim).
     The router ``gate`` and shared expert are left untouched."""
-    if m.scale_gate is not None:
-        return m  # already quantized
+    if (
+        m.scale_gate is not None
+        or m.scale_up is not None
+        or m.scale_down is not None
+    ):
+        return m  # already (even partially) quantized
     wg, sg = _quantize_stacked_tensor(m.w_gate)
     wu, su = _quantize_stacked_tensor(m.w_up)
     wd, sd = _quantize_stacked_tensor(m.w_down)
@@ -210,10 +214,12 @@ def quantize_stacked_moe(m: Any) -> Any:
 
 def dequantize_stacked_moe(m: Any, dtype: Any = jnp.float32) -> Any:
     """Materialize the dequantized expert tensors; drops the scales."""
-    if m.scale_gate is None:
+    if m.scale_gate is None and m.scale_up is None and m.scale_down is None:
         return m
 
     def deq(w_q, scale):
+        if scale is None:  # this tensor was never quantized
+            return w_q
         return (w_q.astype(jnp.float32) * scale[:, None, :]).astype(dtype)
 
     return m.replace(
@@ -229,11 +235,11 @@ def _router_gate_names(root: nn.Module) -> set:
     routing-decision-critical matmuls that stay full precision — the
     standard weight-only-int8 practice."""
     from .models.moe_stack import StackedMoEMLP
-    from .models.transformer import MoEMLP
+    from .models.transformer import MoAttention, MoEMLP
 
     out = set()
     for name, m in nn.named_modules(root):
-        if type(m) in (MoEMLP, StackedMoEMLP):
+        if type(m) in (MoEMLP, StackedMoEMLP, MoAttention):
             out.add(f"{name}.gate" if name else "gate")
             if getattr(m, "shared_expert_gate", None) is not None:
                 out.add(
@@ -302,7 +308,11 @@ def dequantize_for_serving(
             lin: nn.Module = dequantize_linear(m, dtype)
         elif type(m) is QuantConv2d:
             lin = dequantize_conv2d(m, dtype)
-        elif type(m) is StackedMoEMLP and m.scale_gate is not None:
+        elif type(m) is StackedMoEMLP and (
+            m.scale_gate is not None
+            or m.scale_up is not None
+            or m.scale_down is not None
+        ):
             lin = dequantize_stacked_moe(m, dtype)
         else:
             continue

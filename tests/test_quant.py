@@ -306,6 +306,49 @@ def test_quantized_stacked_moe_ep_sharding():
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4)
 
 
+def test_moa_router_gate_skipped():
+    """JetMoE mixture-of-attention routers are routing-decision-critical
+    like MoE routers: quantize_for_serving must leave MoAttention.gate
+    full precision while quantizing the expert projections."""
+    lm, _ = make_lm(
+        key=48, moa=True, n_experts=4, n_experts_per_tok=2,
+        n_kv_heads=2, moe_hidden_dim=16,
+    )
+    qlm = quant.quantize_for_serving(lm)
+    moa = nn.get_submodule(qlm, "model.layers.0.self_attn")
+    assert type(moa.gate) is nn.Linear
+    assert all(
+        type(e) is quant.QuantLinear for e in moa.input_experts
+    )
+    prompt = jax.random.randint(jax.random.PRNGKey(49), (1, 4), 0, 64)
+    want = naive_greedy(qlm, prompt, 4)
+    got = serving.generate(qlm, prompt, 4)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_partially_quantized_stacked_moe_guarded():
+    """A hand-built stacked layer with only one scale set must refuse to
+    unstack, dequantize the quantized tensor only, and not re-quantize
+    int8 data."""
+    from ptdeco_tpu import models
+
+    stacked = models.stack_moe_experts(_moe_lm(key=50))
+    moe = nn.get_submodule(stacked, "model.layers.0.mlp")
+    wq, su = quant._quantize_stacked_tensor(moe.w_up)
+    partial = moe.replace(w_up=wq, scale_up=su)
+    with pytest.raises(ValueError, match="dequantize_for_serving"):
+        models.unstack_moe_experts(
+            nn.replace_submodule(stacked, "model.layers.0.mlp", partial)
+        )
+    # idempotence guard: quantize_stacked_moe leaves partial state alone
+    assert quant.quantize_stacked_moe(partial) is partial
+    deq = quant.dequantize_stacked_moe(partial)
+    assert deq.scale_up is None and deq.w_up.dtype == jnp.float32
+    np.testing.assert_array_equal(  # untouched tensors pass through
+        np.asarray(deq.w_gate), np.asarray(moe.w_gate)
+    )
+
+
 def test_state_dict_export_warns(caplog):
     import logging
 

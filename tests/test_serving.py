@@ -1163,6 +1163,12 @@ def test_cli_generate_task(tmp_path):
         run_generate.main(
             dict(cfg, num_beams=2, temperature=0.5), tmp_path / "bad"
         )
+    # sampling filters would be silently dropped by beam search: refuse
+    with pytest.raises(ValueError, match="repetition_penalty"):
+        run_generate.main(
+            dict(cfg, num_beams=2, repetition_penalty=1.3),
+            tmp_path / "bad2",
+        )
 
 
 def test_max_len_validation():
