@@ -582,6 +582,18 @@ def _layer_attention(layer: Any, idx: int) -> Optional[Any]:
             f"is {type(layer).__name__}"
         )
     mixer = layer.self_attn
+    if layer.mamba is not None and (
+        isinstance(mixer, (MLAttention, DiffAttention, MoAttention))
+        or isinstance(mixer, STATEFUL_MIXERS)
+    ):
+        # the nested ((k, v), state) cache is wired only for standard
+        # Attention + mamba (falcon_h1); anything else would run the
+        # mamba branch statelessly and decode silently wrong tokens
+        raise ValueError(
+            f"parallel mixer+mamba layers are cached only for standard "
+            f"Attention (falcon_h1); layer {idx} pairs "
+            f"{type(mixer).__name__} with {type(layer.mamba).__name__}"
+        )
     if isinstance(mixer, MLAttention):
         # raises early (not mid-trace) if kv_b_proj cannot be absorbed
         _dense_linear_kernel(mixer.kv_b_proj, f"layer {idx} kv_b_proj")
@@ -682,13 +694,14 @@ def init_cache(
             lambda m, i: m.embed_inputs(i, None)[0], lm.model, ids
         )
     caches = []
+    state_dt = dtype if dtype is not None else x_struct.dtype
     for i, layer in enumerate(_model_layers(lm)):
         attn = _layer_attention(layer, i)
         if attn is None:
             caches.append(None)
             continue
         if isinstance(attn, STATEFUL_MIXERS):
-            caches.append(attn.init_state(batch_size, x_struct.dtype))
+            caches.append(attn.init_state(batch_size, state_dt))
             continue
         para_mamba = (
             isinstance(layer, Block) and layer.mamba is not None
@@ -779,7 +792,7 @@ def init_cache(
             )
         if para_mamba:  # falcon_h1: ((k, v), mamba state) per layer
             caches.append(
-                (kv, layer.mamba.init_state(batch_size, x_struct.dtype))
+                (kv, layer.mamba.init_state(batch_size, state_dt))
             )
         else:
             caches.append(kv)
@@ -793,6 +806,7 @@ def forward_with_cache(
     cache_pos: jax.Array,
     *,
     kv_mask: Optional[jax.Array] = None,
+    last_pos: Optional[jax.Array] = None,
 ) -> tuple[jax.Array, KVCache]:
     """One cached step: embeds ``input_ids`` at absolute positions
     ``cache_pos + arange(s)``, runs every block with its attention swapped
@@ -802,10 +816,23 @@ def forward_with_cache(
     decode over right-padded prompts (cache slot == token position per
     row; junk slots from pad-tail prefill are causally masked and
     progressively overwritten).  ``kv_mask`` (b, max_len) marks valid key
-    slots for left-padded batched prompts."""
+    slots for left-padded batched prompts.
+
+    ``last_pos`` (b,) int32: compute the final norm + vocab head on ONLY
+    that position per row, returning ``(b, 1, vocab)`` logits — prefill
+    needs one row, and at real vocab sizes the full ``(b, s_p, vocab)``
+    head is the dominant prefill FLOP/memory cost."""
     ctx = nn.Ctx(no_remat=True)
     b, s = input_ids.shape
     cache_pos = jnp.asarray(cache_pos, jnp.int32)
+
+    def _take_last(x: jax.Array) -> jax.Array:
+        if last_pos is None:
+            return x
+        return jnp.take_along_axis(
+            x, jnp.asarray(last_pos, jnp.int32)[:, None, None], axis=1
+        )
+
     start = cache_pos[:, None] if cache_pos.ndim == 1 else cache_pos
     positions = jnp.broadcast_to(
         start + jnp.arange(s, dtype=jnp.int32)[None, :], (b, s)
@@ -850,7 +877,7 @@ def forward_with_cache(
                     ctx.sink["kv_cache"][f"{name}.mamba"],
                 )
             )
-        x = lm.final_layernorm(x)
+        x = lm.final_layernorm(_take_last(x))
         if lm.tie_embeddings:
             logits = jnp.dot(x, lm.embed_tokens.table.T)
         else:
@@ -867,7 +894,7 @@ def forward_with_cache(
         for blk, st in zip(lm.blocks, caches):
             x, st2 = blk.forward_with_state(x, ctx, st)
             new_states.append(st2)
-        x = lm.ln_out(x)
+        x = lm.ln_out(_take_last(x))
         if lm.tie_embeddings:
             logits = jnp.dot(x, lm.embeddings.table.T)
         else:
@@ -999,13 +1026,13 @@ def forward_with_cache(
         x = swapped(x, ctx, positions=positions, attn_mask=None)
         new_caches.append(ctx.sink["kv_cache"][name])
     if mamba_lm:
-        x = lm.backbone.norm_f(x)
+        x = lm.backbone.norm_f(_take_last(x))
         if lm.tie_embeddings:
             logits = jnp.dot(x, lm.backbone.embeddings.table.T)
         else:
             logits = lm.lm_head(x, ctx)
     else:
-        x = lm.model.norm(x)
+        x = lm.model.norm(_take_last(x))
         logits = lm.head(x, ctx)
     return logits, tuple(new_caches)
 
@@ -1090,25 +1117,28 @@ def _generate_impl(
     tp_arg = top_p if use_top_p else None
     mp_arg = min_p if use_min_p else None
     b, s_p = prompt_ids.shape
-    logits, caches = forward_with_cache(lm, prompt_ids, caches, 0)
+    # prefill computes norm + vocab head on each row's LAST REAL position
+    # only — at real vocab sizes the full (b, s_p, vocab) head would be
+    # the dominant prefill FLOP/memory cost
+    logits, caches = forward_with_cache(
+        lm, prompt_ids, caches, 0, last_pos=prompt_lens - 1
+    )
+    last = logits[:, 0, :]
     if use_rep:
         # tokens already consumed, per row (pad-tail excluded for ragged)
         vocab = logits.shape[-1]
         row = jnp.arange(b)[:, None]
         valid = jnp.arange(s_p)[None, :] < prompt_lens[:, None]
         seen = jnp.zeros((b, vocab), bool).at[row, prompt_ids].max(valid)
-    if ragged:
-        # per-row: logits of each row's LAST REAL token
-        last = jnp.take_along_axis(
-            logits, (prompt_lens - 1)[:, None, None], axis=1
-        )[:, 0, :]
-        pos0: jax.Array = prompt_lens
-    else:
-        last = logits[:, -1, :]
-        pos0 = jnp.int32(s_p)
+    pos0: jax.Array = prompt_lens if ragged else jnp.int32(s_p)
     if use_rep:
         last = _apply_repetition_penalty(last, seen, rep_penalty)
-    tok = _sample(last, greedy, temperature, key, tp_arg, top_k, mp_arg)
+    # never reuse a key that will also be split: the first draw gets its
+    # own child, the scan keys derive from the other
+    first_key, key = jax.random.split(key)
+    tok = _sample(
+        last, greedy, temperature, first_key, tp_arg, top_k, mp_arg
+    )
     if use_rep:
         seen = seen.at[jnp.arange(b), tok].set(True)
     else:
@@ -1195,8 +1225,16 @@ def generate(
         lens = jnp.asarray(prompt_lens, jnp.int32)
     else:
         lens = jnp.full((b,), s_p, jnp.int32)
+    if max_new_tokens < 1:
+        raise ValueError(
+            f"max_new_tokens must be >= 1, got {max_new_tokens}"
+        )
+    if temperature < 0.0:
+        raise ValueError(f"temperature must be >= 0, got {temperature}")
     if top_k is not None and top_k < 1:
         raise ValueError(f"top_k must be >= 1, got {top_k}")
+    if top_p is not None and not 0.0 < top_p <= 1.0:
+        raise ValueError(f"top_p must be in (0, 1], got {top_p}")
     if min_p is not None and not 0.0 <= min_p <= 1.0:
         raise ValueError(f"min_p must be in [0, 1], got {min_p}")
     if repetition_penalty is not None and repetition_penalty <= 0:
@@ -1250,14 +1288,13 @@ def _beam_impl(
 ) -> tuple[jax.Array, jax.Array]:
     b, s_p = prompt_ids.shape
     m = num_beams
-    logits, caches = forward_with_cache(lm, prompt_ids, caches, 0)
+    logits, caches = forward_with_cache(
+        lm, prompt_ids, caches, 0, last_pos=prompt_lens - 1
+    )
+    last = logits[:, 0, :]
     if ragged:
-        last = jnp.take_along_axis(
-            logits, (prompt_lens - 1)[:, None, None], axis=1
-        )[:, 0, :]
         pos0: jax.Array = jnp.repeat(prompt_lens, m)
     else:
-        last = logits[:, -1, :]
         pos0 = jnp.int32(s_p)
     vocab = last.shape[-1]
     lp0 = jax.nn.log_softmax(last.astype(jnp.float32), axis=-1)
@@ -1426,14 +1463,14 @@ def _speculative_impl(
 
     # prefill both models on the prompt; the first emitted token is the
     # TARGET's greedy pick (so output == target-only greedy from token 0)
-    logits, t_caches = forward_with_cache(target, prompt_ids, t_caches, 0)
-    if ragged:
-        last = jnp.take_along_axis(
-            logits, (prompt_lens - 1)[:, None, None], axis=1
-        )[:, 0, :]
-    else:
-        last = logits[:, -1, :]
-    _, d_caches = forward_with_cache(draft, prompt_ids, d_caches, 0)
+    logits, t_caches = forward_with_cache(
+        target, prompt_ids, t_caches, 0, last_pos=prompt_lens - 1
+    )
+    last = logits[:, 0, :]
+    # the draft's prefill logits are never read: head on one row only
+    _, d_caches = forward_with_cache(
+        draft, prompt_ids, d_caches, 0, last_pos=prompt_lens - 1
+    )
     cur = jnp.argmax(last, axis=-1).astype(jnp.int32)
 
     out = jnp.full((b, max_new_tokens), pad, jnp.int32)
@@ -1532,7 +1569,10 @@ def _speculative_impl(
         stats = {
             "rounds": stats["rounds"] + 1,
             "drafted": stats["drafted"] + live * k,
-            "accepted": stats["accepted"] + jnp.sum(jnp.where(m > 0, n, 0)),
+            # count only drafts actually EMITTED: an eos cut or the
+            # max_new_tokens budget truncates the n target-accepted
+            # drafts to min(n, m) realized tokens
+            "accepted": stats["accepted"] + jnp.sum(jnp.minimum(n, m)),
         }
         return (t_caches, d_caches, pos, cur, out, n_out, done, stats)
 
@@ -1577,6 +1617,10 @@ def generate_speculative(
     b, s_p = prompt_ids.shape
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    if max_new_tokens < 1:
+        raise ValueError(
+            f"max_new_tokens must be >= 1, got {max_new_tokens}"
+        )
     if _has_ssm(target) or _has_ssm(draft):
         raise ValueError(
             "speculative decoding is not supported for models with SSM "

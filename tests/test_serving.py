@@ -228,6 +228,32 @@ def test_min_p_zero_equals_plain_sampling():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(plain))
 
 
+def test_forward_with_cache_last_pos():
+    """last_pos computes norm+head on one row per batch element; its
+    logits must equal the matching rows of the full-head forward, and the
+    returned caches must be identical."""
+    lm, _ = make_lm(key=130)
+    ids = jax.random.randint(jax.random.PRNGKey(131), (2, 6), 0, 64)
+    full, c_full = serving.forward_with_cache(
+        lm, ids, serving.init_cache(lm, 2, 8), 0
+    )
+    lp = jnp.asarray([5, 3], jnp.int32)
+    one, c_one = serving.forward_with_cache(
+        lm, ids, serving.init_cache(lm, 2, 8), 0, last_pos=lp
+    )
+    assert one.shape == (2, 1, 64)
+    want = np.take_along_axis(
+        np.asarray(full), np.asarray(lp)[:, None, None], axis=1
+    )[:, 0, :]
+    np.testing.assert_allclose(
+        np.asarray(one[:, 0, :]), want, atol=1e-6
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(c_full), jax.tree_util.tree_leaves(c_one)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def naive_rep_greedy(lm, rows, p, n_new):
     """Oracle: full re-forward greedy with HF RepetitionPenalty semantics
     (prompt + generated tokens penalized; per-row unpadded prompts)."""
