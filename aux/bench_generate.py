@@ -142,6 +142,24 @@ def time_beam(lm, prompt, m: int = 4) -> float:
     return min(times)
 
 
+def time_long_prefill(lm, s_p: int = 2048) -> float:
+    """Seconds for a LONG prompt prefill (+1 decode step) — the regime
+    where computing the vocab head on only each row's last position
+    matters (the full (b, s_p, vocab) head/logits would be ~2 GB f32 at
+    these shapes)."""
+    prompt = jax.random.randint(
+        jax.random.PRNGKey(7), (BATCH, s_p), 0, VOCAB, jnp.int32
+    )
+    out = serving.generate(lm, prompt, 1)
+    jax.device_get(out)
+    times = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        jax.block_until_ready(serving.generate(lm, prompt, 1))
+        times.append(time.perf_counter() - t0)
+    return min(times)
+
+
 def time_per_token_dispatch(lm, prompt, n_tokens: int = 16) -> float:
     """s/token for the anti-pattern: one dispatch + host sync per decode
     step (what a naive port of an eager-torch generate loop would do)."""
@@ -192,6 +210,8 @@ def main() -> None:
     # beam-4: the fused-batch design means width-4 search costs one
     # batch-4x decode, not 4 sequential decodes
     beam_s = time_beam(lm, prompt, m=4)
+
+    prefill_s = time_long_prefill(lm)
 
     # weight-only int8: halves the bytes streamed per decode step vs bf16
     from ptdeco_tpu import quant
@@ -250,6 +270,8 @@ def main() -> None:
         "beam4_cost_vs_greedy": round(beam_s / dense_s, 3),
         "int8_tok_s": round(int8_tok_s, 1),
         "int8_speedup_vs_dense": round(int8_tok_s / dense_tok_s, 3),
+        "prefill_2048_s": round(prefill_s, 4),
+        "prefill_2048_tok_s": round(BATCH * 2048 / prefill_s, 1),
         "speculative_k": 4,
         "speculative": spec,
         "device": jax.devices()[0].device_kind,
