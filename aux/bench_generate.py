@@ -160,6 +160,69 @@ def time_long_prefill(lm, s_p: int = 2048) -> float:
     return min(times)
 
 
+def time_continuous_batching(lm) -> tuple[float, float]:
+    """tokens/s of REQUESTED tokens for a mixed-length 16-request stream:
+    the slot-pool continuous batcher (8 slots, chunked decode) vs the
+    lockstep alternative (two ragged generate batches of 8, each padded
+    to its longest prompt and run for its LARGEST budget — the waste a
+    server without continuous batching pays)."""
+    import numpy as np
+
+    from ptdeco_tpu.serving_batcher import ContinuousBatcher
+
+    rng = np.random.default_rng(11)
+    reqs = []
+    for _ in range(16):
+        plen = int(rng.integers(96, 257))
+        budget = int(rng.integers(16, 129))
+        reqs.append(
+            (rng.integers(0, VOCAB, size=plen).astype(np.int32), budget)
+        )
+    total_new = sum(b for _, b in reqs)
+
+    def run_engine():
+        eng = ContinuousBatcher(
+            lm, n_slots=8, max_len=512, decode_chunk=16,
+            prefill_buckets=(128, 256),
+        )
+        for p, b in reqs:
+            eng.submit(p, b)
+        done = eng.run()
+        assert len(done) == 16
+        assert sum(len(f.tokens) for f in done) == total_new
+
+    run_engine()  # compiles: one decode chunk + one prefill per bucket
+    t0 = time.perf_counter()
+    run_engine()
+    engine_s = time.perf_counter() - t0
+
+    def run_lockstep():
+        for i in range(0, 16, 8):
+            chunk = reqs[i : i + 8]
+            smax = max(p.size for p, _ in chunk)
+            bmax = max(b for _, b in chunk)
+            batch = np.zeros((8, smax), np.int32)
+            lens = np.zeros((8,), np.int32)
+            for j, (p, _) in enumerate(chunk):
+                batch[j, : p.size] = p
+                lens[j] = p.size
+            jax.block_until_ready(
+                serving.generate(
+                    lm,
+                    jnp.asarray(batch),
+                    bmax,
+                    prompt_lens=jnp.asarray(lens),
+                    max_len=512,
+                )
+            )
+
+    run_lockstep()
+    t0 = time.perf_counter()
+    run_lockstep()
+    lock_s = time.perf_counter() - t0
+    return total_new / engine_s, total_new / lock_s
+
+
 def time_per_token_dispatch(lm, prompt, n_tokens: int = 16) -> float:
     """s/token for the anti-pattern: one dispatch + host sync per decode
     step (what a naive port of an eager-torch generate loop would do)."""
@@ -212,6 +275,8 @@ def main() -> None:
     beam_s = time_beam(lm, prompt, m=4)
 
     prefill_s = time_long_prefill(lm)
+
+    cb_tok_s, lockstep_tok_s = time_continuous_batching(lm)
 
     # weight-only int8: halves the bytes streamed per decode step vs bf16
     from ptdeco_tpu import quant
@@ -272,6 +337,10 @@ def main() -> None:
         "int8_speedup_vs_dense": round(int8_tok_s / dense_tok_s, 3),
         "prefill_2048_s": round(prefill_s, 4),
         "prefill_2048_tok_s": round(BATCH * 2048 / prefill_s, 1),
+        # mixed-length 16-request stream, REQUESTED tokens per second
+        "continuous_batching_tok_s": round(cb_tok_s, 1),
+        "lockstep_batches_tok_s": round(lockstep_tok_s, 1),
+        "continuous_batching_win": round(cb_tok_s / lockstep_tok_s, 3),
         "speculative_k": 4,
         "speculative": spec,
         "device": jax.devices()[0].device_kind,

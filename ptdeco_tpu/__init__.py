@@ -17,5 +17,6 @@ from . import engine  # noqa: F401
 from . import finetune  # noqa: F401
 from . import parallel  # noqa: F401
 from . import serving  # noqa: F401
+from . import serving_batcher  # noqa: F401
 from . import quant  # noqa: F401
 from ._version import __version__, __version_info__  # noqa: F401

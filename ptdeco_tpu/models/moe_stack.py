@@ -184,7 +184,9 @@ def _stackable(m: MoEMLP) -> Optional[str]:
     if not m._experts_are_pristine():
         return (
             "experts carry non-Linear projections (taps / factor pairs / "
-            "LoRA) — unstackable; decompose or merge first"
+            "LoRA / int8) — unstackable; decompose or merge first "
+            "(quantize AFTER stacking: quantize_for_serving handles "
+            "StackedMoEMLP in place)"
         )
     e0 = m.experts[0]
     if any(e.act != e0.act or e.clamp_limit != e0.clamp_limit

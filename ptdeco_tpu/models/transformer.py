@@ -5100,26 +5100,39 @@ class MoEMLP(nn.Module):
     # jetmoe: learned bias added to the combined routed output
     output_bias: Optional[jax.Array] = None
 
-    def _experts_are_pristine(self) -> bool:
+    def _experts_are_pristine(self, allow_quant: bool = False) -> bool:
         """Static (trace-time) check: grouped dispatch requires every
         expert projection to be an exact-type plain Linear — tap wrappers,
         decomposed factor pairs, and LoRA wrappers all fail this and fall
         back to the zero-masked dense path.  Biases (gpt_oss) are fine as
         long as their presence is uniform across experts (the grouped path
-        stacks them per slot)."""
+        stacks them per slot).
+
+        ``allow_quant`` additionally admits weight-only int8
+        ``quant.QuantLinear`` projections, uniformly per slot (all
+        gate_projs the same type, etc.) — the grouped forward dequantizes
+        the stacked int8 grid into the activation dtype, which costs LESS
+        transient HBM than stacking bf16 tuple kernels.  Serving dispatch
+        passes True; ``stack_moe_experts`` keeps the strict check (its
+        stacked form quantizes in place AFTER stacking)."""
+        from ..quant import QuantLinear  # lazy: quant imports nn only
+
+        ok = (nn.Linear, QuantLinear) if allow_quant else (nn.Linear,)
         bias_sig = None
+        type_sig = None
         for e in self.experts:
             if type(e) is not MLP:
                 return False
             if e.ffn_sub_norm is not None:
                 return False  # grouped path has no sub-norm hook
             projs = (e.gate_proj, e.up_proj, e.down_proj)
-            if any(type(p) is not nn.Linear for p in projs):
+            if any(type(p) not in ok for p in projs):
                 return False
             sig = tuple(p.bias is not None for p in projs)
+            tsig = tuple(type(p) for p in projs)
             if bias_sig is None:
-                bias_sig = sig
-            elif sig != bias_sig:
+                bias_sig, type_sig = sig, tsig
+            elif sig != bias_sig or tsig != type_sig:
                 return False
         return True
 
@@ -5166,9 +5179,21 @@ class MoEMLP(nn.Module):
                 ]
             )
             group_sizes = group_sizes.at[-1].add(pad)
-        w_gate = jnp.stack([e.gate_proj.kernel for e in self.experts])
-        w_up = jnp.stack([e.up_proj.kernel for e in self.experts])
-        w_down = jnp.stack([e.down_proj.kernel for e in self.experts])
+        def _stack_kernels(projs):
+            if type(projs[0]) is nn.Linear:
+                return jnp.stack([p.kernel for p in projs])
+            # QuantLinear (uniform per slot, checked by
+            # _experts_are_pristine): stack the int8 grid and dequantize
+            # into the activation dtype.  The transient (E, d, h) copy
+            # reads int8 where the bf16 tuple stack reads bf16 — strictly
+            # less HBM traffic, and gmm/ragged_dot then run as usual.
+            wq = jnp.stack([p.w_q for p in projs])
+            sc = jnp.stack([p.scale for p in projs]).astype(x.dtype)
+            return wq.astype(x.dtype) * sc[:, None, :]
+
+        w_gate = _stack_kernels([e.gate_proj for e in self.experts])
+        w_up = _stack_kernels([e.up_proj for e in self.experts])
+        w_down = _stack_kernels([e.down_proj for e in self.experts])
 
         def _bias_rows(projs):
             # per-row bias: stack per-expert biases, gather by sorted id
@@ -5262,7 +5287,9 @@ class MoEMLP(nn.Module):
         return out
 
     def __call__(self, x: jax.Array, ctx: Optional[nn.Ctx] = None) -> jax.Array:
-        if self.n_zero_experts == 0 and self._experts_are_pristine():
+        if self.n_zero_experts == 0 and self._experts_are_pristine(
+            allow_quant=True
+        ):
             out = self._grouped(x, ctx)
         else:
             out = self._dense_masked(x, ctx)

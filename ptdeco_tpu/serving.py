@@ -38,6 +38,7 @@ from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from . import nn
@@ -149,6 +150,58 @@ def _cache_write(
     return cache
 
 
+def _is_static_zero(cache_pos: Any) -> bool:
+    """True when ``cache_pos`` is a TRACE-TIME-KNOWN scalar zero — i.e.
+    the caller passed the literal ``0`` (or a concrete scalar array), not
+    a traced value.  Must be evaluated on the caller's ORIGINAL argument,
+    before any ``jnp.asarray``: under jit even constants are staged into
+    tracers (omnistaging), so concreteness is only observable at the
+    ``forward_with_cache`` call boundary."""
+    if isinstance(cache_pos, jax.core.Tracer):
+        return False
+    try:
+        return int(np.ndim(cache_pos)) == 0 and int(cache_pos) == 0
+    except TypeError:
+        return False
+
+
+def _flash_prefill_ok(
+    a: Attention,
+    s: int,
+    hd: int,
+    q_dtype: Any,
+    kv_mask: Optional[jax.Array],
+    dyn_cache: Optional[jax.Array],
+) -> bool:
+    """Feature gates for the flash-kernel cached PREFILL: together with
+    ``CachedAttention.prefill_causal`` (set by ``forward_with_cache``
+    when the caller's ``cache_pos`` is a static zero — see
+    ``_is_static_zero``), true means the cached step is exactly plain
+    bf16 causal attention over the new tokens, so the pallas flash
+    kernel can compute it without materializing the ``(b, h, s,
+    max_len)`` f32 logits (the dominant prefill HBM cost at long
+    context: 128MB per batch element per layer at s=4k/max_len=8k).
+    The gate list mirrors the uncached ``Attention.__call__`` dispatch.
+    """
+    from .models import transformer as _tr
+
+    return (
+        s > 1
+        and _tr._FLASH_ENABLED
+        and jax.default_backend() == "tpu"
+        and q_dtype == jnp.bfloat16
+        and a.logit_softcap is None
+        and a.sinks is None
+        and a.sliding_window is None
+        and not a.use_alibi
+        and dyn_cache is None
+        and (a.chunk_size is None or s <= a.chunk_size)
+        and kv_mask is None
+        and s % 128 == 0
+        and (hd <= 128 or hd % 128 == 0)
+    )
+
+
 class CachedAttention(nn.Module):
     """Drop-in ``Attention`` stand-in that reads/writes a KV cache.
 
@@ -168,6 +221,10 @@ class CachedAttention(nn.Module):
     # v at that key's position, so it caches alongside k/v
     dyn_cache: Optional[jax.Array] = None  # (b, max_len, n_kv) f32
     sow_name: str = nn.static_field(default="kv")
+    # trace-time fact from forward_with_cache: the caller's cache_pos was
+    # a STATIC zero, so this step is a prefill from an empty cache and
+    # plain causal attention over the new tokens is exact
+    prefill_causal: bool = nn.static_field(default=False)
 
     def __call__(
         self,
@@ -202,10 +259,27 @@ class CachedAttention(nn.Module):
 
         g = a.n_kv_heads
         rep = a.n_heads // g
-        qg = q.reshape(b, s, g, rep, hd)
         scale = (
             a.scale_override if a.scale_override is not None else hd
         ) ** -0.5
+        if self.prefill_causal and _flash_prefill_ok(
+            a, s, hd, q.dtype, self.kv_mask, dyn_cache
+        ):
+            # Long-context prefill: the cache beyond the s new tokens is
+            # empty and masked, so attention == plain causal flash over
+            # (q, k_new, v_new); the cache writes above are unchanged.
+            from .ops.flash_attention import flash_attention as _flash_op
+
+            k_rep = k_new if rep == 1 else jnp.repeat(k_new, rep, axis=2)
+            v_rep = v_new if rep == 1 else jnp.repeat(v_new, rep, axis=2)
+            out = _flash_op(
+                q.transpose(0, 2, 1, 3),
+                k_rep.transpose(0, 2, 1, 3),
+                v_rep.transpose(0, 2, 1, 3),
+                scale,
+            ).transpose(0, 2, 1, 3)
+            return a.finish(out.reshape(b, s, -1), out_gate, ctx)
+        qg = q.reshape(b, s, g, rep, hd)
         # grouped contraction against the un-repeated cache
         logits = (
             jnp.einsum(
@@ -824,6 +898,9 @@ def forward_with_cache(
     head is the dominant prefill FLOP/memory cost."""
     ctx = nn.Ctx(no_remat=True)
     b, s = input_ids.shape
+    # must be read off the caller's ORIGINAL argument, pre-asarray (under
+    # jit even the literal 0 stages into a tracer after conversion)
+    prefill0 = _is_static_zero(cache_pos)
     cache_pos = jnp.asarray(cache_pos, jnp.int32)
 
     def _take_last(x: jax.Array) -> jax.Array:
@@ -867,6 +944,7 @@ def forward_with_cache(
                             cache_pos=cache_pos,
                             kv_mask=kv_mask,
                             sow_name=f"{name}.attn",
+                            prefill_causal=prefill0,
                         )
                     )
                 )
@@ -993,6 +1071,7 @@ def forward_with_cache(
                     cache_pos=cache_pos,
                     kv_mask=kv_mask,
                     sow_name=f"{name}.attn",
+                    prefill_causal=prefill0,
                 ),
                 mamba=CachedStateMixer(
                     inner=layer.mamba,
@@ -1018,6 +1097,7 @@ def forward_with_cache(
                 kv_mask=kv_mask,
                 dyn_cache=cache[2] if len(cache) == 3 else None,
                 sow_name=name,
+                prefill_causal=prefill0,
             )
         if isinstance(layer, MambaBlock):
             swapped = layer.replace(mixer=cached)

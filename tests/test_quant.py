@@ -198,12 +198,15 @@ def test_quantized_generate_with_tp_sharded_params():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
-def test_quantized_moe_decodes_via_dense_path():
-    """Quantized MoE experts fail the grouped path's pristine-Linear
-    check, so the layer falls back to the zero-masked dense path — still
-    exact: cached generate must equal the uncached quantized model, and
-    the expert sites must actually be quantized."""
+def test_quantized_moe_takes_grouped_path():
+    """Quantized (QuantLinear) tuple-form MoE experts pass the grouped
+    path's pristine check under ``allow_quant`` — FLOPs stay ∝ top_k and
+    the stacked int8 grid dequantizes into the activation dtype — while
+    ``stack_moe_experts`` (which must read ``.kernel``) still refuses
+    them.  Cached generate must equal the uncached quantized model, and
+    the grouped forward must equal the zero-masked dense reference."""
     from ptdeco_tpu import models
+    from ptdeco_tpu.models.moe_stack import StackedMoEMLP, stack_moe_experts
 
     cfg = models.TransformerConfig(
         vocab_size=64, dim=32, n_layers=2, n_heads=4, n_kv_heads=2,
@@ -217,10 +220,46 @@ def test_quantized_moe_decodes_via_dense_path():
     )
     assert type(gate) is quant.QuantLinear
     moe = nn.get_submodule(qlm, "model.layers.0.mlp")
-    assert not moe._experts_are_pristine()
+    assert not moe._experts_are_pristine()  # strict: stacking refuses
+    assert moe._experts_are_pristine(allow_quant=True)
+    st = stack_moe_experts(qlm)
+    assert not any(
+        type(m) is StackedMoEMLP for _, m in nn.named_modules(st)
+    )
+    # grouped forward == zero-masked dense reference on the same weights
+    x = jax.random.normal(jax.random.PRNGKey(46), (2, 5, 32))
+    np.testing.assert_allclose(
+        np.asarray(moe._grouped(x, None)),
+        np.asarray(moe._dense_masked(x, None)),
+        atol=1e-5,
+    )
     prompt = jax.random.randint(jax.random.PRNGKey(45), (2, 4), 0, 64)
     want = naive_greedy(qlm, prompt, 4)
     got = serving.generate(qlm, prompt, 4)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_mixed_quantized_moe_falls_back_to_dense():
+    """A slot with MIXED Linear/QuantLinear across experts (e.g. one
+    expert skipped via skip_names) must refuse the grouped path — the
+    stacked dequant assumes slot-uniform types."""
+    from ptdeco_tpu import models
+
+    cfg = models.TransformerConfig(
+        vocab_size=64, dim=32, n_layers=1, n_heads=4, n_kv_heads=2,
+        hidden_dim=48, n_experts=4, n_experts_per_tok=2,
+        moe_hidden_dim=48,
+    )
+    lm = models.CausalLM.create(jax.random.PRNGKey(47), cfg)
+    qlm = quant.quantize_for_serving(
+        lm, skip_names=("model.layers.0.mlp.experts.0.gate_proj",)
+    )
+    moe = nn.get_submodule(qlm, "model.layers.0.mlp")
+    assert not moe._experts_are_pristine(allow_quant=True)
+    # still exact through the dense path
+    prompt = jax.random.randint(jax.random.PRNGKey(48), (2, 4), 0, 64)
+    want = naive_greedy(qlm, prompt, 3)
+    got = serving.generate(qlm, prompt, 3)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 

@@ -1,0 +1,200 @@
+"""Continuous batching engine: per-request outputs must be IDENTICAL to
+running ``serving.generate`` on each prompt alone (slot pooling, bucket
+padding, chunked decode, slot reuse, and retirement are pure scheduling —
+never numerics).  The reference serves nothing
+(/root/reference/examples/trainer_llm/metrics.py:81-107 ends at lm_eval
+scoring); this pins the capability added on top."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ptdeco_tpu import models, quant, serving
+from ptdeco_tpu.serving_batcher import ContinuousBatcher
+
+
+def make_lm(key=0, **overrides):
+    base = dict(
+        vocab_size=64,
+        dim=32,
+        n_layers=2,
+        n_heads=4,
+        n_kv_heads=2,
+        hidden_dim=48,
+        dtype=jnp.float32,
+    )
+    base.update(overrides)
+    cfg = models.TransformerConfig(**base)
+    return models.CausalLM.create(jax.random.PRNGKey(key), cfg)
+
+
+def oracle(lm, prompt, n_new):
+    """Single-request greedy reference: serving.generate on a batch of 1."""
+    out = serving.generate(
+        lm, jnp.asarray(prompt, jnp.int32)[None, :], n_new
+    )
+    return np.asarray(out[0])
+
+
+def test_stream_matches_per_request_generate():
+    """5 requests with different prompt lengths and budgets through a
+    2-slot pool (forcing slot reuse) — every request's tokens equal its
+    single-request greedy continuation."""
+    lm = make_lm(key=1)
+    rng = np.random.default_rng(2)
+    reqs = []
+    for n, (plen, budget) in enumerate(
+        [(3, 5), (7, 4), (5, 9), (2, 6), (6, 3)]
+    ):
+        reqs.append(rng.integers(0, 64, size=plen).astype(np.int32))
+    eng = ContinuousBatcher(lm, n_slots=2, max_len=32, decode_chunk=3)
+    ids = {}
+    for prompt, (_, budget) in zip(
+        reqs, [(3, 5), (7, 4), (5, 9), (2, 6), (6, 3)]
+    ):
+        ids[eng.submit(prompt, budget)] = (prompt, budget)
+    finished = eng.run()
+    assert len(finished) == 5
+    assert not eng.has_work
+    for f in finished:
+        prompt, budget = ids[f.req_id]
+        assert f.finish_reason == "length"
+        np.testing.assert_array_equal(
+            f.tokens, oracle(lm, prompt, budget)[: len(f.tokens)]
+        )
+        assert len(f.tokens) == budget
+
+
+def _cut_at_eos(full, eos):
+    """Expected engine output for a greedy oracle stream and an eos id."""
+    hit = np.nonzero(full == eos)[0]
+    if hit.size:
+        return full[: hit[0] + 1], "eos"
+    return full, "length"
+
+
+def test_eos_retires_early_and_slot_is_reused():
+    lm = make_lm(key=3)
+    prompt = np.asarray([5, 9, 2, 41], np.int32)
+    full = oracle(lm, prompt, 10)
+    # pick the eos whose FIRST occurrence in the stream is latest, so the
+    # request decodes a real prefix before retiring early
+    first_at = {int(t): j for j in range(len(full) - 1, -1, -1)
+                for t in [full[j]]}
+    eos = max(first_at, key=first_at.get)
+    want1, reason1 = _cut_at_eos(full, eos)
+    assert reason1 == "eos" and len(want1) < len(full)
+    eng = ContinuousBatcher(
+        lm, n_slots=1, max_len=32, eos_id=eos, decode_chunk=4
+    )
+    rid1 = eng.submit(prompt, 10)
+    # a second request keeps the pool busy after the first retires
+    prompt2 = np.asarray([7, 7, 1], np.int32)
+    rid2 = eng.submit(prompt2, 4)
+    done = {f.req_id: f for f in eng.run()}
+    f1 = done[rid1]
+    assert f1.finish_reason == reason1
+    np.testing.assert_array_equal(f1.tokens, want1)
+    f2 = done[rid2]
+    # request 2 ran in the REUSED slot: still exact (up to its own eos)
+    want2, reason2 = _cut_at_eos(oracle(lm, prompt2, 4), eos)
+    assert f2.finish_reason == reason2
+    np.testing.assert_array_equal(f2.tokens, want2)
+
+
+def test_first_token_eos_and_budget_one():
+    lm = make_lm(key=4)
+    prompt = np.asarray([1, 2, 3], np.int32)
+    first = int(oracle(lm, prompt, 1)[0])
+    eng = ContinuousBatcher(lm, n_slots=2, max_len=16, eos_id=first)
+    rid = eng.submit(prompt, 5)
+    done = {f.req_id: f for f in eng.run()}
+    assert done[rid].finish_reason == "eos"
+    np.testing.assert_array_equal(done[rid].tokens, [first])
+    # budget 1: retires straight from prefill
+    eng2 = ContinuousBatcher(lm, n_slots=2, max_len=16)
+    rid2 = eng2.submit(prompt, 1)
+    done2 = {f.req_id: f for f in eng2.run()}
+    assert done2[rid2].finish_reason == "length"
+    np.testing.assert_array_equal(done2[rid2].tokens, [first])
+
+
+def test_quantized_model_through_engine():
+    lm = make_lm(key=5)
+    qlm = quant.quantize_for_serving(lm)
+    prompt = np.asarray([11, 3, 29, 8, 44], np.int32)
+    eng = ContinuousBatcher(qlm, n_slots=2, max_len=24, decode_chunk=2)
+    rid = eng.submit(prompt, 6)
+    done = {f.req_id: f for f in eng.run()}
+    np.testing.assert_array_equal(done[rid].tokens, oracle(qlm, prompt, 6))
+
+
+def test_sampling_reproducible_and_valid():
+    lm = make_lm(key=6)
+    eng = ContinuousBatcher(
+        lm, n_slots=2, max_len=24, temperature=0.8, top_p=0.9, top_k=20,
+        key=jax.random.PRNGKey(7),
+    )
+    rid = eng.submit(np.asarray([1, 2], np.int32), 5)
+    done = {f.req_id: f for f in eng.run()}
+    toks = done[rid].tokens
+    assert toks.shape == (5,) and (toks >= 0).all() and (toks < 64).all()
+    # same engine config + key → same stream
+    eng2 = ContinuousBatcher(
+        lm, n_slots=2, max_len=24, temperature=0.8, top_p=0.9, top_k=20,
+        key=jax.random.PRNGKey(7),
+    )
+    rid2 = eng2.submit(np.asarray([1, 2], np.int32), 5)
+    done2 = {f.req_id: f for f in eng2.run()}
+    np.testing.assert_array_equal(done2[rid2].tokens, toks)
+
+
+def test_refusals():
+    lm = make_lm(key=8)
+    eng = ContinuousBatcher(lm, n_slots=1, max_len=16)
+    with pytest.raises(ValueError, match="max_len"):
+        eng.submit(np.arange(10, dtype=np.int32), 10)
+    with pytest.raises(ValueError, match="max_new_tokens"):
+        eng.submit(np.arange(4, dtype=np.int32), 0)
+    with pytest.raises(ValueError, match="empty"):
+        eng.submit(np.zeros((0,), np.int32), 3)
+    with pytest.raises(ValueError, match="n_slots"):
+        ContinuousBatcher(lm, n_slots=0, max_len=16)
+    with pytest.raises(ValueError, match="decode_chunk"):
+        ContinuousBatcher(lm, n_slots=1, max_len=16, decode_chunk=0)
+    with pytest.raises(ValueError, match="top_p"):
+        ContinuousBatcher(lm, n_slots=1, max_len=16, top_p=0.0)
+    # recurrent models cannot slot-reuse (no per-row position rewrite)
+    from ptdeco_tpu.models import ssm
+
+    hybrid = make_lm(
+        key=9,
+        layer_types=("mamba", "full_attention"),
+        mamba=ssm.MambaConfig(
+            dim=32, d_inner=32, d_state=4, d_conv=3, dt_rank=4, version=1
+        ),
+    )
+    with pytest.raises(ValueError, match="recurrent"):
+        ContinuousBatcher(hybrid, n_slots=1, max_len=16)
+
+
+def test_bucket_padding_is_invisible():
+    """A prompt padded up to a larger bucket must produce the same
+    tokens as one landing exactly on its bucket boundary."""
+    lm = make_lm(key=10)
+    prompt = np.asarray([4, 8, 15, 16, 23], np.int32)  # len 5 -> bucket 16
+    eng = ContinuousBatcher(
+        lm, n_slots=1, max_len=32, prefill_buckets=(16, 32)
+    )
+    rid = eng.submit(prompt, 4)
+    done = {f.req_id: f for f in eng.run()}
+    np.testing.assert_array_equal(done[rid].tokens, oracle(lm, prompt, 4))
+    eng2 = ContinuousBatcher(
+        lm, n_slots=1, max_len=32, prefill_buckets=(5, 32)
+    )
+    rid2 = eng2.submit(prompt, 4)
+    done2 = {f.req_id: f for f in eng2.run()}
+    np.testing.assert_array_equal(
+        done2[rid2].tokens, done[rid].tokens
+    )
