@@ -93,6 +93,7 @@ class _Slot:
 @functools.partial(
     jax.jit, static_argnames=("bucket", "greedy", "use_top_p", "top_k",
                               "use_min_p"),
+    donate_argnames=("caches",),
 )
 def _prefill_impl(
     lm: Any,
@@ -132,6 +133,7 @@ def _prefill_impl(
 @functools.partial(
     jax.jit, static_argnames=("chunk", "greedy", "eos_id", "use_top_p",
                               "top_k", "use_min_p"),
+    donate_argnames=("caches",),
 )
 def _decode_chunk_impl(
     lm: Any,
@@ -304,7 +306,29 @@ class ContinuousBatcher:
                 f"prompt {prompt.size} + max_new_tokens {max_new_tokens} "
                 f"exceeds max_len {self._max_len}"
             )
-        rid = next(self._ids) if req_id is None else req_id
+        if prompt.size > self._buckets[-1]:
+            # Fail at submission time: _bucket_for would otherwise raise
+            # inside run()/step() AFTER the request was popped from the
+            # queue, surfacing mid-stream with the request silently lost.
+            raise ValueError(
+                f"prompt length {prompt.size} exceeds largest prefill "
+                f"bucket {self._buckets[-1]}"
+            )
+        if req_id is None:
+            rid = next(self._ids)
+        else:
+            rid = req_id
+            live = {s.req_id for s in self._slots if s is not None}
+            queued = {q[0] for q in self._queue}
+            if rid in live or rid in queued:
+                raise ValueError(
+                    f"req_id {rid} duplicates a live/queued request"
+                )
+            # Keep auto-generated ids from colliding with this one later.
+            if isinstance(rid, int):
+                self._ids = itertools.count(
+                    max(rid + 1, next(self._ids))
+                )
         self._queue.append((rid, prompt, int(max_new_tokens)))
         return rid
 

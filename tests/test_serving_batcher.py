@@ -198,3 +198,57 @@ def test_bucket_padding_is_invisible():
     np.testing.assert_array_equal(
         done2[rid2].tokens, done[rid].tokens
     )
+
+
+def test_submit_validation_against_buckets_and_req_ids():
+    """ADVICE r3: a prompt longer than the largest bucket must fail at
+    submit() (not mid-stream after the queue pop), and caller-supplied
+    req_ids must neither collide with live/queued requests nor be
+    silently reissued by the auto counter."""
+    lm = make_lm(key=12)
+    eng = ContinuousBatcher(
+        lm, n_slots=1, max_len=64, prefill_buckets=(8,)
+    )
+    with pytest.raises(ValueError, match="bucket"):
+        eng.submit(np.arange(9, dtype=np.int32), 4)
+    assert not eng.has_work  # queue stayed consistent
+
+    rid = eng.submit(np.asarray([1, 2, 3], np.int32), 2, req_id=5)
+    assert rid == 5
+    with pytest.raises(ValueError, match="duplicates"):
+        eng.submit(np.asarray([4], np.int32), 2, req_id=5)
+    # auto ids advance past the user-supplied one
+    auto = eng.submit(np.asarray([4], np.int32), 2)
+    assert auto > 5
+    done = {f.req_id for f in eng.run()}
+    assert done == {5, auto}
+
+
+def test_engine_on_tp_mesh_matches_single_device():
+    """VERDICT r3 #10: the engine's state (pool caches, per-row pos/tok)
+    is pure jnp, so under tp-sharded params GSPMD shards the pool's K/V
+    over the head axis exactly like serving.generate's cache — the
+    stream of every request must equal the SINGLE-DEVICE oracle, through
+    slot reuse and bucket padding."""
+    from ptdeco_tpu import parallel
+    from ptdeco_tpu.parallel import shardings as sh
+
+    lm = make_lm(key=13)
+    mesh = parallel.make_mesh(tp=2)
+    sharded = sh.shard_params(lm, mesh)
+    rng = np.random.default_rng(14)
+    reqs = [
+        rng.integers(0, 64, size=plen).astype(np.int32)
+        for plen in (3, 6, 4, 7)
+    ]
+    budgets = [5, 3, 6, 4]
+    eng = ContinuousBatcher(sharded, n_slots=2, max_len=32, decode_chunk=3)
+    ids = {}
+    for prompt, budget in zip(reqs, budgets):
+        ids[eng.submit(prompt, budget)] = (prompt, budget)
+    done = {f.req_id: f for f in eng.run()}
+    assert len(done) == 4
+    for rid, (prompt, budget) in ids.items():
+        np.testing.assert_array_equal(
+            done[rid].tokens, oracle(lm, prompt, budget)
+        )
