@@ -2,7 +2,7 @@
 
 PYTHON ?= python
 
-.PHONY: test test-fast check build bench clean
+.PHONY: test test-quick test-fast check build bench clean
 
 # PALLAS_AXON_POOL_IPS is cleared so the TPU-tunnel plugin never
 # registers in test processes: tests force the CPU platform anyway
@@ -13,8 +13,12 @@ PYTHON ?= python
 test:
 	PALLAS_AXON_POOL_IPS= $(PYTHON) -m pytest tests/ -x -q
 
-test-fast:
-	PALLAS_AXON_POOL_IPS= $(PYTHON) -m pytest tests/ -x -q -m "not slow"
+# ~5-9 min core-contract subset (tests/conftest.py _QUICK_MODULES): run
+# per change; the full suite (~55 min) per round / nightly.
+test-quick:
+	PALLAS_AXON_POOL_IPS= $(PYTHON) -m pytest tests/ -x -q -m quick
+
+test-fast: test-quick
 
 # check = byte-compile + dependency-free lint (always available) + ruff /
 # mypy when installed (this dev image ships neither; CI installs both —
