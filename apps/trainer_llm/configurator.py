@@ -196,5 +196,17 @@ class FinetuneConfig(_VersionConfig):
     # are decomposed/LoRA'd stay in tuple form (logged) and ep does not
     # apply to them.
     mesh_ep: int = 1
+    # pipeline parallelism: run train/eval forwards as a GPipe fill-drain
+    # pipeline over a pp mesh axis (parallel.pipeline_logits) — each
+    # device stores and runs L/pp decoder layers.  Requires a HOMOGENEOUS
+    # layer stack (same decomposed/LoRA structure in every layer; hybrid
+    # attention/mamba stacks are refused with a ValueError).  Gradients
+    # are exact (pinned in tests/test_pipeline.py); only the forward's
+    # schedule changes.
+    mesh_pp: int = 1
+    # microbatches per pipeline step; None = mesh_pp.  More microbatches
+    # shrink the (S-1)/(M+S-1) fill-drain bubble at the cost of smaller
+    # per-tick matmuls; train/test batch sizes must divide by it (x dp).
+    pp_microbatches: Optional[int] = None
 
     model_config = pydantic.ConfigDict(extra="forbid")

@@ -14,7 +14,9 @@ from __future__ import annotations
 import json
 import logging
 import pathlib
+import re
 import time
+import zlib
 from typing import Any
 
 import jax
@@ -73,6 +75,11 @@ def main(config_raw: dict[str, Any], output_path: pathlib.Path) -> None:
         # in layers that stay unstacked, so the two compose.
         model = models.stack_moe_experts(model)
         stacked_moe = True
+    if config.mesh_pp > 1:
+        # fail fast (before any data loading) on non-homogeneous stacks;
+        # LoRA attaches uniformly to decomposed sites, so heterogeneity
+        # is already visible here (pipeline_logits re-checks post-LoRA)
+        parallel.stack_block_params(model.model.layers)
 
     train_ds = datasets_hf.get_dataset(config.train_data_name)
     train_loader = datasets_hf.prepare_dataloader_v1(
@@ -105,16 +112,28 @@ def main(config_raw: dict[str, Any], output_path: pathlib.Path) -> None:
     ppl_before = metrics.calc_perplexity(model, ppl_loader.one_epoch())
 
     # attach LoRA
+    use_pp = config.mesh_pp > 1
     key = jax.random.PRNGKey(0)
     targets = _lora_targets(model, decompose_config)
     lora_names = []
-    for rng_id, (name, r) in enumerate(targets):
+    for i, (name, r) in enumerate(targets):
         base = nn.get_submodule(model, name)
+        if use_pp:
+            # rng_id is a STATIC module field; per-site-global values
+            # would make layer treedefs differ and break the pipeline's
+            # homogeneous stack.  Under pp the id only needs to be
+            # unique WITHIN a layer (pipeline_logits folds the global
+            # layer index into ctx.key), so derive it from the
+            # within-layer path.  Init keys stay globally unique.
+            sub = re.sub(r"^model\.layers\.\d+\.", "", name)
+            rng_id = zlib.crc32(sub.encode()) & 0x7FFFFFFF
+        else:
+            rng_id = i
         model = nn.replace_submodule(
             model,
             name,
             ft.LoRALinear.attach(
-                jax.random.fold_in(key, rng_id),
+                jax.random.fold_in(key, i),
                 base,
                 r,
                 alpha=config.lora_alpha,
@@ -128,12 +147,21 @@ def main(config_raw: dict[str, Any], output_path: pathlib.Path) -> None:
         config.mesh_dp is not None
         or config.mesh_tp > 1
         or config.mesh_ep > 1
+        or config.mesh_pp > 1
     ):
         mesh = parallel.make_mesh(
-            dp=config.mesh_dp, tp=config.mesh_tp, ep=config.mesh_ep
+            dp=config.mesh_dp,
+            tp=config.mesh_tp,
+            ep=config.mesh_ep,
+            pp=config.mesh_pp,
         )
         model = psh.shard_params(model, mesh)
         logger.info(f"Using mesh {dict(mesh.shape)}")
+    pp_microbatches = (
+        config.pp_microbatches
+        if config.pp_microbatches is not None
+        else config.mesh_pp
+    )
 
     leaf_names = [f"{n}.lora_a" for n in lora_names] + [
         f"{n}.lora_b" for n in lora_names
@@ -172,12 +200,21 @@ def main(config_raw: dict[str, Any], output_path: pathlib.Path) -> None:
     )
     opt_state = tx.init(trainable)
 
+    def forward(m, batch, ctx=None):
+        """Model forward; under mesh_pp this is the GPipe pipeline over
+        the pp axis (exact: gradients pinned in tests/test_pipeline.py)."""
+        if use_pp:
+            return parallel.pipeline_logits(
+                m, batch, mesh, pp_microbatches, ctx
+            )
+        return m(batch, ctx=ctx)
+
     @jax.jit
     def train_step(trainable, opt_state, batch, key):
         def loss_fn(tr):
             m = nn.combine(tr, frozen)
             ctx = nn.Ctx(key=key, train=True)
-            return models.ce_loss(batch, m(batch, ctx=ctx))
+            return models.ce_loss(batch, forward(m, batch, ctx))
 
         loss, grads = jax.value_and_grad(loss_fn)(trainable)
         updates, opt_state = tx.update(grads, opt_state, trainable)
@@ -186,7 +223,7 @@ def main(config_raw: dict[str, Any], output_path: pathlib.Path) -> None:
     @jax.jit
     def eval_loss(trainable, batch):
         m = nn.combine(trainable, frozen)
-        return models.ce_loss(batch, m(batch))
+        return models.ce_loss(batch, forward(m, batch))
 
     best_eval = float("inf")
     best_trainable = trainable

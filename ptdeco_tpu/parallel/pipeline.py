@@ -108,6 +108,12 @@ def pipeline_logits(
         )
 
     treedef, stacked = stack_block_params(blocks)
+    # global layer ids ride along the stack so per-layer RNG streams
+    # (dropout in LoRA/blocks) stay distinct across layers even though
+    # every layer shares one treedef: the scan body folds the id into
+    # ctx.key.  Sharded like the stack, so each stage carries its own
+    # GLOBAL indices.
+    stacked = stacked + [jnp.arange(n_layers, dtype=jnp.uint32)]
     stacked = [
         jax.device_put(w, NamedSharding(mesh, P(PP_AXIS)))
         for w in stacked
@@ -136,17 +142,27 @@ def pipeline_logits(
         )
 
         def apply_stage(h, pos, mask):
-            def blk_apply(blk, carry):
-                return blk(carry, ctx, positions=pos, attn_mask=mask)
+            def blk_apply(blk, layer_id, carry):
+                if ctx is not None and ctx.key is not None:
+                    layer_ctx = type(ctx)(
+                        key=jax.random.fold_in(ctx.key, layer_id),
+                        train=ctx.train,
+                        no_remat=ctx.no_remat,
+                    )
+                    layer_ctx.sink = ctx.sink
+                else:
+                    layer_ctx = ctx
+                return blk(carry, layer_ctx, positions=pos, attn_mask=mask)
 
-            def body(carry, leaves):
+            def body(carry, xs):
+                *leaves, layer_id = xs
                 blk = jax.tree_util.tree_unflatten(treedef, leaves)
                 if use_remat:
                     # same semantics as Decoder.__call__'s remat: the
                     # block pytree crosses the checkpoint boundary so its
                     # params are differentiable residuals
-                    return jax.checkpoint(blk_apply)(blk, carry), None
-                return blk_apply(blk, carry), None
+                    return jax.checkpoint(blk_apply)(blk, layer_id, carry), None
+                return blk_apply(blk, layer_id, carry), None
 
             h, _ = jax.lax.scan(body, h, stacked_local)
             return h
