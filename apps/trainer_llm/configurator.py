@@ -126,6 +126,16 @@ class GenerateConfig(_VersionConfig):
     num_beams: int = 1  # >1: deterministic beam search (temperature 0)
     length_penalty: float = 1.0  # beam ranking: score / len**penalty
     quantize_int8: bool = False  # weight-only int8 serving form
+    # speculative decoding: serve the ORIGINAL model with the decomposed
+    # artifact (decompose_config/state_dict) as the DRAFT — output is
+    # exactly the original's greedy continuation; compression becomes a
+    # lossless accelerator.  Requires temperature 0, num_beams 1.
+    speculative: bool = False
+    speculative_k: int = 4  # draft tokens per round
+    # measure draft/target step costs on the live device first and fall
+    # back to plain decode when drafting cannot pay (latency-bound
+    # regimes) — serving.estimate_speculative_speedup
+    speculative_auto_gate: bool = True
     batch_size: int = 8
     max_prompt_length: Optional[int] = None
     stop_at_eos: bool = True

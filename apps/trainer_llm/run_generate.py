@@ -76,7 +76,37 @@ def main(config_raw: dict[str, Any], output_path: pathlib.Path) -> None:
             "decompose_config and decompose_state_dict must be given "
             "together"
         )
-    if config.decompose_config is not None:
+    draft = None
+    if config.speculative:
+        # target = the ORIGINAL model; the decomposed artifact drafts
+        if config.decompose_config is None:
+            raise ValueError(
+                "speculative serving needs the decomposed artifact as the "
+                "draft: set decompose_config + decompose_state_dict"
+            )
+        if config.temperature != 0.0 or config.num_beams > 1:
+            raise ValueError(
+                "speculative decoding is greedy: set temperature: 0 and "
+                "num_beams: 1"
+            )
+        samplers = [
+            kk
+            for kk in ("top_p", "top_k", "min_p", "repetition_penalty")
+            if getattr(config, kk) is not None
+        ]
+        if samplers:
+            raise ValueError(
+                f"speculative decoding does not apply {', '.join(samplers)}"
+            )
+        draft = builder.apply_decompose_config_and_state_dict(
+            model, config.decompose_config, config.decompose_state_dict
+        )
+        logger.info(
+            f"Speculative serving: draft = {config.decompose_config}, "
+            f"k={config.speculative_k}, "
+            f"auto_gate={config.speculative_auto_gate}"
+        )
+    elif config.decompose_config is not None:
         model = builder.apply_decompose_config_and_state_dict(
             model, config.decompose_config, config.decompose_state_dict
         )
@@ -85,8 +115,12 @@ def main(config_raw: dict[str, Any], output_path: pathlib.Path) -> None:
         from ptdeco_tpu import quant
 
         model = quant.quantize_for_serving(model)
+        if draft is not None:
+            draft = quant.quantize_for_serving(draft)
         logger.info("Quantized Linear sites to weight-only int8")
     serving.check_decode_supported(model)
+    if draft is not None:
+        serving.check_decode_supported(draft)
     if config.num_beams < 1:
         raise ValueError(f"num_beams must be >= 1, got {config.num_beams}")
     if config.num_beams > 1:
@@ -119,6 +153,7 @@ def main(config_raw: dict[str, Any], output_path: pathlib.Path) -> None:
     # batches of batch_size in input order; each batch right-padded to its
     # own longest prompt (ragged decode handles the rest exactly)
     results: list[dict[str, Any]] = []
+    spec_stats: list[dict[str, Any]] = []
     total_new = 0
     key = jax.random.PRNGKey(config.seed)
     t0 = time.perf_counter()
@@ -130,7 +165,20 @@ def main(config_raw: dict[str, Any], output_path: pathlib.Path) -> None:
             padded[i, : len(t)] = t
         lens = jnp.asarray([len(t) for t in chunk], jnp.int32)
         key, sub = jax.random.split(key)
-        if config.num_beams > 1:
+        if draft is not None:
+            out, stats = serving.generate_speculative(
+                model,
+                draft,
+                jnp.asarray(padded),
+                config.max_new_tokens,
+                k=config.speculative_k,
+                eos_id=eos_id,
+                prompt_lens=lens,
+                return_stats=True,
+                auto_gate=config.speculative_auto_gate,
+            )
+            spec_stats.append(stats)
+        elif config.num_beams > 1:
             out = serving.generate_beam(
                 model,
                 jnp.asarray(padded),
@@ -184,6 +232,17 @@ def main(config_raw: dict[str, Any], output_path: pathlib.Path) -> None:
         "decomposed": config.decompose_config is not None,
         "device": f"{device.platform}:{device.device_kind}",
     }
+    if spec_stats:
+        drafted = sum(s["drafted"] for s in spec_stats)
+        accepted = sum(s["accepted"] for s in spec_stats)
+        summary["speculative"] = {
+            "k": config.speculative_k,
+            "rounds": sum(s["rounds"] for s in spec_stats),
+            "drafted": drafted,
+            "accepted": accepted,
+            "acceptance": round(accepted / drafted, 4) if drafted else None,
+            "gate": spec_stats[0].get("gate"),
+        }
     with open(output_path / "summary.json", "w") as f:
         json.dump(summary, f, indent=2)
     logger.info(f"Generation summary: {summary}")

@@ -24,10 +24,13 @@ shapes.
 Measured speculative reality on this chip (r3): at 1.1B/batch-8 decode
 steps are LATENCY-bound, not weight-streaming-bound — a c=0.145 draft's
 single step (3.54ms) costs the same as the dense step (3.39ms), so
-speculative decoding measures 0.5-0.6x despite 92-96% acceptance.  The
-technique pays only where decode is weight-bound (bigger models per
-chip); the artifact records the honest number and the acceptance so the
-machinery's correctness/overhead stay tracked.
+speculative decoding measures 0.5-0.6x despite 92-96% acceptance.  r4
+adds (a) the auto-gate's measured-cost prediction for every speculative
+row (serving.estimate_speculative_speedup — the number the generate
+CLI's speculative_auto_gate acts on), and (b) the regime the technique
+exists for: a 3B-class target whose decode step is genuinely
+weight-streaming-bound at small batch, where drafting must pay
+(speculative_3b rows).
 
 Persists BENCH_GENERATE.json (run history).  Run on TPU:
     python aux/bench_generate.py
@@ -304,6 +307,7 @@ def main() -> None:
         twin_tok_s = BATCH * NEW_TOKENS / twin_s
         spec_s, spec_stats = time_speculative(twin, draft, prompt, k=4)
         spec_tok_s = BATCH * NEW_TOKENS / spec_s
+        est = serving.estimate_speculative_speedup(twin, draft, BATCH, k=4)
         spec[tag] = {
             "draft_params_proportion": round(
                 utils.get_num_params(draft) / n_params_dense, 4
@@ -314,7 +318,68 @@ def main() -> None:
             "acceptance": round(
                 spec_stats["accepted"] / max(spec_stats["drafted"], 1), 4
             ),
+            # the auto-gate's measured-cost prediction for this regime —
+            # at 1.1B shapes it should predict <1 (and generate CLI's
+            # speculative_auto_gate would fall back to dense here)
+            "gate_expected_speedup": est["expected_speedup"],
+            "gate_step_costs_ms": {
+                "target": round(est["target_step_s"] * 1e3, 3),
+                "verify": round(est["target_verify_s"] * 1e3, 3),
+                "draft": round(est["draft_step_s"] * 1e3, 3),
+            },
         }
+
+    # The regime speculative EXISTS for: a weight-streaming-bound target.
+    # 1.1B decode steps on this chip are floored by in-program small-op
+    # latency (~3.4ms/step regardless of weight bytes — r3 finding), so
+    # no draft can pay there.  At 3B shapes the dense step is dominated
+    # by streaming ~6.5GB of bf16 weights, leaving room under it for the
+    # c~0.1 draft's op-floor step; small batches keep the target
+    # latency-per-token high.  Same honest twin construction: the target
+    # is the draft's densified (function-identical) twin.
+    spec_3b = {"shapes": "llama3b-class d=3200 L=26 ffn=8640"}
+    cfg3 = models.TransformerConfig(
+        vocab_size=VOCAB,
+        dim=3200,
+        n_layers=26,
+        n_heads=32,
+        n_kv_heads=32,
+        hidden_dim=8640,
+        dtype=jnp.bfloat16,
+    )
+    draft3, _ = decompose_for_serving(
+        models.CausalLM.create(jax.random.PRNGKey(2), cfg3),
+        denom=16,
+        lm_head=True,
+    )
+    twin3 = densify(draft3)
+    spec_3b["draft_params_proportion"] = round(
+        utils.get_num_params(draft3) / utils.get_num_params(twin3), 4
+    )
+    for bsz in (1, 4):
+        p3 = jax.random.randint(
+            jax.random.PRNGKey(3), (bsz, PROMPT), 0, VOCAB, jnp.int32
+        )
+        twin3_s = time_generate(twin3, p3)
+        twin3_tok_s = bsz * NEW_TOKENS / twin3_s
+        s3, st3 = time_speculative(twin3, draft3, p3, k=4)
+        s3_tok_s = bsz * NEW_TOKENS / s3
+        est3 = serving.estimate_speculative_speedup(twin3, draft3, bsz, k=4)
+        spec_3b[f"b{bsz}"] = {
+            "speculative_tok_s": round(s3_tok_s, 1),
+            "target_dense_tok_s": round(twin3_tok_s, 1),
+            "speedup_vs_dense": round(s3_tok_s / twin3_tok_s, 3),
+            "acceptance": round(
+                st3["accepted"] / max(st3["drafted"], 1), 4
+            ),
+            "gate_expected_speedup": est3["expected_speedup"],
+            "gate_step_costs_ms": {
+                "target": round(est3["target_step_s"] * 1e3, 3),
+                "verify": round(est3["target_verify_s"] * 1e3, 3),
+                "draft": round(est3["draft_step_s"] * 1e3, 3),
+            },
+        }
+    del twin3, draft3
 
     out = {
         "model": "tinyllama_1.1b_shapes_bf16",
@@ -343,6 +408,7 @@ def main() -> None:
         "continuous_batching_win": round(cb_tok_s / lockstep_tok_s, 3),
         "speculative_k": 4,
         "speculative": spec,
+        "speculative_3b": spec_3b,
         "device": jax.devices()[0].device_kind,
         "ts": time.time(),
     }

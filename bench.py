@@ -68,6 +68,7 @@ try:
     _BASELINES["precompute"] = _m.get(
         "dwain_mlp_precompute_wall_s", float("nan")
     )
+    _BASELINES["falor"] = _m.get("falor_resnet18_class_wall_s", float("nan"))
 except Exception:
     pass
 
@@ -133,6 +134,146 @@ def run_once(mode: str) -> tuple[float, int, dict]:
         p = entry["__meta__"]["proportion"]
         assert p == EXPECTED_PROPORTION, f"{name}: proportion {p} != expected"
     return elapsed, engine.dispatch_count(), config
+
+
+# ---------------------------------------------------------------------------
+# falor: the reference's ONLY published perf claim is falor's ("< 1 GPU
+# hour", /root/reference/README.md:44-46), measured here on a
+# resnet18-class conv workload (1x1 conv tower at resnet18 stage widths +
+# a 1000-way linear head — the two layer types falor decomposes).  Shared
+# weights/data recipe with aux/bench_reference_falor.py; decisions are
+# asserted identical to the live reference run.
+
+_FALOR_CONV_PLAN = [
+    (64, 64, False),
+    (64, 64, True),
+    (64, 128, False),
+    (128, 128, True),
+    (128, 256, False),
+    (256, 256, True),
+    (256, 512, False),
+    (512, 512, False),
+]
+_FALOR_KW = dict(
+    proportion_threshold=0.95,
+    nsr_final_threshold=0.02,
+    kl_final_threshold=0.05,
+    num_data_steps=8,
+    num_metric_steps=4,
+    use_float64=True,
+    use_mean=False,
+    use_damping=True,
+)
+
+
+def _falor_shared_arrays():
+    """Weights + calibration batch — keep in lockstep with
+    aux/bench_reference_falor.py::shared_arrays."""
+    import numpy as np
+
+    rng = np.random.RandomState(2024)
+
+    def lowrank(d_out, d_in, rank, noise=0.01):
+        a = rng.randn(d_out, rank).astype(np.float64)
+        b = rng.randn(rank, d_in).astype(np.float64)
+        w = a @ b / np.sqrt(rank * d_in)
+        w += noise * rng.randn(d_out, d_in) / np.sqrt(d_in)
+        return w.astype(np.float32)
+
+    weights = {"stem.weight": (rng.randn(64, 3, 3, 3) / 5.0).astype(np.float32)}
+    weights["stem.bias"] = (0.1 * rng.randn(64)).astype(np.float32)
+    for i, (ci, co, _) in enumerate(_FALOR_CONV_PLAN):
+        w = lowrank(co, ci, max(min(ci, co) // 8, 4))
+        weights[f"convs.{i}.weight"] = w[:, :, None, None]
+        weights[f"convs.{i}.bias"] = (0.1 * rng.randn(co)).astype(np.float32)
+    weights["fc.weight"] = lowrank(1000, 512, 64)
+    weights["fc.bias"] = (0.1 * rng.randn(1000)).astype(np.float32)
+    calib = rng.randn(32, 3, 64, 64).astype(np.float32)
+    return weights, calib
+
+
+def _make_falor_net():
+    from ptdeco_tpu import nn, utils
+
+    class FalorNet(nn.Module):
+        """NHWC twin of aux/bench_reference_falor.py::FalorNet."""
+
+        stem: nn.Conv2d
+        convs: tuple
+        fc: nn.Linear
+
+        def __call__(self, x, ctx=None):
+            x = jax.nn.relu(self.stem(x, ctx))
+            for conv, (_, _, pool) in zip(self.convs, _FALOR_CONV_PLAN):
+                x = jax.nn.relu(conv(x, ctx))
+                if pool:
+                    b, h, w, c = x.shape
+                    x = x.reshape(b, h // 2, 2, w // 2, 2, c).mean(
+                        axis=(2, 4)
+                    )
+            return self.fc(jnp.mean(x, axis=(1, 2)), ctx)
+
+    weights, calib = _falor_shared_arrays()
+    keys = jax.random.split(jax.random.PRNGKey(0), len(_FALOR_CONV_PLAN) + 2)
+    net = FalorNet(
+        stem=nn.Conv2d.create(keys[0], 3, 64, kernel_size=3, stride=2,
+                              padding=1),
+        convs=tuple(
+            nn.Conv2d.create(keys[1 + i], ci, co, kernel_size=1)
+            for i, (ci, co, _) in enumerate(_FALOR_CONV_PLAN)
+        ),
+        fc=nn.Linear.create(keys[-1], 512, 1000),
+    )
+    net = utils.load_state_dict(net, weights)
+    return net, jnp.asarray(calib.transpose(0, 2, 3, 1))
+
+
+def run_falor_once() -> tuple[float, dict]:
+    from ptdeco_tpu import falor
+
+    net, batch = _make_falor_net()
+
+    def it():
+        while True:
+            yield batch
+
+    t0 = time.perf_counter()
+    net2, config = falor.decompose(
+        module=net, data_iterator=it(), **_FALOR_KW
+    )
+    jax.block_until_ready(jax.tree_util.tree_leaves(net2))
+    elapsed = time.perf_counter() - t0
+    decisions = {
+        name: entry["__meta__"]["proportion"]
+        for name, entry in config.items()
+    }
+    return elapsed, decisions
+
+
+def _measure_reference_falor_live(timeout_s: float = 1800.0) -> Optional[dict]:
+    """Live torch-reference falor run (same policy as
+    _measure_reference_live; min of 2 runs)."""
+    import pathlib
+    import subprocess
+    import sys
+
+    script = pathlib.Path(__file__).parent / "aux" / "bench_reference_falor.py"
+    if not pathlib.Path("/root/reference/src/ptdeco").exists():
+        return None
+    if not script.exists():
+        return None
+    try:
+        r = subprocess.run(
+            [sys.executable, str(script), "--repeats", "2"],
+            timeout=timeout_s,
+            capture_output=True,
+            text=True,
+        )
+        if r.returncode != 0:
+            return None
+        return json.loads(r.stdout.strip().splitlines()[-1])
+    except Exception:
+        return None
 
 
 def measure_calibration_mfu() -> dict:
@@ -266,6 +407,34 @@ def main() -> None:
             "vs_baseline": round(base / hot, 2) if base == base else None,
         }
 
+    # falor vs the live reference (its one published perf claim)
+    falor_live = _measure_reference_falor_live()
+    falor_warm, _ = run_falor_once()
+    falor_hot1, falor_dec = run_falor_once()
+    falor_hot2, _ = run_falor_once()
+    falor_hot = min(falor_hot1, falor_hot2)
+    if falor_live is not None:
+        ref_dec = falor_live["decisions"]
+        assert falor_dec == ref_dec, (
+            f"falor decisions diverge: ours={falor_dec} ref={ref_dec}"
+        )
+        falor_base = falor_live["falor_wall_s"]
+        falor_src = "live_same_run"
+    else:
+        falor_base = _BASELINES.get("falor", float("nan"))
+        falor_src = "recorded"
+    results["falor"] = {
+        "hot_s": round(falor_hot, 3),
+        "runs_s": [round(falor_warm, 3), round(falor_hot1, 3),
+                   round(falor_hot2, 3)],
+        "baseline_reference_torch_cpu_s": falor_base,
+        "baseline_source": falor_src,
+        "decisions": "identical (asserted)" if falor_live is not None
+        else falor_dec,
+        "vs_baseline": round(falor_base / falor_hot, 2)
+        if falor_base == falor_base else None,
+    }
+
     mfu = measure_calibration_mfu()
     # roll up the separately-tracked bench artifacts (real-model walk,
     # serving, EVD scaling, input pipeline) so the driver-captured record
@@ -307,6 +476,7 @@ def main() -> None:
                     "precompute": results["precompute"],
                     "serial": results["serial"],
                     "serial_exact_f64": results["serial-exact-f64"],
+                    "falor_resnet18_class": results["falor"],
                     "calibration_mfu": mfu,
                     "tracked_artifacts": artifacts,
                     "device": str(jax.devices()[0]),

@@ -34,6 +34,7 @@ and ``project_qkv`` derives the head dim from the projection output shape
 from __future__ import annotations
 
 import functools
+import logging
 from typing import Any, Optional
 
 import jax
@@ -86,7 +87,11 @@ __all__ = [
     "generate",
     "generate_beam",
     "generate_speculative",
+    "measure_decode_step_costs",
+    "estimate_speculative_speedup",
 ]
+
+logger = logging.getLogger(__name__)
 
 # per-layer entry: (k_cache, v_cache) with shape (b, max_len, n_kv, hd)
 # for standard attention, (lat_cache, pe_cache) with shapes
@@ -1661,6 +1666,101 @@ def _speculative_impl(
     return carry[4], carry[7]
 
 
+def measure_decode_step_costs(
+    target: CausalLM,
+    draft: CausalLM,
+    batch_size: int,
+    *,
+    k: int = 4,
+    max_len: int = 256,
+    iters: int = 32,
+) -> dict:
+    """Measure the three step costs the speculative round is made of, on
+    the LIVE device at the deployment's batch size: the target's width-1
+    decode step, the target's width-(k+1) verify step, and the draft's
+    width-1 step.  Each is timed as ONE jitted program scanning ``iters``
+    steps (amortizing the dispatch floor — how the decode loop actually
+    runs), min of two hot runs after a compile + queue-drain warmup.
+
+    This exists because whether speculative decoding pays is a HARDWARE
+    question, not an algebraic one: on a latency-bound chip/batch a
+    c=0.15 draft step can cost the same wall-clock as a dense step
+    (measured on this chip at 1.1B/batch-8, BENCH_GENERATE r3) and
+    drafting only slows serving down.  ``generate_speculative`` uses
+    these numbers to auto-gate."""
+    import time as _time
+
+    def _timed(lm, width):
+        caches = init_cache(lm, batch_size, max_len)
+        tok = jnp.zeros((batch_size, width), jnp.int32)
+
+        @jax.jit
+        def run(caches):
+            def step(c, _):
+                caches, pos = c
+                lg, caches = forward_with_cache(lm, tok, caches, pos)
+                return (caches, pos + width), lg[:, -1, 0]
+
+            (caches, _), last = lax.scan(
+                step, (caches, jnp.int32(0)), None,
+                length=min(iters, max(max_len // width - 1, 1)),
+            )
+            return last
+
+        n = min(iters, max(max_len // width - 1, 1))
+        jax.block_until_ready(run(caches))  # compile
+        jax.device_get(run(caches))  # drain the dispatch queue
+        best = float("inf")
+        for _ in range(2):
+            t0 = _time.perf_counter()
+            jax.block_until_ready(run(caches))
+            best = min(best, _time.perf_counter() - t0)
+        return best / n
+
+    return {
+        "target_step_s": _timed(target, 1),
+        "target_verify_s": _timed(target, k + 1),
+        "draft_step_s": _timed(draft, 1),
+    }
+
+
+def estimate_speculative_speedup(
+    target: CausalLM,
+    draft: CausalLM,
+    batch_size: int,
+    *,
+    k: int = 4,
+    acceptance: float = 0.9,
+    max_len: int = 256,
+    costs: Optional[dict] = None,
+) -> dict:
+    """Expected speculative-vs-dense throughput ratio from MEASURED step
+    costs (see ``measure_decode_step_costs``) and an assumed per-token
+    acceptance rate.
+
+    One round costs ``(k+1) * draft_step + verify_step`` (the draft scan
+    runs k+1 steps to keep its own cache hole-free) and emits
+    ``1 + sum_{i=1..k} a^i`` expected tokens against ``target_step`` per
+    token for plain decode.  The default a=0.9 is optimistic (measured
+    92-96% on real decomposed drafts, BENCH_GENERATE) — so a gate using
+    this estimate only refuses regimes where speculative loses even
+    under favorable acceptance."""
+    if costs is None:
+        costs = measure_decode_step_costs(
+            target, draft, batch_size, k=k, max_len=max_len
+        )
+    exp_tokens = 1.0 + sum(acceptance**i for i in range(1, k + 1))
+    round_s = (k + 1) * costs["draft_step_s"] + costs["target_verify_s"]
+    dense_s = exp_tokens * costs["target_step_s"]
+    return {
+        **{kk: round(v, 6) for kk, v in costs.items()},
+        "k": k,
+        "assumed_acceptance": acceptance,
+        "expected_tokens_per_round": round(exp_tokens, 3),
+        "expected_speedup": round(dense_s / round_s, 3),
+    }
+
+
 def generate_speculative(
     target: CausalLM,
     draft: CausalLM,
@@ -1671,6 +1771,8 @@ def generate_speculative(
     eos_id: Optional[int] = None,
     prompt_lens: Optional[jax.Array] = None,
     return_stats: bool = False,
+    auto_gate: bool = False,
+    min_estimated_speedup: float = 1.0,
 ):
     """Greedy speculative decoding: ``draft`` (typically the DECOMPOSED
     model — cheaper weight streaming) proposes ``k`` tokens per round;
@@ -1692,6 +1794,19 @@ def generate_speculative(
     ``generate``.  Returns ``(b, max_new_tokens)`` int32, eos/0-padded;
     with ``return_stats=True`` also a dict with rounds / drafted /
     accepted counts (acceptance rate = accepted/drafted).
+
+    ``auto_gate=True`` measures the draft/target step costs on the live
+    device first (``estimate_speculative_speedup``) and, when the
+    expected speedup is below ``min_estimated_speedup`` even at
+    optimistic acceptance, falls back to plain ``generate(target, ...)``
+    — the output is identical either way (speculative is exact), only
+    throughput differs.  Whether drafting pays is a hardware regime
+    question: it needs weight-streaming-bound target steps (small batch,
+    big model); on latency-bound regimes a cheap draft step costs the
+    same wall-clock as a dense step and k of them per round only lose
+    (measured at 1.1B/batch-8, BENCH_GENERATE r3).  With
+    ``return_stats=True`` the stats dict gains a ``"gate"`` entry
+    recording the decision and the measured estimate.
     """
     prompt_ids = jnp.asarray(prompt_ids, jnp.int32)
     b, s_p = prompt_ids.shape
@@ -1706,6 +1821,26 @@ def generate_speculative(
             "speculative decoding is not supported for models with SSM "
             "layers: rejected drafts require rewinding a recurrent state"
         )
+    if auto_gate:
+        est = estimate_speculative_speedup(target, draft, b, k=k)
+        if est["expected_speedup"] < min_estimated_speedup:
+            logger.warning(
+                "speculative auto-gate: expected speedup %.2fx < %.2fx "
+                "(draft step %.2fms vs target step %.2fms at batch %d) — "
+                "falling back to plain generate(target)",
+                est["expected_speedup"], min_estimated_speedup,
+                est["draft_step_s"] * 1e3, est["target_step_s"] * 1e3, b,
+            )
+            out = generate(
+                target, prompt_ids, max_new_tokens, eos_id=eos_id,
+                prompt_lens=prompt_lens,
+            )
+            if return_stats:
+                return out, {
+                    "rounds": 0, "drafted": 0, "accepted": 0,
+                    "gate": {"used_speculative": False, **est},
+                }
+            return out
     ragged = prompt_lens is not None
     lens = (
         jnp.asarray(prompt_lens, jnp.int32)
@@ -1728,5 +1863,10 @@ def generate_speculative(
         ragged=ragged,
     )
     if return_stats:
-        return out, {kk: int(v) for kk, v in jax.device_get(stats).items()}
+        host_stats = {
+            kk: int(v) for kk, v in jax.device_get(stats).items()
+        }
+        if auto_gate:
+            host_stats["gate"] = {"used_speculative": True, **est}
+        return out, host_stats
     return out

@@ -1196,6 +1196,34 @@ def test_cli_generate_task(tmp_path):
             tmp_path / "bad2",
         )
 
+    # speculative serving through the CLI: the decomposed artifact drafts
+    # for the ORIGINAL model — generations must equal the original-only
+    # run byte for byte (speculative is exact); summary records
+    # acceptance.  auto_gate off: this is a correctness drive, the
+    # CPU-measured gate decision is irrelevant here.
+    cfg4 = dict(
+        cfg2,
+        speculative=True,
+        speculative_k=2,
+        speculative_auto_gate=False,
+    )
+    out4 = tmp_path / "out4"
+    run_generate.main(cfg4, out4)
+    assert (out4 / "generations.jsonl").read_text() == (
+        out / "generations.jsonl"
+    ).read_text()
+    summary4 = json.loads((out4 / "summary.json").read_text())
+    assert summary4["speculative"]["rounds"] >= 1
+    assert 0.0 <= summary4["speculative"]["acceptance"] <= 1.0
+    with pytest.raises(ValueError, match="draft"):
+        run_generate.main(
+            dict(cfg, speculative=True), tmp_path / "bad3"
+        )
+    with pytest.raises(ValueError, match="greedy"):
+        run_generate.main(
+            dict(cfg4, temperature=0.5), tmp_path / "bad4"
+        )
+
 
 def test_max_len_validation():
     lm, _ = make_lm(key=19)
@@ -1315,3 +1343,54 @@ def test_flash_prefill_path_matches_einsum(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(got2[:, 0, :]), np.asarray(ref2), atol=1e-5
     )
+
+
+def test_speculative_auto_gate(monkeypatch):
+    """VERDICT r3 #1: the auto-gate measures step costs on the live
+    device and falls back to plain generate when drafting cannot pay;
+    output is identical on BOTH branches (speculative is exact)."""
+    lm, _ = make_lm(key=70)
+    draft = decompose_all(
+        lm, keep=["model.layers.0.mlp.up_proj"], min_rank=8
+    )
+    prompt = jax.random.randint(jax.random.PRNGKey(71), (2, 5), 0, 64)
+    want = serving.generate(lm, prompt, 7)
+
+    # real measurement path: returns sane positive costs and a finite
+    # estimate (decision itself is hardware-dependent — not asserted)
+    est = serving.estimate_speculative_speedup(lm, draft, 2, k=3)
+    assert est["target_step_s"] > 0 and est["draft_step_s"] > 0
+    assert est["expected_tokens_per_round"] > 1
+    assert est["expected_speedup"] > 0
+
+    # force the gate CLOSED: fallback to plain generate, gate recorded
+    monkeypatch.setattr(
+        serving, "estimate_speculative_speedup",
+        lambda *a, **kw: {
+            "target_step_s": 1e-3, "target_verify_s": 1e-3,
+            "draft_step_s": 1e-3, "k": 3, "assumed_acceptance": 0.9,
+            "expected_tokens_per_round": 3.4, "expected_speedup": 0.6,
+        },
+    )
+    got, stats = serving.generate_speculative(
+        lm, draft, prompt, 7, k=3, return_stats=True, auto_gate=True
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    assert stats["gate"]["used_speculative"] is False
+    assert stats["rounds"] == 0
+
+    # force the gate OPEN: the speculative path runs, still exact
+    monkeypatch.setattr(
+        serving, "estimate_speculative_speedup",
+        lambda *a, **kw: {
+            "target_step_s": 3e-3, "target_verify_s": 3e-3,
+            "draft_step_s": 4e-4, "k": 3, "assumed_acceptance": 0.9,
+            "expected_tokens_per_round": 3.4, "expected_speedup": 2.4,
+        },
+    )
+    got2, stats2 = serving.generate_speculative(
+        lm, draft, prompt, 7, k=3, return_stats=True, auto_gate=True
+    )
+    np.testing.assert_array_equal(np.asarray(got2), np.asarray(want))
+    assert stats2["gate"]["used_speculative"] is True
+    assert stats2["rounds"] >= 1
