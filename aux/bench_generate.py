@@ -329,6 +329,10 @@ def main() -> None:
             },
         }
 
+    # free the 1.1B-era buffers before the 3B models go up (HBM is 16GB;
+    # the 3B twin + draft alone are ~7.4GB bf16)
+    del lm, lm_deco, qlm, draft, twin
+
     # The regime speculative EXISTS for: a weight-streaming-bound target.
     # 1.1B decode steps on this chip are floored by in-program small-op
     # latency (~3.4ms/step regardless of weight bytes — r3 finding), so

@@ -87,7 +87,7 @@ def bench_case(dim, hidden, n_experts, top_k, n_tokens):
         jax.random.PRNGKey(1), (1, n_tokens, dim), jnp.bfloat16
     )
 
-    def run_many(fn):
+    def run_many(fn, model=moe):
         @jax.jit
         def prog(moe, x):
             def body(carry, _):
@@ -103,14 +103,43 @@ def bench_case(dim, hidden, n_experts, top_k, n_tokens):
             )
             return acc
 
-        acc = prog(moe, x)  # compile + warm
+        acc = prog(model, x)  # compile + warm
         float(jax.device_get(acc))  # drain the queue
         t0 = time.perf_counter()
-        float(jax.device_get(prog(moe, x)))
+        float(jax.device_get(prog(model, x)))
         return (time.perf_counter() - t0) / ITERS
 
     t_grouped = run_many(lambda m, x: m._grouped(x, None))
     t_dense = run_many(lambda m, x: m._dense_masked(x, None))
+
+    # int8 rows (VERDICT r3 #3): the same layer in the weight-only int8
+    # serving form through the in-kernel-dequant grouped Pallas kernel
+    # (ops/gmm_int8.py) vs (a) the bf16 grouped path and (b) the
+    # dequantize-into-megablox alternative the kernel replaces.
+    from ptdeco_tpu import quant
+
+    qmoe = jax.tree_util.tree_map(lambda x: x, moe)  # structural copy
+    from ptdeco_tpu import nn as _nn
+
+    for i, e in enumerate(moe.experts):
+        for pname in ("gate_proj", "up_proj", "down_proj"):
+            qmoe = _nn.replace_submodule(
+                qmoe, f"experts.{i}.{pname}",
+                quant.quantize_linear(getattr(e, pname)),
+            )
+    t_int8_kernel = run_many(lambda m, x: m._grouped_int8(x, None), qmoe)
+    t_int8_dequant = run_many(lambda m, x: m._grouped(x, None), qmoe)
+
+    # device-side parity of the int8 kernel vs the dense reference on the
+    # SAME quantized weights, at this (non-tile-aligned) token count
+    y_k = jax.jit(lambda m, x: m._grouped_int8(x, None))(qmoe, x)
+    y_d = jax.jit(lambda m, x: m._dense_masked(x, None))(qmoe, x)
+    err = float(jnp.max(jnp.abs(
+        y_k.astype(jnp.float32) - y_d.astype(jnp.float32)
+    )))
+    sc = float(jnp.max(jnp.abs(y_d.astype(jnp.float32)))) or 1.0
+    assert err / sc < 0.05, f"int8 kernel vs dense mismatch: {err / sc}"
+
     # expert matmul FLOPs actually required (routed): 3 matmuls x top_k
     flops = 2 * 3 * n_tokens * top_k * dim * hidden
     return {
@@ -124,6 +153,11 @@ def bench_case(dim, hidden, n_experts, top_k, n_tokens):
         "speedup": round(t_dense / t_grouped, 2),
         "ideal_separation": round(n_experts / top_k, 1),
         "grouped_tflops_routed": round(flops / t_grouped / 1e12, 1),
+        "int8_kernel_ms": round(t_int8_kernel * 1e3, 3),
+        "int8_dequant_gmm_ms": round(t_int8_dequant * 1e3, 3),
+        "int8_kernel_vs_bf16_grouped": round(t_grouped / t_int8_kernel, 2),
+        "int8_kernel_vs_dequant": round(t_int8_dequant / t_int8_kernel, 2),
+        "int8_parity_max_rel_err": round(err / sc, 5),
     }
 
 

@@ -644,6 +644,81 @@ class EfficientFormerV1(nn.Module):
         )
 
 
+def translate_timm_efficientformerv2_state_dict(sd: dict) -> dict:
+    """timm ``efficientformerv2_*`` checkpoint keys -> native torch-layout
+    keys (VERDICT r3 #7 / reference
+    examples_config/decompose_lockd_efficientformerv2_s0.yaml, whose
+    builder loads any timm model via
+    /root/reference/examples/trainer_vision/builder.py:134-144).
+
+    IMPORTANT: timm is absent from this offline image, so this mapping is
+    derived from the upstream naming conventions (timm
+    ``efficientformer_v2.py`` and the snap-research original) rather than
+    verified against a live checkpoint; ``tests/test_timm_bridge.py``
+    skips without timm and pins logits parity in any timm-bearing
+    environment — if a rename drifted, that test fails naming the keys.
+    ``aux/timm_bridge_manifest.py`` emits the full expected-key manifest
+    for offline diffing.
+
+    Handled renames (native <- timm, with snap-research alternates):
+      * ``stem0.* / stem1.*``       <- ``stem.conv1.* / stem.conv2.*``
+      * ``...downsample.conv|bn``   <- ``...downsample.conv.conv|conv.bn``
+      * ``...ls1 / ls2``            <- ``...layer_scale_1/2`` ((C,1,1)
+        flattened) or ``...ls1.gamma / ls2.gamma``
+      * ``...token_mixer.proj.conv|bn`` <- ``...proj.1.conv|1.bn`` (the
+        act layer is proj.0) or original ``...proj.1 / proj.2``
+      * ``...token_mixer.{q,k,v,v_local}.conv|bn`` <- same, or original
+        Sequential spellings ``{q,k,v,v_local}.0 / .1``
+      * ``attention_biases`` 1:1 (the unique-|offset| id order equals the
+        dense (dx*res+dy) order used natively); ``attention_bias_idxs``
+        buffers dropped.
+
+    Refused loudly: checkpoints with ``downsample.attn.*`` keys (timm's
+    Attention4DDownsample transition), which the native graph does not
+    implement — a silent skip would corrupt the stage boundary."""
+    import re
+
+    attn_down = sorted(
+        k for k in sd if re.search(r"downsample\.attn\.", k)
+    )
+    if attn_down:
+        raise NotImplementedError(
+            "this efficientformerv2 checkpoint uses an attention "
+            f"downsample ({attn_down[:3]}...); the native graph only "
+            "implements the conv+BN stage transition — see "
+            "models/efficientformer.py docstring"
+        )
+    out: dict = {}
+    for k, v in sd.items():
+        if k.endswith(("num_batches_tracked", "attention_bias_idxs")):
+            continue
+        k = k.replace("stem.conv1.", "stem0.").replace(
+            "stem.conv2.", "stem1."
+        )
+        k = re.sub(r"downsample\.conv\.(conv|bn)\.", r"downsample.\1.", k)
+        # layer scales: timm LayerScale2d (.gamma) or original parameter
+        k = re.sub(r"\.ls([12])\.gamma$", r".ls\1", k)
+        if re.search(r"\.layer_scale_([12])$", k):
+            k = re.sub(r"\.layer_scale_([12])$", r".ls\1", k)
+        if re.search(r"\.ls[12]$", k) and getattr(v, "ndim", 1) > 1:
+            v = v.reshape(-1)
+        # attention proj: Sequential(act, ConvNorm) / (act, conv, bn)
+        k = re.sub(
+            r"(token_mixer\.proj)\.1\.(conv|bn)\.", r"\1.\2.", k
+        )
+        k = re.sub(r"(token_mixer\.proj)\.1\.", r"\1.conv.", k)
+        k = re.sub(r"(token_mixer\.proj)\.2\.", r"\1.bn.", k)
+        # q/k/v/v_local as plain Sequentials (snap-research original)
+        k = re.sub(
+            r"(token_mixer\.(?:q|k|v|v_local))\.0\.", r"\1.conv.", k
+        )
+        k = re.sub(
+            r"(token_mixer\.(?:q|k|v|v_local))\.1\.", r"\1.bn.", k
+        )
+        out[k] = v
+    return out
+
+
 def translate_hf_efficientformer_v1_state_dict(sd: dict) -> dict:
     """HF EfficientFormerForImageClassification(WithTeacher) -> native
     torch-layout keys: strip ``efficientformer.``/``encoder.``, drop

@@ -555,3 +555,32 @@ def swin_tiny(key, num_classes=1000, image_size=224):
         key, image_size, 4, 96, (2, 2, 6, 2), (3, 6, 12, 24), 7,
         num_classes, v1=True,
     )
+
+
+def translate_timm_swinv2_cr_state_dict(sd: dict) -> dict:
+    """timm ``swinv2_cr_*`` checkpoints (the reference's dwain example
+    config literally targets ``swinv2_cr_tiny_ns_224``,
+    examples_config/decompose_dwain_swinv2_tiny.yaml) — REFUSED loudly.
+
+    The _cr family (Christoph Reich's independent SwinV2 implementation,
+    timm ``swin_transformer_v2_cr.py``) is NOT a relayout of official
+    SwinV2: its cosine attention parametrizes the per-head temperature as
+    a plain clamped ``tau``/``logit_scale`` parameter (official: sigmoid
+    x 16 of a learned scale), its relative position bias comes from a
+    ``meta_mlp`` over linearly normalized coordinates (official: log-CPB
+    coordinates), and it keeps v1-style pre-norm block wiring (official
+    v2 moved to residual-post-norm).  Translating its keys onto the
+    native official-SwinV2 graph would load without error and silently
+    compute the WRONG function — exactly the failure mode checkpoint
+    translators must refuse.  Implementing the _cr graph needs its
+    upstream source as ground truth, which this offline image does not
+    carry; tests/test_timm_bridge.py carries a skipif-timm test that
+    asserts this refusal and documents the gap."""
+    raise NotImplementedError(
+        "swinv2_cr checkpoints use a structurally different graph "
+        "(clamped-tau cosine attention, meta-MLP position bias, pre-norm "
+        "blocks) from the implemented official SwinV2; refusing to load "
+        "it silently wrong.  Use an official-layout SwinV2 checkpoint "
+        "(models.swin.translate_official_state_dict) or an HF snapshot "
+        "dir instead."
+    )

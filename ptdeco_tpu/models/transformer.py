@@ -5018,6 +5018,18 @@ def _moe_routing(
     return top_vals, top_idx
 
 
+# int8 grouped-kernel dispatch: the Pallas kernel is single-device (opaque
+# to GSPMD, like the flash/SYRK gates before custom_partitioning); CPU
+# tests force it through interpret mode by monkeypatching these.
+_INT8_GMM_INTERPRET = False
+
+
+def _use_int8_gmm() -> bool:
+    if _INT8_GMM_INTERPRET:
+        return True
+    return jax.default_backend() == "tpu" and jax.device_count() == 1
+
+
 class MoEMLP(nn.Module):
     """Top-k-routed mixture of expert MLPs (Mixtral / Qwen2-MoE / Qwen3-MoE).
 
@@ -5143,7 +5155,10 @@ class MoEMLP(nn.Module):
             self, len(self.experts) + self.n_zero_experts, x, ctx
         )
 
-    def _grouped(self, x: jax.Array, ctx: Optional[nn.Ctx]) -> jax.Array:
+    def _sort_by_expert(self, x: jax.Array, ctx: Optional[nn.Ctx]):
+        """Shared grouped-dispatch prologue: route, sort (token, slot)
+        pairs by expert, scale llama4-style inputs.  Returns
+        (xg, w_sorted, eid_sorted, tok_sorted, group_sizes)."""
         n_experts = len(self.experts)
         b, s, d = x.shape
         n_tok = b * s
@@ -5159,6 +5174,28 @@ class MoEMLP(nn.Module):
         if self.scale_expert_input:  # llama4: weight scales expert input
             xg = xg * w_sorted[:, None]
         eid_sorted = expert_ids[order]
+        return xg, w_sorted, eid_sorted, tok_sorted, group_sizes
+
+    def _act_pair(self, g: jax.Array, u: jax.Array) -> jax.Array:
+        """gate/up combine for the grouped paths (matches MLP._apply_act)."""
+        e0 = self.experts[0]
+        if e0.act == "gptoss_glu":
+            lim = e0.clamp_limit
+            gc = jnp.minimum(g, lim)
+            return (jnp.clip(u, -lim, lim) + 1.0) * (
+                gc * jax.nn.sigmoid(1.702 * gc)
+            )
+        if e0.act == "gelu_tanh":
+            return jax.nn.gelu(g, approximate=True) * u
+        return jax.nn.silu(g) * u
+
+    def _grouped(self, x: jax.Array, ctx: Optional[nn.Ctx]) -> jax.Array:
+        n_experts = len(self.experts)
+        b, s, d = x.shape
+        n_tok = b * s
+        xg, w_sorted, eid_sorted, tok_sorted, group_sizes = (
+            self._sort_by_expert(x, ctx)
+        )
         use_gmm = (
             jax.default_backend() == "tpu"
             and jax.device_count() == 1  # pallas is opaque to GSPMD
@@ -5242,22 +5279,83 @@ class MoEMLP(nn.Module):
             g = g + b_gate
         if b_up is not None:
             u = u + b_up
-        e0 = self.experts[0]
-        if e0.act == "gptoss_glu":
-            lim = e0.clamp_limit
-            gc = jnp.minimum(g, lim)
-            h = (jnp.clip(u, -lim, lim) + 1.0) * (
-                gc * jax.nn.sigmoid(1.702 * gc)
-            )
-        elif e0.act == "gelu_tanh":
-            h = jax.nn.gelu(g, approximate=True) * u
-        else:
-            h = jax.nn.silu(g) * u
+        h = self._act_pair(g, u)
         y = _gdot(h, w_down)
         if b_down is not None:
             y = y + b_down
         if pad:
             y = y[:m_rows]
+        if not self.scale_expert_input:
+            y = y * w_sorted[:, None]
+        out = jnp.zeros((n_tok, d), x.dtype).at[tok_sorted].add(y)
+        return out.reshape(b, s, d)
+
+    def _grouped_int8(
+        self, x: jax.Array, ctx: Optional[nn.Ctx], interpret: bool = False
+    ) -> jax.Array:
+        """Grouped dispatch over weight-only int8 experts through the
+        in-kernel-dequant Pallas grouped matmul (ops/gmm_int8.py).
+
+        Rows are scattered into a per-group-padded layout (every expert's
+        group a multiple of the m-tile), so each m-tile lies wholly in
+        one expert and the kernel is a block-diagonal matmul driven by a
+        scalar-prefetched tile->expert map — HBM streams the int8 grids
+        directly (the dequantize-then-gmm alternative round-trips a full
+        bf16 copy of every expert through HBM, 2.5x the weight traffic).
+        gate/up/down biases add per padded row; pad rows are zero and
+        their outputs are discarded by the final gather."""
+        from ..ops.gmm_int8 import grouped_matmul_int8, pad_groups_for_tiles
+
+        n_experts = len(self.experts)
+        b, s, d = x.shape
+        n_tok = b * s
+        xg, w_sorted, eid_sorted, tok_sorted, group_sizes = (
+            self._sort_by_expert(x, ctx)
+        )
+        m_rows = xg.shape[0]
+        bm = 256 if m_rows >= 256 else 128
+        n_tiles = -(-m_rows // bm) + n_experts  # static upper bound
+        dst, tile_expert, row_expert = pad_groups_for_tiles(
+            group_sizes, m_rows, n_tiles, bm
+        )
+        m_pad = n_tiles * bm
+        xp = jnp.zeros((m_pad, d), xg.dtype).at[dst].set(xg)
+
+        def _stack_q(projs):
+            return (
+                jnp.stack([p.w_q for p in projs]),
+                jnp.stack([p.scale for p in projs]),
+            )
+
+        wq_gate, sc_gate = _stack_q([e.gate_proj for e in self.experts])
+        wq_up, sc_up = _stack_q([e.up_proj for e in self.experts])
+        wq_down, sc_down = _stack_q([e.down_proj for e in self.experts])
+
+        def _bias_rows(projs):
+            if projs[0].bias is None:
+                return None
+            return jnp.stack([p.bias for p in projs])[row_expert]
+
+        g = grouped_matmul_int8(
+            xp, wq_gate, sc_gate, tile_expert, bm=bm, interpret=interpret
+        )
+        u = grouped_matmul_int8(
+            xp, wq_up, sc_up, tile_expert, bm=bm, interpret=interpret
+        )
+        bg = _bias_rows([e.gate_proj for e in self.experts])
+        bu = _bias_rows([e.up_proj for e in self.experts])
+        if bg is not None:
+            g = g + bg
+        if bu is not None:
+            u = u + bu
+        h = self._act_pair(g, u)
+        y = grouped_matmul_int8(
+            h, wq_down, sc_down, tile_expert, bm=bm, interpret=interpret
+        )
+        bd = _bias_rows([e.down_proj for e in self.experts])
+        if bd is not None:
+            y = y + bd
+        y = y[dst]  # back to sorted-row space; pad rows drop out here
         if not self.scale_expert_input:
             y = y * w_sorted[:, None]
         out = jnp.zeros((n_tok, d), x.dtype).at[tok_sorted].add(y)
@@ -5290,7 +5388,13 @@ class MoEMLP(nn.Module):
         if self.n_zero_experts == 0 and self._experts_are_pristine(
             allow_quant=True
         ):
-            out = self._grouped(x, ctx)
+            quant = type(self.experts[0].gate_proj) is not nn.Linear
+            if quant and _use_int8_gmm():
+                out = self._grouped_int8(
+                    x, ctx, interpret=_INT8_GMM_INTERPRET
+                )
+            else:
+                out = self._grouped(x, ctx)
         else:
             out = self._dense_masked(x, ctx)
         if self.shared_expert is not None:

@@ -396,3 +396,92 @@ def test_state_dict_export_warns(caplog):
     with caplog.at_level(logging.WARNING):
         utils.state_dict(qlm)
     assert any("serving-form" in r.getMessage() for r in caplog.records)
+
+def test_int8_grouped_kernel_parity_interpret():
+    """ops/gmm_int8.grouped_matmul_int8 (interpret mode) vs the dense
+    per-expert reference: random group sizes including an EMPTY group and
+    a non-tile-aligned total row count."""
+    from ptdeco_tpu.ops.gmm_int8 import (
+        grouped_matmul_int8,
+        pad_groups_for_tiles,
+    )
+
+    rng = np.random.default_rng(0)
+    e, k, d_out, bm = 4, 160, 96, 128
+    sizes = np.asarray([37, 0, 129, 61], np.int32)  # non-aligned + empty
+    m = int(sizes.sum())
+    lhs = rng.standard_normal((m, k), np.float32)
+    w_q = rng.integers(-127, 128, size=(e, k, d_out)).astype(np.int8)
+    scale = (0.01 + rng.random((e, d_out))).astype(np.float32)
+
+    n_tiles = -(-m // bm) + e
+    dst, tile_expert, row_expert = pad_groups_for_tiles(
+        jnp.asarray(sizes), m, n_tiles, bm
+    )
+    # layout invariants: dst positions land inside their expert's padded
+    # span and tile_expert matches the expert of every real row's tile
+    dst_np = np.asarray(dst)
+    te_np = np.asarray(tile_expert)
+    re_np = np.asarray(row_expert)
+    offs = np.concatenate([[0], np.cumsum(((sizes + bm - 1) // bm) * bm)])
+    eid = np.repeat(np.arange(e), sizes)
+    assert (dst_np >= offs[eid]).all() and (dst_np < offs[eid + 1]).all()
+    assert (te_np[dst_np // bm] == eid).all()
+    assert (re_np[dst_np] == eid).all()
+
+    xp = jnp.zeros((n_tiles * bm, k), jnp.float32).at[dst].set(lhs)
+    got = np.asarray(
+        grouped_matmul_int8(
+            xp, jnp.asarray(w_q), jnp.asarray(scale), tile_expert,
+            bm=bm, interpret=True,
+        )
+    )[np.asarray(dst)]
+    want = np.empty((m, d_out), np.float32)
+    start = 0
+    for ei, sz in enumerate(sizes):
+        wd = w_q[ei].astype(np.float32) * scale[ei][None, :]
+        want[start:start + sz] = lhs[start:start + sz] @ wd
+        start += sz
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-3)
+
+
+def test_quantized_moe_int8_kernel_path(monkeypatch):
+    """VERDICT r3 #3: the int8 grouped Pallas path (forced through
+    interpret mode on CPU) must match the zero-masked dense reference at
+    a non-tile-aligned token count, with and without expert biases
+    (gpt_oss-style), and through cached generate."""
+    from ptdeco_tpu import models
+    from ptdeco_tpu.models import transformer as tf
+
+    monkeypatch.setattr(tf, "_INT8_GMM_INTERPRET", True)
+
+    for biased, act in ((False, "silu"), (True, "gptoss_glu")):
+        cfg = models.TransformerConfig(
+            vocab_size=64, dim=32, n_layers=1, n_heads=4, n_kv_heads=2,
+            hidden_dim=48, n_experts=4, n_experts_per_tok=2,
+            moe_hidden_dim=48,
+            **(
+                dict(moe_clamp_limit=7.0) if biased else {}
+            ),
+        )
+        lm = models.CausalLM.create(jax.random.PRNGKey(50), cfg)
+        qlm = quant.quantize_for_serving(lm)
+        moe = nn.get_submodule(qlm, "model.layers.0.mlp")
+        assert type(moe.experts[0].gate_proj) is quant.QuantLinear
+        # 2 x 9 tokens * top_k 2 = 36 rows — far from the 128 m-tile
+        x = jax.random.normal(jax.random.PRNGKey(51), (2, 9, 32))
+        got = moe._grouped_int8(x, None, interpret=True)
+        want = moe._dense_masked(x, None)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-5
+        )
+        # dispatch goes through the kernel branch under the forced flag
+        np.testing.assert_allclose(
+            np.asarray(moe(x)), np.asarray(want), atol=2e-5
+        )
+
+    # cached generate through the whole model stays exact vs uncached
+    prompt = jax.random.randint(jax.random.PRNGKey(52), (2, 4), 0, 64)
+    want_toks = naive_greedy(qlm, prompt, 4)
+    got_toks = serving.generate(qlm, prompt, 4)
+    np.testing.assert_array_equal(np.asarray(got_toks), np.asarray(want_toks))
