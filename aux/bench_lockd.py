@@ -59,6 +59,99 @@ def time_steps(fn, *args, reps=HOT_STEPS, varying=None):
     return times[len(times) // 2], times
 
 
+class _SmallConvNet(nn.Module):
+    """NHWC twin of aux/bench_reference_lockd.py::SmallConvNet (6 lockd
+    sites: 5 groups==1 convs + fc)."""
+
+    stem: nn.Conv2d
+    c1: nn.Conv2d
+    c2: nn.Conv2d
+    c3: nn.Conv2d
+    c4: nn.Conv2d
+    fc: nn.Linear
+
+    def __call__(self, x, ctx=None):
+        import jax.numpy as jnp
+
+        def pool(h):
+            b, hh, ww, c = h.shape
+            return h.reshape(b, hh // 2, 2, ww // 2, 2, c).mean(axis=(2, 4))
+
+        x = jax.nn.relu(self.stem(x, ctx))
+        x = jax.nn.relu(self.c1(x, ctx))
+        x = pool(jax.nn.relu(self.c2(x, ctx)))
+        x = jax.nn.relu(self.c3(x, ctx))
+        x = pool(jax.nn.relu(self.c4(x, ctx)))
+        return self.fc(jnp.mean(x, axis=(1, 2)), ctx)
+
+
+def make_small_convnet(key):
+    ks = jax.random.split(key, 6)
+    return _SmallConvNet(
+        stem=nn.Conv2d.create(ks[0], 3, 32, 3, stride=2, padding=1),
+        c1=nn.Conv2d.create(ks[1], 32, 64, 3, padding=1),
+        c2=nn.Conv2d.create(ks[2], 64, 64, 3, padding=1),
+        c3=nn.Conv2d.create(ks[3], 64, 128, 3, padding=1),
+        c4=nn.Conv2d.create(ks[4], 128, 128, 3, padding=1),
+        fc=nn.Linear.create(ks[5], 128, 100),
+    )
+
+
+def _lockd_vs_reference() -> dict:
+    import pathlib as _pl
+    import subprocess
+    import sys as _sys
+
+    from apps.trainer_vision import run_decompose_lockd
+
+    # native side: the real driver step on the paired workload
+    model = make_small_convnet(jax.random.PRNGKey(0))
+    wrapped = lockd.wrap(model, jax.random.PRNGKey(1))
+    trainable, frozen = lockd.trainable_partition(wrapped)
+    tx = optax.sgd(1e-3, momentum=0.9)
+    opt = tx.init(trainable)
+    step_fn = run_decompose_lockd.make_train_step(
+        frozen, tx, lmbda=0.4, nsr_threshold=0.05, precision="bf16"
+    )
+    inputs = jax.random.normal(
+        jax.random.PRNGKey(2), (32, 64, 64, 3), jnp.float32
+    )
+    key = jax.random.PRNGKey(3)
+    state = {"tr": trainable, "opt": opt}
+
+    def run_step(k):
+        tr, o, loss, aux = step_fn(state["tr"], state["opt"], inputs, k)
+        state["tr"], state["opt"] = tr, o
+        return loss
+
+    t_ours, _ = time_steps(
+        run_step, key, varying=lambda i, a: (jax.random.fold_in(key, i),)
+    )
+
+    ref = None
+    script = _pl.Path(__file__).parent / "bench_reference_lockd.py"
+    if _pl.Path("/root/reference/src/ptdeco").exists() and script.exists():
+        try:
+            r = subprocess.run(
+                [_sys.executable, str(script), "--steps", "10"],
+                timeout=900, capture_output=True, text=True,
+            )
+            if r.returncode == 0:
+                ref = json.loads(r.stdout.strip().splitlines()[-1])
+        except Exception:
+            ref = None
+    out = {
+        "workload": "6-site convnet, batch 32 @ 64x64 (paired arch)",
+        "step_s": round(t_ours, 4),
+        "images_per_s": round(32 / t_ours, 1),
+    }
+    if ref is not None:
+        out["reference_torch_cpu_step_s"] = ref["lockd_small_step_s"]
+        out["baseline_source"] = "live_same_run"
+        out["vs_baseline"] = round(ref["lockd_small_step_s"] / t_ours, 2)
+    return out
+
+
 def main() -> None:
     import logging
 
@@ -136,6 +229,12 @@ def main() -> None:
             "mfu_vs_v5e_bf16_peak": round(fl / t_b / V5E_BF16_PEAK, 4),
         }
 
+    # ---- vs the LIVE torch reference (VERDICT r3 #4): identical small
+    # convnet both sides (aux/bench_reference_lockd.py), bare-step torch
+    # loop (harder baseline than its composer Trainer), same-ambient
+    # subprocess measurement like bench.py's dwain/falor comparisons ----
+    vs_ref = _lockd_vs_reference()
+
     # ---- KD finetune step (run_finetune.py's train_step verbatim shape) --
     from apps.trainer_vision.run_finetune import kd_loss
 
@@ -192,6 +291,7 @@ def main() -> None:
             "mfu_vs_v5e_bf16_peak": round(lockd_mfu, 4),
             "wrapped_layers": len(proportions),
             "batch_sweep": sweep,
+            "vs_reference_small": vs_ref,
             "decompose_after_steps": {
                 "n_decomposed": n_decomposed,
                 "proportions_finite": True,

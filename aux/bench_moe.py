@@ -35,6 +35,11 @@ CASES = [
     (2048, 768, 64, 8, 4096),
     (2048, 768, 8, 2, 4096),
     (4096, 14336 // 4, 8, 2, 2048),
+    # decode-shaped: batch-16 single-token step — weight-streaming-bound,
+    # the regime the int8 grouped kernel exists for (it reads only the
+    # TOUCHED experts' int8 grids; prefill-shaped rows above are
+    # compute-bound so int8's byte saving cannot show there)
+    (4096, 14336 // 4, 8, 2, 16),
 ]
 
 

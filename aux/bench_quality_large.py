@@ -1,0 +1,328 @@
+"""Quality at compression on a ~66M-param byte-LM trained on a ~40MB
+local-prose corpus (VERDICT r3 #6: scale BENCH_QUALITY past toy size so
+the ΔPPL story is not dismissible as 4M-param noise).
+
+Same end-to-end recipe as aux/bench_quality.py, scaled two orders up:
+
+  corpus   all English prose locatable in this zero-egress image —
+           site-packages *.md/*.rst/*.txt, /usr/share/doc (gz-aware),
+           and module docstrings harvested by AST over site-packages —
+           ~40MB after filtering/dedup vs the small bench's 84kB, so the
+           model genuinely generalizes instead of memorizing;
+  model    CausalLM dim=640 x 10 layers, hidden 2560 (~66M params);
+  train    6000 steps x batch 32 x seqlen 512 (~100M tokens, a few
+           epochs) on the TPU chip;
+  then     dwain at production thresholds with and without interleaved
+           recovery finetuning (+ int8 rows), heldout ppl + doc_* tasks.
+
+Honesty note (inherited): the doc_* task items derive from package
+descriptions that are part of the training corpus — they measure
+degradation under compression; heldout_ppl (disjoint text) is the
+generalization-grade number.
+
+Persists BENCH_QUALITY_LARGE.json.  Run on TPU:
+    python aux/bench_quality_large.py          (~45-60 min incl. training)
+    python aux/bench_quality_large.py --steps 500   (smoke)
+"""
+
+import argparse
+import gzip
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ptdeco_tpu import dwain, finetune, models, quant
+from ptdeco_tpu import utils as _utils
+from ptdeco_tpu.utils.cache import enable_compilation_cache
+
+SEQLEN = 512
+BATCH = 32
+VOCAB = 256
+SEED = 0
+LR = 3e-4
+CORPUS_CAP = 48 * 1024 * 1024
+
+NSR_THRESHOLD = 0.05
+TRADE_OFF = 0.5
+MIN_RANK = 16
+MAX_PPL_DIFF = 0.1
+
+SITE = pathlib.Path("/opt/venv/lib/python3.12/site-packages")
+
+
+def _prose_ratio(text: str) -> float:
+    if not text:
+        return 0.0
+    good = sum(1 for c in text if c.isalpha() or c in " .,;:'\"-()\n")
+    return good / len(text)
+
+
+def harvest_large_corpus(cap: int = CORPUS_CAP) -> str:
+    """~40MB of deduplicated English-ish prose from the image."""
+    chunks: list[str] = []
+    seen: set = set()
+    total = 0
+
+    def add(text: str) -> bool:
+        nonlocal total
+        for para in text.split("\n\n"):
+            para = para.strip()
+            if len(para) < 120 or _prose_ratio(para) < 0.85:
+                continue
+            key = hash(para[:120])
+            if key in seen:
+                continue
+            seen.add(key)
+            chunks.append(para)
+            total += len(para) + 2
+            if total >= cap:
+                return False
+        return True
+
+    # 1. markdown / rst / txt docs in site-packages
+    for pat in ("*.md", "*.rst", "*.txt"):
+        for f in sorted(SITE.rglob(pat)):
+            try:
+                if not add(f.read_text(errors="ignore")):
+                    return "\n\n".join(chunks)
+            except OSError:
+                continue
+    # 2. /usr/share/doc (gzip-aware)
+    for f in sorted(pathlib.Path("/usr/share/doc").rglob("*")):
+        if not f.is_file():
+            continue
+        try:
+            if f.suffix == ".gz":
+                text = gzip.decompress(f.read_bytes()).decode(
+                    "utf-8", "ignore"
+                )
+            elif f.suffix in ("", ".txt", ".md", ".rst", ".TXT"):
+                text = f.read_text(errors="ignore")
+            else:
+                continue
+        except Exception:
+            continue
+        if not add(text):
+            return "\n\n".join(chunks)
+    # 3. module docstrings (AST, no imports)
+    import ast
+
+    for f in sorted(SITE.rglob("*.py")):
+        try:
+            tree = ast.parse(f.read_text(errors="ignore"))
+        except (OSError, SyntaxError, ValueError):
+            continue
+        docs = []
+        d = ast.get_docstring(tree)
+        if d:
+            docs.append(d)
+        for node in ast.walk(tree):
+            if isinstance(
+                node,
+                (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef),
+            ):
+                d = ast.get_docstring(node)
+                if d:
+                    docs.append(d)
+        if docs and not add("\n\n".join(docs)):
+            return "\n\n".join(chunks)
+    return "\n\n".join(chunks)
+
+
+def main() -> None:
+    import logging
+
+    logging.basicConfig(level=logging.INFO, format="%(message)s")
+    enable_compilation_cache()
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--steps", type=int, default=6000)
+    args = parser.parse_args()
+
+    from apps.trainer_llm.builder import ByteTokenizer
+
+    import bench_quality as bq
+
+    tok = ByteTokenizer(VOCAB)
+    t0 = time.perf_counter()
+    cache = (
+        pathlib.Path(__file__).resolve().parent.parent
+        / ".cache" / "corpus_large.txt"
+    )
+    if cache.exists():
+        text = cache.read_text()
+    else:
+        text = harvest_large_corpus()
+        cache.parent.mkdir(exist_ok=True)
+        cache.write_text(text)
+    toks = np.asarray(tok(text)["input_ids"], np.int32)
+    n_held = max(len(toks) // 50, SEQLEN * 70)
+    train_toks, held_toks = toks[:-n_held], toks[-n_held:]
+    print(
+        f"corpus: {len(toks)/2**20:.1f} MB ({time.perf_counter()-t0:.0f}s "
+        f"harvest), heldout {n_held/2**20:.2f} MB"
+    )
+
+    cfg = models.TransformerConfig(
+        vocab_size=VOCAB,
+        dim=640,
+        n_layers=10,
+        n_heads=10,
+        n_kv_heads=10,
+        hidden_dim=2560,
+        dtype=jnp.float32,
+    )
+    model = models.CausalLM.create(jax.random.PRNGKey(SEED), cfg)
+    params0 = _utils.get_num_params(model)
+    print(f"model: {params0/1e6:.1f} M params")
+
+    tx = optax.adamw(
+        optax.warmup_cosine_decay_schedule(0.0, LR, 200, args.steps)
+    )
+    opt = tx.init(model)
+
+    @jax.jit
+    def step(model, opt, batch):
+        loss, grads = jax.value_and_grad(
+            lambda m: models.ce_loss(batch, m(batch))
+        )(model)
+        updates, opt = tx.update(grads, opt, model)
+        return optax.apply_updates(model, updates), opt, loss
+
+    # override the small bench's crop geometry for its helpers
+    bq.SEQLEN, bq.BATCH = SEQLEN, BATCH
+
+    it = bq.batches_from(train_toks, np.random.RandomState(1))
+    t0 = time.perf_counter()
+    loss = None
+    for i in range(args.steps):
+        model, opt, loss = step(model, opt, next(it))
+        if i % 500 == 0:
+            print(f"step {i}: loss {float(loss):.3f}")
+    jax.block_until_ready(jax.tree_util.tree_leaves(model))
+    t_train = time.perf_counter() - t0
+    tok_per_s = args.steps * BATCH * SEQLEN / t_train
+    # 6ND analytic train FLOPs over v5e bf16 peak
+    train_mfu = 6 * params0 * tok_per_s / 197e12
+    print(
+        f"trained {args.steps} steps in {t_train:.0f}s "
+        f"({tok_per_s/1e3:.0f}k tok/s, ~{train_mfu:.0%} MFU)"
+    )
+
+    hb = bq.heldout_batches(held_toks)
+    ppl0 = bq.eval_ppl(model, hb)
+    tasks0 = bq.eval_tasks(model)
+    print(f"heldout ppl {ppl0:.2f} (chance 256), tasks {tasks0}")
+
+    q0 = quant.quantize_for_serving(model)
+    ppl_q0 = bq.eval_ppl(q0, hb)
+    int8_baseline = {
+        "heldout_ppl": round(ppl_q0, 3),
+        "delta_ppl_vs_fp": round(ppl_q0 - ppl0, 3),
+    }
+    del q0
+
+    results = {}
+    for mode in ("no_ft", "with_ft"):
+        ft_fn = None
+        if mode == "with_ft":
+            ft_fn = finetune.make_finetune_fn(
+                mode="full",
+                ft_iterator=bq.batches_from(
+                    train_toks, np.random.RandomState(2)
+                ),
+                loss_fn=models.ce_loss,
+                num_last_modules_to_finetune=8,
+                num_steps=40,
+                lr=1e-4,
+            )
+        deco, deco_cfg = dwain.decompose(
+            module=model,
+            data_iterator=bq.batches_from(
+                train_toks, np.random.RandomState(3)
+            ),
+            loss_fn=models.ce_loss,
+            num_data_steps=16,
+            metric_iterator=bq.batches_from(
+                train_toks, np.random.RandomState(4)
+            ),
+            num_metric_steps=4,
+            nsr_final_threshold=NSR_THRESHOLD,
+            min_rank=MIN_RANK,
+            trade_off_factor=TRADE_OFF,
+            reduction_factor=0.5,
+            max_accepted_ppl_diff=MAX_PPL_DIFF,
+            decompose_in_float64=True,
+            blacklisted_module_names=["lm_head"],
+            finetune_fn=ft_fn,
+        )
+        params1 = _utils.get_num_params(deco)
+        ppl1 = bq.eval_ppl(deco, hb)
+        tasks1 = bq.eval_tasks(deco)
+        ppl_q1 = bq.eval_ppl(quant.quantize_for_serving(deco), hb)
+        results[mode] = {
+            "n_decomposed": len(deco_cfg),
+            "mparams_frac_pct": round(100.0 * params1 / params0, 2),
+            "heldout_ppl": round(ppl1, 3),
+            "delta_ppl": round(ppl1 - ppl0, 3),
+            "tasks": tasks1,
+            "int8_heldout_ppl": round(ppl_q1, 3),
+            "int8_delta_ppl_vs_fp": round(ppl_q1 - ppl1, 3),
+        }
+        print(mode, results[mode])
+        del deco
+
+    out = {
+        "metric": "quality_at_compression_trained_bytelm_large",
+        "model": f"CausalLM dim=640 x10 layers, byte vocab, {params0/1e6:.1f}M params",
+        "corpus": (
+            f"{len(toks)/2**20:.1f} MB local prose (site-packages docs + "
+            "/usr/share/doc + AST-harvested docstrings)"
+        ),
+        "note": (
+            "doc_* tasks derive from package descriptions inside the "
+            "training corpus: degradation-under-compression metric; "
+            "heldout_ppl (disjoint tail) is the generalization number"
+        ),
+        "train": {
+            "steps": args.steps,
+            "batch": BATCH,
+            "seqlen": SEQLEN,
+            "wall_s": round(t_train, 1),
+            "tokens_per_s": round(tok_per_s, 0),
+            "analytic_6nd_mfu": round(train_mfu, 4),
+            "final_loss": round(float(loss), 4),
+        },
+        "thresholds": {
+            "nsr_final_threshold": NSR_THRESHOLD,
+            "trade_off_factor": TRADE_OFF,
+            "min_rank": MIN_RANK,
+            "max_accepted_ppl_diff": MAX_PPL_DIFF,
+        },
+        "baseline": {
+            "heldout_ppl": round(ppl0, 3),
+            "tasks": tasks0,
+            "mparams": round(params0 / 1e6, 3),
+        },
+        "int8_baseline": int8_baseline,
+        "decomposed": results,
+        "device": str(jax.devices()[0]),
+        "measured_on": time.strftime("%Y-%m-%d"),
+    }
+    path = pathlib.Path(__file__).resolve().parent.parent / (
+        "BENCH_QUALITY_LARGE.json"
+    )
+    path.write_text(json.dumps(out, indent=2) + "\n")
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

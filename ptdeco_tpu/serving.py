@@ -1693,27 +1693,30 @@ def measure_decode_step_costs(
     def _timed(lm, width):
         caches = init_cache(lm, batch_size, max_len)
         tok = jnp.zeros((batch_size, width), jnp.int32)
+        n = min(iters, max(max_len // width - 1, 1))
 
-        @jax.jit
-        def run(caches):
+        # lm/tok must be ARGUMENTS, not closure captures: captured
+        # weights embed as HLO constants, and a multi-GB constant-laden
+        # program breaks remote-compile transports (observed: the axon
+        # tunnel's compile POST dies with a broken pipe)
+        @functools.partial(jax.jit, static_argnames=("steps",))
+        def run(lm, tok, caches, *, steps):
             def step(c, _):
                 caches, pos = c
                 lg, caches = forward_with_cache(lm, tok, caches, pos)
                 return (caches, pos + width), lg[:, -1, 0]
 
             (caches, _), last = lax.scan(
-                step, (caches, jnp.int32(0)), None,
-                length=min(iters, max(max_len // width - 1, 1)),
+                step, (caches, jnp.int32(0)), None, length=steps
             )
             return last
 
-        n = min(iters, max(max_len // width - 1, 1))
-        jax.block_until_ready(run(caches))  # compile
-        jax.device_get(run(caches))  # drain the dispatch queue
+        jax.block_until_ready(run(lm, tok, caches, steps=n))  # compile
+        jax.device_get(run(lm, tok, caches, steps=n))  # drain the queue
         best = float("inf")
         for _ in range(2):
             t0 = _time.perf_counter()
-            jax.block_until_ready(run(caches))
+            jax.block_until_ready(run(lm, tok, caches, steps=n))
             best = min(best, _time.perf_counter() - t0)
         return best / n
 
