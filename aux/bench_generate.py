@@ -89,16 +89,30 @@ def densify(deco) -> Any:
     dense kernel.  Function-identical to the decomposed model (up to bf16
     rounding), at full dense weight-streaming cost — the honest target for
     the speculative bench: acceptance measures only the machinery + bf16
-    rounding, the regime a well-recovered compression approaches."""
+    rounding, the regime a well-recovered compression approaches.
+
+    Walks ``named_modules`` for the Sequential factor pairs directly:
+    ``get_decomposeable_submodule_names`` on a decomposed model yields
+    the SUB-linear names (``site.0``/``site.1``), never the pair — the
+    earlier version keyed on it and silently fused NOTHING, so every
+    pre-r4 speculative row measured the draft drafting for itself
+    (acceptance ~1 by construction, target costs equal to the draft's).
+    A fused-count assert now keeps this honest."""
     out = deco
-    for name in engine.get_decomposeable_submodule_names(deco):
-        m = nn.get_submodule(out, name)
-        if isinstance(m, nn.Sequential) and len(m.layers) == 2:
+    n_fused = 0
+    for name, m in list(nn.named_modules(deco)):
+        if (
+            isinstance(m, nn.Sequential)
+            and len(m.layers) == 2
+            and all(type(l) is nn.Linear for l in m.layers)
+        ):
             dense = nn.Linear(
                 kernel=m.layers[0].kernel @ m.layers[1].kernel,
                 bias=m.layers[1].bias,
             )
             out = nn.replace_submodule(out, name, dense)
+            n_fused += 1
+    assert n_fused > 0, "densify fused nothing — not a decomposed model"
     return out
 
 
