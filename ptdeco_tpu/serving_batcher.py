@@ -13,13 +13,14 @@ of the exact cached-forward machinery in ``serving.py``:
   static-shape KV cache ``(n_slots, max_len, ...)`` — static shapes are
   non-negotiable under XLA, so "continuous" means slot REUSE, not
   dynamic batch growth;
-* admission = a single-row PREFILL into a free slot: the prompt (padded
-  to a power-of-two bucket so the compile count is logarithmic, not
-  per-length) runs ``forward_with_cache`` against a fresh batch-1 cache
-  and the resulting rows are written into the pool with one fused
-  ``.at[slot].set`` per cache leaf.  A freed slot needs NO clearing —
-  the per-row position mask (``serving._valid_keys``) already hides
-  every slot beyond the new request's fill;
+* admission = a BATCHED prefill per bucket size: every request admitted
+  this round whose prompt pads to the same power-of-two bucket runs as
+  one fused ``forward_with_cache`` program (prefill is weight-streaming
+  -bound, so the batch costs about one row) and the new cache rows
+  scatter into their pool slots with one ``.at[slots, :bucket].set``
+  per leaf.  A freed slot needs NO clearing — the per-row position mask
+  (``serving._valid_keys``) already hides every slot beyond the new
+  request's fill;
 * decode = ONE jitted program for the whole pool, ``lax.scan`` over
   ``decode_chunk`` steps of the existing ragged per-row-position decode
   (cache slot == token position per row), so scheduling overhead and
@@ -97,10 +98,10 @@ class _Slot:
 )
 def _prefill_impl(
     lm: Any,
-    prompt_row: jax.Array,  # (1, bucket) right-padded int32
-    prompt_len: jax.Array,  # scalar int32
+    rows: jax.Array,  # (n_slots, bucket) right-padded int32
+    lens: jax.Array,  # (n_slots,) int32 (1 for inactive pad rows)
+    slots: jax.Array,  # (n_slots,) int32 target pool row; n_slots = drop
     caches: KVCache,  # pool caches (n_slots, max_len, ...)
-    slot: jax.Array,  # scalar int32
     key: jax.Array,
     temperature: jax.Array,
     top_p: jax.Array,
@@ -112,22 +113,34 @@ def _prefill_impl(
     top_k: Optional[int],
     use_min_p: bool,
 ) -> tuple[KVCache, jax.Array]:
-    """Prefill one request into pool row ``slot``: run the cached forward
-    on a fresh batch-1 cache (same leaf shapes as one pool row), sample
-    the first token from the last REAL position, and write the new cache
-    rows into the pool."""
-    fresh = jax.tree.map(lambda c: jnp.zeros_like(c[:1]), caches)
-    logits, fresh = forward_with_cache(
-        lm, prompt_row, fresh, 0, last_pos=prompt_len[None] - 1
+    """Prefill a whole ADMISSION BATCH (every request of one bucket size
+    admitted this round, padded to n_slots rows) as ONE program: cached
+    forward on a fresh bucket-length cache, first token per row from its
+    last REAL position, then one scatter of the new rows into the pool
+    (inactive pad rows carry slot id n_slots and drop out of bounds).
+    Prefill is weight-streaming-bound, so batching admissions costs ~one
+    single-row prefill while saving a dispatch + host sync per request —
+    the dominant engine overhead on a high-latency transport.  Only the
+    first ``bucket`` cache positions are written; the slot tail keeps
+    stale values, which the per-row position mask makes causally
+    invisible (the same argument that lets freed slots skip clearing)."""
+    k = rows.shape[0]
+    fresh = jax.tree.map(
+        lambda c: jnp.zeros((k, bucket) + c.shape[2:], c.dtype), caches
     )
-    tok = _sample(
+    logits, fresh = forward_with_cache(
+        lm, rows, fresh, 0, last_pos=lens - 1
+    )
+    toks = _sample(
         logits[:, 0, :], greedy, temperature, key,
         top_p if use_top_p else None, top_k, min_p if use_min_p else None,
-    )[0]
-    caches = jax.tree.map(
-        lambda pool, new: pool.at[slot].set(new[0]), caches, fresh
     )
-    return caches, tok
+    caches = jax.tree.map(
+        lambda pool, new: pool.at[slots, :bucket].set(new, mode="drop"),
+        caches,
+        fresh,
+    )
+    return caches, toks
 
 
 @functools.partial(
@@ -266,10 +279,14 @@ class ContinuousBatcher:
         self._top_p = jnp.float32(1.0 if top_p is None else top_p)
         self._min_p = jnp.float32(0.0 if min_p is None else min_p)
         self._key = key if key is not None else jax.random.PRNGKey(0)
-        # device state
+        # device state: only the cache pool lives on device between
+        # calls.  pos/tok are HOST numpy — on a high-latency transport
+        # every extra device round-trip is the dominant cost, so the
+        # engine syncs exactly once per step() (admission first-tokens +
+        # chunk tokens fetched in single batched device_gets).
         self._caches = init_cache(lm, n_slots, max_len)
-        self._pos = jnp.zeros((n_slots,), jnp.int32)
-        self._tok = jnp.zeros((n_slots,), jnp.int32)
+        self._pos = np.zeros((n_slots,), np.int32)
+        self._tok = np.zeros((n_slots,), np.int32)
         # host state
         self._slots: list[Optional[_Slot]] = [None] * n_slots
         self._queue: list[tuple[int, np.ndarray, int]] = []
@@ -346,21 +363,38 @@ class ContinuousBatcher:
         )
 
     def _admit(self) -> None:
-        """Prefill queued requests into free slots (one program per
-        request; compiled once per bucket size)."""
+        """Prefill queued requests into free slots: admissions are
+        grouped by bucket size and each group runs as ONE fused batched
+        prefill program (compiled once per bucket); first tokens of all
+        groups are then fetched in one batched device_get.  Per-request
+        programs + per-request host syncs would dominate engine time on
+        a high-latency transport."""
+        by_bucket: dict[int, list[tuple[int, np.ndarray]]] = {}
         for i in range(self._n_slots):
             if self._slots[i] is not None or not self._queue:
                 continue
             rid, prompt, budget = self._queue.pop(0)
             bucket = self._bucket_for(prompt.size)
-            row = np.zeros((1, bucket), np.int32)
-            row[0, : prompt.size] = prompt
-            self._caches, tok = _prefill_impl(
+            by_bucket.setdefault(bucket, []).append((i, prompt))
+            self._pos[i] = prompt.size
+            self._slots[i] = _Slot(req_id=rid, budget=budget, generated=[])
+        if not by_bucket:
+            return
+        pending: list[tuple[list[int], jax.Array]] = []
+        for bucket, group in by_bucket.items():
+            rows = np.zeros((self._n_slots, bucket), np.int32)
+            lens = np.ones((self._n_slots,), np.int32)
+            slots = np.full((self._n_slots,), self._n_slots, np.int32)
+            for r, (i, prompt) in enumerate(group):
+                rows[r, : prompt.size] = prompt
+                lens[r] = prompt.size
+                slots[r] = i
+            self._caches, toks = _prefill_impl(
                 self._lm,
-                jnp.asarray(row),
-                jnp.int32(prompt.size),
+                jnp.asarray(rows),
+                jnp.asarray(lens),
+                jnp.asarray(slots),
                 self._caches,
-                jnp.int32(i),
                 self._next_key(),
                 self._temperature,
                 self._top_p,
@@ -368,14 +402,17 @@ class ContinuousBatcher:
                 bucket=bucket,
                 **self._sampling,
             )
-            first = int(tok)
-            self._pos = self._pos.at[i].set(prompt.size)
-            self._tok = self._tok.at[i].set(first)
-            slot = _Slot(req_id=rid, budget=budget, generated=[first])
-            if self._eos_id is not None and first == self._eos_id:
-                slot.done = True
-            self._slots[i] = slot
-            self._maybe_retire(i)
+            pending.append(([i for i, _ in group], toks))
+        firsts = jax.device_get([t for _, t in pending])
+        for (slot_ids, _), toks_np in zip(pending, firsts):
+            for r, i in enumerate(slot_ids):
+                first = int(toks_np[r])
+                self._tok[i] = first
+                s = self._slots[i]
+                s.generated.append(first)
+                if self._eos_id is not None and first == self._eos_id:
+                    s.done = True
+                self._maybe_retire(i)
 
     def _maybe_retire(self, i: int) -> None:
         s = self._slots[i]
@@ -401,11 +438,11 @@ class ContinuousBatcher:
         frozen = jnp.asarray(
             [s is None or s.done for s in self._slots], bool
         )
-        self._caches, self._pos, self._tok, _, toks = _decode_chunk_impl(
+        self._caches, pos, tok, _, toks = _decode_chunk_impl(
             self._lm,
             self._caches,
-            self._pos,
-            self._tok,
+            jnp.asarray(self._pos),
+            jnp.asarray(self._tok),
             frozen,
             self._next_key(),
             self._temperature,
@@ -415,7 +452,12 @@ class ContinuousBatcher:
             eos_id=self._eos_id,
             **self._sampling,
         )
-        toks_np = np.asarray(toks)  # (n_slots, chunk) — the one host sync
+        # the one host sync per chunk: pos/tok/tokens in a single fetch
+        # (np.array copies: device_get buffers are read-only and _admit
+        # writes per-slot entries in place)
+        self._pos, self._tok, toks_np = (
+            np.array(a) for a in jax.device_get((pos, tok, toks))
+        )
         for i, s in enumerate(self._slots):
             if s is None or s.done:
                 continue
