@@ -5389,7 +5389,16 @@ class MoEMLP(nn.Module):
             allow_quant=True
         ):
             quant = type(self.experts[0].gate_proj) is not nn.Linear
-            if quant and _use_int8_gmm():
+            n_rows = x.shape[0] * x.shape[1] * self.top_k
+            # the int8 kernel wins where WEIGHT streaming dominates
+            # (decode/small-batch: 1.47x vs bf16 gmm, 2.16x vs the
+            # dequant path at 16 tokens — BENCH_MOE decode row); at
+            # prefill token counts the expert matmuls are compute-bound
+            # and its per-group padding costs more than int8 bytes save
+            # (0.67-0.95x measured), so large batches keep dequant+gmm
+            if quant and _use_int8_gmm() and (
+                n_rows <= 512 or _INT8_GMM_INTERPRET
+            ):
                 out = self._grouped_int8(
                     x, ctx, interpret=_INT8_GMM_INTERPRET
                 )

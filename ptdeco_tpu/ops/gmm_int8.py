@@ -104,7 +104,7 @@ def _kernel(te_ref, lhs_ref, w_ref, s_ref, out_ref, acc_ref, *, n_k: int):
     @pl.when(k_i == n_k - 1)
     def _store():
         out_ref[...] = (
-            acc_ref[...] * s_ref[0].astype(jnp.float32)[None, :]
+            acc_ref[...] * s_ref[0, 0].astype(jnp.float32)[None, :]
         ).astype(out_ref.dtype)
 
 
@@ -142,7 +142,12 @@ def _gmm_int8_padded(
             pl.BlockSpec(
                 (1, bk, bn), lambda mi, ni, ki, te: (te[mi], ki, ni)
             ),
-            pl.BlockSpec((1, bn), lambda mi, ni, ki, te: (te[mi], ni)),
+            # scale rides as (E, 1, N): a (1, bn) block on (E, N) violates
+            # the TPU tiling rule (penultimate block dim must divide 8 or
+            # span the array); (1, 1, bn) on (E, 1, N) is legal
+            pl.BlockSpec(
+                (1, 1, bn), lambda mi, ni, ki, te: (te[mi], 0, ni)
+            ),
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda mi, ni, ki, te: (mi, ni)),
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
@@ -190,7 +195,7 @@ def grouped_matmul_int8(
         bk = bk or _pick_tile(k + k_pad, (1024, 512, 256, 128))
         bn = bn or _pick_tile(n + n_pad, (1024, 512, 256, 128))
     out = _gmm_int8_padded(
-        lhs, w_q, scale.astype(jnp.float32), tile_expert,
+        lhs, w_q, scale.astype(jnp.float32)[:, None, :], tile_expert,
         bm=bm, bk=bk, bn=bn, interpret=interpret,
     )
     return out[:, :n] if n_pad else out
