@@ -64,6 +64,13 @@ class DecomposeLOCKDConfig(_VersionConfig, _DataConfig, _TrainConfig):
     blacklisted_modules: list[str]
     lmbda: float
     nsr_threshold: float
+    # gate-training updates fused per device dispatch (lax.scan chunk).
+    # 1 = classic per-step loop.  The per-dispatch host round-trip is the
+    # dominant cost of gate training on a high-latency transport: the
+    # identical update measures 8-19% MFU dispatched per step vs 26-44%
+    # inside a scan (BENCH_LOCKD_PROFILE.json); 8 amortizes it away while
+    # keeping metrics/checkpoint cadence in whole chunks.
+    steps_per_dispatch: int = 8
 
     model_config = pydantic.ConfigDict(extra="forbid")
 

@@ -20,6 +20,7 @@ import time
 from typing import Any
 
 import jax
+import jax.numpy as jnp
 import optax
 
 from ptdeco_tpu import lockd, nn, parallel, utils
@@ -29,11 +30,11 @@ from . import builder, configurator, datasets_image, metrics
 logger = logging.getLogger(__name__)
 
 
-def make_train_step(
-    frozen, tx, lmbda: float, nsr_threshold: float, precision=None
-):
-    @jax.jit
-    def step(trainable, opt_state, inputs, key):
+def _make_update(frozen, tx, lmbda: float, nsr_threshold: float, precision):
+    """Un-jitted single gate-training update (shared by the per-step and
+    the chunked step functions)."""
+
+    def update(trainable, opt_state, inputs, key):
         def loss_fn(tr):
             m = nn.combine(tr, frozen)
             m = configurator.bf16_compute(m, precision)
@@ -55,7 +56,41 @@ def make_train_step(
         trainable = optax.apply_updates(trainable, updates)
         return trainable, opt_state, loss, aux
 
-    return step
+    return update
+
+
+def make_train_step(
+    frozen, tx, lmbda: float, nsr_threshold: float, precision=None
+):
+    return jax.jit(_make_update(frozen, tx, lmbda, nsr_threshold, precision))
+
+
+def make_train_chunk(
+    frozen, tx, lmbda: float, nsr_threshold: float, precision=None
+):
+    """``steps_per_dispatch`` updates as ONE program (lax.scan over a
+    stacked batch chunk).  The per-dispatch host round-trip is the
+    dominant cost of the per-step loop on a high-latency transport —
+    BENCH_LOCKD_PROFILE measured the identical update at 8-19% MFU when
+    dispatched per step vs 26-44% inside a scan.  Returns per-step
+    (loss, nsr_loss, proportion_loss, nsr_sink) stacked along the chunk
+    axis for logging."""
+    update = _make_update(frozen, tx, lmbda, nsr_threshold, precision)
+
+    @jax.jit
+    def chunk(trainable, opt_state, inputs_k, keys_k):
+        def body(carry, xs):
+            tr, opt = carry
+            inp, k = xs
+            tr, opt, loss, aux = update(tr, opt, inp, k)
+            return (tr, opt), (loss, *aux)
+
+        (trainable, opt_state), ys = jax.lax.scan(
+            body, (trainable, opt_state), (inputs_k, keys_k)
+        )
+        return trainable, opt_state, ys
+
+    return chunk
 
 
 def main(
@@ -136,13 +171,49 @@ def main(
         datasets_image.infinite(train_pipeline),
         sharding=parallel.batch_sharding(mesh) if mesh is not None else None,
     )
-    while step_idx < num_steps:
-        batch = next(data_iter)
-        inputs = batch["inputs"]
-        trainable, opt_state, loss, (nsr_loss, prop_loss, nsr_sink) = step_fn(
-            trainable, opt_state, inputs, jax.random.fold_in(key, step_idx)
+    spd = max(int(config.steps_per_dispatch), 1)
+    chunk_fn = (
+        make_train_chunk(
+            frozen, tx, config.lmbda, config.nsr_threshold, config.precision
         )
-        if step_idx % 100 == 0:
+        if spd > 1
+        else None
+    )
+    while step_idx < num_steps:
+        if chunk_fn is not None and step_idx + spd <= num_steps:
+            inputs_k = jnp.stack(
+                [next(data_iter)["inputs"] for _ in range(spd)]
+            )
+            keys_k = jnp.stack(
+                [
+                    jax.random.fold_in(key, step_idx + j)
+                    for j in range(spd)
+                ]
+            )
+            trainable, opt_state, ys = chunk_fn(
+                trainable, opt_state, inputs_k, keys_k
+            )
+            losses, nsr_losses, prop_losses, sink_k = ys
+            # log with the chunk's LAST step's values
+            loss, nsr_loss, prop_loss = (
+                losses[-1], nsr_losses[-1], prop_losses[-1]
+            )
+            nsr_sink = {k2: v[-1] for k2, v in sink_k.items()}
+            log_now = any(
+                (step_idx + j) % 100 == 0 for j in range(spd)
+            )
+            step_idx += spd - 1  # +1 at the loop tail below
+        else:
+            batch = next(data_iter)
+            inputs = batch["inputs"]
+            trainable, opt_state, loss, (nsr_loss, prop_loss, nsr_sink) = (
+                step_fn(
+                    trainable, opt_state, inputs,
+                    jax.random.fold_in(key, step_idx),
+                )
+            )
+            log_now = step_idx % 100 == 0
+        if log_now:
             current = nn.combine(trainable, frozen)
             rec = {
                 "step": step_idx,

@@ -77,7 +77,16 @@ def scan_of(step, carry0, key):
 def measure(name, step, carry0, key, results):
     prog, args = scan_of(step, carry0, key)
     t = timed(prog, *args)
-    fl = flops_of(prog.lower(*args)) / ITERS
+    # per-step flops from lowering ONE step: XLA cost_analysis counts a
+    # scan body once regardless of trip count, so the scan program's
+    # count IS one step's (documented cost_analysis caveat, BENCH_CALIB
+    # docstring) — but lower the single step explicitly to be immune to
+    # that behavior changing
+    fl = flops_of(
+        jax.jit(lambda c, k: step(c, k)).lower(
+            args[0], jax.random.split(args[1], ITERS)[0]
+        )
+    )
     results[name] = {
         "step_s": round(t, 5),
         "gflops_per_step": round(fl / 1e9, 1),
@@ -184,9 +193,8 @@ def main() -> None:
         real_nsr = _utils.calc_per_channel_noise_to_signal_ratio
 
         def fake_nsr(x=None, y=None, non_channel_dim=(0,), **kw):
-            return jnp.mean(
-                (x - y).astype(jnp.float32), axis=non_channel_dim
-            )
+            # scalar like the real per-layer NSR loss contribution
+            return jnp.mean((x - y).astype(jnp.float32))
 
         try:
             from ptdeco_tpu.lockd import decomposition as _ld
