@@ -135,6 +135,9 @@ class FinetuneConfig(_VersionConfig, _DataConfig, _TrainConfig):
     # running stats during KD (run_finetune.py:54,69-71,341); True freezes
     # them on running stats
     finetune_eval_mode: bool = False
+    # KD updates fused per device dispatch (same knob/rationale as the
+    # lockd driver's; BENCH_LOCKD_PROFILE.json)
+    steps_per_dispatch: int = 8
 
     model_config = pydantic.ConfigDict(extra="forbid")
 

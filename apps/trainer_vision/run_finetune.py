@@ -197,14 +197,52 @@ def main(
 
     tb = TBWriter(output_path / "tensorboard", config.tensorboard)
     key = jax.random.PRNGKey(17)
-    for step_idx in range(start_step, num_steps):
-        batch = next(data_iter)
-        inputs = batch["inputs"]
-        trainable, frozen, opt_state, loss = train_step(
-            trainable, frozen, opt_state, inputs,
-            jax.random.fold_in(key, step_idx),
+
+    # steps_per_dispatch > 1: scan the SAME update over a stacked batch
+    # chunk so the per-dispatch host round-trip amortizes (the KD step
+    # measures ~9% MFU dispatched per step vs ~4x that in-program —
+    # BENCH_LOCKD_PROFILE methodology; same fix as the lockd driver)
+    spd = max(int(config.steps_per_dispatch), 1)
+
+    @jax.jit
+    def train_chunk(trainable, frozen, opt_state, inputs_k, keys_k):
+        def body(carry, xs):
+            tr, fr, opt = carry
+            inp, k = xs
+            tr, fr, opt, loss = train_step(tr, fr, opt, inp, k)
+            return (tr, fr, opt), loss
+
+        (trainable, frozen, opt_state), losses = jax.lax.scan(
+            body, (trainable, frozen, opt_state), (inputs_k, keys_k)
         )
-        if step_idx % 100 == 0:
+        return trainable, frozen, opt_state, losses
+
+    step_idx = start_step
+    while step_idx < num_steps:
+        if spd > 1 and step_idx + spd <= num_steps:
+            import jax.numpy as jnp
+
+            inputs_k = jnp.stack(
+                [next(data_iter)["inputs"] for _ in range(spd)]
+            )
+            keys_k = jnp.stack(
+                [jax.random.fold_in(key, step_idx + j) for j in range(spd)]
+            )
+            trainable, frozen, opt_state, losses = train_chunk(
+                trainable, frozen, opt_state, inputs_k, keys_k
+            )
+            loss = losses[-1]
+            log_now = any((step_idx + j) % 100 == 0 for j in range(spd))
+            step_idx += spd - 1
+        else:
+            batch = next(data_iter)
+            inputs = batch["inputs"]
+            trainable, frozen, opt_state, loss = train_step(
+                trainable, frozen, opt_state, inputs,
+                jax.random.fold_in(key, step_idx),
+            )
+            log_now = step_idx % 100 == 0
+        if log_now:
             logger.info(
                 f"step {step_idx}/{num_steps} kd_loss={float(loss):.5f}"
             )
@@ -212,6 +250,7 @@ def main(
         ckpt.maybe_save(
             step_idx, {"params": trainable, "frozen": frozen}, opt_state
         )
+        step_idx += 1
     time_training = time.perf_counter() - t0
     tb.close()
     ckpt.close()
