@@ -184,6 +184,11 @@ def main() -> None:
     params0 = _utils.get_num_params(model)
     print(f"model: {params0/1e6:.1f} M params")
 
+    # trained-model cache: the walks are re-runnable without repaying the
+    # ~15-min training (timeouts on the shared chip otherwise lose
+    # everything — the artifact is also written progressively below)
+    model_cache = cache.parent / f"bql_model_{args.steps}.safetensors"
+
     tx = optax.adamw(
         optax.warmup_cosine_decay_schedule(0.0, LR, 200, args.steps)
     )
@@ -203,11 +208,21 @@ def main() -> None:
     it = bq.batches_from(train_toks, np.random.RandomState(1))
     t0 = time.perf_counter()
     loss = None
-    for i in range(args.steps):
-        model, opt, loss = step(model, opt, next(it))
-        if i % 500 == 0:
-            print(f"step {i}: loss {float(loss):.3f}")
-    jax.block_until_ready(jax.tree_util.tree_leaves(model))
+    if model_cache.exists():
+        model = _utils.load_state_dict(
+            model, _utils.load_state_dict_safetensors(str(model_cache))
+        )
+        loss = jnp.zeros(())
+        print(f"loaded trained model from {model_cache}")
+    else:
+        for i in range(args.steps):
+            model, opt, loss = step(model, opt, next(it))
+            if i % 500 == 0:
+                print(f"step {i}: loss {float(loss):.3f}")
+        jax.block_until_ready(jax.tree_util.tree_leaves(model))
+        _utils.save_state_dict_safetensors(
+            _utils.state_dict(model), str(model_cache)
+        )
     t_train = time.perf_counter() - t0
     tok_per_s = args.steps * BATCH * SEQLEN / t_train
     # 6ND analytic train FLOPs over v5e bf16 peak
@@ -230,7 +245,57 @@ def main() -> None:
     }
     del q0
 
+    path = pathlib.Path(__file__).resolve().parent.parent / (
+        "BENCH_QUALITY_LARGE.json"
+    )
+
     results = {}
+
+    def write_artifact():
+        out = {
+            "metric": "quality_at_compression_trained_bytelm_large",
+            "model": (
+                f"CausalLM dim=640 x10 layers, byte vocab, "
+                f"{params0/1e6:.1f}M params"
+            ),
+            "corpus": (
+                f"{len(toks)/2**20:.1f} MB local prose (site-packages docs "
+                "+ /usr/share/doc + AST-harvested docstrings)"
+            ),
+            "note": (
+                "doc_* tasks derive from package descriptions inside the "
+                "training corpus: degradation-under-compression metric; "
+                "heldout_ppl (disjoint tail) is the generalization number"
+            ),
+            "train": {
+                "steps": args.steps,
+                "batch": BATCH,
+                "seqlen": SEQLEN,
+                "wall_s": round(t_train, 1),
+                "tokens_per_s": round(tok_per_s, 0),
+                "analytic_6nd_mfu": round(train_mfu, 4),
+                "final_loss": round(float(loss), 4),
+            },
+            "thresholds": {
+                "nsr_final_threshold": NSR_THRESHOLD,
+                "trade_off_factor": TRADE_OFF,
+                "min_rank": MIN_RANK,
+                "max_accepted_ppl_diff": MAX_PPL_DIFF,
+            },
+            "baseline": {
+                "heldout_ppl": round(ppl0, 3),
+                "tasks": tasks0,
+                "mparams": round(params0 / 1e6, 3),
+            },
+            "int8_baseline": int8_baseline,
+            "decomposed": results,
+            "device": str(jax.devices()[0]),
+            "measured_on": time.strftime("%Y-%m-%d"),
+        }
+        path.write_text(json.dumps(out, indent=2) + "\n")
+        return out
+
+    write_artifact()  # baseline + int8 land even if a walk times out
     for mode in ("no_ft", "with_ft"):
         ft_fn = None
         if mode == "with_ft":
@@ -241,7 +306,7 @@ def main() -> None:
                 ),
                 loss_fn=models.ce_loss,
                 num_last_modules_to_finetune=8,
-                num_steps=40,
+                num_steps=16,
                 lr=1e-4,
             )
         deco, deco_cfg = dwain.decompose(
@@ -250,11 +315,11 @@ def main() -> None:
                 train_toks, np.random.RandomState(3)
             ),
             loss_fn=models.ce_loss,
-            num_data_steps=16,
+            num_data_steps=8,
             metric_iterator=bq.batches_from(
                 train_toks, np.random.RandomState(4)
             ),
-            num_metric_steps=4,
+            num_metric_steps=2,
             nsr_final_threshold=NSR_THRESHOLD,
             min_rank=MIN_RANK,
             trade_off_factor=TRADE_OFF,
@@ -279,48 +344,8 @@ def main() -> None:
         }
         print(mode, results[mode])
         del deco
+        out = write_artifact()
 
-    out = {
-        "metric": "quality_at_compression_trained_bytelm_large",
-        "model": f"CausalLM dim=640 x10 layers, byte vocab, {params0/1e6:.1f}M params",
-        "corpus": (
-            f"{len(toks)/2**20:.1f} MB local prose (site-packages docs + "
-            "/usr/share/doc + AST-harvested docstrings)"
-        ),
-        "note": (
-            "doc_* tasks derive from package descriptions inside the "
-            "training corpus: degradation-under-compression metric; "
-            "heldout_ppl (disjoint tail) is the generalization number"
-        ),
-        "train": {
-            "steps": args.steps,
-            "batch": BATCH,
-            "seqlen": SEQLEN,
-            "wall_s": round(t_train, 1),
-            "tokens_per_s": round(tok_per_s, 0),
-            "analytic_6nd_mfu": round(train_mfu, 4),
-            "final_loss": round(float(loss), 4),
-        },
-        "thresholds": {
-            "nsr_final_threshold": NSR_THRESHOLD,
-            "trade_off_factor": TRADE_OFF,
-            "min_rank": MIN_RANK,
-            "max_accepted_ppl_diff": MAX_PPL_DIFF,
-        },
-        "baseline": {
-            "heldout_ppl": round(ppl0, 3),
-            "tasks": tasks0,
-            "mparams": round(params0 / 1e6, 3),
-        },
-        "int8_baseline": int8_baseline,
-        "decomposed": results,
-        "device": str(jax.devices()[0]),
-        "measured_on": time.strftime("%Y-%m-%d"),
-    }
-    path = pathlib.Path(__file__).resolve().parent.parent / (
-        "BENCH_QUALITY_LARGE.json"
-    )
-    path.write_text(json.dumps(out, indent=2) + "\n")
     print(json.dumps(out))
 
 

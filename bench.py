@@ -455,6 +455,9 @@ def main() -> None:
         ("BENCH_CALIB_MFU.json", ["gram_pass", "ladder_step"]),
         ("BENCH_LOCKD.json", ["lockd_stage0", "kd_finetune"]),
         ("BENCH_QUALITY.json", ["baseline", "decomposed"]),
+        ("BENCH_QUALITY_LARGE.json", ["model", "baseline", "decomposed",
+                                      "train"]),
+        ("BENCH_MOE.json", ["rows"]),
     ):
         try:
             d = json.loads((root / fname).read_text())
