@@ -295,8 +295,19 @@ def main() -> None:
         path.write_text(json.dumps(out, indent=2) + "\n")
         return out
 
+    prior = {}
+    if path.exists():
+        try:
+            prior = json.loads(path.read_text()).get("decomposed", {})
+        except Exception:
+            prior = {}
     write_artifact()  # baseline + int8 land even if a walk times out
     for mode in ("no_ft", "with_ft"):
+        if mode in prior:  # resume: completed walks survive reruns
+            results[mode] = prior[mode]
+            write_artifact()
+            print(f"{mode}: restored from prior artifact")
+            continue
         ft_fn = None
         if mode == "with_ft":
             ft_fn = finetune.make_finetune_fn(
