@@ -137,7 +137,21 @@ def make_model(
             sd = utils.load_state_dict_safetensors(checkpoint_path)
         else:
             sd = utils.load_state_dict_pt(checkpoint_path)
-        sd = _translate_external_layout(model_name, sd)
+        translated = _translate_external_layout(model_name, sd)
+        if translated is not sd:
+            # a translation ran: every produced key must land on the model
+            # — an unmatched key under strict=False would silently leave
+            # part of the model randomly initialized (ADVICE r4 medium)
+            unmatched = sorted(set(translated) - set(utils.state_dict(model)))
+            if unmatched:
+                raise ValueError(
+                    f"layout translation for {model_name!r} produced "
+                    f"{len(unmatched)} key(s) absent from the model "
+                    f"(first: {unmatched[:5]}); refusing a partial load — "
+                    "the translator is missing a rename rule for this "
+                    "checkpoint layout"
+                )
+        sd = translated
         log_state_dict_keys_stats("make_model:", model, sd)
         model = utils.load_state_dict(model, sd, strict=False)
         logger.info(f"Loaded weights from {checkpoint_path}")

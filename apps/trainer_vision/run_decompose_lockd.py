@@ -180,7 +180,9 @@ def main(
         else None
     )
     while step_idx < num_steps:
+        chunk_start = None
         if chunk_fn is not None and step_idx + spd <= num_steps:
+            chunk_start = step_idx
             inputs_k = jnp.stack(
                 [next(data_iter)["inputs"] for _ in range(spd)]
             )
@@ -194,14 +196,21 @@ def main(
                 trainable, opt_state, inputs_k, keys_k
             )
             losses, nsr_losses, prop_losses, sink_k = ys
-            # log with the chunk's LAST step's values
-            loss, nsr_loss, prop_loss = (
-                losses[-1], nsr_losses[-1], prop_losses[-1]
+            # log the COVERED 100-multiple with THAT step's stacked losses
+            # (ADVICE r4 low: tail-labeled logs shifted metrics.jsonl /
+            # TensorBoard step labels by up to spd-1).  The gate-derived
+            # entropy/proportion metrics below reflect chunk-tail state —
+            # per-step gate params are not observable outside the scan.
+            log_j = next(
+                (j for j in range(spd) if (step_idx + j) % 100 == 0), None
             )
-            nsr_sink = {k2: v[-1] for k2, v in sink_k.items()}
-            log_now = any(
-                (step_idx + j) % 100 == 0 for j in range(spd)
-            )
+            log_now = log_j is not None
+            if log_now:
+                loss, nsr_loss, prop_loss = (
+                    losses[log_j], nsr_losses[log_j], prop_losses[log_j]
+                )
+                nsr_sink = {k2: v[log_j] for k2, v in sink_k.items()}
+                log_step = step_idx + log_j
             step_idx += spd - 1  # +1 at the loop tail below
         else:
             batch = next(data_iter)
@@ -213,10 +222,11 @@ def main(
                 )
             )
             log_now = step_idx % 100 == 0
+            log_step = step_idx
         if log_now:
             current = nn.combine(trainable, frozen)
             rec = {
-                "step": step_idx,
+                "step": log_step,
                 "loss": float(loss),
                 "loss_nsr": float(nsr_loss),
                 "loss_proportion": float(prop_loss),
@@ -230,7 +240,7 @@ def main(
             metrics_log.write(json.dumps(rec) + "\n")
             metrics_log.flush()
             tb.scalars(
-                step_idx,
+                log_step,
                 {
                     "loss/total": rec["loss"],
                     "loss/nsr": rec["loss_nsr"],
@@ -241,10 +251,15 @@ def main(
                 },
             )
             logger.info(
-                f"step {step_idx}/{num_steps} loss={rec['loss']:.4f} "
+                f"step {log_step}/{num_steps} loss={rec['loss']:.4f} "
                 f"nsr={rec['loss_nsr']:.4f} p={rec['loss_proportion']:.4f}"
             )
-        ckpt.maybe_save(step_idx, trainable, opt_state)
+        if chunk_start is not None:
+            # covered-multiple-aware save (ADVICE r4 high: tail-only
+            # maybe_save misses every even save interval under chunking)
+            ckpt.maybe_save_chunk(chunk_start, spd, trainable, opt_state)
+        else:
+            ckpt.maybe_save(step_idx, trainable, opt_state)
         step_idx += 1
     time_training = time.perf_counter() - t0
     tb.close()

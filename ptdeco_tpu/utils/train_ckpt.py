@@ -52,6 +52,32 @@ class TrainCheckpointer:
             ),
         )
 
+    def maybe_save_chunk(
+        self, start_step: int, n_steps: int, trainable: Any, opt_state: Any
+    ) -> None:
+        """Chunked-dispatch (``steps_per_dispatch``) variant.
+
+        A chunked driver only observes state at chunk tails
+        (``start_step + n_steps - 1``), so the orbax fixed-interval policy
+        (saves iff ``step % save_interval_steps == 0``) never fires for any
+        interval not aligned to the chunk tails — periodic checkpoints
+        silently stop and autoresume restarts from scratch.  If the chunk
+        covered an interval multiple, force-save the post-chunk state at
+        the true tail step: resume is exact (``latest + 1``) and no steps
+        are replayed."""
+        if not self.enabled or n_steps <= 0:
+            return
+        last = start_step + n_steps - 1
+        covered = (last // self.save_interval_steps) * self.save_interval_steps
+        if covered >= start_step:
+            self._mgr.save(
+                last,
+                args=self._ocp.args.StandardSave(
+                    {"trainable": trainable, "opt_state": opt_state}
+                ),
+                force=True,
+            )
+
     def restore_or(
         self, trainable: Any, opt_state: Any
     ) -> tuple[Any, Any, int]:

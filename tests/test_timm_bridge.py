@@ -43,10 +43,19 @@ def native_to_timm_sd(model, style="timm"):
     for k, v in sd.items():
         if k.endswith("num_batches_tracked"):
             continue
-        if k.startswith("stem0."):
-            k = "stem.conv1." + k[len("stem0."):]
-        elif k.startswith("stem1."):
-            k = "stem.conv2." + k[len("stem1."):]
+        if style == "timm":
+            if k.startswith("stem0."):
+                k = "stem.conv1." + k[len("stem0."):]
+            elif k.startswith("stem1."):
+                k = "stem.conv2." + k[len("stem1."):]
+        else:
+            # the snap-research original's stem is a plain Sequential
+            # named patch_embed: conv,bn,act,conv,bn (ADVICE r4 medium:
+            # these keys previously sniffed the translator but had no rule)
+            k = k.replace("stem0.conv.", "patch_embed.0.")
+            k = k.replace("stem0.bn.", "patch_embed.1.")
+            k = k.replace("stem1.conv.", "patch_embed.3.")
+            k = k.replace("stem1.bn.", "patch_embed.4.")
         k = re.sub(r"downsample\.(conv|bn)\.", r"downsample.conv.\1.", k)
         if style == "timm":
             k = re.sub(r"\.ls([12])$", r".ls\1.gamma", k)
@@ -93,6 +102,26 @@ def test_attention_downsample_checkpoints_refused():
     )
     with pytest.raises(NotImplementedError, match="attention[ -]downsample"):
         ef.translate_timm_efficientformerv2_state_dict(foreign)
+
+
+def test_builder_refuses_partially_translated_checkpoint(tmp_path):
+    """A translated checkpoint whose produced keys don't all land on the
+    model must be refused loudly — under strict=False an unmatched key
+    silently leaves part of the model randomly initialized (ADVICE r4
+    medium: exactly how an untranslated stem would have slipped through)."""
+    from apps.trainer_vision import builder as vb
+
+    m = models.efficientformerv2_s0(jax.random.PRNGKey(0), image_size=224)
+    foreign = native_to_timm_sd(m, style="timm")
+    # a key the translator has no rule for, in an unknown-to-native spot
+    foreign["stages.0.mystery_scale.gamma"] = np.zeros((4,), np.float32)
+    import torch
+
+    path = tmp_path / "ckpt.pt"
+    torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in foreign.items()},
+               str(path))
+    with pytest.raises(ValueError, match="absent from the model"):
+        vb.make_model("efficientformerv2_s0", checkpoint_path=str(path))
 
 
 def test_swinv2_cr_refused_loudly():

@@ -50,6 +50,28 @@ def test_save_and_autoresume(tmp_path):
     ckpt2.close()
 
 
+def test_chunked_save_covers_unaligned_intervals(tmp_path):
+    """steps_per_dispatch=8 with save_interval_steps=100: chunk tails land
+    on 7, 15, ..., never on a multiple of 100, so plain maybe_save NEVER
+    checkpoints (ADVICE r4 high).  maybe_save_chunk must save at the tail
+    of every chunk that covers a multiple — and only those."""
+    spd, interval = 8, 100
+    ckpt = TrainCheckpointer(str(tmp_path / "ck"), save_interval_steps=interval)
+    payload = {"w": jnp.arange(4.0)}
+    for start in range(0, 240, spd):
+        ckpt.maybe_save_chunk(start, spd, payload, {"o": jnp.zeros(())})
+    ckpt.close()
+
+    ckpt2 = TrainCheckpointer(str(tmp_path / "ck"), save_interval_steps=interval)
+    steps = sorted(ckpt2._mgr.all_steps())
+    # chunks [0..7] (covers 0), [96..103] (covers 100), [200..207] (covers
+    # 200) save at their true tail steps; max_to_keep=2 keeps the last two
+    assert steps == [103, 207], steps
+    _, _, resume = ckpt2.restore_or(payload, {"o": jnp.zeros(())})
+    assert resume == 208  # exact resume, no replayed steps
+    ckpt2.close()
+
+
 def test_disabled_checkpointer_is_noop(tmp_path):
     ckpt = TrainCheckpointer(None, save_interval_steps=0)
     a, b, s = ckpt.restore_or(1, 2)
