@@ -156,6 +156,34 @@ def main(config_raw: dict[str, Any], output_path: pathlib.Path) -> None:
     spec_stats: list[dict[str, Any]] = []
     total_new = 0
     key = jax.random.PRNGKey(config.seed)
+    # speculative auto-gate inputs are measured ONCE, before the chunk
+    # loop: the three timing scans + the acceptance probe are not free,
+    # and per-chunk re-measurement could flip the gate decision mid-run
+    # (ADVICE r4 low).  Costs at the serving batch size; acceptance from
+    # a short real drafting probe on the first chunk's prompts.
+    gate_kwargs: dict[str, Any] = {}
+    if draft is not None and config.speculative_auto_gate:
+        first = token_lists[: config.batch_size]
+        s0 = max(len(t) for t in first)
+        padded0 = np.zeros((len(first), s0), np.int32)
+        for i, t in enumerate(first):
+            padded0[i, : len(t)] = t
+        costs = serving.measure_decode_step_costs(
+            model, draft, len(first), k=config.speculative_k
+        )
+        probe = serving.measure_draft_acceptance(
+            model,
+            draft,
+            jnp.asarray(padded0),
+            k=config.speculative_k,
+            eos_id=eos_id,
+            prompt_lens=jnp.asarray([len(t) for t in first], jnp.int32),
+        )
+        gate_kwargs = {"costs": costs, "acceptance": probe["acceptance"]}
+        logger.info(
+            f"Speculative gate inputs (measured once): "
+            f"acceptance={probe['acceptance']} costs={costs}"
+        )
     t0 = time.perf_counter()
     for start in range(0, len(token_lists), config.batch_size):
         chunk = token_lists[start : start + config.batch_size]
@@ -176,6 +204,7 @@ def main(config_raw: dict[str, Any], output_path: pathlib.Path) -> None:
                 prompt_lens=lens,
                 return_stats=True,
                 auto_gate=config.speculative_auto_gate,
+                **gate_kwargs,
             )
             spec_stats.append(stats)
         elif config.num_beams > 1:
@@ -243,6 +272,12 @@ def main(config_raw: dict[str, Any], output_path: pathlib.Path) -> None:
             "acceptance": round(accepted / drafted, 4) if drafted else None,
             "gate": spec_stats[0].get("gate"),
         }
+        if gate_kwargs:
+            summary["speculative"]["gate_inputs"] = {
+                "costs": gate_kwargs["costs"],
+                "measured_acceptance": gate_kwargs["acceptance"],
+                "probe": probe,
+            }
     with open(output_path / "summary.json", "w") as f:
         json.dump(summary, f, indent=2)
     logger.info(f"Generation summary: {summary}")

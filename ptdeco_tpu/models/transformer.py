@@ -5018,16 +5018,18 @@ def _moe_routing(
     return top_vals, top_idx
 
 
-# int8 grouped-kernel dispatch: the Pallas kernel is single-device (opaque
-# to GSPMD, like the flash/SYRK gates before custom_partitioning); CPU
-# tests force it through interpret mode by monkeypatching these.
+# int8 grouped-kernel dispatch: GSPMD-legal since the kernel grew
+# custom_partitioning over the expert/output-column axes (VERDICT r4 #4
+# — previously gated to device_count() == 1, silently falling off the
+# fast path under the ep/tp meshes).  CPU tests force interpret mode by
+# monkeypatching these.
 _INT8_GMM_INTERPRET = False
 
 
 def _use_int8_gmm() -> bool:
     if _INT8_GMM_INTERPRET:
         return True
-    return jax.default_backend() == "tpu" and jax.device_count() == 1
+    return jax.default_backend() == "tpu"
 
 
 class MoEMLP(nn.Module):

@@ -28,9 +28,25 @@ Because scale is per OUTPUT channel, ``x @ (w_q * scale) == (x @ w_q) *
 scale`` — the kernel accumulates the int8-converted dot in f32 and
 applies the scale once per output tile, not per weight element.
 
-The kernel is single-device (dispatched only when device_count() == 1,
-like the bf16 megablox path); meshes keep the einsum/dense paths whose
-expert-axis sharding GSPMD understands.
+GSPMD legality (VERDICT r4 #4): the op is wrapped in
+``jax.experimental.custom_partitioning`` the way ops/flash_attention.py
+and ops/gram_pallas.py are, so under ep/tp meshes int8 MoE decode stays
+on the kernel instead of falling off to the dequant path:
+
+* **N axis (tp, column-parallel)** — each shard runs the kernel on its
+  own output columns (``w_q``/``scale``/``out`` n-sharded); nothing else
+  changes.
+* **E axis (ep, expert-parallel)** — each shard holds ``E/ep`` experts'
+  int8 grids.  The per-shard lowering rebases the tile->expert map to
+  local expert ids, clamps non-local tiles (their outputs are masked to
+  zero), runs the kernel, and ``psum``s over the ep axis: every padded
+  row belongs to exactly one expert, so exactly one shard contributes
+  it.  Non-local tiles burn MXU cycles on a clamped expert-0 block, but
+  the quantity the kernel exists to divide — int8 WEIGHT streaming, the
+  decode bound — is E/ep per device.
+* ``lhs`` rows and ``tile_expert`` are need-replication: the padded row
+  layout is data-dependent (sorted by expert), so no static row
+  sharding can align with expert boundaries.
 """
 
 from __future__ import annotations
@@ -40,7 +56,9 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.custom_partitioning import custom_partitioning
 from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 __all__ = ["grouped_matmul_int8", "pad_groups_for_tiles"]
 
@@ -169,18 +187,9 @@ def _gmm_int8_padded(
     )(tile_expert, lhs, w_q, scale)
 
 
-def grouped_matmul_int8(
-    lhs: jax.Array,  # (M, K) activation dtype, M % bm == 0
-    w_q: jax.Array,  # (E, K, N) int8
-    scale: jax.Array,  # (E, N) f32 (or any float) per output channel
-    tile_expert: jax.Array,  # (M // bm,) int32
-    *,
-    bm: int = 256,
-    interpret: bool = False,
-) -> jax.Array:
-    """See module docstring.  K/N tiles adapt to the dims; dims with no
-    nice divisor pad to the int8 lane/sublane granule (repo convention:
-    pad outside, keep the kernel divisible — ops/gram_pallas.py:144)."""
+def _gmm_core(lhs, w_q, scale, tile_expert, bm: int, interpret: bool):
+    """Single-shard grouped matmul: tile selection + granule padding +
+    the Pallas call.  ``scale`` is (E, N) float32 here."""
     m, k = lhs.shape
     e, k2, n = w_q.shape
     assert k == k2 and m % bm == 0, (lhs.shape, w_q.shape, bm)
@@ -195,7 +204,91 @@ def grouped_matmul_int8(
         bk = bk or _pick_tile(k + k_pad, (1024, 512, 256, 128))
         bn = bn or _pick_tile(n + n_pad, (1024, 512, 256, 128))
     out = _gmm_int8_padded(
-        lhs, w_q, scale.astype(jnp.float32)[:, None, :], tile_expert,
+        lhs, w_q, scale[:, None, :], tile_expert,
         bm=bm, bk=bk, bn=bn, interpret=interpret,
     )
     return out[:, :n] if n_pad else out
+
+
+def _flat_axis_index(axes):
+    """axis_index over a single mesh axis name or a tuple of them."""
+    if isinstance(axes, (tuple, list)):
+        idx = jnp.int32(0)
+        for a in axes:
+            idx = idx * jax.lax.psum(1, a) + jax.lax.axis_index(a)
+        return idx
+    return jax.lax.axis_index(axes)
+
+
+@functools.partial(custom_partitioning, static_argnums=(4, 5))
+def _gmm_partitioned(lhs, w_q, scale, tile_expert, bm, interpret):
+    return _gmm_core(lhs, w_q, scale, tile_expert, bm, interpret)
+
+
+# callbacks run as callback(*static_args, mesh, arg_shapes, result_shape)
+def _gmm_partition(bm, interpret, mesh, arg_shapes, result_shape):
+    wq_spec = arg_shapes[1].sharding.spec
+    e_axes = wq_spec[0] if len(wq_spec) > 0 else None
+    n_axes = wq_spec[2] if len(wq_spec) > 2 else None
+    arg_shardings = (
+        NamedSharding(mesh, P(None, None)),       # lhs: replicated rows
+        NamedSharding(mesh, P(e_axes, None, n_axes)),
+        NamedSharding(mesh, P(e_axes, n_axes)),
+        NamedSharding(mesh, P(None)),             # tile_expert
+    )
+    out_sharding = NamedSharding(mesh, P(None, n_axes))
+
+    def lower_fn(lhs, w_q, scale, tile_expert):
+        if e_axes is None:
+            return _gmm_core(lhs, w_q, scale, tile_expert, bm, interpret)
+        # expert-parallel shard: rebase the global tile->expert map to
+        # this shard's expert range, clamp+mask foreign tiles, psum —
+        # each padded row is owned by exactly one shard
+        e_local = w_q.shape[0]
+        offs = _flat_axis_index(e_axes) * e_local
+        te = tile_expert - offs
+        valid = (te >= 0) & (te < e_local)
+        te_c = jnp.clip(te, 0, e_local - 1)
+        out = _gmm_core(lhs, w_q, scale, te_c, bm, interpret)
+        out = out * jnp.repeat(valid, bm).astype(out.dtype)[:, None]
+        return jax.lax.psum(out, e_axes)
+
+    return mesh, lower_fn, out_sharding, arg_shardings
+
+
+def _gmm_infer(bm, interpret, mesh, arg_shapes, result_shape):
+    wq_spec = arg_shapes[1].sharding.spec
+    n_axes = wq_spec[2] if len(wq_spec) > 2 else None
+    return NamedSharding(mesh, P(None, n_axes))
+
+
+_gmm_partitioned.def_partition(
+    partition=_gmm_partition,
+    infer_sharding_from_operands=_gmm_infer,
+    sharding_rule="m k, e k n, e n, t -> m n",
+    need_replication_factors=("m", "k", "t"),
+)
+
+
+def grouped_matmul_int8(
+    lhs: jax.Array,  # (M, K) activation dtype, M % bm == 0
+    w_q: jax.Array,  # (E, K, N) int8
+    scale: jax.Array,  # (E, N) f32 (or any float) per output channel
+    tile_expert: jax.Array,  # (M // bm,) int32
+    *,
+    bm: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """See module docstring.  K/N tiles adapt to the dims; dims with no
+    nice divisor pad to the int8 lane/sublane granule (repo convention:
+    pad outside, keep the kernel divisible — ops/gram_pallas.py:144).
+    GSPMD-partitionable over the expert (ep) and output-column (tp) axes
+    via custom_partitioning; never differentiated (serving-only)."""
+    return _gmm_partitioned(
+        lhs,
+        w_q,
+        scale.astype(jnp.float32),
+        jnp.asarray(tile_expert, jnp.int32),
+        bm,
+        bool(interpret),
+    )
