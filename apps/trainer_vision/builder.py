@@ -62,7 +62,11 @@ _ZOO = {
     # examples_config/decompose_dwain_swinv2_tiny.yaml); timm-style aliases
     "swinv2_tiny_patch4_window7_224": swin_zoo.swinv2_tiny,
     "swin_tiny_patch4_window7_224": swin_zoo.swin_tiny,
-    "swinv2_cr_tiny_ns_224": swin_zoo.swinv2_tiny,
+    # the reference's own dwain vision target — the true _cr architecture
+    # (clamped-tau cosine attention, meta-MLP bias, extra stage norms),
+    # not an official-SwinV2 stand-in (VERDICT r4 #6)
+    "swinv2_cr_tiny_ns_224": swin_zoo.swinv2_cr_tiny_ns,
+    "swinv2_cr_small_ns_224": swin_zoo.swinv2_cr_small_ns,
     "swinv2_small_patch4_window7_224": swin_zoo.swinv2_small,
     # hybrid conv/attention family (the reference's lockd/wrap/config test
     # model, tests/test_wrap_torchvision_timm.py:32); timm-style aliases

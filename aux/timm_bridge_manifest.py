@@ -54,7 +54,22 @@ def expected_timm_keys(native_key: str) -> list[str]:
     return outs
 
 
-def manifest_for(name: str, factory) -> dict:
+def expected_timm_keys_cr(native_key: str) -> list[str]:
+    """Inverse of translate_timm_swinv2_cr_state_dict."""
+    k = native_key
+    k = k.replace("patch_embed.", "patch_embed.proj.")
+    k = k.replace("patch_norm.", "patch_embed.norm.")
+    m = re.match(r"stages\.(\d+)\.downsample\.(.*)$", k)
+    if m:
+        k = f"stages.{int(m.group(1)) + 1}.downsample.{m.group(2)}"
+    k = k.replace(".attn.cpb_fc1.", ".attn.meta_mlp.fc1.")
+    k = k.replace(".attn.cpb_fc2.", ".attn.meta_mlp.fc2.")
+    if k.startswith("head."):
+        k = "head.fc." + k[len("head."):]
+    return [k]
+
+
+def manifest_for(name: str, factory, key_fn=expected_timm_keys) -> dict:
     model = factory(jax.random.PRNGKey(0), image_size=224)
     sd = utils.state_dict(model)
     entries = {}
@@ -63,7 +78,7 @@ def manifest_for(name: str, factory) -> dict:
             continue
         entries[k] = {
             "shape": list(sd[k].shape),
-            "timm_keys": expected_timm_keys(k),
+            "timm_keys": key_fn(k),
         }
     return {
         "model": name,
@@ -84,13 +99,11 @@ def main() -> None:
         "efficientformerv2_s1": manifest_for(
             "efficientformerv2_s1", models.efficientformerv2_s1
         ),
-        "swinv2_cr_tiny_ns_224": {
-            "note": (
-                "REFUSED: structurally different graph (clamped-tau "
-                "cosine attention, meta-MLP bias, pre-norm blocks); see "
-                "models/swin.py::translate_timm_swinv2_cr_state_dict"
-            )
-        },
+        "swinv2_cr_tiny_ns_224": manifest_for(
+            "swinv2_cr_tiny_ns_224",
+            models.swinv2_cr_tiny_ns,
+            key_fn=expected_timm_keys_cr,
+        ),
     }
     text = json.dumps(out, indent=1)
     if len(sys.argv) > 1:

@@ -200,6 +200,141 @@ class TorchSwinV2Block(torch.nn.Module):
         return x + self.norm2(self.mlp(x))
 
 
+class TorchWindowAttentionCr(torch.nn.Module):
+    """timm ``swin_transformer_v2_cr.WindowMultiHeadAttention`` semantics:
+    cosine attention with a per-head clamped log scale (same math as
+    official), but the position bias comes from a ``meta_mlp``
+    (2 -> 384 ReLU -> heads WITH an output bias) applied to ALL-PAIRS
+    ``sign(Δ)·ln(1+|Δ|)`` coordinates — no (2w-1)² index table and no
+    16*sigmoid squash.  Field names match the native module (cpb_fc1/fc2
+    carry the meta MLP) so ``utils.state_dict`` loads directly."""
+
+    def __init__(self, dim, n_heads, window, meta_hidden=384):
+        super().__init__()
+        self.n_heads = n_heads
+        self.window = window
+        self.qkv = torch.nn.Linear(dim, 3 * dim)
+        self.proj = torch.nn.Linear(dim, dim)
+        self.logit_scale = torch.nn.Parameter(
+            torch.log(10.0 * torch.ones(n_heads, 1, 1))
+        )
+        self.cpb_fc1 = torch.nn.Linear(2, meta_hidden)
+        self.cpb_fc2 = torch.nn.Linear(meta_hidden, n_heads, bias=True)
+
+        # _make_pair_wise_relative_positions: all-pairs sign*ln(1+|d|)
+        c = torch.stack(
+            torch.meshgrid(
+                torch.arange(window), torch.arange(window), indexing="ij"
+            )
+        ).flatten(1)
+        rel = (c[:, :, None] - c[:, None, :]).permute(1, 2, 0)
+        rel = rel.reshape(-1, 2).float()
+        self.register_buffer(
+            "rel_coords", torch.sign(rel) * torch.log1p(rel.abs())
+        )
+
+    def forward(self, x, mask=None):
+        bw, n, d = x.shape
+        qkv = (
+            self.qkv(x)
+            .reshape(bw, n, 3, self.n_heads, -1)
+            .permute(2, 0, 3, 1, 4)
+        )
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        attn = F.normalize(q, dim=-1) @ F.normalize(k, dim=-1).transpose(
+            -2, -1
+        )
+        attn = attn * torch.clamp(
+            self.logit_scale, max=np.log(100.0)
+        ).exp()
+        bias = self.cpb_fc2(F.relu(self.cpb_fc1(self.rel_coords)))
+        bias = bias.transpose(1, 0).reshape(self.n_heads, n, n)
+        attn = attn + bias.unsqueeze(0)
+        if mask is not None:
+            nw = mask.shape[0]
+            attn = attn.view(bw // nw, nw, self.n_heads, n, n) + mask[
+                None, :, None
+            ]
+            attn = attn.view(bw, self.n_heads, n, n)
+        attn = attn.softmax(dim=-1)
+        out = (attn @ v).transpose(1, 2).reshape(bw, n, d)
+        return self.proj(out)
+
+
+class TorchSwinV2CrBlock(torch.nn.Module):
+    """timm ``SwinTransformerV2CrBlock``: post-norm branches
+    (x + norm(op(x))) like official V2, cr attention, and — for the
+    "_ns" variants — an extra main-branch ``norm3`` on each stage's last
+    block."""
+
+    def __init__(self, dim, n_heads, resolution, window, shift,
+                 mlp_ratio=4.0, extra_norm=False):
+        super().__init__()
+        self.resolution = resolution
+        self.window = window
+        self.shift = shift
+        self.norm1 = torch.nn.LayerNorm(dim, eps=1e-5)
+        self.attn = TorchWindowAttentionCr(dim, n_heads, window)
+        self.norm2 = torch.nn.LayerNorm(dim, eps=1e-5)
+        self.norm3 = (
+            torch.nn.LayerNorm(dim, eps=1e-5) if extra_norm else None
+        )
+
+        class _MLP(torch.nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.fc1 = torch.nn.Linear(dim, int(dim * mlp_ratio))
+                self.fc2 = torch.nn.Linear(int(dim * mlp_ratio), dim)
+
+            def forward(self, x):
+                return self.fc2(F.gelu(self.fc1(x)))
+
+        self.mlp = _MLP()
+
+        if shift > 0:
+            h, w = resolution
+            img = torch.zeros(1, h, w, 1)
+            cnt = 0
+            for hs in (
+                slice(0, -window),
+                slice(-window, -shift),
+                slice(-shift, None),
+            ):
+                for ws in (
+                    slice(0, -window),
+                    slice(-window, -shift),
+                    slice(-shift, None),
+                ):
+                    img[:, hs, ws, :] = cnt
+                    cnt += 1
+            win = _t_window_partition(img, window).reshape(-1, window * window)
+            diff = win.unsqueeze(1) - win.unsqueeze(2)
+            mask = torch.where(
+                diff != 0, torch.tensor(-100.0), torch.tensor(0.0)
+            )
+            self.register_buffer("attn_mask", mask)
+        else:
+            self.attn_mask = None
+
+    def forward(self, x):  # (B, N, C) tokens
+        h, w = self.resolution
+        b, n, c = x.shape
+        shortcut = x
+        x = x.view(b, h, w, c)
+        if self.shift > 0:
+            x = torch.roll(x, (-self.shift, -self.shift), dims=(1, 2))
+        xw = _t_window_partition(x, self.window)
+        xw = self.attn(xw, self.attn_mask)
+        x = _t_window_reverse(xw, self.window, h, w)
+        if self.shift > 0:
+            x = torch.roll(x, (self.shift, self.shift), dims=(1, 2))
+        x = shortcut + self.norm1(x.view(b, n, c))
+        x = x + self.norm2(self.mlp(x))
+        if self.norm3 is not None:
+            x = self.norm3(x)
+        return x
+
+
 # ---------------------------------------------------------------------------
 # EfficientFormerV2 Attention4D
 # ---------------------------------------------------------------------------

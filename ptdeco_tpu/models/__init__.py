@@ -26,7 +26,8 @@ from .mobilevit import MobileViT, MobileViTV2
 from .perceiver import PerceiverImageClassifierLearned
 from .poolformer import PoolFormer, poolformer_s12
 from .phi import PhiCausalLM, PhiConfig
-from .swin import SwinV2, swinv2_small, swinv2_tiny
+from .swin import (SwinV2, swinv2_cr_small_ns, swinv2_cr_tiny_ns,
+                   swinv2_small, swinv2_tiny)
 from .vit import ViT, vit_base, vit_small, vit_tiny, deit_small, dinov2_small
 from .ssm import (
     Mamba1Mixer,
@@ -111,6 +112,8 @@ __all__ = [
     "PhiConfig",
     "ViT",
     "SwinV2",
+    "swinv2_cr_small_ns",
+    "swinv2_cr_tiny_ns",
     "swinv2_small",
     "swinv2_tiny",
     "vit_base",

@@ -33,7 +33,13 @@ import numpy as np
 
 from .. import nn
 
-__all__ = ["SwinV2", "swinv2_tiny", "swinv2_small"]
+__all__ = [
+    "SwinV2",
+    "swinv2_tiny",
+    "swinv2_small",
+    "swinv2_cr_tiny_ns",
+    "swinv2_cr_small_ns",
+]
 
 
 def _window_partition(x: jax.Array, w: int) -> jax.Array:
@@ -60,6 +66,22 @@ def _relative_coords_log(window: int) -> np.ndarray:
     grid = grid.reshape(-1, 2)  # ((2w-1)², 2)
     grid = grid / (window - 1) * 8.0 if window > 1 else grid
     return np.sign(grid) * np.log2(np.abs(grid) + 1.0) / np.log2(8.0)
+
+
+def _relative_coords_cr(window: int) -> np.ndarray:
+    """swinv2_cr meta-MLP input: ``sign(Δ) * ln(1 + |Δ|)`` over ALL
+    ``w² x w²`` position pairs, flattened row-major to (w⁴, 2) — the _cr
+    family feeds the bias MLP per PAIR directly instead of indexing a
+    (2w-1)² table, and uses natural log without the official /8
+    normalization (timm ``swin_transformer_v2_cr.py``
+    ``_make_pair_wise_relative_positions``)."""
+    coords = np.stack(
+        np.meshgrid(np.arange(window), np.arange(window), indexing="ij"),
+        axis=0,
+    ).reshape(2, -1)  # (2, w²)
+    rel = (coords[:, :, None] - coords[:, None, :]).astype(np.float32)
+    rel = rel.transpose(1, 2, 0).reshape(-1, 2)  # (w⁴, 2)
+    return np.sign(rel) * np.log1p(np.abs(rel))
 
 
 def _relative_index(window: int) -> np.ndarray:
@@ -98,12 +120,16 @@ class WindowAttention(nn.Module):
     logit_scale: Optional[jax.Array]  # (n_heads, 1, 1); None for V1
     cpb_fc1: Optional[nn.Linear]  # 2 -> cpb_hidden; None for V1
     cpb_fc2: Optional[nn.Linear]  # cpb_hidden -> n_heads (no bias)
-    rel_coords: Optional[jax.Array]  # ((2w-1)², 2), constant buffer
-    rel_index: jax.Array  # (w², w²) int32, constant buffer
+    rel_coords: Optional[jax.Array]  # ((2w-1)², 2) — or (w⁴, 2) for _cr
+    rel_index: Optional[jax.Array]  # (w², w²) int32; None for _cr
     # Swin V1: a LEARNED relative-position-bias table replaces the CPB
     # MLP, and attention is plain scaled dot product (q·k / sqrt(hd))
     rel_bias_table: Optional[jax.Array] = None  # ((2w-1)², n_heads)
     n_heads: int = nn.static_field(default=3)
+    # timm swinv2_cr meta-MLP bias head: the bias MLP (with an OUT bias,
+    # unlike official CPB) maps all-pairs ln(1+|Δ|) coords straight to
+    # (w², w², H) — no index table, no 16*sigmoid squash
+    meta_bias: bool = nn.static_field(default=False)
     _buffer_fields = ("rel_coords", "rel_index")
 
     def __call__(
@@ -148,8 +174,11 @@ class WindowAttention(nn.Module):
             bias = self.cpb_fc2(
                 jax.nn.relu(self.cpb_fc1(self.rel_coords, ctx)), ctx
             )
-            bias = 16.0 * jax.nn.sigmoid(bias.astype(jnp.float32))
-            bias = bias[self.rel_index]  # (w², w², H)
+            if self.meta_bias:  # swinv2_cr: raw per-pair bias, no squash
+                bias = bias.astype(jnp.float32).reshape(n, n, -1)
+            else:
+                bias = 16.0 * jax.nn.sigmoid(bias.astype(jnp.float32))
+                bias = bias[self.rel_index]  # (w², w², H)
             attn = attn + bias.transpose(2, 0, 1)[None]
 
         if mask is not None:
@@ -163,8 +192,26 @@ class WindowAttention(nn.Module):
         return self.proj(out, ctx)
 
     @staticmethod
-    def create(key, dim, n_heads, window, cpb_hidden=512, v1=False):
+    def create(key, dim, n_heads, window, cpb_hidden=512, v1=False,
+               cr=False):
         ks = jax.random.split(key, 4)
+        if cr:
+            # timm swinv2_cr: meta-MLP hidden 384, fc2 WITH bias, logit
+            # scale per head (same log-10 init and ln(100) clamp as
+            # official), all-pairs ln(1+|Δ|) coordinates
+            return WindowAttention(
+                qkv=nn.Linear.create(ks[0], dim, 3 * dim),
+                proj=nn.Linear.create(ks[1], dim, dim),
+                logit_scale=jnp.full(
+                    (n_heads, 1, 1), np.log(10.0), jnp.float32
+                ),
+                cpb_fc1=nn.Linear.create(ks[2], 2, 384),
+                cpb_fc2=nn.Linear.create(ks[3], 384, n_heads),
+                rel_coords=jnp.asarray(_relative_coords_cr(window)),
+                rel_index=None,
+                n_heads=n_heads,
+                meta_bias=True,
+            )
         if v1:
             return WindowAttention(
                 qkv=nn.Linear.create(ks[0], dim, 3 * dim),
@@ -197,6 +244,9 @@ class SwinBlock(nn.Module):
     norm2: nn.LayerNorm
     mlp: "SwinMLP"
     attn_mask: Optional[jax.Array]  # (nW, w², w²) for shifted blocks
+    # swinv2_cr "_ns" variants: an extra main-branch norm closing the
+    # last block of each stage (timm extra_norm_stage=True)
+    norm3: Optional[nn.LayerNorm] = None
     resolution: tuple = nn.static_field(default=(56, 56))
     _buffer_fields = ("attn_mask",)
     window: int = nn.static_field(default=7)
@@ -225,11 +275,14 @@ class SwinBlock(nn.Module):
             x = shortcut + x
             return x + self.mlp(self.norm2(x, ctx), ctx)
         x = shortcut + self.norm1(x, ctx)
-        return x + self.norm2(self.mlp(x, ctx), ctx)
+        x = x + self.norm2(self.mlp(x, ctx), ctx)
+        if self.norm3 is not None:
+            x = self.norm3(x, ctx)
+        return x
 
     @staticmethod
     def create(key, dim, n_heads, resolution, window, shift, mlp_ratio=4.0,
-               v1=False):
+               v1=False, cr=False, extra_norm=False):
         ks = jax.random.split(key, 3)
         window = min(window, min(resolution))
         shift = 0 if window >= min(resolution) else shift
@@ -245,13 +298,16 @@ class SwinBlock(nn.Module):
         )
         return SwinBlock(
             norm1=nn.LayerNorm.create(dim, eps=1e-5),
-            attn=WindowAttention.create(ks[0], dim, n_heads, window, v1=v1),
+            attn=WindowAttention.create(
+                ks[0], dim, n_heads, window, v1=v1, cr=cr
+            ),
             norm2=nn.LayerNorm.create(dim, eps=1e-5),
             mlp=SwinMLP(
                 fc1=nn.Linear.create(ks[1], dim, int(dim * mlp_ratio)),
                 fc2=nn.Linear.create(ks[2], int(dim * mlp_ratio), dim),
             ),
             attn_mask=mask,
+            norm3=nn.LayerNorm.create(dim, eps=1e-5) if extra_norm else None,
             resolution=tuple(resolution),
             window=window,
             shift=shift,
@@ -317,7 +373,9 @@ class SwinV2(nn.Module):
     patch_embed: nn.Conv2d
     patch_norm: nn.LayerNorm
     stages: nn.Sequential
-    norm: nn.LayerNorm
+    # swinv2_cr has NO model-level final norm (its post-norm blocks — and
+    # the _ns variants' extra stage norms — already normalize the trunk)
+    norm: Optional[nn.LayerNorm]
     head: nn.Linear
 
     def __call__(self, x: jax.Array, ctx: Optional[nn.Ctx] = None) -> jax.Array:
@@ -326,7 +384,8 @@ class SwinV2(nn.Module):
         p = p.reshape(b, -1, p.shape[-1])
         h = self.patch_norm(p, ctx)
         h = self.stages(h, ctx)
-        h = self.norm(h, ctx)
+        if self.norm is not None:
+            h = self.norm(h, ctx)
         return self.head(jnp.mean(h, axis=1), ctx)
 
     @staticmethod
@@ -340,6 +399,8 @@ class SwinV2(nn.Module):
         window: int = 7,
         num_classes: int = 1000,
         v1: bool = False,
+        cr: bool = False,
+        extra_norm_stage: bool = False,
     ) -> "SwinV2":
         n_stage = len(depths)
         keys = jax.random.split(key, 3 + sum(depths) + n_stage)
@@ -359,12 +420,16 @@ class SwinV2(nn.Module):
                         window,
                         shift=0 if b % 2 == 0 else window // 2,
                         v1=v1,
+                        cr=cr,
+                        extra_norm=extra_norm_stage and b == depths[s] - 1,
                     )
                 )
             down = None
             if s < n_stage - 1:
                 down = PatchMerging.create(
-                    keys[next(ki)], dim, (res, res), v1=v1
+                    # _cr keeps the V1 merge order (norm on 4C, then
+                    # reduction) inside otherwise-post-norm blocks
+                    keys[next(ki)], dim, (res, res), v1=v1 or cr
                 )
                 dim *= 2
                 res //= 2
@@ -377,7 +442,7 @@ class SwinV2(nn.Module):
             ),
             patch_norm=nn.LayerNorm.create(embed_dim, eps=1e-5),
             stages=nn.Sequential(layers=tuple(stages)),
-            norm=nn.LayerNorm.create(dim, eps=1e-5),
+            norm=None if cr else nn.LayerNorm.create(dim, eps=1e-5),
             head=nn.Linear.create(keys[next(ki)], dim, num_classes),
         )
 
@@ -557,30 +622,77 @@ def swin_tiny(key, num_classes=1000, image_size=224):
     )
 
 
-def translate_timm_swinv2_cr_state_dict(sd: dict) -> dict:
-    """timm ``swinv2_cr_*`` checkpoints (the reference's dwain example
-    config literally targets ``swinv2_cr_tiny_ns_224``,
-    examples_config/decompose_dwain_swinv2_tiny.yaml) — REFUSED loudly.
-
-    The _cr family (Christoph Reich's independent SwinV2 implementation,
-    timm ``swin_transformer_v2_cr.py``) is NOT a relayout of official
-    SwinV2: its cosine attention parametrizes the per-head temperature as
-    a plain clamped ``tau``/``logit_scale`` parameter (official: sigmoid
-    x 16 of a learned scale), its relative position bias comes from a
-    ``meta_mlp`` over linearly normalized coordinates (official: log-CPB
-    coordinates), and it keeps v1-style pre-norm block wiring (official
-    v2 moved to residual-post-norm).  Translating its keys onto the
-    native official-SwinV2 graph would load without error and silently
-    compute the WRONG function — exactly the failure mode checkpoint
-    translators must refuse.  Implementing the _cr graph needs its
-    upstream source as ground truth, which this offline image does not
-    carry; tests/test_timm_bridge.py carries a skipif-timm test that
-    asserts this refusal and documents the gap."""
-    raise NotImplementedError(
-        "swinv2_cr checkpoints use a structurally different graph "
-        "(clamped-tau cosine attention, meta-MLP position bias, pre-norm "
-        "blocks) from the implemented official SwinV2; refusing to load "
-        "it silently wrong.  Use an official-layout SwinV2 checkpoint "
-        "(models.swin.translate_official_state_dict) or an HF snapshot "
-        "dir instead."
+def swinv2_cr_tiny_ns(key, num_classes=1000, image_size=224):
+    """timm ``swinv2_cr_tiny_ns_224`` — THE model behind the reference's
+    own dwain vision example
+    (/root/reference/examples/trainer_vision/examples_config/
+    decompose_dwain_swinv2_tiny.yaml, built by timm through
+    /root/reference/examples/trainer_vision/builder.py:134-144).
+    The _cr family (timm ``swin_transformer_v2_cr.py``) differs from
+    official SwinV2 in: meta-MLP position bias (2->384 ReLU -> heads
+    WITH out-bias, over all-pairs ``sign·ln(1+|Δ|)`` coords, no
+    16*sigmoid squash), V1-order patch merging (norm on 4C before the
+    reduction), no model-level final norm, and — for the "_ns" variants
+    — an extra norm closing each stage's last block.  Golden-matched
+    block-level against a pure-torch upstream mirror
+    (tests/test_vision_block_goldens.py) and loadable from real timm
+    checkpoints via ``translate_timm_swinv2_cr_state_dict``."""
+    return SwinV2.create(
+        key, image_size, 4, 96, (2, 2, 6, 2), (3, 6, 12, 24), 7,
+        num_classes, cr=True, extra_norm_stage=True,
     )
+
+
+def swinv2_cr_small_ns(key, num_classes=1000, image_size=224):
+    return SwinV2.create(
+        key, image_size, 4, 96, (2, 2, 18, 2), (3, 6, 12, 24), 7,
+        num_classes, cr=True, extra_norm_stage=True,
+    )
+
+
+def translate_timm_swinv2_cr_state_dict(sd: dict) -> dict:
+    """timm ``swinv2_cr_*`` checkpoint keys -> native keys for the _cr
+    graph (``swinv2_cr_tiny_ns`` etc.), still in torch tensor layout.
+
+    Renames (native <- timm):
+      * ``patch_embed.* / patch_norm.*`` <- ``patch_embed.proj/.norm``
+      * ``stages.{s-1}.downsample.*`` <- ``stages.{s}.downsample.*`` —
+        timm's _cr stage applies PatchMerging at its ENTRY (stage s>=1),
+        the native graph at the previous stage's exit; same pipeline
+        order, shifted key position
+      * ``...attn.cpb_fc1/cpb_fc2`` <- ``...attn.meta_mlp.fc1/fc2``
+      * ``...attn.logit_scale`` (H,) -> (H, 1, 1)
+      * ``head.*`` <- ``head.fc.*``
+    Buffers (``relative_coordinates_log``, ``attn_mask``) are dropped —
+    native ones are constants rebuilt from static shapes.  Pre-2022
+    checkpoints carrying the paper's inverse-``tau`` parametrization are
+    refused loudly (converting silently risks the exact
+    wrong-function-loads-fine failure this translator family exists to
+    prevent; run timm's own checkpoint filter first)."""
+    import re
+
+    taus = sorted(k for k in sd if k.endswith(".attn.tau"))
+    if taus:
+        raise NotImplementedError(
+            f"this swinv2_cr checkpoint stores the paper's inverse-tau "
+            f"temperature ({taus[:2]}...); convert it with timm's "
+            "checkpoint filter (tau -> logit_scale) before loading"
+        )
+    out: dict = {}
+    for k, v in sd.items():
+        if k.endswith(("relative_coordinates_log", "attn_mask",
+                       "num_batches_tracked")):
+            continue
+        k = k.replace("patch_embed.proj.", "patch_embed.")
+        k = k.replace("patch_embed.norm.", "patch_norm.")
+        m = re.match(r"stages\.(\d+)\.downsample\.(.*)$", k)
+        if m:
+            k = f"stages.{int(m.group(1)) - 1}.downsample.{m.group(2)}"
+        k = k.replace(".attn.meta_mlp.fc1.", ".attn.cpb_fc1.")
+        k = k.replace(".attn.meta_mlp.fc2.", ".attn.cpb_fc2.")
+        if k.startswith("head.fc."):
+            k = "head." + k[len("head.fc."):]
+        if k.endswith(".attn.logit_scale") and getattr(v, "ndim", 0) == 1:
+            v = np.asarray(v).reshape(-1, 1, 1)
+        out[k] = v
+    return out

@@ -124,17 +124,102 @@ def test_builder_refuses_partially_translated_checkpoint(tmp_path):
         vb.make_model("efficientformerv2_s0", checkpoint_path=str(path))
 
 
-def test_swinv2_cr_refused_loudly():
-    with pytest.raises(NotImplementedError, match="cosine attention"):
-        swin_zoo.translate_timm_swinv2_cr_state_dict({})
-    # and through the trainer builder's dispatch, with a real-shaped key
+def _native_cr_model():
+    """Small _cr model covering every translator rule: downsample,
+    extra stage norms, meta MLP, head, patch embed."""
+    return models.SwinV2.create(
+        jax.random.PRNGKey(0), image_size=32, patch_size=4, embed_dim=16,
+        depths=(1, 1), n_heads=(2, 4), window=2, num_classes=10,
+        cr=True, extra_norm_stage=True,
+    )
+
+
+def native_to_timm_cr_sd(model):
+    """Render the native _cr state dict under timm's
+    swin_transformer_v2_cr spellings — the synthetic round-trip oracle
+    (same pattern as native_to_timm_sd above)."""
+    import re
+
+    out = {}
+    for k, v in utils.state_dict(model).items():
+        k = k.replace("patch_embed.", "patch_embed.proj.")
+        k = k.replace("patch_norm.", "patch_embed.norm.")
+        m = re.match(r"stages\.(\d+)\.downsample\.(.*)$", k)
+        if m:
+            k = f"stages.{int(m.group(1)) + 1}.downsample.{m.group(2)}"
+        k = k.replace(".attn.cpb_fc1.", ".attn.meta_mlp.fc1.")
+        k = k.replace(".attn.cpb_fc2.", ".attn.meta_mlp.fc2.")
+        if k.startswith("head."):
+            k = "head.fc." + k[len("head."):]
+        if k.endswith(".attn.logit_scale"):
+            v = np.asarray(v).reshape(-1)  # timm stores (H,)
+        out[k] = v
+    return out
+
+
+def test_swinv2_cr_translator_round_trips_synthetic_layout():
+    """VERDICT r4 #6: the _cr architecture is now implemented natively;
+    translating a state dict rendered in the documented timm spellings
+    must reproduce the native model exactly."""
+    m = _native_cr_model()
+    foreign = native_to_timm_cr_sd(m)
+    back = swin_zoo.translate_timm_swinv2_cr_state_dict(foreign)
+    m2 = models.SwinV2.create(
+        jax.random.PRNGKey(1), image_size=32, patch_size=4, embed_dim=16,
+        depths=(1, 1), n_heads=(2, 4), window=2, num_classes=10,
+        cr=True, extra_norm_stage=True,
+    )
+    m2 = utils.load_state_dict(m2, back)  # strict: every key must land
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 32, 32, 3))
+    np.testing.assert_allclose(
+        np.asarray(m2(x)), np.asarray(m(x)), atol=1e-5
+    )
+
+
+def test_swinv2_cr_tau_checkpoints_refused():
+    """Pre-2022 _cr checkpoints parametrize the temperature as the
+    paper's inverse tau; silently converting risks a wrong function —
+    refuse loudly naming the keys."""
+    foreign = native_to_timm_cr_sd(_native_cr_model())
+    foreign["stages.0.blocks.0.attn.tau"] = np.ones((2,), np.float32)
+    with pytest.raises(NotImplementedError, match="inverse-tau"):
+        swin_zoo.translate_timm_swinv2_cr_state_dict(foreign)
+
+
+def test_swinv2_cr_builder_dispatch():
+    """The trainer builder routes swinv2_cr_* names with _cr-shaped keys
+    through the (now functional) translator."""
     from apps.trainer_vision import builder as vb
 
-    with pytest.raises(NotImplementedError, match="cosine attention"):
-        vb._translate_external_layout(
-            "swinv2_cr_tiny_ns_224",
-            {"layers.0.blocks.0.attn.logit_scale": np.zeros((1,))},
-        )
+    foreign = native_to_timm_cr_sd(_native_cr_model())
+    translated = vb._translate_external_layout(
+        "swinv2_cr_tiny_ns_224", foreign
+    )
+    assert "stages.0.blocks.0.attn.cpb_fc1.weight" in translated
+    assert "patch_norm.weight" in translated
+
+
+@pytest.mark.skipif(not HAS_TIMM, reason="timm not installed (offline image)")
+def test_timm_live_parity_swinv2_cr():
+    """In a timm-bearing environment: the native _cr graph + translator
+    must reproduce timm's swinv2_cr_tiny_ns_224 logits — the test that
+    lights up to verify the offline-derived architecture (VERDICT r4 #6:
+    the model behind the reference's own dwain vision config)."""
+    import timm
+    import torch
+
+    torch.set_num_threads(1)
+    tm = timm.create_model("swinv2_cr_tiny_ns_224", pretrained=False)
+    tm.eval()
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    native_sd = swin_zoo.translate_timm_swinv2_cr_state_dict(sd)
+    m = models.swinv2_cr_tiny_ns(jax.random.PRNGKey(0), image_size=224)
+    m = utils.load_state_dict(m, native_sd)
+    x = np.random.RandomState(0).randn(1, 3, 224, 224).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x)).numpy()
+    got = np.asarray(m(jnp.asarray(x.transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(got, want, atol=2e-4)
 
 
 @pytest.mark.skipif(not HAS_TIMM, reason="timm not installed (offline image)")
