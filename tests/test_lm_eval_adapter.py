@@ -124,8 +124,12 @@ def test_named_task_via_mock_lm_eval(model, tokenizer, monkeypatch):
             [_Req("alpha alpha ", "alpha"), _Req("alpha alpha ", "bravo")]
         )
         roll = model.loglikelihood_rolling([_Req("charlie charlie charlie")])
+        gens = model.generate_until(
+            [_Req("alpha alpha ", {"until": ["\n"], "max_gen_toks": 3})]
+        )
         calls["lls"] = lls
         calls["roll"] = roll
+        calls["gen"] = gens
         return {
             "results": {t: {"acc": 0.5, "n": 2} for t in tasks},
         }
@@ -150,3 +154,4 @@ def test_named_task_via_mock_lm_eval(model, tokenizer, monkeypatch):
     (ll_a, _), (ll_b, _) = calls["lls"]
     assert np.isfinite(ll_a) and np.isfinite(ll_b)
     assert np.isfinite(calls["roll"][0])
+    assert isinstance(calls["gen"][0], str)  # generate_until path driven
