@@ -1,10 +1,13 @@
-"""Swin Transformer V2 (windowed attention), NHWC, TPU-native.
+"""Swin Transformer family (windowed attention), NHWC, TPU-native:
+V1, official V2, and the timm ``swinv2_cr_*`` variant.
 
 The reference's actual vision-dwain target is timm's
 ``swinv2_cr_tiny_ns_224`` (examples_config/decompose_dwain_swinv2_tiny.yaml)
 and its lockd test model is an efficientformer — both hierarchical windowed
 transformers the plain ViT cannot stand in for.  This implements the SwinV2
-architecture family:
+architecture family (``cr=True`` selects the _cr graph: meta-MLP position
+bias over all-pairs log coords, V1-order patch merging, optional extra
+stage norms, no model-level final norm — see ``swinv2_cr_tiny_ns``):
 
   * 4 stages with patch merging (2x2 concat + 4C->2C linear reduction)
   * window attention with SHIFTED windows on alternate blocks (roll +
