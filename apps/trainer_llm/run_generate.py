@@ -17,7 +17,7 @@ import json
 import logging
 import pathlib
 import time
-from typing import Any
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -156,22 +156,19 @@ def main(config_raw: dict[str, Any], output_path: pathlib.Path) -> None:
     spec_stats: list[dict[str, Any]] = []
     total_new = 0
     key = jax.random.PRNGKey(config.seed)
-    # speculative auto-gate inputs are measured ONCE, before the chunk
-    # loop: the three timing scans + the acceptance probe are not free,
-    # and per-chunk re-measurement could flip the gate decision mid-run
-    # (ADVICE r4 low).  Costs at the serving batch size; acceptance from
-    # a short real drafting probe on the first chunk's prompts.
-    gate_kwargs: dict[str, Any] = {}
+    # speculative auto-gate runs ONCE, before the chunk loop: a timed
+    # probe of the real speculative loop vs plain decode on the first
+    # chunk's prompts (per-chunk re-measurement would waste the probes
+    # and could flip the decision mid-run — ADVICE r4 low).  If the
+    # probe says drafting loses, the whole run serves plain decode.
+    gate_info: Optional[dict[str, Any]] = None
     if draft is not None and config.speculative_auto_gate:
         first = token_lists[: config.batch_size]
         s0 = max(len(t) for t in first)
         padded0 = np.zeros((len(first), s0), np.int32)
         for i, t in enumerate(first):
             padded0[i, : len(t)] = t
-        costs = serving.measure_decode_step_costs(
-            model, draft, len(first), k=config.speculative_k
-        )
-        probe = serving.measure_draft_acceptance(
+        probe = serving.measure_speculative_speedup_probe(
             model,
             draft,
             jnp.asarray(padded0),
@@ -179,11 +176,15 @@ def main(config_raw: dict[str, Any], output_path: pathlib.Path) -> None:
             eos_id=eos_id,
             prompt_lens=jnp.asarray([len(t) for t in first], jnp.int32),
         )
-        gate_kwargs = {"costs": costs, "acceptance": probe["acceptance"]}
-        logger.info(
-            f"Speculative gate inputs (measured once): "
-            f"acceptance={probe['acceptance']} costs={costs}"
-        )
+        use_speculative = probe["measured_speedup"] >= 1.0
+        gate_info = {
+            "used_speculative": use_speculative,
+            "basis": "measured_probe_throughput",
+            **probe,
+        }
+        logger.info(f"Speculative gate (measured once): {gate_info}")
+        if not use_speculative:
+            draft = None  # serve plain decode for every chunk
     t0 = time.perf_counter()
     for start in range(0, len(token_lists), config.batch_size):
         chunk = token_lists[start : start + config.batch_size]
@@ -203,8 +204,8 @@ def main(config_raw: dict[str, Any], output_path: pathlib.Path) -> None:
                 eos_id=eos_id,
                 prompt_lens=lens,
                 return_stats=True,
-                auto_gate=config.speculative_auto_gate,
-                **gate_kwargs,
+                # gating already happened once above; chunks run ungated
+                auto_gate=False,
             )
             spec_stats.append(stats)
         elif config.num_beams > 1:
@@ -270,14 +271,14 @@ def main(config_raw: dict[str, Any], output_path: pathlib.Path) -> None:
             "drafted": drafted,
             "accepted": accepted,
             "acceptance": round(accepted / drafted, 4) if drafted else None,
-            "gate": spec_stats[0].get("gate"),
+            "gate": gate_info,
         }
-        if gate_kwargs:
-            summary["speculative"]["gate_inputs"] = {
-                "costs": gate_kwargs["costs"],
-                "measured_acceptance": gate_kwargs["acceptance"],
-                "probe": probe,
-            }
+    elif gate_info is not None:
+        # the gate measured a losing regime and served plain decode
+        summary["speculative"] = {
+            "k": config.speculative_k,
+            "gate": gate_info,
+        }
     with open(output_path / "summary.json", "w") as f:
         json.dump(summary, f, indent=2)
     logger.info(f"Generation summary: {summary}")

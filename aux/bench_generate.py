@@ -321,17 +321,21 @@ def main() -> None:
         twin_tok_s = BATCH * NEW_TOKENS / twin_s
         spec_s, spec_stats = time_speculative(twin, draft, prompt, k=4)
         spec_tok_s = BATCH * NEW_TOKENS / spec_s
-        # the gate's estimate now uses a MEASURED acceptance probe
-        # (VERDICT r4 #3: the assumed 0.9 predicted 1.78x where reality
-        # was 0.70x) — same inputs the serving CLI's auto-gate measures
-        probe = serving.measure_draft_acceptance(
+        # the gate's DEFAULT basis: a timed probe of the real loop vs
+        # plain decode (gate_measured_speedup — what the serving CLI
+        # acts on); the analytic step-cost estimate is recorded for
+        # comparison (r5 finding: even with measured acceptance it
+        # predicted 1.27x where reality was 0.76x — the round-cost
+        # model misses per-round bookkeeping in latency-bound regimes)
+        tprobe = serving.measure_speculative_speedup_probe(
             twin, draft, prompt, k=4, probe_tokens=32
         )
         est = serving.estimate_speculative_speedup(
-            twin, draft, BATCH, k=4, acceptance=probe["acceptance"]
+            twin, draft, BATCH, k=4, acceptance=tprobe["acceptance"]
         )
         spec[tag] = {
-            "gate_probe_acceptance": probe["acceptance"],
+            "gate_measured_speedup": tprobe["measured_speedup"],
+            "gate_probe_acceptance": tprobe["acceptance"],
             "draft_params_proportion": round(
                 utils.get_num_params(draft) / n_params_dense, 4
             ),
@@ -344,8 +348,8 @@ def main() -> None:
             # the auto-gate's measured-cost prediction for this regime —
             # at 1.1B shapes it should predict <1 (and generate CLI's
             # speculative_auto_gate would fall back to dense here)
-            "gate_expected_speedup": est["expected_speedup"],
-            "gate_step_costs_ms": {
+            "analytic_expected_speedup": est["expected_speedup"],
+            "analytic_step_costs_ms": {
                 "target": round(est["target_step_s"] * 1e3, 3),
                 "verify": round(est["target_verify_s"] * 1e3, 3),
                 "draft": round(est["draft_step_s"] * 1e3, 3),
@@ -391,22 +395,23 @@ def main() -> None:
         twin3_tok_s = bsz * NEW_TOKENS / twin3_s
         s3, st3 = time_speculative(twin3, draft3, p3, k=4)
         s3_tok_s = bsz * NEW_TOKENS / s3
-        probe3 = serving.measure_draft_acceptance(
+        tprobe3 = serving.measure_speculative_speedup_probe(
             twin3, draft3, p3, k=4, probe_tokens=32
         )
         est3 = serving.estimate_speculative_speedup(
-            twin3, draft3, bsz, k=4, acceptance=probe3["acceptance"]
+            twin3, draft3, bsz, k=4, acceptance=tprobe3["acceptance"]
         )
         spec_3b[f"b{bsz}"] = {
-            "gate_probe_acceptance": probe3["acceptance"],
+            "gate_measured_speedup": tprobe3["measured_speedup"],
+            "gate_probe_acceptance": tprobe3["acceptance"],
             "speculative_tok_s": round(s3_tok_s, 1),
             "target_dense_tok_s": round(twin3_tok_s, 1),
             "speedup_vs_dense": round(s3_tok_s / twin3_tok_s, 3),
             "acceptance": round(
                 st3["accepted"] / max(st3["drafted"], 1), 4
             ),
-            "gate_expected_speedup": est3["expected_speedup"],
-            "gate_step_costs_ms": {
+            "analytic_expected_speedup": est3["expected_speedup"],
+            "analytic_step_costs_ms": {
                 "target": round(est3["target_step_s"] * 1e3, 3),
                 "verify": round(est3["target_verify_s"] * 1e3, 3),
                 "draft": round(est3["draft_step_s"] * 1e3, 3),

@@ -1363,30 +1363,29 @@ def test_speculative_auto_gate(monkeypatch):
     assert est["expected_tokens_per_round"] > 1
     assert est["expected_speedup"] > 0
 
-    # force the gate CLOSED: fallback to plain generate, gate recorded
+    # force the gate CLOSED (default basis = throughput probe): fallback
+    # to plain generate, gate recorded
+    def fake_probe(speedup):
+        return lambda *a, **kw: {
+            "measured_speedup": speedup, "acceptance": 0.9,
+            "probe_tokens": 4, "speculative_probe_s": 0.1,
+            "dense_probe_s": 0.1 * speedup,
+        }
+
     monkeypatch.setattr(
-        serving, "estimate_speculative_speedup",
-        lambda *a, **kw: {
-            "target_step_s": 1e-3, "target_verify_s": 1e-3,
-            "draft_step_s": 1e-3, "k": 3, "assumed_acceptance": 0.9,
-            "expected_tokens_per_round": 3.4, "expected_speedup": 0.6,
-        },
+        serving, "measure_speculative_speedup_probe", fake_probe(0.6)
     )
     got, stats = serving.generate_speculative(
         lm, draft, prompt, 7, k=3, return_stats=True, auto_gate=True
     )
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
     assert stats["gate"]["used_speculative"] is False
+    assert stats["gate"]["basis"] == "measured_probe_throughput"
     assert stats["rounds"] == 0
 
     # force the gate OPEN: the speculative path runs, still exact
     monkeypatch.setattr(
-        serving, "estimate_speculative_speedup",
-        lambda *a, **kw: {
-            "target_step_s": 3e-3, "target_verify_s": 3e-3,
-            "draft_step_s": 4e-4, "k": 3, "assumed_acceptance": 0.9,
-            "expected_tokens_per_round": 3.4, "expected_speedup": 2.4,
-        },
+        serving, "measure_speculative_speedup_probe", fake_probe(2.4)
     )
     got2, stats2 = serving.generate_speculative(
         lm, draft, prompt, 7, k=3, return_stats=True, auto_gate=True
@@ -1442,6 +1441,42 @@ def test_speculative_gate_measures_acceptance():
     )
     np.testing.assert_array_equal(np.asarray(got_hi), np.asarray(want))
     assert stats_hi["gate"]["used_speculative"] is True
+
+
+def test_speculative_gate_throughput_probe_basis():
+    """With no caller-supplied numbers the gate times the REAL loop
+    against plain decode (the analytic model undercounts per-round
+    bookkeeping: 1.27x predicted vs 0.76x realized at 1.1B even with
+    measured acceptance — BENCH_GENERATE r5).  Output exactness holds on
+    both forced decisions; the gate records the probe basis."""
+    lm, _ = make_lm(key=76)
+    draft = decompose_all(
+        lm, keep=["model.layers.0.mlp.up_proj"], min_rank=8
+    )
+    prompt = jax.random.randint(jax.random.PRNGKey(77), (2, 5), 0, 64)
+    want = serving.generate(lm, prompt, 7)
+
+    # force OPEN: any measured ratio passes
+    got, stats = serving.generate_speculative(
+        lm, draft, prompt, 7, k=3, return_stats=True, auto_gate=True,
+        min_estimated_speedup=0.0, probe_tokens=4,
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    gate = stats["gate"]
+    assert gate["used_speculative"] is True
+    assert gate["basis"] == "measured_probe_throughput"
+    assert gate["probe"]["speculative_probe_s"] > 0
+    assert gate["probe"]["dense_probe_s"] > 0
+    assert 0.0 <= gate["probe"]["acceptance"] <= 1.0
+
+    # force CLOSED: no measured ratio passes — exact fallback
+    got2, stats2 = serving.generate_speculative(
+        lm, draft, prompt, 7, k=3, return_stats=True, auto_gate=True,
+        min_estimated_speedup=1e9, probe_tokens=4,
+    )
+    np.testing.assert_array_equal(np.asarray(got2), np.asarray(want))
+    assert stats2["gate"]["used_speculative"] is False
+    assert stats2["rounds"] == 0
 
 
 def test_measure_draft_acceptance_self_draft_is_high():
