@@ -74,13 +74,18 @@ def measure_pipeline(root: pathlib.Path, use_native: bool) -> float:
 
 
 def measure_device_demand() -> dict:
-    """images/sec the lockd DP train step consumes on the device (jitted
-    update on a wrapped resnet18), including the host->device batch
-    transfer — the number the input pipeline must keep up with."""
+    """images/sec the CHUNKED lockd driver step consumes when fed
+    device-resident synthetic tensors — the same steps_per_dispatch=8
+    dispatch mechanics as measure_end_to_end, minus the input pipeline.
+    The difference between this and the end-to-end rows is exactly what
+    host decode costs.  (The earlier per-dispatch measurement was
+    tunnel-latency-floored — a ~4s/step artifact that made the
+    host_bound_ratio read as if the host kept up.)"""
     import jax
+    import jax.numpy as jnp
     import optax
 
-    from apps.trainer_vision.run_decompose_lockd import make_train_step
+    from apps.trainer_vision.run_decompose_lockd import make_train_chunk
     from ptdeco_tpu import lockd
     from ptdeco_tpu.models import resnet
     from ptdeco_tpu.utils.cache import enable_compilation_cache
@@ -91,30 +96,34 @@ def measure_device_demand() -> dict:
     trainable, frozen = lockd.trainable_partition(wrapped)
     tx = optax.adamw(1e-3)
     opt_state = tx.init(trainable)
-    step = make_train_step(frozen, tx, lmbda=0.1, nsr_threshold=0.05)
-
+    spd = 8
+    chunk_fn = make_train_chunk(
+        frozen, tx, lmbda=0.1, nsr_threshold=0.05, precision="bf16"
+    )
     rng = np.random.RandomState(0)
-    key = jax.random.PRNGKey(2)
+    inputs_k = jnp.asarray(
+        rng.rand(spd, BATCH, *INPUT_HW, 3).astype(np.float32)
+    )
+    keys_k = jax.random.split(jax.random.PRNGKey(2), spd)
+    jax.block_until_ready(inputs_k)
 
-    def batch_i(i):
-        return rng.rand(BATCH, *INPUT_HW, 3).astype(np.float32)
-
-    # warm/compile
-    trainable, opt_state, loss, _ = step(trainable, opt_state, batch_i(0), key)
-    jax.block_until_ready(loss)
-    t0 = time.perf_counter()
-    n_steps = 5
-    for i in range(n_steps):
-        key, sub = jax.random.split(key)
-        trainable, opt_state, loss, _ = step(
-            trainable, opt_state, batch_i(i), sub
+    def one_chunk():
+        nonlocal trainable, opt_state
+        trainable, opt_state, ys = chunk_fn(
+            trainable, opt_state, inputs_k, keys_k
         )
-        # force completion through the memoizing tunnel
-        _ = float(loss)
+        return float(ys[0][-1])
+
+    one_chunk()  # compile
+    n_chunks = 3
+    t0 = time.perf_counter()
+    for _ in range(n_chunks):
+        one_chunk()
     dt = time.perf_counter() - t0
     return {
-        "device_images_per_s": n_steps * BATCH / dt,
-        "step_s": dt / n_steps,
+        "device_images_per_s": n_chunks * spd * BATCH / dt,
+        "step_s": dt / (n_chunks * spd),
+        "steps_per_dispatch": spd,
         "device": str(jax.devices()[0]),
     }
 
