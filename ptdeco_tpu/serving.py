@@ -1833,16 +1833,24 @@ def measure_speculative_speedup_probe(
     acceptance (BENCH_GENERATE r5).  Timing the actual loop counts
     everything by construction.
 
-    Each arm is timed at TWO probe lengths and the ratio is taken on
-    the per-token SLOPE ``(t_hi - t_lo) / (pt_hi - pt_lo)``: the
-    speculative arm prefills two caches where plain decode prefills
-    one, and over a short single-length probe that fixed cost read as a
-    ~25% pessimistic bias (r5 measurement: 0.55 predicted vs 0.77
-    realized); differencing cancels everything that doesn't scale with
-    tokens.  Returns ``{"measured_speedup", "acceptance",
-    "probe_tokens", "speculative_tok_slope_s", "dense_tok_slope_s",
-    "speculative_probe_s", "dense_probe_s"}``; acceptance still drifts
-    for horizons far past the probe, so expect the ratio to be accurate
+    Each arm is timed at TWO probe lengths (min of 2 hot runs each) and
+    the gate ratio is ``min(slope_ratio, full_time_ratio)``:
+
+    * the SLOPE ratio ``Δt/Δtokens`` cancels fixed costs — the
+      speculative arm prefills two caches where plain decode prefills
+      one, which read as a ~25% pessimistic bias on a single-length
+      probe (0.55 predicted vs 0.77 realized, r5) — but differencing
+      amplifies timing noise, and on this shared chip a noisy slope
+      once gated OPEN into a regression (1.13 predicted, 0.88
+      realized);
+    * the FULL-TIME ratio is biased conservative by the double
+      prefill, and never opened wrongly in any measured run.
+
+    Taking the minimum keeps the gate's failure mode "refused a
+    marginal win", never "steered into a loss".  Returns
+    ``{"measured_speedup", "slope_speedup", "full_time_speedup",
+    "acceptance", "probe_tokens", ...}``; acceptance still drifts for
+    horizons far past the probe, so expect the ratio to be accurate
     near the probe length and optimistic far beyond it."""
     import time as _time
 
@@ -1851,9 +1859,12 @@ def measure_speculative_speedup_probe(
 
     def timed(fn):
         fn()  # compile + warm
-        t0 = _time.perf_counter()
-        out = fn()
-        return _time.perf_counter() - t0, out
+        best, out = float("inf"), None
+        for _ in range(2):
+            t0 = _time.perf_counter()
+            out = fn()
+            best = min(best, _time.perf_counter() - t0)
+        return best, out
 
     def spec_arm(n):
         def run():
@@ -1891,13 +1902,16 @@ def measure_speculative_speedup_probe(
     dn = pt_hi - pt_lo
     spec_slope = (spec_hi_s - spec_lo_s) / dn
     dense_slope = (dense_hi_s - dense_lo_s) / dn
+    full_ratio = dense_hi_s / spec_hi_s
     if spec_slope > 0 and dense_slope > 0:
-        speedup = dense_slope / spec_slope
-    else:  # timing noise produced a non-positive slope: full-time ratio
-        speedup = dense_hi_s / spec_hi_s
+        slope_ratio = dense_slope / spec_slope
+    else:  # timing noise produced a non-positive slope
+        slope_ratio = full_ratio
     drafted, accepted = st["drafted"], st["accepted"]
     return {
-        "measured_speedup": round(speedup, 3),
+        "measured_speedup": round(min(slope_ratio, full_ratio), 3),
+        "slope_speedup": round(slope_ratio, 3),
+        "full_time_speedup": round(full_ratio, 3),
         "acceptance": round(accepted / drafted, 4) if drafted else 0.0,
         "probe_tokens": pt_hi,
         "speculative_tok_slope_s": round(max(spec_slope, 0.0), 6),
