@@ -335,6 +335,8 @@ def main() -> None:
         )
         spec[tag] = {
             "gate_measured_speedup": tprobe["measured_speedup"],
+            "gate_slope_speedup": tprobe["slope_speedup"],
+            "gate_full_time_speedup": tprobe["full_time_speedup"],
             "gate_probe_acceptance": tprobe["acceptance"],
             "draft_params_proportion": round(
                 utils.get_num_params(draft) / n_params_dense, 4
@@ -403,6 +405,8 @@ def main() -> None:
         )
         spec_3b[f"b{bsz}"] = {
             "gate_measured_speedup": tprobe3["measured_speedup"],
+            "gate_slope_speedup": tprobe3["slope_speedup"],
+            "gate_full_time_speedup": tprobe3["full_time_speedup"],
             "gate_probe_acceptance": tprobe3["acceptance"],
             "speculative_tok_s": round(s3_tok_s, 1),
             "target_dense_tok_s": round(twin3_tok_s, 1),
