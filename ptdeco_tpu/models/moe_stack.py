@@ -21,10 +21,15 @@ Dispatch economics (why this is opt-in rather than the default):
   ``ep ≥ n_experts / top_k`` — or whenever the experts simply do not fit
   one chip's HBM, which is the regime expert parallelism exists for
   (mixtral-8x7B expert weights are ~85% of all parameters).
-* A grouped kernel cannot take this role: its expert-span layout
-  (sort-by-expert + group_sizes) is opaque to GSPMD partitioning of the
-  expert axis, while the dense einsum contraction over ``e`` lets XLA
-  place one psum over the ``ep`` axis and nothing else.
+* A grouped kernel is a poor fit for this role: its expert-span layout
+  (sort-by-expert + group_sizes) is data-dependent, so an ep shard must
+  run the FULL padded row grid and mask foreign tiles — wasted MXU work
+  that the dense einsum contraction over ``e`` avoids (XLA places one
+  psum over ``ep`` and computes only local experts).  The int8 grouped
+  kernel (ops/gmm_int8.py) nevertheless IS ep/tp-partitionable via
+  custom_partitioning for the decode regime, where the masked tiles are
+  few and the kernel's int8 weight streaming — E/ep per device — is
+  the bound that matters.
 
 The reference has no analogue (single-GPU, no MoE; SURVEY.md §2.7 names
 the parallel layer as TPU-new capability).
